@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every module's named queries. Each query key appearing in
+  * [[queries]] with a matching entry in [[oracleSql]] is hash-compared
+  * against DuckDB by the driver at sf0.01; keys without oracle SQL get a
+  * weaker rows-only check (used only for ops whose internals are
+  * engine-specific hashes, e.g. SimHash / LSH-ANN).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    ops.Relational.queries ++ ops.Profiling.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracles ++ ops.Profiling.oracles
 }

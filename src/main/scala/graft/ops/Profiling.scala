@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** The reference's data-quality / profiling / drift semantics
+  * (SURVEY.md §2.4 A1-A12, §2.10) re-expressed as single-pass Spark
+  * aggregations, plus batch sessionization (the batch twin of the
+  * streaming session-window operator in graft.streaming).
+  *
+  * The reference computes every statistic in a per-column Python loop
+  * (N passes for N columns, `data_quality_checks.py:41-49`,
+  * `drift_detector.py:16-26`); here each profile is ONE fused
+  * `agg(...)` — one scan, one partial+final HashAggregate, no shuffle
+  * beyond the single-row reduce. That is the shape that survives 100 TB.
+  */
+object Profiling {
+
+  private def r4(c: Column) = round(c, 4)
+  private def r6(c: Column) = round(c, 6)
+
+  val queries: Map[String, Q] = Map(
+
+    /** DQ null-profile (reference A1+A2, `data_quality_checks.py:27-49`):
+      * row count + per-column null fraction in one pass. Flagship query. */
+    "q28_dq_null_profile" -> ((s: SparkSession, dir: String) => {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      Tables(s, dir, "customer").agg(
+        count(lit(1)).as("row_count"),
+        cols.map(c => r6(avg(col(c).isNull.cast("double"))).as(s"nf_$c")): _*)
+    }),
+
+    /** Statistical profile (reference A6/A7/A12, `drift_detector.py:16-26`):
+      * mean + sample std per numeric column, fused into one agg and
+      * reshaped to long format. stddev_samp(n=1) is null in Spark but 0.0
+      * in the reference — coalesce matches it (SURVEY.md §7.4.2). */
+    "q29_profile_stats" -> ((s: SparkSession, dir: String) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggd = Tables(s, dir, "lineitem").agg(
+        r4(avg(col(cols.head))).as(s"m_${cols.head}"),
+        cols.tail.map(c => r4(avg(col(c))).as(s"m_$c")) ++
+        cols.map(c => r4(coalesce(stddev_samp(col(c)), lit(0.0))).as(s"s_$c")) ++
+        cols.map(c => count(col(c)).as(s"n_$c")): _*)
+      aggd.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"), col(s"m_$c").as("mean"),
+            col(s"s_$c").as("std"), col(s"n_$c").as("n_nonnull"))): _*)).as("p"))
+        .select(col("p.column_name"), col("p.mean"), col("p.std"), col("p.n_nonnull"))
+        .orderBy(col("column_name"))
+    }),
+
+    /** Drift comparison (reference `drift_detector.py:57-80`): baseline
+      * profile vs current profile joined on column name; relative mean
+      * change vs tolerance (F5-F7). Baseline = even order keys, current =
+      * odd — two branches of one cached scan. */
+    "q30_drift_compare" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      def profile(parity: Int, side: String): DataFrame =
+        o.filter(pmod(col("o_orderkey"), lit(2)) === parity)
+          .agg(avg(col("o_totalprice")).as(s"${side}_mean_price"),
+            count(lit(1)).cast("double").as(s"${side}_n"))
+      val base = profile(0, "base")
+      val curr = profile(1, "curr")
+      base.crossJoin(curr)
+        .select(
+          lit("o_totalprice").as("column_name"),
+          r4(col("base_mean_price")).as("base_mean"),
+          r4(col("curr_mean_price")).as("curr_mean"),
+          r6(abs(col("curr_mean_price") - col("base_mean_price")) /
+            abs(col("base_mean_price"))).as("rel_change"),
+          (abs(col("curr_mean_price") - col("base_mean_price")) /
+            abs(col("base_mean_price")) > lit(0.5)).as("drifted"))
+    }),
+
+    /** Batch sessionization: 30-minute-gap sessions per user via a
+      * lag + running-sum window — one shuffle on user_id. Streaming twin:
+      * session_window / flatMapGroupsWithState in graft.streaming. */
+    "q31_sessionize" -> ((s: SparkSession, dir: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull ||
+          (col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")) > 1800.0, 1L)
+        .otherwise(0L)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          newSession.as("new_s"))
+        .select(col("user_id"), col("ts"), col("value"),
+          sum(col("new_s")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_seq"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_dq_null_profile" ->
+      """SELECT count(*) AS row_count,
+        |round(avg(CASE WHEN c_custkey IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_custkey,
+        |round(avg(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_name,
+        |round(avg(CASE WHEN c_nationkey IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_nationkey,
+        |round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_acctbal,
+        |round(avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_mktsegment
+        |FROM customer""".stripMargin,
+
+    "q29_profile_stats" ->
+      """SELECT 'l_quantity' AS column_name, round(avg(l_quantity),4) AS mean,
+        |round(coalesce(stddev_samp(l_quantity),0),4) AS std, count(l_quantity) AS n_nonnull FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', round(avg(l_extendedprice),4),
+        |round(coalesce(stddev_samp(l_extendedprice),0),4), count(l_extendedprice) FROM lineitem
+        |UNION ALL SELECT 'l_discount', round(avg(l_discount),4),
+        |round(coalesce(stddev_samp(l_discount),0),4), count(l_discount) FROM lineitem
+        |UNION ALL SELECT 'l_tax', round(avg(l_tax),4),
+        |round(coalesce(stddev_samp(l_tax),0),4), count(l_tax) FROM lineitem
+        |ORDER BY column_name NULLS FIRST""".stripMargin,
+
+    "q30_drift_compare" ->
+      """WITH base AS (
+        |  SELECT avg(o_totalprice) AS m FROM orders WHERE o_orderkey % 2 = 0),
+        |curr AS (
+        |  SELECT avg(o_totalprice) AS m FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT 'o_totalprice' AS column_name,
+        |round(base.m,4) AS base_mean, round(curr.m,4) AS curr_mean,
+        |round(abs(curr.m - base.m)/abs(base.m),6) AS rel_change,
+        |abs(curr.m - base.m)/abs(base.m) > 0.5 AS drifted
+        |FROM base, curr""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |  cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |cast(min(ts) AS TIMESTAMP) AS session_start,
+        |cast(max(ts) AS TIMESTAMP) AS session_end, round(sum(value),2) AS sum_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""".stripMargin
+  )
+}
