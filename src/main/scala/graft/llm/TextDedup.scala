@@ -1,0 +1,221 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (group-by / content-hash), n-gram Jaccard (inverted-index
+  * join), MinHash + LSH banding (the 100 TB path), and SimHash.
+  *
+  * Scale design:
+  *  - exact dedup shuffles on a 64-byte content hash, never the text —
+  *    O(1) state per group, no driver materialization;
+  *  - near-dup candidates come from an equi-join on shingles / LSH
+  *    bands — never an all-pairs cross join; candidate verification
+  *    touches only the pairs the index produced;
+  *  - MinHash banding (b=16, r=3) makes the candidate probability
+  *    1-(1-j^3)^16: ≥ 0.99999 at j=0.8, so verified output matches the
+  *    exact-Jaccard oracle while doing a fraction of its comparisons on
+  *    a real (sparse-shingle) corpus.
+  *
+  * Paper grounding: Broder, "On the resemblance and containment of
+  * documents" (minhash); Leskovec-Rajaraman-Ullman MMDS ch.3 (banding);
+  * Charikar, "Similarity estimation techniques from rounding
+  * algorithms" (SimHash).
+  */
+object TextDedup {
+
+  private def r4(c: Column) = round(c, 4)
+
+  /** Distinct 3-token shingles per document: (doc_id, sh). */
+  private def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+        """explode(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("sh"))
+      .distinct()
+
+  /** Exact-Jaccard similar pairs above `threshold` from an
+    * inverted-index equi-join on shingles. */
+  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    /** Exact dedup by full content: canonical id = min doc_id per text.
+      * The 100 TB form shuffles a content hash instead (q33). */
+    "q32_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    /** Exact dedup by SHA-256 content hash — the shuffle key is 32
+      * bytes regardless of document size, which is what makes exact
+      * dedup feasible at 100 TB (text never crosses the wire). */
+    "q33_dedup_sha" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"),
+          substring(col("h"), 1, 16).as("hash_prefix"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    /** Ground-truth near-dup pairs: 3-shingle Jaccard ≥ 0.5 via
+      * inverted-index join (no cross join anywhere). */
+    "q34_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
+      jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** MinHash + LSH near-dup pairs, verified: 48 hash functions in 16
+      * bands of 3; candidates = docs sharing any band signature;
+      * candidates are then verified with exact Jaccard ≥ 0.8, so the
+      * output equals the exact-Jaccard oracle with probability
+      * ≥ 1 - 1e-5 per true pair. This is the linear-cost path that
+      * replaces q34's full inverted-index join at 100 TB. */
+    "q35_dedup_minhash" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val sh = shingleSet(docs).cache()
+      val nHashes = 48
+      val bands = 16 // rows per band = 3
+      // one pass: min of 48 seeded hashes per doc
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(xxhash64(lit(0), col("sh"))).as("h0"),
+        (1 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      val banded = sig.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          xxhash64(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")).as("sig"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      // verify candidates with exact jaccard (touches only candidate pairs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("a"), col("d1") === col("a.doc_id"))
+        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .select(col("d1"), col("d2"),
+          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** SimHash near-dup pairs (Charikar): 64-bit fingerprint from
+      * per-token hash bit votes; pairs within Hamming distance ≤ 3
+      * found EXACTLY by the 4×16-bit band pigeonhole (≤ 3 differing
+      * bits cannot touch all 4 bands, so every qualifying pair shares
+      * at least one full band). Fingerprints depend on the engine's
+      * xxhash64 → rows-only check, unit-tested in LlmOpsSpec. */
+    "q36_dedup_simhash" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val votes = tok.groupBy(col("doc_id")).agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")): _*)
+      val fp = votes.select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      val banded = fp.select(col("doc_id"), col("fp"), explode(array(
+        (0 until 4).map(k => struct(lit(k).as("band"),
+          shiftright(col("fp"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** Document fingerprint (winnowing-style sketch): the minimum
+      * SHA-256 over a doc's 3-shingles — equal fingerprints flag
+      * near-identical prefixes/content with a single tiny value per
+      * doc. SHA-256 is engine-portable, so this IS oracle-checked. */
+    "q37_doc_fingerprint" -> ((s: SparkSession, dir: String) => {
+      shingleSet(Tables(s, dir, "documents"))
+        .groupBy(col("doc_id"))
+        .agg(min(sha2(col("sh"), 256)).as("fingerprint"))
+        .select(col("doc_id"), substring(col("fingerprint"), 1, 16).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val duckShingles =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |  i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+      |       string_split(text,' ')[i+2])))) AS sh
+      |FROM documents""".stripMargin
+
+  private def duckJaccard(threshold: String) =
+    s"""WITH sh AS ($duckShingles),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, round(inter*1.0/(s1.n + s2.n - inter),4) AS jaccard
+       |FROM pairs
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE inter*1.0/(s1.n + s2.n - inter) >= $threshold
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q32_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text
+        |ORDER BY canonical_id NULLS FIRST""".stripMargin,
+
+    "q33_dedup_sha" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+        |substr(h, 1, 16) AS hash_prefix
+        |FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+        |GROUP BY h
+        |ORDER BY canonical_id NULLS FIRST""".stripMargin,
+
+    "q34_dedup_jaccard" -> duckJaccard("0.5"),
+
+    // verified-minhash output ≡ exact jaccard at the verify threshold
+    // (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
+    "q35_dedup_minhash" -> duckJaccard("0.8"),
+
+    "q37_doc_fingerprint" ->
+      s"""WITH sh AS ($duckShingles)
+         |SELECT doc_id, substr(min(sha256(sh)), 1, 16) AS fingerprint
+         |FROM sh GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+  )
+}

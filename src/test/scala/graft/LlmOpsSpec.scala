@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+/** Specs for the LLM-pipeline operators (dedup / similarity / text /
+  * multimodal). Correctness vs DuckDB is covered by the Verify gate;
+  * these pin the algorithmic invariants that the oracle can't express. */
+class LlmOpsSpec extends SparkSuite {
+
+  test("minhash LSH output equals exact jaccard at the verify threshold") {
+    val exact = TextDedup.queries("q34_dedup_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "jaccard").collect().map(_.toSeq).toSet
+    val lsh = TextDedup.queries("q35_dedup_minhash")(spark, sf)
+      .select("d1", "d2", "jaccard").collect().map(_.toSeq).toSet
+    assert(lsh == exact, s"minhash candidates missed pairs: ${exact.diff(lsh)}")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("exact dedup and sha dedup agree on canonical groups") {
+    val byText = TextDedup.queries("q32_dedup_exact")(spark, sf)
+      .select("canonical_id", "n_copies").collect().map(_.toSeq).toSet
+    val bySha = TextDedup.queries("q33_dedup_sha")(spark, sf)
+      .select("canonical_id", "n_copies").collect().map(_.toSeq).toSet
+    assert(byText == bySha)
+  }
+
+  test("simhash pairs have verified hamming distance and high unigram jaccard") {
+    val sim = TextDedup.queries("q36_dedup_simhash")(spark, sf).collect()
+    assert(sim.nonEmpty)
+    assert(sim.forall(_.getAs[Long]("hamming") <= 3))
+    // simhash approximates UNIGRAM token-set similarity — every flagged
+    // pair must have a genuinely high token-set jaccard
+    val tokenSets = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    val lowSim = sim.map { r =>
+      val a = tokenSets(r.getAs[Long]("d1")); val b = tokenSets(r.getAs[Long]("d2"))
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        a.intersect(b).size.toDouble / a.union(b).size)
+    }.filter(_._3 < 0.8)
+    assert(lowSim.isEmpty, s"simhash flagged dissimilar pairs: $lowSim")
+  }
+
+  test("cosine topk is ordered, bounded, and self-excluded") {
+    val rows = Similarity.queries("q42_cosine_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("ann lsh results are a subset of brute-force ranking universe") {
+    val ann = Similarity.queries("q44_ann_lsh")(spark, sf).collect()
+    // bucket pruning must return fewer-or-equal candidates than brute force,
+    // each with a genuine cosine value
+    assert(ann.length <= 10)
+    assert(ann.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+  }
+
+  test("multimodal stub decode is deterministic and shape-stable") {
+    val media = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val a = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(a.length == 500)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.doc_id == y.doc_id && x.n_bytes == y.n_bytes &&
+      x.features.sameElements(y.features) })
+    assert(a.forall(_.features.length == Multimodal.MultimodalStub.FeatureDim))
+    assert(a.forall(_.features.forall(f => f >= 0f && f < 1f)))
+  }
+
+  test("text quality scores are in [0,1] and langid is total") {
+    val q = TextAnalysis.queries("q39_text_quality")(spark, sf).collect()
+    assert(q.forall { r =>
+      val s = r.getAs[Double]("quality_score"); s >= 0.0 && s <= 1.0 })
+    val lid = TextAnalysis.queries("q41_langid")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(lid == 500L, "every document must receive a prediction")
+  }
+}
