@@ -1,0 +1,72 @@
+package graft.incidents
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only incident log + dashboard read path (reference
+  * `incident_logger.py` + `app/dashboard.py`).
+  *
+  * Record schema mirrors `incident_logger.py:17-29` (9 columns, two
+  * carrying JSON payloads). The reference appends by re-reading and
+  * rewriting the whole CSV (`incident_logger.py:64-66`, O(n) per
+  * append → O(n²) total); here appends are parquet append-mode writes —
+  * O(1) per incident, safe at any log size, and directly streamable
+  * (graft.streaming reads the same directory with readStream).
+  */
+object IncidentLog {
+
+  final case class Incident(
+    run_id: String,
+    pipeline_name: String,
+    description: String,
+    stage: String, // baseline | drifted | healing | post_healing
+    status: String, // success | failed | healing_actions_applied | no_changes | healed_success | failed_after_healing
+    error_type: String,
+    error_message: String,
+    issues_json: String,
+    healing_actions_json: String)
+
+  def append(spark: SparkSession, path: String, incident: Incident): Unit = {
+    import spark.implicits._
+    Seq(incident).toDS().coalesce(1).write.mode("append").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): Dataset[Incident] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Incident]
+  }
+
+  /** Dashboard scalar metrics in ONE aggregate pass (reference computes
+    * four separate passes, `dashboard.py:29-32`). */
+  final case class Metrics(total: Long, success: Long, failed: Long, healed: Long)
+
+  def metrics(incidents: Dataset[Incident]): Metrics = {
+    val row = incidents.agg(
+      count(lit(1)).as("total"),
+      count(when(col("status").contains("success"), 1)).as("success"),
+      count(when(col("status").contains("failed"), 1)).as("failed"),
+      count(when(col("status") === "healed_success", 1)).as("healed")).collect()(0)
+    Metrics(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
+  /** Run history, newest first (dashboard.py:41). */
+  def history(incidents: Dataset[Incident]): DataFrame =
+    incidents.orderBy(desc_nulls_last("run_id")).toDF()
+
+  /** Distinct filter options, sorted (dashboard.py:44-45). */
+  def filterOptions(incidents: Dataset[Incident], column: String): Seq[String] =
+    incidents.select(column).distinct().orderBy(column)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Optional equality filters + sort (dashboard.py:51-58). */
+  def filtered(incidents: Dataset[Incident],
+      stage: Option[String], status: Option[String]): DataFrame = {
+    val afterStage = stage.fold(incidents.toDF())(s => incidents.filter(col("stage") === s).toDF())
+    val afterStatus = status.fold(afterStage)(s => afterStage.filter(col("status") === s))
+    afterStatus.orderBy(desc_nulls_last("run_id"))
+  }
+
+  /** Single-run lookup (dashboard.py:62-63). */
+  def byRunId(incidents: Dataset[Incident], runId: String): Option[Incident] =
+    incidents.filter(col("run_id") === runId).limit(1).collect().headOption
+}
