@@ -28,18 +28,28 @@ object Similarity {
 
   /** Sequential-fold cosine between two double-cast float arrays —
     * identical op order to the DuckDB oracle formula, so results match
-    * bit-for-bit. */
-  private def cosine(a: String, b: String): Column = {
+    * bit-for-bit. Kept as the declarative reference implementation for
+    * the custom expression (CosineSimilaritySpec asserts equality). */
+  private[graft] def cosineFold(a: String, b: String): Column = {
     def dot(x: String, y: String) = expr(
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p AS double) * cast(q AS double)), 0D, (acc, v) -> acc + v)")
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
+
+  /** Hot-path cosine: the codegen'd native expression
+    * (graft.functions.CosineSimilarity) — same values, fused loop. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
+  private def withCosine(s: SparkSession): Unit =
+    graft.functions.VectorFunctions.register(s)
 
   val queries: Map[String, Q] = Map(
 
     /** Exact top-20 cosine neighbors of vec_id=0 — brute force, one
       * streaming scan of the corpus against a broadcast query row. */
     "q42_cosine_topk" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       e.crossJoin(broadcast(qv))
@@ -55,6 +65,7 @@ object Similarity {
       * 100 TB the same plan holds with a bucketed candidate join
       * (q44) replacing the broadcast-times-corpus product. */
     "q43_knn_join" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
       val e = Tables(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -77,6 +88,7 @@ object Similarity {
       * engine's hash → rows-only check; recall vs the exact q42 is
       * unit-tested in LlmOpsSpec. */
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
       val e = Tables(s, dir, "embeddings")
       // bit p of the bucket = sign of <v, h_p>, h_p[d] deterministic in [-1, 1)
       val bucketBits = (0 until 8).map { p =>

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events feed (and, by the same
+  * schema, the incident log): tumbling / sliding / session windowed
+  * aggregation with watermarks, and custom stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * The reference has no streaming (SURVEY.md §2.9) — its dashboard
+  * polls a growing file (`dashboard.py:11-15`). These operators are the
+  * engine extension that replaces polling: the SAME directory the
+  * batch side writes (parquet append) is a streaming source here.
+  *
+  * Scale design: watermarks bound state (late events beyond 1h are
+  * dropped, so state never grows unboundedly); grouping keys
+  * (window/user_id) shard state across executors; session state is one
+  * small struct per active user.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  private final case class SessionState(start: java.sql.Timestamp,
+    last: java.sql.Timestamp, n: Long, sum: Double)
+
+  /** Streaming source over an events-shaped parquet directory. The
+    * testdata stores ts as TIMESTAMP(NANOS) (long under nanosAsLong) —
+    * normalize to micros exactly like graft.Tables. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(dir)
+    if (batchSchema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Tumbling 1-hour windowed counts with a 1-hour watermark —
+    * streaming twin of batch q26_time_bucket. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 2h/1h windowed counts — twin of batch q27_sliding_window. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"), col("sum_value"))
+
+  /** Native session windows (30-minute gap) — twin of batch
+    * q31_sessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: emits
+    * a session record each time a 30-minute gap closes it. Unlike
+    * session_window, the state transition is explicit — the surface for
+    * arbitrary per-key streaming logic (DQ trend tracking, rate
+    * limiting, dedup-within-window). */
+  def statefulSessionize(spark: SparkSession, events: Dataset[Event]): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val closed = Seq.newBuilder[UserSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+                closed += UserSession(userId, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              case Some(s) =>
+                val last = if (e.ts.after(s.last)) e.ts else s.last
+                cur = Some(s.copy(last = last, n = s.n + 1, sum = s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

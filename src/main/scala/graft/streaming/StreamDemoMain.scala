@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Runnable streaming demo: feeds the events testdata through a real
+  * StreamingQuery (tumbling + session windows) into an in-memory sink
+  * and prints the leading windows.
+  *
+  * Usage: sbt "runMain graft.streaming.StreamDemoMain [sfDir]"
+  */
+object StreamDemoMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-stream-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stream sources must be directories — stage the single parquet file
+    val dir = Files.createTempDirectory("graft_stream_demo")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("part-000.parquet"))
+
+    val events = EventStreams.readEvents(spark, dir.toString)
+
+    val tq = EventStreams.tumblingCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("tumbling").start()
+    tq.processAllAvailable(); tq.stop()
+    println("tumbling windows (first 5):")
+    spark.table("tumbling").orderBy("w_start", "event_type").show(5, truncate = false)
+
+    val sq = EventStreams.sessionCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    sq.processAllAvailable(); sq.stop()
+    println(s"closed sessions: ${spark.table("sessions").count()}")
+    spark.table("sessions").orderBy("user_id", "session_start").show(5, truncate = false)
+
+    spark.stop()
+  }
+}
