@@ -90,12 +90,19 @@ object Similarity {
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings")
-      // bit p of the bucket = sign of <v, h_p>, h_p[d] deterministic in [-1, 1)
+      // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
+      // deterministic pseudo-random constants — computed ONCE on the
+      // driver and shipped as array literals, so the per-row work is a
+      // pure fused dot product (the first version recomputed a hash per
+      // element per row: 512 hashes/row; this is 0).
+      def coef(p: Int, d: Int): Double = {
+        var h = (p * 64 + d + 1) * 0x9E3779B97F4A7C15L
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+      }
       val bucketBits = (0 until 8).map { p =>
-        val proj = expr(
-          s"""aggregate(zip_with(embedding, sequence(0, 63),
-             |  (x, d) -> cast(x AS double) * ((pmod(xxhash64($p * 64 + d), 2001) - 1000) / 1000.0)),
-             |  0D, (acc, v) -> acc + v)""".stripMargin)
+        val planeSql = (0 until 64).map(d => s"${coef(p, d)}D").mkString("array(", ", ", ")")
+        val proj = expr(s"aggregate(zip_with(embedding, $planeSql, (x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       val bucketed = e.select(col("vec_id"), col("embedding"),

@@ -101,10 +101,13 @@ object TextDedup {
       val sig = sh.groupBy(col("doc_id")).agg(
         min(xxhash64(lit(0), col("sh"))).as("h0"),
         (1 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      // cached: both sides of the bucket self-join read this — without
+      // the cache the 48-min aggregation over all shingles runs twice
       val banded = sig.select(col("doc_id"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("band"),
           xxhash64(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")).as("sig"))): _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+        .cache()
       val cand = banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -144,10 +147,13 @@ object TextDedup {
       val fp = votes.select(col("doc_id"),
         (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      // cached: the pair self-join reads both sides — without it the
+      // 64-bit-vote aggregation over all tokens runs twice
       val banded = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until 4).map(k => struct(lit(k).as("band"),
           shiftright(col("fp"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .cache()
       banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
