@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Extended operator coverage: pivot, SQL-surface queries (scalar +
+  * EXISTS subqueries through spark.sql), explicit GROUPING SETS,
+  * approximate distinct (HLL), and embedding near-dup pairs.
+  */
+object Extended {
+
+  private def r2(c: Column) = round(c, 2)
+  private def r6(c: Column) = round(c, 6)
+
+  val queries: Map[String, Q] = Map(
+
+    /** Pivot: order counts by status × priority. Pivot values are
+      * declared explicitly — at scale an implicit pivot would need a
+      * distinct-collect driver roundtrip; declaring them keeps the plan
+      * a single pass. */
+    "q47_pivot" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    /** SQL surface: scalar subquery + correlated EXISTS, executed via
+      * spark.sql over registered views (Catalyst decorrelates the
+      * EXISTS into a left-semi join — same plan as q05's DataFrame
+      * form). */
+    "q48_sql_subquery" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |round(sum(o_totalprice), 2) AS sum_price
+          |FROM v_orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+          |  AND EXISTS (SELECT 1 FROM v_lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    /** Explicit GROUPING SETS with grouping_id — beyond rollup/cube. */
+    "q49_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |cast(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |cast(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+          |FROM v_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    /** HLL approximate distinct vs exact — rows-only check (HLL sketch
+      * values are engine-specific by design); the spec asserts the
+      * relative error bound instead. */
+    "q50_approx_distinct" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (this
+      * corpus is near-orthogonal random, so 0.3 is the meaningful
+      * tail). Brute-force block product at test scale; the LSH-bucketed
+      * path (q44) is the 100 TB shape. */
+    "q51_embed_neardup" -> ((s: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("emb_b"))
+      a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), expr("cosine_sim(emb_a, emb_b)").as("cs"))
+        .filter(col("cs") >= 0.3)
+        .select(col("d1"), col("d2"), r6(col("cs")).as("cos_sim"))
+        .orderBy(col("d1"), col("d2"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q47_pivot" ->
+      """SELECT o_orderstatus,
+        |count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        |count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+        |count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+        |count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q48_sql_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q49_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |cast(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |cast(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q51_embed_neardup" ->
+      """SELECT d1, d2, round(cs, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> cast(a.embedding[i] AS DOUBLE) * cast(b.embedding[i] AS DOUBLE)), 'sum')
+        |  / sqrt(
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> cast(a.embedding[i] AS DOUBLE) * cast(a.embedding[i] AS DOUBLE)), 'sum')
+        |    * list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> cast(b.embedding[i] AS DOUBLE) * cast(b.embedding[i] AS DOUBLE)), 'sum')) AS cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cs >= 0.3
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  )
+}
