@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Advanced composite operators: generator-based token frequency,
+  * TF-IDF, and an as-of join.
+  *
+  * The as-of join is the one operator here Spark lacks natively (SQL
+  * engines expose ASOF JOIN): implemented with the union + window
+  * formulation — interleave both streams, carry the last left-side row
+  * forward with a running last_value window — which is a single sort
+  * per key partition, no per-row subquery, no range cross product.
+  * That is the shape that survives 100 TB (cf. the custom-SparkPlan
+  * alternative in the build plan; the window form needs zero custom
+  * physical code and gets the same single-shuffle plan).
+  */
+object Advanced {
+
+  private def r6(c: Column) = round(c, 6)
+
+  val queries: Map[String, Q] = Map(
+
+    /** Token frequency — the Generator (UDTF-shaped) path: explode →
+      * groupBy → count. Map-side partial aggregation keeps the shuffle
+      * at |vocab| × |langs| rows regardless of corpus size. */
+    "q52_token_freq" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
+    /** TF-IDF per (doc, token): tf = occurrences/doc length,
+      * idf = ln(N/df). Two aggregations + one broadcast-joined doc
+      * count — all shuffles keyed on token or doc_id. Output limited to
+      * the top-scored terms of the first 20 docs for a stable result. */
+    "q53_tfidf" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tokens = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("doc_len"),
+          explode(split(col("text"), " ")).as("token"))
+      val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
+        .agg(count(lit(1)).as("occurrences"))
+      val df_ = tokens.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      tf.join(df_, "token")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"),
+          r6((col("occurrences") / col("doc_len")) *
+            log(col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    /** As-of join: for every purchase event, the most recent prior
+      * click of the same user (union + last-carried-forward window —
+      * one shuffle on user_id, one sort, zero custom physical code). */
+    "q54_asof_join" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"),
+          when(col("event_type") === "click", col("event_id")).as("click_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          last(col("click_ts"), ignoreNulls = true).over(w).as("asof_click_ts"),
+          last(col("click_id"), ignoreNulls = true).over(w).as("asof_click_id"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("asof_click_id"),
+          r6(col("ts").cast("double") - col("asof_click_ts").cast("double")).as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q52_token_freq" ->
+      """SELECT lang, token, count(*) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY lang, token
+        |ORDER BY lang NULLS FIRST, token NULLS FIRST""".stripMargin,
+
+    "q53_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text,' '))*1.0 AS doc_len,
+        |         unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, doc_len, count(*) AS occurrences
+        |  FROM toks GROUP BY doc_id, token, doc_len),
+        |df AS (
+        |  SELECT token, count(*) AS doc_freq
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        |n AS (SELECT count(*)*1.0 AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |round((tf.occurrences/tf.doc_len) * ln(n.n_docs/df.doc_freq), 6) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id NULLS FIRST, tf.token NULLS FIRST""".stripMargin,
+
+    "q54_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+        |  CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |lcf AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |  last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts,
+        |  last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id, asof_click_id,
+        |round(epoch(ts) - epoch(asof_click_ts), 6) AS gap_sec
+        |FROM lcf WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+  )
+}
