@@ -28,12 +28,16 @@ object TextDedup {
 
   private def r4(c: Column) = round(c, 4)
 
-  /** Distinct 3-token shingles per document: (doc_id, sh). */
+  /** Distinct 3-token shingles per document: (doc_id, sh). The split
+    * is hoisted into its own projection — referencing split(text)
+    * inside the transform lambda would re-tokenize the document once
+    * per shingle index (O(len²) per doc). */
   private def shingleSet(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
         """explode(transform(
-          |  sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("sh"))
+          |  sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin).as("sh"))
       .distinct()
 
   /** Exact-Jaccard similar pairs above `threshold` from an

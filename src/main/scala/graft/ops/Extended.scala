@@ -76,6 +76,35 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+      * `quantile_cont`, both linear interpolation). The approximate
+      * t-digest path (percentile_approx) is the 100 TB variant — same
+      * query shape, sketch mergeable across executors. */
+    "q55_percentiles" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Regex surface: extract + replace + match over the JSON props
+      * string (raw regex, not the JSON parser — both engines PCRE-ish). */
+    "q56_regex" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"),
+          length(regexp_replace(col("props"), "[0-9]", "")).cast("long").as("len_no_digits"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k_val")).as("sum_k"),
+          round(avg(col("len_no_digits")), 4).as("avg_len_no_digits"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (this
       * corpus is near-orthogonal random, so 0.3 is the meaningful
       * tail). Brute-force block product at test scale; the LSH-bucketed
@@ -121,6 +150,26 @@ object Extended {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q55_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q56_regex" ->
+      """SELECT event_type, count(*) AS n,
+        |cast(sum(k_val) AS BIGINT) AS sum_k,
+        |round(avg(len_no_digits), 4) AS avg_len_no_digits
+        |FROM (SELECT event_type,
+        |      cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+        |      cast(length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS len_no_digits
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q51_embed_neardup" ->
       """SELECT d1, d2, round(cs, 6) AS cos_sim FROM (
