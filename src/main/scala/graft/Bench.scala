@@ -16,15 +16,22 @@ object Bench {
     // shapes the suite uses (string predicates, aggregates, window) —
     // otherwise the first timed query absorbs 5-8 s of one-time cost
     try {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      li.filter(org.apache.spark.sql.functions.col("l_returnflag").like("%A%"))
-        .groupBy("l_linestatus")
-        .agg(org.apache.spark.sql.functions.sum("l_quantity")).count()
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      li.filter(col("l_returnflag").like("%A%"))
+        .groupBy(upper(col("l_linestatus")).as("a"),
+          substring(col("l_returnflag"), 1, 1).as("b"),
+          concat_ws(":", col("l_returnflag"), col("l_linestatus")).as("c"))
+        .agg(sum(col("l_quantity")), avg(length(col("l_returnflag")))).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free per-query caches (LSH band frames etc.) so later queries
+      // aren't perturbed by eviction pressure from earlier ones
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
