@@ -36,6 +36,31 @@ object IncidentLog {
     spark.read.parquet(path).as[Incident]
   }
 
+  /** CSV edge-format export/import (the reference's on-disk format,
+    * `incident_logger.py:49-62`). The JSON payload columns force full
+    * quoting+escaping — Spark's CSV writer quotes embedded quotes,
+    * commas and newlines; the reader must be configured to match
+    * (multiLine for embedded newlines, escape='"' for RFC-4180 double
+    * quotes). Parquet stays the internal format; CSV is the edge. */
+  def exportCsv(incidents: Dataset[Incident], path: String): Unit =
+    incidents.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  def importCsv(spark: SparkSession, path: String): Dataset[Incident] = {
+    import spark.implicits._
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(spark.emptyDataset[Incident].schema)
+      .csv(path)
+      .na.fill("")
+      .as[Incident]
+  }
+
   /** Dashboard scalar metrics in ONE aggregate pass (reference computes
     * four separate passes, `dashboard.py:29-32`). */
   final case class Metrics(total: Long, success: Long, failed: Long, healed: Long)

@@ -87,6 +87,40 @@ object Similarity {
       * only within the query's bucket. Bucket membership depends on the
       * engine's hash → rows-only check; recall vs the exact q42 is
       * unit-tested in LlmOpsSpec. */
+    /** IVF (inverted-file) ANN: deterministic coarse quantizer — the
+      * first 16 vectors act as cell centroids, every vector is assigned
+      * to its nearest centroid (broadcast 16-way product + window
+      * argmax), and the query probes its 2 best cells only. At 100 TB
+      * the assignment is one broadcast pass and each query touches
+      * ~n*nprobe/K vectors instead of n. Fully deterministic, so this
+      * one IS oracle-checked (unlike the hash-bucketed q44). */
+    "q57_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          expr("cosine_sim(embedding, cent_emb)").as("csim"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
+        .select(col("cent_id"), expr("cosine_sim(embedding, cent_emb)").as("csim"))
+        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+        .limit(2).select(col("cent_id"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      assigned.join(broadcast(qCells), "cent_id")
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr("cosine_sim(embedding, q_emb)").as("cs"))
+        .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
+    }),
+
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings")
@@ -118,14 +152,18 @@ object Similarity {
     })
   )
 
-  private val duckCosine =
-    """list_aggregate(list_transform(generate_series(1, 64),
-      |  i -> cast(embedding[i] AS DOUBLE) * cast(q_emb[i] AS DOUBLE)), 'sum')
-      |/ sqrt(
-      |  list_aggregate(list_transform(generate_series(1, 64),
-      |    i -> cast(embedding[i] AS DOUBLE) * cast(embedding[i] AS DOUBLE)), 'sum')
-      |  * list_aggregate(list_transform(generate_series(1, 64),
-      |    i -> cast(q_emb[i] AS DOUBLE) * cast(q_emb[i] AS DOUBLE)), 'sum'))""".stripMargin
+  /** DuckDB twin of the sequential-fold cosine for two named list
+    * columns — same op order, bitwise-compatible with the Spark side. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_aggregate(list_transform(generate_series(1, 64),
+       |  i -> cast($a[i] AS DOUBLE) * cast($b[i] AS DOUBLE)), 'sum')
+       |/ sqrt(
+       |  list_aggregate(list_transform(generate_series(1, 64),
+       |    i -> cast($a[i] AS DOUBLE) * cast($a[i] AS DOUBLE)), 'sum')
+       |  * list_aggregate(list_transform(generate_series(1, 64),
+       |    i -> cast($b[i] AS DOUBLE) * cast($b[i] AS DOUBLE)), 'sum'))""".stripMargin
+
+  private val duckCosine = duckCos("embedding", "q_emb")
 
   val oracles: Map[String, String] = Map(
     "q42_cosine_topk" ->
@@ -136,6 +174,29 @@ object Similarity {
          |  WHERE e.vec_id <> 0)
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    "q57_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |  ${duckCos("e.embedding", "c.cent_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT vec_id, embedding, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |qcells AS (
+         |  SELECT cent_id FROM sims WHERE vec_id = 0
+         |  ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST LIMIT 2),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(cs, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id, ${duckCos("a.embedding", "q.q_emb")} AS cs
+         |  FROM assigned a JOIN qcells USING (cent_id) CROSS JOIN q
+         |  WHERE a.vec_id <> 0)
+         |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST LIMIT 10""".stripMargin,
 
     "q43_knn_join" ->
       s"""SELECT q_id, vec_id AS neighbor_id, rank, round(cs, 6) AS cos_sim FROM (

@@ -1,0 +1,40 @@
+package graft
+
+/** Regression guards for the physical-plan properties the engine's
+  * 100 TB story depends on: pushdown, pruning, broadcast choice, and
+  * top-k planning. A code change that silently loses one of these
+  * would still be "correct" — these specs make it loud. */
+class PlanQualitySpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val p = plan("q02_filter_pushdown")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_returnflag"),
+      s"scan reads more than it needs: $read")
+  }
+
+  test("q04: star join broadcasts the dims and pushes the region filter") {
+    val p = plan("q04_join_revenue_by_nation")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2)
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q15: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q05/q06: semi and anti joins plan as such") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+}
