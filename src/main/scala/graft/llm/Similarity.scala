@@ -143,7 +143,16 @@ object Similarity {
         bucketBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
       val qv = bucketed.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-      bucketed.join(broadcast(qv), col("bucket") === col("q_bucket"))
+      // multi-probe: the query's bucket plus all 8 hamming-1 neighbors —
+      // SRP sign flips are the likely error mode for near-boundary
+      // projections, so probing adjacent buckets recovers most misses
+      // for a 9x candidate cost (still ~9/256 of the corpus)
+      val probed = qv.select(col("q_emb"), col("q_bucket"), explode(array(
+        (lit(-1L) +: (0 until 8).map(b => lit(b.toLong))): _*)).as("flip"))
+        .select(col("q_emb"), expr(
+          "CASE WHEN flip = -1 THEN q_bucket " +
+            "ELSE q_bucket ^ shiftleft(1L, cast(flip AS int)) END").as("probe_bucket"))
+      bucketed.join(broadcast(probed), col("bucket") === col("probe_bucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), cosine("embedding", "q_emb").as("cs"))
         .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))

@@ -4,6 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Streaming state records — top-level because the state-store codegen
+  * instantiates them from generated Java (a private nested class fails
+  * janino constructor resolution at runtime). */
+final case class SessionState(start: java.sql.Timestamp,
+  last: java.sql.Timestamp, n: Long, sum: Double)
+final case class DqTrendState(n: Long, nError: Long, alerted: Boolean)
+
 /** Structured Streaming surface over the events feed (and, by the same
   * schema, the incident log): tumbling / sliding / session windowed
   * aggregation with watermarks, and custom stateful sessionization via
@@ -27,8 +34,6 @@ object EventStreams {
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  private final case class SessionState(start: java.sql.Timestamp,
-    last: java.sql.Timestamp, n: Long, sum: Double)
 
   /** Streaming source over an events-shaped parquet directory. The
     * testdata stores ts as TIMESTAMP(NANOS) (long under nanosAsLong) —
@@ -67,6 +72,39 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  final case class DqAlert(user_id: Long, n_seen: Long,
+    error_fraction: Double, threshold: Double)
+
+  /** Streaming DQ trend monitor: per user, track the running fraction
+    * of 'error' events (in event-time order) and emit ONE alert when
+    * it crosses `threshold` after `minSeen` events, re-arming if it
+    * recovers — the streaming twin of the batch DQ rule engine
+    * (graft.quality), with state bounded at one counter pair per key. */
+  def dqTrend(spark: SparkSession, events: Dataset[Event],
+      threshold: Double = 0.25, minSeen: Long = 50): Dataset[DqAlert] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DqTrendState, DqAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[DqTrendState]) =>
+          var s = state.getOption.getOrElse(DqTrendState(0, 0, alerted = false))
+          val out = Seq.newBuilder[DqAlert]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+            s = s.copy(n = s.n + 1,
+              nError = s.nError + (if (e.event_type == "error") 1 else 0))
+            val frac = s.nError.toDouble / s.n
+            if (s.n >= minSeen && frac > threshold && !s.alerted) {
+              out += DqAlert(userId, s.n, frac, threshold)
+              s = s.copy(alerted = true)
+            } else if (s.alerted && frac <= threshold) {
+              s = s.copy(alerted = false)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 
   /** Custom stateful sessionization with flatMapGroupsWithState: emits
     * a session record each time a 30-minute gap closes it. Unlike

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Runnable streaming demo: feeds the events testdata through a real
   * StreamingQuery (tumbling + session windows) into an in-memory sink
@@ -39,6 +40,16 @@ object StreamDemoMain {
     sq.processAllAvailable(); sq.stop()
     println(s"closed sessions: ${spark.table("sessions").count()}")
     spark.table("sessions").orderBy("user_id", "session_start").show(5, truncate = false)
+
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val dq = EventStreams.dqTrend(spark, typed, threshold = 0.2, minSeen = 10)
+      .writeStream.outputMode("append").format("memory").queryName("dq_alerts").start()
+    dq.processAllAvailable(); dq.stop()
+    println(s"dq alerts: ${spark.table("dq_alerts").count()}")
+    spark.table("dq_alerts").orderBy("user_id").show(5, truncate = false)
 
     spark.stop()
   }

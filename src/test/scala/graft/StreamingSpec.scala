@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSuite {
     assert(missing.isEmpty, s"sessions not in batch result: ${missing.take(5).toSeq}")
   }
 
+  test("dq trend monitor alerts once per threshold crossing, matching batch math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val alerts = EventStreams.dqTrend(spark, events, threshold = 0.2, minSeen = 10)
+      .collect()
+    // alerts must report a fraction actually above threshold with enough
+    // evidence, and at most a handful per user (re-arm semantics)
+    alerts.foreach { a =>
+      assert(a.error_fraction > 0.2 && a.n_seen >= 10, a.toString)
+    }
+    val perUser = alerts.groupBy(_.user_id).view.mapValues(_.length)
+    assert(perUser.values.forall(_ <= 5), s"too many alerts: $perUser")
+    // cross-check one alerting user against a batch prefix computation
+    alerts.headOption.foreach { a =>
+      val prefix = Tables(spark, sf, "events")
+        .filter(col("user_id") === a.user_id)
+        .orderBy(col("ts"), col("event_id"))
+        .limit(a.n_seen.toInt)
+      val errs = prefix.filter(col("event_type") === "error").count()
+      assert(math.abs(errs.toDouble / a.n_seen - a.error_fraction) < 1e-12)
+    }
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals batch sessions") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
