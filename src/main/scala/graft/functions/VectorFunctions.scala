@@ -52,7 +52,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    // zero-norm input: null, not NaN — NaN sorts ABOVE every real
+    // cosine in desc order, which would crown a zero vector nearest
+    // neighbor of everything
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / math.sqrt(na * nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,7 +76,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
        """.stripMargin
     })
 

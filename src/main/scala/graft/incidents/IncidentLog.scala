@@ -74,9 +74,14 @@ object IncidentLog {
     Metrics(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }
 
+  /** The timestamp payload of a stage-prefixed run id ("baseline-<ts>").
+    * Sorting on the raw run_id would group by stage name, not recency
+    * (the reference has the same quirk — dashboard.py:41). */
+  private def runTs = regexp_replace(col("run_id"), "^[a-z_]+-", "")
+
   /** Run history, newest first (dashboard.py:41). */
   def history(incidents: Dataset[Incident]): DataFrame =
-    incidents.orderBy(desc_nulls_last("run_id")).toDF()
+    incidents.orderBy(runTs.desc_nulls_last, col("run_id").desc_nulls_last).toDF()
 
   /** Distinct filter options, sorted (dashboard.py:44-45). */
   def filterOptions(incidents: Dataset[Incident], column: String): Seq[String] =
@@ -88,7 +93,7 @@ object IncidentLog {
       stage: Option[String], status: Option[String]): DataFrame = {
     val afterStage = stage.fold(incidents.toDF())(s => incidents.filter(col("stage") === s).toDF())
     val afterStatus = status.fold(afterStage)(s => afterStage.filter(col("status") === s))
-    afterStatus.orderBy(desc_nulls_last("run_id"))
+    afterStatus.orderBy(runTs.desc_nulls_last, col("run_id").desc_nulls_last)
   }
 
   /** Single-run lookup (dashboard.py:62-63). */

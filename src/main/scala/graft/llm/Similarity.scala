@@ -81,12 +81,6 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    /** Approximate NN via sign-random-projection LSH: 8 deterministic
-      * pseudo-random hyperplanes (coefficients derived from xxhash64 of
-      * the (plane, dim) index) → 8-bit bucket; neighbors are searched
-      * only within the query's bucket. Bucket membership depends on the
-      * engine's hash → rows-only check; recall vs the exact q42 is
-      * unit-tested in LlmOpsSpec. */
     /** IVF (inverted-file) ANN: deterministic coarse quantizer — the
       * first 16 vectors act as cell centroids, every vector is assigned
       * to its nearest centroid (broadcast 16-way product + window
@@ -121,9 +115,26 @@ object Similarity {
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
     }),
 
+    /** Approximate NN via sign-random-projection LSH (see [[annLsh]]).
+      * Rows-only check (bucketing is internal); LlmOpsSpec asserts
+      * recall on an injected true near-duplicate — on THIS corpus the
+      * exact neighbors sit at cos ≈ 0.3 (random noise), where no
+      * bucketing scheme can concentrate them, so exact-top-k overlap
+      * is not a meaningful recall measure. */
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
-      val e = Tables(s, dir, "embeddings")
+      annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10)
+    })
+  )
+
+  /** Sign-random-projection ANN: 8 deterministic hyperplanes → 8-bit
+    * bucket; candidates = query bucket + 8 hamming-1 probes; top-k by
+    * exact cosine among candidates. At 100 TB the bucket equi-join
+    * replaces the per-query full scan (Charikar SRP). */
+  private[graft] def annLsh(e: org.apache.spark.sql.DataFrame,
+      queryId: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    withCosine(e.sparkSession)
+    locally {
       // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
       // deterministic pseudo-random constants — computed ONCE on the
       // driver and shipped as array literals, so the per-row work is a
@@ -141,7 +152,7 @@ object Similarity {
       }
       val bucketed = e.select(col("vec_id"), col("embedding"),
         bucketBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
-      val qv = bucketed.filter(col("vec_id") === 0)
+      val qv = bucketed.filter(col("vec_id") === queryId)
         .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
       // multi-probe: the query's bucket plus all 8 hamming-1 neighbors —
       // SRP sign flips are the likely error mode for near-boundary
@@ -153,13 +164,13 @@ object Similarity {
           "CASE WHEN flip = -1 THEN q_bucket " +
             "ELSE q_bucket ^ shiftleft(1L, cast(flip AS int)) END").as("probe_bucket"))
       bucketed.join(broadcast(probed), col("bucket") === col("probe_bucket"))
-        .filter(col("vec_id") =!= 0)
+        .filter(col("vec_id") =!= queryId)
         .select(col("vec_id"), cosine("embedding", "q_emb").as("cs"))
         .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))
-        .limit(10)
+        .limit(k)
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
-    })
-  )
+    }
+  }
 
   /** DuckDB twin of the sequential-fold cosine for two named list
     * columns — same op order, bitwise-compatible with the Spark side. */

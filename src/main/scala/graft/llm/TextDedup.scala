@@ -34,9 +34,14 @@ object TextDedup {
     * per shingle index (O(len²) per doc). */
   private def shingleSet(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // docs shorter than one shingle contribute nothing (= the
+      // oracle's empty generate_series); without this filter
+      // sequence(1, size-2) would DESCEND for size < 3 (sequence(1,0)
+      // = [1,0] in Spark) and slice(toks, 0, 3) throws
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         """explode(transform(
-          |  sequence(1, greatest(size(toks) - 2, 0)),
+          |  sequence(1, size(toks) - 2),
           |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin).as("sh"))
       .distinct()
 

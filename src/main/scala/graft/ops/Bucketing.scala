@@ -25,9 +25,14 @@ object Bucketing {
     * count — plans as a SortMergeJoin with NO shuffle exchange on
     * either side. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // resolve each side once: building the condition from fresh
+    // spark.table() calls would depend on the relation cache returning
+    // identical attribute ids
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** True if the executed plan of `df` contains a shuffle exchange. */
   def hasShuffleExchange(df: DataFrame): Boolean =

@@ -79,8 +79,10 @@ object Profiling {
     "q31_sessionize" -> ((s: SparkSession, dir: String) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // >= matches session_window semantics (windows are [start,
+      // last+gap), so an event at exactly last+gap opens a new session)
       val newSession = when(lag(col("ts"), 1).over(byUser).isNull ||
-          (col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")) > 1800.0, 1L)
+          (col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")) >= 1800.0, 1L)
         .otherwise(0L)
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"),
@@ -134,7 +136,7 @@ object Profiling {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
         |       THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),

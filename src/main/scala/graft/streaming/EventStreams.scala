@@ -123,7 +123,8 @@ object EventStreams {
           var cur = state.getOption
           sorted.foreach { e =>
             cur match {
-              case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+              // >= aligns with session_window's [start, last+gap) bound
+              case Some(s) if e.ts.getTime - s.last.getTime >= gapMs =>
                 closed += UserSession(userId, s.start, s.last, s.n, s.sum)
                 cur = Some(SessionState(e.ts, e.ts, 1, e.value))
               case Some(s) =>

@@ -15,37 +15,8 @@ import graft.runner.PipelineRunner
 class GoldenScenarioSpec extends SparkSuite {
 
   private def writeFixtures(dir: Path): (String, String, String) = {
-    val v1 = dir.resolve("customers_v1.csv")
-    Files.writeString(v1,
-      """customer_id,name,age,country
-        |1,Alice,25,India
-        |2,Bob,31,USA
-        |3,Charlie,29,UK
-        |4,Deepa,42,India
-        |""".stripMargin)
-    val v2 = dir.resolve("customers_v2_broken.csv")
-    Files.writeString(v2,
-      """customer_id,name,age,country
-        |1,Alice,25,India
-        |2,Bob,,USA
-        |3,Charlie,thirty,UK
-        |4,Deepa,42,India
-        |5,Evan,,Canada
-        |""".stripMargin)
-    val cfgPath = dir.resolve("pipeline_config.yml")
-    val cfg = PipelineConfig(
-      warehousePath = dir.resolve("warehouse").toString,
-      tableName = "customers",
-      sourcePath = v1.toString,
-      columns = Seq(
-        ColumnSpec("customer_id", "int", required = true, None),
-        ColumnSpec("name", "string", required = true, None),
-        ColumnSpec("age", "int", required = false, Some(0.2)),
-        ColumnSpec("country", "string", required = false, None)),
-      quality = QualityConfig(rowCountMin = 1),
-      drift = DriftConfig(dir.resolve("reference_profile.json").toString, 0.5))
-    PipelineConfig.save(cfg, cfgPath.toString)
-    (v1.toString, v2.toString, cfgPath.toString)
+    val staged = graft.runner.DemoFixtures.stage(dir)
+    (staged.v1, staged.v2, staged.configPath)
   }
 
   test("lenient casts: 'thirty' coerces to null, not an error") {

@@ -52,12 +52,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
-  test("ann lsh results are a subset of brute-force ranking universe") {
-    val ann = Similarity.queries("q44_ann_lsh")(spark, sf).collect()
-    // bucket pruning must return fewer-or-equal candidates than brute force,
-    // each with a genuine cosine value
-    assert(ann.length <= 10)
-    assert(ann.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+  test("ann lsh recalls an injected true near-duplicate of the query") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings")
+    val q0 = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    // a genuinely close vector (cos ≈ 0.9999): q0 slightly perturbed
+    val nearDup = q0.zipWithIndex.map { case (v, i) =>
+      v + (if (i == 0) 0.01f else 0.0f) }
+    val aug = e.unionByName(
+      Seq((9999L, nearDup, 0)).toDF("vec_id", "embedding", "label"))
+    val res = Similarity.annLsh(aug, queryId = 0L, k = 10).collect()
+    val top = res.head
+    assert(top.getAs[Long]("vec_id") == 9999L,
+      s"near-dup not ranked first: ${res.take(3).mkString(", ")}")
+    assert(top.getAs[Double]("cos_sim") > 0.999)
+    assert(res.length <= 10)
+    assert(res.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
   }
 
   test("multimodal stub decode is deterministic and shape-stable") {
