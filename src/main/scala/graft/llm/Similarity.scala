@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** Similarity search over the embeddings table (ArrayType(FloatType),
   * 64-dim): brute-force cosine top-k as the exact baseline, a k-NN
@@ -24,7 +24,6 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
-  private def r6(c: Column) = round(c, 6)
 
   /** Sequential-fold cosine between two double-cast float arrays —
     * identical op order to the DuckDB oracle formula, so results match
@@ -131,16 +130,14 @@ object Similarity {
     * bucket; candidates = query bucket + 8 hamming-1 probes; top-k by
     * exact cosine among candidates. At 100 TB the bucket equi-join
     * replaces the per-query full scan (Charikar SRP). */
-  private[graft] def annLsh(e: org.apache.spark.sql.DataFrame,
-      queryId: Long, k: Int): org.apache.spark.sql.DataFrame = {
+  private[graft] def annLsh(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     withCosine(e.sparkSession)
-    locally {
-      // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
-      // deterministic pseudo-random constants — computed ONCE on the
-      // driver and shipped as array literals, so the per-row work is a
-      // pure fused dot product (the first version recomputed a hash per
-      // element per row: 512 hashes/row; this is 0).
-      def coef(p: Int, d: Int): Double = {
+    // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
+    // deterministic pseudo-random constants — computed ONCE on the
+    // driver and shipped as array literals, so the per-row work is a
+    // pure fused dot product (the first version recomputed a hash per
+    // element per row: 512 hashes/row; this is 0).
+    def coef(p: Int, d: Int): Double = {
         var h = (p * 64 + d + 1) * 0x9E3779B97F4A7C15L
         h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
         (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
@@ -169,7 +166,6 @@ object Similarity {
         .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))
         .limit(k)
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
-    }
   }
 
   /** DuckDB twin of the sequential-fold cosine for two named list

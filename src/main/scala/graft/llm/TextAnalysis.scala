@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** Text-analysis operators for training-data curation: token statistics,
   * quality scoring (length / stopword / lexical-diversity signals, after
@@ -15,17 +15,21 @@ import graft.{Q, Tables}
   */
 object TextAnalysis {
 
-  private def r4(c: Column) = round(c, 4)
-  private def r6(c: Column) = round(c, 6)
 
-  private val toks = split(col("text"), " ")
+  // tokenization is hoisted into a `toks` projection in each query so
+  // it runs once per row — inlining split(text) into every derived
+  // expression would re-tokenize the document per expression
+  private val toks = col("toks")
   private val nTokens = size(toks).cast("long")
+
+  private def withToks(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("toks", split(col("text"), " "))
 
   val queries: Map[String, Q] = Map(
 
     /** Corpus token statistics per language. */
     "q38_token_stats" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "documents")
+      withToks(Tables(s, dir, "documents"))
         .select(col("lang"), col("source"), col("n_chars"), nTokens.as("n_tok"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -41,9 +45,9 @@ object TextAnalysis {
       * the C4/Gopher-style signal set expressed as pure columns. */
     "q39_text_quality" -> ((s: SparkSession, dir: String) => {
       val nUniq = size(array_distinct(toks)).cast("long")
-      val nStop = size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")).cast("long")
+      val nStop = size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long")
       val charsNoSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
-      Tables(s, dir, "documents")
+      withToks(Tables(s, dir, "documents"))
         .select(col("doc_id"),
           nTokens.as("n_tokens"),
           nUniq.as("n_uniq"),
@@ -65,7 +69,7 @@ object TextAnalysis {
       * (subword pieces ≈ ceil(chars/4), the common ~4-chars/token
       * heuristic), per source. */
     "q40_token_count" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "documents")
+      withToks(Tables(s, dir, "documents"))
         .select(col("source"), nTokens.as("n_ws"),
           ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_bpe"))
         .groupBy(col("source"))
@@ -82,13 +86,13 @@ object TextAnalysis {
       * the demo classifies on English-stopword density — the point is
       * the deterministic, single-pass operator shape. */
     "q41_langid" -> ((s: SparkSession, dir: String) => {
-      val stopRatio = size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+      val stopRatio = size(expr("filter(toks, t -> t IN ('the', 'a'))"))
         .cast("double") / nTokens.cast("double")
       val predicted = when(stopRatio >= 0.08, "en_high")
         .when(stopRatio >= 0.04, "en")
         .when(stopRatio > 0.0, "en_low")
         .otherwise("und")
-      Tables(s, dir, "documents")
+      withToks(Tables(s, dir, "documents"))
         .select(col("lang"), predicted.as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))

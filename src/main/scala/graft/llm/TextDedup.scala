@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (group-by / content-hash), n-gram Jaccard (inverted-index
@@ -26,7 +26,6 @@ import graft.{Q, Tables}
   */
 object TextDedup {
 
-  private def r4(c: Column) = round(c, 4)
 
   /** Distinct 3-token shingles per document: (doc_id, sh). The split
     * is hoisted into its own projection — referencing split(text)
@@ -45,21 +44,29 @@ object TextDedup {
           |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin).as("sh"))
       .distinct()
 
-  /** Exact-Jaccard similar pairs above `threshold` from an
-    * inverted-index equi-join on shingles. */
-  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSet(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+  /** (d1, d2, jac) from per-pair intersection counts + per-doc set
+    * sizes, filtered to `threshold` — shared by the exact inverted-
+    * index path and the minhash candidate-verification path. */
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .select(col("d1"), col("d2"),
         (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Exact-Jaccard similar pairs above `threshold` from an
+    * inverted-index equi-join on shingles. */
+  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs).cache()
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, shingleSizes(sh), threshold)
   }
 
   val queries: Map[String, Q] = Map(
@@ -124,17 +131,11 @@ object TextDedup {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
       // verify candidates with exact jaccard (touches only candidate pairs)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("a"), col("d1") === col("a.doc_id"))
         .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .select(col("d1"), col("d2"),
-          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.8)
+      jaccardOf(inter, shingleSizes(sh), 0.8)
         .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),

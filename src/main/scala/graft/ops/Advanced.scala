@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** Advanced composite operators: generator-based token frequency,
   * TF-IDF, and an as-of join.
@@ -19,7 +19,6 @@ import graft.{Q, Tables}
   */
 object Advanced {
 
-  private def r6(c: Column) = round(c, 6)
 
   val queries: Map[String, Q] = Map(
 
@@ -41,9 +40,11 @@ object Advanced {
     "q53_tfidf" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // cached: both the tf and document-frequency branches consume it
       val tokens = docs
         .select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("doc_len"),
           explode(split(col("text"), " ")).as("token"))
+        .cache()
       val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
         .agg(count(lit(1)).as("occurrences"))
       val df_ = tokens.select(col("doc_id"), col("token")).distinct()

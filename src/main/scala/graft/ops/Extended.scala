@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** Extended operator coverage: pivot, SQL-surface queries (scalar +
   * EXISTS subqueries through spark.sql), explicit GROUPING SETS,
@@ -10,8 +10,6 @@ import graft.{Q, Tables}
   */
 object Extended {
 
-  private def r2(c: Column) = round(c, 2)
-  private def r6(c: Column) = round(c, 6)
 
   val queries: Map[String, Q] = Map(
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** The reference's data-quality / profiling / drift semantics
   * (SURVEY.md §2.4 A1-A12, §2.10) re-expressed as single-pass Spark
@@ -18,8 +18,6 @@ import graft.{Q, Tables}
   */
 object Profiling {
 
-  private def r4(c: Column) = round(c, 4)
-  private def r6(c: Column) = round(c, 6)
 
   val queries: Map[String, Q] = Map(
 
@@ -89,8 +87,8 @@ object Profiling {
           newSession.as("new_s"))
         .select(col("user_id"), col("ts"), col("value"),
           sum(col("new_s")).over(
-            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_seq"))
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_seq"))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),

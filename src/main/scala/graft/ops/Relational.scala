@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables}
+import graft.{Q, Tables, r2, r4, r6}
 
 /** The relational operator inventory (SURVEY.md §2.1-§2.8): scans,
   * filter/projection pushdown, every join strategy, aggregation
@@ -29,9 +29,6 @@ object Relational {
     Tables(s, dir, name)
 
   // -- deterministic-output helpers ---------------------------------------
-  private def r2(c: Column) = round(c, 2)
-  private def r4(c: Column) = round(c, 4)
-  private def r6(c: Column) = round(c, 6)
 
   val queries: Map[String, Q] = Map(
 

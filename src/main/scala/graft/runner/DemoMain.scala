@@ -20,14 +20,7 @@ object DemoMain {
       Files.createTempDirectory("graft_demo").toString))
     Files.createDirectories(work)
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("graft-demo")
 
     // S11 environment reset (pipeline_runner.py:31-45,71): drop the
     // warehouse and metadata profile, keep the incident log

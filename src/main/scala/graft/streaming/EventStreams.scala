@@ -35,6 +35,15 @@ object EventStreams {
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
 
+  /** readStream sources must be directories; the testdata ships single
+    * parquet files — stage one into a temp directory. */
+  def stageAsDirectory(parquetFile: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(parquetFile),
+      dir.resolve("part-000.parquet"))
+    dir.toString
+  }
+
   /** Streaming source over an events-shaped parquet directory. The
     * testdata stores ts as TIMESTAMP(NANOS) (long under nanosAsLong) —
     * normalize to micros exactly like graft.Tables. */

@@ -13,21 +13,10 @@ import org.apache.spark.sql.functions.col
 object StreamDemoMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-stream-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("graft-stream-demo")
 
-    // stream sources must be directories — stage the single parquet file
-    val dir = Files.createTempDirectory("graft_stream_demo")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("part-000.parquet"))
-
-    val events = EventStreams.readEvents(spark, dir.toString)
+    val events = EventStreams.readEvents(spark,
+      EventStreams.stageAsDirectory(s"$sfDir/events.parquet"))
 
     val tq = EventStreams.tumblingCounts(events).writeStream
       .outputMode("append").format("memory").queryName("tumbling").start()

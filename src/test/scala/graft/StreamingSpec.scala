@@ -8,15 +8,8 @@ import graft.streaming.EventStreams
   * equivalence is the correctness oracle for streaming operators). */
 class StreamingSpec extends SparkSuite {
 
-  // readStream sources must be directories; stage the single testdata
-  // parquet file into one (the batch side writes real directories)
-  private lazy val eventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("part-000.parquet"))
-    dir.toString
-  }
+  private lazy val eventsDir: String =
+    EventStreams.stageAsDirectory(s"$sf/events.parquet")
 
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
       mode: String = "append"): Unit = {
