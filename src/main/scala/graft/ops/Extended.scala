@@ -103,6 +103,54 @@ object Extended {
         .orderBy(col("event_type"))
     }),
 
+    /** Collect-style aggregation rendered engine-portably: the sorted
+      * member list per group as a joined string (Spark collect_list +
+      * sort_array ≡ DuckDB string_agg ORDER BY). */
+    "q58_collect_agg" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(sort_array(collect_list(
+          concat_ws(":", col("o_orderpriority"), col("n")))), ",").as("priority_counts"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    /** posexplode (Generator with position) over the embedding arrays:
+      * per-dimension corpus statistics. */
+    "q59_posexplode" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("double")), 6).as("avg_v"),
+          round(stddev_samp(col("v").cast("double")), 6).as("std_v"))
+        .orderBy(col("dim"))
+    }),
+
+    /** Null-handling scalar functions: nullif / coalesce / nvl2-style. */
+    "q60_null_funcs" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer")
+        .select(
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, 0.0)
+            .otherwise(col("c_acctbal")).as("bal"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("sum_bal"))
+        .orderBy(col("seg"))
+    }),
+
+    /** Date arithmetic: interval addition and day differences. */
+    "q61_date_arith" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("l_shipdate") + expr("INTERVAL 30 DAYS")).as("max_ship_plus_30d"),
+          round(avg(datediff(col("l_shipdate"),
+            to_timestamp(lit("1995-01-01 00:00:00"))).cast("double")), 4).as("avg_days_since_95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (this
       * corpus is near-orthogonal random, so 0.3 is the meaningful
       * tail). Brute-force block product at test scale; the LSH-bucketed
@@ -148,6 +196,39 @@ object Extended {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q58_collect_agg" ->
+      """SELECT o_orderstatus,
+        |string_agg(concat_ws(':', o_orderpriority, n), ',' ORDER BY concat_ws(':', o_orderpriority, n)) AS priority_counts
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q59_posexplode" ->
+      """SELECT dim, count(*) AS n, round(avg(v), 6) AS avg_v,
+        |round(stddev_samp(v), 6) AS std_v
+        |FROM (SELECT cast(i - 1 AS BIGINT) AS dim, cast(embedding[i] AS DOUBLE) AS v
+        |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i))
+        |GROUP BY dim
+        |ORDER BY dim NULLS FIRST""".stripMargin,
+
+    "q60_null_funcs" ->
+      """SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |count(*) AS n,
+        |round(sum(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 0.0
+        |               ELSE c_acctbal END), 2) AS sum_bal
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY seg NULLS FIRST""".stripMargin,
+
+    "q61_date_arith" ->
+      """SELECT l_returnflag,
+        |max(l_shipdate + INTERVAL 30 DAY) AS max_ship_plus_30d,
+        |round(avg(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)), 4) AS avg_days_since_95
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q55_percentiles" ->
       """SELECT l_returnflag,
