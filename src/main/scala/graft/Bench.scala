@@ -23,12 +23,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        // a failed query must not masquerade as a fast success
+        if (ok) dt else -1.0
       }
-      name -> times.min
+      val succeeded = times.filter(_ >= 0)
+      name -> (if (succeeded.nonEmpty) succeeded.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

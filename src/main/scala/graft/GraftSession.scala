@@ -7,15 +7,17 @@ import org.apache.spark.sql.SparkSession
   * same block (UTC, nanos flag, cpu-matched shuffle partitions). */
 object GraftSession {
   def local(appName: String,
-      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = SparkSession.builder()
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+      extraConfigs: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

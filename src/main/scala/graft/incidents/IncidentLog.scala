@@ -74,10 +74,15 @@ object IncidentLog {
     Metrics(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }
 
-  /** The timestamp payload of a stage-prefixed run id ("baseline-<ts>").
-    * Sorting on the raw run_id would group by stage name, not recency
-    * (the reference has the same quirk — dashboard.py:41). */
-  private def runTs = regexp_replace(col("run_id"), "^[a-z_]+-", "")
+  /** The timestamp payload of a stage-prefixed run id
+    * ("post-healing-<ts>" etc. — stage names themselves contain dashes,
+    * so the known prefixes are matched explicitly). Sorting on the raw
+    * run_id would group by stage name, not recency (the reference has
+    * the same quirk — dashboard.py:41). Payloads are expected to be
+    * ISO-8601 / zero-padded (fixed width), where lexicographic order
+    * IS chronological order. */
+  private def runTs =
+    regexp_replace(col("run_id"), "^(baseline|drifted|healing|post-healing)-", "")
 
   /** Run history, newest first (dashboard.py:41). */
   def history(incidents: Dataset[Incident]): DataFrame =

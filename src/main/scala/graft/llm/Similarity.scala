@@ -120,10 +120,8 @@ object Similarity {
       * exact neighbors sit at cos ≈ 0.3 (random noise), where no
       * bucketing scheme can concentrate them, so exact-top-k overlap
       * is not a meaningful recall measure. */
-    "q44_ann_lsh" -> ((s: SparkSession, dir: String) => {
-      withCosine(s)
-      annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10)
-    })
+    "q44_ann_lsh" -> ((s: SparkSession, dir: String) =>
+      annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10))
   )
 
   /** Sign-random-projection ANN: 8 deterministic hyperplanes → 8-bit

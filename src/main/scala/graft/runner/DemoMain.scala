@@ -35,10 +35,18 @@ object DemoMain {
     // stage fixtures (FIXTURES.md §1 — the reference's clean/broken pair)
     val staged = DemoFixtures.stage(work)
 
-    var tick = 0
+    // deterministic clock, seeded past any incidents already in the log
+    // so re-runs on the same workdir append unique, ordered run ids
+    // (zero-padded: run-id sort is lexicographic)
+    val incidentsPath = work.resolve("incidents")
+    var tick =
+      if (Files.exists(incidentsPath))
+        try IncidentLog.read(spark, incidentsPath.toString).count().toInt
+        catch { case _: Throwable => 0 }
+      else 0
     val runner = new PipelineRunner(spark, staged.configPath,
-      work.resolve("warehouse").toString, work.resolve("incidents").toString,
-      () => { tick += 1; f"demo-$tick%02d" })
+      work.resolve("warehouse").toString, incidentsPath.toString,
+      () => { tick += 1; f"demo-$tick%04d" })
     val incidents = runner.runDemo(staged.v1, staged.v2)
 
     println(s"workdir: $work")
@@ -48,9 +56,13 @@ object DemoMain {
     val healed = PipelineConfig.load(staged.configPath)
     println(s"healed age.max_null_fraction = " +
       healed.columns.find(_.name == "age").flatMap(_.maxNullFraction).getOrElse("?"))
-    val m = IncidentLog.metrics(IncidentLog.read(spark, work.resolve("incidents").toString))
+    val log = IncidentLog.read(spark, work.resolve("incidents").toString)
+    val m = IncidentLog.metrics(log)
     println(s"dashboard metrics: total=${m.total} success=${m.success} " +
       s"failed=${m.failed} healed=${m.healed}")
+    println("history (newest first):")
+    IncidentLog.history(log).select("run_id", "stage", "status")
+      .collect().take(6).foreach(r => println(s"  ${r.mkString(" | ")}"))
     spark.stop()
   }
 }

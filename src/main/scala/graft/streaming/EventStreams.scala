@@ -86,10 +86,18 @@ object EventStreams {
     error_fraction: Double, threshold: Double)
 
   /** Streaming DQ trend monitor: per user, track the running fraction
-    * of 'error' events (in event-time order) and emit ONE alert when
-    * it crosses `threshold` after `minSeen` events, re-arming if it
-    * recovers — the streaming twin of the batch DQ rule engine
-    * (graft.quality), with state bounded at one counter pair per key. */
+    * of 'error' events and emit ONE alert when it crosses `threshold`
+    * after `minSeen` events, re-arming if it recovers — the streaming
+    * twin of the batch DQ rule engine (graft.quality), with state
+    * bounded at one counter pair per key.
+    *
+    * Ordering caveat: events are event-time-sorted WITHIN each
+    * micro-batch; a late arrival delivered in a later batch is counted
+    * at arrival position, so the running fraction approximates the
+    * true event-time prefix under disorder. Bound the staleness with a
+    * watermark upstream if exact prefix semantics are required; the
+    * cumulative counts (and therefore the eventual fraction) are exact
+    * regardless. */
   def dqTrend(spark: SparkSession, events: Dataset[Event],
       threshold: Double = 0.25, minSeen: Long = 50): Dataset[DqAlert] = {
     import spark.implicits._

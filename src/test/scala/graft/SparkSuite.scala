@@ -6,16 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for specs — one per suite (lazy), configured
   * like Verify/Bench (UTC, nanos flag, small shuffle partitions). */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(
+    getClass.getSimpleName, cpus = "4",
+    extraConfigs = Map("spark.sql.warehouse.dir" ->
+      java.nio.file.Files.createTempDirectory("graft_wh").toString))
 
   val sf: String = "/root/testdata/sf0.001"
 }
