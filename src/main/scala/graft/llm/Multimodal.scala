@@ -73,6 +73,26 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    /** Frame sampling over video-shaped payloads: derive a frame count
+      * from the payload metadata, emit every 2nd frame index with a
+      * stub per-frame feature — the explode(sequence(...)) shape is
+      * exactly how real frame extraction fans out (one row per sampled
+      * frame, narrow transform, no shuffle), with the codec stubbed by
+      * deterministic arithmetic so the whole fan-out is oracle-checked. */
+    "q62_frame_sample" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("n_bytes"),
+          (lit(1L) + pmod(col("n_bytes"), lit(16L))).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0L, n_frames - 1, 2L)")).as("frame_idx"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          round(pmod(col("doc_id") * (col("frame_idx") + 1), lit(97L)) / 97.0, 6)
+            .as("frame_feature"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     /** The full stubbed decode pipeline as a query: mapPartitions
       * batch decode → per-width aggregation of feature norms. Stub is
       * deterministic, so this is oracle-checkable too (the oracle
@@ -93,8 +113,17 @@ object Multimodal {
         |octet_length(cast(text AS BLOB)) % 640 AS width,
         |octet_length(cast(text AS BLOB)) % 480 AS height
         |FROM documents
-        |ORDER BY doc_id NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q62_frame_sample" ->
+      """SELECT doc_id, n_frames, i AS frame_idx,
+        |round((doc_id * (i + 1)) % 97 / 97.0, 6) AS frame_feature
+        |FROM (SELECT doc_id,
+        |      1 + octet_length(cast(text AS BLOB)) % 16 AS n_frames
+        |      FROM documents),
+        |unnest(generate_series(0, n_frames - 1, 2)) AS g(i)
+        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin
     // q46: stub checksum is an iterated byte fold — exercised by
-    // MultimodalSpec + rows-only check rather than SQL.
+    // LlmOpsSpec + rows-only check rather than SQL.
   )
 }
