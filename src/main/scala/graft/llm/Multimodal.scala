@@ -12,7 +12,7 @@ import graft.{Q, Tables}
   * everything around it — the binary column representation, the typed
   * output schema, partition-wise batched execution via mapPartitions
   * (the Scala equivalent of mapInPandas batches), and the downstream
-  * aggregation — is real and tested (MultimodalSpec).
+  * aggregation — is real and tested (LlmOpsSpec).
   *
   * At 100 TB: binary payloads stay columnar in parquet, the decode is
   * a narrow per-partition transform (no shuffle), and only the small
