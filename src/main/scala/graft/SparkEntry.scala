@@ -19,15 +19,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
-    ops.Advanced.queries ++
+    ops.Advanced.queries ++ ops.Statistics.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
-    llm.Similarity.queries ++ llm.Multimodal.queries
+    llm.Similarity.queries ++ llm.Multimodal.queries ++ llm.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
-    ops.Advanced.oracles ++
+    ops.Advanced.oracles ++ ops.Statistics.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
-    llm.Similarity.oracles ++ llm.Multimodal.oracles
+    llm.Similarity.oracles ++ llm.Multimodal.oracles ++ llm.PipelineOps.oracles
 }

@@ -1,0 +1,228 @@
+package graft.llm
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables, r2, r4, r6}
+
+/** End-to-end training-data curation operators a 100 TB pipeline needs
+  * beyond raw dedup detection: applying a dedup keep-list, chunk-level
+  * (paragraph) exact dedup, repetition-ratio quality scoring (Gopher
+  * rule 9-12 style), deterministic content-hash sampling and
+  * train/val/test splitting, per-cluster embedding centroid coherence,
+  * and percentile-band length filtering.
+  *
+  * Determinism discipline: "random" sampling and splitting are keyed on
+  * sha-256 of content / id — reproducible across engines AND across
+  * cluster re-runs, the property a production pipeline needs so a
+  * re-run never reshuffles the split (cf. the reference's deterministic
+  * re-runs over fixed CSV fixtures, `pipeline_runner.py:74-76`).
+  *
+  * Scale notes per query in the Scaladoc below; none materializes on
+  * the driver, none cross-joins raw documents.
+  */
+object PipelineOps {
+
+  val queries: Map[String, Q] = Map(
+
+    /** Apply near-dup dedup: greedy keep-list = every doc that never
+      * appears as the higher-id member (d2) of a verified ≥0.8-Jaccard
+      * pair. Per-language retention report. The drop-set is tiny
+      * relative to the corpus (it's the duplicates), so the anti-join
+      * broadcasts at scale. */
+    "q75_dedup_apply" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val drops = TextDedup.jaccardPairs(docs, 0.8)
+        .select(col("d2").as("doc_id")).distinct()
+      docs.join(broadcast(drops.withColumn("dropped", lit(1))), Seq("doc_id"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("dropped")).as("n_dropped"),
+          count_if(col("dropped").isNull).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    /** Chunk-level exact dedup: non-overlapping 10-token chunks hashed
+      * with SHA-256; chunks appearing in ≥2 distinct docs are
+      * boilerplate candidates (the paragraph-dedup primitive used on
+      * web corpora). Shuffle key is the 32-byte hash, never the chunk
+      * text. */
+    "q76_chunk_dedup" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 9, 10),
+            |  i -> sha2(concat_ws(' ', slice(toks, i, 10)), 256))""".stripMargin)).as("h"))
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .select(substring(col("h"), 1, 16).as("chunk_hash"),
+          col("n_docs"), col("n_occurrences"))
+        .orderBy(col("chunk_hash"))
+    }),
+
+    /** Repetition ratio (duplicate-3-gram fraction) per document — the
+      * Gopher-style repetitiveness quality signal. Computed entirely
+      * with per-row array expressions (no explode, no shuffle): the
+      * distinct-shingle count comes from array_distinct over the
+      * per-row shingle array. */
+    "q77_rep_ratio" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          (size(col("toks")) - 2).cast("long").as("n_shingles"),
+          expr("""size(array_distinct(transform(
+            |  sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))))""".stripMargin)
+            .cast("long").as("n_distinct"))
+        // + 1e-12: the ratio is a small-denominator rational that can
+        // land exactly on a round-half tie (see q39 / SKILL.md)
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_shingles") + lit(1e-12), 4)
+            .as("rep_ratio"))
+        .orderBy(desc("rep_ratio"), col("doc_id"))
+        .limit(20)
+    }),
+
+    /** Deterministic 1/4 corpus sample keyed on sha-256(text): first
+      * hex digit < '4'. Reproducible on any engine / cluster size —
+      * no RNG, no seed-ordering hazard; the idiom that replaces
+      * df.sample() when lineage reproducibility matters. */
+    "q78_hash_sample" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .filter(substring(sha2(col("text"), 256), 1, 1) < "4")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    /** Deterministic train/val/test split (75/12.5/12.5) keyed on
+      * sha-256 of the doc id — stable under re-runs and engine changes,
+      * stratification check by language. */
+    "q79_train_split" -> ((s: SparkSession, dir: String) => {
+      val h1 = substring(sha2(col("doc_id").cast("string"), 256), 1, 1)
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    /** Embedding-cluster coherence: L2 norm of the per-label centroid
+      * (unit-norm inputs → norm near 1 = tight cluster, near 0 =
+      * diffuse). posexplode + two-level aggregation — dimension-parallel,
+      * no vector ever collected to the driver. */
+    "q80_centroid_norm" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("c"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(r6(sqrt(sum(col("c") * col("c")))).as("centroid_norm"),
+          max(col("n")).as("n_vectors"))
+        .orderBy(col("label"))
+    }),
+
+    /** Length filtering by exact percentile band: keep docs whose
+      * n_chars lies in [p25, p75] of the corpus. The two thresholds are
+      * a 1-row broadcast; at 100 TB the exact percentile becomes
+      * approx_percentile with the same plan shape. */
+    "q81_length_band" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("n_chars") >= col("p25") && col("n_chars") <= col("p75"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_in_band"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q75_dedup_apply" -> {
+      val pairs = TextDedup.duckJaccard("0.8")
+      s"""WITH pairs AS ($pairs),
+         |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |CAST(count(drops.doc_id) AS BIGINT) AS n_dropped,
+         |CAST(count(*) FILTER (WHERE drops.doc_id IS NULL) AS BIGINT) AS n_kept
+         |FROM documents LEFT JOIN drops USING (doc_id)
+         |GROUP BY lang
+         |ORDER BY lang NULLS FIRST""".stripMargin
+    },
+
+    "q76_chunk_dedup" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 9, 10),
+        |    i -> sha256(array_to_string(string_split(text, ' ')[i:i+9], ' ')))) AS h
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10)
+        |SELECT substr(h, 1, 16) AS chunk_hash,
+        |CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash NULLS FIRST""".stripMargin,
+
+    "q77_rep_ratio" -> {
+      val sh = TextDedup.duckShingles
+      s"""WITH sh AS ($sh),
+         |dis AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_shingles
+         |        FROM documents WHERE len(string_split(text, ' ')) >= 3)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |CAST(n_distinct AS BIGINT) AS n_distinct,
+         |round(1.0 - n_distinct*1.0/n_shingles + 1e-12, 4) AS rep_ratio
+         |FROM tot JOIN dis USING (doc_id)
+         |ORDER BY rep_ratio DESC NULLS LAST, doc_id NULLS FIRST
+         |LIMIT 20""".stripMargin
+    },
+
+    "q78_hash_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |round(avg(n_chars), 2) AS avg_chars
+        |FROM documents
+        |WHERE substr(sha256(text), 1, 1) < '4'
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q79_train_split" ->
+      """SELECT CASE WHEN h1 < 'c' THEN 'train'
+        |            WHEN h1 < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |lang, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(n_chars), 2) AS avg_chars
+        |FROM (SELECT lang, n_chars,
+        |      substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) AS h1
+        |      FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY split NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q80_centroid_norm" ->
+      """SELECT label,
+        |round(sqrt(sum(c * c)), 6) AS centroid_norm,
+        |CAST(max(n) AS BIGINT) AS n_vectors
+        |FROM (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c,
+        |  count(*) AS n
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |  GROUP BY label, i)
+        |GROUP BY label
+        |ORDER BY label NULLS FIRST""".stripMargin,
+
+    "q81_length_band" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS p25,
+        |                  quantile_cont(n_chars, 0.75) AS p75 FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_in_band,
+        |round(avg(n_chars), 2) AS avg_chars
+        |FROM documents, b
+        |WHERE n_chars >= p25 AND n_chars <= p75
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin
+  )
+}

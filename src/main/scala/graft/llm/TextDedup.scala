@@ -31,7 +31,7 @@ object TextDedup {
     * is hoisted into its own projection — referencing split(text)
     * inside the transform lambda would re-tokenize the document once
     * per shingle index (O(len²) per doc). */
-  private def shingleSet(docs: DataFrame): DataFrame =
+  private[llm] def shingleSet(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       // docs shorter than one shingle contribute nothing (= the
       // oracle's empty generate_series); without this filter
@@ -60,7 +60,7 @@ object TextDedup {
 
   /** Exact-Jaccard similar pairs above `threshold` from an
     * inverted-index equi-join on shingles. */
-  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[llm] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleSet(docs).cache()
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -188,14 +188,14 @@ object TextDedup {
     })
   )
 
-  private val duckShingles =
+  private[llm] val duckShingles =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |  generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |  i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
       |       string_split(text,' ')[i+2])))) AS sh
       |FROM documents""".stripMargin
 
-  private def duckJaccard(threshold: String) =
+  private[llm] def duckJaccard(threshold: String) =
     s"""WITH sh AS ($duckShingles),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (

@@ -1,0 +1,318 @@
+package graft.ops
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables, r2, r4, r6}
+
+/** Round-2 coverage widening: statistical aggregates (correlation /
+  * covariance / variance / skewness / kurtosis / median / arg-extrema),
+  * boolean + bitwise aggregates, rank-family window functions
+  * (ntile / percent_rank / cume_dist / first / last / nth), full-outer
+  * and cross joins, MapType + struct/JSON round-trips, array
+  * normalization, and higher-order fold/zip functions.
+  *
+  * The reference computes only mean/std profiles
+  * (`drift_detector.py:23-24`) — everything here is the Spark-built-in
+  * generalization of that profiling surface (SURVEY.md §2.4-2.8), each
+  * shape a single partial+final hash aggregate or a single window pass:
+  * no extra shuffles, no driver materialization, all codegen-friendly,
+  * so every query scales linearly with input on a real cluster.
+  */
+object Statistics {
+
+  val queries: Map[String, Q] = Map(
+
+    /** Bivariate statistics per group — one pass, one shuffle on the
+      * 3-value group key; partial aggregation makes the shuffle O(groups). */
+    "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_s"),
+          r4(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("covar_p"),
+          r4(var_samp(col("l_quantity"))).as("var_s"),
+          r4(var_pop(col("l_quantity"))).as("var_p"),
+          r6(stddev_pop(col("l_quantity"))).as("std_p"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Higher moments per group. Oracle recomputes Spark's population
+      * skewness m3/m2^1.5 and excess kurtosis m4/m2²-3 from raw power
+      * sums (l_quantity is small-magnitude so the naive moment formula
+      * is numerically safe in the oracle). */
+    "q64_skew_kurt" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          r6(skewness(col("l_quantity"))).as("skew"),
+          r6(kurtosis(col("l_quantity"))).as("kurt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Exact interpolated median + arg-extrema (max_by/min_by keyed on
+      * the unique o_orderkey so cross-engine tie-breaking cannot
+      * diverge — o_totalprice has duplicate values within groups). */
+    "q65_median_argmax" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          r4(median(col("o_totalprice"))).as("median_price"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    /** Boolean + bitwise aggregates per nation — O(1) state per group,
+      * so the combine tree stays trivially small at any scale. */
+    "q66_bool_bit_aggs" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          bool_and(col("c_acctbal") > -500).as("all_above"),
+          bool_or(col("c_acctbal") > 9000).as("any_rich"),
+          count_if(col("c_acctbal") > 0).as("n_positive"),
+          expr("bit_xor(c_custkey)").as("xor_keys"),
+          expr("bit_and(c_custkey)").as("and_keys"),
+          expr("bit_or(c_custkey)").as("or_keys"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    /** Rank-family window functions over a total order (custkey
+      * tie-break): ntile quartiles, percent_rank, cume_dist. Single
+      * global sort — at cluster scale this is a range-partitioned sort,
+      * no driver bottleneck. */
+    "q67_ntile_ranks" -> ((s: SparkSession, dir: String) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cum_dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    /** first/last/nth value with an explicit full-partition frame —
+      * constant per partition, so distinct-reduce to one row per
+      * segment. */
+    "q68_first_last_nth" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          first(col("c_custkey")).over(w).as("poorest_key"),
+          last(col("c_custkey")).over(w).as("richest_key"),
+          nth_value(col("c_custkey"), 3).over(w).as("third_key"))
+        .distinct()
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    /** Full-outer join of two aggregated sides (customer count vs
+      * supplier count per nation) — both sides pre-aggregated before
+      * the join so the shuffle carries one row per key, not raw rows. */
+    "q69_full_outer" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val supp = Tables(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    /** Cross join of two tiny dimensions (5 regions × order statuses).
+      * Both sides are broadcast-sized; Spark plans a nested-loop with
+      * broadcast — safe because cardinality is bounded by dims, never
+      * by fact-table size. */
+    "q70_cross_join" -> ((s: SparkSession, dir: String) => {
+      val statuses = Tables(s, dir, "orders")
+        .select(col("o_orderstatus").as("st")).distinct()
+      Tables(s, dir, "region").select(col("r_name"))
+        .crossJoin(broadcast(statuses))
+        .select(concat_ws("-", col("r_name"), col("st")).as("combo"))
+        .orderBy(col("combo"))
+    }),
+
+    /** MapType surface: per-region map of nation → customer count via
+      * map_from_entries over a sorted entry list; read back with
+      * map_keys / map_values + a higher-order fold. The map is built
+      * from a pre-aggregated side (≤25 entries per region). */
+    "q71_map_funcs" -> ((s: SparkSession, dir: String) => {
+      val perNation = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name")).agg(count(lit(1)).as("cnt"))
+      perNation
+        .groupBy(col("r_name"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("n_name"), col("cnt"))))).as("m"))
+        .select(col("r_name"),
+          array_join(map_keys(col("m")), ",").as("nations"),
+          expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total_cust"),
+          size(col("m")).cast("long").as("n_nations"))
+        .orderBy(col("r_name"))
+    }),
+
+    /** Struct → JSON → struct round-trip: to_json on a named struct,
+      * then the id extracted back out of the JSON string. */
+    "q72_struct_json" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 5)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("st"))).as("js"))
+        .withColumn("id_back", get_json_object(col("js"), "$.id").cast("long"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    /** Array normalization over tokenized documents: distinct count,
+      * sorted prefix, membership test — all per-row array expressions
+      * inside whole-stage codegen (no explode, no shuffle). */
+    "q73_array_ops" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), " ").as("first5"),
+          array_contains(col("toks"), "the").as("has_the"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Higher-order functions: sequence + zip_with + aggregate fold.
+      * Computes Σ i·(n+1-i) for n = max quantity per group; the oracle
+      * uses the closed form n(n+1)(n+2)/6, so the check is exact. */
+    "q74_seq_fold" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("l_quantity")).cast("int").as("n"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          expr("""aggregate(
+            zip_with(sequence(1, n), reverse(sequence(1, n)), (a, b) -> a * b),
+            0L, (acc, x) -> acc + x)""").as("weighted_sum"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_corr_covar" ->
+      """SELECT l_returnflag,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+        |round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+        |round(var_samp(l_quantity), 4) AS var_s,
+        |round(var_pop(l_quantity), 4) AS var_p,
+        |round(stddev_pop(l_quantity), 6) AS std_p
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    // Spark: population skewness m3/m2^1.5, excess kurtosis m4/m2^2-3
+    "q64_skew_kurt" ->
+      """SELECT l_returnflag, n,
+        |round((m3a - 3*mu*m2a + 2*mu*mu*mu) / pow(m2a - mu*mu, 1.5), 6) AS skew,
+        |round((m4a - 4*mu*m3a + 6*mu*mu*m2a - 3*mu*mu*mu*mu)
+        |      / pow(m2a - mu*mu, 2) - 3, 6) AS kurt
+        |FROM (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  avg(l_quantity) AS mu, avg(l_quantity*l_quantity) AS m2a,
+        |  avg(l_quantity*l_quantity*l_quantity) AS m3a,
+        |  avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4a
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q65_median_argmax" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |round(median(o_totalprice), 4) AS median_price,
+        |arg_max(o_orderstatus, o_orderkey) AS latest_status,
+        |arg_min(o_orderstatus, o_orderkey) AS first_status
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q66_bool_bit_aggs" ->
+      """SELECT c_nationkey,
+        |bool_and(c_acctbal > -500) AS all_above,
+        |bool_or(c_acctbal > 9000) AS any_rich,
+        |CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_positive,
+        |CAST(bit_xor(c_custkey) AS BIGINT) AS xor_keys,
+        |CAST(bit_and(c_custkey) AS BIGINT) AS and_keys,
+        |CAST(bit_or(c_custkey) AS BIGINT) AS or_keys
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
+
+    "q67_ntile_ranks" ->
+      """SELECT c_custkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q68_first_last_nth" ->
+      """SELECT DISTINCT c_mktsegment,
+        |first_value(c_custkey) OVER w AS poorest_key,
+        |last_value(c_custkey) OVER w AS richest_key,
+        |nth_value(c_custkey, 3) OVER w AS third_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q69_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, n_cust, n_supp FROM
+        |(SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+        | FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |(SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+        | FROM supplier GROUP BY 1) s
+        |ON c.nk = s.nk
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+
+    "q70_cross_join" ->
+      """SELECT r_name || '-' || st AS combo
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders)
+        |ORDER BY combo NULLS FIRST""".stripMargin,
+
+    "q71_map_funcs" ->
+      """SELECT r_name,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |CAST(sum(cnt) AS BIGINT) AS total_cust,
+        |CAST(count(*) AS BIGINT) AS n_nations
+        |FROM (
+        |  SELECT r_name, n_name, count(*) AS cnt
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |GROUP BY r_name
+        |ORDER BY r_name NULLS FIRST""".stripMargin,
+
+    "q72_struct_json" ->
+      """SELECT o_orderkey,
+        |to_json(struct_pack(id := o_orderkey, st := o_orderstatus)) AS js,
+        |o_orderkey AS id_back
+        |FROM orders WHERE o_orderkey < 5
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "q73_array_ops" ->
+      """SELECT doc_id,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ') AS first5,
+        |list_contains(string_split(text, ' '), 'the') AS has_the
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q74_seq_fold" ->
+      """SELECT l_returnflag, n, CAST(n*(n+1)*(n+2)/6 AS BIGINT) AS weighted_sum
+        |FROM (SELECT l_returnflag, CAST(max(l_quantity) AS BIGINT) AS n
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+  )
+}
