@@ -113,10 +113,17 @@ object TextDedup {
       val sh = shingleSet(docs).cache()
       val nHashes = 48
       val bands = 16 // rows per band = 3
-      // one pass: min of 48 seeded hashes per doc
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min(xxhash64(lit(0), col("sh"))).as("h0"),
-        (1 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      // hash the shingle STRING once; the 48 signature hashes are
+      // derived from the resulting 64-bit value (fixed 12-byte input)
+      // instead of re-hashing the variable-length string 48 times —
+      // g_i(s) = xxhash64(i, xxhash64(s)) is still a uniform
+      // independent-enough hash family for minhash (collision prob
+      // 2^-64 through the intermediate)
+      val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      // one pass: min of 48 derived hashes per doc
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        min(xxhash64(lit(0), col("h"))).as("h0"),
+        (1 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
       // cached: both sides of the bucket self-join read this — without
       // the cache the 48-min aggregation over all shingles runs twice
       val banded = sig.select(col("doc_id"), explode(array(
