@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.PipelineOps
+import graft.ops.Statistics
+
+/** Invariants for the round-2 operator batch (q63-q81). Cross-engine
+  * value correctness is covered by the Verify/DuckDB gate; these pin
+  * the algebraic and pipeline-semantic properties the oracle can't
+  * express (self-consistency, conservation, determinism). */
+class Round2OpsSpec extends SparkSuite {
+
+  test("variance family is internally consistent (var_pop = std_pop², samp ≥ pop relation)") {
+    val rows = Statistics.queries("q63_corr_covar")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val varP = r.getAs[Double]("var_p"); val stdP = r.getAs[Double]("std_p")
+      assert(math.abs(varP - stdP * stdP) < 1e-2, s"var_pop != std_pop² in $r")
+      assert(r.getAs[Double]("var_s") >= varP, "sample variance must exceed population")
+      val c = r.getAs[Double]("corr_qp")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("ntile/percent_rank/cume_dist are monotone over the acctbal order") {
+    val rows = Statistics.queries("q67_ntile_ranks")(spark, sf)
+      .orderBy(col("pct_rank"), col("c_custkey")).collect()
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_.getAs[Long]("quartile")).toSet == Set(1L, 2L, 3L, 4L))
+    val pr = rows.map(_.getAs[Double]("pct_rank"))
+    assert(pr.head == 0.0 && pr.last == 1.0)
+    val cd = rows.map(_.getAs[Double]("cum_dist"))
+    assert(cd.zip(cd.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cd.last - 1.0) < 1e-9)
+  }
+
+  test("full outer join loses no side: every nation with customers or suppliers appears") {
+    val out = Statistics.queries("q69_full_outer")(spark, sf).collect()
+    val custNations = Tables(spark, sf, "customer")
+      .select(col("c_nationkey")).distinct().collect().map(_.getInt(0)).toSet
+    val suppNations = Tables(spark, sf, "supplier")
+      .select(col("s_nationkey")).distinct().collect().map(_.getInt(0)).toSet
+    assert(out.map(_.getAs[Int]("nationkey")).toSet == custNations.union(suppNations))
+    val totalCust = out.flatMap(r => Option(r.getAs[Long]("n_cust"))).sum
+    assert(totalCust == Tables(spark, sf, "customer").count())
+  }
+
+  test("seq_fold higher-order result matches the closed form n(n+1)(n+2)/6") {
+    Statistics.queries("q74_seq_fold")(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("weighted_sum") == n * (n + 1) * (n + 2) / 6)
+    }
+  }
+
+  test("dedup_apply conserves counts and drops exactly the near-dup d2 set") {
+    val rows = PipelineOps.queries("q75_dedup_apply")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    assert(total == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_total"))
+    }
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val pairsD2 = llm.TextDedup.queries("q35_dedup_minhash")(spark, sf)
+      .select(col("d2")).distinct().count()
+    assert(dropped == pairsD2, "drop-set must equal the distinct d2 set of verified pairs")
+  }
+
+  test("rep_ratio is in [0,1) and detects genuinely repeated shingles") {
+    val rows = PipelineOps.queries("q77_rep_ratio")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_shingles"))
+    }
+    // ordering is by ratio desc
+    val ratios = rows.map(_.getAs[Double]("rep_ratio"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hash sampling is deterministic and in a plausible 1/4 band") {
+    val a = PipelineOps.queries("q78_hash_sample")(spark, sf).collect().map(_.toSeq)
+    val b = PipelineOps.queries("q78_hash_sample")(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "sha-keyed sampling must be reproducible")
+    val sampled = a.map(_(1).asInstanceOf[Long]).sum.toDouble
+    val total = Tables(spark, sf, "documents").count().toDouble
+    assert(sampled / total > 0.1 && sampled / total < 0.45,
+      s"1/4 hex-digit sample rate out of band: ${sampled / total}")
+  }
+
+  test("train/val/test split partitions the corpus with no overlap or loss") {
+    val rows = PipelineOps.queries("q79_train_split")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables(spark, sf, "documents").count())
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    val train = rows.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n")).sum
+    assert(train.toDouble / n > 0.5, "train share should dominate (12/16 of hash space)")
+  }
+
+  test("centroid norm per label is in (0,1] for unit-norm inputs and counts all vectors") {
+    val rows = PipelineOps.queries("q80_centroid_norm")(spark, sf).collect()
+    val nVec = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(nVec == Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val cn = r.getAs[Double]("centroid_norm")
+      // Jensen: ||avg(unit vectors)|| ≤ 1; > 0 unless vectors cancel exactly
+      assert(cn > 0.0 && cn <= 1.0 + 1e-9, s"centroid norm out of range: $r")
+    }
+  }
+
+  test("length band keeps an interquartile-sized subset") {
+    val kept = PipelineOps.queries("q81_length_band")(spark, sf)
+      .collect().map(_.getAs[Long]("n_in_band")).sum.toDouble
+    val total = Tables(spark, sf, "documents").count().toDouble
+    // [p25, p75] holds ~50% of docs (ties can push it above)
+    assert(kept / total >= 0.45 && kept / total <= 0.75,
+      s"IQR band kept unexpected fraction: ${kept / total}")
+  }
+
+  test("chunk dedup finds only cross-doc chunks, each occurring at least twice") {
+    val rows = PipelineOps.queries("q76_chunk_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+  }
+}
