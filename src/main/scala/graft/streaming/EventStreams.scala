@@ -82,6 +82,31 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming dedup within the watermark horizon: drops events whose
+    * (user_id, event_type, value-hash) was already seen within 1 hour
+    * of event time — the streaming twin of batch exact dedup (q32/q33).
+    * dropDuplicatesWithinWatermark bounds the dedup state store by the
+    * watermark instead of keeping every key forever, which is what
+    * makes exactly-once ingestion dedup feasible on an unbounded feed. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .withColumn("content_key", sha2(concat_ws("|",
+        col("user_id"), col("event_type"), col("value")), 256))
+      .dropDuplicatesWithinWatermark("content_key")
+      .drop("content_key")
+
+  /** Stream-static enrichment: join the live event feed against a
+    * static dimension (per-user lifetime profile computed in batch).
+    * The static side is broadcast per micro-batch — no shuffle of the
+    * stream, no state store; the standard shape for joining a 100 TB/day
+    * feed to reference data. */
+  def enrichAgainstStatic(events: DataFrame, userProfile: DataFrame): DataFrame =
+    events.join(broadcast(userProfile), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("profile_n"), col("profile_avg"),
+        // flag events deviating >3x from the user's batch-computed mean
+        (abs(col("value")) > abs(col("profile_avg")) * 3).as("is_outlier"))
+
   final case class DqAlert(user_id: Long, n_seen: Long,
     error_fraction: Double, threshold: Double)
 

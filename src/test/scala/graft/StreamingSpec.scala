@@ -96,4 +96,38 @@ class StreamingSpec extends SparkSuite {
     val missing = stateful.diff(batch)
     assert(missing.isEmpty, s"stateful sessions not in batch: ${missing.take(5)}")
   }
+
+  test("streaming dedup-within-watermark drops repeated content keys, keeps all distinct ones") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.dedupWithinWatermark(stream), "deduped", "append")
+    val streamed = spark.table("deduped")
+    val batchDistinct = Tables(spark, sf, "events")
+      .select(sha2(concat_ws("|", col("user_id"), col("event_type"), col("value")), 256))
+      .distinct().count()
+    val n = streamed.count()
+    // one directory = one micro-batch here, so every distinct key
+    // survives exactly once; at minimum no over-delivery, no total loss
+    assert(n == batchDistinct,
+      s"streaming dedup kept $n rows, batch-distinct says $batchDistinct")
+    assert(streamed.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("stream-static enrichment broadcasts the profile and flags outliers like batch") {
+    val profile = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("profile_n"), avg("value").as("profile_avg"))
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.enrichAgainstStatic(stream, profile), "enriched", "append")
+    val streamed = spark.table("enriched")
+    assert(streamed.count() == Tables(spark, sf, "events").count(),
+      "left join must not drop or duplicate events")
+    // recompute the flag in batch and compare the outlier id sets
+    val batchOutliers = Tables(spark, sf, "events").join(profile, "user_id")
+      .filter(abs(col("value")) > abs(col("profile_avg")) * 3)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val streamOutliers = streamed.filter(col("is_outlier"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamOutliers == batchOutliers)
+  }
 }
