@@ -126,6 +126,45 @@ object PipelineOps {
         .orderBy(col("label"))
     }),
 
+    /** Eval-set decontamination: flag training docs sharing any 4-gram
+      * with the held-out benchmark slice (doc_id % 50 == 0). The
+      * benchmark gram set is tiny relative to the corpus (the realistic
+      * shape — eval sets are small), so it broadcasts; grams travel as
+      * 32-byte hashes, never text. Production would use 8-13-grams;
+      * 4 keeps the fixture signal dense. */
+    "q82_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, size(toks) - 3),
+            |  i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))""".stripMargin))).as("g"))
+      val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Lexical diversity per language: corpus token count, vocabulary
+      * size, hapax legomena, type-token ratio. Two-level aggregation —
+      * the (lang, token) pre-aggregate gives partial map-side combine,
+      * so the shuffle carries one row per distinct token, not per
+      * occurrence. */
+    "q83_lexical_diversity" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count_if(col("cnt") === 1).as("hapax"))
+        .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+          round(col("vocab") / col("n_tokens") + lit(1e-12), 6).as("ttr"))
+        .orderBy(col("lang"))
+    }),
+
     /** Length filtering by exact percentile band: keep docs whose
       * n_chars lies in [p25, p75] of the corpus. The two thresholds are
       * a 1-row broadcast; at 100 TB the exact percentile becomes
@@ -214,6 +253,32 @@ object PipelineOps {
         |  GROUP BY label, i)
         |GROUP BY label
         |ORDER BY label NULLS FIRST""".stripMargin,
+
+    "q82_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 3),
+        |    i -> sha256(array_to_string(string_split(text, ' ')[i:i+3], ' '))))) AS g
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 50 != 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q83_lexical_diversity" ->
+      """SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |CAST(count(*) AS BIGINT) AS vocab,
+        |CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS hapax,
+        |round(count(*) * 1.0 / sum(cnt) + 1e-12, 6) AS ttr
+        |FROM (
+        |  SELECT lang, t, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY lang, t)
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q81_length_band" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS p25,

@@ -185,6 +185,46 @@ object Statistics {
         .orderBy(col("doc_id"))
     }),
 
+    /** SCD1 upsert (MERGE semantics) without a table format: base ∪
+      * updates resolved by full-outer join + coalesce, updates winning.
+      * Updates touch 10% of keys and insert new ones; the report
+      * aggregates the merged state. At scale the join shuffles on the
+      * merge key — the same shape Delta/Iceberg MERGE plans to. */
+    "q84_upsert" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          col("c_acctbal").as("bal"))
+      val updates = base.filter(col("k") % 10 === 0)
+        .select(col("k"), col("nk"), (col("bal") + 100).as("bal"))
+        .unionByName(base.filter(col("k") % 100 === 0)
+          .select((col("k") + 10000000L).as("k"), col("nk"), lit(0.0).as("bal")))
+      base.as("b").join(updates.as("u"), col("b.k") === col("u.k"), "full_outer")
+        .select(coalesce(col("u.k"), col("b.k")).as("k"),
+          coalesce(col("u.nk"), col("b.nk")).as("nk"),
+          coalesce(col("u.bal"), col("b.bal")).as("bal"))
+        .groupBy(col("nk").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), r2(sum(col("bal"))).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    /** Ordered-sequence funnel: users whose event-type sequence (total
+      * order: ts, event_id) matches signup → … → click → … → purchase.
+      * collect_list is made deterministic by array_sort over the full
+      * (ts, event_id, type) struct; per-user sequences are small and
+      * bounded, so the grouped state never skews a partition. */
+    "q85_funnel" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), " ").as("path"))
+        .filter(col("path").rlike("signup.*click.*purchase"))
+        .select(col("user_id"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     /** Higher-order functions: sequence + zip_with + aggregate fold.
       * Computes Σ i·(n+1-i) for n = max quantity per group; the oracle
       * uses the closed form n(n+1)(n+2)/6, so the check is exact. */
@@ -308,6 +348,29 @@ object Statistics {
         |list_contains(string_split(text, ' '), 'the') AS has_the
         |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q84_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal AS bal
+        |              FROM customer),
+        |upd AS (SELECT k, nk, bal + 100 AS bal FROM base WHERE k % 10 = 0
+        |        UNION ALL
+        |        SELECT k + 10000000, nk, 0.0 FROM base WHERE k % 100 = 0),
+        |merged AS (
+        |  SELECT coalesce(u.k, b.k) AS k, coalesce(u.nk, b.nk) AS nk,
+        |         coalesce(u.bal, b.bal) AS bal
+        |  FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+        |SELECT nk AS c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |round(sum(bal), 2) AS sum_bal
+        |FROM merged GROUP BY nk
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
+
+    "q85_funnel" ->
+      """SELECT user_id, n_events FROM (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |WHERE regexp_matches(path, 'signup.*click.*purchase')
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q74_seq_fold" ->
       """SELECT l_returnflag, n, CAST(n*(n+1)*(n+2)/6 AS BIGINT) AS weighted_sum
