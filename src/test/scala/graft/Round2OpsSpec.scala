@@ -119,6 +119,50 @@ class Round2OpsSpec extends SparkSuite {
       s"IQR band kept unexpected fraction: ${kept / total}")
   }
 
+  test("decontamination flags only training docs, never the benchmark slice") {
+    val rows = PipelineOps.queries("q82_decontaminate")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0, "benchmark docs must not be flagged")
+      assert(r.getAs[Long]("n_shared_grams") >= 1)
+    }
+  }
+
+  test("lexical diversity: hapax ≤ vocab ≤ tokens and ttr consistent") {
+    val rows = PipelineOps.queries("q83_lexical_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, h) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"), r.getAs[Long]("hapax"))
+      assert(h <= v && v <= n)
+      assert(math.abs(r.getAs[Double]("ttr") - v.toDouble / n) < 1e-4)
+    }
+  }
+
+  test("upsert conserves base keys and adds exactly the insert set") {
+    val rows = Statistics.queries("q84_upsert")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val base = Tables(spark, sf, "customer").count()
+    val inserts = Tables(spark, sf, "customer")
+      .filter(col("c_custkey") % 100 === 0).count()
+    assert(total == base + inserts, "merged row count = base + inserted keys")
+  }
+
+  test("funnel users each have the subsequence in event-time order") {
+    val flagged = Statistics.queries("q85_funnel")(spark, sf).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(flagged.nonEmpty)
+    // recompute independently from raw events
+    val byUser = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getLong(0))
+    val expected = byUser.filter { case (_, rs) =>
+      val types = rs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).map(_.getString(3))
+      val i = types.indexOf("signup")
+      val j = if (i < 0) -1 else types.indexOf("click", i + 1)
+      i >= 0 && j >= 0 && types.indexOf("purchase", j + 1) >= 0
+    }.keySet
+    assert(flagged == expected)
+  }
+
   test("chunk dedup finds only cross-doc chunks, each occurring at least twice") {
     val rows = PipelineOps.queries("q76_chunk_dedup")(spark, sf).collect()
     rows.foreach { r =>
