@@ -126,6 +126,25 @@ object PipelineOps {
         .orderBy(col("label"))
     }),
 
+    /** Keep-first windowed dedup over the event feed: one survivor per
+      * (user_id, event_type, value) content key, earliest (ts,
+      * event_id) wins — the batch twin of
+      * EventStreams.dedupWithinWatermark, reported per event type.
+      * Single shuffle on the content key; the rank never materializes
+      * more than one row of state per key. */
+    "q87_dedup_keep_first" -> ((s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count_if(col("rn") === 1).as("n_kept"),
+          count_if(col("rn") > 1).as("n_removed"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Eval-set decontamination: flag training docs sharing any 4-gram
       * with the held-out benchmark slice (doc_id % 50 == 0). The
       * benchmark gram set is tiny relative to the corpus (the realistic
@@ -256,6 +275,18 @@ object PipelineOps {
         |  GROUP BY label, i)
         |GROUP BY label
         |ORDER BY label NULLS FIRST""".stripMargin,
+
+    "q87_dedup_keep_first" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        |FROM (
+        |  SELECT event_type, row_number() OVER (
+        |    PARTITION BY user_id, event_type, value
+        |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+        |  FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q82_decontaminate" ->
       """WITH grams AS (

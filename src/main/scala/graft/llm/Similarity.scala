@@ -114,6 +114,38 @@ object Similarity {
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
     }),
 
+    /** SemDeDup-style embedding near-dup at scale: assign every vector
+      * to its nearest IVF centroid (deterministic cells: vec_id < 16),
+      * then pair-compare ONLY within cells — O(Σ k_i²) « O(n²), the
+      * scale path that replaces q51's all-pairs scan. Recall is
+      * cell-local by design (cross-cell pairs are unseen — SemDeDup's
+      * documented trade-off); the oracle replicates the identical cell
+      * assignment, so the check is exact. */
+    "q86_semdedup" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+      // cached: both sides of the within-cell pair join read this
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          expr("cosine_sim(embedding, cent_emb)").as("csim"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+        .cache()
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          expr("cosine_sim(a.embedding, b.embedding)").as("cs"))
+        .filter(col("cs") >= 0.3)
+        .select(col("d1"), col("d2"), r6(col("cs")).as("cos_sim"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     /** Approximate NN via sign-random-projection LSH (see [[annLsh]]).
       * Rows-only check (bucketing is internal); LlmOpsSpec asserts
       * recall on an injected true near-duplicate — on THIS corpus the
@@ -188,6 +220,27 @@ object Similarity {
          |  WHERE e.vec_id <> 0)
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    "q86_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |  ${duckCos("e.embedding", "c.cent_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT vec_id, embedding, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
+         |    FROM sims) WHERE rn = 1)
+         |SELECT d1, d2, round(cs, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  ${duckCos("a.embedding", "b.embedding")} AS cs
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |WHERE cs >= 0.3
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
 
     "q57_ann_ivf" ->
       s"""WITH cents AS (
