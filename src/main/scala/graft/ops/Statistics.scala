@@ -225,6 +225,33 @@ object Statistics {
         .orderBy(col("user_id"))
     }),
 
+    /** Outer generator: explode_outer preserves rows whose array is
+      * empty (docs with no 8-char token emit a null row) — LATERAL VIEW
+      * OUTER semantics, the shape that keeps per-document bookkeeping
+      * alive through a tokenize-and-flatten stage. */
+    "q88_explode_outer" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode_outer(expr(
+          "filter(split(text, ' '), t -> length(t) >= 8)")).as("long_tok"))
+        .orderBy(col("doc_id"), asc_nulls_first("long_tok"))
+    }),
+
+    /** unpivot(pivot(x)) round-trip: the wide per-status priority
+      * counts from the q47 shape melted back to long form — equals the
+      * plain GROUP BY the oracle runs. */
+    "q89_unpivot" -> ((s: SparkSession, dir: String) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .unpivot(Array(col("o_orderstatus")),
+          priorities.map(p => col(s"`$p`")).toArray,
+          "o_orderpriority", "n")
+        .filter(col("n").isNotNull)
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     /** Higher-order functions: sequence + zip_with + aggregate fold.
       * Computes Σ i·(n+1-i) for n = max quantity per group; the oracle
       * uses the closed form n(n+1)(n+2)/6, so the check is exact. */
@@ -371,6 +398,21 @@ object Statistics {
         |  FROM events GROUP BY user_id)
         |WHERE regexp_matches(path, 'signup.*click.*purchase')
         |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q88_explode_outer" ->
+      """SELECT d.doc_id, t.tok AS long_tok
+        |FROM documents d
+        |LEFT JOIN (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> length(x) >= 8)) AS tok
+        |  FROM documents) t
+        |ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id NULLS FIRST, long_tok NULLS FIRST""".stripMargin,
+
+    "q89_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q74_seq_fold" ->
       """SELECT l_returnflag, n, CAST(n*(n+1)*(n+2)/6 AS BIGINT) AS weighted_sum

@@ -163,6 +163,40 @@ class Round2OpsSpec extends SparkSuite {
     assert(flagged == expected)
   }
 
+  test("semdedup within-cell pairs are a subset of the brute-force ground truth") {
+    val cells = llm.Similarity.queries("q86_semdedup")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = ops.Extended.queries("q51_embed_neardup")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells.nonEmpty)
+    assert(cells.subsetOf(truth),
+      s"cell-local pairs not in ground truth: ${cells.diff(truth).take(5)}")
+  }
+
+  test("keep-first dedup conserves totals and keeps one row per distinct content key") {
+    val rows = PipelineOps.queries("q87_dedup_keep_first")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_total"))
+    }
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val distinctKeys = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "value").distinct().count()
+    assert(kept == distinctKeys)
+  }
+
+  test("explode_outer preserves every document, null row iff no long token") {
+    val out = Statistics.queries("q88_explode_outer")(spark, sf)
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.select("doc_id").distinct().count() == total)
+    val nullDocs = out.filter(col("long_tok").isNull).count()
+    assert(nullDocs > 0, "fixture should contain docs with no 8-char token")
+  }
+
+  test("unpivot(pivot(x)) equals the plain group-by") {
+    val rows = Statistics.queries("q89_unpivot")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf, "orders").count())
+  }
+
   test("chunk dedup finds only cross-doc chunks, each occurring at least twice") {
     val rows = PipelineOps.queries("q76_chunk_dedup")(spark, sf).collect()
     rows.foreach { r =>
