@@ -252,6 +252,58 @@ object Statistics {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    /** Higher-order predicates + positional access over token arrays —
+      * exists / forall / array_position / get / regexp_extract_all, all
+      * per-row inside codegen (no shuffle). array_position is
+      * null-normalized (Spark returns 0 for absent, DuckDB NULL). */
+    "q90_hof_predicates" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+        .select(col("doc_id"),
+          expr("exists(toks, t -> t = 'join')").as("has_join"),
+          expr("forall(toks, t -> length(t) <= 6)").as("all_short"),
+          // absent → 0 in BOTH engines (Spark array_position and
+          // DuckDB list_position agree on the 0-for-missing convention)
+          array_position(col("toks"), "join").as("join_pos"),
+          expr("get(toks, 2)").as("third_tok"),
+          size(expr("regexp_extract_all(text, '[a-z]{8}', 0)")).cast("long").as("n_oct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Event-time RANGE frame: per user, events in the trailing hour
+      * (RANGE 3600s PRECEDING on epoch seconds — peers included by
+      * value, not by row, which is what makes the frame deterministic
+      * under ties and correct under event-time gaps). */
+    "q91_range_frame" -> ((s: SparkSession, dir: String) => {
+      // order by exact integer MICROSECONDS on both engines — casting
+      // the timestamp to long would truncate to seconds while DuckDB's
+      // epoch() keeps fractional seconds, shifting frame boundaries for
+      // sub-second timestamps (bit at sf0.1, invisible at sf0.01)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          r2(sum(col("value")).over(w)).as("sum_last_hour"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    /** Per-group top-k without a global sort: row_number ≤ k lets
+      * Spark plan WindowGroupLimit — each partition keeps a k-row heap
+      * per group before the window sort, so the shuffle carries O(k ×
+      * groups) rows. PlanQualitySpec asserts the pushdown. */
+    "q92_topk_per_group" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
     /** Higher-order functions: sequence + zip_with + aggregate fold.
       * Computes Σ i·(n+1-i) for n = max quantity per group; the oracle
       * uses the closed form n(n+1)(n+2)/6, so the check is exact. */
@@ -413,6 +465,37 @@ object Statistics {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q90_hof_predicates" ->
+      """SELECT doc_id,
+        |list_contains(string_split(text, ' '), 'join') AS has_join,
+        |len(list_filter(string_split(text, ' '), t -> length(t) <= 6))
+        |  = len(string_split(text, ' ')) AS all_short,
+        |CAST(list_position(string_split(text, ' '), 'join') AS BIGINT) AS join_pos,
+        |string_split(text, ' ')[3] AS third_tok,
+        |CAST(len(regexp_extract_all(text, '[a-z]{8}')) AS BIGINT) AS n_oct
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q91_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        |round(sum(value) OVER w, 2) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id NULLS FIRST, ts NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+
+    "q92_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST)
+        |    AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     "q74_seq_fold" ->
       """SELECT l_returnflag, n, CAST(n*(n+1)*(n+2)/6 AS BIGINT) AS weighted_sum

@@ -37,4 +37,18 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan("q05_semi_join").contains("LeftSemi"))
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
+
+  test("q92: rank filter pushes a WindowGroupLimit below the window sort") {
+    val p = plan("q92_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k should plan a per-group limit, got:\n$p")
+  }
+
+  test("q82: benchmark gram side stays small (filter precedes the explode)") {
+    val p = plan("q82_decontaminate")
+    // the eval-slice predicate must appear as a scan-level pushed
+    // filter, not a post-explode filter
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 1)
+    assert(p.contains("PushedFilters"))
+  }
 }
