@@ -122,8 +122,23 @@ object Multimodal {
         |      1 + octet_length(cast(text AS BLOB)) % 16 AS n_frames
         |      FROM documents),
         |unnest(generate_series(0, n_frames - 1, 2)) AS g(i)
-        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin
-    // q46: stub checksum is an iterated byte fold — exercised by
-    // LlmOpsSpec + rows-only check rather than SQL.
+        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin,
+
+    // the stub checksum (acc*31 + byte mod 2^31 over UTF-8 bytes —
+    // ASCII corpus, so codepoints ≡ bytes) is replicated with a
+    // list_reduce fold; f0 reproduces the float32 division exactly via
+    // REAL casts before the double round
+    "q46_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483648) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |CAST(1 + checksum % 16 AS BIGINT) AS n_frames,
+        |round(CAST(CAST(checksum % 97 AS REAL) / CAST(97 AS REAL) AS DOUBLE), 6) AS f0
+        |FROM f
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }
