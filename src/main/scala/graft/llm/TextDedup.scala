@@ -147,28 +147,31 @@ object TextDedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    /** SimHash near-dup pairs (Charikar): 64-bit fingerprint from
+    /** SimHash near-dup pairs (Charikar): 60-bit fingerprint from
       * per-token hash bit votes; pairs within Hamming distance ≤ 3
-      * found EXACTLY by the 4×16-bit band pigeonhole (≤ 3 differing
+      * found EXACTLY by the 4×15-bit band pigeonhole (≤ 3 differing
       * bits cannot touch all 4 bands, so every qualifying pair shares
-      * at least one full band). Fingerprints depend on the engine's
-      * xxhash64 → rows-only check, unit-tested in LlmOpsSpec. */
+      * at least one full band). Token hash = first 15 hex chars of
+      * sha-256 (engine-portable — the DuckDB oracle rebuilds it with a
+      * hex fold), so the whole operator IS oracle-checked. */
     "q36_dedup_simhash" -> ((s: SparkSession, dir: String) => {
+      val bits = 60
       val docs = Tables(s, dir, "documents")
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(sha2(col("t"), 256), 1, 15), 16, 10).cast("long").as("h"))
       val votes = tok.groupBy(col("doc_id")).agg(
         sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(i =>
+        (1 until bits).map(i =>
           sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")): _*)
       val fp = votes.select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
       // cached: the pair self-join reads both sides — without it the
-      // 64-bit-vote aggregation over all tokens runs twice
+      // 60-bit-vote aggregation over all tokens runs twice
       val banded = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until 4).map(k => struct(lit(k).as("band"),
-          shiftright(col("fp"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+          shiftright(col("fp"), 15 * k).bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
         .cache()
       banded.as("x")
@@ -230,6 +233,39 @@ object TextDedup {
         |ORDER BY canonical_id NULLS FIRST""".stripMargin,
 
     "q34_dedup_jaccard" -> duckJaccard("0.5"),
+
+    // the 60 per-bit vote sums and the fingerprint reassembly are
+    // program-generated; the token hash is the same sha-256 hex prefix
+    // the engine uses, rebuilt with a BIGINT hex fold
+    "q36_dedup_simhash" -> {
+      val voteCols = (0 until 60).map(i =>
+        s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
+      val fpExpr = (0 until 60).map(i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(substr(sha256(t), 1, 15), ''),
+         |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+         |                ELSE ord(c) - 87 END AS BIGINT))),
+         |    (acc, x) -> acc * 16 + x) AS hv
+         |  FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |  $voteCols
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM votes),
+         |banded AS (
+         |  SELECT doc_id, fp, k AS band, (fp >> (15 * k)) & 32767 AS key
+         |  FROM fp, unnest([0, 1, 2, 3]) AS u(k))
+         |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+    },
 
     // verified-minhash output ≡ exact jaccard at the verify threshold
     // (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
