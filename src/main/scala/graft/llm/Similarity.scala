@@ -147,7 +147,9 @@ object Similarity {
     }),
 
     /** Approximate NN via sign-random-projection LSH (see [[annLsh]]).
-      * Rows-only check (bucketing is internal); LlmOpsSpec asserts
+      * Oracle-checked: the hyperplane literals are embedded in the
+      * DuckDB SQL too, so the bucketing — and therefore the candidate
+      * set — is reproduced exactly. LlmOpsSpec additionally asserts
       * recall on an injected true near-duplicate — on THIS corpus the
       * exact neighbors sit at cos ≈ 0.3 (random noise), where no
       * bucketing scheme can concentrate them, so exact-top-k overlap
@@ -160,20 +162,25 @@ object Similarity {
     * bucket; candidates = query bucket + 8 hamming-1 probes; top-k by
     * exact cosine among candidates. At 100 TB the bucket equi-join
     * replaces the per-query full scan (Charikar SRP). */
+  /** SRP hyperplane coefficient (p = plane, d = dimension):
+    * deterministic pseudo-random in [-1, 1] with 1/1000 granularity —
+    * a splitmix64-style mix computed ONCE on the driver and embedded
+    * as literals in BOTH the Spark plan and the DuckDB oracle, which
+    * is what makes the LSH bucketing engine-portable. */
+  private def srpCoef(p: Int, d: Int): Double = {
+    var h = (p * 64 + d + 1) * 0x9E3779B97F4A7C15L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+  }
+
   private[graft] def annLsh(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     withCosine(e.sparkSession)
     // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
-    // deterministic pseudo-random constants — computed ONCE on the
-    // driver and shipped as array literals, so the per-row work is a
-    // pure fused dot product (the first version recomputed a hash per
-    // element per row: 512 hashes/row; this is 0).
-    def coef(p: Int, d: Int): Double = {
-        var h = (p * 64 + d + 1) * 0x9E3779B97F4A7C15L
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
-      }
+    // shipped as array literals, so the per-row work is a pure fused
+    // dot product (the first version recomputed a hash per element per
+    // row: 512 hashes/row; this is 0).
       val bucketBits = (0 until 8).map { p =>
-        val planeSql = (0 until 64).map(d => s"${coef(p, d)}D").mkString("array(", ", ", ")")
+        val planeSql = (0 until 64).map(d => s"${srpCoef(p, d)}D").mkString("array(", ", ", ")")
         val proj = expr(s"aggregate(zip_with(embedding, $planeSql, (x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }
@@ -220,6 +227,33 @@ object Similarity {
          |  WHERE e.vec_id <> 0)
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    // same hyperplane literals as the Spark plan; same sequential-fold
+    // dot product (bitwise-compatible), so bucket bits agree exactly
+    "q44_ann_lsh" -> {
+      def proj(p: Int, v: String) = {
+        val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
+        s"""list_aggregate(list_transform(generate_series(1, 64),
+           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i]), 'sum')""".stripMargin
+      }
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${proj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT q_emb, CASE WHEN f = -1 THEN q_bucket
+         |                ELSE xor(q_bucket, (CAST(1 AS BIGINT) << f)) END AS pb
+         |  FROM q, unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS u(f))
+         |SELECT vec_id, round(cs, 6) AS cos_sim FROM (
+         |  SELECT b.vec_id, ${duckCos("b.embedding", "probes.q_emb")} AS cs
+         |  FROM b JOIN probes ON b.bucket = probes.pb
+         |  WHERE b.vec_id <> 0)
+         |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
+         |LIMIT 10""".stripMargin
+    },
 
     "q86_semdedup" ->
       s"""WITH cents AS (
