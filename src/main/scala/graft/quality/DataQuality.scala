@@ -1,7 +1,10 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 import graft.config.PipelineConfig
 
 /** Data-quality rule engine (reference `data_quality_checks.py:16-89`):
@@ -48,28 +51,8 @@ object DataQuality {
     val nullFractions = present.map(c =>
       c.name -> (if (rowCount == 0) 0.0 else aggRow.getAs[Double](s"nf_${c.name}"))).toMap
 
-    val failed = Seq.newBuilder[FailedCheck]
-    // A4: missing declared columns
-    missing.foreach(m => failed += FailedCheck(
-      "missing_column", m, 0.0, 0.0, s"Column '$m' is missing from the source"))
-    // table-level row-count floor (data_quality_checks.py:35-39)
-    if (rowCount < cfg.quality.rowCountMin) failed += FailedCheck(
-      "row_count_below_min", "", rowCount.toDouble, cfg.quality.rowCountMin.toDouble,
-      s"Row count $rowCount below minimum ${cfg.quality.rowCountMin}")
-    present.foreach { c =>
-      val nf = nullFractions(c.name)
-      // A3: required columns must be fully populated (:51-59)
-      if (c.required && nf > 0.0) failed += FailedCheck(
-        "required_column_has_nulls", c.name, nf, 0.0,
-        s"Required column '${c.name}' has null fraction $nf")
-      // A5: optional columns bounded by max_null_fraction (:61-71)
-      c.maxNullFraction.foreach { maxNf =>
-        if (nf > maxNf) failed += FailedCheck(
-          "null_fraction_exceeded", c.name, nf, maxNf,
-          s"Column '${c.name}' null fraction $nf exceeds max $maxNf")
-      }
-    }
-    DqReport(rowCount, nullFractions, failed.result())
+    DqReport(rowCount, nullFractions,
+      evalRules(cfg, present, missing, rowCount, nullFractions))
   }
 
   /** Raise on failure, mirroring `enforce_data_quality`
@@ -78,5 +61,73 @@ object DataQuality {
     val report = check(df, cfg, missing)
     if (!report.passed) throw new DataQualityException(report)
     report
+  }
+
+  /** Sink write + DQ report from ONE scan: the metrics ride the write
+    * job via Dataset.observe instead of a second aggregate pass — at
+    * 100 TB this halves the pipeline's read volume versus
+    * write-then-check. The observed-metrics row is delivered on the
+    * listener bus after the action; we block (bounded) for it.
+    *
+    * Rule evaluation is shared with [[check]] via [[evalRules]], so the
+    * two paths can never drift. */
+  def writeWithObservedDq(df: DataFrame, cfg: PipelineConfig, missing: Seq[String],
+      sinkPath: String, timeoutSec: Long = 60): DqReport = {
+    val spark = df.sparkSession
+    val present = cfg.columns.filter(c => df.columns.contains(c.name))
+    val metricName = s"graft_dq_${java.util.UUID.randomUUID().toString.take(8)}"
+    val observed = df.observe(metricName,
+      count(lit(1)).as("row_count"),
+      present.map(c => avg(col(c.name).isNull.cast("double")).as(s"nf_${c.name}")): _*)
+
+    val latch = new CountDownLatch(1)
+    @volatile var metricsRow: Option[Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach { row =>
+          metricsRow = Some(row); latch.countDown()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      observed.write.mode("overwrite").parquet(sinkPath)
+      if (!latch.await(timeoutSec, TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          s"observed DQ metrics '$metricName' not delivered within ${timeoutSec}s")
+    } finally spark.listenerManager.unregister(listener)
+
+    val row = metricsRow.get
+    val rowCount = row.getAs[Long]("row_count")
+    // guard BEFORE getAs: avg over zero rows is null, and unboxing a
+    // null Double NPEs
+    val nullFractions = present.map(c =>
+      c.name -> (if (rowCount == 0) 0.0 else row.getAs[Double](s"nf_${c.name}"))).toMap
+    DqReport(rowCount, nullFractions, evalRules(cfg, present, missing, rowCount, nullFractions))
+  }
+
+  /** Shared rule evaluation (A3/A4/A5 + row-count floor) over computed
+    * statistics — used by both the aggregate and the observed paths. */
+  private def evalRules(cfg: PipelineConfig, present: Seq[graft.config.ColumnSpec],
+      missing: Seq[String], rowCount: Long,
+      nullFractions: Map[String, Double]): Seq[FailedCheck] = {
+    val failed = Seq.newBuilder[FailedCheck]
+    missing.foreach(m => failed += FailedCheck(
+      "missing_column", m, 0.0, 0.0, s"Column '$m' is missing from the source"))
+    if (rowCount < cfg.quality.rowCountMin) failed += FailedCheck(
+      "row_count_below_min", "", rowCount.toDouble, cfg.quality.rowCountMin.toDouble,
+      s"Row count $rowCount below minimum ${cfg.quality.rowCountMin}")
+    present.foreach { c =>
+      val nf = nullFractions(c.name)
+      if (c.required && nf > 0.0) failed += FailedCheck(
+        "required_column_has_nulls", c.name, nf, 0.0,
+        s"Required column '${c.name}' has null fraction $nf")
+      c.maxNullFraction.foreach { maxNf =>
+        if (nf > maxNf) failed += FailedCheck(
+          "null_fraction_exceeded", c.name, nf, maxNf,
+          s"Column '${c.name}' null fraction $nf exceeds max $maxNf")
+      }
+    }
+    failed.result()
   }
 }

@@ -15,6 +15,29 @@ class PipelineEdgeSpec extends SparkSuite {
   private def cfg(columns: Seq[ColumnSpec], rowMin: Long = 1): PipelineConfig =
     PipelineConfig("", "t", "", columns, QualityConfig(rowMin), DriftConfig("", 0.5))
 
+  test("observed DQ (metrics on the write job) equals the two-pass check and writes the sink") {
+    import org.apache.spark.sql.functions._
+    val c = cfg(Seq(
+      ColumnSpec("c_acctbal", "float", required = false, Some(0.5)),
+      ColumnSpec("c_name", "string", required = true, None)), rowMin = 10)
+    val df = Tables(spark, sf, "customer")
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal")))
+    val sink = Files.createTempDirectory("graft_obs_sink").resolve("out").toString
+    val observed = DataQuality.writeWithObservedDq(df, c, Nil, sink)
+    val twoPass = DataQuality.check(df, c, Nil)
+    assert(observed.rowCount == twoPass.rowCount)
+    assert(observed.nullFractions.keySet == twoPass.nullFractions.keySet)
+    observed.nullFractions.foreach { case (k, v) =>
+      assert(math.abs(v - twoPass.nullFractions(k)) < 1e-12, s"nf($k) drifted")
+    }
+    assert(observed.failedChecks == twoPass.failedChecks)
+    // the sink really contains the full dataset (metrics rode the write)
+    assert(spark.read.parquet(sink).count() == df.count())
+    // ~1/5 of rows nulled -> within the 0.5 bound, so the report passes
+    assert(observed.passed)
+  }
+
   test("missing declared column surfaces in ETL and fails DQ as missing_column") {
     val dir = Files.createTempDirectory("graft_missing")
     Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
