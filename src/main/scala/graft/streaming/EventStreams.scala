@@ -107,6 +107,47 @@ object EventStreams {
         // flag events deviating >3x from the user's batch-computed mean
         (abs(col("value")) > abs(col("profile_avg")) * 3).as("is_outlier"))
 
+  /** Streaming SCD1 upsert via foreachBatch: maintain "latest event
+    * per (user_id, event_type)" as a parquet state table, merged
+    * incrementally batch by batch — the table-format-free MERGE
+    * pattern (what Delta/Iceberg MERGE INTO does, expressed with a
+    * full-outer join). Per batch: keep-first-reduce the micro-batch
+    * (latest (ts, event_id) wins), then merge against the existing
+    * state. localCheckpoint materializes the merge BEFORE the
+    * overwrite so the job never reads the path it is replacing.
+    *
+    * Scale note: the shuffle key is the merge key; the state table
+    * stays O(distinct keys), not O(events). */
+  def upsertLatestPerKey(events: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(desc("ts"), desc("event_id"))
+      val latest = batch
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+      val existing =
+        try spark.read.parquet(statePath)
+        catch { case _: Exception => spark.emptyDataFrame }
+      val merged =
+        if (existing.isEmpty) latest
+        else existing.as("e").join(latest.as("u"),
+            col("e.user_id") === col("u.user_id") &&
+            col("e.event_type") === col("u.event_type"), "full_outer")
+          .select(
+            coalesce(col("u.user_id"), col("e.user_id")).as("user_id"),
+            coalesce(col("u.event_type"), col("e.event_type")).as("event_type"),
+            coalesce(col("u.last_ts"), col("e.last_ts")).as("last_ts"),
+            coalesce(col("u.last_value"), col("e.last_value")).as("last_value"))
+      // materialize BEFORE overwriting the path the read came from
+      merged.localCheckpoint(eager = true)
+        .write.mode("overwrite").parquet(statePath)
+    }.start()
+  }
+
   final case class DqAlert(user_id: Long, n_seen: Long,
     error_fraction: Double, threshold: Double)
 

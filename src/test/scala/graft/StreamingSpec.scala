@@ -113,6 +113,26 @@ class StreamingSpec extends SparkSuite {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("foreachBatch upsert state table converges to latest event per key") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_upsert").resolve("state").toString
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.upsertLatestPerKey(stream, statePath)
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(statePath)
+    // batch twin: latest (ts, event_id) per (user_id, event_type)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(desc("ts"), desc("event_id"))
+    val expected = Tables(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+        col("value").as("last_value"))
+    assert(state.count() == expected.count())
+    assert(state.except(expected).isEmpty && expected.except(state).isEmpty,
+      "state table must equal the batch-computed latest-per-key")
+  }
+
   test("stream-static enrichment broadcasts the profile and flags outliers like batch") {
     val profile = Tables(spark, sf, "events")
       .groupBy("user_id")
