@@ -66,11 +66,20 @@ object Extended {
     /** HLL approximate distinct vs exact — rows-only check (HLL sketch
       * values are engine-specific by design); the spec asserts the
       * relative error bound instead. */
+    /** HLL++ distinct estimate vs exact. The sketch value itself is
+      * engine-specific, so the oracle checks what IS cross-engine
+      * checkable: the exact count (DuckDB recomputes it) and that the
+      * estimate lands within 3× the declared 2% rsd of that exact
+      * count (the oracle pins `within_bound = true` — a fair assertion
+      * against DuckDB's independently computed ground truth). */
     "q50_approx_distinct" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) /
+            col("exact_parts") <= 0.06).as("within_bound"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -249,6 +258,16 @@ object Extended {
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // the HLL estimate is engine-internal; the oracle independently
+    // recomputes the exact count and asserts the engine's estimate
+    // stayed within bound (within_bound must come out true)
+    "q50_approx_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q51_embed_neardup" ->
       """SELECT d1, d2, round(cs, 6) AS cos_sim FROM (

