@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+
+/** End-to-end training-data curation recipe — the capstone composition
+  * of the `graft.llm` operators into one runnable pipeline:
+  *
+  *   1. quality filter   — percentile length band + repetition ratio
+  *   2. exact dedup      — one survivor per sha-256 content hash
+  *   3. near-dup dedup   — MinHash+LSH pairs (verified ≥ 0.8 Jaccard),
+  *                         greedy keep-lowest-doc_id
+  *   4. decontamination  — drop docs sharing any 4-gram with the
+  *                         held-out eval slice (doc_id % 50 == 0)
+  *   5. split            — deterministic sha-256 train/val/test
+  *
+  * Writes the curated corpus partitioned by split and prints one JSON
+  * funnel line (doc counts after every stage). Every stage is a lazy
+  * DataFrame transform — a single action materializes the funnel; at
+  * 100 TB the same plan runs unchanged with the drop-sets broadcast.
+  */
+object CurationMain {
+
+  final case class Funnel(input: Long, afterQuality: Long, afterExact: Long,
+    afterNearDup: Long, afterDecontam: Long, train: Long, `val`: Long, test: Long)
+
+  /** The whole recipe as a function (spec-testable without the sink). */
+  def curate(spark: SparkSession, sfDir: String): (DataFrame, Funnel) = {
+    val docs = Tables(spark, sfDir, "documents").cache()
+
+    // 1. quality: length inside [p05, p95] AND 3-gram repetition ≤ 0.2
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    val qual = docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .filter(
+        lit(1.0) - expr("""size(array_distinct(transform(
+            |  sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))))""".stripMargin)
+          / (size(col("toks")) - 2) <= 0.2)
+      .drop("toks")
+      .cache()
+
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val canonical = qual.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = qual.join(canonical, Seq("doc_id"), "left_semi").cache()
+
+    // 3. near-dup: verified MinHash pairs at 0.8, drop the higher id
+    val nearDrops = TextDedup.queries("q35_dedup_minhash")(spark, sfDir)
+      .select(col("d2").as("doc_id")).distinct()
+    val near = exact.join(broadcast(nearDrops), Seq("doc_id"), "left_anti").cache()
+
+    // 4. decontamination: no 4-gram overlap with the eval slice
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))""".stripMargin))).as("g"))
+    val benchGrams = grams(docs.filter(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(near.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val clean = near.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .cache()
+
+    // 5. deterministic split
+    val h1 = substring(sha2(col("doc_id").cast("string"), 256), 1, 1)
+    val curated = clean.withColumn("split",
+      when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test"))
+
+    val bySplit = curated.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funnel = Funnel(
+      input = docs.count(), afterQuality = qual.count(), afterExact = exact.count(),
+      afterNearDup = near.count(), afterDecontam = clean.count(),
+      train = bySplit.getOrElse("train", 0L), `val` = bySplit.getOrElse("val", 0L),
+      test = bySplit.getOrElse("test", 0L))
+    (curated, funnel)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_curated").toString)
+    val spark = GraftSession.local("graft-curation")
+    try {
+      val (curated, f) = curate(spark, sfDir)
+      curated.write.mode("overwrite").partitionBy("split").parquet(outDir)
+      println(s"""{"curation_funnel":{"input":${f.input},"after_quality":${f.afterQuality},""" +
+        s""""after_exact_dedup":${f.afterExact},"after_near_dup":${f.afterNearDup},""" +
+        s""""after_decontam":${f.afterDecontam},"train":${f.train},"val":${f.`val`},""" +
+        s""""test":${f.test},"out":"$outDir"}}""")
+    } finally spark.stop()
+  }
+}
