@@ -82,16 +82,44 @@ object Statistics {
     }),
 
     /** Rank-family window functions over a total order (custkey
-      * tie-break): ntile quartiles, percent_rank, cume_dist. Single
-      * global sort — at cluster scale this is a range-partitioned sort,
-      * no driver bottleneck. */
+      * tie-break): ntile quartiles, percent_rank, cume_dist —
+      * computed DISTRIBUTED. An unpartitioned Window funnels every row
+      * into one partition (Spark's WindowExec), the classic global-rank
+      * scale trap; instead: range-partition by the sort key, rank
+      * locally per partition, then add per-partition offsets. Only one
+      * tiny row per PARTITION crosses the driver — bounded by cluster
+      * width, not data size. The rank family derives from the global
+      * row number in closed form because the order is total (custkey
+      * tie-break ⇒ no peers). */
     "q67_ntile_ranks" -> ((s: SparkSession, dir: String) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables(s, dir, "customer")
+      import s.implicits._
+      val parted = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+        .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val local = parted.withColumn("lrn", row_number().over(wLocal)).cache()
+      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("cnt")).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      var acc = 0L
+      val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+      val offDf = offsets.toSeq.toDF("pid", "off")
+      // exact ntile(k): the first n%k buckets hold ceil(n/k) rows
+      val k = 4L
+      val base = n / k; val rem = n % k; val bigSpan = rem * (base + 1)
+      local.join(broadcast(offDf), Seq("pid"))
+        .withColumn("rn", col("lrn") + col("off"))
         .select(col("c_custkey"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          r6(percent_rank().over(w)).as("pct_rank"),
-          r6(cume_dist().over(w)).as("cum_dist"))
+          (when(col("rn") <= bigSpan,
+              floor((col("rn") - 1) / lit((base + 1).toDouble)))
+            .otherwise(lit(rem.toDouble) +
+              floor((col("rn") - bigSpan - 1) / lit(base.toDouble)))
+            .cast("long") + 1).as("quartile"),
+          r6((col("rn") - 1).cast("double") / lit((n - 1).toDouble)).as("pct_rank"),
+          r6(col("rn").cast("double") / lit(n.toDouble)).as("cum_dist"))
         .orderBy(col("c_custkey"))
     }),
 

@@ -44,6 +44,16 @@ class PlanQualitySpec extends SparkSuite {
       s"rn <= k should plan a per-group limit, got:\n$p")
   }
 
+  test("q67: global ranking is range-partitioned, never a single-partition window") {
+    val p = plan("q67_ntile_ranks")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "global rank must range-partition by the sort key")
+    // every Window operator must carry a partition spec (pid)
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("pid"), s"unpartitioned window in plan line: $l")
+    }
+  }
+
   test("q82: benchmark gram side stays small (filter precedes the explode)") {
     val p = plan("q82_decontaminate")
     // the eval-slice predicate must appear as a scan-level pushed
