@@ -58,10 +58,19 @@ object TextDedup {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
+  /** Distinct shingles as 8-byte xxhash64 values: the join/shuffle key
+    * for the inverted index — an 8-byte long exchanges and probes far
+    * cheaper than the ~20-char shingle string. Collision probability
+    * over a corpus's distinct shingles is ~|sh|²/2⁶⁵ (≪ 1e-9 here);
+    * the DuckDB oracle joins raw strings, so a collision would surface
+    * as a count mismatch rather than pass silently. */
+  private[llm] def shingleHashes(docs: DataFrame): DataFrame =
+    shingleSet(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
   /** Exact-Jaccard similar pairs above `threshold` from an
-    * inverted-index equi-join on shingles. */
+    * inverted-index equi-join on hashed shingles. */
   private[llm] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSet(docs).cache()
+    val sh = shingleHashes(docs).cache()
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -110,20 +119,19 @@ object TextDedup {
       * replaces q34's full inverted-index join at 100 TB. */
     "q35_dedup_minhash" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val sh = shingleSet(docs).cache()
+      // the cached working set is the HASHED shingles (8-byte key for
+      // the verification join, and the signature base) — the string is
+      // hashed exactly once per shingle
+      val sh = shingleHashes(docs).cache()
       val nHashes = 48
       val bands = 16 // rows per band = 3
-      // hash the shingle STRING once; the 48 signature hashes are
-      // derived from the resulting 64-bit value (fixed 12-byte input)
-      // instead of re-hashing the variable-length string 48 times —
-      // g_i(s) = xxhash64(i, xxhash64(s)) is still a uniform
-      // independent-enough hash family for minhash (collision prob
-      // 2^-64 through the intermediate)
-      val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      // one pass: min of 48 derived hashes per doc
-      val sig = hashed.groupBy(col("doc_id")).agg(
-        min(xxhash64(lit(0), col("h"))).as("h0"),
-        (1 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
+      // the 48 signature hashes derive from the 64-bit shingle hash
+      // (fixed 12-byte input) instead of re-hashing the string 48
+      // times — g_i(s) = xxhash64(i, xxhash64(s)) is still a uniform
+      // independent-enough hash family for minhash
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(xxhash64(lit(0), col("sh"))).as("h0"),
+        (1 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
       // cached: both sides of the bucket self-join read this — without
       // the cache the 48-min aggregation over all shingles runs twice
       val banded = sig.select(col("doc_id"), explode(array(
