@@ -193,6 +193,48 @@ object TextDedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    /** Near-dup CLUSTERS: connected components over the ≥0.8-Jaccard
+      * pair graph, canonical id = min doc_id per component — the
+      * fixpoint-iteration operator class (min-label propagation, the
+      * GraphX-free connected-components idiom). Each sweep is one
+      * join + min-aggregate; convergence in O(component diameter)
+      * sweeps with a driver-side changed-count check (one scalar per
+      * sweep crosses the driver). Oracle: DuckDB recursive-CTE
+      * transitive closure — same fixpoint, independently computed. */
+    "q93_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+        .select(col("d1"), col("d2"))
+      val edges = pairs
+        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .cache()
+      var labels = edges.select(col("d1").as("node")).distinct()
+        .withColumn("cluster_id", col("node")).cache()
+      var converged = false
+      var sweeps = 0
+      while (!converged && sweeps < 50) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("nbr"), col("cluster_id").as("nbr_lbl")),
+            col("d2") === col("nbr"))
+          .groupBy(col("d1").as("node")).agg(min(col("nbr_lbl")).as("nmin"))
+        val updated = labels
+          .join(neighborMin.withColumnRenamed("node", "node2"),
+            col("node") === col("node2"), "left_outer")
+          .select(col("node"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("cluster_id"))
+          .cache()
+        val changed = updated
+          .join(labels.select(col("node").as("node3"), col("cluster_id").as("old")),
+            col("node") === col("node3"))
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist(); labels = updated
+        converged = changed == 0
+        sweeps += 1
+      }
+      labels.select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -278,6 +320,20 @@ object TextDedup {
     // verified-minhash output ≡ exact jaccard at the verify threshold
     // (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8"),
+
+    // recursive-CTE transitive closure + min per component — the same
+    // fixpoint the Spark label propagation converges to
+    "q93_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach)
+         |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q37_doc_fingerprint" ->
       s"""WITH sh AS ($duckShingles)

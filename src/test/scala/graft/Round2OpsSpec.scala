@@ -197,6 +197,20 @@ class Round2OpsSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf, "orders").count())
   }
 
+  test("dedup clusters: every near-dup pair lands in one component, canonical = min member") {
+    val labels = llm.TextDedup.queries("q93_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    val pairs = llm.TextDedup.queries("q35_dedup_minhash")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid canonical is not the min member")
+    }
+  }
+
   test("chunk dedup finds only cross-doc chunks, each occurring at least twice") {
     val rows = PipelineOps.queries("q76_chunk_dedup")(spark, sf).collect()
     rows.foreach { r =>
