@@ -211,21 +211,25 @@ object TextDedup {
         .withColumn("cluster_id", col("node")).cache()
       var converged = false
       var sweeps = 0
+      // the label table holds only docs that appear in a near-dup pair
+      // (the duplicate subset — tiny relative to the corpus by nature),
+      // so every per-sweep join broadcasts: one shuffle-free pass per
+      // sweep instead of three shuffles
       while (!converged && sweeps < 50) {
         val neighborMin = edges
-          .join(labels.select(col("node").as("nbr"), col("cluster_id").as("nbr_lbl")),
-            col("d2") === col("nbr"))
+          .join(broadcast(labels.select(col("node").as("nbr"),
+            col("cluster_id").as("nbr_lbl"))), col("d2") === col("nbr"))
           .groupBy(col("d1").as("node")).agg(min(col("nbr_lbl")).as("nmin"))
         val updated = labels
-          .join(neighborMin.withColumnRenamed("node", "node2"),
+          .join(broadcast(neighborMin.withColumnRenamed("node", "node2")),
             col("node") === col("node2"), "left_outer")
           .select(col("node"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
               .as("cluster_id"))
           .cache()
         val changed = updated
-          .join(labels.select(col("node").as("node3"), col("cluster_id").as("old")),
-            col("node") === col("node3"))
+          .join(broadcast(labels.select(col("node").as("node3"),
+            col("cluster_id").as("old"))), col("node") === col("node3"))
           .filter(col("cluster_id") =!= col("old")).count()
         labels.unpersist(); labels = updated
         converged = changed == 0
