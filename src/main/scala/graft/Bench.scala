@@ -31,11 +31,27 @@ object Bench {
       }
       val succeeded = times.filter(_ >= 0)
       name -> (if (succeeded.nonEmpty) succeeded.min else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The harness that captures this output keeps only the LAST 2000
+    // characters of stdout and parses the JSON line out of that window;
+    // a 93-entry map with full query names and nanosecond precision is
+    // ~2.5 KB and gets truncated mid-line (rounds 1-2 shipped
+    // parsed=null). So stdout gets a COMPACT line — numeric-prefix keys
+    // ("q01".."q93", unique by construction) and millisecond precision,
+    // ~1.2 KB — and the full-name, full-precision map goes to
+    // bench_detail.json next to the repo for human reading.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
+    val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+    catch { case _: Throwable => }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

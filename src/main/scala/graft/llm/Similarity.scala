@@ -205,16 +205,24 @@ object Similarity {
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
   }
 
+  /** Explicit seeded left fold — pins the accumulation order to match
+    * Spark's `aggregate(..., 0D, (acc, v) -> acc + v)` bit-for-bit.
+    * list_aggregate('sum') only happens to fold left today; an engine
+    * version could re-order it and flip a near-zero projection sign. */
+  private def duckFoldSum(listExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr),
+       |  (acc, v) -> acc + v)""".stripMargin
+
   /** DuckDB twin of the sequential-fold cosine for two named list
     * columns — same op order, bitwise-compatible with the Spark side. */
   private def duckCos(a: String, b: String): String =
-    s"""list_aggregate(list_transform(generate_series(1, 64),
-       |  i -> cast($a[i] AS DOUBLE) * cast($b[i] AS DOUBLE)), 'sum')
+    s"""${duckFoldSum(s"""list_transform(generate_series(1, 64),
+       |  i -> cast($a[i] AS DOUBLE) * cast($b[i] AS DOUBLE))""".stripMargin)}
        |/ sqrt(
-       |  list_aggregate(list_transform(generate_series(1, 64),
-       |    i -> cast($a[i] AS DOUBLE) * cast($a[i] AS DOUBLE)), 'sum')
-       |  * list_aggregate(list_transform(generate_series(1, 64),
-       |    i -> cast($b[i] AS DOUBLE) * cast($b[i] AS DOUBLE)), 'sum'))""".stripMargin
+       |  ${duckFoldSum(s"""list_transform(generate_series(1, 64),
+       |    i -> cast($a[i] AS DOUBLE) * cast($a[i] AS DOUBLE))""".stripMargin)}
+       |  * ${duckFoldSum(s"""list_transform(generate_series(1, 64),
+       |    i -> cast($b[i] AS DOUBLE) * cast($b[i] AS DOUBLE))""".stripMargin)})""".stripMargin
 
   private val duckCosine = duckCos("embedding", "q_emb")
 
@@ -233,8 +241,8 @@ object Similarity {
     "q44_ann_lsh" -> {
       def proj(p: Int, v: String) = {
         val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
-        s"""list_aggregate(list_transform(generate_series(1, 64),
-           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i]), 'sum')""".stripMargin
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i])""".stripMargin)
       }
       val bucket = (0 until 8).map(p =>
         s"(CASE WHEN ${proj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)")

@@ -235,6 +235,10 @@ object TextDedup {
         converged = changed == 0
         sweeps += 1
       }
+      // a component with diameter > sweep cap would otherwise return
+      // plausible-looking but non-converged cluster ids
+      if (!converged) throw new IllegalStateException(
+        s"q93_dedup_clusters: min-label propagation did not converge in $sweeps sweeps")
       labels.select(col("node").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }),

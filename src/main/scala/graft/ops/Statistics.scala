@@ -107,9 +107,14 @@ object Statistics {
       var acc = 0L
       val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
       val offDf = offsets.toSeq.toDF("pid", "off")
-      // exact ntile(k): the first n%k buckets hold ceil(n/k) rows
+      // exact ntile(k): the first n%k buckets hold ceil(n/k) rows.
+      // n < k is safe (rem = n, so every row lands in the when-branch
+      // and gets its own bucket, matching SQL NTILE); n == 1 needs the
+      // percent_rank denominator clamped — SQL defines it as 0 then,
+      // and (rn-1)/max(n-1,1) = 0/1 delivers exactly that.
       val k = 4L
       val base = n / k; val rem = n % k; val bigSpan = rem * (base + 1)
+      val pctDen = math.max(n - 1, 1L).toDouble
       local.join(broadcast(offDf), Seq("pid"))
         .withColumn("rn", col("lrn") + col("off"))
         .select(col("c_custkey"),
@@ -118,7 +123,7 @@ object Statistics {
             .otherwise(lit(rem.toDouble) +
               floor((col("rn") - bigSpan - 1) / lit(base.toDouble)))
             .cast("long") + 1).as("quartile"),
-          r6((col("rn") - 1).cast("double") / lit((n - 1).toDouble)).as("pct_rank"),
+          r6((col("rn") - 1).cast("double") / lit(pctDen)).as("pct_rank"),
           r6(col("rn").cast("double") / lit(n.toDouble)).as("cum_dist"))
         .orderBy(col("c_custkey"))
     }),

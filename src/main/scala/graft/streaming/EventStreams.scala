@@ -113,8 +113,13 @@ object EventStreams {
     * pattern (what Delta/Iceberg MERGE INTO does, expressed with a
     * full-outer join). Per batch: keep-first-reduce the micro-batch
     * (latest (ts, event_id) wins), then merge against the existing
-    * state. localCheckpoint materializes the merge BEFORE the
-    * overwrite so the job never reads the path it is replacing.
+    * state. The winner on each side of the merge is decided by the
+    * EVENT-TIME order struct(last_ts, last_event_id), never by arrival
+    * order — a late micro-batch carrying an older event must not
+    * regress state that already holds a newer one, which is why
+    * last_event_id is part of the state schema. localCheckpoint
+    * materializes the merge BEFORE the overwrite so the job never
+    * reads the path it is replacing.
     *
     * Scale note: the shuffle key is the merge key; the state table
     * stays O(distinct keys), not O(events). */
@@ -128,20 +133,29 @@ object EventStreams {
       val latest = batch
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
         .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
-          col("value").as("last_value"))
+          col("event_id").as("last_event_id"), col("value").as("last_value"))
       val existing =
         try spark.read.parquet(statePath)
         catch { case _: Exception => spark.emptyDataFrame }
       val merged =
         if (existing.isEmpty) latest
-        else existing.as("e").join(latest.as("u"),
-            col("e.user_id") === col("u.user_id") &&
-            col("e.event_type") === col("u.event_type"), "full_outer")
-          .select(
-            coalesce(col("u.user_id"), col("e.user_id")).as("user_id"),
-            coalesce(col("u.event_type"), col("e.event_type")).as("event_type"),
-            coalesce(col("u.last_ts"), col("e.last_ts")).as("last_ts"),
-            coalesce(col("u.last_value"), col("e.last_value")).as("last_value"))
+        else {
+          val updateWins = col("e.user_id").isNull ||
+            (col("u.user_id").isNotNull &&
+              struct(col("u.last_ts"), col("u.last_event_id")) >
+                struct(col("e.last_ts"), col("e.last_event_id")))
+          existing.as("e").join(latest.as("u"),
+              col("e.user_id") === col("u.user_id") &&
+              col("e.event_type") === col("u.event_type"), "full_outer")
+            .select(
+              coalesce(col("u.user_id"), col("e.user_id")).as("user_id"),
+              coalesce(col("u.event_type"), col("e.event_type")).as("event_type"),
+              when(updateWins, col("u.last_ts")).otherwise(col("e.last_ts")).as("last_ts"),
+              when(updateWins, col("u.last_event_id"))
+                .otherwise(col("e.last_event_id")).as("last_event_id"),
+              when(updateWins, col("u.last_value"))
+                .otherwise(col("e.last_value")).as("last_value"))
+        }
       // materialize BEFORE overwriting the path the read came from
       merged.localCheckpoint(eager = true)
         .write.mode("overwrite").parquet(statePath)

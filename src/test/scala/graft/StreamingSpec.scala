@@ -127,10 +127,52 @@ class StreamingSpec extends SparkSuite {
     val expected = Tables(spark, sf, "events")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
-        col("value").as("last_value"))
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
     assert(state.count() == expected.count())
     assert(state.except(expected).isEmpty && expected.except(state).isEmpty,
       "state table must equal the batch-computed latest-per-key")
+  }
+
+  test("foreachBatch upsert never regresses on a late micro-batch with older events") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_upsert_ooo")
+    val statePath = Files.createTempDirectory("graft_upsert_ooo_state")
+      .resolve("state").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // file 1: the NEWER event arrives first; file 2: a late event with an
+    // OLDER event time for the same key arrives in a later micro-batch
+    def stageFile(name: String, modEpochMs: Long,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_upsert_part")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(name)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(modEpochMs)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stageFile("f1.parquet", t0,
+      Seq((2L, ts("2024-01-01 10:00:00"), 1L, "click", 2.0),
+          (10L, ts("2024-01-01 08:00:00"), 2L, "view", 5.0)))
+    stageFile("f2.parquet", t0 + 60000,
+      Seq((1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0),
+          (11L, ts("2024-01-01 08:30:00"), 2L, "view", 6.0)))
+    val schema = spark.read.parquet(srcDir.resolve("f1.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = EventStreams.upsertLatestPerKey(stream, statePath)
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(statePath)
+      .select("user_id", "event_type", "last_ts", "last_event_id", "last_value")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(state == Set(
+      (1L, "click", ts("2024-01-01 10:00:00"), 2L, 2.0),
+      (2L, "view", ts("2024-01-01 08:30:00"), 11L, 6.0)),
+      s"late older event must not regress state; got $state")
   }
 
   test("stream-static enrichment broadcasts the profile and flags outliers like batch") {
