@@ -55,27 +55,55 @@ object TextDedup {
         (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
 
-  private def shingleSizes(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** Per-doc DISTINCT 3-shingle xxhash64 set as one array column —
+    * the whole shingling+dedup happens inside a single narrow
+    * projection (codegen, zero shuffles): the classic
+    * explode→distinct plan exchanges every (doc_id, shingle) row,
+    * which at 100 TB is the single biggest shuffle in the pipeline.
+    * An 8-byte hash stands in for the ~20-char shingle string
+    * (collision probability over a corpus's distinct shingles is
+    * ~|sh|²/2⁶⁵ ≪ 1e-9; the DuckDB oracle joins raw strings, so a
+    * collision would surface as a count mismatch, never silently). */
+  private[llm] def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))""".stripMargin)
+        .as("shs"))
 
-  /** Distinct shingles as 8-byte xxhash64 values: the join/shuffle key
-    * for the inverted index — an 8-byte long exchanges and probes far
-    * cheaper than the ~20-char shingle string. Collision probability
-    * over a corpus's distinct shingles is ~|sh|²/2⁶⁵ (≪ 1e-9 here);
-    * the DuckDB oracle joins raw strings, so a collision would surface
-    * as a count mismatch rather than pass silently. */
-  private[llm] def shingleHashes(docs: DataFrame): DataFrame =
-    shingleSet(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+  /** Inverted-index rows (doc_id, sh): explode of the per-doc distinct
+    * hash set — already deduplicated, so no distinct() shuffle.
+    * `arr` should be a CACHED shingleArrays so the tokenize+hash pass
+    * runs once; the explode itself is a narrow, near-free op. */
+  private def explodeShingles(arr: DataFrame): DataFrame =
+    arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Per-doc shingle-set size — a narrow projection, no aggregation. */
+  private def shingleSizes(arr: DataFrame): DataFrame =
+    arr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
 
   /** Exact-Jaccard similar pairs above `threshold` from an
     * inverted-index equi-join on hashed shingles. */
   private[llm] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleHashes(docs).cache()
+    // the cache holds one COMPACT array row per doc; the index rows,
+    // both self-join sides, and the set sizes all derive from it with
+    // narrow ops only
+    val arr = shingleArrays(docs).cache()
+    val sh = explodeShingles(arr)
+    // shuffle_hash, NOT broadcast: the static size estimate of the
+    // exploded index reads "small" and Catalyst would broadcast the
+    // ENTIRE inverted index — a plan that cannot exist at 100 TB. The
+    // hint pins the scale-correct join; both sides hash-exchange on the
+    // same 8-byte key from the same cache, so ReuseExchange computes
+    // the exchange once, and SHJ skips sort-merge's two sorts.
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, shingleSizes(sh), threshold)
+    jaccardOf(inter, shingleSizes(arr), threshold)
   }
 
   val queries: Map[String, Q] = Map(
@@ -119,19 +147,22 @@ object TextDedup {
       * replaces q34's full inverted-index join at 100 TB. */
     "q35_dedup_minhash" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      // the cached working set is the HASHED shingles (8-byte key for
-      // the verification join, and the signature base) — the string is
-      // hashed exactly once per shingle
-      val sh = shingleHashes(docs).cache()
+      // the cached working set is the per-doc COMPACT shingle-hash
+      // array (8-byte keys); the signature, both verification-join
+      // sides, and the set sizes all derive from it with narrow ops
+      val arr = shingleArrays(docs).cache()
+      val sh = explodeShingles(arr)
       val nHashes = 48
       val bands = 16 // rows per band = 3
       // the 48 signature hashes derive from the 64-bit shingle hash
       // (fixed 12-byte input) instead of re-hashing the string 48
       // times — g_i(s) = xxhash64(i, xxhash64(s)) is still a uniform
-      // independent-enough hash family for minhash
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min(xxhash64(lit(0), col("sh"))).as("h0"),
-        (1 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      // independent-enough hash family for minhash. Each min is an
+      // array_min over a per-row transform: the whole signature stage
+      // is a codegen'd projection with NO aggregation shuffle (the
+      // classic explode→48×min groupBy exchanges every shingle row).
+      val sig = arr.select(col("doc_id") +: (0 until nHashes).map(i =>
+        expr(s"array_min(transform(shs, x -> xxhash64($i, x)))").as(s"h$i")): _*)
       // cached: both sides of the bucket self-join read this — without
       // the cache the 48-min aggregation over all shingles runs twice
       val banded = sig.select(col("doc_id"), explode(array(
@@ -139,8 +170,10 @@ object TextDedup {
           xxhash64(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")).as("sig"))): _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
         .cache()
+      // shuffle_hash as in jaccardPairs: broadcasting the full banded
+      // signature table is not a plan that survives 100 TB
       val cand = banded.as("x")
-        .join(banded.as("y"),
+        .join(banded.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -150,7 +183,7 @@ object TextDedup {
         .join(sh.as("a"), col("d1") === col("a.doc_id"))
         .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      jaccardOf(inter, shingleSizes(sh), 0.8)
+      jaccardOf(inter, shingleSizes(arr), 0.8)
         .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
@@ -183,7 +216,7 @@ object TextDedup {
         .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
         .cache()
       banded.as("x")
-        .join(banded.as("y"),
+        .join(banded.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -202,19 +235,29 @@ object TextDedup {
       * sweep crosses the driver). Oracle: DuckDB recursive-CTE
       * transitive closure — same fixpoint, independently computed. */
     "q93_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      // cached: the pair list appears TWICE in the symmetric-edge union
+      // below — without the cache the whole inverted-index Jaccard join
+      // (the dominant cost of this operator) executes once per branch
       val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.8)
-        .select(col("d1"), col("d2"))
+        .select(col("d1"), col("d2")).cache()
+      // cached pre-partitioned on d1: every sweep's groupBy(d1) then
+      // reuses the hash partitioning — zero shuffle exchanges inside
+      // the fixpoint loop (the label sides all broadcast)
       val edges = pairs
         .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .repartition(col("d1"))
         .cache()
       var labels = edges.select(col("d1").as("node")).distinct()
         .withColumn("cluster_id", col("node")).cache()
       var converged = false
       var sweeps = 0
-      // the label table holds only docs that appear in a near-dup pair
-      // (the duplicate subset — tiny relative to the corpus by nature),
-      // so every per-sweep join broadcasts: one shuffle-free pass per
-      // sweep instead of three shuffles
+      // one min-label sweep per action: each node takes min(own label,
+      // neighbor labels). The label table holds only docs that appear
+      // in a near-dup pair (the duplicate subset — tiny relative to the
+      // corpus by nature), so both per-sweep joins broadcast: no
+      // shuffle of the label table, ever. The update join's left side
+      // IS the old label, so the changed-count rides the same cached
+      // result instead of a third join against the previous labels.
       while (!converged && sweeps < 50) {
         val neighborMin = edges
           .join(broadcast(labels.select(col("node").as("nbr"),
@@ -225,15 +268,15 @@ object TextDedup {
             col("node") === col("node2"), "left_outer")
           .select(col("node"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            col("cluster_id").as("old"))
           .cache()
-        val changed = updated
-          .join(broadcast(labels.select(col("node").as("node3"),
-            col("cluster_id").as("old"))), col("node") === col("node3"))
-          .filter(col("cluster_id") =!= col("old")).count()
-        labels.unpersist(); labels = updated
+        val changed = updated.filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist(); labels = updated.drop("old")
         converged = changed == 0
         sweeps += 1
+        if (sys.env.contains("GRAFT_DEBUG"))
+          System.err.println(s"[q93] sweep $sweeps changed=$changed")
       }
       // a component with diameter > sweep cap would otherwise return
       // plausible-looking but non-converged cluster ids
