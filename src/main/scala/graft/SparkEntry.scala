@@ -21,7 +21,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
     ops.Advanced.queries ++ ops.Statistics.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
-    llm.Similarity.queries ++ llm.Multimodal.queries ++ llm.PipelineOps.queries
+    llm.Similarity.queries ++ llm.Multimodal.queries ++
+    llm.PipelineOps.queries ++ llm.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
     ops.Advanced.oracles ++ ops.Statistics.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
-    llm.Similarity.oracles ++ llm.Multimodal.oracles ++ llm.PipelineOps.oracles
+    llm.Similarity.oracles ++ llm.Multimodal.oracles ++
+    llm.PipelineOps.oracles ++ llm.CorpusOps.oracles
 }

@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-assembly operators: the steps between a curated document set
+  * and training-ready shards — sequence packing, PII redaction,
+  * stratified quota sampling, incremental (snapshot-over-corpus) dedup,
+  * and source-mixture upsampling.
+  *
+  * Reference scope note: the reference pipeline
+  * (`src/etl_job.py:40-82`) stops at a cleaned single table; these
+  * operators are the engine-extension surface the north star asks for
+  * (training-data pipeline at 100 TB), each expressed as declarative
+  * Spark plans with an exact DuckDB oracle.
+  *
+  * Determinism discipline matches PipelineOps: every "random" choice is
+  * keyed on sha-256 of content/id, so re-runs and engine swaps
+  * reproduce the same shards bit-for-bit.
+  */
+object CorpusOps {
+
+  private val ctx = 512L // tokens per packed training sequence
+
+  val queries: Map[String, Q] = Map(
+
+    /** Concat-and-chunk sequence packing (GPT-style pretraining): docs
+      * concatenate in deterministic doc_id order into one token stream
+      * split every `ctx` tokens; emit each doc's chunk span. The global
+      * running token count uses the q67 two-phase pattern —
+      * repartitionByRange + per-partition cumsum + tiny per-partition
+      * offset broadcast — NEVER an unpartitioned Window (which funnels
+      * 100 TB through one task). Driver traffic is one scalar per
+      * partition, bounded by cluster width. */
+    "q94_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val parted = toks.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = parted
+        .withColumn("lsum", sum(col("n_tok")).over(wLocal)).cache()
+      // max local cumsum = the partition's token total
+      val totals = local.groupBy(col("pid")).agg(max(col("lsum")).as("tot"))
+        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("tot"))
+        .sortBy(_._1)
+      var acc = 0L
+      val offsets = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+      val offDf = offsets.toSeq.toDF("pid", "off")
+      local.join(broadcast(offDf), Seq("pid"))
+        .withColumn("running", col("lsum") + col("off"))
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"(running - n_tok) div $ctx").as("chunk_first"),
+          expr(s"(running - 1) div $ctx").as("chunk_last"),
+          expr(s"(running - 1) div $ctx - (running - n_tok) div $ctx + 1")
+            .as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** PII redaction: email / IPv4 / phone patterns replaced with typed
+      * placeholder tags, plus per-doc match counts. The corpus fixture
+      * contains no PII, so a deterministic synthetic suffix derived
+      * from doc_id is appended first — the regexes then do real work
+      * and the oracle replicates byte-for-byte. Narrow codegen'd
+      * projection: no shuffle, scales embarrassingly. */
+    "q95_pii_redact" -> ((s: SparkSession, dir: String) => {
+      val d = col("doc_id")
+      val aug = concat(col("text"),
+        lit(" reach user"), (d % 100).cast("string"),
+        lit("@mail.com or 10."), (d % 256).cast("string"),
+        lit("."), ((d * 7) % 256).cast("string"),
+        lit("."), ((d * 13) % 256).cast("string"),
+        lit(" call 555-"), lpad((d % 10000).cast("string"), 4, "0"))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(aug, lit(email), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(aug, lit(ip), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(aug, lit(phone), lit(0))).cast("long").as("n_phone"),
+          length(redacted).cast("long").as("red_len"),
+          (length(aug) - length(redacted)).cast("long").as("removed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Stratified quota sampling: at most K docs per language, chosen
+      * by sha-256 content-key order — a reproducible "random" quota
+      * that never reshuffles on re-run. Per-group Window partitions by
+      * lang, so no global sort; skewed languages shard fine because the
+      * quota cut happens after a partial per-partition sort. */
+    "q96_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      val skey = substring(
+        sha2(concat(col("doc_id").cast("string"), col("text")), 256), 1, 16)
+      val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), skey.as("skey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"), col("skey"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    /** Incremental dedup: a new snapshot (doc_id % 10 == 0 stands in
+      * for "today's crawl") keeps only docs whose exact content hash is
+      * absent from the existing corpus — a left-anti join that shuffles
+      * 32-byte hashes, never text. This is how exact dedup runs daily
+      * at 100 TB: hash-join the delta against the corpus hash index
+      * instead of re-deduplicating the world. */
+    "q97_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      val hashed = Tables(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val batch = hashed.filter(col("doc_id") % 10 === 0)
+      val corpus = hashed.filter(col("doc_id") % 10 =!= 0)
+      batch.join(corpus, Seq("h"), "left_anti")
+        .select(col("doc_id"), substring(col("h"), 1, 16).as("hash_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Source-mixture upsampling: per-source integer weights (derived
+      * deterministically from the source name) replicate docs
+      * weight-many times with a copy index — the standard way to hit a
+      * target domain mixture without a second storage copy. explode of
+      * a per-row sequence: no shuffle, output is a generator over the
+      * scan. */
+    "q98_mixture_upsample" -> ((s: SparkSession, dir: String) => {
+      val weight = (substring(col("source"), 4, 8).cast("int") % 3 + 1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), weight.as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          explode(sequence(lit(1), col("w"))).as("ci"))
+        .select(col("doc_id"), col("source"), col("w").cast("long").as("weight"),
+          col("ci").cast("long").as("copy_ix"))
+        .orderBy(col("doc_id"), col("copy_ix"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q94_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (ORDER BY doc_id NULLS FIRST
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS running
+         |  FROM t)
+         |SELECT doc_id, n_tok,
+         |CAST((running - n_tok) // $ctx AS BIGINT) AS chunk_first,
+         |CAST((running - 1) // $ctx AS BIGINT) AS chunk_last,
+         |CAST((running - 1) // $ctx - (running - n_tok) // $ctx + 1 AS BIGINT)
+         |  AS n_chunks
+         |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q95_pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id, text || ' reach user' || CAST(doc_id % 100 AS VARCHAR)
+        |    || '@mail.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+        |    || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    AS aug
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, aug,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM a)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |CAST(length(red) AS BIGINT) AS red_len,
+        |CAST(length(aug) - length(red) AS BIGINT) AS removed
+        |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q96_stratified_sample" ->
+      """SELECT lang, rk, doc_id, skey FROM (
+        |  SELECT lang, doc_id,
+        |  substr(sha256(CAST(doc_id AS VARCHAR) || text), 1, 16) AS skey,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || text), 1, 16)
+        |      NULLS FIRST, doc_id NULLS FIRST) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin,
+
+    "q97_incremental_dedup" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+        |SELECT b.doc_id, substr(b.h, 1, 16) AS hash_prefix
+        |FROM h b
+        |WHERE b.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM h c WHERE c.doc_id % 10 <> 0 AND c.h = b.h)
+        |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
+
+    "q98_mixture_upsample" ->
+      """SELECT doc_id, source,
+        |CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS weight,
+        |CAST(u.copy_ix AS BIGINT) AS copy_ix
+        |FROM documents,
+        |unnest(generate_series(1, CAST(substr(source, 4) AS INT) % 3 + 1))
+        |  AS u(copy_ix)
+        |ORDER BY doc_id NULLS FIRST, copy_ix NULLS FIRST""".stripMargin
+  )
+}
