@@ -120,7 +120,9 @@ object CorpusOps {
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       val batch = hashed.filter(col("doc_id") % 10 === 0)
       val corpus = hashed.filter(col("doc_id") % 10 =!= 0)
-      batch.join(corpus, Seq("h"), "left_anti")
+      // shuffle_hash: the corpus hash index is the big side at scale —
+      // Catalyst's static estimate would broadcast it
+      batch.join(corpus.hint("shuffle_hash"), Seq("h"), "left_anti")
         .select(col("doc_id"), substring(col("h"), 1, 16).as("hash_prefix"))
         .orderBy(col("doc_id"))
     }),
