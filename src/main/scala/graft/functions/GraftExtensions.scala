@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    // whole-operator surface: the native as-of join planner strategy
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

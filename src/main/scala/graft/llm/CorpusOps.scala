@@ -142,6 +142,28 @@ object CorpusOps {
         .select(col("doc_id"), col("source"), col("w").cast("long").as("weight"),
           col("ci").cast("long").as("copy_ix"))
         .orderBy(col("doc_id"), col("copy_ix"))
+    }),
+
+    /** The NATIVE as-of join operator (graft.plans.AsOfJoinExec:
+      * custom LogicalPlan + SparkStrategy + merge-scan SparkPlan) on
+      * the q54 workload: every purchase matched to the user's latest
+      * click at-or-before it. The oracle is DuckDB's own built-in
+      * ASOF LEFT JOIN — two independent native implementations of the
+      * operator checked value-for-value. */
+    "q99_asof_native" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.ops.AsOf.joinBackward(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("c_id").as("asof_click_id"),
+          graft.r6(col("ts").cast("double") - col("c_ts").cast("double"))
+            .as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_id"))
     })
   )
 
@@ -214,6 +236,17 @@ object CorpusOps {
         |FROM documents,
         |unnest(generate_series(1, CAST(substr(source, 4) AS INT) % 3 + 1))
         |  AS u(copy_ix)
-        |ORDER BY doc_id NULLS FIRST, copy_ix NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST, copy_ix NULLS FIRST""".stripMargin,
+
+    "q99_asof_native" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |c.event_id AS asof_click_id,
+        |round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
   )
 }

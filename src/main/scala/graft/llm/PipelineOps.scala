@@ -152,12 +152,17 @@ object PipelineOps {
       * 32-byte hashes, never text. Production would use 8-13-grams;
       * 4 keeps the fixture signal dense. */
     "q82_decontaminate" -> ((s: SparkSession, dir: String) => {
+      // join key = xxhash64 of the 4-gram: 8 bytes instead of a
+      // 64-char sha-256 hex, and ~20× cheaper to compute. The oracle
+      // joins the raw gram STRINGS — same count unless xxhash64
+      // collides across the corpus's distinct grams (~|g|²/2⁶⁵), and a
+      // collision shows up as a count mismatch, never silently.
       def grams(docs: org.apache.spark.sql.DataFrame) = docs
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
         .select(col("doc_id"), explode(array_distinct(expr(
           """transform(sequence(1, size(toks) - 3),
-            |  i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))""".stripMargin))).as("g"))
+            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))""".stripMargin))).as("g"))
       val docs = Tables(s, dir, "documents")
       // each side filters BEFORE the gram explode: the benchmark pass
       // touches only the 2% eval slice, not the whole corpus
@@ -292,7 +297,7 @@ object PipelineOps {
       """WITH grams AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(string_split(text, ' ')) - 3),
-        |    i -> sha256(array_to_string(string_split(text, ' ')[i:i+3], ' '))))) AS g
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
         |  FROM documents
         |  WHERE len(string_split(text, ' ')) >= 4),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF (backward) join as a first-class Catalyst operator — the
+  * whole-operator custom surface from SURVEY §7.3: logical node +
+  * planner strategy + physical merge-scan, registered through
+  * `GraftExtensions` (or ad hoc via `experimental.extraStrategies`).
+  *
+  * Semantics: for every left row, append the SINGLE right row with the
+  * same key and the greatest right-ts ≤ left-ts; no match → right side
+  * null (left-outer as-of, DuckDB `ASOF LEFT JOIN` ≡ pandas
+  * `merge_asof` backward).
+  *
+  * Why a custom operator instead of the union+window rewrite (q54):
+  * the rewrite materializes BOTH event streams through one window and
+  * carries every right column forward through the frame; the native
+  * operator is a single forward merge over the two sorted,
+  * co-partitioned children — O(n+m) per partition, no window state,
+  * no union, and the requirements (hash on key, sort by (key, ts))
+  * are declared to EnsureRequirements, so Catalyst plans the minimal
+  * exchanges exactly as it would for a sort-merge join. At 100 TB both
+  * sides shuffle once on the key — same cost envelope as any
+  * co-partitioned join, with AQE free to coalesce/skew-split the
+  * exchanges because they are ordinary shuffle exchanges.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; everything else falls
+  * through to the built-in strategies. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge: children are hash-distributed on the key and
+  * sorted by (key, ts) — both REQUIRED, never done by hand, so
+  * EnsureRequirements inserts (and AQE optimizes) the exchanges/sorts.
+  * Each partition then runs one forward scan: the right cursor only
+  * advances, keeping the latest right row whose (key, ts) is ≤ the
+  * current left row — O(n+m) time, O(1) state (one buffered row). */
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+    ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output; val rOut = right.output
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val outAttrs = output
+    val lkExpr = leftKey; val rkExpr = rightKey
+    val ltsExpr = leftTs; val rtsExpr = rightTs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lk = BindReferences.bindReference(lkExpr, lOut)
+      val lts = BindReferences.bindReference(ltsExpr, lOut)
+      val rk = BindReferences.bindReference(rkExpr, rOut)
+      val rts = BindReferences.bindReference(rtsExpr, rOut)
+      val joined = new JoinedRow
+      val rightNulls = new GenericInternalRow(rOut.length)
+      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      new Iterator[InternalRow] {
+        // rCur: the copied latest right row usable for the current left
+        // key; rCurKey evaluated on the COPY (safe against buffer reuse)
+        private var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var rCur: InternalRow = null
+        private var rCurKey: Any = null
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkV = lk.eval(l); val ltsV = lts.eval(l)
+          if (lkV == null || ltsV == null) return proj(joined(l, rightNulls))
+          var scan = true
+          while (scan && rNext != null) {
+            val rkV = rk.eval(rNext); val rtsV = rts.eval(rNext)
+            if (rkV == null || rtsV == null) {
+              // null key/ts can never match; sorted nulls-first, so
+              // they all drain here at the front
+              rNext = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val c = keyOrd.compare(rkV, lkV)
+              if (c < 0) {
+                // keys are ascending on both sides: this right key is
+                // done for good
+                rCur = null; rCurKey = null
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0 && tsOrd.compare(rtsV, ltsV) <= 0) {
+                rCur = rNext.copy(); rCurKey = rk.eval(rCur)
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else scan = false // right is ahead of this left row
+            }
+          }
+          val matched = rCurKey != null && keyOrd.compare(rCurKey, lkV) == 0
+          proj(joined(l, if (matched) rCur else rightNulls))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+/** The native as-of join operator (custom LogicalPlan + Strategy +
+  * merge-scan SparkPlan): semantics against the union+window
+  * formulation, edge cases, and the physical plan contract. */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native as-of equals the q54 union+window formulation on events") {
+    val native = llm.CorpusOps.queries("q99_asof_native")(spark, sf)
+    val window = ops.Advanced.queries("q54_asof_join")(spark, sf)
+    assert(native.schema.fieldNames.sameElements(window.schema.fieldNames))
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty,
+      "native operator and window rewrite must agree row-for-row")
+  }
+
+  test("edge cases: no match, exact-ts match, shared quote, late rights ignored") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 10L, "t3"), (3L, 5L, "t4"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, 10L, "q1"), (1L, 15L, "q2"), (2L, 11L, "q3"))
+      .toDF("sym", "q_ts", "quote")
+    val out = AsOf.joinBackward(trades, quotes, "sym", "sym", "t_ts", "q_ts")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "t1" -> "q1", // exact-ts quote matches (<=)
+      "t2" -> "q2", // latest prior of several
+      "t3" -> null, // sym 2's only quote is LATER than the trade
+      "t4" -> null)) // sym 3 has no quotes at all
+  }
+
+  test("multiple lefts reuse the same right; duplicate left timestamps ok") {
+    val l = Seq((7L, 10L, "a"), (7L, 10L, "b"), (7L, 30L, "c"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((7L, 1L, "early"), (7L, 25L, "mid"))
+      .toDF("k", "rts", "rtag")
+    val out = AsOf.joinBackward(l, r, "k", "k", "ts", "rts")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toSet
+    assert(out == Set("a" -> "early", "b" -> "early", "c" -> "mid"))
+  }
+
+  test("physical plan contains AsOfJoinExec with planner-inserted exchanges") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "rts", "w")
+    val df = AsOf.joinBackward(l, r, "k", "k", "ts", "rts")
+    df.collect() // force AQE to finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // SparkPlan.nodeName strips "Exec"
+    assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"),
+      s"EnsureRequirements must insert the key exchanges:\n$plan")
+  }
+}
