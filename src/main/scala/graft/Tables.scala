@@ -15,7 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // memoized per (session, dir, table): `spark.read.parquet` builds a
+  // fresh InMemoryFileIndex (directory listing + footer reads) on every
+  // call — measurable per-query overhead in a 99-query sweep, and at
+  // cluster scale a listing of a large partitioned table is an RPC
+  // storm worth doing once. The testdata files are immutable, and the
+  // cached object is only the analyzed relation (no data pinned), so
+  // catalog.clearCache() semantics are unaffected.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
     // only under spark.sql.legacy.parquet.nanosAsLong=true (set in
