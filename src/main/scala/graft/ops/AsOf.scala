@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
-import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+import graft.plans.{AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** User-facing API for the native as-of join (see
   * [[graft.plans.AsOfJoinExec]] for semantics and scale design).
@@ -20,6 +20,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     def attr(df: DataFrame, name: String) =
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

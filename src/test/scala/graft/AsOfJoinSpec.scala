@@ -45,6 +45,26 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out == Set("a" -> "early", "b" -> "early", "c" -> "mid"))
   }
 
+  test("left-side filters push through the custom node to the parquet scan") {
+    val e = Tables(spark, sf, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val joined = AsOf.joinBackward(purchases, clicks,
+      "user_id", "c_user", "ts", "c_ts")
+    val filtered = joined.filter(col("user_id") < 50)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(user_id,50)"),
+      s"left predicate must reach the scan's PushedFilters:\n$plan")
+    // semantics unchanged: post-join filter ≡ pre-join filter
+    val pre = AsOf.joinBackward(purchases.filter(col("user_id") < 50), clicks,
+      "user_id", "c_user", "ts", "c_ts")
+    assert(filtered.exceptAll(pre).isEmpty && pre.exceptAll(filtered).isEmpty)
+  }
+
   test("physical plan contains AsOfJoinExec with planner-inserted exchanges") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rts", "w")
