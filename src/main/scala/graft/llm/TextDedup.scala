@@ -161,6 +161,11 @@ object TextDedup {
       // array_min over a per-row transform: the whole signature stage
       // is a codegen'd projection with NO aggregation shuffle (the
       // classic explode→48×min groupBy exchanges every shingle row).
+      // NOTE: a Kirsch-Mitzenmacher double-hash family
+      // (h1 + i·h2, masked for ANSI) was tried and REVERTED: the
+      // per-function minima correlate (one small (h1,h2) shingle wins
+      // many i), which measurably drops LSH band recall (254/256
+      // pairs on the sf0.1 fixture) with no speed win.
       val sig = arr.select(col("doc_id") +: (0 until nHashes).map(i =>
         expr(s"array_min(transform(shs, x -> xxhash64($i, x)))").as(s"h$i")): _*)
       // cached: both sides of the bucket self-join read this — without
