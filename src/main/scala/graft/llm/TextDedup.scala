@@ -234,61 +234,68 @@ object TextDedup {
     /** Near-dup CLUSTERS: connected components over the ≥0.8-Jaccard
       * pair graph, canonical id = min doc_id per component — the
       * fixpoint-iteration operator class (min-label propagation, the
-      * GraphX-free connected-components idiom). Each sweep is one
-      * join + min-aggregate; convergence in O(component diameter)
-      * sweeps with a driver-side changed-count check (one scalar per
-      * sweep crosses the driver). Oracle: DuckDB recursive-CTE
+      * GraphX-free connected-components idiom).
+      *
+      * The pair graph itself comes from the declarative Jaccard plan;
+      * the fixpoint LOOP runs at the RDD layer, Pregel-style: the edge
+      * set (the big data) stays distributed and cached; only the label
+      * map — bounded by the near-dup NODE set, the duplicate subset
+      * that is tiny relative to the corpus by nature — syncs to the
+      * driver each sweep. That bound is the same one a broadcast-join
+      * formulation assumes; the RDD loop just drops the per-sweep
+      * Catalyst cost (a DataFrame sweep re-analyzes + re-codegens its
+      * plan every iteration: measured 0.9 s PER SWEEP on a 500-row
+      * label table, vs ~0.05 s for the same sweep as one
+      * mapPartitions job). Each sweep: one job over cached edges
+      * computing per-partition neighbor-min maps, tree-reduced, then a
+      * driver-side merge + changed count. Oracle: DuckDB recursive-CTE
       * transitive closure — same fixpoint, independently computed. */
     "q93_dedup_clusters" -> ((s: SparkSession, dir: String) => {
-      // cached: the pair list appears TWICE in the symmetric-edge union
-      // below — without the cache the whole inverted-index Jaccard join
-      // (the dominant cost of this operator) executes once per branch
-      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.8)
-        .select(col("d1"), col("d2")).cache()
-      // cached pre-partitioned on d1: every sweep's groupBy(d1) then
-      // reuses the hash partitioning — zero shuffle exchanges inside
-      // the fixpoint loop (the label sides all broadcast)
-      val edges = pairs
-        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .repartition(col("d1"))
-        .cache()
-      var labels = edges.select(col("d1").as("node")).distinct()
-        .withColumn("cluster_id", col("node")).cache()
+      import s.implicits._
+      val edgeRdd = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+        .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .persist()
+      // label init — one pass collecting the node set as identity
+      // labels (every near-dup node appears as an edge source after
+      // symmetrization). LongMap: specialized, no boxing.
+      val lbl = edgeRdd.mapPartitions { it =>
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach(e => m.update(e._1, e._1))
+        Iterator(m)
+      }.treeReduce { (a, b) => b.foreach { case (k, v) => a.update(k, v) }; a }
       var converged = false
       var sweeps = 0
-      // one min-label sweep per action: each node takes min(own label,
-      // neighbor labels). The label table holds only docs that appear
-      // in a near-dup pair (the duplicate subset — tiny relative to the
-      // corpus by nature), so both per-sweep joins broadcast: no
-      // shuffle of the label table, ever. The update join's left side
-      // IS the old label, so the changed-count rides the same cached
-      // result instead of a third join against the previous labels.
       while (!converged && sweeps < 50) {
-        val neighborMin = edges
-          .join(broadcast(labels.select(col("node").as("nbr"),
-            col("cluster_id").as("nbr_lbl"))), col("d2") === col("nbr"))
-          .groupBy(col("d1").as("node")).agg(min(col("nbr_lbl")).as("nmin"))
-        val updated = labels
-          .join(broadcast(neighborMin.withColumnRenamed("node", "node2")),
-            col("node") === col("node2"), "left_outer")
-          .select(col("node"),
-            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-              .as("cluster_id"),
-            col("cluster_id").as("old"))
-          .cache()
-        val changed = updated.filter(col("cluster_id") =!= col("old")).count()
-        labels.unpersist(); labels = updated.drop("old")
+        val bc = s.sparkContext.broadcast(lbl)
+        val nbrMin = edgeRdd.mapPartitions { it =>
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          it.foreach { case (a, b) =>
+            val lb = bc.value(b)
+            if (lb < m.getOrElse(a, Long.MaxValue)) m.update(a, lb)
+          }
+          Iterator(m)
+        }.treeReduce { (x, y) =>
+          y.foreach { case (k, v) =>
+            if (v < x.getOrElse(k, Long.MaxValue)) x.update(k, v) }
+          x
+        }
+        bc.destroy()
+        var changed = 0L
+        nbrMin.foreach { case (n, v) =>
+          if (v < lbl(n)) { lbl.update(n, v); changed += 1 } }
         converged = changed == 0
         sweeps += 1
         if (sys.env.contains("GRAFT_DEBUG"))
-          System.err.println(s"[q93] sweep $sweeps changed=$changed")
+          System.err.println(s"[q93] t=${System.nanoTime() / 1000000} ms " +
+            s"sweep $sweeps changed=$changed")
       }
       // a component with diameter > sweep cap would otherwise return
       // plausible-looking but non-converged cluster ids
       if (!converged) throw new IllegalStateException(
         s"q93_dedup_clusters: min-label propagation did not converge in $sweeps sweeps")
-      labels.select(col("node").as("doc_id"), col("cluster_id"))
-        .orderBy(col("doc_id"))
+      edgeRdd.unpersist(blocking = false)
+      lbl.toSeq.sortBy(_._1).toDF("doc_id", "cluster_id")
     }),
 
     /** Document fingerprint (winnowing-style sketch): the minimum
