@@ -164,6 +164,22 @@ object CorpusOps {
           graft.r6(col("ts").cast("double") - col("c_ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
+    /** Batch twin of the streaming purchase-click attribution
+      * (EventStreams.purchaseClickAttribution): every (purchase, click)
+      * pair of the same user with the click inside the preceding hour.
+      * The streaming version is the bounded-state stream-stream join;
+      * this is its oracle-checkable batch shape (an interval join —
+      * equi on user_id + range on ts, so Spark plans a hash join with
+      * the range as a post-probe filter, never a cartesian). */
+    "q100_click_attribution" -> ((s: SparkSession, dir: String) => {
+      graft.streaming.EventStreams
+        .purchaseClickAttributionBatch(Tables(s, dir, "events"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          graft.r6(col("p_ts").cast("double") - col("c_ts").cast("double"))
+            .as("gap_sec"))
+        .orderBy(col("purchase_id"), col("click_id"))
     })
   )
 
@@ -247,6 +263,15 @@ object CorpusOps {
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
         |                WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+        |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    "q100_click_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
   )
 }

@@ -107,6 +107,49 @@ object EventStreams {
         // flag events deviating >3x from the user's batch-computed mean
         (abs(col("value")) > abs(col("profile_avg")) * 3).as("is_outlier"))
 
+  /** Stream-STREAM inner join: purchases matched to the same user's
+    * clicks within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds click_ts to
+    * [purchase_ts - 1 hour, purchase_ts], so the state store retains
+    * one watermark-window of each side per key and evicts as the
+    * watermarks advance — the canonical bounded-state shape for
+    * joining two unbounded feeds (attribution, funnel stitching).
+    * Scale: state is keyed and shuffled on user_id; skewed users cost
+    * state proportional to their in-window event rate only. */
+  def purchaseClickAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("purchase_value"), col("click_id"), col("c_ts"))
+  }
+
+  /** Batch twin of [[purchaseClickAttribution]] for equivalence tests:
+    * the same join over a static frame. */
+  def purchaseClickAttributionBatch(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("purchase_value"), col("click_id"), col("c_ts"))
+  }
+
   /** Streaming SCD1 upsert via foreachBatch: maintain "latest event
     * per (user_id, event_type)" as a parquet state table, merged
     * incrementally batch by batch — the table-format-free MERGE

