@@ -27,10 +27,22 @@ object AsOf {
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asof: column $name not found in [${df.columns.mkString(", ")}]"))
-    val plan = AsOfJoin(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      attr(left, leftKey), attr(right, rightKey),
-      attr(left, leftTs), attr(right, rightTs))
+    // self-join safety: a custom node gets no DeduplicateRelations
+    // pass, so if the two sides share attribute ids (same DataFrame or
+    // a common subplan), re-alias the right side to mint fresh ids
+    val leftPlan = left.queryExecution.analyzed
+    val rightRaw = right.queryExecution.analyzed
+    val rightDf =
+      if (leftPlan.outputSet.intersect(rightRaw.outputSet).isEmpty) right
+      else right.toDF(right.columns: _*)
+    val lk = attr(left, leftKey); val rk = attr(rightDf, rightKey)
+    val lts = attr(left, leftTs); val rts = attr(rightDf, rightTs)
+    require(lk.dataType == rk.dataType,
+      s"asof: key types differ (${lk.dataType.simpleString} vs ${rk.dataType.simpleString})")
+    require(lts.dataType == rts.dataType,
+      s"asof: ts types differ (${lts.dataType.simpleString} vs ${rts.dataType.simpleString})")
+    val plan = AsOfJoin(leftPlan, rightDf.queryExecution.analyzed,
+      lk, rk, lts, rts)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -45,6 +45,26 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out == Set("a" -> "early", "b" -> "early", "c" -> "mid"))
   }
 
+  test("self as-of join (same DataFrame both sides) re-aliases and works") {
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    // each row matched to the latest row (incl. itself) of its key
+    val out = AsOf.joinBackward(ev, ev, "k", "k", "ts", "ts")
+      .collect()
+    assert(out.length == 3)
+    // latest-at-or-before itself IS itself
+    out.foreach(r => assert(r.getString(2) == r.getString(5)))
+  }
+
+  test("mismatched key or ts types fail fast with a clear error") {
+    val l = Seq((1L, 1L)).toDF("k", "ts")
+    val r = Seq((1, 1L)).toDF("k", "ts") // Int key vs Long key
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, "k", "k", "ts", "ts")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("left-side filters push through the custom node to the parquet scan") {
     val e = Tables(spark, sf, "events")
     val purchases = e.filter(col("event_type") === "purchase")
