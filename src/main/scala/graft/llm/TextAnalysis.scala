@@ -97,6 +97,48 @@ object TextAnalysis {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
+    }),
+
+    /** Vocabulary encoding — the tokenizer-id path of a training
+      * pipeline: top-1000 corpus tokens by frequency (ties by token)
+      * get ids 1..1000; documents under doc_id 20 are emitted as
+      * (pos, token_id) with OOV = -1. The vocab is selected with
+      * TakeOrderedAndProject (top-k, no global sort) and id-assigned
+      * over that FIXED-size k on the driver, then broadcast back for
+      * the encode join — the standard shape for a bounded side table
+      * at any corpus scale. */
+    "q101_vocab_encode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      val top = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(1000)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
+      val vocab = top.toDF("t", "token_id")
+      toks.filter(col("doc_id") < 20)
+        .join(broadcast(vocab), Seq("t"), "left_outer")
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          coalesce(col("token_id"), lit(-1L)).as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    /** Unigram log-probability scoring (CCNet-style quality signal):
+      * score(doc) = -avg(ln p(token)) under the corpus unigram model.
+      * Two aggregates and one token-keyed join — the model table is
+      * the corpus vocabulary, a bounded side AQE broadcasts. Higher
+      * score = rarer tokens = more likely noise (or novelty). */
+    "q102_unigram_logprob" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt"))).head.getLong(0)
+      toks.join(freq, Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(r6(-avg(log(col("cnt").cast("double") / lit(total.toDouble))))
+          .as("nll"), count(lit(1)).as("n_tok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -148,6 +190,35 @@ object TextAnalysis {
         |          / len(string_split(text,' ')) AS sr
         |        FROM documents))
         |GROUP BY lang, predicted
-        |ORDER BY lang NULLS FIRST, predicted NULLS FIRST""".stripMargin
+        |ORDER BY lang NULLS FIRST, predicted NULLS FIRST""".stripMargin,
+
+    "q101_vocab_encode" ->
+      """WITH exploded AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' '))),
+        |    i -> {'pos': i, 't': string_split(text, ' ')[i]})) AS u
+        |  FROM documents),
+        |toks AS (SELECT doc_id, u.pos AS pos, u.t AS t FROM exploded),
+        |vocab AS (
+        |  SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT)
+        |    AS token_id
+        |  FROM (SELECT t, count(*) AS cnt FROM toks GROUP BY t)
+        |  ORDER BY cnt DESC, t LIMIT 1000)
+        |SELECT toks.doc_id, CAST(toks.pos AS BIGINT) AS pos,
+        |coalesce(vocab.token_id, -1) AS token_id
+        |FROM toks LEFT JOIN vocab USING (t)
+        |WHERE toks.doc_id < 20
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    "q102_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+        |total AS (SELECT sum(cnt)*1.0 AS n FROM freq)
+        |SELECT doc_id, round(-avg(ln(cnt / total.n)), 6) AS nll,
+        |count(*) AS n_tok
+        |FROM toks JOIN freq USING (t) CROSS JOIN total
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }
