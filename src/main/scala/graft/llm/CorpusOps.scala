@@ -180,6 +180,31 @@ object CorpusOps {
           graft.r6(col("p_ts").cast("double") - col("c_ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    /** Per-group winsorization — outlier clipping to the [p05, p95]
+      * band before aggregation, the standard robust-stats step before
+      * training-signal aggregation. Two passes: one grouped exact
+      * percentile aggregate (tiny result, broadcast back), one clip +
+      * re-aggregate. Reports mean before/after and the clipped-row
+      * count per event_type. */
+    "q103_winsorize" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val bounds = e.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("value"),
+          greatest(col("lo"), least(col("hi"), col("value"))).as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .cast("long").as("was_clipped"))
+        .groupBy(col("event_type"))
+        .agg(graft.r6(avg(col("value"))).as("mean_raw"),
+          graft.r6(avg(col("clipped"))).as("mean_winsor"),
+          sum(col("was_clipped")).as("n_clipped"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -272,6 +297,21 @@ object CorpusOps {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
+
+    "q103_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |round(avg(e.value), 6) AS mean_raw,
+        |round(avg(greatest(b.lo, least(b.hi, e.value))), 6) AS mean_winsor,
+        |CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |count(*) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type NULLS FIRST""".stripMargin
   )
 }
