@@ -97,7 +97,11 @@ case class AsOfJoinExec(
       val rts = BindReferences.bindReference(rtsExpr, rOut)
       val joined = new JoinedRow
       val rightNulls = new GenericInternalRow(rOut.length)
-      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against the NULLABILITY-ADJUSTED output attrs, not the raw
+      // child attrs: a non-nullable right column bound as non-nullable
+      // would codegen without the isNullAt check and read 0 instead of
+      // NULL for unmatched rows
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       new Iterator[InternalRow] {
         // rCur: the copied latest right row usable for the current left
         // key; rCurKey evaluated on the COPY (safe against buffer reuse)

@@ -45,6 +45,40 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out == Set("a" -> "early", "b" -> "early", "c" -> "mid"))
   }
 
+  test("randomized equivalence with a declarative reference formulation") {
+    // seeded, so failures reproduce; shapes include duplicate keys,
+    // duplicate right timestamps ACROSS keys, and keys on one side only
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val l = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100000)))
+        .toDF("k", "ts", "payload")
+      val r = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100000)))
+        // near-dup rights with the same (k, ts) would make the match
+        // nondeterministic in ANY formulation — dedup to the max payload
+        .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+        .toDF("rk", "rts", "rpayload")
+      val native = AsOf.joinBackward(l, r, "k", "rk", "ts", "rts")
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      // reference: per left row, the matching right row with max rts
+      val best = l.join(r, col("k") === col("rk") && col("rts") <= col("ts"))
+        .groupBy(col("k"), col("ts"), col("payload"))
+        .agg(max(col("rts")).as("best_rts"))
+      val matched = best
+        .join(r, col("k") === col("rk") && col("best_rts") === col("rts"))
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      val unmatched = l.join(r,
+          col("k") === col("rk") && col("rts") <= col("ts"), "left_anti")
+        .select(col("k"), col("ts"), col("payload"),
+          lit(null).cast("int").as("rpayload"))
+      val expected = matched.unionByName(unmatched)
+      assert(native.exceptAll(expected).isEmpty &&
+        expected.exceptAll(native).isEmpty,
+        s"trial $trial: native as-of must equal the reference join")
+    }
+  }
+
   test("self as-of join (same DataFrame both sides) re-aliases and works") {
     val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ts", "tag")
