@@ -94,16 +94,38 @@ object CorpusOps {
 
     /** Stratified quota sampling: at most K docs per language, chosen
       * by sha-256 content-key order — a reproducible "random" quota
-      * that never reshuffles on re-run. Per-group Window partitions by
-      * lang, so no global sort; skewed languages shard fine because the
-      * quota cut happens after a partial per-partition sort. */
+      * that never reshuffles on re-run. A plain
+      * Window.partitionBy(lang) would funnel each language into ONE
+      * task (5 languages = 5 tasks over the whole corpus), so the
+      * per-language rank uses the q67 two-phase pattern generalized to
+      * groups: range-partition by (lang, skey, doc_id), local
+      * row_number per (partition, lang) cell, then add per-language
+      * prefix offsets (one small count row per cell crosses the
+      * driver — bounded by cluster width × languages). */
     "q96_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
       val skey = substring(
         sha2(concat(col("doc_id").cast("string"), col("text")), 256), 1, 16)
-      val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
-      Tables(s, dir, "documents")
+      val parted = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), skey.as("skey"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .repartitionByRange(col("lang"), col("skey"), col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("skey"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wCell = Window.partitionBy(col("pid"), col("lang"))
+        .orderBy(col("skey"), col("doc_id"))
+      val local = parted.withColumn("lrn", row_number().over(wCell)).cache()
+      val counts = local.groupBy(col("pid"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getAs[Int]("pid"), r.getAs[String]("lang"),
+          r.getAs[Long]("cnt")))
+      val offsets = counts.groupBy(_._2).toSeq.flatMap { case (lang, cells) =>
+        var acc = 0L
+        cells.sortBy(_._1).map { case (pid, _, cnt) =>
+          val o = acc; acc += cnt; (pid, lang, o) }
+      }
+      val offDf = offsets.toDF("pid", "lang", "off")
+      local.join(broadcast(offDf), Seq("pid", "lang"))
+        .withColumn("rk", (col("lrn") + col("off")).cast("long"))
         .filter(col("rk") <= 20)
         .select(col("lang"), col("rk"), col("doc_id"), col("skey"))
         .orderBy(col("lang"), col("rk"))
