@@ -204,6 +204,24 @@ object CorpusOps {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    /** Sliding-window chunking with overlap — the RAG / embedding-prep
+      * step: 64-token chunks at stride 48 (16-token overlap), short
+      * tail kept. Entirely per-row generator arithmetic
+      * (sequence + explode): no shuffle, no state, output is a
+      * generator over the scan at any corpus size. */
+    "q104_chunk_overlap" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          posexplode(expr("sequence(1L, n_tok, 48L)")).as(Seq("ci", "start")))
+        .select(col("doc_id"), (col("ci") + 1).cast("long").as("chunk_ix"),
+          col("start"), least(col("start") + 63L, col("n_tok")).as("end"),
+          (least(col("start") + 63L, col("n_tok")) - col("start") + 1L)
+            .as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
     /** Per-group winsorization — outlier clipping to the [p05, p95]
       * band before aggregation, the standard robust-stats step before
       * training-signal aggregation. Two passes: one grouped exact
@@ -320,6 +338,22 @@ object CorpusOps {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
+
+    "q104_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok, unnest(list_transform(
+        |    generate_series(1, CAST(n_tok AS INT), 48),
+        |    s -> {'ci': (s - 1) // 48 + 1, 'start': s})) AS u
+        |  FROM t)
+        |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_ix,
+        |CAST(u.start AS BIGINT) AS start,
+        |least(u.start + 63, n_tok) AS "end",
+        |least(u.start + 63, n_tok) - u.start + 1 AS chunk_len
+        |FROM c
+        |ORDER BY doc_id NULLS FIRST, chunk_ix NULLS FIRST""".stripMargin,
 
     "q103_winsorize" ->
       """WITH b AS (
