@@ -40,6 +40,24 @@ class ProfileAggregatorSpec extends SparkSuite {
     assert(out("c")._1.isNaN && out("c")._2 == 0.0 && out("c")._3 == 1.0)
   }
 
+  test("randomized: matches builtins across partition layouts with nulls") {
+    ProfileAggregator.register(spark)
+    val rnd = new scala.util.Random(42L)
+    val data = Seq.fill(500)(
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble() * 1000 - 500))
+    for (parts <- Seq(1, 7, 64)) { // 64 > rows/8 forces empty partitions
+      val df = data.toDF("v").repartition(parts)
+      val got = df.selectExpr("profile_agg(v) AS p")
+        .select("p.mean", "p.std", "p.nullFraction").head
+      val exp = df.agg(avg(col("v")),
+        coalesce(stddev_samp(col("v")), lit(0.0)),
+        avg(col("v").isNull.cast("double"))).head
+      assert(math.abs(got.getDouble(0) - exp.getDouble(0)) < 1e-9, s"mean @$parts")
+      assert(math.abs(got.getDouble(1) - exp.getDouble(1)) < 1e-9, s"std @$parts")
+      assert(got.getDouble(2) == exp.getDouble(2), s"nullFrac @$parts")
+    }
+  }
+
   test("profile_agg agrees with DriftDetector.profile on the golden fixture") {
     ProfileAggregator.register(spark)
     val df = Tables(spark, sf, "customer").select("c_acctbal")
