@@ -41,7 +41,11 @@ object Bench {
     // ("q01".."q93", unique by construction) and millisecond precision,
     // ~1.2 KB — and the full-name, full-precision map goes to
     // bench_detail.json next to the repo for human reading.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would print "26,600" — invalid JSON for the
+    // stdout parser
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")

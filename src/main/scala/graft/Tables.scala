@@ -22,6 +22,12 @@ object Tables {
   // storm worth doing once. The testdata files are immutable, and the
   // cached object is only the analyzed relation (no data pinned), so
   // catalog.clearCache() semantics are unaffected.
+  // KNOWN TRADE-OFF (deliberate for the bench harness): entries are
+  // never evicted, so a stopped session's DataFrames are retained for
+  // the JVM lifetime and a rewritten fixture dir would be served stale
+  // within a process. Long-lived multi-session services should key on
+  // a weak session reference or clear entries from a session-stop
+  // listener.
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

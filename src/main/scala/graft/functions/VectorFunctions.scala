@@ -91,8 +91,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
   /** Idempotently register cosine_sim with a session so queries can use
-    * expr("cosine_sim(a, b)") / SQL. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    * expr("cosine_sim(a, b)") / SQL. The existence check makes repeat
+    * calls true no-ops — createOrReplaceTempFunction alone logs a
+    * "replaced a previously registered function" warning per call,
+    * which floods stderr in a 100+-query sweep. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 }

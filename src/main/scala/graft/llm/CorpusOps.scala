@@ -156,7 +156,10 @@ object CorpusOps {
       * a per-row sequence: no shuffle, output is a generator over the
       * scan. */
     "q98_mixture_upsample" -> ((s: SparkSession, dir: String) => {
-      val weight = (substring(col("source"), 4, 8).cast("int") % 3 + 1)
+      // two-arg substr (to end of string) — the oracle uses
+      // substr(source, 4); a fixed-length substring(source, 4, 8) would
+      // silently diverge if a source suffix ever exceeded 8 digits
+      val weight = (expr("substr(source, 4)").cast("int") % 3 + 1)
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), weight.as("w"))
         .select(col("doc_id"), col("source"), col("w"),

@@ -203,13 +203,28 @@ object TextDedup {
     "q36_dedup_simhash" -> ((s: SparkSession, dir: String) => {
       val bits = 60
       val docs = Tables(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"),
-          conv(substring(sha2(col("t"), 256), 1, 15), 16, 10).cast("long").as("h"))
-      val votes = tok.groupBy(col("doc_id")).agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
-        (1 until bits).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")): _*)
+      // Whole fingerprint with NO token-level exchange (same move as the
+      // q34/q35 shingle rewrite): token hashes from one transform over
+      // the split array, then the 60 bit-vote counters as 60 scalar
+      // aggregate() folds over that shared array, reassembled into the
+      // fingerprint in a final projection. The former explode →
+      // 60-column groupBy exchanged every TOKEN row; here nothing is
+      // exchanged — only the tiny per-doc (id, fp) rows reach the
+      // banding self-join. Token multiset semantics preserved:
+      // transform keeps duplicates exactly as the explode did.
+      // The hash array is aliased in its own projection; CollapseProject
+      // will not inline a non-cheap alias referenced 60 times, so the
+      // sha-256 pass runs once per token, not once per (token, bit).
+      // (60 scalar folds beat one array-valued fold: a zip_with
+      // accumulator allocates a fresh 60-element array per token —
+      // measured ~25% slower.)
+      val hs = docs.select(col("doc_id"), expr(
+        """transform(split(text, ' '),
+          |  t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"""
+          .stripMargin).as("hs"))
+      val votes = hs.select(col("doc_id") +: (0 until bits).map(i => expr(
+        s"aggregate(hs, 0L, (acc, h) -> acc + IF((shiftright(h, $i) & 1L) = 1L, 1L, -1L))")
+        .as(s"b$i")): _*)
       val fp = votes.select(col("doc_id"),
         (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("fp"))

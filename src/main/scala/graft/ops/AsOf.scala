@@ -17,7 +17,14 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    // check BOTH registration paths: a session built with
+    // spark.sql.extensions=GraftExtensions carries the strategy in
+    // extraPlanningStrategies, which experimental.extraStrategies
+    // cannot see — without this check every call would append a
+    // duplicate strategy (harmless to planning, but unbounded session
+    // mutation)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy) &&
+        !spark.sessionState.planner.extraPlanningStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))

@@ -30,8 +30,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * are declared to EnsureRequirements, so Catalyst plans the minimal
   * exchanges exactly as it would for a sort-merge join. At 100 TB both
   * sides shuffle once on the key — same cost envelope as any
-  * co-partitioned join, with AQE free to coalesce/skew-split the
-  * exchanges because they are ordinary shuffle exchanges.
+  * co-partitioned join, with AQE free to COALESCE the exchanges
+  * (they are ordinary shuffle exchanges). AQE skew-join SPLITTING does
+  * not apply — OptimizeSkewedJoin only matches SMJ/SHJ — and must not:
+  * the per-partition merge requires every row of a key in one
+  * partition. A skewed key here means a hot time series; the mitigation
+  * is upstream (e.g. sub-key bucketing by coarse time range), not plan
+  * surgery.
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
