@@ -247,70 +247,27 @@ object TextDedup {
     }),
 
     /** Near-dup CLUSTERS: connected components over the ≥0.8-Jaccard
-      * pair graph, canonical id = min doc_id per component — the
-      * fixpoint-iteration operator class (min-label propagation, the
-      * GraphX-free connected-components idiom).
+      * pair graph, canonical id = min doc_id per component.
       *
-      * The pair graph itself comes from the declarative Jaccard plan;
-      * the fixpoint LOOP runs at the RDD layer, Pregel-style: the edge
-      * set (the big data) stays distributed and cached; only the label
-      * map — bounded by the near-dup NODE set, the duplicate subset
-      * that is tiny relative to the corpus by nature — syncs to the
-      * driver each sweep. That bound is the same one a broadcast-join
-      * formulation assumes; the RDD loop just drops the per-sweep
-      * Catalyst cost (a DataFrame sweep re-analyzes + re-codegens its
-      * plan every iteration: measured 0.9 s PER SWEEP on a 500-row
-      * label table, vs ~0.05 s for the same sweep as one
-      * mapPartitions job). Each sweep: one job over cached edges
-      * computing per-partition neighbor-min maps, tree-reduced, then a
-      * driver-side merge + changed count. Oracle: DuckDB recursive-CTE
-      * transitive closure — same fixpoint, independently computed. */
+      * The pair graph comes from the declarative Jaccard plan; the
+      * component labeling runs as alternating large-star/small-star
+      * contraction ([[graft.ops.ConnectedComponents]]) — every
+      * structure including the labels stays a DISTRIBUTED keyed RDD.
+      * Nothing syncs to the driver: at web scale 50-80% of documents
+      * participate in near-dup clusters, so any driver-resident or
+      * broadcast label map (the previous design) holds billions of
+      * entries at 100 TB. Star contraction also converges in O(log n)
+      * rounds independent of component diameter, where plain min-label
+      * propagation needs diameter rounds. Oracle: DuckDB
+      * recursive-CTE transitive closure — same fixpoint, independently
+      * computed. */
     "q93_dedup_clusters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val edgeRdd = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.8)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
-        .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-        .persist()
-      // label init — one pass collecting the node set as identity
-      // labels (every near-dup node appears as an edge source after
-      // symmetrization). LongMap: specialized, no boxing.
-      val lbl = edgeRdd.mapPartitions { it =>
-        val m = scala.collection.mutable.LongMap.empty[Long]
-        it.foreach(e => m.update(e._1, e._1))
-        Iterator(m)
-      }.treeReduce { (a, b) => b.foreach { case (k, v) => a.update(k, v) }; a }
-      var converged = false
-      var sweeps = 0
-      while (!converged && sweeps < 50) {
-        val bc = s.sparkContext.broadcast(lbl)
-        val nbrMin = edgeRdd.mapPartitions { it =>
-          val m = scala.collection.mutable.LongMap.empty[Long]
-          it.foreach { case (a, b) =>
-            val lb = bc.value(b)
-            if (lb < m.getOrElse(a, Long.MaxValue)) m.update(a, lb)
-          }
-          Iterator(m)
-        }.treeReduce { (x, y) =>
-          y.foreach { case (k, v) =>
-            if (v < x.getOrElse(k, Long.MaxValue)) x.update(k, v) }
-          x
-        }
-        bc.destroy()
-        var changed = 0L
-        nbrMin.foreach { case (n, v) =>
-          if (v < lbl(n)) { lbl.update(n, v); changed += 1 } }
-        converged = changed == 0
-        sweeps += 1
-        if (sys.env.contains("GRAFT_DEBUG"))
-          System.err.println(s"[q93] t=${System.nanoTime() / 1000000} ms " +
-            s"sweep $sweeps changed=$changed")
-      }
-      // a component with diameter > sweep cap would otherwise return
-      // plausible-looking but non-converged cluster ids
-      if (!converged) throw new IllegalStateException(
-        s"q93_dedup_clusters: min-label propagation did not converge in $sweeps sweeps")
-      edgeRdd.unpersist(blocking = false)
-      lbl.toSeq.sortBy(_._1).toDF("doc_id", "cluster_id")
+      graft.ops.ConnectedComponents.labels(edges)
+        .toDF("doc_id", "cluster_id")
+        .orderBy(col("doc_id"))
     }),
 
     /** Document fingerprint (winnowing-style sketch): the minimum
