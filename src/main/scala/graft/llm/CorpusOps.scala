@@ -228,15 +228,17 @@ object CorpusOps {
     /** Per-group winsorization — outlier clipping to the [p05, p95]
       * band before aggregation, the standard robust-stats step before
       * training-signal aggregation. Two passes: one grouped exact
-      * percentile aggregate (tiny result, broadcast back), one clip +
-      * re-aggregate. Reports mean before/after and the clipped-row
-      * count per event_type. */
+      * quantile pass (tiny result, broadcast back), one clip +
+      * re-aggregate. The bounds come from the two-phase rank quantile
+      * ([[graft.ops.Quantiles]]) — `value` is a mostly-distinct double,
+      * exactly the column where `percentile`'s value→count buffer
+      * grows O(n) per group. Reports mean before/after and the
+      * clipped-row count per event_type. */
     "q103_winsorize" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "events")
         .select(col("event_type"), col("value"))
-      val bounds = e.groupBy(col("event_type")).agg(
-        expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+      val bounds = graft.ops.Quantiles.exactQuantiles(
+        e, Seq("event_type"), "value", Seq("lo" -> 0.05, "hi" -> 0.95))
       e.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_type"), col("value"),
           greatest(col("lo"), least(col("hi"), col("value"))).as("clipped"),

@@ -194,13 +194,13 @@ object PipelineOps {
 
     /** Length filtering by exact percentile band: keep docs whose
       * n_chars lies in [p25, p75] of the corpus. The two thresholds are
-      * a 1-row broadcast; at 100 TB the exact percentile becomes
-      * approx_percentile with the same plan shape. */
+      * a 1-row broadcast, computed with the bounded-state two-phase
+      * rank quantile ([[graft.ops.Quantiles]]) rather than
+      * `percentile`'s O(distinct) agg buffer — exact at any scale. */
     "q81_length_band" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val bounds = docs.agg(
-        expr("percentile(n_chars, 0.25)").as("p25"),
-        expr("percentile(n_chars, 0.75)").as("p75"))
+      val bounds = graft.ops.Quantiles.exactQuantiles(
+        docs, Seq.empty, "n_chars", Seq("p25" -> 0.25, "p75" -> 0.75))
       docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars") >= col("p25") && col("n_chars") <= col("p75"))
         .groupBy(col("lang"))

@@ -83,18 +83,21 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
-    /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-      * `quantile_cont`, both linear interpolation). The approximate
-      * t-digest path (percentile_approx) is the 100 TB variant — same
-      * query shape, sketch mergeable across executors. */
+    /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
+      * linear interpolation), computed via [[Quantiles.exactQuantiles]]
+      * — two-phase global ranks instead of Spark's `percentile`
+      * TypedImperativeAggregate, whose value→count buffer is
+      * O(distinct) executor memory per group on mostly-distinct
+      * doubles like l_extendedprice. Same doubles out, bounded state:
+      * still exact at 100 TB (approx_percentile remains the cheaper
+      * option when an error band is acceptable). */
     "q55_percentiles" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      Quantiles.exactQuantiles(
+        Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
+          round(col("p95"), 4).as("p95"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact linear-interpolation quantiles (the `percentile` /
+  * `quantile_cont` semantics) computed WITHOUT a per-group value
+  * buffer.
+  *
+  * Spark's `percentile` is a TypedImperativeAggregate that buffers a
+  * value→count map per group — O(distinct values) executor memory, an
+  * unbounded agg buffer on mostly-distinct doubles at 100 TB. This
+  * operator instead materializes exact per-group ranks with the
+  * two-phase global-row-number pattern (range repartition on
+  * (group, value) → per-partition row_number → add per-partition
+  * offsets; the only driver traffic is ONE scalar per partition,
+  * bounded by cluster width) and then picks the two rank-adjacent
+  * values each quantile interpolates between with a plain conditional
+  * aggregation. Every stage is a shuffle Spark already does well:
+  * nothing is buffered per group, nothing is collected per row, and
+  * skewed groups spread over many range partitions instead of one
+  * window task.
+  *
+  * Interpolation matches `percentile` exactly: pos = q·(n−1),
+  * result = v[⌊pos⌋] + (v[⌈pos⌉] − v[⌊pos⌋])·(pos − ⌊pos⌋) — the same
+  * double arithmetic, so results are bit-identical to the buffering
+  * aggregate (and to DuckDB's quantile_cont).
+  *
+  * Rows whose value is NULL are ignored (as `percentile` does); a
+  * group whose values are ALL null is absent from the output (where
+  * `percentile` would emit a null row) — callers here never feed such
+  * groups.
+  */
+object Quantiles {
+
+  /** One row per group: `groupCols ++ qs.map(_._1)` with each named
+    * column holding the exact q-quantile of `valueCol`. `groupCols`
+    * empty ⇒ a single global row. */
+  def exactQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val gcols: Seq[Column] = groupCols.map(col)
+    val v = df.select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val sortCols = gcols :+ col("_v")
+
+    // phase 1: global row numbers over the (group, value) total order —
+    // never a single-partition window (q67 pattern)
+    val parted = v.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = parted.withColumn("_lrn",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+      .cache()
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt")).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    val ranked = local.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("_rn", col("_lrn") + col("_off"))
+
+    // phase 2: per-group 0-based rank from the group's first global row
+    // number (groups are contiguous in the total order), then each
+    // quantile's two bracketing values by conditional aggregation
+    val grp =
+      if (groupCols.isEmpty) ranked.agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+      else ranked.groupBy(gcols: _*).agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+    val withRank =
+      (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
+       else ranked.join(broadcast(grp), groupCols))
+        .withColumn("_gr", col("_rn") - col("_first"))
+
+    def pos(q: Double): Column = lit(q) * (col("_n") - 1).cast("double")
+    val picks = qs.flatMap { case (name, q) =>
+      Seq(
+        max(when(col("_gr") === floor(pos(q)).cast("long"), col("_v"))).as(s"_${name}_lo"),
+        max(when(col("_gr") === ceil(pos(q)).cast("long"), col("_v"))).as(s"_${name}_hi"))
+    } :+ max(col("_n")).as("_n_out")
+    val agged =
+      if (groupCols.isEmpty) withRank.agg(picks.head, picks.tail: _*)
+      else withRank.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+
+    val posOut = (q: Double) => lit(q) * (col("_n_out") - 1).cast("double")
+    agged.select(gcols ++ qs.map { case (name, q) =>
+      (col(s"_${name}_lo") +
+        (col(s"_${name}_hi") - col(s"_${name}_lo")) *
+          (posOut(q) - floor(posOut(q)))).as(name)
+    }: _*)
+  }
+}
