@@ -163,17 +163,38 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
-    /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (this
-      * corpus is near-orthogonal random, so 0.3 is the meaningful
-      * tail). Brute-force block product at test scale; the LSH-bucketed
-      * path (q44) is the 100 TB shape. */
+    /** Embedding near-dup pairs: EXACT all pairs with cosine ≥ 0.3
+      * (this corpus is near-orthogonal random, so 0.3 is the
+      * meaningful tail; q44/q86 are the approximate scale paths).
+      * The O(n²) pair space is inherent to exact ground truth, but the
+      * PLAN is not a cartesian: vectors are triangle-block-paired —
+      * each row goes to block b = vec_id mod B and is replicated to
+      * the B(B+1)/2 unordered block-pair keys it participates in, so
+      * the product runs as a shuffled EQUI-join on (ka, kb). Every
+      * unordered vector pair materializes exactly once (off-diagonal
+      * blocks once by construction; diagonal blocks deduped by
+      * d1 < d2), work spreads over B(B+1)/2 independent tasks (raise B
+      * with cluster width — fan-out per row is B+1 replicas), and AQE
+      * can coalesce/split the exchange like any other shuffle. No
+      * BroadcastNestedLoopJoin anywhere in the suite. */
     "q51_embed_neardup" -> ((s: SparkSession, dir: String) => {
       graft.functions.VectorFunctions.register(s)
+      val B = 8
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("d2"), col("embedding").as("emb_b"))
-      a.join(b, col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), expr("cosine_sim(emb_a, emb_b)").as("cs"))
+      // left role: own block is ka, partner block kb ranges upward
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb_a"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("ka"))
+        .withColumn("kb", explode(sequence(col("ka"), lit(B - 1))))
+      // right role: own block is kb, partner block ka ranges downward
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("emb_b"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("kb"))
+        .withColumn("ka", explode(sequence(lit(0), col("kb"))))
+      a.hint("shuffle_hash")
+        .join(b, Seq("ka", "kb"))
+        .filter(col("ka") =!= col("kb") || col("d1") < col("d2"))
+        .select(least(col("d1"), col("d2")).as("d1"),
+          greatest(col("d1"), col("d2")).as("d2"),
+          expr("cosine_sim(emb_a, emb_b)").as("cs"))
         .filter(col("cs") >= 0.3)
         .select(col("d1"), col("d2"), r6(col("cs")).as("cos_sim"))
         .orderBy(col("d1"), col("d2"))
