@@ -1,22 +1,31 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Multimodal-column plumbing: media as opaque binary columns with
   * typed metadata, decoded / feature-extracted in distributed batches.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic stub ([[MultimodalStub.decodeStub]]);
-  * everything around it — the binary column representation, the typed
-  * output schema, partition-wise batched execution via mapPartitions
-  * (the Scala equivalent of mapInPandas batches), and the downstream
-  * aggregation — is real and tested (LlmOpsSpec).
+  * The fixture corpus has no media files, so each query first
+  * SYNTHESIZES a structurally valid container — a PNG whose IHDR
+  * carries real big-endian dimensions, a canonical 44-byte PCM WAV
+  * header with little-endian rate/channels/width — around the document
+  * text as payload body, then PARSES the fields back from raw bytes:
+  * signature verification, fixed-offset slicing, endian reassembly.
+  * Both directions are genuine byte-level work (binary `substring` +
+  * `hex`/`unhex`/`conv` stay inside whole-stage codegen; the batched
+  * `mapPartitions` path reads the same headers with a big-endian
+  * ByteBuffer). The DuckDB oracle recomputes the GROUND-TRUTH
+  * arithmetic the headers were built from, so any misread offset or
+  * endianness mistake fails the round-trip hash check.
   *
-  * At 100 TB: binary payloads stay columnar in parquet, the decode is
-  * a narrow per-partition transform (no shuffle), and only the small
-  * typed features flow into joins/aggregations.
+  * At 100 TB: binary payloads stay columnar in parquet, the
+  * synth/parse is a narrow per-row transform (no shuffle), and only
+  * the small typed features flow into joins/aggregations. A real
+  * deployment replaces the body checksum features with an actual
+  * pixel/PCM decode inside the same mapPartitions batch loop — the
+  * header parsing below is already the real thing.
   */
 object Multimodal {
 
@@ -29,25 +38,112 @@ object Multimodal {
     n_frames: Int,
     features: Array[Float])
 
-  /** Deterministic STUB for the codec: derives pseudo metadata and an
-    * 8-dim feature vector purely from payload length and bytes. A real
-    * deployment swaps this body for an actual decoder (JPEG/PNG/PCM…)
-    * without touching any of the Spark plumbing around it. */
-  object MultimodalStub {
-    val FeatureDim = 8
+  // ---- byte-assembly helpers (Column-level, codegen-friendly) ----
 
-    def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
-      val n = payload.length.toLong
-      val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0x7fffffffL)
-      MediaFeatures(
-        doc_id = docId,
-        n_bytes = n,
-        width = (n % 640).toInt,
-        height = (n % 480).toInt,
-        n_frames = 1 + (checksum % 16).toInt,
-        features = Array.tabulate(FeatureDim)(i => ((checksum + i * 7919) % 97).toFloat / 97f))
-    }
+  /** n-byte BIG-endian encoding of an integral column. */
+  private def be(c: Column, n: Int): Column =
+    unhex(lpad(hex(c.cast("long")), n * 2, "0"))
+
+  /** n-byte LITTLE-endian encoding of an integral column. */
+  private def le(c: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      unhex(lpad(hex(pmod(shiftright(c.cast("long"), 8 * i), lit(256))), 2, "0"))): _*)
+
+  /** Big-endian unsigned int read of `len` bytes at 1-based `pos`. */
+  private def beRead(payload: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian read: reassemble the slice byte-reversed, then as BE. */
+  private def leRead(payload: Column, pos: Int, len: Int): Column =
+    conv(hex(concat((len - 1 to 0 by -1).map(i =>
+      substring(payload, pos + i, 1)): _*)), 16, 10).cast("long")
+
+  private val PngSigHex = "89504E470D0A1A0A"
+  private val IhdrHex = "49484452" // "IHDR"
+
+  /** documents → (doc_id, payload): a structurally valid PNG — 8-byte
+    * signature, IHDR length(13)/type/width/height/bit-depth 8/
+    * truecolor/zip/adaptive/no-interlace — with the text as body.
+    * CRC bytes are zeroed (parsers below do not verify integrity,
+    * as codecs configured for metadata-only reads do not).
+    * width/height ground truth: 1 + doc_id mod 1920, 1 + n_chars
+    * mod 1080. */
+  def synthesizePng(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        unhex(lit(PngSigHex)),
+        unhex(lit("0000000D")), // IHDR data length = 13
+        unhex(lit(IhdrHex)),
+        be(lit(1) + pmod(col("doc_id"), lit(1920)), 4),
+        be(lit(1) + pmod(col("n_chars"), lit(1080)), 4),
+        unhex(lit("0802000000")), // depth 8, truecolor, deflate, adaptive, none
+        unhex(lit("00000000")), // CRC (unverified)
+        col("text").cast("binary")).as("payload"))
+
+  /** documents → (doc_id, payload): canonical 44-byte PCM WAV header
+    * (RIFF little-endian) + text as sample data. Ground truth:
+    * sample_rate = 8000 + 100·(doc_id mod 81), channels =
+    * 1 + doc_id mod 2, 16-bit samples. */
+  def synthesizeWav(docs: DataFrame): DataFrame = {
+    val dataSize = length(col("text").cast("binary")).cast("long")
+    val rate = lit(8000L) + lit(100L) * pmod(col("doc_id"), lit(81L))
+    val channels = lit(1L) + pmod(col("doc_id"), lit(2L))
+    val bits = lit(16L)
+    val blockAlign = channels * bits / lit(8L)
+    docs.select(col("doc_id"),
+      concat(
+        lit("RIFF").cast("binary"),
+        le(lit(36L) + dataSize, 4),
+        lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"),
+        le(lit(16L), 4), // fmt chunk size
+        le(lit(1L), 2), // PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(rate * blockAlign, 4), // byte rate
+        le(blockAlign, 2),
+        le(bits, 2),
+        lit("data").cast("binary"),
+        le(dataSize, 4),
+        col("text").cast("binary")).as("payload"))
   }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val PngHeaderLen = 33
+
+  /** The real decode kernel for the batched path: verifies the PNG
+    * signature + IHDR tag, reads width/height as big-endian ints at
+    * their fixed offsets, and derives body features (checksum fold —
+    * the stand-in for pixel decoding, which the container lacks
+    * codecs for). Throws on a malformed payload: silent fallback
+    * would mask offset bugs. */
+  def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    require(payload.length >= PngHeaderLen &&
+      PngSig.indices.forall(i => payload(i) == PngSig(i)),
+      s"doc $docId: not a PNG payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(bb.getInt(12) == 0x49484452, s"doc $docId: first chunk is not IHDR")
+    val width = bb.getInt(16)
+    val height = bb.getInt(20)
+    var checksum = 0L
+    var i = PngHeaderLen
+    while (i < payload.length) {
+      checksum = (checksum * 31 + (payload(i) & 0xff)) & 0x7fffffffL
+      i += 1
+    }
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = payload.length.toLong,
+      width = width,
+      height = height,
+      n_frames = 1 + (checksum % 16).toInt,
+      features = Array.tabulate(FeatureDim)(j =>
+        ((checksum + j * 7919) % 97).toFloat / 97f))
+  }
+
+  val FeatureDim = 8
 
   /** The distributed decode pipeline: binary column in, typed features
     * out, batched per partition (narrow transform, no shuffle). */
@@ -55,21 +151,27 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => MultimodalStub.decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
   }
 
   val queries: Map[String, Q] = Map(
 
-    /** Binary-column metadata over documents-as-payloads: the
-      * oracle-checkable half of the multimodal surface (byte length +
-      * modular pseudo-metadata computed relationally in both engines). */
+    /** PNG metadata by byte-level parse: synthesize the container,
+      * then read signature / IHDR tag / width / height / bit depth
+      * back from raw offsets with binary substring + hex + conv (all
+      * codegen'd). The signature and chunk-type filters prove the
+      * parse looks at the right bytes; the oracle's arithmetic ground
+      * truth proves the endian reassembly. */
     "q45_multimodal_meta" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "documents")
+      val png = synthesizePng(Tables(s, dir, "documents"))
+      png
+        .filter(hex(substring(col("payload"), 1, 8)) === lit(PngSigHex))
+        .filter(hex(substring(col("payload"), 13, 4)) === lit(IhdrHex))
         .select(col("doc_id"),
-          length(col("text").cast("binary")).cast("long").as("n_bytes"))
-        .select(col("doc_id"), col("n_bytes"),
-          pmod(col("n_bytes"), lit(640L)).as("width"),
-          pmod(col("n_bytes"), lit(480L)).as("height"))
+          length(col("payload")).cast("long").as("n_bytes"),
+          beRead(col("payload"), 17, 4).as("width"),
+          beRead(col("payload"), 21, 4).as("height"),
+          beRead(col("payload"), 25, 1).as("bit_depth"))
         .orderBy(col("doc_id"))
     }),
 
@@ -77,8 +179,7 @@ object Multimodal {
       * from the payload metadata, emit every 2nd frame index with a
       * stub per-frame feature — the explode(sequence(...)) shape is
       * exactly how real frame extraction fans out (one row per sampled
-      * frame, narrow transform, no shuffle), with the codec stubbed by
-      * deterministic arithmetic so the whole fan-out is oracle-checked. */
+      * frame, narrow transform, no shuffle). */
     "q62_frame_sample" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -93,25 +194,54 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    /** The full stubbed decode pipeline as a query: mapPartitions
-      * batch decode → per-width aggregation of feature norms. Stub is
-      * deterministic, so this is oracle-checkable too (the oracle
-      * reproduces the stub arithmetic relationally). */
+    /** The batched decode pipeline as a query: mapPartitions PNG parse
+      * (ByteBuffer big-endian header reads + body checksum features)
+      * over synthesized payloads. Deterministic, so oracle-checkable:
+      * DuckDB reproduces the header arithmetic and the body fold. */
     "q46_multimodal_features" -> ((s: SparkSession, dir: String) => {
-      val media = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val media = synthesizePng(Tables(s, dir, "documents"))
       extractFeatures(s, media).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("n_frames").cast("long").as("n_frames"),
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
+      * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
+      * then reassemble sample-rate / channels / bit-width / data size
+      * from their little-endian slices. n_samples divides the parsed
+      * data size by the parsed block align — two misparses cannot
+      * cancel. */
+    "q105_wav_meta" -> ((s: SparkSession, dir: String) => {
+      val wav = synthesizeWav(Tables(s, dir, "documents"))
+      val p = col("payload")
+      wav
+        .filter(substring(p, 1, 4).cast("string") === "RIFF")
+        .filter(substring(p, 9, 4).cast("string") === "WAVE")
+        .filter(substring(p, 37, 4).cast("string") === "data")
+        .select(col("doc_id"),
+          leRead(p, 25, 4).as("sample_rate"),
+          leRead(p, 23, 2).as("channels"),
+          leRead(p, 35, 2).as("bits"),
+          leRead(p, 41, 4).as("data_bytes"),
+          (leRead(p, 41, 4) / (leRead(p, 23, 2) * leRead(p, 35, 2) / lit(8L)))
+            .cast("long").as("n_samples"))
         .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // ground-truth arithmetic the PNG header was synthesized from;
+    // payload = 33 header bytes + text body
     "q45_multimodal_meta" ->
-      """SELECT doc_id, octet_length(cast(text AS BLOB)) AS n_bytes,
-        |octet_length(cast(text AS BLOB)) % 640 AS width,
-        |octet_length(cast(text AS BLOB)) % 480 AS height
+      """SELECT doc_id,
+        |33 + octet_length(cast(text AS BLOB)) AS n_bytes,
+        |1 + doc_id % 1920 AS width,
+        |1 + n_chars % 1080 AS height,
+        |CAST(8 AS BIGINT) AS bit_depth
         |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
@@ -124,21 +254,37 @@ object Multimodal {
         |unnest(generate_series(0, n_frames - 1, 2)) AS g(i)
         |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin,
 
-    // the stub checksum (acc*31 + byte mod 2^31 over UTF-8 bytes —
-    // ASCII corpus, so codepoints ≡ bytes) is replicated with a
-    // list_reduce fold; f0 reproduces the float32 division exactly via
-    // REAL casts before the double round
+    // header fields from ground-truth arithmetic; body checksum
+    // (acc*31 + byte mod 2^31 over the text bytes — ASCII corpus, so
+    // codepoints ≡ bytes) replicated with a list_reduce fold; f0
+    // reproduces the float32 division exactly via REAL casts
     "q46_multimodal_features" ->
       """WITH f AS (
-        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  SELECT doc_id,
+        |  33 + octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  1 + doc_id % 1920 AS width,
+        |  1 + n_chars % 1080 AS height,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 2147483648) AS checksum
         |  FROM documents)
         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
         |CAST(1 + checksum % 16 AS BIGINT) AS n_frames,
         |round(CAST(CAST(checksum % 97 AS REAL) / CAST(97 AS REAL) AS DOUBLE), 6) AS f0
         |FROM f
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // WAV ground truth: rate/channels/bits as synthesized; data bytes
+    // = text body; samples = bytes / block align
+    "q105_wav_meta" ->
+      """SELECT doc_id,
+        |8000 + 100 * (doc_id % 81) AS sample_rate,
+        |1 + doc_id % 2 AS channels,
+        |CAST(16 AS BIGINT) AS bits,
+        |octet_length(cast(text AS BLOB)) AS data_bytes,
+        |octet_length(cast(text AS BLOB)) // ((1 + doc_id % 2) * 2) AS n_samples
+        |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }

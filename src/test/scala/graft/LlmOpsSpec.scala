@@ -71,17 +71,39 @@ class LlmOpsSpec extends SparkSuite {
     assert(res.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
   }
 
-  test("multimodal stub decode is deterministic and shape-stable") {
-    val media = Tables(spark, sf, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+  test("multimodal PNG decode round-trips the synthesized headers, deterministically") {
+    val media = Multimodal.synthesizePng(Tables(spark, sf, "documents"))
     val a = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
     val b = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
     assert(a.length == 500)
     assert(a.zip(b).forall { case (x, y) =>
       x.doc_id == y.doc_id && x.n_bytes == y.n_bytes &&
       x.features.sameElements(y.features) })
-    assert(a.forall(_.features.length == Multimodal.MultimodalStub.FeatureDim))
+    // parsed dimensions must equal the arithmetic the header encodes
+    assert(a.forall(m => m.width == 1 + (m.doc_id % 1920).toInt))
+    assert(a.forall(_.features.length == Multimodal.FeatureDim))
     assert(a.forall(_.features.forall(f => f >= 0f && f < 1f)))
+  }
+
+  test("PNG decode rejects a malformed payload instead of fabricating metadata") {
+    intercept[Exception] {
+      Multimodal.decodePng(1L, Array[Byte](1, 2, 3))
+    }
+    // valid signature but wrong first chunk must also throw
+    val bogus = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array.fill[Byte](30)(0)
+    intercept[Exception] { Multimodal.decodePng(2L, bogus) }
+  }
+
+  test("WAV little-endian fields survive the byte round-trip at every doc") {
+    val out = Multimodal.queries("q105_wav_meta")(spark, sf).collect()
+    assert(out.length == 500, "tag filters must not drop any synthesized payload")
+    assert(out.forall { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[Long]("sample_rate") == 8000 + 100 * (id % 81) &&
+        r.getAs[Long]("channels") == 1 + id % 2 &&
+        r.getAs[Long]("bits") == 16L
+    })
   }
 
   test("text quality scores are in [0,1] and langid is total") {
