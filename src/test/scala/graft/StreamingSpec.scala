@@ -214,4 +214,45 @@ class StreamingSpec extends SparkSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(streamOutliers == batchOutliers)
   }
+
+  test("live incident feed: streaming dashboard metrics track batch across appends") {
+    import graft.incidents.IncidentLog
+    import graft.incidents.IncidentLog.Incident
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_stream").toString
+    def inc(id: String, stage: String, status: String) =
+      Incident(id, "p", "d", stage, status, "", "", "{}", "{}")
+    IncidentLog.append(spark, dir, inc("baseline-001", "baseline", "success"))
+    IncidentLog.append(spark, dir, inc("drifted-002", "drifted", "failed"))
+
+    val feed = IncidentLog.readIncidentStream(spark, dir)
+    val q = IncidentLog.metricsStream(feed).writeStream
+      .outputMode("complete").format("memory").queryName("inc_metrics").start()
+    val facets = IncidentLog.facetCountsStream(IncidentLog.readIncidentStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("inc_facets").start()
+    try {
+      q.processAllAvailable(); facets.processAllAvailable()
+      def streamedMetrics() = {
+        val r = spark.table("inc_metrics").collect().head
+        IncidentLog.Metrics(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      assert(streamedMetrics() == IncidentLog.metrics(IncidentLog.read(spark, dir)))
+
+      // the feed must be LIVE: new appends update the counters without
+      // restarting the query (the reference re-reads the file per
+      // dashboard interaction; here the micro-batch picks it up)
+      IncidentLog.append(spark, dir, inc("healing-003", "healing", "healing_actions_applied"))
+      IncidentLog.append(spark, dir, inc("post-healing-004", "post_healing", "healed_success"))
+      q.processAllAvailable(); facets.processAllAvailable()
+      val m = streamedMetrics()
+      assert(m == IncidentLog.metrics(IncidentLog.read(spark, dir)))
+      assert(m.total == 4 && m.healed == 1)
+
+      val facetRows = spark.table("inc_facets").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(facetRows == Map(
+        ("baseline", "success") -> 1L, ("drifted", "failed") -> 1L,
+        ("healing", "healing_actions_applied") -> 1L,
+        ("post_healing", "healed_success") -> 1L))
+    } finally { q.stop(); facets.stop() }
+  }
 }
