@@ -191,6 +191,49 @@ object CorpusOps {
         .orderBy(col("user_id"), col("purchase_id"))
     }),
 
+    /** FORWARD as-of: every purchase matched to the user's EARLIEST
+      * click at-or-after it (follow-on behavior). Same native merge
+      * operator, direction flipped — the scan shape, distribution and
+      * ordering contracts are identical; only which cursor supplies
+      * the match changes. Oracle: DuckDB ASOF with the inequality
+      * reversed. */
+    "q106_asof_forward" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.ops.AsOf.joinForward(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("c_id").as("asof_click_id"),
+          graft.r6(col("c_ts").cast("double") - col("ts").cast("double"))
+            .as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
+    /** NEAREST as-of: the click closest in time on either side (tie →
+      * backward, matching pandas merge_asof). DuckDB has no nearest
+      * ASOF, so the oracle is the declarative argmin — row_number over
+      * (|ts diff|, click ts) per purchase — which also pins the
+      * tie-break. */
+    "q107_asof_nearest" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.ops.AsOf.joinNearest(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("c_id").as("asof_click_id"),
+          graft.r6(abs(col("ts").cast("double") - col("c_ts").cast("double")))
+            .as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
     /** Batch twin of the streaming purchase-click attribution
       * (EventStreams.purchaseClickAttribution): every (purchase, click)
       * pair of the same user with the click inside the preceding hour.
@@ -334,6 +377,33 @@ object CorpusOps {
         |                WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    "q106_asof_forward" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |c.event_id AS asof_click_id,
+        |round(epoch(c.ts) - epoch(p.ts), 6) AS gap_sec
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    "q107_asof_nearest" ->
+      """SELECT user_id, purchase_id, asof_click_id, gap_sec FROM (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |  c.event_id AS asof_click_id,
+        |  round(abs(epoch(p.ts) - epoch(c.ts)), 6) AS gap_sec,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) NULLS LAST,
+        |             c.ts NULLS LAST) AS rn
+        |  FROM (SELECT user_id, ts, event_id FROM events
+        |        WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |             WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id) t
+        |WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
     "q100_click_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
-import graft.plans.{AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+import graft.plans.{AsOfDirection, AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** User-facing API for the native as-of join (see
   * [[graft.plans.AsOfJoinExec]] for semantics and scale design).
@@ -11,11 +11,32 @@ import graft.plans.{AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
   * is injected by `GraftExtensions`
   * (`spark.sql.extensions=graft.functions.GraftExtensions`); for
   * sessions built without the config this helper also registers it via
-  * `experimental.extraStrategies`, which takes effect immediately. */
+  * `experimental.extraStrategies`, which takes effect immediately.
+  *
+  * Directions mirror pandas `merge_asof` / DuckDB's ASOF inequality:
+  * backward (right ts ≤ left ts, the default), forward (right ts ≥
+  * left ts), nearest (closer of the two; tie → backward). */
 object AsOf {
+
   def joinBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Backward)
+
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Forward)
+
+  def joinNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Nearest)
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      direction: AsOfDirection): DataFrame = {
     val spark = left.sparkSession
     // check BOTH registration paths: a session built with
     // spark.sql.extensions=GraftExtensions carries the strategy in
@@ -49,7 +70,7 @@ object AsOf {
     require(lts.dataType == rts.dataType,
       s"asof: ts types differ (${lts.dataType.simpleString} vs ${rts.dataType.simpleString})")
     val plan = AsOfJoin(leftPlan, rightDf.queryExecution.analyzed,
-      lk, rk, lts, rts)
+      lk, rk, lts, rts, direction)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -38,10 +38,25 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * is upstream (e.g. sub-key bucketing by coarse time range), not plan
   * surgery.
   */
+/** Match direction, mirroring pandas merge_asof / DuckDB's ASOF
+  * inequality choice: Backward = greatest right ts ≤ left ts (the
+  * default), Forward = smallest right ts ≥ left ts, Nearest = whichever
+  * of the two is closer in time (tie → backward). All three run on the
+  * SAME single forward merge — direction only changes which cursor
+  * provides the match, never the scan shape or the distribution/
+  * ordering contract. */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -53,8 +68,8 @@ case class AsOfJoin(
   * through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, dir) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), dir) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +83,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -95,6 +111,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val lkExpr = leftKey; val rkExpr = rightKey
     val ltsExpr = leftTs; val rtsExpr = rightTs
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(lkExpr, lOut)
       val lts = BindReferences.bindReference(ltsExpr, lOut)
@@ -107,12 +124,26 @@ case class AsOfJoinExec(
       // would codegen without the isNullAt check and read 0 instead of
       // NULL for unmatched rows
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // |left ts - right ts| for Nearest: internal ts representations
+      // are numbers (timestamp/date = micros/days, numerics as-is);
+      // values this close together subtract exactly in a double
+      def tsDist(a: Any, b: Any): Double = (a, b) match {
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          math.abs(x.doubleValue() - y.doubleValue())
+        case _ => throw new IllegalStateException(
+          s"asof nearest: non-numeric ts representation ${a.getClass}")
+      }
       new Iterator[InternalRow] {
-        // rCur: the copied latest right row usable for the current left
-        // key; rCurKey evaluated on the COPY (safe against buffer reuse)
+        // rCur: the copied latest right row with (key, ts) ≤ the current
+        // left (key, ts) — the BACKWARD candidate; rNext: the first
+        // un-consumed right row, which after the scan loop is the
+        // FORWARD candidate (same key, ts > left ts) or the next key.
+        // Keys/ts of rCur are evaluated on the COPY (safe against
+        // buffer reuse).
         private var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var rCur: InternalRow = null
         private var rCurKey: Any = null
+        private var rCurTs: Any = null
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -130,16 +161,38 @@ case class AsOfJoinExec(
               if (c < 0) {
                 // keys are ascending on both sides: this right key is
                 // done for good
-                rCur = null; rCurKey = null
+                rCur = null; rCurKey = null; rCurTs = null
                 rNext = if (rIter.hasNext) rIter.next() else null
               } else if (c == 0 && tsOrd.compare(rtsV, ltsV) <= 0) {
-                rCur = rNext.copy(); rCurKey = rk.eval(rCur)
+                rCur = rNext.copy(); rCurKey = rk.eval(rCur); rCurTs = rts.eval(rCur)
                 rNext = if (rIter.hasNext) rIter.next() else null
               } else scan = false // right is ahead of this left row
             }
           }
-          val matched = rCurKey != null && keyOrd.compare(rCurKey, lkV) == 0
-          proj(joined(l, if (matched) rCur else rightNulls))
+          val back = rCurKey != null && keyOrd.compare(rCurKey, lkV) == 0
+          // forward candidate: an exact-ts right row was consumed into
+          // rCur (distance 0 — it IS the minimal ≥); otherwise the
+          // un-consumed cursor if it is still on this key
+          val fwd: InternalRow =
+            if (back && tsOrd.compare(rCurTs, ltsV) == 0) rCur
+            else if (rNext != null && {
+              val rkV = rk.eval(rNext)
+              rkV != null && keyOrd.compare(rkV, lkV) == 0
+            }) rNext
+            else null
+          val m: InternalRow = dir match {
+            case AsOfDirection.Backward => if (back) rCur else null
+            case AsOfDirection.Forward => fwd
+            case AsOfDirection.Nearest => (back, fwd) match {
+              case (false, _) => fwd
+              case (true, null) => rCur
+              case (true, f) =>
+                // tie → backward, matching pandas merge_asof and the
+                // (abs-diff, right-ts) argmin oracle formulation
+                if (tsDist(ltsV, rCurTs) <= tsDist(ltsV, rts.eval(f))) rCur else f
+            }
+          }
+          proj(joined(l, if (m != null) m else rightNulls))
         }
       }
     }

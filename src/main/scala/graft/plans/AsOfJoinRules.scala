@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, j @ AsOfJoin(l, _, _, _, _, _)) =>
+    case f @ Filter(cond, j @ AsOfJoin(l, _, _, _, _, _, _)) =>
       val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
         p.deterministic && p.references.subsetOf(l.outputSet))
       if (push.isEmpty) f

@@ -79,6 +79,87 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("forward direction: earliest right at-or-after; exact ts wins") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 12L, "t3"), (3L, 5L, "t4"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, 10L, "q1"), (1L, 15L, "q2"), (2L, 11L, "q3"))
+      .toDF("sym", "q_ts", "quote")
+    val out = AsOf.joinForward(trades, quotes, "sym", "sym", "t_ts", "q_ts")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "t1" -> "q1", // exact-ts quote matches (>=, distance 0)
+      "t2" -> null, // sym 1 has no quote at/after 20
+      "t3" -> null, // sym 2's only quote precedes the trade
+      "t4" -> null)) // sym 3 has no quotes at all
+  }
+
+  test("nearest direction: closer side wins, tie prefers backward") {
+    val l = Seq((1L, 10L, "a"), (1L, 14L, "b"), (1L, 16L, "c"), (2L, 50L, "d"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 8L, "back"), (1L, 21L, "fwd"), (1L, 12L, "mid"))
+      .toDF("k", "rts", "rtag")
+    val out = AsOf.joinNearest(l, r, "k", "k", "ts", "rts")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(out == Map(
+      "a" -> "back", // |10-8|=2 ties |10-12|=2 → backward wins
+      "b" -> "mid", // |14-12|=2 beats |14-21|=7
+      "c" -> "mid", // |16-12|=4 beats |16-21|=5
+      "d" -> null)) // key 2 has no rights
+  }
+
+  test("randomized forward/nearest equivalence with declarative argmin references") {
+    val rnd = new scala.util.Random(46L)
+    for (trial <- 1 to 3) {
+      val l = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100000))).toDF("k", "ts", "payload")
+      val r = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100000)))
+        .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+        .toDF("rk", "rts", "rpayload")
+
+      // FORWARD reference: per left row, the matching right with MIN rts >= ts
+      val fBest = l.join(r, col("k") === col("rk") && col("rts") >= col("ts"))
+        .groupBy(col("k"), col("ts"), col("payload"))
+        .agg(min(col("rts")).as("best_rts"))
+      val fMatched = fBest
+        .join(r, col("k") === col("rk") && col("best_rts") === col("rts"))
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      val fUnmatched = l.join(r,
+          col("k") === col("rk") && col("rts") >= col("ts"), "left_anti")
+        .select(col("k"), col("ts"), col("payload"),
+          lit(null).cast("int").as("rpayload"))
+      val fExpected = fMatched.unionByName(fUnmatched)
+      val fNative = AsOf.joinForward(l, r, "k", "rk", "ts", "rts")
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      assert(fNative.exceptAll(fExpected).isEmpty &&
+        fExpected.exceptAll(fNative).isEmpty,
+        s"trial $trial: forward as-of must equal the min->=-join reference")
+
+      // NEAREST reference: argmin of (|rts - ts|, rts) — rts ascending
+      // tie-break = backward candidate first (rts <= ts sorts before
+      // the equidistant rts > ts)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k"), col("ts"), col("payload"))
+        .orderBy(abs(col("rts") - col("ts")).asc, col("rts").asc)
+      val nMatched = l.join(r, col("k") === col("rk"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      val nUnmatched = l.join(r, col("k") === col("rk"), "left_anti")
+        .select(col("k"), col("ts"), col("payload"),
+          lit(null).cast("int").as("rpayload"))
+      val nExpected = nMatched.unionByName(nUnmatched)
+      val nNative = AsOf.joinNearest(l, r, "k", "rk", "ts", "rts")
+        .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+      assert(nNative.exceptAll(nExpected).isEmpty &&
+        nExpected.exceptAll(nNative).isEmpty,
+        s"trial $trial: nearest as-of must equal the argmin reference")
+    }
+  }
+
   test("self as-of join (same DataFrame both sides) re-aliases and works") {
     val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ts", "tag")
