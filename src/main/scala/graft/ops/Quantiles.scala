@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact linear-interpolation quantiles (the `percentile` /
@@ -51,12 +50,21 @@ object Quantiles {
     val sortCols = gcols :+ col("_v")
 
     // phase 1: global row numbers over the (group, value) total order —
-    // never a single-partition window (q67 pattern)
-    val parted = v.repartitionByRange(sortCols: _*)
+    // never a single-partition window (q67 pattern). Local positions
+    // come from monotonically_increasing_id, which after the range
+    // shuffle + local sort encodes exactly (partition id << 33) +
+    // row-position-in-partition as a NARROW codegen'd projection — a
+    // Window.partitionBy(pid) here would re-shuffle and re-sort the
+    // whole dataset just to count rows it already has in order.
+    // Range partition ids are ascending in key order, so per-partition
+    // offsets (ONE scalar per partition to the driver, bounded by
+    // cluster width) turn local positions into global ranks.
+    val local = v.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = parted.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("_mid")
       .cache()
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .collect().map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt")).sortBy(_._1)
