@@ -149,6 +149,37 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    /** Bloom-gated incremental dedup — q97's semantics with the scale
+      * accelerator: a bloom filter over the corpus's 8-byte content
+      * hashes (built distributed via stat.bloomFilter's treeAggregate,
+      * probed by the codegen'd [[graft.functions.BloomMightContainLong]]
+      * expression at the scan) splits today's batch into definite-new
+      * rows (bloom negative — no false negatives, so they skip the
+      * join entirely) and candidates, which alone pay the exact
+      * anti-join on the collision-proof sha-256 key. At 100 TB the
+      * anti-join shuffle carries only actual dups + the fpp tail
+      * instead of the whole delta; the filter itself is megabytes
+      * regardless of corpus size. Result is EXACT (bloom FPs are
+      * eliminated by the verify join) — same oracle shape as q97. */
+    "q108_bloom_dedup" -> ((s: SparkSession, dir: String) => {
+      val hashed = Tables(s, dir, "documents")
+        .select(col("doc_id"), xxhash64(col("text")).as("bk"),
+          sha2(col("text"), 256).as("h"))
+      val batch = hashed.filter(col("doc_id") % 10 === 0)
+      val corpus = hashed.filter(col("doc_id") % 10 =!= 0).cache()
+      val bloom = corpus.stat.bloomFilter("bk", math.max(corpus.count(), 1L), 0.01)
+      val mc = graft.functions.BloomFunctions.mightContain(bloom, col("bk"))
+      // null hash (null text) matches nothing in an anti-join — keep
+      // the same "null is new" semantics on the bloom fast path
+      val definiteNew = batch.filter(coalesce(!mc, lit(true)))
+      val candidates = batch.filter(coalesce(mc, lit(false)))
+      val verifiedNew = candidates
+        .join(corpus.hint("shuffle_hash"), Seq("h"), "left_anti")
+      definiteNew.unionByName(verifiedNew)
+        .select(col("doc_id"), substring(col("h"), 1, 16).as("hash_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** Source-mixture upsampling: per-source integer weights (derived
       * deterministically from the source name) replicate docs
       * weight-many times with a copy index — the standard way to hit a
@@ -351,6 +382,16 @@ object CorpusOps {
         |ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin,
 
     "q97_incremental_dedup" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+        |SELECT b.doc_id, substr(b.h, 1, 16) AS hash_prefix
+        |FROM h b
+        |WHERE b.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM h c WHERE c.doc_id % 10 <> 0 AND c.h = b.h)
+        |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
+
+    // identical semantics to q97 — the bloom gate is an accelerator,
+    // not a semantic change, so the oracle is the same exact NOT EXISTS
+    "q108_bloom_dedup" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
         |SELECT b.doc_id, substr(b.h, 1, 16) AS hash_prefix
         |FROM h b

@@ -38,4 +38,45 @@ class AqeSkewJoinSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("as-of exchanges are ordinary shuffles that AQE coalesces; skew-split must NOT fire") {
+    // AsOfJoinExec declares ClusteredDistribution, so EnsureRequirements
+    // inserts plain ShuffleExchangeExec nodes. With a deliberately
+    // oversized partition count and tiny data, AQE must coalesce those
+    // exchanges down like any SMJ's — proving they are unspecialized
+    // shuffles — while OptimizeSkewedJoin (which only matches SMJ/SHJ)
+    // must never split them: the merge needs every row of a key in ONE
+    // partition.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+      "spark.sql.shuffle.partitions" -> "64")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val l = (1 to 5000).map(i => ((i % 40).toLong, i.toLong, i)).toDF("k", "ts", "v")
+      val r = (1 to 5000).map(i => ((i % 40).toLong, (i - 3).toLong, i * 2)).toDF("rk", "rts", "w")
+      val joined = graft.ops.AsOf.joinBackward(l, r, "k", "rk", "ts", "rts")
+      var n = 0L
+      joined.toLocalIterator().forEachRemaining(_ => n += 1)
+      assert(n == 5000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"))
+      assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+        s"AQE must coalesce the as-of exchanges:\n${plan.take(2000)}")
+      assert(!plan.contains("skew=true"),
+        "skew-split must never apply to the as-of merge")
+      // the coalesced read must preserve key clustering: every key's
+      // rows still meet in exactly one partition, or the merge would
+      // silently drop matches — count nulls as the tripwire
+      assert(joined.filter(col("w").isNull).count() == 0L,
+        "coalesced exchanges must preserve co-clustering of keys")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
