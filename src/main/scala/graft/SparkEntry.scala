@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
-    ops.Advanced.queries ++ ops.Statistics.queries ++
+    ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
     llm.PipelineOps.queries ++ llm.CorpusOps.queries
@@ -28,7 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
-    ops.Advanced.oracles ++ ops.Statistics.oracles ++
+    ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
     llm.PipelineOps.oracles ++ llm.CorpusOps.oracles

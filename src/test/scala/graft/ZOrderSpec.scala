@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Z-order layout: key correctness by construction and the actual
+  * 100 TB payoff — multi-dimensional min/max pruning that a
+  * single-column sort cannot give. */
+class ZOrderSpec extends SparkSuite {
+
+  test("morton interleave round-trips: extracting even/odd bits recovers the dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val dims = Seq.fill(2000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = dims.toDF("a", "b").withColumn("z", Layout.zorder2(col("a"), col("b")))
+    val back = df.collect().map { r =>
+      val z = r.getAs[Long]("z")
+      var a = 0L; var b = 0L
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), a, b)
+    }
+    back.foreach { case (a0, b0, a1, b1) =>
+      assert(a0 == a1 && b0 == b1, s"interleave lost bits: ($a0,$b0) -> ($a1,$b1)")
+    }
+  }
+
+  test("z-layout prunes a 2-d box query where a 1-d sort layout cannot") {
+    // simulate per-file min/max statistics: range-partition each layout
+    // into 32 "files", collect each file's (min,max) of BOTH dims, and
+    // count how many files a box predicate on (da, db) could skip
+    val n = 32
+    def fileStats(layout: DataFrame): Array[(Long, Long, Long, Long)] =
+      layout.repartitionByRange(n, col("sortKey"))
+        .groupBy(spark_partition_id().as("f"))
+        .agg(min("da").as("la"), max("da").as("ha"),
+          min("db").as("lb"), max("db").as("hb"))
+        .collect().map(r => (r.getAs[Long]("la"), r.getAs[Long]("ha"),
+          r.getAs[Long]("lb"), r.getAs[Long]("hb")))
+
+    val base = Layout.eventZkeys(spark, "/root/testdata/sf0.1")
+    val zFiles = fileStats(base.withColumn("sortKey", col("zkey")))
+    val aFiles = fileStats(base.withColumn("sortKey", col("da")))
+
+    // box: a tight range in BOTH dimensions
+    val (aLo, aHi, bLo, bHi) = (1000L, 3000L, 1000L, 9000L)
+    def hits(files: Array[(Long, Long, Long, Long)]): Int =
+      files.count { case (la, ha, lb, hb) =>
+        la <= aHi && ha >= aLo && lb <= bHi && hb >= bLo }
+
+    val zHits = hits(zFiles)
+    val aHits = hits(aFiles)
+    // the da-sorted layout prunes on da only: every da-matching file
+    // spans the full db range, so the box prunes nothing further; the
+    // z-layout must touch strictly fewer files
+    assert(zHits < aHits,
+      s"z-order must out-prune the 1-d layout: z=$zHits vs a=$aHits of $n files")
+    assert(zHits <= n / 2,
+      s"z-order should skip at least half the files for a tight box, touched $zHits/$n")
+  }
+
+  test("q109 keys are consistent with eventZkeys and totally ordered output") {
+    val q = Layout.queries("q109_zorder_key")(spark, sf)
+    val rows = q.limit(200).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getAs[Long]("zkey"))
+    assert(zs.sameElements(zs.sorted), "output must be zkey-ordered")
+  }
+}
