@@ -155,7 +155,37 @@ object Similarity {
       * bucketing scheme can concentrate them, so exact-top-k overlap
       * is not a meaningful recall measure. */
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) =>
-      annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10))
+      annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    /** Int8 scalar quantization of the embedding column — the 4×
+      * memory/bandwidth reduction every large-scale ANN index applies
+      * before distance math. Per vector: symmetric max-abs scale
+      * (amax/127), codes = round-half-up(x/scale) — written as
+      * floor(x + 0.5) so both engines round identically — and the
+      * reconstruction MSE as the quality signal. Everything is one
+      * narrow projection of transform/aggregate HOFs (no UDF, no
+      * shuffle); at 100 TB this runs at scan speed and writes the
+      * compact codes next to the raw vectors. */
+    "q111_embed_quantize" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .filter(col("amax") > 0)
+        .withColumn("codes",
+          expr("transform(embedding, x -> floor(cast(x as double) / (amax / 127.0D) + 0.5D))"))
+        .select(col("vec_id"),
+          r6(col("amax") / 127.0).as("scale"),
+          expr("aggregate(codes, 0L, (acc, x) -> acc + x)").as("sum_codes"),
+          expr("aggregate(codes, 0L, (acc, x) -> acc + abs(x))").as("sum_abs_codes"),
+          round(expr("""aggregate(
+              zip_with(embedding, codes,
+                (v, c) -> (cast(v as double) - c * (amax / 127.0D)) *
+                          (cast(v as double) - c * (amax / 127.0D))),
+              0.0D, (acc, x) -> acc + x)""") / expr("size(embedding)"), 8)
+            .as("mse"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** Sign-random-projection ANN: 8 deterministic hyperplanes → 8-bit
@@ -227,6 +257,31 @@ object Similarity {
   private val duckCosine = duckCos("embedding", "q_emb")
 
   val oracles: Map[String, String] = Map(
+    // list_reduce (sequential left fold) matches Spark's aggregate()
+    // accumulation order bit-for-bit; floor(x + 0.5) is the shared
+    // round-half-up, dodging the engines' round() tie disagreement
+    "q111_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings)
+        |SELECT vec_id, round(amax / 127.0, 6) AS scale,
+        |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(e, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))),
+        |  (acc, x) -> acc + x) AS BIGINT) AS sum_codes,
+        |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(e, x -> abs(CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))),
+        |  (acc, x) -> acc + x) AS BIGINT) AS sum_abs_codes,
+        |round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(e, x ->
+        |      (x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)) *
+        |      (x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
+        |  (acc, x) -> acc + x) / len(e), 8) AS mse
+        |FROM q
+        |WHERE amax > 0
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
     "q42_cosine_topk" ->
       s"""SELECT vec_id, round(cs, 6) AS cos_sim FROM (
          |  SELECT e.vec_id, $duckCosine AS cs

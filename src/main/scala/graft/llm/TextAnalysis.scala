@@ -139,10 +139,63 @@ object TextAnalysis {
         .agg(r6(-avg(log(col("cnt").cast("double") / lit(total.toDouble))))
           .as("nll"), count(lit(1)).as("n_tok"))
         .orderBy(col("doc_id"))
+    }),
+
+    /** Heavy-hitter tokens (support > 1/64 of the stream) by the
+      * two-pass sketch-then-verify pattern: pass 1 runs Misra-Gries
+      * with capacity 64 INSIDE each partition (mapPartitions, O(64)
+      * state, no shuffle) — by pigeonhole, any token above global
+      * support must exceed per-partition support somewhere, so the
+      * union of partition sketches is a guaranteed SUPERSET of the
+      * true heavy hitters. Pass 2 exact-counts only that bounded
+      * candidate set (broadcast semi-join at the scan) and filters on
+      * the true threshold — the result is EXACT, but the groupBy
+      * shuffle carries ≤ 64·partitions candidate tokens instead of
+      * the whole token stream. The same shape Spark's frequent-items
+      * sketch uses, kept distributed end to end. */
+    "q110_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val k = 64
+      val candidates = toks.as[String].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (m.contains(t)) m(t) += 1
+          else if (m.size < k) m(t) = 1L
+          else {
+            // decrement-all step: every tracked count drops by one,
+            // zeros evicted — the classic MG space bound
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.keysIterator.foreach { key =>
+              val c = m(key) - 1
+              if (c == 0L) dead += key else m(key) = c
+            }
+            dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }.toDF("tok").distinct()
+      val total = toks.count()
+      toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(total) / lit(k.toDouble))
+        .orderBy(col("cnt").desc, col("tok"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // exact result — the MG sketch is a candidate accelerator only
+    "q110_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, count(*) AS cnt
+        |FROM t, tot
+        |GROUP BY tok, n
+        |HAVING count(*) > n / 64.0
+        |ORDER BY cnt DESC, tok NULLS FIRST""".stripMargin,
+
     "q38_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |cast(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,

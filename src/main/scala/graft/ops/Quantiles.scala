@@ -79,9 +79,13 @@ object Quantiles {
     val grp =
       if (groupCols.isEmpty) ranked.agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
       else ranked.groupBy(gcols: _*).agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+    // global case: grp is provably ONE row — broadcast it. Grouped
+    // case: grp is one row PER GROUP, which callers may make huge
+    // (per-user quantiles) — no forced broadcast; AQE picks BHJ when
+    // the runtime size is small and a shuffle join when it is not.
     val withRank =
       (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
-       else ranked.join(broadcast(grp), groupCols))
+       else ranked.join(grp, groupCols))
         .withColumn("_gr", col("_rn") - col("_first"))
 
     def pos(q: Double): Column = lit(q) * (col("_n") - 1).cast("double")

@@ -106,6 +106,48 @@ class LlmOpsSpec extends SparkSuite {
     })
   }
 
+  test("heavy hitters stay exact when the stream is diluted across many partitions") {
+    import spark.implicits._
+    // one token barely above 1/64 support, spread thin over 50
+    // partitions — per-partition counts are tiny, so this catches a
+    // sketch whose decrement bound (n_p/(k+1)) is mis-sized vs the
+    // global threshold (n/k)
+    val n = 64000
+    val hot = (1 to (n / 64 + 50)).map(_ => "hot")
+    val noise = (1 to (n - hot.size)).map(i => s"tok${i % 8000}")
+    val docs = scala.util.Random.shuffle(hot ++ noise)
+      .grouped(40).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(50)
+    docs.createOrReplaceTempView("hh_docs")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count()
+      .filter(col("count") > n / 64.0).collect().map(_.getString(0)).toSet
+    assert(exact.contains("hot"))
+    // run the same two-pass shape as q110 against this layout
+    val k = 64
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1
+        else if (m.size < k) m(t) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { key =>
+            val c = m(key) - 1
+            if (c == 0L) dead += key else m(key) = c
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("tok").distinct()
+    val got = toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").count().filter(col("count") > n / 64.0)
+      .collect().map(_.getString(0)).toSet
+    assert(got == exact, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
+  }
+
   test("text quality scores are in [0,1] and langid is total") {
     val q = TextAnalysis.queries("q39_text_quality")(spark, sf).collect()
     assert(q.forall { r =>
