@@ -158,31 +158,47 @@ object TextAnalysis {
       val toks = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
       val k = 64
-      val candidates = toks.as[String].mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { t =>
-          if (m.contains(t)) m(t) += 1
-          else if (m.size < k) m(t) = 1L
-          else {
-            // decrement-all step: every tracked count drops by one,
-            // zeros evicted — the classic MG space bound
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            m.keysIterator.foreach { key =>
-              val c = m(key) - 1
-              if (c == 0L) dead += key else m(key) = c
-            }
-            dead.foreach(m.remove)
-          }
-        }
-        m.keysIterator
-      }.toDF("tok").distinct()
-      val total = toks.count()
+      val candidates = misraGriesCandidates(toks.as[String], k)
+      // stream length WITHOUT a second explode: tokens per doc is a
+      // per-row size(), so this pass aggregates at scan speed
+      val total = Tables(s, dir, "documents")
+        .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
       toks.join(broadcast(candidates), Seq("tok"), "left_semi")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > lit(total) / lit(k.toDouble))
         .orderBy(col("cnt").desc, col("tok"))
     })
   )
+
+  /** Per-partition Misra-Gries candidate generation (see q110): each
+    * partition tracks at most `k` tokens with the decrement-all
+    * eviction; the union of partition sketches is a guaranteed
+    * superset of every token above 1/k global support (the MG
+    * undercount bound is n_p/(k+1) < n_p/k per partition, and a
+    * globally heavy token must be locally heavy somewhere). */
+  def misraGriesCandidates(toks: org.apache.spark.sql.Dataset[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1
+        else if (m.size < k) m(t) = 1L
+        else {
+          // decrement-all step: every tracked count drops by one,
+          // zeros evicted — the classic MG space bound
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { key =>
+            val c = m(key) - 1
+            if (c == 0L) dead += key else m(key) = c
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("tok").distinct()
+  }
 
   val oracles: Map[String, String] = Map(
     // exact result — the MG sketch is a candidate accelerator only

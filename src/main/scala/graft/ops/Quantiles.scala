@@ -65,6 +65,10 @@ object Quantiles {
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("_mid")
+      // cached because three consumers read it (offset counts, the
+      // per-group firsts, the final conditional agg); lifetime is the
+      // session, like the q67 rank cache — a long-lived service would
+      // unpersist from a listener once the returned frame materializes
       .cache()
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .collect().map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt")).sortBy(_._1)

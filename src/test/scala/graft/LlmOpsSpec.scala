@@ -124,24 +124,8 @@ class LlmOpsSpec extends SparkSuite {
     val exact = toks.groupBy("tok").count()
       .filter(col("count") > n / 64.0).collect().map(_.getString(0)).toSet
     assert(exact.contains("hot"))
-    // run the same two-pass shape as q110 against this layout
-    val k = 64
-    val candidates = toks.as[String].mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        if (m.contains(t)) m(t) += 1
-        else if (m.size < k) m(t) = 1L
-        else {
-          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-          m.keysIterator.foreach { key =>
-            val c = m(key) - 1
-            if (c == 0L) dead += key else m(key) = c
-          }
-          dead.foreach(m.remove)
-        }
-      }
-      m.keysIterator
-    }.toDF("tok").distinct()
+    // the same sketch q110 uses, against this adversarial layout
+    val candidates = TextAnalysis.misraGriesCandidates(toks.as[String], 64)
     val got = toks.join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy("tok").count().filter(col("count") > n / 64.0)
       .collect().map(_.getString(0)).toSet
