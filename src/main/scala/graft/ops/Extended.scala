@@ -83,6 +83,55 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    /** The SKETCH path to quantiles — approx_percentile's
+      * PercentileDigest is a mergeable bounded-size sketch (the
+      * map-side combine / executor-merge shape that costs one narrow
+      * pass at any scale), complementing the exact two-phase rank path
+      * of q55. Like q50's HLL: the oracle recomputes the exact
+      * quantile independently and asserts the sketch landed within
+      * the accuracy bound (relative rank error 1/accuracy = 1% of the
+      * value RANGE; asserted via the value band of ranks ±3% around
+      * the target — generous but engine-fair). */
+    "q112_sketch_percentiles" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val sketch = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 100)").as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("p50a"), element_at(col("ap"), 2).as("p95a"))
+      val bands = Quantiles.exactQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq("p47" -> 0.47, "p53" -> 0.53, "p92" -> 0.92, "p98" -> 0.98))
+      sketch.join(bands, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (col("p50a") >= col("p47") && col("p50a") <= col("p53")).as("p50_within"),
+          (col("p95a") >= col("p92") && col("p95a") <= col("p98")).as("p95_within"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Multi-table analytic join (TPC-H Q3 shape): a 3-table
+      * filter-join-aggregate-topk where the value at 100 TB is what
+      * Catalyst does unprompted — both dimension filters pushed into
+      * the scans, the join keyed on orderkey with the SMALLER filtered
+      * side build-hashed, aggregation partially applied map-side, and
+      * the top 10 via TakeOrderedAndProject (never a global sort). */
+    "q113_ship_priority" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ords = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
       * linear interpolation), computed via [[Quantiles.exactQuantiles]]
       * — two-phase global ranks instead of Spark's `percentile`
@@ -292,6 +341,25 @@ object Extended {
         |true AS within_bound
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    // the sketch values are engine-internal; the oracle pins the
+    // independently recomputed accuracy verdict (q50 pattern)
+    "q112_sketch_percentiles" ->
+      """SELECT l_returnflag, true AS p50_within, true AS p95_within
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q113_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC NULLS LAST, o_orderkey NULLS FIRST
+        |LIMIT 10""".stripMargin,
 
     "q51_embed_neardup" ->
       """SELECT d1, d2, round(cs, 6) AS cos_sim FROM (

@@ -72,6 +72,11 @@ object Quantiles {
       .cache()
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .collect().map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt")).sortBy(_._1)
+    // the MID local position is 33 bits; the range partitioner would
+    // need an 8.5-billion-row partition to overflow it, but fail loud
+    // rather than rank wrong if partitioning is ever that degenerate
+    require(counts.forall(_._2 < (1L << 33)),
+      "exact quantiles: a partition exceeds 2^33 rows — repartition finer first")
     var acc = 0L
     val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
     val ranked = local.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")

@@ -62,6 +62,15 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("PushedFilters"))
   }
 
+  test("q113: 3-table analytic join pushes both date filters and plans top-k") {
+    val p = plan("q113_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), "top 10 must never be a global sort")
+    assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"),
+      s"both dimension filters must reach the scans:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")) >= 2)
+  }
+
   test("q51: exact all-pairs runs as a block equi-join, not a cartesian") {
     val p = plan("q51_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
