@@ -132,6 +132,23 @@ object Extended {
         .limit(10)
     }),
 
+    /** Skew-proof aggregation via salting ([[Salting.saltedSumCount]]):
+      * groupBy(key) decomposed into groupBy(key, salt).partial →
+      * groupBy(key).final. events.event_type has ~5 values over the
+      * whole table — exactly the hot-key shape where a plain groupBy
+      * makes 5 straggler reduce tasks at 100 TB while every other core
+      * idles; the salt spreads each key over 16 partials first. Result
+      * is bit-identical in the integer count and round-stable in the
+      * double sum (algebraic aggregates only). */
+    "q114_salted_agg" -> ((s: SparkSession, dir: String) => {
+      Salting.saltedSumCount(
+          Tables(s, dir, "events").select(col("event_type"), col("value")),
+          "event_type", "value")
+        .select(col("event_type"), round(col("total"), 2).as("total"), col("n"),
+          round(col("total") / col("n"), 6).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
       * linear interpolation), computed via [[Quantiles.exactQuantiles]]
       * — two-phase global ranks instead of Spark's `percentile`
@@ -348,6 +365,12 @@ object Extended {
       """SELECT l_returnflag, true AS p50_within, true AS p95_within
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q114_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS total,
+        |count(*) AS n, round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q113_ship_priority" ->
       """SELECT o_orderkey, o_orderdate,
