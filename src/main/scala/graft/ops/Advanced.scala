@@ -33,6 +33,38 @@ object Advanced {
         .orderBy(col("lang"), col("token"))
     }),
 
+    /** PMI bigram collocations — the corpus statistic behind tokenizer
+      * merge rules and phrase mining: pmi(a,b) =
+      * ln(p(ab) / (p(a)·p(b))). Bigrams come from one zip_with over
+      * the shifted token array (per-row generator, no pre-join
+      * shuffle); the three count tables (bigram, left unigram, right
+      * unigram) join on token keys with map-side-combined counts, so
+      * every shuffle is |vocab|-sized regardless of corpus size. Top
+      * 50 by PMI over a min-support floor (rare pairs have unstable
+      * PMI and would dominate otherwise). */
+    "q115_pmi_bigrams" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nUni = toks.agg(sum(size(col("t")))).head.getLong(0)
+      val bi = toks.select(explode(expr(
+          """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+            |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val nBi = toks.agg(sum(greatest(size(col("t")) - 1, lit(0)))).head.getLong(0)
+      bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), Seq("w1"))
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), Seq("w2"))
+        .select(col("w1"), col("w2"), col("cab"),
+          round(log((col("cab").cast("double") / nBi) /
+            ((col("ca").cast("double") / nUni) * (col("cb").cast("double") / nUni)) ), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     /** TF-IDF per (doc, token): tf = occurrences/doc length,
       * idf = ln(N/df). Two aggregations + one broadcast-joined doc
       * count — all shuffles keyed on token or doc_id. Output limited to
@@ -85,6 +117,23 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_pmi_bigrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM d),
+        |u AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+        |n1 AS (SELECT count(*) AS n FROM uni),
+        |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM d, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+        |b AS (SELECT w1, w2, count(*) AS cab FROM bi
+        |      GROUP BY w1, w2 HAVING count(*) >= 5),
+        |n2 AS (SELECT count(*) AS n FROM bi)
+        |SELECT w1, w2, cab,
+        |round(ln((cab / n2.n) / ((ua.cw / n1.n) * (ub.cw / n1.n))), 6) AS pmi
+        |FROM b, n1, n2, u ua, u ub
+        |WHERE ua.w = b.w1 AND ub.w = b.w2
+        |ORDER BY pmi DESC NULLS LAST, w1 NULLS FIRST, w2 NULLS FIRST
+        |LIMIT 50""".stripMargin,
+
     "q52_token_freq" ->
       """SELECT lang, token, count(*) AS n
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
