@@ -47,14 +47,18 @@ object Advanced {
       val toks = docs.select(split(col("text"), " ").as("t"))
       val uni = toks.select(explode(col("t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val nUni = toks.agg(sum(size(col("t")))).head.getLong(0)
+      // both stream lengths in ONE scan — per-row size() aggregates,
+      // no explode needed
+      val totals = toks.agg(sum(size(col("t"))).as("n1"),
+        sum(greatest(size(col("t")) - 1, lit(0))).as("n2")).head()
+      val nUni = totals.getLong(0)
+      val nBi = totals.getLong(1)
       val bi = toks.select(explode(expr(
           """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
             |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
         .select(col("p.w1"), col("p.w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 5)
-      val nBi = toks.agg(sum(greatest(size(col("t")) - 1, lit(0)))).head.getLong(0)
       bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), Seq("w1"))
         .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), Seq("w2"))
         .select(col("w1"), col("w2"), col("cab"),

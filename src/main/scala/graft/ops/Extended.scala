@@ -107,6 +107,25 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    /** Equi-width value histogram — the profiling shape for numeric
+      * columns: ONE pass, bucket index from closed-form arithmetic
+      * (floor over fixed bounds, clamped tails), map-side combined so
+      * the shuffle is 22 rows at any scale. Fixed bounds beat a
+      * min/max pre-pass at 100 TB (one scan instead of two); out-of-
+      * range values land in the clamp buckets, which double as the
+      * "your assumed range is wrong" signal. */
+    "q116_value_histogram" -> ((s: SparkSession, dir: String) => {
+      val bucket = least(greatest(
+        floor((col("value") + lit(100.0)) / lit(10.0)), lit(-1.0)), lit(20.0))
+        .cast("long")
+      Tables(s, dir, "events")
+        .select(col("value"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     /** Multi-table analytic join (TPC-H Q3 shape): a 3-table
       * filter-join-aggregate-topk where the value at 100 TB is what
       * Catalyst does unprompted — both dimension filters pushed into
@@ -371,6 +390,13 @@ object Extended {
         |count(*) AS n, round(sum(value) / count(*), 6) AS avg_value
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q116_value_histogram" ->
+      """SELECT least(greatest(floor((value + 100.0) / 10.0), -1.0), 20.0)::BIGINT AS bucket,
+        |count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
 
     "q113_ship_priority" ->
       """SELECT o_orderkey, o_orderdate,
