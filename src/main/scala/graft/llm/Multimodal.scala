@@ -146,12 +146,34 @@ object Multimodal {
   val FeatureDim = 8
 
   /** The distributed decode pipeline: binary column in, typed features
-    * out, batched per partition (narrow transform, no shuffle). */
+    * out, batched per partition (narrow transform, no shuffle).
+    * Strict: a malformed payload throws (the right default while the
+    * synthesis and parse are maintained together — silent fallback
+    * would mask offset bugs). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
+  }
+
+  /** Lenient decode for UNTRUSTED corpora: at 100 TB some payloads ARE
+    * corrupt, and one poison-pill row must not kill a 1000-executor
+    * job. Malformed payloads route to a quarantine side (doc_id +
+    * reason) instead of throwing; the caller writes quarantine rows to
+    * a dead-letter sink and alerts on the rate. Left = quarantined,
+    * Right = decoded. */
+  def extractFeaturesLenient(spark: SparkSession, media: DataFrame)
+      : (Dataset[(Long, String)], Dataset[MediaFeatures]) = {
+    import spark.implicits._
+    val attempted = media
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try Right(decodePng(id, bytes))
+        catch { case e: IllegalArgumentException => Left(id -> e.getMessage) }
+      })
+    (attempted.flatMap(_.left.toOption), attempted.flatMap(_.toOption))
   }
 
   val queries: Map[String, Q] = Map(

@@ -85,6 +85,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(a.forall(_.features.forall(f => f >= 0f && f < 1f)))
   }
 
+  test("lenient decode quarantines corrupt payloads instead of failing the job") {
+    import spark.implicits._
+    val good = Multimodal.synthesizePng(Tables(spark, sf, "documents").limit(5))
+    val bad = Seq((9001L, Array[Byte](1, 2, 3)), (9002L, Array.fill[Byte](40)(0)))
+      .toDF("doc_id", "payload")
+    val (quarantined, decoded) =
+      Multimodal.extractFeaturesLenient(spark, good.unionByName(bad))
+    assert(decoded.count() == 5)
+    val q = quarantined.collect().toMap
+    assert(q.keySet == Set(9001L, 9002L))
+    assert(q.values.forall(_.contains("PNG")))
+  }
+
   test("PNG decode rejects a malformed payload instead of fabricating metadata") {
     intercept[Exception] {
       Multimodal.decodePng(1L, Array[Byte](1, 2, 3))
