@@ -17,7 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     // whole-operator surface: the native as-of join planner strategy
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // Catalyst cannot push filters through a custom node by itself
+    // Catalyst cannot push filters or limits through a custom node by
+    // itself
     extensions.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    extensions.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
   }
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
-import graft.plans.{AsOfDirection, AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+import graft.plans.{AsOfDirection, AsOfJoin, AsOfJoinStrategy,
+  PushFilterThroughAsOfJoin, PushLimitThroughAsOfJoin}
 
 /** User-facing API for the native as-of join (see
   * [[graft.plans.AsOfJoinExec]] for semantics and scale design).
@@ -51,6 +52,9 @@ object AsOf {
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    if (!spark.experimental.extraOptimizations.contains(PushLimitThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLimitThroughAsOfJoin
     def attr(df: DataFrame, name: String) =
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

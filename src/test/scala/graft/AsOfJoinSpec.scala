@@ -200,6 +200,33 @@ class AsOfJoinSpec extends SparkSuite {
     assert(filtered.exceptAll(pre).isEmpty && pre.exceptAll(filtered).isEmpty)
   }
 
+  test("limit pushes through the as-of join to the left child") {
+    import spark.implicits._
+    val l = (1 to 5000).map(i => ((i % 20).toLong, i.toLong, i)).toDF("k", "ts", "v")
+    val r = (1 to 5000).map(i => ((i % 20).toLong, (i - 1).toLong, i)).toDF("rk", "rts", "w")
+    val limited = AsOf.joinBackward(l, r, "k", "rk", "ts", "rts").limit(7)
+    // optimized plan must carry a limit BELOW the join on the left side
+    val opt = limited.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: graft.plans.AsOfJoin => j }
+    assert(joinNode.isDefined, s"as-of node lost:\n$opt")
+    assert(joinNode.get.left.collectFirst {
+      case ll: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => ll
+    }.isDefined, s"limit not pushed to the left child:\n$opt")
+    // semantics: exactly 7 rows, each a correct as-of match
+    val rows = limited.collect()
+    assert(rows.length == 7)
+    rows.foreach { row =>
+      assert(row.getLong(4) <= row.getLong(1), "matched rts must be <= ts")
+    }
+    // idempotence: re-optimizing must not stack another limit
+    val again = limited.limit(7)
+    val opt2 = again.queryExecution.optimizedPlan
+    val limits = opt2.collect {
+      case ll: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => ll
+    }
+    assert(limits.size <= 3, s"rule must not stack limits:\n$opt2")
+  }
+
   test("physical plan contains AsOfJoinExec with planner-inserted exchanges") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rts", "w")
