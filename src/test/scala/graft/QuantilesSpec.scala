@@ -76,6 +76,23 @@ class QuantilesSpec extends SparkSuite {
     assert(rows === Map("a" -> 2.0))
   }
 
+  test("results are independent of the input partition layout") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val base = (1 to 1500).map(_ => ("g" + rnd.nextInt(4), rnd.nextDouble() * 100))
+    val reference = Quantiles.exactQuantiles(
+      base.toDF("g", "v"), Seq("g"), "v", qs).collect()
+      .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    // the rank machinery leans on repartitionByRange + MID internals —
+    // any layout sensitivity is a correctness bug, not a perf one
+    for (parts <- Seq(1, 3, 17, 64)) {
+      val df = rnd.shuffle(base).toDF("g", "v").repartition(parts)
+      val got = Quantiles.exactQuantiles(df, Seq("g"), "v", qs).collect()
+        .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(got == reference, s"layout with $parts input partitions changed the result")
+    }
+  }
+
   test("plan carries no TypedImperativeAggregate percentile buffer") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g" + i % 3, i.toDouble)).toDF("g", "v")
