@@ -149,6 +149,34 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    /** Time-series resampling with forward fill — the asfreq/ffill
+      * primitive feature pipelines run before training on event data:
+      * per user, an hourly grid from the first event hour to the last
+      * event, each grid point carrying the latest value at-or-before
+      * it. COMPOSITION showcase: the grid is a per-group
+      * sequence+explode generator and the fill is the NATIVE as-of
+      * join doing what it exists for — so the whole resample is two
+      * narrow stages around one co-partitioned merge, no window over
+      * the grid, no per-user loop. Oracle: DuckDB builds the same grid
+      * and fills with its built-in ASOF. Pre-min(ts) grid points
+      * null-fill (left-outer semantics) in both engines. */
+    "q117_resample_ffill" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id").as("g_user"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("grid_ts"))
+      graft.ops.AsOf.joinBackward(
+          grid,
+          e.select(col("user_id").as("e_user"), col("ts"), col("value")),
+          "g_user", "e_user", "grid_ts", "ts")
+        .select(col("g_user").as("user_id"), col("grid_ts"),
+          col("value").as("ffill_value"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    }),
+
     /** Bloom-gated incremental dedup — q97's semantics with the scale
       * accelerator: a bloom filter over the corpus's 8-byte content
       * hashes (built distributed via stat.bloomFilter's treeAggregate,
@@ -388,6 +416,17 @@ object CorpusOps {
         |WHERE b.doc_id % 10 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM h c WHERE c.doc_id % 10 <> 0 AND c.h = b.h)
         |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
+
+    "q117_resample_ffill" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        |      FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |      FROM b)
+        |SELECT g.user_id AS user_id, g.grid_ts AS grid_ts, e.value AS ffill_value
+        |FROM g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+        |ORDER BY g.user_id NULLS FIRST, g.grid_ts NULLS FIRST""".stripMargin,
 
     // identical semantics to q97 — the bloom gate is an accelerator,
     // not a semantic change, so the oracle is the same exact NOT EXISTS
