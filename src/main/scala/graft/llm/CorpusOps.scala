@@ -177,6 +177,49 @@ object CorpusOps {
         .orderBy(col("user_id"), col("grid_ts"))
     }),
 
+    /** Linear-interpolation resampling — q117's grid with lerp between
+      * the latest event at-or-before and the earliest at-or-after each
+      * grid point: BOTH directions of the native as-of operator
+      * chained. The second merge's left side arrives already
+      * hash-distributed on the user key from the first
+      * (AsOfJoinExec.outputPartitioning = left partitioning), so
+      * EnsureRequirements inserts no new left exchange — the whole
+      * interpolation is grid-gen → one shuffle per side → two linear
+      * merges. Time deltas use unix_micros on both engines (exact
+      * integer micros; cast-to-double seconds would truncate
+      * sub-second fractions differently). */
+    "q118_resample_interp" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id").as("g_user"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("grid_ts"))
+      val withBack = graft.ops.AsOf.joinBackward(
+        grid,
+        e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("value").as("b_val")),
+        "g_user", "b_user", "grid_ts", "b_ts")
+      val both = graft.ops.AsOf.joinForward(
+        withBack,
+        e.select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+          col("value").as("f_val")),
+        "g_user", "f_user", "grid_ts", "f_ts")
+      val g = unix_micros(col("grid_ts")).cast("double")
+      val b = unix_micros(col("b_ts")).cast("double")
+      val f = unix_micros(col("f_ts")).cast("double")
+      both.select(col("g_user").as("user_id"), col("grid_ts"),
+        graft.r6(
+          when(col("b_ts").isNull, col("f_val"))
+            .when(col("f_ts").isNull, col("b_val"))
+            .when(col("f_ts") === col("b_ts"), col("b_val"))
+            .otherwise(col("b_val") +
+              (col("f_val") - col("b_val")) * (g - b) / (f - b)))
+          .as("interp_value"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    }),
+
     /** Bloom-gated incremental dedup — q97's semantics with the scale
       * accelerator: a bloom filter over the corpus's 8-byte content
       * hashes (built distributed via stat.bloomFilter's treeAggregate,
@@ -427,6 +470,32 @@ object CorpusOps {
         |FROM g ASOF LEFT JOIN e
         |  ON g.user_id = e.user_id AND e.ts <= g.grid_ts
         |ORDER BY g.user_id NULLS FIRST, g.grid_ts NULLS FIRST""".stripMargin,
+
+    "q118_resample_interp" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+        |bnd AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        |        FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |      FROM bnd),
+        |bk AS (SELECT g.user_id AS user_id, g.grid_ts AS grid_ts,
+        |       e.ts AS b_ts, e.value AS b_val
+        |       FROM g ASOF LEFT JOIN e
+        |         ON g.user_id = e.user_id AND e.ts <= g.grid_ts),
+        |fw AS (SELECT g.user_id AS user_id, g.grid_ts AS grid_ts,
+        |       e.ts AS f_ts, e.value AS f_val
+        |       FROM g ASOF LEFT JOIN e
+        |         ON g.user_id = e.user_id AND e.ts >= g.grid_ts)
+        |SELECT bk.user_id AS user_id, bk.grid_ts AS grid_ts,
+        |round(CASE
+        |  WHEN b_ts IS NULL THEN f_val
+        |  WHEN f_ts IS NULL THEN b_val
+        |  WHEN f_ts = b_ts THEN b_val
+        |  ELSE b_val + (f_val - b_val)
+        |    * (CAST(epoch_us(bk.grid_ts) AS DOUBLE) - CAST(epoch_us(b_ts) AS DOUBLE))
+        |    / (CAST(epoch_us(f_ts) AS DOUBLE) - CAST(epoch_us(b_ts) AS DOUBLE))
+        |  END, 6) AS interp_value
+        |FROM bk JOIN fw ON bk.user_id = fw.user_id AND bk.grid_ts = fw.grid_ts
+        |ORDER BY bk.user_id NULLS FIRST, bk.grid_ts NULLS FIRST""".stripMargin,
 
     // identical semantics to q97 — the bloom gate is an accelerator,
     // not a semantic change, so the oracle is the same exact NOT EXISTS
