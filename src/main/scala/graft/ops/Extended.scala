@@ -168,6 +168,37 @@ object Extended {
         .orderBy(col("event_type"))
     }),
 
+    /** Six-table analytic join (TPC-H Q5 shape) — local supplier
+      * volume: revenue from lineitems where the customer and supplier
+      * share a nation, within one region and year. The interesting
+      * part at 100 TB is what the optimizer does with a DECLARED
+      * 6-way join: region/nation broadcast down the dim chain, the
+      * c_nationkey = s_nationkey cross-filter applied as a join-level
+      * predicate (not a post-product filter), both fact filters pushed
+      * to scans, and the join order rearranged so the shrinking side
+      * feeds the next build. Nothing here is hand-scheduled. */
+    "q119_local_supplier_volume" -> ((s: SparkSession, dir: String) => {
+      val region = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      val ords = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      region
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .join(cust, col("c_nationkey") === col("n_nationkey"))
+        .join(ords, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
       * linear interpolation), computed via [[Quantiles.exactQuantiles]]
       * — two-phase global ranks instead of Spark's `percentile`
@@ -397,6 +428,18 @@ object Extended {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    "q119_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = c_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin,
 
     "q113_ship_priority" ->
       """SELECT o_orderkey, o_orderdate,
