@@ -168,6 +168,23 @@ object Extended {
         .orderBy(col("event_type"))
     }),
 
+    /** Exact weighted quantiles ([[Quantiles.weightedQuantiles]]):
+      * type-1 weighted p50/p90 of event value with integer importance
+      * weights — the cutoff computation behind importance-weighted
+      * quota sampling. Weighted ranks run on the same bounded-state
+      * two-phase machinery as q55 (the per-(partition, group) offset
+      * table is ≤ partitions + groups − 1 rows because groups are
+      * contiguous under range partitioning). */
+    "q120_weighted_quantiles" -> ((s: SparkSession, dir: String) => {
+      Quantiles.weightedQuantiles(
+          Tables(s, dir, "events")
+            .select(col("event_type"), col("value"),
+              (lit(1L) + pmod(col("event_id"), lit(10L))).as("wt")),
+          Seq("event_type"), "value", "wt",
+          Seq("wp50" -> 0.5, "wp90" -> 0.9))
+        .orderBy(col("event_type"))
+    }),
+
     /** Six-table analytic join (TPC-H Q5 shape) — local supplier
       * volume: revenue from lineitems where the customer and supplier
       * share a nation, within one region and year. The interesting
@@ -428,6 +445,21 @@ object Extended {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    // type-1 weighted quantile: smallest value whose running integer
+    // weight reaches q*W. ROWS-frame cumsum — tied values order
+    // arbitrarily, but the selected min value is tie-invariant
+    "q120_weighted_quantiles" ->
+      """WITH w AS (SELECT event_type, value, 1 + event_id % 10 AS wt FROM events),
+        |c AS (SELECT event_type, value, wt,
+        |      sum(wt) OVER (PARTITION BY event_type ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |      sum(wt) OVER (PARTITION BY event_type) AS tw FROM w)
+        |SELECT event_type,
+        |min(CASE WHEN cw >= 0.5 * tw THEN value END) AS wp50,
+        |min(CASE WHEN cw >= 0.9 * tw THEN value END) AS wp90
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q119_local_supplier_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

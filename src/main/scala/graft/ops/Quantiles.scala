@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact linear-interpolation quantiles (the `percentile` /
@@ -113,5 +114,65 @@ object Quantiles {
         (col(s"_${name}_hi") - col(s"_${name}_lo")) *
           (posOut(q) - floor(posOut(q)))).as(name)
     }: _*)
+  }
+
+  /** Exact WEIGHTED quantiles (type-1 / lower: the smallest value
+    * whose running weight reaches q·totalWeight), per group. The
+    * importance-weighted variant quota/temperature sampling cutoffs
+    * need.
+    *
+    * Same bounded-state design as [[exactQuantiles]], with weighted
+    * ranks instead of row ranks: range-partition on (group, value),
+    * local weight cumsum per (partition, group), then per-(partition,
+    * group) offsets turn local into global running weights. Groups
+    * are CONTIGUOUS under the range partitioning, so the offset table
+    * has at most partitions + groups − 1 rows — the window that
+    * computes prefix offsets runs over that small table, never the
+    * data. Weights must be integral (exact cumulative sums; a double
+    * running weight would make the q·W threshold crossing
+    * float-order-dependent and engine-divergent). */
+  def weightedQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val gcols: Seq[Column] = groupCols.map(col)
+    val v = df.select(gcols ++ Seq(col(valueCol).cast("double").as("_v"),
+        col(weightCol).cast("long").as("_w")): _*)
+      .filter(col("_v").isNotNull && col("_w").isNotNull)
+    val sortCols = gcols :+ col("_v")
+
+    val parted = v.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid") +: gcols: _*)
+      .orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_lcw", sum(col("_w")).over(wLocal)).cache()
+
+    // per-(partition, group) totals — ≤ partitions + groups − 1 rows;
+    // the prefix window below runs over THIS table, not the data
+    val pg = local.groupBy(col("_pid") +: gcols: _*).agg(sum(col("_w")).as("_pgw"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pg.withColumn("_off", coalesce(sum(col("_pgw")).over(wOff), lit(0L)))
+      .select(col("_pid") +: gcols :+ col("_off"): _*)
+
+    val grp =
+      if (groupCols.isEmpty) v.agg(sum(col("_w")).as("_tw"))
+      else v.groupBy(gcols: _*).agg(sum(col("_w")).as("_tw"))
+    val ranked = local
+      .join(broadcast(offsets), ("_pid" +: groupCols).toSeq)
+      .withColumn("_cw", col("_lcw") + col("_off"))
+    val withTotal =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
+      else ranked.join(grp, groupCols)
+
+    val picks = qs.map { case (name, q) =>
+      min(when(col("_cw").cast("double") >= lit(q) * col("_tw").cast("double"),
+        col("_v"))).as(name)
+    }
+    if (groupCols.isEmpty) withTotal.agg(picks.head, picks.tail: _*)
+    else withTotal.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
   }
 }

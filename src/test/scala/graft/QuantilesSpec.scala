@@ -93,6 +93,35 @@ class QuantilesSpec extends SparkSuite {
     }
   }
 
+  test("weighted quantiles match a brute-force reference, independent of layout") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val rows = (1 to 1200).map(_ =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(200).toDouble, (1 + rnd.nextInt(9)).toLong))
+    // brute force: per group sort by value, walk the prefix weights
+    def brute(q: Double): Map[String, Double] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val total = sorted.map(_._3).sum
+        var acc = 0L
+        g -> sorted.collectFirst {
+          case (_, v, w) if { acc += w; acc >= q * total } => v
+        }.get
+      }
+    val expect50 = brute(0.5); val expect90 = brute(0.9)
+    for (parts <- Seq(1, 7, 40)) {
+      val df = rnd.shuffle(rows).toDF("g", "v", "w").repartition(parts)
+      val got = Quantiles.weightedQuantiles(df, Seq("g"), "v", "w",
+        Seq("wp50" -> 0.5, "wp90" -> 0.9)).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      got.foreach { case (g, (p50, p90)) =>
+        assert(p50 == expect50(g), s"$parts parts, group $g p50: $p50 vs ${expect50(g)}")
+        assert(p90 == expect90(g), s"$parts parts, group $g p90: $p90 vs ${expect90(g)}")
+      }
+      assert(got.keySet == expect50.keySet)
+    }
+  }
+
   test("plan carries no TypedImperativeAggregate percentile buffer") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g" + i % 3, i.toDouble)).toDF("g", "v")
