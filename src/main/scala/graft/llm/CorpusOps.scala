@@ -538,6 +538,11 @@ object CorpusOps {
         |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
+    // join condition requires BOTH timestamps non-null so a null-ts
+    // purchase (or a user with only null-ts clicks) null-extends to
+    // asof_click_id NULL — exactly the native operator's null
+    // semantics — instead of the NULLS LAST ordering promoting an
+    // undefined-distance pair to rank 1
     "q107_asof_nearest" ->
       """SELECT user_id, purchase_id, asof_click_id, gap_sec FROM (
         |  SELECT p.user_id, p.event_id AS purchase_id,
@@ -550,7 +555,8 @@ object CorpusOps {
         |        WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT user_id, ts, event_id FROM events
         |             WHERE event_type = 'click') c
-        |    ON p.user_id = c.user_id) t
+        |    ON p.user_id = c.user_id
+        |   AND p.ts IS NOT NULL AND c.ts IS NOT NULL) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 

@@ -157,23 +157,32 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
   }
 
+  /** One decode attempt: exactly one of `features` / `error` is set. */
+  final case class DecodeAttempt(
+    doc_id: Long,
+    features: Option[MediaFeatures],
+    error: Option[String])
+
   /** Lenient decode for UNTRUSTED corpora: at 100 TB some payloads ARE
     * corrupt, and one poison-pill row must not kill a 1000-executor
-    * job. Malformed payloads route to a quarantine side (doc_id +
-    * reason) instead of throwing; the caller writes quarantine rows to
-    * a dead-letter sink and alerts on the rate. Left = quarantined,
-    * Right = decoded. */
+    * job. EVERY failure — malformed header, truncated buffer, even a
+    * NULL payload cell — becomes a quarantine row (doc_id + reason)
+    * instead of a thrown task error. ONE dataset comes back so the
+    * decode runs once however the caller splits it (filter on `error`
+    * for the dead-letter sink, on `features` for the good path;
+    * persist before splitting if both sides materialize separately). */
   def extractFeaturesLenient(spark: SparkSession, media: DataFrame)
-      : (Dataset[(Long, String)], Dataset[MediaFeatures]) = {
+      : Dataset[DecodeAttempt] = {
     import spark.implicits._
-    val attempted = media
-      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+    media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        try Right(decodePng(id, bytes))
-        catch { case e: IllegalArgumentException => Left(id -> e.getMessage) }
+        try DecodeAttempt(id, Some(decodePng(id, bytes)), None)
+        catch { case scala.util.control.NonFatal(e) =>
+          DecodeAttempt(id, None,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        }
       })
-    (attempted.flatMap(_.left.toOption), attempted.flatMap(_.toOption))
   }
 
   val queries: Map[String, Q] = Map(

@@ -73,6 +73,20 @@ object AsOf {
       s"asof: key types differ (${lk.dataType.simpleString} vs ${rk.dataType.simpleString})")
     require(lts.dataType == rts.dataType,
       s"asof: ts types differ (${lts.dataType.simpleString} vs ${rts.dataType.simpleString})")
+    // Nearest computes |left ts - right ts| on the INTERNAL values,
+    // which only works when they are numbers (numeric, timestamp =
+    // micros, date = days). Backward/Forward need only an ordering.
+    // Reject unsupported combinations at plan time — the alternative
+    // is a per-row crash mid-merge after the exchanges already ran.
+    if (direction == AsOfDirection.Nearest) {
+      import org.apache.spark.sql.types._
+      val ok = lts.dataType match {
+        case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      require(ok, s"asof nearest: ts type ${lts.dataType.simpleString} has no " +
+        "numeric distance; use backward/forward, or cast the ts to a numeric/timestamp type")
+    }
     val plan = AsOfJoin(leftPlan, rightDf.queryExecution.analyzed,
       lk, rk, lts, rts, direction)
     GraftSqlBridge.ofRows(spark, plan)

@@ -85,17 +85,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(a.forall(_.features.forall(f => f >= 0f && f < 1f)))
   }
 
-  test("lenient decode quarantines corrupt payloads instead of failing the job") {
+  test("lenient decode quarantines corrupt payloads — including NULL — instead of failing") {
     import spark.implicits._
     val good = Multimodal.synthesizePng(Tables(spark, sf, "documents").limit(5))
     val bad = Seq((9001L, Array[Byte](1, 2, 3)), (9002L, Array.fill[Byte](40)(0)))
       .toDF("doc_id", "payload")
-    val (quarantined, decoded) =
-      Multimodal.extractFeaturesLenient(spark, good.unionByName(bad))
+      // a NULL payload cell is the classic poison pill — must quarantine,
+      // not NPE the task
+      .unionByName(Seq(9003L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    val attempts = Multimodal.extractFeaturesLenient(spark, good.unionByName(bad))
+    val decoded = attempts.filter(_.features.isDefined)
+    val quarantined = attempts.filter(_.error.isDefined)
     assert(decoded.count() == 5)
-    val q = quarantined.collect().toMap
-    assert(q.keySet == Set(9001L, 9002L))
-    assert(q.values.forall(_.contains("PNG")))
+    val q = quarantined.collect().map(a => a.doc_id -> a.error.get).toMap
+    assert(q.keySet == Set(9001L, 9002L, 9003L))
+    assert(q(9001L).contains("PNG") && q(9002L).contains("PNG"))
+    assert(q(9003L).nonEmpty)
   }
 
   test("PNG decode rejects a malformed payload instead of fabricating metadata") {

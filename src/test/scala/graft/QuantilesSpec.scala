@@ -67,6 +67,21 @@ class QuantilesSpec extends SparkSuite {
     assert(r.getDouble(4) === 40.0)
   }
 
+  test("a NULL group key is an ordinary group, matching percentile-over-groupBy") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 20.0),
+      s"null group must survive the rank joins: $got")
+    val wgot = Quantiles.weightedQuantiles(
+        df.withColumn("w", lit(1L)), Seq("g"), "v", "w", Seq("wp50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(wgot == Map(Some("a") -> 1.0, None -> 10.0),
+      s"null group must survive the weighted path too: $wgot")
+  }
+
   test("null values are ignored; all-null group is absent") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
