@@ -95,6 +95,22 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("content_key")
       .drop("content_key")
 
+  /** Streaming equi-width value histogram — the live twin of batch
+    * q116: bucket indexes from the same closed-form arithmetic, state
+    * bounded by the 22 clamp-inclusive buckets regardless of feed
+    * volume (complete output mode costs nothing at that state size).
+    * The profiling shape for watching a feed's value distribution
+    * drift in real time. */
+  def valueHistogram(events: DataFrame): DataFrame = {
+    val bucket = least(greatest(
+      floor((col("value") + lit(100.0)) / lit(10.0)), lit(-1.0)), lit(20.0))
+      .cast("long")
+    events.select(bucket.as("bucket"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+  }
+
   /** Stream-static enrichment: join the live event feed against a
     * static dimension (per-user lifetime profile computed in batch).
     * The static side is broadcast per micro-batch — no shuffle of the

@@ -215,6 +215,21 @@ class StreamingSpec extends SparkSuite {
     assert(streamOutliers == batchOutliers)
   }
 
+  test("streaming value histogram converges to the batch q116 buckets") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.valueHistogram(stream), "vhist", "complete")
+    val streamed = spark.table("vhist").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = ops.Extended.queries("q116_value_histogram")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // q116 rounds lo/hi to 6 decimals for the oracle; round here too
+    def r6m(m: Map[Long, (Long, Double, Double)]) =
+      m.view.mapValues { case (n, lo, hi) =>
+        (n, math.rint(lo * 1e6) / 1e6, math.rint(hi * 1e6) / 1e6) }.toMap
+    assert(r6m(streamed) == r6m(batch),
+      s"histogram drift: streamed ${streamed.size} buckets vs batch ${batch.size}")
+  }
+
   test("live incident feed: streaming dashboard metrics track batch across appends") {
     import graft.incidents.IncidentLog
     import graft.incidents.IncidentLog.Incident
