@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to the console instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks any downstream parser expecting a bare JSON line from
+// graft.Bench / graft.Verify (four rounds of BENCH parsed:null).
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,7 +55,12 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop Spark BEFORE printing: the metric line must be the process's
+    // final stdout output, after any shutdown logging (build.sbt sets
+    // outputStrategy := StdoutOutput so sbt does not prefix it with
+    // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -23,12 +23,22 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * May return false positives (tunable fpp), NEVER false negatives:
   * callers use it to prune definite non-members early and verify the
-  * survivors exactly (see q108 — bloom-gated incremental dedup). */
-case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+  * survivors exactly (see q108 — bloom-gated incremental dedup).
+  *
+  * The filter travels as an immutable `ArraySeq[Byte]`, NOT a raw
+  * `Array[Byte]`: a case class holding an array compares by REFERENCE,
+  * so two semantically identical probes would never be `equals` —
+  * defeating every canonicalization-based optimization
+  * (subexpression elimination, exchange/subplan reuse) for plans that
+  * build the probe twice. ArraySeq wraps the same bytes copy-free with
+  * element-wise equals/hashCode. */
+case class BloomMightContainLong(child: Expression,
+    filterBytes: scala.collection.immutable.ArraySeq[Byte])
   extends UnaryExpression {
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.unsafeArray
+      .asInstanceOf[Array[Byte]]))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -61,6 +71,7 @@ object BloomFunctions {
       out.toByteArray
     }
     org.apache.spark.sql.GraftSqlBridge.column(
-      BloomMightContainLong(org.apache.spark.sql.GraftSqlBridge.expression(c), bytes))
+      BloomMightContainLong(org.apache.spark.sql.GraftSqlBridge.expression(c),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)))
   }
 }

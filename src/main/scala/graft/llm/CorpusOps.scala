@@ -29,32 +29,17 @@ object CorpusOps {
     /** Concat-and-chunk sequence packing (GPT-style pretraining): docs
       * concatenate in deterministic doc_id order into one token stream
       * split every `ctx` tokens; emit each doc's chunk span. The global
-      * running token count uses the q67 two-phase pattern —
-      * repartitionByRange + per-partition cumsum + tiny per-partition
-      * offset broadcast — NEVER an unpartitioned Window (which funnels
-      * 100 TB through one task). Driver traffic is one scalar per
-      * partition, bounded by cluster width. */
+      * running token count is [[graft.ops.GlobalRank.withRunningSum]]:
+      * repartitionByRange + narrow per-partition cumsum + prefix
+      * offsets over the bounded counts table, all ONE plan — NEVER an
+      * unpartitioned Window (which funnels 100 TB through one task),
+      * never a driver collect (two actions can see divergent
+      * per-execution range bounds). */
     "q94_pack_sequences" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val parted = toks.repartitionByRange(col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = parted
-        .withColumn("lsum", sum(col("n_tok")).over(wLocal)).cache()
-      // max local cumsum = the partition's token total
-      val totals = local.groupBy(col("pid")).agg(max(col("lsum")).as("tot"))
-        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("tot"))
-        .sortBy(_._1)
-      var acc = 0L
-      val offsets = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
-      val offDf = offsets.toSeq.toDF("pid", "off")
-      local.join(broadcast(offDf), Seq("pid"))
-        .withColumn("running", col("lsum") + col("off"))
+      graft.ops.GlobalRank.withRunningSum(toks, Seq(col("doc_id")), "n_tok", "running")
         .select(col("doc_id"), col("n_tok"),
           expr(s"(running - n_tok) div $ctx").as("chunk_first"),
           expr(s"(running - 1) div $ctx").as("chunk_last"),
@@ -97,35 +82,22 @@ object CorpusOps {
       * that never reshuffles on re-run. A plain
       * Window.partitionBy(lang) would funnel each language into ONE
       * task (5 languages = 5 tasks over the whole corpus), so the
-      * per-language rank uses the q67 two-phase pattern generalized to
-      * groups: range-partition by (lang, skey, doc_id), local
-      * row_number per (partition, lang) cell, then add per-language
-      * prefix offsets (one small count row per cell crosses the
-      * driver — bounded by cluster width × languages). */
+      * per-language rank rides a GLOBAL row number over the
+      * (lang, skey, doc_id) total order
+      * ([[graft.ops.GlobalRank.withRowNumbers]] — one plan, one range
+      * exchange, no driver collect): languages are contiguous in that
+      * order, so rank-within-language = rn − the language's first rn
+      * + 1, with the tiny per-language firsts table broadcast back. */
     "q96_stratified_sample" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
       val skey = substring(
         sha2(concat(col("doc_id").cast("string"), col("text")), 256), 1, 16)
-      val parted = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), skey.as("skey"))
-        .repartitionByRange(col("lang"), col("skey"), col("doc_id"))
-        .sortWithinPartitions(col("lang"), col("skey"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val wCell = Window.partitionBy(col("pid"), col("lang"))
-        .orderBy(col("skey"), col("doc_id"))
-      val local = parted.withColumn("lrn", row_number().over(wCell)).cache()
-      val counts = local.groupBy(col("pid"), col("lang"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getAs[Int]("pid"), r.getAs[String]("lang"),
-          r.getAs[Long]("cnt")))
-      val offsets = counts.groupBy(_._2).toSeq.flatMap { case (lang, cells) =>
-        var acc = 0L
-        cells.sortBy(_._1).map { case (pid, _, cnt) =>
-          val o = acc; acc += cnt; (pid, lang, o) }
-      }
-      val offDf = offsets.toDF("pid", "lang", "off")
-      local.join(broadcast(offDf), Seq("pid", "lang"))
-        .withColumn("rk", (col("lrn") + col("off")).cast("long"))
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), skey.as("skey")),
+        Seq(col("lang"), col("skey"), col("doc_id")), "_rn")
+      val firsts = ranked.groupBy(col("lang")).agg(min(col("_rn")).as("_first"))
+      ranked.join(broadcast(firsts), Seq("lang"))
+        .withColumn("rk", col("_rn") - col("_first") + 1)
         .filter(col("rk") <= 20)
         .select(col("lang"), col("rk"), col("doc_id"), col("skey"))
         .orderBy(col("lang"), col("rk"))
@@ -336,6 +308,32 @@ object CorpusOps {
         .orderBy(col("user_id"), col("purchase_id"))
     }),
 
+    /** Bounded as-of: backward with a 1-HOUR tolerance — the pandas
+      * `merge_asof(tolerance=)` / production form where a stale match
+      * is worse than no match. The merge cursor already holds the
+      * closest admissible candidate, so the bound is a post-pick
+      * distance check (tolerance is in the ts type's internal units;
+      * timestamps = microseconds): candidates farther than 1h
+      * null-extend. On this feed the bound bites hard — ~98% of
+      * purchases lose their stale click match (median gap ≈ 36h).
+      * Oracle: the declarative argmax-with-bound (row_number over
+      * clicks ≤ ts within the bound). */
+    "q121_asof_tolerance" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.ops.AsOf.joinBackward(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts", tolerance = Some(3600e6 /* 1h in µs */))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("c_id").as("asof_click_id"),
+          graft.r6(col("ts").cast("double") - col("c_ts").cast("double"))
+            .as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
     /** Batch twin of the streaming purchase-click attribution
       * (EventStreams.purchaseClickAttribution): every (purchase, click)
       * pair of the same user with the click inside the preceding hour.
@@ -372,19 +370,20 @@ object CorpusOps {
 
     /** Per-group winsorization — outlier clipping to the [p05, p95]
       * band before aggregation, the standard robust-stats step before
-      * training-signal aggregation. Two passes: one grouped exact
-      * quantile pass (tiny result, broadcast back), one clip +
-      * re-aggregate. The bounds come from the two-phase rank quantile
-      * ([[graft.ops.Quantiles]]) — `value` is a mostly-distinct double,
-      * exactly the column where `percentile`'s value→count buffer
-      * grows O(n) per group. Reports mean before/after and the
-      * clipped-row count per event_type. */
+      * training-signal aggregation. ONE scan: the clip + re-aggregate
+      * reads the same ranked intermediate the quantile bounds came from
+      * ([[graft.ops.Quantiles.withQuantiles]] — rows and bounds both
+      * hang off one range exchange; the former compose-by-join shape
+      * re-scanned `events` per bound join, a 5× scan multiplier that IS
+      * the query cost at 100 TB). `value` is a mostly-distinct double,
+      * exactly the column where `percentile`'s value→count buffer grows
+      * O(n) per group. Reports mean before/after and the clipped-row
+      * count per event_type. */
     "q103_winsorize" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "events")
         .select(col("event_type"), col("value"))
-      val bounds = graft.ops.Quantiles.exactQuantiles(
-        e, Seq("event_type"), "value", Seq("lo" -> 0.05, "hi" -> 0.95))
-      e.join(broadcast(bounds), Seq("event_type"))
+      graft.ops.Quantiles.withQuantiles(
+          e, Seq("event_type"), "value", Seq("lo" -> 0.05, "hi" -> 0.95))
         .select(col("event_type"), col("value"),
           greatest(col("lo"), least(col("hi"), col("value"))).as("clipped"),
           (col("value") < col("lo") || col("value") > col("hi"))
@@ -557,6 +556,24 @@ object CorpusOps {
         |             WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id
         |   AND p.ts IS NOT NULL AND c.ts IS NOT NULL) t
+        |WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    // argmax-with-bound: latest click ≤ purchase ts AND within 1 hour;
+    // the epoch_us bound mirrors the operator's internal-unit distance
+    "q121_asof_tolerance" ->
+      """SELECT user_id, purchase_id, asof_click_id, gap_sec FROM (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |  c.event_id AS asof_click_id,
+        |  round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY c.ts DESC NULLS LAST) AS rn
+        |  FROM (SELECT user_id, ts, event_id FROM events
+        |        WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |             WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000) t
         |WHERE rn = 1
         |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 

@@ -220,7 +220,13 @@ object TextDedup {
       // measured ~25% slower; a bit-packed 10-long accumulator of
       // six 10-bit counters each measured ~18% slower for the same
       // reason. The allocation per token dominates, not the passes.)
-      val hs = docs.select(col("doc_id"), expr(
+      // null-text docs are dropped EXPLICITLY: the former explode-based
+      // shape dropped them implicitly, but aggregate() over a null
+      // array yields null votes and the when(...).otherwise(0) bit
+      // assembly would fold every null-text doc to fp=0 — silently
+      // band-joining them all into one bogus near-dup cluster
+      val hs = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), expr(
         """transform(split(text, ' '),
           |  t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"""
           .stripMargin).as("hs"))

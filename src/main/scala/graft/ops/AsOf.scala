@@ -16,28 +16,43 @@ import graft.plans.{AsOfDirection, AsOfJoin, AsOfJoinStrategy,
   *
   * Directions mirror pandas `merge_asof` / DuckDB's ASOF inequality:
   * backward (right ts ≤ left ts, the default), forward (right ts ≥
-  * left ts), nearest (closer of the two; tie → backward). */
+  * left ts), nearest (closer of the two; tie → backward).
+  *
+  * `tolerance` mirrors pandas `merge_asof(tolerance=)`: the maximum
+  * admissible |left ts − right ts| in the ts type's INTERNAL units
+  * (MICROSECONDS for timestamp, days for date, the raw value for
+  * numerics) — a candidate farther than the bound null-extends instead
+  * of matching, because in production a stale match is worse than no
+  * match. Requires a numerically-representable ts type, like
+  * nearest. */
 object AsOf {
 
   def joinBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame =
-    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Backward)
+      leftTs: String, rightTs: String,
+      tolerance: Option[Double] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs,
+      AsOfDirection.Backward, tolerance)
 
   def joinForward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame =
-    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Forward)
+      leftTs: String, rightTs: String,
+      tolerance: Option[Double] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs,
+      AsOfDirection.Forward, tolerance)
 
   def joinNearest(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame =
-    join(left, right, leftKey, rightKey, leftTs, rightTs, AsOfDirection.Nearest)
+      leftTs: String, rightTs: String,
+      tolerance: Option[Double] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs,
+      AsOfDirection.Nearest, tolerance)
 
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      direction: AsOfDirection): DataFrame = {
+      direction: AsOfDirection,
+      tolerance: Option[Double] = None): DataFrame = {
     val spark = left.sparkSession
     // check BOTH registration paths: a session built with
     // spark.sql.extensions=GraftExtensions carries the strategy in
@@ -73,22 +88,26 @@ object AsOf {
       s"asof: key types differ (${lk.dataType.simpleString} vs ${rk.dataType.simpleString})")
     require(lts.dataType == rts.dataType,
       s"asof: ts types differ (${lts.dataType.simpleString} vs ${rts.dataType.simpleString})")
-    // Nearest computes |left ts - right ts| on the INTERNAL values,
-    // which only works when they are numbers (numeric, timestamp =
-    // micros, date = days). Backward/Forward need only an ordering.
-    // Reject unsupported combinations at plan time — the alternative
-    // is a per-row crash mid-merge after the exchanges already ran.
-    if (direction == AsOfDirection.Nearest) {
+    // Nearest (and any tolerance bound) computes |left ts - right ts|
+    // on the INTERNAL values, which only works when they are numbers
+    // (numeric, timestamp = micros, date = days). Backward/Forward
+    // without tolerance need only an ordering. Reject unsupported
+    // combinations at plan time — the alternative is a per-row crash
+    // mid-merge after the exchanges already ran.
+    if (direction == AsOfDirection.Nearest || tolerance.isDefined) {
       import org.apache.spark.sql.types._
       val ok = lts.dataType match {
         case _: NumericType | TimestampType | TimestampNTZType | DateType => true
         case _ => false
       }
-      require(ok, s"asof nearest: ts type ${lts.dataType.simpleString} has no " +
-        "numeric distance; use backward/forward, or cast the ts to a numeric/timestamp type")
+      require(ok, s"asof: ts type ${lts.dataType.simpleString} has no numeric " +
+        "distance (needed for nearest/tolerance); use backward/forward without " +
+        "tolerance, or cast the ts to a numeric/timestamp type")
     }
+    tolerance.foreach(t => require(t >= 0,
+      s"asof: tolerance must be non-negative, got $t"))
     val plan = AsOfJoin(leftPlan, rightDf.queryExecution.analyzed,
-      lk, rk, lts, rts, direction)
+      lk, rk, lts, rts, direction, tolerance)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -306,13 +306,19 @@ object Extended {
       * the product runs as a shuffled EQUI-join on (ka, kb). Every
       * unordered vector pair materializes exactly once (off-diagonal
       * blocks once by construction; diagonal blocks deduped by
-      * d1 < d2), work spreads over B(B+1)/2 independent tasks (raise B
-      * with cluster width — fan-out per row is B+1 replicas), and AQE
-      * can coalesce/split the exchange like any other shuffle. No
-      * BroadcastNestedLoopJoin anywhere in the suite. */
+      * d1 < d2), work spreads over B(B+1)/2 independent tasks, and AQE
+      * can coalesce/split the exchange like any other shuffle. The
+      * suite-wide invariant (enforced by PlanQualitySpec) is no
+      * UNBOUNDED nested-loop/cartesian plan — a handful of queries do
+      * plan BroadcastNestedLoopJoins whose broadcast side is provably
+      * bounded (fixed probe/centroid counts), each allowlisted there;
+      * this query's point is that the O(n²) pair space itself needs no
+      * nested loop at all. B is a session knob (`graft.embed.blocks`,
+      * default 8): raise it with cluster width — fan-out per row is
+      * B+1 replicas and task count grows as B(B+1)/2. */
     "q51_embed_neardup" -> ((s: SparkSession, dir: String) => {
       graft.functions.VectorFunctions.register(s)
-      val B = 8
+      val B = s.conf.getOption("graft.embed.blocks").map(_.toInt).getOrElse(8)
       val e = Tables(s, dir, "embeddings")
       // left role: own block is ka, partner block kb ranges upward
       val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb_a"),

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global row numbers / running sums over a total order —
+  * the two-phase range-partition pattern, built as ONE logical plan.
+  *
+  * The scale problem: an unpartitioned `Window.orderBy(...)` funnels
+  * the entire dataset through a single WindowExec task; at 100 TB that
+  * task never finishes. The classic fix is range-partition on the sort
+  * key, number rows locally per partition, and add per-partition prefix
+  * offsets. The TRAP in that fix is computing the offsets with a
+  * driver-side `collect()` of the per-partition counts: that splits the
+  * computation into two ACTIONS over the same range exchange, and
+  * `repartitionByRange` samples its partition bounds with a
+  * per-execution seed — the two actions can disagree on the layout and
+  * silently corrupt every rank (a `.cache()` only masks it until
+  * eviction). See the round-4 fix in [[Quantiles]] (commit `898b510`).
+  *
+  * Here everything is one plan: the counts/offsets branch and the
+  * ranked branch share the SAME range exchange (ReuseExchange dedupes
+  * them — one execution, one layout), and the prefix sum runs as a
+  * window over the per-partition COUNTS table, which has at most one
+  * row per partition — bounded by cluster width, never by data size.
+  * Nothing is collected, nothing is cached. The counts window is
+  * partitioned by a literal key: it is single-partition by design
+  * (the table is tiny), and the literal keeps WindowExec from logging
+  * the no-partition warning on every run.
+  */
+object GlobalRank {
+
+  /** All rows of the tiny counts table share this constant partition
+    * key — single-partition ON PURPOSE (≤ one row per DATA partition
+    * flows through the window) without WindowExec's "No Partition
+    * Defined" warning drowning real log anomalies. It must be derived
+    * from a column, not `lit(0)`: Spark 4's EliminateWindowPartitions
+    * strips foldable partition expressions, which would restore the
+    * empty spec and the warning. */
+  private[ops] def constKey(pidCol: Column): Column = pmod(pidCol, lit(1))
+
+  /** Prefix window over the tiny per-partition counts table. */
+  private def countsWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(constKey(col("_gr_pid"))).orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+  /** Adds a 1-based global row number `rnCol` over the total order of
+    * `sortCols` (and optionally the total row count `totalCol`, the
+    * same long on every row) to `df` — distributed, one plan.
+    *
+    * Local positions come from `monotonically_increasing_id` after the
+    * range shuffle + local sort: it encodes exactly
+    * (partition id << 33) + row-position-in-partition as a narrow
+    * codegen'd projection, where a `Window.partitionBy(pid)` would
+    * re-shuffle and re-sort data the exchange just ordered. Ties in
+    * `sortCols` get arbitrary but CONSISTENT numbers — pass a
+    * tie-breaking column for determinism. */
+  def withRowNumbers(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rnCol: String,
+      totalCol: Option[String] = None): DataFrame = {
+    val local = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33).cast("int"))
+      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("_gr_mid")
+    // the MID local position is 33 bits; a partition would need 8.5
+    // billion rows to overflow it — fail loud rather than rank wrong if
+    // the partitioning is ever that degenerate
+    val counts = local.groupBy(col("_gr_pid")).agg(count(lit(1)).as("_gr_cnt"))
+      .withColumn("_gr_cnt", when(col("_gr_cnt") >= (1L << 33), raise_error(lit(
+        "global rank: a partition exceeds 2^33 rows — repartition finer first")))
+        .otherwise(col("_gr_cnt")))
+    val base = counts
+      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(countsWindow), lit(0L)))
+    val offsets = totalCol match {
+      case Some(t) => base
+        .withColumn(t, sum(col("_gr_cnt"))
+          .over(Window.partitionBy(constKey(col("_gr_pid")))))
+        .select(col("_gr_pid"), col("_gr_off"), col(t))
+      case None => base.select(col("_gr_pid"), col("_gr_off"))
+    }
+    local.join(broadcast(offsets), "_gr_pid")
+      .withColumn(rnCol, col("_gr_lrn") + col("_gr_off"))
+      .drop("_gr_pid", "_gr_lrn")
+  }
+
+  /** Adds the global running sum `outCol` of long column `valueCol`
+    * (inclusive of the current row) over the total order of `sortCols`
+    * — distributed, one plan.
+    *
+    * The local cumulative sum runs as a narrow `mapPartitions` in the
+    * order the range exchange already produced (a
+    * `Window.partitionBy(pid)` would re-shuffle and re-sort); the
+    * per-partition totals then turn local into global sums through the
+    * same bounded counts-table window as [[withRowNumbers]].
+    * `valueCol` must be a non-null long — filter/coalesce first. */
+  def withRunningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    val vIdx = parted.schema.fieldIndex(valueCol)
+    val outSchema = parted.schema.add("_gr_lcw", LongType, false)
+    val local = parted.mapPartitions { it =>
+      var acc = 0L
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }(Encoders.row(outSchema))
+    val totals = local.groupBy(col("_gr_pid")).agg(max(col("_gr_lcw")).as("_gr_cnt"))
+    val offsets = totals
+      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(countsWindow), lit(0L)))
+      .select(col("_gr_pid"), col("_gr_off"))
+    local.join(broadcast(offsets), "_gr_pid")
+      .withColumn(outCol, col("_gr_lcw") + col("_gr_off"))
+      .drop("_gr_pid", "_gr_lcw")
+  }
+}

@@ -12,14 +12,13 @@ import org.apache.spark.sql.functions._
   * value→count map per group — O(distinct values) executor memory, an
   * unbounded agg buffer on mostly-distinct doubles at 100 TB. This
   * operator instead materializes exact per-group ranks with the
-  * two-phase global-row-number pattern (range repartition on
-  * (group, value) → per-partition row_number → add per-partition
-  * offsets; the only driver traffic is ONE scalar per partition,
-  * bounded by cluster width) and then picks the two rank-adjacent
-  * values each quantile interpolates between with a plain conditional
-  * aggregation. Every stage is a shuffle Spark already does well:
-  * nothing is buffered per group, nothing is collected per row, and
-  * skewed groups spread over many range partitions instead of one
+  * two-phase global-row-number pattern ([[GlobalRank.withRowNumbers]]:
+  * range repartition on (group, value) → local positions → per-partition
+  * prefix offsets computed in the SAME plan) and then picks the two
+  * rank-adjacent values each quantile interpolates between with a plain
+  * conditional aggregation. Every stage is a shuffle Spark already does
+  * well: nothing is buffered per group, nothing is collected per row,
+  * and skewed groups spread over many range partitions instead of one
   * window task.
   *
   * Interpolation matches `percentile` exactly: pos = q·(n−1),
@@ -32,17 +31,77 @@ import org.apache.spark.sql.functions._
   * `percentile` would emit a null row) — callers here never feed such
   * groups. A NULL group KEY is an ordinary group (null-safe joins
   * throughout), matching groupBy semantics.
-  */
+  *
+  * Rank integrity is ASSERTED in-plan: the per-group rank span must
+  * tile exactly 0..n−1. Correctness rests on the counts branch and the
+  * ranked branch reading ONE execution of the range exchange
+  * (ReuseExchange); if that ever fails — `spark.sql.exchange.reuse`
+  * disabled, canonicalization divergence — the layouts can differ and
+  * every rank silently shifts. The span check turns that silent
+  * corruption into a loud error for the price of two extra aggregate
+  * columns. */
 object Quantiles {
 
   /** Inner join on `keys` with NULL-SAFE equality — a plain equi-join
     * would silently drop any group whose key is NULL (the groupBy
-    * side emits the null group; the join back would not match it). */
+    * side emits the null group; the join back would not match it).
+    * `hint` optionally marks the right side (e.g. "broadcast"). */
   private def nullSafeJoin(left: DataFrame, right: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], broadcastRight: Boolean = false): DataFrame = {
     val renamed = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"_ns_$k"))
+    val r = if (broadcastRight) broadcast(renamed) else renamed
     val cond = keys.map(k => col(k) <=> col(s"_ns_$k")).reduce(_ && _)
-    left.join(renamed, cond).drop(keys.map(k => s"_ns_$k"): _*)
+    left.join(r, cond).drop(keys.map(k => s"_ns_$k"): _*)
+  }
+
+  /** Shared core: rows as (groupCols, _v double, _gr 0-based per-group
+    * rank, _n group size) — one plan, one range exchange. */
+  private def groupRanked(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val gcols: Seq[Column] = groupCols.map(col)
+    val v = df.select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val ranked = GlobalRank.withRowNumbers(v, gcols :+ col("_v"), "_rn")
+    // per-group 0-based rank from the group's first global row number
+    // (groups are contiguous in the total order)
+    val grp =
+      if (groupCols.isEmpty) ranked.agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+      else ranked.groupBy(gcols: _*).agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+    // global case: grp is provably ONE row — broadcast it. Grouped
+    // case: grp is one row PER GROUP, which callers may make huge
+    // (per-user quantiles) — no forced broadcast; AQE picks BHJ when
+    // the runtime size is small and a shuffle join when it is not.
+    (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
+     else nullSafeJoin(ranked, grp, groupCols))
+      .withColumn("_gr", col("_rn") - col("_first"))
+  }
+
+  /** Quantile bounds per group from [[groupRanked]] rows, with the
+    * rank-span integrity assert woven in (see object doc). */
+  private def boundsOf(withRank: DataFrame, groupCols: Seq[String],
+      qs: Seq[(String, Double)]): DataFrame = {
+    val gcols: Seq[Column] = groupCols.map(col)
+    def pos(q: Double): Column = lit(q) * (col("_n") - 1).cast("double")
+    val picks = qs.flatMap { case (name, q) =>
+      Seq(
+        max(when(col("_gr") === floor(pos(q)).cast("long"), col("_v"))).as(s"_${name}_lo"),
+        max(when(col("_gr") === ceil(pos(q)).cast("long"), col("_v"))).as(s"_${name}_hi"))
+    } ++ Seq(max(col("_n")).as("_n_out"), max(col("_gr")).as("_max_gr"))
+    val agged =
+      if (groupCols.isEmpty) withRank.agg(picks.head, picks.tail: _*)
+      else withRank.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+    // assert_true yields NULL on success; the filter keeps the check in
+    // the executed plan (an unreferenced guard column would be pruned)
+    val guarded = agged.filter(assert_true(col("_max_gr") === col("_n_out") - 1,
+      lit("exact quantiles: per-group ranks do not tile 0..n-1 — the range " +
+        "exchange executed with divergent layouts (is spark.sql.exchange.reuse " +
+        "disabled?)")).isNull)
+    val posOut = (q: Double) => lit(q) * (col("_n_out") - 1).cast("double")
+    guarded.select(gcols ++ qs.map { case (name, q) =>
+      (col(s"_${name}_lo") +
+        (col(s"_${name}_hi") - col(s"_${name}_lo")) *
+          (posOut(q) - floor(posOut(q)))).as(name)
+    }: _*)
   }
 
   /** One row per group: `groupCols ++ qs.map(_._1)` with each named
@@ -52,84 +111,27 @@ object Quantiles {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame =
+    boundsOf(groupRanked(df, groupCols, valueCol), groupCols, qs)
+
+  /** Every (non-null-value) input row, annotated with its group's exact
+    * quantiles: `groupCols :+ valueCol :+ qs names`. The winsorize /
+    * clip-to-band shape: downstream clips and re-aggregates WITHOUT
+    * re-scanning the table — rows and bounds both hang off the same
+    * range exchange, so the whole pipeline reads the source once. The
+    * bounds table is one row per group and broadcast back onto the
+    * rows. */
+  def withQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
       qs: Seq[(String, Double)]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val gcols: Seq[Column] = groupCols.map(col)
-    val v = df.select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
-      .filter(col("_v").isNotNull)
-    val sortCols = gcols :+ col("_v")
-
-    // phase 1: global row numbers over the (group, value) total order —
-    // never a single-partition window over the DATA (q67 pattern).
-    // Local positions come from monotonically_increasing_id, which
-    // after the range shuffle + local sort encodes exactly
-    // (partition id << 33) + row-position-in-partition as a NARROW
-    // codegen'd projection — a Window.partitionBy(pid) here would
-    // re-shuffle and re-sort the whole dataset just to count rows it
-    // already has in order. Range partition ids ascend in key order,
-    // so prefix sums of the per-partition counts turn local positions
-    // into global ranks. The prefix sum runs as a window over the
-    // COUNTS TABLE (≤ one row per partition, bounded by cluster
-    // width, not data size) inside the SAME plan: a driver collect
-    // here would split the computation into two actions, and
-    // repartitionByRange SAMPLES with a per-execution seed — two
-    // actions can disagree on the partition bounds, silently
-    // corrupting every rank. One plan ⇒ one exchange execution
-    // (ReuseExchange) ⇒ one consistent layout; nothing is cached.
-    val local = v.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
-      .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
-      .drop("_mid")
-    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val wOff = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the MID local position is 33 bits; the range partitioner would
-    // need an 8.5-billion-row partition to overflow it, but fail loud
-    // rather than rank wrong if partitioning is ever that degenerate
-    val offsets = counts
-      .withColumn("_cnt", when(col("_cnt") >= (1L << 33), raise_error(lit(
-        "exact quantiles: a partition exceeds 2^33 rows — repartition finer first")))
-        .otherwise(col("_cnt")))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val ranked = local.join(broadcast(offsets), "_pid")
-      .withColumn("_rn", col("_lrn") + col("_off"))
-
-    // phase 2: per-group 0-based rank from the group's first global row
-    // number (groups are contiguous in the total order), then each
-    // quantile's two bracketing values by conditional aggregation
-    val grp =
-      if (groupCols.isEmpty) ranked.agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
-      else ranked.groupBy(gcols: _*).agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
-    // global case: grp is provably ONE row — broadcast it. Grouped
-    // case: grp is one row PER GROUP, which callers may make huge
-    // (per-user quantiles) — no forced broadcast; AQE picks BHJ when
-    // the runtime size is small and a shuffle join when it is not.
-    val withRank =
-      (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
-       else nullSafeJoin(ranked, grp, groupCols))
-        .withColumn("_gr", col("_rn") - col("_first"))
-
-    def pos(q: Double): Column = lit(q) * (col("_n") - 1).cast("double")
-    val picks = qs.flatMap { case (name, q) =>
-      Seq(
-        max(when(col("_gr") === floor(pos(q)).cast("long"), col("_v"))).as(s"_${name}_lo"),
-        max(when(col("_gr") === ceil(pos(q)).cast("long"), col("_v"))).as(s"_${name}_hi"))
-    } :+ max(col("_n")).as("_n_out")
-    val agged =
-      if (groupCols.isEmpty) withRank.agg(picks.head, picks.tail: _*)
-      else withRank.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
-
-    val posOut = (q: Double) => lit(q) * (col("_n_out") - 1).cast("double")
-    agged.select(gcols ++ qs.map { case (name, q) =>
-      (col(s"_${name}_lo") +
-        (col(s"_${name}_hi") - col(s"_${name}_lo")) *
-          (posOut(q) - floor(posOut(q)))).as(name)
-    }: _*)
+    val withRank = groupRanked(df, groupCols, valueCol)
+    val bounds = boundsOf(withRank, groupCols, qs)
+    val rows = withRank.select(gcols :+ col("_v").as(valueCol): _*)
+    if (groupCols.isEmpty) rows.crossJoin(broadcast(bounds))
+    else nullSafeJoin(rows, bounds, groupCols, broadcastRight = true)
   }
 
   /** Exact WEIGHTED quantiles (type-1 / lower: the smallest value
@@ -148,9 +150,12 @@ object Quantiles {
     * partitions + groups − 1 rows — the prefix window runs over that
     * small table, never the data. Weights must be integral (exact
     * cumulative sums; a double running weight would make the q·W
-    * threshold crossing float-order-dependent and engine-divergent).
-    * NULL group keys are retained (null-safe joins), matching
-    * groupBy semantics. */
+    * threshold crossing float-order-dependent and engine-divergent)
+    * and NON-NEGATIVE — a negative weight breaks the monotonicity of
+    * the running weight and would silently mis-pick the threshold
+    * crossing, so it raises instead (same fail-loud stance as the
+    * 2^33 partition-size check). NULL group keys are retained
+    * (null-safe joins), matching groupBy semantics. */
   def weightedQuantiles(
       df: DataFrame,
       groupCols: Seq[String],
@@ -161,6 +166,10 @@ object Quantiles {
     val v = df.select(gcols ++ Seq(col(valueCol).cast("double").as("_v"),
         col(weightCol).cast("long").as("_w")): _*)
       .filter(col("_v").isNotNull && col("_w").isNotNull)
+      .withColumn("_w", when(col("_w") < 0, raise_error(concat(
+        lit("weighted quantiles: negative weight "), col("_w").cast("string"),
+        lit(" — running cumulative weight must be monotone"))))
+        .otherwise(col("_w")))
     val sortCols = gcols :+ col("_v")
 
     val parted = v.repartitionByRange(sortCols: _*)
@@ -183,9 +192,16 @@ object Quantiles {
     }(org.apache.spark.sql.Encoders.row(outSchema))
 
     // per-(partition, group) totals — ≤ partitions + groups − 1 rows;
-    // the prefix window below runs over THIS table, not the data
+    // the prefix window below runs over THIS table, not the data.
+    // No groups ⇒ partition by a non-foldable constant key:
+    // single-partition by design over the tiny table, without
+    // WindowExec's no-partition warning burying real log anomalies
+    // (lit(0) would be stripped by EliminateWindowPartitions — see
+    // GlobalRank.constKey).
     val pg = local.groupBy(col("_pid") +: gcols: _*).agg(max(col("_lcw")).as("_pgw"))
-    val wOff = Window.partitionBy(gcols: _*).orderBy(col("_pid"))
+    val wOff = (if (groupCols.isEmpty) Window.partitionBy(GlobalRank.constKey(col("_pid")))
+                else Window.partitionBy(gcols: _*))
+      .orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = pg.withColumn("_off", coalesce(sum(col("_pgw")).over(wOff), lit(0L)))
       .select(col("_pid") +: gcols :+ col("_off"): _*)
@@ -202,8 +218,16 @@ object Quantiles {
     val picks = qs.map { case (name, q) =>
       min(when(col("_cw").cast("double") >= lit(q) * col("_tw").cast("double"),
         col("_v"))).as(name)
-    }
-    if (groupCols.isEmpty) withTotal.agg(picks.head, picks.tail: _*)
-    else withTotal.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+    } :+ max(col("_cw")).as("_max_cw") :+ max(col("_tw")).as("_tw_out")
+    val agged =
+      if (groupCols.isEmpty) withTotal.agg(picks.head, picks.tail: _*)
+      else withTotal.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+    // same integrity stance as boundsOf: the final cumulative weight of
+    // each group must equal the group's total weight, or the offsets
+    // branch and the data branch saw different exchange layouts
+    agged.filter(assert_true(col("_max_cw") === col("_tw_out"),
+      lit("weighted quantiles: cumulative weights do not reach the group total " +
+        "— the range exchange executed with divergent layouts")).isNull)
+      .drop("_max_cw", "_tw_out")
   }
 }

@@ -85,46 +85,38 @@ object Statistics {
       * tie-break): ntile quartiles, percent_rank, cume_dist —
       * computed DISTRIBUTED. An unpartitioned Window funnels every row
       * into one partition (Spark's WindowExec), the classic global-rank
-      * scale trap; instead: range-partition by the sort key, rank
-      * locally per partition, then add per-partition offsets. Only one
-      * tiny row per PARTITION crosses the driver — bounded by cluster
-      * width, not data size. The rank family derives from the global
-      * row number in closed form because the order is total (custkey
-      * tie-break ⇒ no peers). */
+      * scale trap; instead [[graft.ops.GlobalRank.withRowNumbers]]:
+      * range-partition by the sort key, rank locally, add per-partition
+      * prefix offsets — all ONE plan over one range exchange (the
+      * former collect+cache two-action layout could see divergent
+      * per-execution range bounds; see GlobalRank's doc). The rank
+      * family derives from the global row number and the total count n
+      * in closed form because the order is total (custkey tie-break ⇒
+      * no peers). */
     "q67_ntile_ranks" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val parted = Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"))
-        .repartitionByRange(col("c_acctbal"), col("c_custkey"))
-        .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      val local = parted.withColumn("lrn", row_number().over(wLocal)).cache()
-      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("cnt")).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      var acc = 0L
-      val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
-      val offDf = offsets.toSeq.toDF("pid", "off")
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")), "rn", totalCol = Some("n"))
       // exact ntile(k): the first n%k buckets hold ceil(n/k) rows.
       // n < k is safe (rem = n, so every row lands in the when-branch
-      // and gets its own bucket, matching SQL NTILE); n == 1 needs the
-      // percent_rank denominator clamped — SQL defines it as 0 then,
-      // and (rn-1)/max(n-1,1) = 0/1 delivers exactly that.
+      // and gets its own bucket, matching SQL NTILE; the otherwise
+      // branch's division by base = 0 is never taken — CaseWhen
+      // short-circuits, and double division cannot raise anyway);
+      // n == 1 needs the percent_rank denominator clamped — SQL
+      // defines it as 0 then, and (rn-1)/max(n-1,1) = 0/1 delivers
+      // exactly that.
       val k = 4L
-      val base = n / k; val rem = n % k; val bigSpan = rem * (base + 1)
-      val pctDen = math.max(n - 1, 1L).toDouble
-      local.join(broadcast(offDf), Seq("pid"))
-        .withColumn("rn", col("lrn") + col("off"))
-        .select(col("c_custkey"),
+      val base = expr(s"n div $k"); val rem = col("n") % k
+      val bigSpan = rem * (base + lit(1L))
+      ranked.select(col("c_custkey"),
           (when(col("rn") <= bigSpan,
-              floor((col("rn") - 1) / lit((base + 1).toDouble)))
-            .otherwise(lit(rem.toDouble) +
-              floor((col("rn") - bigSpan - 1) / lit(base.toDouble)))
+              floor((col("rn") - 1).cast("double") / (base + lit(1L)).cast("double")))
+            .otherwise(rem +
+              floor((col("rn") - bigSpan - 1).cast("double") / base.cast("double")))
             .cast("long") + 1).as("quartile"),
-          r6((col("rn") - 1).cast("double") / lit(pctDen)).as("pct_rank"),
-          r6(col("rn").cast("double") / lit(n.toDouble)).as("cum_dist"))
+          r6((col("rn") - 1).cast("double") /
+            greatest(col("n") - 1, lit(1L)).cast("double")).as("pct_rank"),
+          r6(col("rn").cast("double") / col("n").cast("double")).as("cum_dist"))
         .orderBy(col("c_custkey"))
     }),
 

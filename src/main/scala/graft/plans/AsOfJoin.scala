@@ -52,11 +52,21 @@ object AsOfDirection {
   case object Nearest extends AsOfDirection
 }
 
+/** `tolerance`: optional maximum |left ts − right ts| in the ts type's
+  * INTERNAL units (micros for timestamp, days for date, the raw value
+  * for numerics) — pandas `merge_asof(tolerance=)` / the bounded-ASOF
+  * production form, where a stale match is worse than no match. A
+  * candidate farther than the bound null-extends instead of matching.
+  * Enforced as a post-pick distance check in the merge — the cursor
+  * discipline is unchanged, and for backward/forward the rejected
+  * candidate is by construction the CLOSEST one on that side, so no
+  * earlier/later row could qualify either. */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
+    direction: AsOfDirection = AsOfDirection.Backward,
+    tolerance: Option[Double] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -68,8 +78,8 @@ case class AsOfJoin(
   * through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, dir) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), dir) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, dir, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +94,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     left: SparkPlan, right: SparkPlan,
-    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryExecNode {
+    direction: AsOfDirection = AsOfDirection.Backward,
+    tolerance: Option[Double] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -112,6 +123,7 @@ case class AsOfJoinExec(
     val lkExpr = leftKey; val rkExpr = rightKey
     val ltsExpr = leftTs; val rtsExpr = rightTs
     val dir = direction
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(lkExpr, lOut)
       val lts = BindReferences.bindReference(ltsExpr, lOut)
@@ -192,7 +204,14 @@ case class AsOfJoinExec(
                 if (tsDist(ltsV, rCurTs) <= tsDist(ltsV, rts.eval(f))) rCur else f
             }
           }
-          proj(joined(l, if (m != null) m else rightNulls))
+          // tolerance: the picked candidate is the closest admissible
+          // one for its direction (backward → latest ≤, forward →
+          // earliest ≥, nearest → min distance), so if IT exceeds the
+          // bound, nothing qualifies — null-extend
+          val within: InternalRow =
+            if (m != null && tol.exists(t => tsDist(ltsV, rts.eval(m)) > t)) null
+            else m
+          proj(joined(l, if (within != null) within else rightNulls))
         }
       }
     }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, j @ AsOfJoin(l, _, _, _, _, _, _)) =>
+    case f @ Filter(cond, j @ AsOfJoin(l, _, _, _, _, _, _, _)) =>
       val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
         p.deterministic && p.references.subsetOf(l.outputSet))
       if (push.isEmpty) f
@@ -43,7 +43,7 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
   * The guard stops re-application once the child is already limited. */
 object PushLimitThroughAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case ll @ LocalLimit(IntegerLiteral(n), j @ AsOfJoin(l, _, _, _, _, _, _)) =>
+    case ll @ LocalLimit(IntegerLiteral(n), j @ AsOfJoin(l, _, _, _, _, _, _, _)) =>
       l match {
         case LocalLimit(IntegerLiteral(m), _) if m <= n => ll
         case _ => ll.copy(child = j.copy(left = LocalLimit(ll.limitExpr, l)))

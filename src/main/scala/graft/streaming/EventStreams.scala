@@ -10,6 +10,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionState(start: java.sql.Timestamp,
   last: java.sql.Timestamp, n: Long, sum: Double)
 final case class DqTrendState(n: Long, nError: Long, alerted: Boolean)
+final case class MgState(counts: Map[Long, Long])
+final case class MgCandidate(shard: Int, user_id: Long, est: Long)
 
 /** Structured Streaming surface over the events feed (and, by the same
   * schema, the incident log): tumbling / sliding / session windowed
@@ -259,6 +261,57 @@ object EventStreams {
           }
           state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** Streaming heavy-hitter users — the LIVE twin of batch q110's
+    * Misra-Gries sketch-then-verify: a sharded MG sketch maintained in
+    * `flatMapGroupsWithState` state over the unbounded event feed.
+    *
+    * Sharding: each event routes to shard = floorMod(hash(user_id),
+    * `shards`), so ALL of a user's events land in one shard and the
+    * shards process in parallel (state shuffles on the shard key like
+    * any streaming aggregation). Per shard the state is one MG map of
+    * at most `k` counters — global state is O(k·shards) FOREVER,
+    * independent of feed volume, which is the whole point: an exact
+    * per-user count table grows with distinct users; this never does.
+    *
+    * Guarantee (per shard stream of length n_s): any user with more
+    * than n_s/(k+1) events is guaranteed tracked, and every estimate
+    * e satisfies c − n_s/(k+1) ≤ e ≤ c for true count c — because a
+    * user's events all hash to one shard, a globally heavy user is at
+    * least as heavy within their shard. After each micro-batch the
+    * shard emits its current candidates (Append mode); the batch
+    * verify pass (exact-count the bounded candidate set, q110's
+    * second phase) turns candidates into exact heavy hitters on
+    * demand. */
+  def heavyHitterCandidates(spark: SparkSession, events: Dataset[Event],
+      k: Int = 64, shards: Int = 8): Dataset[MgCandidate] = {
+    import spark.implicits._
+    events.groupByKey(e => math.floorMod(java.lang.Long.hashCode(e.user_id), shards))
+      .flatMapGroupsWithState[MgState, MgCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Event], state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s => m ++= s.counts)
+          rows.foreach { e =>
+            val u = e.user_id
+            if (m.contains(u)) m(u) += 1
+            else if (m.size < k) m(u) = 1L
+            else {
+              // decrement-all step: every tracked count drops by one
+              // (including the untracked arrival's implicit count),
+              // zeros evicted — the classic MG space bound
+              val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+              m.keysIterator.foreach { key =>
+                val c = m(key) - 1
+                if (c == 0L) dead += key else m(key) = c
+              }
+              dead.foreach(m.remove)
+            }
+          }
+          state.update(MgState(m.toMap))
+          m.toSeq.map { case (u, c) => MgCandidate(shard, u, c) }.iterator
       }
   }
 

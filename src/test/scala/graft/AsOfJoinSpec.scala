@@ -160,6 +160,75 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("tolerance: bound enforced per direction; edge-inclusive; rejects bad input") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 95L, "r95"), (1L, 170L, "r170"), (1L, 301L, "r301"))
+      .toDF("k", "rts", "rtag")
+    def run(dir: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, String, Option[Double]) => org.apache.spark.sql.DataFrame,
+        tol: Double): Map[String, String] =
+      dir(l, r, "k", "k", "ts", "rts", Some(tol))
+        .select(col("tag"), col("rtag")).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    // backward, tol=5: a→r95 (gap 5, INCLUSIVE edge), b's latest ≤ is
+    // r170 (gap 30 > 5 → null; r95 is even farther so the post-pick
+    // check is exhaustive), c's latest ≤ is r170 (gap 130 → null)
+    assert(run(AsOf.joinBackward, 5.0) ==
+      Map("a" -> "r95", "b" -> null, "c" -> null))
+    // forward, tol=1: a's earliest ≥ is r170 (70 → null),
+    // c→r301 (gap 1, inclusive), b's earliest ≥ is r301 (101 → null)
+    assert(run(AsOf.joinForward, 1.0) ==
+      Map("a" -> null, "b" -> null, "c" -> "r301"))
+    // nearest, tol=30: a→r95 (5), b→r170 (30, inclusive edge beats 101
+    // forward), c→r301 (1)
+    assert(run(AsOf.joinNearest, 30.0) ==
+      Map("a" -> "r95", "b" -> "r170", "c" -> "r301"))
+    // without tolerance everything matches — the bound is the only change
+    assert(run((a, b, c, d, e, f, _) => AsOf.joinBackward(a, b, c, d, e, f),
+      0.0) == Map("a" -> "r95", "b" -> "r170", "c" -> "r170"))
+    // negative tolerance fails fast at plan time
+    val neg = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, "k", "k", "ts", "rts", Some(-1.0))
+    }
+    assert(neg.getMessage.contains("non-negative"))
+    // tolerance on a non-numeric ts type fails fast at plan time
+    val ls = Seq((1L, "x", "a")).toDF("k", "ts", "tag")
+    val rs = Seq((1L, "w", "b")).toDF("k", "rts", "rtag")
+    val bad = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(ls, rs, "k", "k", "ts", "rts", Some(5.0))
+    }
+    assert(bad.getMessage.contains("numeric distance"))
+  }
+
+  test("tolerance randomized: equals the bounded declarative argmax reference") {
+    val rnd = new scala.util.Random(8675309L)
+    val tol = 25.0
+    val l = Seq.fill(300)((rnd.nextInt(15).toLong, rnd.nextInt(500).toLong,
+      rnd.nextInt(100000))).toDF("k", "ts", "payload")
+    val r = Seq.fill(200)((rnd.nextInt(18).toLong, rnd.nextInt(500).toLong,
+      rnd.nextInt(100000)))
+      .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+      .toDF("rk", "rts", "rpayload")
+    val cond = col("k") === col("rk") && col("rts") <= col("ts") &&
+      col("ts") - col("rts") <= tol
+    val best = l.join(r, cond)
+      .groupBy(col("k"), col("ts"), col("payload"))
+      .agg(max(col("rts")).as("best_rts"))
+    val matched = best
+      .join(r, col("k") === col("rk") && col("best_rts") === col("rts"))
+      .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+    val unmatched = l.join(r, cond, "left_anti")
+      .select(col("k"), col("ts"), col("payload"),
+        lit(null).cast("int").as("rpayload"))
+    val expected = matched.unionByName(unmatched)
+    val native = AsOf.joinBackward(l, r, "k", "rk", "ts", "rts", Some(tol))
+      .select(col("k"), col("ts"), col("payload"), col("rpayload"))
+    assert(native.exceptAll(expected).isEmpty &&
+      expected.exceptAll(native).isEmpty,
+      "bounded backward as-of must equal the bounded argmax reference")
+  }
+
   test("self as-of join (same DataFrame both sides) re-aliases and works") {
     val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ts", "tag")

@@ -270,4 +270,70 @@ class StreamingSpec extends SparkSuite {
         ("post_healing", "healed_success") -> 1L))
     } finally { q.stop(); facets.stop() }
   }
+
+  private def mgShard(u: Long, shards: Int): Int =
+    math.floorMod(java.lang.Long.hashCode(u), shards)
+
+  test("streaming Misra-Gries: eviction, bounded state, guarantee on a skewed stream") {
+    import spark.implicits._
+    // 1 whale (500 events) + 100 minnows (3 each) — far more distinct
+    // users than capacity, so the decrement-all eviction must fire
+    val k = 8; val shards = 2
+    def ev(id: Long, u: Long) = EventStreams.Event(id,
+      new java.sql.Timestamp(1700000000000L + id * 1000), u, "click", 1.0)
+    var id = 0L
+    val rows = new scala.util.Random(42).shuffle(
+      ((1 to 500).map(_ => 0L) ++ (1L to 100L).flatMap(u => Seq(u, u, u))).toList)
+      .map { u => id += 1; ev(id, u) }
+    val cands = EventStreams
+      .heavyHitterCandidates(spark, rows.toDS(), k, shards).collect()
+    // bounded state: at most k candidates per shard
+    cands.groupBy(_.shard).foreach { case (s, cs) =>
+      assert(cs.length <= k, s"shard $s tracks ${cs.length} > $k") }
+    // eviction really happened: far fewer candidates than distinct users
+    assert(cands.length < 101, "eviction must discard most minnows")
+    // the whale's shard stream: 500 whale + its minnows' events
+    val shardTotals = rows.groupBy(e => mgShard(e.user_id, shards))
+      .view.mapValues(_.size.toLong).toMap
+    val whaleSlack = shardTotals(mgShard(0L, shards)).toDouble / (k + 1)
+    assert(500.0 > whaleSlack, "fixture sanity: whale must be MG-guaranteed")
+    val whale = cands.find(_.user_id == 0L)
+    assert(whale.isDefined, "whale above the MG bound must be tracked")
+    assert(whale.get.est <= 500 && whale.get.est >= 500 - whaleSlack,
+      s"whale estimate ${whale.get.est} outside [${500 - whaleSlack}, 500]")
+  }
+
+  test("streaming Misra-Gries candidates verify to the exact heavy hitters (q110 twin)") {
+    import spark.implicits._
+    val k = 16; val shards = 4
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val cands = EventStreams.heavyHitterCandidates(spark, events, k, shards).collect()
+    val counts = Tables(spark, sf, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shardTotals = counts.groupBy { case (u, _) => mgShard(u, shards) }
+      .view.mapValues(_.values.sum).toMap
+    // every user above their shard's MG bound is guaranteed present,
+    // with an estimate inside [c - n_s/(k+1), c]
+    val est = cands.map(c => c.user_id -> c.est).toMap
+    counts.foreach { case (u, c) =>
+      val slack = shardTotals(mgShard(u, shards)).toDouble / (k + 1)
+      if (c > slack) {
+        assert(est.contains(u), s"user $u (count $c > bound $slack) missing")
+        assert(est(u) <= c && est(u) >= c - slack,
+          s"user $u estimate ${est(u)} outside [${c - slack}, $c]")
+      }
+    }
+    // sketch-then-verify (q110's second phase, batch): exact-counting
+    // only the candidate set reproduces the exact heavy-hitter set
+    val total = counts.values.sum
+    val exactHeavy = counts.filter(_._2 > total.toDouble / k).keySet
+    assert(exactHeavy.nonEmpty, "fixture sanity: heavy users must exist at k=16")
+    val verified = est.keySet.filter(u => counts(u) > total.toDouble / k)
+    assert(verified == exactHeavy,
+      s"verified candidates must equal exact heavy hitters; " +
+        s"missing ${exactHeavy -- verified}, extra ${verified -- exactHeavy}")
+  }
 }

@@ -70,6 +70,62 @@ class ZOrderSpec extends SparkSuite {
       s"z-order should skip at least half the files for a tight box, touched $zHits/$n")
   }
 
+  test("REAL parquet row-group pruning: z-ordered files out-skip a 1-d sort on disk") {
+    // the actual 100 TB effect, not simulated stats: write the same
+    // events twice — once laid out by zkey, once by da alone — into 32
+    // parquet files each (one row group per file at this size), run the
+    // SAME 2-d box filter on both, and read the rows-actually-read
+    // counter off FileSourceScanExec. Parquet keeps per-row-group
+    // min/max for da and db; the pushed box predicate lets the reader
+    // skip whole row groups whose stats miss the box. In the da-sorted
+    // layout every file spans the full db range (db stats prune
+    // nothing); the z-layout gives BOTH dims partial locality, so it
+    // must touch fewer row groups ⇒ output fewer rows from the scan.
+    val bigSf = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$bigSf/events.parquet").exists(),
+      s"sf0.1 fixture not generated")
+    val base = Layout.eventZkeys(spark, bigSf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_real")
+    val zPath = s"$tmp/z_layout"; val aPath = s"$tmp/a_layout"
+    // the layout step IS this write: repartitionByRange on the layout
+    // key + sortWithinPartitions, exactly what OPTIMIZE ZORDER emits
+    base.repartitionByRange(32, col("zkey")).sortWithinPartitions(col("zkey"))
+      .write.parquet(zPath)
+    base.repartitionByRange(32, col("da")).sortWithinPartitions(col("da"))
+      .write.parquet(aPath)
+
+    val (aLo, aHi, bLo, bHi) = (1000L, 3000L, 1000L, 9000L)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    def run(path: String): (Long, Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("da").between(aLo, aHi) && col("db").between(bLo, bHi))
+      val result = df.count()
+      df.collect() // materialize through the scan so metrics populate
+      val scan = scanOf(df)
+      // the box must reach the reader as PushedFilters, or nothing
+      // can skip
+      val pushed = scan.metadata("PushedFilters")
+      assert(pushed.contains("da") && pushed.contains("db"),
+        s"box predicate must be pushed to parquet: $pushed")
+      (result, scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
+    }
+    val (zCount, zRead, zFiles) = run(zPath)
+    val (aCount, aRead, aFiles) = run(aPath)
+    assert(zCount == aCount, "layout must never change query results")
+    assert(zFiles == 32 && aFiles == 32, "both layouts list all files (no partition pruning)")
+    val total = Tables(spark, bigSf, "events").count()
+    // real skipping happened at all (scan emitted far fewer than total)
+    assert(zRead < total / 2,
+      s"z-layout scan must skip most row groups: read $zRead of $total")
+    // and the z-layout touches strictly fewer rows than the 1-d layout
+    assert(zRead < aRead,
+      s"z-order must out-prune the 1-d layout on disk: z=$zRead vs a=$aRead " +
+        s"(result=$zCount rows, total=$total)")
+  }
+
   test("q109 keys are consistent with eventZkeys and totally ordered output") {
     val q = Layout.queries("q109_zorder_key")(spark, sf)
     val rows = q.limit(200).collect()
