@@ -25,10 +25,23 @@ import org.apache.spark.sql.types.LongType
   * them — one execution, one layout), and the prefix sum runs as a
   * window over the per-partition COUNTS table, which has at most one
   * row per partition — bounded by cluster width, never by data size.
-  * Nothing is collected, nothing is cached. The counts window is
-  * partitioned by a literal key: it is single-partition by design
-  * (the table is tiny), and the literal keeps WindowExec from logging
-  * the no-partition warning on every run.
+  * Nothing is collected, and there is no SECOND ACTION anywhere.
+  *
+  * The sorted/numbered intermediate IS cached (`MEMORY_AND_DISK` via
+  * `.cache()`), for a different reason than the rejected two-action
+  * layout ever had: exchange reuse dedupes only the SHUFFLE — every
+  * consumer branch of the exchange re-runs its own
+  * sortWithinPartitions over the full data, and callers that compose
+  * (quantile bounds + clip passes, rank + group-firsts) fan out to
+  * 4-8 consumer branches, each paying a full-data sort (measured 3×
+  * the whole query cost at sf0.1). Caching the narrow
+  * (sortCols, value, pid, position) projection makes the scan + sort
+  * + shuffle happen once; the branches re-read the cached blocks. If
+  * a block is evicted mid-query, the branch recomputes THROUGH THE
+  * SAME materialized exchange (partition bounds cannot diverge within
+  * one execution; only tie order can shift, and callers' asserts trip
+  * on any rank inconsistency), so this cache is an operational
+  * dedup — correctness never depends on it.
   */
 object GlobalRank {
 
@@ -46,28 +59,33 @@ object GlobalRank {
     Window.partitionBy(constKey(col("_gr_pid"))).orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
 
-  /** Adds a 1-based global row number `rnCol` over the total order of
-    * `sortCols` (and optionally the total row count `totalCol`, the
-    * same long on every row) to `df` — distributed, one plan.
-    *
-    * Local positions come from `monotonically_increasing_id` after the
-    * range shuffle + local sort: it encodes exactly
+  /** The CACHED sorted table `local` — the input rows plus `_gr_pid`
+    * (range partition id) and `_gr_lrn` (1-based position within the
+    * partition) — and the tiny `offsets` table (`_gr_pid`, `_gr_off`
+    * [, totalCol]) whose broadcast join turns local positions into
+    * global ones. Exposed so composing operators (quantiles,
+    * winsorize) can take EXTRA passes over the cached table without
+    * re-running the joins. */
+  private[ops] case class LocalOffsets(local: DataFrame, offsets: DataFrame)
+
+  /** Core of [[withRowNumbers]]: range-sort + local positions via
+    * `monotonically_increasing_id` — it encodes exactly
     * (partition id << 33) + row-position-in-partition as a narrow
     * codegen'd projection, where a `Window.partitionBy(pid)` would
     * re-shuffle and re-sort data the exchange just ordered. Ties in
     * `sortCols` get arbitrary but CONSISTENT numbers — pass a
     * tie-breaking column for determinism. */
-  def withRowNumbers(
+  private[ops] def localOffsets(
       df: DataFrame,
       sortCols: Seq[Column],
-      rnCol: String,
-      totalCol: Option[String] = None): DataFrame = {
+      totalCol: Option[String] = None): LocalOffsets = {
     val local = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_gr_mid", monotonically_increasing_id())
       .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33).cast("int"))
       .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("_gr_mid")
+      .cache() // see object doc: dedups the per-branch sort, not the exchange
     // the MID local position is 33 bits; a partition would need 8.5
     // billion rows to overflow it — fail loud rather than rank wrong if
     // the partitioning is ever that degenerate
@@ -84,7 +102,19 @@ object GlobalRank {
         .select(col("_gr_pid"), col("_gr_off"), col(t))
       case None => base.select(col("_gr_pid"), col("_gr_off"))
     }
-    local.join(broadcast(offsets), "_gr_pid")
+    LocalOffsets(local, offsets)
+  }
+
+  /** Adds a 1-based global row number `rnCol` over the total order of
+    * `sortCols` (and optionally the total row count `totalCol`, the
+    * same long on every row) to `df` — distributed, one plan. */
+  def withRowNumbers(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rnCol: String,
+      totalCol: Option[String] = None): DataFrame = {
+    val lo = localOffsets(df, sortCols, totalCol)
+    lo.local.join(broadcast(lo.offsets), "_gr_pid")
       .withColumn(rnCol, col("_gr_lrn") + col("_gr_off"))
       .drop("_gr_pid", "_gr_lrn")
   }
@@ -113,6 +143,7 @@ object GlobalRank {
       var acc = 0L
       it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }(Encoders.row(outSchema))
+      .cache() // see object doc: dedups the per-branch sort, not the exchange
     val totals = local.groupBy(col("_gr_pid")).agg(max(col("_gr_lcw")).as("_gr_cnt"))
     val offsets = totals
       .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(countsWindow), lit(0L)))

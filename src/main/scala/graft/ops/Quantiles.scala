@@ -54,26 +54,42 @@ object Quantiles {
     left.join(r, cond).drop(keys.map(k => s"_ns_$k"): _*)
   }
 
-  /** Shared core: rows as (groupCols, _v double, _gr 0-based per-group
-    * rank, _n group size) — one plan, one range exchange. */
+  /** Shared core: the cached sorted table plus rows as (groupCols,
+    * _v double, _gr 0-based per-group rank, _n group size) — one plan,
+    * one range exchange, one sort (cached; see GlobalRank's doc). */
+  private case class Ranked(local: DataFrame, withRank: DataFrame)
+
   private def groupRanked(
-      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+      df: DataFrame, groupCols: Seq[String], valueCol: String): Ranked = {
     val gcols: Seq[Column] = groupCols.map(col)
     val v = df.select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
-    val ranked = GlobalRank.withRowNumbers(v, gcols :+ col("_v"), "_rn")
-    // per-group 0-based rank from the group's first global row number
-    // (groups are contiguous in the total order)
+    val lo = GlobalRank.localOffsets(v, gcols :+ col("_v"))
+    // per-group first rank and size WITHOUT a second ranked pass:
+    // groups are contiguous in the total order, so the group's first
+    // global rank is 1 + the summed sizes of all PRIOR groups — a
+    // prefix window over the GROUP-SIZES table, which has one row per
+    // group (output-sized, never data-sized). Ordering must match the
+    // range sort (ascending, nulls first — Spark's defaults in both).
     val grp =
-      if (groupCols.isEmpty) ranked.agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
-      else ranked.groupBy(gcols: _*).agg(min(col("_rn")).as("_first"), count(lit(1)).as("_n"))
+      if (groupCols.isEmpty)
+        lo.local.agg(count(lit(1)).as("_n")).withColumn("_first", lit(1L))
+      else {
+        val wg = Window.partitionBy(GlobalRank.constKey(hash(gcols: _*)))
+          .orderBy(gcols: _*).rowsBetween(Window.unboundedPreceding, -1)
+        lo.local.groupBy(gcols: _*).agg(count(lit(1)).as("_n"))
+          .withColumn("_first", coalesce(sum(col("_n")).over(wg), lit(0L)) + 1)
+      }
     // global case: grp is provably ONE row — broadcast it. Grouped
     // case: grp is one row PER GROUP, which callers may make huge
     // (per-user quantiles) — no forced broadcast; AQE picks BHJ when
     // the runtime size is small and a shuffle join when it is not.
-    (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
-     else nullSafeJoin(ranked, grp, groupCols))
-      .withColumn("_gr", col("_rn") - col("_first"))
+    val ranked = lo.local.join(broadcast(lo.offsets), "_gr_pid")
+    val withRank =
+      (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
+       else nullSafeJoin(ranked, grp, groupCols))
+        .withColumn("_gr", col("_gr_lrn") + col("_gr_off") - col("_first"))
+    Ranked(lo.local, withRank)
   }
 
   /** Quantile bounds per group from [[groupRanked]] rows, with the
@@ -112,7 +128,7 @@ object Quantiles {
       groupCols: Seq[String],
       valueCol: String,
       qs: Seq[(String, Double)]): DataFrame =
-    boundsOf(groupRanked(df, groupCols, valueCol), groupCols, qs)
+    boundsOf(groupRanked(df, groupCols, valueCol).withRank, groupCols, qs)
 
   /** Every (non-null-value) input row, annotated with its group's exact
     * quantiles: `groupCols :+ valueCol :+ qs names`. The winsorize /
@@ -127,9 +143,11 @@ object Quantiles {
       valueCol: String,
       qs: Seq[(String, Double)]): DataFrame = {
     val gcols: Seq[Column] = groupCols.map(col)
-    val withRank = groupRanked(df, groupCols, valueCol)
-    val bounds = boundsOf(withRank, groupCols, qs)
-    val rows = withRank.select(gcols :+ col("_v").as(valueCol): _*)
+    val gr = groupRanked(df, groupCols, valueCol)
+    val bounds = boundsOf(gr.withRank, groupCols, qs)
+    // the row side needs no ranks — read the cached sorted table
+    // directly, skipping the offsets/group joins entirely
+    val rows = gr.local.select(gcols :+ col("_v").as(valueCol): _*)
     if (groupCols.isEmpty) rows.crossJoin(broadcast(bounds))
     else nullSafeJoin(rows, bounds, groupCols, broadcastRight = true)
   }
