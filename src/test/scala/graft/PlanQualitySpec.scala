@@ -81,14 +81,16 @@ class PlanQualitySpec extends SparkSuite {
   // Every nested-loop join left in the suite must have a PROVABLY
   // bounded build side — a 1-row aggregate (q30 profile pair, q53 IDF
   // denominator, q81/quantile bounds), a limit-k query block (q42/q43
-  // top-k probes), driver-bounded centroids (q57, k=16), a
-  // schema-bounded dim (q70: region x nation, 5x25 independent of sf),
-  // or a per-cell block (q86, cell cardinality capped by the LSH
-  // bucketing). Anything NEW showing up here is a scale regression:
-  // either rewrite it (q51 pattern) or justify + extend the list.
+  // top-k probes), driver-bounded centroids (q57 k=16; q122 kmeans
+  // k=8 per iteration), a schema-bounded dim (q70: region x nation,
+  // 5x25 independent of sf), or a per-cell block (q86, cell
+  // cardinality capped by the LSH bucketing). Anything NEW showing up
+  // here is a scale regression: either rewrite it (q51 pattern) or
+  // justify + extend the list.
   private val boundedBnlj = Set(
     "q30_drift_compare", "q42_cosine_topk", "q43_knn_join", "q53_tfidf",
-    "q57_ann_ivf", "q70_cross_join", "q81_length_band", "q86_semdedup")
+    "q57_ann_ivf", "q70_cross_join", "q81_length_band", "q86_semdedup",
+    "q122_kmeans")
 
   test("suite-wide: no unbounded cartesian/nested-loop plan in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
