@@ -249,6 +249,58 @@ object Extended {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    /** SCD2 (type-2 dimension) incremental merge — the
+      * validity-interval sibling of q84's SCD1 upsert: the purchase
+      * history BEFORE the cutoff becomes the existing dimension
+      * (open rows = each user's latest purchase), the later purchases
+      * arrive as a change batch, and [[graft.ops.Scd2.merge]] closes
+      * the open rows at each key's first new change and chains the
+      * batch. The oracle is the merge CONTRACT itself: DuckDB builds
+      * the history from ALL changes at once (one lead() pass) —
+      * incremental merge must equal full rebuild row-for-row. */
+    "q124_scd2_merge" -> ((s: SparkSession, dir: String) => {
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val hist = graft.ops.Scd2.build(
+        p.filter(col("ts") < cut), "user_id", "ts", "event_id")
+      graft.ops.Scd2.merge(hist, p.filter(col("ts") >= cut),
+          "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
+    /** Benford first-significant-digit profile of l_extendedprice —
+      * the classic fabricated-data / unit-drift DQ screen, one
+      * scan-speed aggregation. Digit extraction is STRING-based
+      * (first char of the floored integer part), not log10-based:
+      * both engines agree on string conversion bit-for-bit, while
+      * libm log10 rounding at exact powers of ten could flip a floor
+      * cross-engine. Emits observed share vs the Benford expectation
+      * log10(1+1/d) and the absolute gap per digit. */
+    "q125_benford" -> ((s: SparkSession, dir: String) => {
+      // the grand total rides a single-partition window over the
+      // ≤9-row digit table (non-foldable constant key — see
+      // GlobalRank.constKey for why not lit(0))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("digit").cast("int"), lit(1)))
+      val expected = log10(lit(1) + lit(1.0) / col("digit").cast("double"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice") >= 1)
+        .select(substring(floor(col("l_extendedprice")).cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("frac", col("n").cast("double") /
+          sum(col("n")).over(wAll).cast("double"))
+        .select(col("digit"), col("n"), r6(col("frac")).as("frac"),
+          r6(expected).as("benford"),
+          r6(abs(col("frac") - expected)).as("abs_gap"))
+        .orderBy(col("digit"))
+    }),
+
     /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
       * linear interpolation), computed via [[Quantiles.exactQuantiles]]
       * — two-phase global ranks instead of Spark's `percentile`
@@ -499,6 +551,34 @@ object Extended {
         |min(CASE WHEN cw >= 0.9 * tw THEN value END) AS wp90
         |FROM c GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // the merge CONTRACT as oracle: incremental SCD2 merge must equal
+    // the history rebuilt from the full change stream in one pass
+    "q124_scd2_merge" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |lead(ts) OVER w AS valid_to,
+        |(lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+        |  event_id NULLS FIRST)
+        |ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
+        |  event_id NULLS FIRST""".stripMargin,
+
+    "q125_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM g)
+        |SELECT digit, n,
+        |round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac,
+        |round(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+        |round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |  - log10(1 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_gap
+        |FROM g, t
+        |ORDER BY digit NULLS FIRST""".stripMargin,
 
     "q123_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
