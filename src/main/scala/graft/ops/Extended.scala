@@ -273,6 +273,41 @@ object Extended {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    /** Point-in-time (feature-store) join: each click enriched with
+      * the purchase-history VERSION that was valid at the click's
+      * event time — the training-data join that prevents feature
+      * leakage (joining "current" state would leak the future). The
+      * SCD2 intervals from [[graft.ops.Scd2.build]] partition each
+      * user's timeline, so the equi-join on user plus the
+      * [valid_from, valid_to) range predicate matches at most one
+      * version per click; Spark plans it as a hash join with the
+      * range as a post-probe filter — never a cartesian. Clicks
+      * before a user's first purchase null-extend (left join), which
+      * IS the honest training value for "no history yet". (The
+      * native as-of join computes the same backward match from the
+      * raw stream; this shape is for when the dimension is already
+      * materialized as SCD2 — one pass over the history table
+      * instead of re-sorting the full change log.) */
+    "q126_pit_join" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+      val hist = graft.ops.Scd2.build(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("h_user"), col("ts"),
+            col("event_id").as("version_id"), col("value").as("h_value")),
+        "h_user", "ts", "version_id")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      clicks.join(hist,
+          col("h_user") === col("user_id") &&
+          col("c_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("c_ts") < col("valid_to")), "left")
+        .select(col("click_id"), col("user_id"), col("version_id"),
+          graft.r6(col("h_value")).as("h_value"),
+          graft.r6(col("c_ts").cast("double") - col("valid_from").cast("double"))
+            .as("age_sec"))
+        .orderBy(col("click_id"))
+    }),
+
     /** Benford first-significant-digit profile of l_extendedprice —
       * the classic fabricated-data / unit-drift DQ screen, one
       * scan-speed aggregation. Digit extraction is STRING-based
@@ -564,6 +599,23 @@ object Extended {
         |  event_id NULLS FIRST)
         |ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
         |  event_id NULLS FIRST""".stripMargin,
+
+    "q126_pit_join" ->
+      """WITH hist AS (
+        |  SELECT user_id AS h_user, event_id AS version_id, value AS h_value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+        |    event_id NULLS FIRST) AS valid_to
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, c.user_id, h.version_id,
+        |round(h.h_value, 6) AS h_value,
+        |round(epoch(c.ts) - epoch(h.valid_from), 6) AS age_sec
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN hist h
+        |  ON h.h_user = c.user_id AND c.ts >= h.valid_from
+        | AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+        |ORDER BY click_id NULLS FIRST""".stripMargin,
 
     "q125_benford" ->
       """WITH d AS (
