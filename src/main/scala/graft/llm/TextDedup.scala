@@ -139,6 +139,34 @@ object TextDedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    /** Shingle CONTAINMENT pairs (Broder's second measure): how much
+      * of the SMALLER document's shingle set lives inside the other —
+      * |A∩B| / min(|A|,|B|) ≥ 0.9. Jaccard misses the asymmetric
+      * case this exists for: a short document wholly embedded in a
+      * long one (boilerplate wrapping, quote inflation) scores
+      * jac = |A|/|B| ≈ 0 but containment ≈ 1. Same inverted-index
+      * machinery as q34 (candidates only from shared shingles, never
+      * all pairs); both directional containments are reported so the
+      * consumer can tell sub-document from near-identical. */
+    "q127_containment" -> ((s: SparkSession, dir: String) => {
+      val arr = shingleArrays(Tables(s, dir, "documents")).cache()
+      val sh = explodeShingles(arr)
+      val inter = sh.as("a")
+        .join(sh.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = shingleSizes(arr)
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
+        .select(col("d1"), col("d2"),
+          r4(col("inter") / col("n1")).as("cont_d1"),
+          r4(col("inter") / col("n2")).as("cont_d2"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     /** MinHash + LSH near-dup pairs, verified: 48 hash functions in 16
       * bands of 3; candidates = docs sharing any band signature;
       * candidates are then verified with exact Jaccard ≥ 0.8, so the
@@ -326,6 +354,22 @@ object TextDedup {
         |ORDER BY canonical_id NULLS FIRST""".stripMargin,
 
     "q34_dedup_jaccard" -> duckJaccard("0.5"),
+
+    "q127_containment" ->
+      s"""WITH sh AS ($duckShingles),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |round(inter * 1.0 / s1.n, 4) AS cont_d1,
+         |round(inter * 1.0 / s2.n, 4) AS cont_d2
+         |FROM pairs
+         |JOIN sizes s1 ON s1.doc_id = d1
+         |JOIN sizes s2 ON s2.doc_id = d2
+         |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.9
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
 
     // the 60 per-bit vote sums and the fingerprint reassembly are
     // program-generated; the token hash is the same sha-256 hex prefix

@@ -125,6 +125,26 @@ object EventStreams {
         // flag events deviating >3x from the user's batch-computed mean
         (abs(col("value")) > abs(col("profile_avg")) * 3).as("is_outlier"))
 
+  /** Streaming POINT-IN-TIME enrichment — the live twin of batch
+    * q126: each event in the feed joined to the SCD2 dimension
+    * version valid at the event's own event time, NOT the current
+    * version (current-state enrichment leaks the future into
+    * training features). The history is a static interval table
+    * broadcast per micro-batch; the equi key plus the
+    * [valid_from, valid_to) range predicate matches at most one
+    * version per event. No state store — correctness comes from the
+    * intervals, so a replayed/late event still gets the version that
+    * was true AT ITS TIMESTAMP, which a latest-state join cannot
+    * promise. `hist` columns: h_user, version_id, h_value,
+    * valid_from, valid_to (Scd2.build shape). */
+  def enrichPointInTime(events: DataFrame, hist: DataFrame): DataFrame =
+    events.join(broadcast(hist),
+        col("h_user") === col("user_id") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("version_id"), col("h_value"))
+
   /** Stream-STREAM inner join: purchases matched to the same user's
     * clicks within the preceding hour. Both sides carry watermarks and
     * the join condition bounds click_ts to

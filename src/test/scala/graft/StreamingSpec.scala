@@ -271,6 +271,26 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); facets.stop() }
   }
 
+  test("streaming point-in-time enrichment equals the batch q126 interval join") {
+    val e = Tables(spark, sf, "events")
+    val hist = graft.ops.Scd2.build(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("h_user"), col("ts"),
+          col("event_id").as("version_id"), col("value").as("h_value")),
+      "h_user", "ts", "version_id")
+    val stream = EventStreams.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    runToMemory(EventStreams.enrichPointInTime(stream, hist), "pit", "append")
+    val streamed = spark.table("pit")
+      .select(col("event_id"), col("version_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val batch = ops.Extended.queries("q126_pit_join")(spark, sf)
+      .select(col("click_id"), col("version_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed PIT versions must equal batch: sizes ${streamed.size}/${batch.size}")
+  }
+
   private def mgShard(u: Long, shards: Int): Int =
     math.floorMod(java.lang.Long.hashCode(u), shards)
 
