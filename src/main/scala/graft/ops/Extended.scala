@@ -308,6 +308,31 @@ object Extended {
         .orderBy(col("click_id"))
     }),
 
+    /** Incremental stats maintenance — the aggregation analogue of the
+      * SCD merges: per-event-type moment state (n, sum, min, max, M2)
+      * built from the history before the cutoff, then the later events
+      * fold in via [[graft.ops.IncrementalAgg.merge]] (Chan's parallel
+      * M2 update across TIME instead of across partitions; raw history
+      * is never rescanned). The oracle is the contract again: the
+      * merged state's derived stats must equal DuckDB aggregating the
+      * FULL stream in one pass. Variance (= M2/n) is compared instead
+      * of raw M2 so the 6-decimal round sits ~6 orders above the
+      * float-merge noise. */
+    "q128_incremental_stats" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.IncrementalAgg
+      val e = Tables(s, dir, "events").select(col("event_type"), col("ts"), col("value"))
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val merged = IncrementalAgg.merge(
+        IncrementalAgg.state(e.filter(col("ts") < cut), "event_type", "value"),
+        IncrementalAgg.state(e.filter(col("ts") >= cut), "event_type", "value"),
+        "event_type")
+      merged.select(col("event_type"), col("n"),
+          graft.r6(col("sum") / col("n")).as("mean"),
+          graft.r6(col("m2") / col("n")).as("var_pop"),
+          graft.r6(col("min")).as("min_v"), graft.r6(col("max")).as("max_v"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Benford first-significant-digit profile of l_extendedprice —
       * the classic fabricated-data / unit-drift DQ screen, one
       * scan-speed aggregation. Digit extraction is STRING-based
@@ -616,6 +641,17 @@ object Extended {
         |  ON h.h_user = c.user_id AND c.ts >= h.valid_from
         | AND (h.valid_to IS NULL OR c.ts < h.valid_to)
         |ORDER BY click_id NULLS FIRST""".stripMargin,
+
+    // contract oracle: merged incremental state ≡ one-pass aggregation
+    "q128_incremental_stats" ->
+      """SELECT event_type, count(value) AS n,
+        |round(avg(value), 6) AS mean,
+        |round(var_pop(value), 6) AS var_pop,
+        |round(min(value), 6) AS min_v,
+        |round(max(value), 6) AS max_v
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q125_benford" ->
       """WITH d AS (

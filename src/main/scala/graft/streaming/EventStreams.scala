@@ -243,6 +243,31 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming incremental stats sink — the live twin of batch q128:
+    * every micro-batch's per-key moment state (n, sum, min, max, M2)
+    * merges into a parquet state table via Chan's parallel update
+    * ([[graft.ops.IncrementalAgg]]), so per-key mean/variance/range
+    * stay current forever at O(keys) state with the raw feed never
+    * re-read. Same localCheckpoint-before-overwrite discipline as
+    * [[upsertLatestPerKey]]. Exactly-once caveat: foreachBatch can
+    * re-deliver a batch after a crash mid-write; production would
+    * stage per-batch-id outputs or write through a transactional
+    * table format — the merge itself is deterministic, so replays
+    * with the same batch boundary converge. */
+  def incrementalStatsSink(events: DataFrame, keyCol: String, valueCol: String,
+      statePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val delta = graft.ops.IncrementalAgg.state(batch, keyCol, valueCol)
+      val merged =
+        try graft.ops.IncrementalAgg.merge(
+          spark.read.parquet(statePath), delta, keyCol)
+        catch { case _: Exception => delta } // first batch: no state yet
+      merged.localCheckpoint(eager = true)
+        .write.mode("overwrite").parquet(statePath)
+    }.start()
+  }
+
   final case class DqAlert(user_id: Long, n_seen: Long,
     error_fraction: Double, threshold: Double)
 

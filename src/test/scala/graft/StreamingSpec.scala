@@ -271,6 +271,44 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); facets.stop() }
   }
 
+  test("streaming incremental stats sink converges to the batch moment state") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_inc_stats").resolve("state").toString
+    // maxFilesPerTrigger forces MULTIPLE micro-batches, so the merge
+    // path (not just the first-batch bootstrap) is exercised — the
+    // staged dir is one file, so split the events into two stage files
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_stats_src")
+    val e = Tables(spark, sf, "events")
+    e.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$dir/p0")
+    e.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventStreams.incrementalStatsSink(stream, "event_type", "value", statePath)
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(statePath).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum"), r.getAs[Double]("m2"))).toMap
+    val batch = graft.ops.IncrementalAgg.state(e, "event_type", "value").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum"), r.getAs[Double]("m2"))).toMap
+    assert(state.keySet == batch.keySet)
+    state.foreach { case (k, (n, s, m2)) =>
+      val (bn, bs, bm2) = batch(k)
+      assert(n == bn, s"$k n: $n vs $bn")
+      assert(math.abs(s - bs) < 1e-9 && math.abs(m2 - bm2) < 1e-6,
+        s"$k: sum $s vs $bs, m2 $m2 vs $bm2")
+    }
+  }
+
   test("streaming point-in-time enrichment equals the batch q126 interval join") {
     val e = Tables(spark, sf, "events")
     val hist = graft.ops.Scd2.build(
