@@ -368,6 +368,29 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("chunk_ix"))
     }),
 
+    /** Per-group IQR outlier screen (Tukey fences): rows outside
+      * [p25 − 1.5·IQR, p75 + 1.5·IQR] flagged per event_type — the
+      * robust DQ anomaly gate (quartiles don't move when the outliers
+      * themselves grow, unlike mean±3σ). Rides
+      * [[graft.ops.Quantiles.withQuantiles]], so the fence computation
+      * and the flagging pass share ONE scan + sort of events; output
+      * is the per-group outlier census plus the fences for the
+      * dashboard. */
+    "q129_iqr_outliers" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events").select(col("event_type"), col("value"))
+      val lo = col("p25") - (col("p75") - col("p25")) * 1.5
+      val hi = col("p75") + (col("p75") - col("p25")) * 1.5
+      graft.ops.Quantiles.withQuantiles(
+          e, Seq("event_type"), "value", Seq("p25" -> 0.25, "p75" -> 0.75))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < lo).cast("long")).as("n_low"),
+          sum((col("value") > hi).cast("long")).as("n_high"),
+          graft.r6(first(lo)).as("fence_lo"),
+          graft.r6(first(hi)).as("fence_hi"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Per-group winsorization — outlier clipping to the [p05, p95]
       * band before aggregation, the standard robust-stats step before
       * training-signal aggregation. ONE scan: the clip + re-aggregate
@@ -601,6 +624,22 @@ object CorpusOps {
         |least(u.start + 63, n_tok) - u.start + 1 AS chunk_len
         |FROM c
         |ORDER BY doc_id NULLS FIRST, chunk_ix NULLS FIRST""".stripMargin,
+
+    "q129_iqr_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |CAST(sum(CASE WHEN e.value < p25 - (p75 - p25) * 1.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |CAST(sum(CASE WHEN e.value > p75 + (p75 - p25) * 1.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |round(min(p25 - (p75 - p25) * 1.5), 6) AS fence_lo,
+        |round(min(p75 + (p75 - p25) * 1.5), 6) AS fence_hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type NULLS FIRST""".stripMargin,
 
     "q103_winsorize" ->
       """WITH b AS (

@@ -259,10 +259,15 @@ object EventStreams {
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val delta = graft.ops.IncrementalAgg.state(batch, keyCol, valueCol)
+      // explicit existence check, NOT a catch-all: a corrupt or
+      // unreadable state table must fail the batch loudly — swallowing
+      // it would silently reset the accumulated state to this batch
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       val merged =
-        try graft.ops.IncrementalAgg.merge(
+        if (exists) graft.ops.IncrementalAgg.merge(
           spark.read.parquet(statePath), delta, keyCol)
-        catch { case _: Exception => delta } // first batch: no state yet
+        else delta
       merged.localCheckpoint(eager = true)
         .write.mode("overwrite").parquet(statePath)
     }.start()

@@ -28,10 +28,7 @@ class IncrementalAggSpec extends SparkSuite {
       df.filter(!col("inA") || col("k") === "onlyB").filter(col("k") =!= "onlyA"),
       "k", "v")
     val merged = stats(IncrementalAgg.merge(a, b, "k"))
-    val full = stats(IncrementalAgg.state(
-      df.filter((col("inA") || col("k") === "onlyA") && col("k") =!= "onlyB"
-        || (!col("inA") || col("k") === "onlyB") && col("k") =!= "onlyA"), "k", "v"))
-    // simpler: rebuild from the union of exactly what a and b saw
+    // rebuild from the union of exactly what a and b saw
     val aRows = df.filter((col("inA") || col("k") === "onlyA") && col("k") =!= "onlyB")
     val bRows = df.filter((!col("inA") || col("k") === "onlyB") && col("k") =!= "onlyA")
     val rebuilt = stats(IncrementalAgg.state(aRows.unionByName(bRows), "k", "v"))
@@ -42,7 +39,6 @@ class IncrementalAggSpec extends SparkSuite {
       assert(math.abs(s - s2) < 1e-9 && math.abs(m2 - m22) < 1e-7,
         s"key $k float fields diverge: sum $s vs $s2, m2 $m2 vs $m22")
     }
-    assert(full != null) // keep the intermediate exercised
   }
 
   test("single-element groups merge to correct variance; null keys are ordinary keys") {
