@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GlobalRank
+
+/** Direct unit coverage of the single-plan global-order machinery the
+  * rank/quantile/packing operators ride (the oracle checks cover them
+  * end-to-end; this pins the helper itself under hostile layouts). */
+class GlobalRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1123L)
+  // duplicates on v force the tie-break column to carry the ordering
+  private val rows = Seq.tabulate(5000)(i => (rnd.nextInt(500).toLong, i.toLong))
+
+  test("withRowNumbers: contiguous 1..N ranks in sort order, under any input layout") {
+    val expected: Array[Long] =
+      rows.sortBy { case (v, id) => (v, id) }.map(_._2).toArray
+    for (parts <- Seq(1, 3, 32)) {
+      val df = rows.toDF("v", "id").repartition(parts)
+      val got = GlobalRank.withRowNumbers(df, Seq(col("v"), col("id")), "rn",
+          totalCol = Some("total"))
+        .select(col("rn"), col("id"), col("total")).collect()
+      assert(got.length == rows.length)
+      assert(got.forall(_.getLong(2) == rows.length), "totalCol must be N on every row")
+      val byRank = got.sortBy(_.getLong(0))
+      assert(byRank.map(_.getLong(0)).sameElements(
+          Array.tabulate(rows.length)(i => i + 1L)),
+        s"ranks must tile 1..N exactly (layout $parts)")
+      assert(byRank.map(_.getLong(1)).sameElements(expected),
+        s"rank order must equal the (v, id) total order (layout $parts)")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("withRunningSum: equals the sequential prefix sum, under any input layout") {
+    val ref: Array[Long] = // sum of v ordered by id
+      rows.sortBy(_._2).scanLeft(0L)(_ + _._1).tail.toArray
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("v", "id").repartition(parts)
+      val got = GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run")
+        .select(col("id"), col("run")).collect()
+        .sortBy(_.getLong(0)).map(_.getLong(1))
+      assert(got.sameElements(ref), s"running sum diverges (layout $parts)")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("empty input yields empty output, no crash") {
+    val df = Seq.empty[(Long, Long)].toDF("v", "id")
+    assert(GlobalRank.withRowNumbers(df, Seq(col("v")), "rn").count() == 0)
+    assert(GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run").count() == 0)
+  }
+}
