@@ -144,7 +144,10 @@ object GlobalRank {
       it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }(Encoders.row(outSchema))
       .cache() // see object doc: dedups the per-branch sort, not the exchange
-    val totals = local.groupBy(col("_gr_pid")).agg(max(col("_gr_lcw")).as("_gr_cnt"))
+    // partition total = sum of the VALUES, not max of the cumsum — the
+    // two agree only for non-negative values, and this helper makes no
+    // sign assumption (a running net-balance is a legitimate caller)
+    val totals = local.groupBy(col("_gr_pid")).agg(sum(col(valueCol)).as("_gr_cnt"))
     val offsets = totals
       .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(countsWindow), lit(0L)))
       .select(col("_gr_pid"), col("_gr_off"))

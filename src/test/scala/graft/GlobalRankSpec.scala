@@ -34,10 +34,13 @@ class GlobalRankSpec extends SparkSuite {
   }
 
   test("withRunningSum: equals the sequential prefix sum, under any input layout") {
+    // NEGATIVE values included: a partition's total is its LAST cumsum,
+    // not its max — this distribution makes the two disagree
+    val signed = rows.map { case (v, id) => (v - 250L, id) }
     val ref: Array[Long] = // sum of v ordered by id
-      rows.sortBy(_._2).scanLeft(0L)(_ + _._1).tail.toArray
+      signed.sortBy(_._2).scanLeft(0L)(_ + _._1).tail.toArray
     for (parts <- Seq(1, 7)) {
-      val df = rows.toDF("v", "id").repartition(parts)
+      val df = signed.toDF("v", "id").repartition(parts)
       val got = GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run")
         .select(col("id"), col("run")).collect()
         .sortBy(_.getLong(0)).map(_.getLong(1))
