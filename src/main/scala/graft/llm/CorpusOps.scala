@@ -368,6 +368,23 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("chunk_ix"))
     }),
 
+    /** Equi-depth decile histogram of event values per type
+      * ([[graft.ops.Quantiles.equiDepthBins]]): ten equal-count bins
+      * with their value ranges and means — the skew-proof drift
+      * histogram (q116's equal-width bars collapse when one tail owns
+      * the range) and the standard feature-binning step. Oracle:
+      * DuckDB NTILE over the same (type, value) order; bin aggregates
+      * are invariant to how engines break ties between equal values. */
+    "q130_equidepth_bins" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Quantiles.equiDepthBins(
+          Tables(s, dir, "events").select(col("event_type"), col("value")),
+          Seq("event_type"), "value", 10)
+        .select(col("event_type"), col("bin"), col("n"),
+          graft.r6(col("lo")).as("lo"), graft.r6(col("hi")).as("hi"),
+          graft.r6(col("mean")).as("mean"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     /** Per-group IQR outlier screen (Tukey fences): rows outside
       * [p25 − 1.5·IQR, p75 + 1.5·IQR] flagged per event_type — the
       * robust DQ anomaly gate (quartiles don't move when the outliers
@@ -624,6 +641,18 @@ object CorpusOps {
         |least(u.start + 63, n_tok) - u.start + 1 AS chunk_len
         |FROM c
         |ORDER BY doc_id NULLS FIRST, chunk_ix NULLS FIRST""".stripMargin,
+
+    "q130_equidepth_bins" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |  CAST(ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY value NULLS FIRST) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bin, count(*) AS n,
+        |round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+        |round(avg(value), 6) AS mean
+        |FROM r GROUP BY event_type, bin
+        |ORDER BY event_type NULLS FIRST, bin NULLS FIRST""".stripMargin,
 
     "q129_iqr_outliers" ->
       """WITH b AS (

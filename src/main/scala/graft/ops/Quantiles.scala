@@ -152,6 +152,37 @@ object Quantiles {
     else nullSafeJoin(rows, bounds, groupCols, broadcastRight = true)
   }
 
+  /** Equi-depth (equal-frequency) binning: every row labeled with its
+    * group's exact NTILE(k) bucket over `valueCol`, aggregated to one
+    * row per (group, bin) with count/lo/hi/mean — the feature-binning
+    * and drift-histogram shape where equal-WIDTH buckets (q116) would
+    * put 99% of a skewed column in one bar. Runs on the same
+    * single-scan rank machinery; the bucket is the SQL NTILE closed
+    * form (first n mod k buckets hold ceil(n/k) rows), so the result
+    * is engine-exact. Ties in `valueCol` may split across adjacent
+    * bins differently per engine, but swapping EQUAL values between
+    * bins changes no aggregate — the output is tie-stable. */
+  def equiDepthBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    val gcols: Seq[Column] = groupCols.map(col)
+    val rn = col("_gr") + 1
+    val base = expr(s"_n div $k"); val rem = col("_n") % k
+    val bigSpan = rem * (base + lit(1L))
+    val bin = (when(rn <= bigSpan,
+        floor((rn - 1).cast("double") / (base + lit(1L)).cast("double")))
+      .otherwise(rem +
+        floor((rn - bigSpan - 1).cast("double") / base.cast("double")))
+      .cast("long") + 1).as("bin")
+    groupRanked(df, groupCols, valueCol).withRank
+      .select(gcols ++ Seq(bin, col("_v")): _*)
+      .groupBy(gcols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"), avg(col("_v")).as("mean"))
+  }
+
   /** Exact WEIGHTED quantiles (type-1 / lower: the smallest value
     * whose running weight reaches q·totalWeight), per group. The
     * importance-weighted variant quota/temperature sampling cutoffs
