@@ -7,25 +7,33 @@ package graft
   */
 object One {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated names run back-to-back in one JVM, sharing the
+    // warm session; oracle_sql.json accumulates every requested query
+    // so one check_local.py call covers the whole batch.
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 2) Some(args(2)) else None
     val reps = if (args.length > 3) args(3).toInt else 2
     val spark = GraftSession.local("graft-one")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[one] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      spark.catalog.clearCache()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[one] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+      outDir.foreach { d =>
+        new java.io.File(d).mkdirs()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$d/$name")
+        spark.catalog.clearCache()
+      }
     }
     outDir.foreach { d =>
-      new java.io.File(d).mkdirs()
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$d/$name")
       val q = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\t", "\\t") + "\""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/oracle_sql.json"),
-        SparkEntry.oracleSql.filter(_._1 == name)
+        SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
           .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     }
     spark.stop()

@@ -667,6 +667,7 @@ object CorpusOps {
         |round(min(p25 - (p75 - p25) * 1.5), 6) AS fence_lo,
         |round(min(p75 + (p75 - p25) * 1.5), 6) AS fence_hi
         |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type
         |ORDER BY e.event_type NULLS FIRST""".stripMargin,
 

@@ -43,6 +43,87 @@ object Similarity {
   private def withCosine(s: SparkSession): Unit =
     graft.functions.VectorFunctions.register(s)
 
+  /** Cosine between an embedding column and a DRIVER-RESIDENT centroid
+    * (shipped as an array literal, like q44's hyperplanes): the same
+    * sequential-fold op order as [[cosineFold]] / the DuckDB oracle —
+    * dot(a,c) and dot(a,a) as zip_with+aggregate folds; ||c||² folded
+    * on the driver over the identical doubles in the identical order,
+    * so the value is bit-for-bit what an in-plan fold would produce. */
+  private def cosLit(emb: Column, c: Array[Double]): Column = {
+    val dotAC = aggregate(zip_with(emb, lit(c), (p, q) => p.cast("double") * q),
+      lit(0.0), (acc, v) => acc + v)
+    val dotAA = aggregate(zip_with(emb, emb, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val normC = c.foldLeft(0.0)((acc, v) => acc + v * v)
+    dotAC / sqrt(dotAA * lit(normC))
+  }
+
+  /** Nearest-centroid assignment as a PURE PROJECTION — zero shuffle,
+    * zero replication of the corpus: the k centroids ride the plan as
+    * literals and the argmax (ties to the LOWEST cent_id, matching
+    * `ORDER BY csim DESC, cent_id` everywhere else) is a `greatest`
+    * over (csim, −cent_id) structs. This replaces the former
+    * crossJoin(broadcast(cents)) + row_number-window shape, which
+    * hash-exchanged and sorted the k×-replicated corpus — the exact
+    * opposite of what an assignment pass should cost at 100 TB. */
+  private[graft] def assignCells(e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.size >= 2, "assignCells needs at least 2 centroids")
+    val scored = cents.map { case (cid, c) =>
+      struct(cosLit(col("embedding"), c).as("csim"), lit(-cid).as("nid"))
+    }
+    e.select(col("vec_id"), col("embedding"),
+      (greatest(scored: _*).getField("nid") * lit(-1L)).as("cent_id"))
+  }
+
+  /** Lloyd's k-means with driver-resident centroids — the stance
+    * spark.ml takes, and the fix for the former plan's per-iteration
+    * shuffle of the replicated corpus. Centroid state is k·d doubles
+    * (k=16, d=64 ⇒ 1024 doubles): control-plane-sized regardless of
+    * corpus size, same as q44's hyperplane literals. Per iteration:
+    * one zero-shuffle assignment projection ([[assignCells]]), then
+    * ONE k·d-bounded aggregation (posexplode → per-(cell, dim) avg —
+    * partial aggregation combines map-side, so only k·d·partitions
+    * tiny rows cross the wire) collected back to the driver.
+    * Deterministic init: the first k vectors. Returns the trained
+    * centroids and the LAZY final assignment frame (a projection —
+    * cheap to re-evaluate, nothing cached). */
+  private[graft] def trainKmeans(e: DataFrame, k: Int, iters: Int)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
+    var cents: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignCells(e, cents)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+          .as("cent_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    }
+    (cents, assigned)
+  }
+
+  /** Top-`nprobe` trained cells for the probe vector `queryId` — a
+    * one-row projection of all k csims, exploded and limited. */
+  private def probeCells(e: DataFrame, cents: Seq[(Long, Array[Double])],
+      queryId: Long, nprobe: Int): DataFrame =
+    e.filter(col("vec_id") === queryId)
+      .select(explode(array(cents.map { case (cid, c) =>
+        struct(cosLit(col("embedding"), c).as("csim"), lit(cid).as("cent_id"))
+      }: _*)).as("sc"))
+      .select(col("sc.cent_id").as("cent_id"), col("sc.csim").as("csim"))
+      .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+
   val queries: Map[String, Q] = Map(
 
     /** Exact top-20 cosine neighbors of vec_id=0 — brute force, one
@@ -80,30 +161,22 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    /** IVF (inverted-file) ANN: deterministic coarse quantizer — the
-      * first 16 vectors act as cell centroids, every vector is assigned
-      * to its nearest centroid (broadcast 16-way product + window
-      * argmax), and the query probes its 2 best cells only. At 100 TB
-      * the assignment is one broadcast pass and each query touches
-      * ~n*nprobe/K vectors instead of n. Fully deterministic, so this
-      * one IS oracle-checked (unlike the hash-bucketed q44). */
+    /** IVF (inverted-file) ANN probing TRAINED cells: the coarse
+      * quantizer is the q122 Lloyd loop itself ([[trainKmeans]], k=16,
+      * 2 iterations — train → assign → probe now COMPOSE instead of
+      * q57 hardcoding first-k "centroids"), every vector is assigned
+      * to its nearest trained centroid by the zero-shuffle projection
+      * argmax ([[assignCells]]), and the query probes its 2 best cells
+      * only. At 100 TB the assignment is one scan-speed projection and
+      * each query touches ~n·nprobe/k vectors instead of n. Fully
+      * deterministic, so this IS oracle-checked: the oracle unrolls
+      * the same two training iterations plus the final assignment. */
     "q57_ann_ivf" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
-      val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          expr("cosine_sim(embedding, cent_emb)").as("csim"))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
-        .select(col("cent_id"), expr("cosine_sim(embedding, cent_emb)").as("csim"))
-        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
-        .limit(2).select(col("cent_id"))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val assigned = assignCells(e, cents)
+      val qCells = probeCells(e, cents, queryId = 0L, nprobe = 2)
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       assigned.join(broadcast(qCells), "cent_id")
         .crossJoin(broadcast(qv))
@@ -115,27 +188,21 @@ object Similarity {
     }),
 
     /** SemDeDup-style embedding near-dup at scale: assign every vector
-      * to its nearest IVF centroid (deterministic cells: vec_id < 16),
-      * then pair-compare ONLY within cells — O(Σ k_i²) « O(n²), the
-      * scale path that replaces q51's all-pairs scan. Recall is
-      * cell-local by design (cross-cell pairs are unseen — SemDeDup's
-      * documented trade-off); the oracle replicates the identical cell
+      * to its nearest TRAINED cell (the q122 Lloyd loop, k=16 —
+      * train → assign → pair-compare compose, replacing the former
+      * fixed first-16 "centroids"), then pair-compare ONLY within
+      * cells — O(Σ k_i²) « O(n²), the scale path that replaces q51's
+      * all-pairs scan. Assignment is the zero-shuffle projection
+      * argmax ([[assignCells]]). Recall is cell-local by design
+      * (cross-cell pairs are unseen — SemDeDup's documented
+      * trade-off); the oracle unrolls the identical training + cell
       * assignment, so the check is exact. */
     "q86_semdedup" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
-      val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
       // cached: both sides of the within-cell pair join read this
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          expr("cosine_sim(embedding, cent_emb)").as("csim"))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-        .cache()
+      val assigned = assignCells(e, cents).cache()
       assigned.as("a")
         .join(assigned.as("b"),
           col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
@@ -189,51 +256,28 @@ object Similarity {
 
     /** Distributed k-means (2 Lloyd iterations, k=8, cosine
       * assignment): the TRAINING step for the IVF coarse quantizer —
-      * q57/q86 take their cells as given; this is where those cells
-      * come from. Deterministic init (the first k vectors), then per
-      * iteration: broadcast the k centroids, assign every vector to
-      * its best cell (argmax cosine, ties to the lowest cell — one
-      * streaming pass, no shuffle of the corpus), and recompute each
-      * centroid as the element-wise mean via posexplode → per-(cell,
-      * dim) partial aggregation → re-assemble (sort_list of (pos, m)
-      * structs; the collect_list is per-cell and d-bounded, so state
-      * is k·d regardless of corpus size). Assignments are cached per
-      * iteration — the standard materialization for iterative ML on
-      * Spark (each iteration's output feeds two consumers: the next
-      * assignment pass and the size/centroid aggregates). Oracle:
-      * the same two iterations fully unrolled in SQL with the shared
-      * sequential-fold cosine, so init, both assignments, and both
-      * re-estimations are checked value-for-value. */
+      * q57/q86 probe the cells this loop learns. All the work is in
+      * [[trainKmeans]]: deterministic init (the first k vectors),
+      * then per iteration a ZERO-SHUFFLE assignment projection over
+      * driver-literal centroids ([[assignCells]] — the corpus is
+      * never replicated, exchanged, or cached) and one k·d-bounded
+      * re-estimation aggregate (posexplode → per-(cell, dim) partial
+      * avg, map-side combined) collected back as the next iteration's
+      * literals — k·d = 512 doubles of control-plane state, the same
+      * stance as q44's hyperplane literals and spark.ml's KMeans.
+      * Oracle: the same two iterations fully unrolled in SQL with the
+      * shared sequential-fold cosine, so init, both assignments, and
+      * both re-estimations are checked value-for-value. */
     "q122_kmeans" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val k = 8
-      var cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cent_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("cent_emb"))
-      var assigned: DataFrame = null
-      for (_ <- 1 to 2) {
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(desc_nulls_last("csim"), asc_nulls_first("cent_id"))
-        assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            cosineFold("embedding", "cent_emb").as("csim"))
-          .withColumn("rn", row_number().over(byVec))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id"))
-          .cache()
-        cents = assigned
-          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg(avg(col("x").cast("double")).as("m"))
-          .groupBy(col("cent_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
-            .as("cent_emb"))
-      }
+      val (cents, assigned) = trainKmeans(e, k = 8, iters = 2)
       val sizes = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
-      cents.select(col("cent_id"), posexplode(col("cent_emb")).as(Seq("pos", "coord")))
+      import s.implicits._
+      val centRows = cents.flatMap { case (cid, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) => (cid, i.toLong, v) } }
+      centRows.toDF("cent_id", "pos", "coord")
         .join(broadcast(sizes), Seq("cent_id"))
-        .select(col("cent_id"), col("pos").cast("long").as("pos"),
-          r6(col("coord")).as("coord"), col("n"))
+        .select(col("cent_id"), col("pos"), r6(col("coord")).as("coord"), col("n"))
         .orderBy(col("cent_id"), col("pos"))
     })
   )
@@ -414,19 +458,16 @@ object Similarity {
          |LIMIT 10""".stripMargin
     },
 
+    // trained cells: the same 2-iteration k=16 Lloyd unroll as q122's
+    // oracle, plus a third assignment pass over the trained centroids
     "q86_semdedup" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT e.vec_id, e.embedding, c.cent_id,
-         |  ${duckCos("e.embedding", "c.cent_emb")} AS csim
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id FROM (
-         |    SELECT vec_id, embedding, cent_id,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
-         |    FROM sims) WHERE rn = 1)
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "ks1", "ka1", Some("kc1"))},
+         |${duckKmeansIter("kc1", "ks2", "ka2", Some("kc2"))},
+         |${duckKmeansIter("kc2", "ks3", "assigned", None)}
          |SELECT d1, d2, round(cs, 6) AS cos_sim FROM (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2,
          |  ${duckCos("a.embedding", "b.embedding")} AS cs
@@ -436,20 +477,15 @@ object Similarity {
          |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
 
     "q57_ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
-         |sims AS (
-         |  SELECT e.vec_id, e.embedding, c.cent_id,
-         |  ${duckCos("e.embedding", "c.cent_emb")} AS csim
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id FROM (
-         |    SELECT vec_id, embedding, cent_id,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
-         |    FROM sims) WHERE rn = 1),
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "ks1", "ka1", Some("kc1"))},
+         |${duckKmeansIter("kc1", "ks2", "ka2", Some("kc2"))},
+         |${duckKmeansIter("kc2", "ks3", "assigned", None)},
          |qcells AS (
-         |  SELECT cent_id FROM sims WHERE vec_id = 0
+         |  SELECT cent_id FROM ks3 WHERE vec_id = 0
          |  ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST LIMIT 2),
          |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(cs, 6) AS cos_sim FROM (

@@ -116,7 +116,7 @@ object GlobalRank {
     val lo = localOffsets(df, sortCols, totalCol)
     lo.local.join(broadcast(lo.offsets), "_gr_pid")
       .withColumn(rnCol, col("_gr_lrn") + col("_gr_off"))
-      .drop("_gr_pid", "_gr_lrn")
+      .drop("_gr_pid", "_gr_lrn", "_gr_off")
   }
 
   /** Adds the global running sum `outCol` of long column `valueCol`
@@ -128,13 +128,20 @@ object GlobalRank {
     * `Window.partitionBy(pid)` would re-shuffle and re-sort); the
     * per-partition totals then turn local into global sums through the
     * same bounded counts-table window as [[withRowNumbers]].
-    * `valueCol` must be a non-null long — filter/coalesce first. */
+    * `valueCol` must be a non-null long — filter/coalesce first. A
+    * NULL raises in-plan with a readable message (same fail-loud
+    * stance as the weighted-quantile negative-weight check) instead
+    * of surfacing as an opaque executor NPE from `getLong`. */
   def withRunningSum(
       df: DataFrame,
       sortCols: Seq[Column],
       valueCol: String,
       outCol: String): DataFrame = {
-    val parted = df.repartitionByRange(sortCols: _*)
+    val guarded = df.withColumn(valueCol,
+      when(col(valueCol).isNull, raise_error(lit(
+        s"running sum: NULL in value column '$valueCol' — filter/coalesce first")))
+        .otherwise(col(valueCol)))
+    val parted = guarded.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
     val vIdx = parted.schema.fieldIndex(valueCol)
@@ -153,6 +160,6 @@ object GlobalRank {
       .select(col("_gr_pid"), col("_gr_off"))
     local.join(broadcast(offsets), "_gr_pid")
       .withColumn(outCol, col("_gr_lcw") + col("_gr_off"))
-      .drop("_gr_pid", "_gr_lcw")
+      .drop("_gr_pid", "_gr_lcw", "_gr_off")
   }
 }

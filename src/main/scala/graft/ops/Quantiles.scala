@@ -65,26 +65,26 @@ object Quantiles {
     val v = df.select(gcols :+ col(valueCol).cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
     val lo = GlobalRank.localOffsets(v, gcols :+ col("_v"))
-    // per-group first rank and size WITHOUT a second ranked pass:
-    // groups are contiguous in the total order, so the group's first
-    // global rank is 1 + the summed sizes of all PRIOR groups — a
-    // prefix window over the GROUP-SIZES table, which has one row per
-    // group (output-sized, never data-sized). Ordering must match the
-    // range sort (ascending, nulls first — Spark's defaults in both).
+    val ranked = lo.local.join(broadcast(lo.offsets), "_gr_pid")
+    // per-group first rank and size from ONE distributed aggregation
+    // over the ranked rows: global ranks are unique and groups are
+    // contiguous in the total order, so min(global rank) IS the
+    // group's first rank. Partial aggregation combines map-side, so
+    // only one row per (group, partition) — and groups are contiguous,
+    // so at most groups + partitions − 1 rows — cross the wire. The
+    // earlier prefix-window formulation funneled the whole group-sizes
+    // table through ONE constant-key WindowExec task: fine for a few
+    // event types, a single-task bottleneck for per-user groups.
     val grp =
       if (groupCols.isEmpty)
         lo.local.agg(count(lit(1)).as("_n")).withColumn("_first", lit(1L))
-      else {
-        val wg = Window.partitionBy(GlobalRank.constKey(hash(gcols: _*)))
-          .orderBy(gcols: _*).rowsBetween(Window.unboundedPreceding, -1)
-        lo.local.groupBy(gcols: _*).agg(count(lit(1)).as("_n"))
-          .withColumn("_first", coalesce(sum(col("_n")).over(wg), lit(0L)) + 1)
-      }
+      else
+        ranked.groupBy(gcols: _*).agg(count(lit(1)).as("_n"),
+          min(col("_gr_lrn") + col("_gr_off")).as("_first"))
     // global case: grp is provably ONE row — broadcast it. Grouped
     // case: grp is one row PER GROUP, which callers may make huge
     // (per-user quantiles) — no forced broadcast; AQE picks BHJ when
     // the runtime size is small and a shuffle join when it is not.
-    val ranked = lo.local.join(broadcast(lo.offsets), "_gr_pid")
     val withRank =
       (if (groupCols.isEmpty) ranked.crossJoin(broadcast(grp))
        else nullSafeJoin(ranked, grp, groupCols))

@@ -44,13 +44,19 @@ object Scd2 {
     * keys new in the batch simply append. One shuffle of the batch on
     * the key, one broadcast-or-shuffle join against the history —
     * the history is never rewritten beyond the open rows' `valid_to`,
-    * which is what makes this cheap at warehouse scale. */
+    * which is what makes this cheap at warehouse scale.
+    *
+    * The close join is NULL-SAFE on the key (`<=>`): [[build]]'s
+    * `Window.partitionBy` treats a NULL key as an ordinary group, so
+    * a plain `===` here would never close a NULL-key open row and the
+    * incremental-equals-rebuild contract would silently break for
+    * exactly that key (same reasoning as Quantiles.nullSafeJoin). */
   def merge(history: DataFrame, batch: DataFrame, keyCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val firstChange = batch.groupBy(col(keyCol).as("_k"))
       .agg(min(col(tsCol)).as("_first_ts"))
     val closed = history
-      .join(firstChange, col(keyCol) === col("_k"), "left")
+      .join(firstChange, col(keyCol) <=> col("_k"), "left")
       .withColumn("valid_to",
         when(col("valid_to").isNull, col("_first_ts")).otherwise(col("valid_to")))
       .drop("_k", "_first_ts")

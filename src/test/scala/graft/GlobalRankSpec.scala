@@ -54,4 +54,27 @@ class GlobalRankSpec extends SparkSuite {
     assert(GlobalRank.withRowNumbers(df, Seq(col("v")), "rn").count() == 0)
     assert(GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run").count() == 0)
   }
+
+  test("withRunningSum: a NULL value raises a readable error, not an executor NPE") {
+    val df = Seq((Some(1L), 1L), (None: Option[Long], 2L), (Some(3L), 3L))
+      .toDF("v", "id")
+    val ex = intercept[Exception] {
+      GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL in value column 'v'")),
+      s"expected the fail-loud guard message, got: ${messages(ex)}")
+  }
+
+  test("internal _gr_off / _gr_pid columns do not leak into output schemas") {
+    val df = rows.toDF("v", "id")
+    val rn = GlobalRank.withRowNumbers(df, Seq(col("v"), col("id")), "rn")
+    assert(rn.columns.toSet == Set("v", "id", "rn"),
+      s"withRowNumbers leaked internals: ${rn.columns.mkString(",")}")
+    val rs = GlobalRank.withRunningSum(df, Seq(col("id")), "v", "run")
+    assert(rs.columns.toSet == Set("v", "id", "run"),
+      s"withRunningSum leaked internals: ${rs.columns.mkString(",")}")
+    spark.catalog.clearCache()
+  }
 }

@@ -42,6 +42,25 @@ class Scd2Spec extends SparkSuite {
       "incremental SCD2 merge must equal the one-pass rebuild")
   }
 
+  test("NULL keys merge like any other group (incremental ≡ rebuild holds)") {
+    // build() treats a NULL key as an ordinary window group; the merge
+    // join is null-safe, so the NULL key's open row gets closed too
+    val preN = Seq((Some(1L), 10L, 100L, "a"), (None: Option[Long], 20L, 101L, "b"))
+      .toDF("k", "ts", "id", "v")
+    val batchN = Seq((None: Option[Long], 60L, 200L, "c"))
+      .toDF("k", "ts", "id", "v")
+    val merged = Scd2.merge(Scd2.build(preN, "k", "ts", "id"), batchN, "k", "ts", "id")
+    val rebuilt = Scd2.build(preN.unionByName(batchN), "k", "ts", "id")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "NULL-key open rows must close on merge — the join must be null-safe")
+    val nullRows = merged.filter(col("k").isNull)
+      .orderBy(col("valid_from"))
+      .select(col("id"), col("valid_to")).collect()
+    assert(nullRows.map(_.getLong(0)).toSeq == Seq(101L, 200L))
+    assert(nullRows(0).getLong(1) == 60L, "NULL-key open row must close at the batch ts")
+    assert(nullRows(1).isNullAt(1))
+  }
+
   test("duplicate timestamps break ties by the tie column, totally ordered") {
     val dup = Seq((7L, 10L, 1L, "x"), (7L, 10L, 2L, "y"), (7L, 20L, 3L, "z"))
       .toDF("k", "ts", "id", "v")
