@@ -84,14 +84,49 @@ object TextDedup {
   private def shingleSizes(arr: DataFrame): DataFrame =
     arr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
 
-  /** Exact-Jaccard similar pairs above `threshold` from an
-    * inverted-index equi-join on hashed shingles. */
-  private[llm] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // the cache holds one COMPACT array row per doc; the index rows,
-    // both self-join sides, and the set sizes all derive from it with
-    // narrow ops only
+  /** Document-frequency cap for the exact inverted-index joins: a
+    * shingle appearing in more than this many documents is a
+    * STOP-SHINGLE ("of the", sentence boilerplate) and is dropped from
+    * the comparison universe before pair generation. Without the cap
+    * one hot shingle in df documents generates df·(df−1)/2 pairs on a
+    * SINGLE join key — at web scale a 10⁵-df stop-shingle is a
+    * 10¹⁰-pair task no salting can split (the key is the unit of
+    * correctness). With it, the per-key pair count is ≤ τ(τ−1)/2
+    * regardless of corpus size, and recall at 0.5-0.9 thresholds is
+    * essentially untouched: a capped shingle contributes the same +1
+    * to BOTH |A∩B| and the set sizes of every pair that shares it, so
+    * only pairs whose similarity is dominated by boilerplate move. */
+  private[llm] val DfCap = 512
+
+  /** Inverted index and per-doc set sizes over the df-CAPPED shingle
+    * universe U = {sh : df(sh) ≤ dfCap}: similarity is computed on
+    * A∩U vs B∩U, the cap applied identically in the DuckDB oracles.
+    * The hot-shingle list is found with one map-side-combined count
+    * (one row per shingle crosses the wire) and removed with a
+    * shuffle-hash LEFT ANTI join — not a broadcast: the hot list is
+    * tiny on Zipfian text, but its size is data-dependent and a plan
+    * that dies when it grows is exactly what the cap exists to avoid.
+    * The capped index is cached: the pair self-join reads it twice and
+    * the size aggregate once, and all three exchanges hash on the same
+    * 8-byte key so ReuseExchange computes the index shuffle once. */
+  private[llm] def cappedIndex(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
     val arr = shingleArrays(docs).cache()
-    val sh = explodeShingles(arr)
+    val sh0 = explodeShingles(arr)
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("sh"))
+    val sh = sh0.join(hot.hint("shuffle_hash"), Seq("sh"), "left_anti").cache()
+    // sizes over the CAPPED universe — size(shs) would count dropped
+    // stop-shingles and skew every jaccard/containment denominator
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    (sh, sizes)
+  }
+
+  /** Exact-Jaccard similar pairs above `threshold` from an
+    * inverted-index equi-join on hashed shingles, over the df-capped
+    * universe (see [[cappedIndex]]). */
+  private[llm] def jaccardPairs(docs: DataFrame, threshold: Double,
+      dfCap: Int = DfCap): DataFrame = {
+    val (sh, sizes) = cappedIndex(docs, dfCap)
     // shuffle_hash, NOT broadcast: the static size estimate of the
     // exploded index reads "small" and Catalyst would broadcast the
     // ENTIRE inverted index — a plan that cannot exist at 100 TB. The
@@ -103,7 +138,7 @@ object TextDedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, shingleSizes(arr), threshold)
+    jaccardOf(inter, sizes, threshold)
   }
 
   val queries: Map[String, Q] = Map(
@@ -132,7 +167,9 @@ object TextDedup {
     }),
 
     /** Ground-truth near-dup pairs: 3-shingle Jaccard ≥ 0.5 via
-      * inverted-index join (no cross join anywhere). */
+      * inverted-index join (no cross join anywhere), stop-shingles
+      * df-capped out of the universe (cap mirrored in the oracle —
+      * see [[cappedIndex]]); q35 is the banded linear-cost path. */
     "q34_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
       jaccardPairs(Tables(s, dir, "documents"), 0.5)
         .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
@@ -144,19 +181,69 @@ object TextDedup {
       * |A∩B| / min(|A|,|B|) ≥ 0.9. Jaccard misses the asymmetric
       * case this exists for: a short document wholly embedded in a
       * long one (boilerplate wrapping, quote inflation) scores
-      * jac = |A|/|B| ≈ 0 but containment ≈ 1. Same inverted-index
-      * machinery as q34 (candidates only from shared shingles, never
-      * all pairs); both directional containments are reported so the
-      * consumer can tell sub-document from near-identical. */
+      * jac = |A|/|B| ≈ 0 but containment ≈ 1. Same df-capped
+      * inverted-index machinery as q34 (candidates only from shared
+      * non-stop shingles, never all pairs — the cap matters MORE here
+      * than for jaccard, because a short boilerplate-heavy doc is
+      * exactly the thing containment flags); both directional
+      * containments are reported so the consumer can tell sub-document
+      * from near-identical. q131 is the banded linear-cost path. */
     "q127_containment" -> ((s: SparkSession, dir: String) => {
-      val arr = shingleArrays(Tables(s, dir, "documents")).cache()
-      val sh = explodeShingles(arr)
+      val (sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
       val inter = sh.as("a")
         .join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-      val sizes = shingleSizes(arr)
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
+        .select(col("d1"), col("d2"),
+          r4(col("inter") / col("n1")).as("cont_d1"),
+          r4(col("inter") / col("n2")).as("cont_d2"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** Containment SCALE PATH (q127's q35-analogue): candidates from
+      * SAMPLED-MEMBERSHIP probes, verified with exact containment, so
+      * the output equals q127's full inverted-index join. Each doc
+      * probes with its k=8 minhash-ARGMIN shingles (the element
+      * minimizing xxhash64(i,·) — a deterministic uniform sample of
+      * its capped shingle set; Broder's containment-sampling
+      * estimator): for a true pair with c = |A∩B|/|A| ≥ 0.9, each of
+      * the smaller doc's probes lands in B with probability ≥ c, so
+      * the pair is missed only if all 8 independent samples fall in
+      * the uncovered ≤10% — P(miss) ≤ 1e-8 per pair, INDEPENDENT of
+      * the size ratio. That independence is why probes beat jaccard
+      * banding here: minhash band recall decays with |B|/|A| (a
+      * c=0.9 pair at ratio R has jaccard ≈ 0.9/R, and size-partitioned
+      * banding à la LSH Ensemble needs O(R) bands to recover it),
+      * while the short-in-long case is exactly what containment is
+      * for. Candidate volume is k·df(sh) per probed shingle, df ≤ τ
+      * by the shared cap, so no hot key exceeds k·τ² pairs; exact
+      * verification touches candidates only. */
+    "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
+      val k = 8
+      val (sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      // k argmin shingles per doc in ONE map-side-combined groupBy
+      // (min over (hash, shingle) structs); duplicates collapse when
+      // one shingle wins several hash fns
+      val probes = sh.groupBy(col("doc_id")).agg(
+          array_distinct(array((0 until k).map(i =>
+            min(struct(xxhash64(lit(i), col("sh")).as("h"), col("sh").as("s")))
+              .getField("s")): _*)).as("ps"))
+        .select(col("doc_id"), explode(col("ps")).as("sh"))
+      val cand = probes.as("p")
+        .join(sh.as("x").hint("shuffle_hash"),
+          col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
+        .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
+          greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("a"), col("d1") === col("a.doc_id"))
+        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
@@ -326,8 +413,19 @@ object TextDedup {
       |       string_split(text,' ')[i+2])))) AS sh
       |FROM documents""".stripMargin
 
-  private[llm] def duckJaccard(threshold: String) =
-    s"""WITH sh AS ($duckShingles),
+  /** Shingle CTE body over the df-capped universe — the oracle twin of
+    * [[cappedIndex]] (`sh0` → df filter → capped `sh`). */
+  private[llm] def duckCappedShingles(dfCap: Int) =
+    s"""sh0 AS ($duckShingles),
+       |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $dfCap),
+       |sh AS (SELECT doc_id, sh FROM sh0 WHERE sh IN (SELECT sh FROM keep))""".stripMargin
+
+  /** `capped = false` reproduces the FULL-universe jaccard (the q35
+    * minhash contract verifies against uncapped jaccard — its banded
+    * candidate generation has no df hot key to cap). */
+  private[llm] def duckJaccard(threshold: String, capped: Boolean = true) = {
+    val shCte = if (capped) duckCappedShingles(DfCap) else s"sh AS ($duckShingles)"
+    s"""WITH $shCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -338,6 +436,26 @@ object TextDedup {
        |JOIN sizes s1 ON s1.doc_id = d1
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE inter*1.0/(s1.n + s2.n - inter) >= $threshold
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  }
+
+  /** Exact capped-universe containment — shared by q127 (full
+    * inverted-index join) and q131 (probe-sampled candidates): the
+    * scale path's contract is that it produces the identical result. */
+  private[llm] lazy val duckContainment =
+    s"""WITH ${duckCappedShingles(DfCap)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |round(inter * 1.0 / s1.n, 4) AS cont_d1,
+       |round(inter * 1.0 / s2.n, 4) AS cont_d2
+       |FROM pairs
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.9
        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -355,21 +473,11 @@ object TextDedup {
 
     "q34_dedup_jaccard" -> duckJaccard("0.5"),
 
-    "q127_containment" ->
-      s"""WITH sh AS ($duckShingles),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2,
-         |round(inter * 1.0 / s1.n, 4) AS cont_d1,
-         |round(inter * 1.0 / s2.n, 4) AS cont_d2
-         |FROM pairs
-         |JOIN sizes s1 ON s1.doc_id = d1
-         |JOIN sizes s2 ON s2.doc_id = d2
-         |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.9
-         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
+    // probe-sampled candidates + exact verification ≡ the full
+    // inverted-index containment join (miss prob ≤ 1e-8 per pair)
+    "q131_containment_probe" -> duckContainment,
+
+    "q127_containment" -> duckContainment,
 
     // the 60 per-bit vote sums and the fingerprint reassembly are
     // program-generated; the token hash is the same sha-256 hex prefix
@@ -404,9 +512,9 @@ object TextDedup {
          |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
     },
 
-    // verified-minhash output ≡ exact jaccard at the verify threshold
-    // (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
-    "q35_dedup_minhash" -> duckJaccard("0.8"),
+    // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
+    // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
+    "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
 
     // recursive-CTE transitive closure + min per component — the same
     // fixpoint the Spark label propagation converges to

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The df-cap contract on the shingle inverted-index joins: a
+  * stop-shingle shared by every document must NOT generate the
+  * quadratic hot-key pair blowup, and the capped measure must equal
+  * hand-computed similarity over the capped universe. Also pins the
+  * q131 probe path: sampled candidates + exact verification equals the
+  * q127 full-join containment on the real fixture. */
+class DedupSkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 100 docs, each: one SHARED 3-token boilerplate prefix + 4 unique
+  // tokens. Shared shingle "common stop words" has df = 100; the three
+  // bridge shingles and the unique tail are per-doc (df = 1).
+  private lazy val skewed = (0 until 100)
+    .map(i => (i.toLong, s"common stop words u${i}a u${i}b u${i}c u${i}d"))
+    .toDF("doc_id", "text")
+
+  test("df cap bounds the hot-shingle pair explosion") {
+    // uncapped: the df=100 stop-shingle alone generates C(100,2) =
+    // 4950 intersecting pairs on ONE join key
+    val uncapped = TextDedup.jaccardPairs(skewed, 0.0001, dfCap = 1000)
+    assert(uncapped.count() == 4950L, "fixture should explode without the cap")
+    // capped at τ=50 the stop-shingle leaves the universe: docs share
+    // nothing else, so zero pairs survive — the hot key is GONE, not
+    // merely re-thresholded
+    val capped = TextDedup.jaccardPairs(skewed, 0.0001, dfCap = 50)
+    assert(capped.count() == 0L, "df-capped join must drop stop-shingle-only pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("capped jaccard equals hand-computed similarity over the capped universe") {
+    // two docs sharing the stop-prefix AND two real tail shingles;
+    // third doc shares only the stop-prefix
+    val docs = Seq(
+      (1L, "common stop words alpha beta gamma delta"),
+      (2L, "common stop words alpha beta gamma zeta"),
+      (3L, "common stop words other text here now")).toDF("doc_id", "text")
+    // hand count, capped universe (τ=2 < df=3 of "common stop words"):
+    // each doc has 7 tokens -> 5 shingles, the stop-shingle dropped ->
+    // capped size 4. inter(1,2) = {"stop words alpha", "words alpha
+    // beta", "alpha beta gamma"} (df=2 each, kept) = 3; jac =
+    // 3/(4+4-3) = 0.6. Docs (1,3)/(2,3) share ONLY the stop-shingle
+    // -> no pair at all.
+    val pairs = TextDedup.jaccardPairs(docs, 0.01, dfCap = 2)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 0.6)),
+      s"expected capped jaccard {(1,2,0.6)}, got $pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("q131 probe-sampled containment equals q127's full inverted-index join") {
+    val full = TextDedup.queries("q127_containment")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val probed = TextDedup.queries("q131_containment_probe")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(full.nonEmpty, "fixture should contain containment pairs")
+    assert(probed == full,
+      s"probe path missed: ${full.diff(probed)}; extra: ${probed.diff(full)}")
+    spark.catalog.clearCache()
+  }
+
+  test("probe candidates catch a short-in-long pair that jaccard banding misses") {
+    // doc 1 = 12 tokens (10 shingles) fully embedded in doc 2's 200
+    // unique-token body: containment = 1.0, jaccard ≈ 10/198 ≈ 0.05 —
+    // far below any jaccard banding threshold
+    val short = (0 until 12).map(i => s"s$i").mkString(" ")
+    val long = short + " " + (0 until 188).map(i => s"L$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = {
+      // run the probe machinery directly on the in-memory fixture
+      val (sh, sizes) = TextDedup.cappedIndex(docs, TextDedup.DfCap)
+      val k = 8
+      val probes = sh.groupBy(col("doc_id")).agg(
+          array_distinct(array((0 until k).map(i =>
+            min(struct(xxhash64(lit(i), col("sh")).as("h"), col("sh").as("s")))
+              .getField("s")): _*)).as("ps"))
+        .select(col("doc_id"), explode(col("ps")).as("sh"))
+      probes.as("p")
+        .join(sh.as("x"), col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
+        .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
+          greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == Set((1L, 2L)), s"short-in-long pair must surface as a candidate: $got")
+    spark.catalog.clearCache()
+  }
+}
