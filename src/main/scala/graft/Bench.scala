@@ -16,12 +16,34 @@ object Bench {
           concat_ws(":", col("l_returnflag"), col("l_linestatus")).as("c"))
         .agg(sum(col("l_quantity")), avg(length(col("l_returnflag")))).count()
     } catch { case _: Throwable => }
+    // CONTENTION SENTINEL: a fixed pure-compute probe (no IO — 20M
+    // xxhash64 folds across 32 tasks) timed before and after the
+    // suite. Its cost is constant on an idle host, so an elevated
+    // sentinel marks the WHOLE record as taken under load — the
+    // round-5 driver run measured 6.3× its own previous total purely
+    // from host contention, and the record needed forensics to
+    // explain. Now it self-describes.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32).select(sum(xxhash64(col("id")))).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // one untimed execution first: the sentinel's own codegen warm-up
+    // must not inflate the PRE reading relative to POST (measured
+    // 0.50 vs 0.09 s without this)
+    sentinel()
+    val sentinelPre = sentinel()
     // best-of-2 per query: single-shot timings on a shared VM carry
     // ±30% noise (GC pauses, host scheduling); the minimum of two runs
-    // reports steady-state cost. Caches are cleared between runs so
-    // each measurement is cold-data, warm-JIT.
+    // reports steady-state cost (declared as runs/policy in the
+    // record). Caches are cleared between runs so each measurement is
+    // cold-data, warm-JIT.
+    val benchRuns = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to benchRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -32,6 +54,7 @@ object Bench {
       val succeeded = times.filter(_ >= 0)
       name -> (if (succeeded.nonEmpty) succeeded.min else -1.0)
     }
+    val sentinelPost = sentinel()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The harness that captures this output keeps only the LAST 2000
     // characters of stdout and parses the JSON line out of that window;
@@ -46,21 +69,29 @@ object Bench {
     // stdout parser
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // 2-decimal stdout per-query values: 131+ entries at 3 decimals
+    // push the line toward the 2000-char capture window; the detail
+    // file keeps full precision
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
+    // runs/policy declare the best-of-N aggregation IN the record —
+    // a min-over-runs composite must never present as a single run
+    val meta = s""""runs":$benchRuns,"policy":"min","sentinel_pre_s":${f3(sentinelPre)},"sentinel_post_s":${f3(sentinelPost)}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$detail,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
     // stop Spark BEFORE printing: the metric line must be the process's
     // final stdout output, after any shutdown logging (build.sbt sets
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":[${f2(sentinelPre)},${f2(sentinelPost)}],"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -109,7 +109,8 @@ object TextDedup {
     * The capped index is cached: the pair self-join reads it twice and
     * the size aggregate once, and all three exchanges hash on the same
     * 8-byte key so ReuseExchange computes the index shuffle once. */
-  private[llm] def cappedIndex(docs: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
+  private[llm] def cappedIndex(docs: DataFrame, dfCap: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val arr = shingleArrays(docs).cache()
     val sh0 = explodeShingles(arr)
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -118,7 +119,7 @@ object TextDedup {
     // sizes over the CAPPED universe — size(shs) would count dropped
     // stop-shingles and skew every jaccard/containment denominator
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    (sh, sizes)
+    (arr, sh, sizes)
   }
 
   /** Exact-Jaccard similar pairs above `threshold` from an
@@ -126,7 +127,7 @@ object TextDedup {
     * universe (see [[cappedIndex]]). */
   private[llm] def jaccardPairs(docs: DataFrame, threshold: Double,
       dfCap: Int = DfCap): DataFrame = {
-    val (sh, sizes) = cappedIndex(docs, dfCap)
+    val (_, sh, sizes) = cappedIndex(docs, dfCap)
     // shuffle_hash, NOT broadcast: the static size estimate of the
     // exploded index reads "small" and Catalyst would broadcast the
     // ENTIRE inverted index — a plan that cannot exist at 100 TB. The
@@ -189,7 +190,7 @@ object TextDedup {
       * containments are reported so the consumer can tell sub-document
       * from near-identical. q131 is the banded linear-cost path. */
     "q127_containment" -> ((s: SparkSession, dir: String) => {
-      val (sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      val (_, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
       val inter = sh.as("a")
         .join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -208,38 +209,45 @@ object TextDedup {
     /** Containment SCALE PATH (q127's q35-analogue): candidates from
       * SAMPLED-MEMBERSHIP probes, verified with exact containment, so
       * the output equals q127's full inverted-index join. Each doc
-      * probes with its k=8 minhash-ARGMIN shingles (the element
-      * minimizing xxhash64(i,·) — a deterministic uniform sample of
-      * its capped shingle set; Broder's containment-sampling
-      * estimator): for a true pair with c = |A∩B|/|A| ≥ 0.9, each of
-      * the smaller doc's probes lands in B with probability ≥ c, so
-      * the pair is missed only if all 8 independent samples fall in
-      * the uncovered ≤10% — P(miss) ≤ 1e-8 per pair, INDEPENDENT of
-      * the size ratio. That independence is why probes beat jaccard
-      * banding here: minhash band recall decays with |B|/|A| (a
-      * c=0.9 pair at ratio R has jaccard ≈ 0.9/R, and size-partitioned
-      * banding à la LSH Ensemble needs O(R) bands to recover it),
-      * while the short-in-long case is exactly what containment is
-      * for. Candidate volume is k·df(sh) per probed shingle, df ≤ τ
-      * by the shared cap, so no hot key exceeds k·τ² pairs; exact
-      * verification touches candidates only. */
+      * probes the capped index with its BOTTOM-k sketch — the k
+      * smallest shingle hashes, a uniform without-replacement sample
+      * of its shingle set (the 8-byte shingle hash IS the sampling
+      * hash; Broder's containment-sampling estimator): for a true
+      * pair with c = |A∩B|/min ≥ 0.9, each of the smaller doc's
+      * sampled shingles lands in B with probability ≥ c, so the pair
+      * is missed only if every sample falls in the uncovered ≤10% —
+      * P(miss) ≤ 0.1^k = 1e-12 per pair, INDEPENDENT of the size
+      * ratio. That independence is why probes beat jaccard banding
+      * here: minhash band recall decays with |B|/|A| (a c=0.9 pair at
+      * ratio R has jaccard ≈ 0.9/R, and size-partitioned banding à la
+      * LSH Ensemble needs O(R) bands to recover it), while the
+      * short-in-long case is exactly what containment is FOR. The
+      * sketch is a pure projection on the cached array form — an
+      * argmin-of-k-hash-fns variant needed min(struct(..)) per doc,
+      * which falls off codegen into SortAggregate and measured ~2 s
+      * slower at sf0.1. Probes that happen to be stop-shingles are
+      * inert (the capped index holds no hot rows), costing sample
+      * width but never recall-silently: a doc with stop fraction f
+      * still gets ~(1−f)k live samples of its CAPPED set (f=0.5 ⇒
+      * miss ≤ 1e-6). Candidate volume per probed shingle is df ≤ τ,
+      * so no hot key exceeds k·τ² pairs; exact verification touches
+      * candidates only. */
     "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
-      val k = 8
-      val (sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
-      // k argmin shingles per doc in ONE map-side-combined groupBy
-      // (min over (hash, shingle) structs); duplicates collapse when
-      // one shingle wins several hash fns
-      val probes = sh.groupBy(col("doc_id")).agg(
-          array_distinct(array((0 until k).map(i =>
-            min(struct(xxhash64(lit(i), col("sh")).as("h"), col("sh").as("s")))
-              .getField("s")): _*)).as("ps"))
-        .select(col("doc_id"), explode(col("ps")).as("sh"))
+      val k = 12
+      val (arr, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      val probes = arr.select(col("doc_id"),
+        explode(expr(s"slice(array_sort(shs), 1, $k)")).as("sh"))
       val cand = probes.as("p")
         .join(sh.as("x").hint("shuffle_hash"),
           col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
         .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
           greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
         .distinct()
+      // verification touches candidates only: the first join restricts
+      // the index to candidate d1 docs (one full-index exchange on
+      // doc_id — the same single exchange an explicit semi-filter
+      // would cost, measured slower here as extra stages), and the
+      // second join's left side is already candidate-sized
       val inter = cand
         .join(sh.as("a"), col("d1") === col("a.doc_id"))
         .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))

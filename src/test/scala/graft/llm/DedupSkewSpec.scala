@@ -73,13 +73,9 @@ class DedupSkewSpec extends SparkSuite {
     val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
     val got = {
       // run the probe machinery directly on the in-memory fixture
-      val (sh, sizes) = TextDedup.cappedIndex(docs, TextDedup.DfCap)
-      val k = 8
-      val probes = sh.groupBy(col("doc_id")).agg(
-          array_distinct(array((0 until k).map(i =>
-            min(struct(xxhash64(lit(i), col("sh")).as("h"), col("sh").as("s")))
-              .getField("s")): _*)).as("ps"))
-        .select(col("doc_id"), explode(col("ps")).as("sh"))
+      val (arr, sh, _) = TextDedup.cappedIndex(docs, TextDedup.DfCap)
+      val probes = arr.select(col("doc_id"),
+        explode(expr("slice(array_sort(shs), 1, 12)")).as("sh"))
       probes.as("p")
         .join(sh.as("x"), col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
         .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
