@@ -25,7 +25,70 @@ object TextAnalysis {
   private def withToks(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
 
+  /** Separator for the BPE wrapped-symbol string form: every symbol is
+    * individually wrapped ␟sym␟, so the pair pattern ␟l␟␟r␟ can only
+    * match a COMPLETE adjacent symbol pair — a plain "l r" separator
+    * join would let the pattern match across a merged symbol's
+    * boundary ("aa a" contains "a a"), and sharing one separator
+    * between pairs would make `replace`'s left-to-right scan consume
+    * the boundary a consecutive merge needs ("a a a a" must become
+    * "aa aa", not "aa a a"). U+001F never occurs in text tokens. */
+  private val Sep = "\u001f"
+
+  /** The q132 merge loop, shared with the hand-fixture spec: `rounds`
+    * BPE iterations over `docs`(text), returning (round, left, right,
+    * pair_freq). See the q132 scaladoc for the plan-shape rationale. */
+  private[llm] def bpeMerges(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"), col("f"))
+      .cache()
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val best = cur
+        .select(col("f"), expr(s"filter(split(s, '$Sep'), x -> x <> '')").as("syms"))
+        .filter(size(col("syms")) >= 2) // sequence(1,0) would DESCEND
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("pf"))
+        .orderBy(desc("pf"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, r, pf) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, pf))
+      cur = cur.select(call_function("replace", col("s"),
+        lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")).as("s"), col("f"))
+    }
+    merges.result().toDF("round", "left", "right", "pair_freq")
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    /** BPE tokenizer training — the true ITERATIVE merge loop (q40
+      * counts pair frequencies once; this actually merges): 3 rounds
+      * of count-adjacent-pairs → pick the most frequent (ties to the
+      * lexicographically smallest pair) → non-overlapping left-to-
+      * right merge across the vocabulary, exactly Sennrich et al.'s
+      * algorithm. Spark-first shape: the corpus collapses ONCE to the
+      * (word, freq) vocabulary table (bounded by vocabulary, not
+      * corpus size — the shape real BPE trainers operate on), each
+      * round is one map-side-combined pair-count aggregation plus a
+      * ONE-ROW driver collect of the winning pair (control-plane, the
+      * q122-centroid stance), and the merge itself is a pure `replace`
+      * projection over the wrapped-symbol string form (see [[Sep]]).
+      * Oracle: all 3 rounds unrolled in SQL the way q122 unrolls
+      * Lloyd. */
+    "q132_bpe_merges" -> ((s: SparkSession, dir: String) =>
+      bpeMerges(s, Tables(s, dir, "documents"), rounds = 3)),
 
     /** Corpus token statistics per language. */
     "q38_token_stats" -> ((s: SparkSession, dir: String) => {
@@ -200,7 +263,41 @@ object TextAnalysis {
     }.toDF("tok").distinct()
   }
 
+  /** One unrolled BPE round for the q132 oracle: pair-count `prev`,
+    * pick the winner into `b`, apply the merge into `w` (the same
+    * wrapped-symbol replace as the Spark side, chr(31) = U+001F). */
+  private def duckBpeRound(prev: String, b: String, w: String): String =
+    s"""p_$b AS (
+       |  SELECT p['l'] AS l, p['r'] AS r, sum(f) AS pf FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+       |      i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p, f
+       |    FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS syms, f
+       |          FROM $prev))
+       |  GROUP BY 1, 2),
+       |$b AS (SELECT l, r, CAST(pf AS BIGINT) AS pf FROM p_$b
+       |  ORDER BY pf DESC, l NULLS FIRST, r NULLS FIRST LIMIT 1),
+       |$w AS (SELECT replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+       |  chr(31)||l||r||chr(31)) AS s, f FROM $prev CROSS JOIN $b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q132_bpe_merges" ->
+      s"""WITH wd AS (
+         |  SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |w0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, f
+         |  FROM wd),
+         |${duckBpeRound("w0", "b1", "w1")},
+         |${duckBpeRound("w1", "b2", "w2")},
+         |${duckBpeRound("w2", "b3", "w3")}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, l AS "left", r AS "right", pf AS pair_freq FROM b1
+         |  UNION ALL SELECT 2, l, r, pf FROM b2
+         |  UNION ALL SELECT 3, l, r, pf FROM b3)
+         |ORDER BY round""".stripMargin,
+
     // exact result — the MG sketch is a candidate accelerator only
     "q110_heavy_hitters" ->
       """WITH t AS (

@@ -12,6 +12,65 @@ final case class SessionState(start: java.sql.Timestamp,
 final case class DqTrendState(n: Long, nError: Long, alerted: Boolean)
 final case class MgState(counts: Map[Long, Long])
 final case class MgCandidate(shard: Int, user_id: Long, est: Long)
+final case class KllState(levels: Array[Array[Double]], flips: Array[Int], n: Long)
+final case class QuantileEstimate(event_type: String, n: Long,
+  p25: Double, p50: Double, p75: Double)
+
+/** Sketch mechanics for [[EventStreams.quantileSketch]] — top-level so
+  * the flatMapGroupsWithState closure references a serializable module
+  * instead of capturing the (non-serializable) EventStreams object: a
+  * recursive local def inside the closure compiles to an instance
+  * method of the enclosing object and drags it into the task. */
+private[streaming] object KllOps extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+
+  /** Fold `vals` into the sketch: level l holds ≤ k values, each
+    * standing for 2^l originals; a full level sorts and keeps every
+    * other element into l+1, the keep-offset alternating per level
+    * across compactions (deterministic bias cancellation). */
+  def update(s0: KllState, vals: Iterator[Double], k: Int): KllState = {
+    val levels = ArrayBuffer(s0.levels.map(l => ArrayBuffer(l: _*)): _*)
+    val flips = ArrayBuffer(s0.flips: _*)
+    var n = s0.n
+    def compact(l: Int): Unit = {
+      if (l + 1 >= levels.size) { levels += ArrayBuffer.empty; flips += 0 }
+      val sorted = levels(l).sorted
+      val off = flips(l) % 2
+      flips(l) += 1
+      levels(l).clear()
+      var i = off
+      while (i < sorted.size) { levels(l + 1) += sorted(i); i += 2 }
+      // an odd buffer with offset 1 keeps (size-1)/2 items and sheds
+      // one original's weight — bounded by one item per compaction,
+      // exactly how the published sketch behaves
+      if (levels(l + 1).size >= k) compact(l + 1)
+    }
+    vals.foreach { v =>
+      levels(0) += v
+      n += 1
+      if (levels(0).size >= k) compact(0)
+    }
+    KllState(levels.map(_.toArray).toArray, flips.toArray, n)
+  }
+
+  /** Weighted nearest-rank estimate over all resident values (a value
+    * at level l carries weight 2^l). NaN on an empty sketch. */
+  def estimate(s: KllState, qs: Seq[Double]): Seq[Double] = {
+    val weighted = s.levels.zipWithIndex
+      .flatMap { case (buf, l) => buf.map(v => (v, 1L << l)) }
+      .sortBy(_._1)
+    val total = weighted.map(_._2).sum
+    qs.map { q =>
+      if (total == 0L) Double.NaN
+      else {
+        val target = math.max(1L, math.ceil(q * total).toLong)
+        var cum = 0L
+        weighted.find { case (_, w) => cum += w; cum >= target }
+          .map(_._1).getOrElse(Double.NaN)
+      }
+    }
+  }
+}
 
 /** Structured Streaming surface over the events feed (and, by the same
   * schema, the incident log): tumbling / sliding / session windowed
@@ -362,6 +421,49 @@ object EventStreams {
           }
           state.update(MgState(m.toMap))
           m.toSeq.map { case (u, c) => MgCandidate(shard, u, c) }.iterator
+      }
+  }
+
+  /** Streaming quantiles — the LIVE twin of the batch exact-quantile
+    * machinery (q55/q103/q129/q130 ride `Quantiles.exactQuantiles`):
+    * a bounded mergeable rank sketch per event_type maintained in
+    * `flatMapGroupsWithState`, emitting current p25/p50/p75 estimates
+    * after every micro-batch.
+    *
+    * Sketch: fixed-capacity multi-level compaction (the MRL /
+    * KLL-family shape): level l holds ≤ `k` values each standing for
+    * 2^l originals; a full level sorts and keeps every other element
+    * into level l+1. The keep-offset ALTERNATES per level across
+    * compactions (`flips`) — the classic derandomization that cancels
+    * the half-rank bias adjacent compactions would otherwise stack,
+    * keeping the operator deterministic (same feed order ⇒ same
+    * estimates, so specs can pin it). State per key is k·⌈log₂(n/k)⌉
+    * doubles — ~4 KB at n = 10¹² with k = 128 — which is the point:
+    * exact per-key quantiles need the full value multiset, this never
+    * does. Rank error: each level-l compaction perturbs any rank by
+    * ≤ 2^l; with ≤ n/(k·2^l) compactions per level the total is
+    * ≤ (levels/k)·n — ±3% of n at k = 128, n = 10⁶ (the spec asserts
+    * the ±5% band against the exact batch quantiles).
+    *
+    * Estimation: weighted midpoint rank over all resident values
+    * (value v at level l carries weight 2^l), the same nearest-rank
+    * convention as the batch side. */
+  def quantileSketch(spark: SparkSession, events: Dataset[Event],
+      k: Int = 128): Dataset[QuantileEstimate] = {
+    import spark.implicits._
+    require(k >= 8 && k % 2 == 0, s"sketch capacity k=$k must be even and >= 8")
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[KllState, QuantileEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[KllState]) =>
+          val s0 = state.getOption.getOrElse(KllState(Array(Array.empty), Array(0), 0L))
+          val s = KllOps.update(s0, rows.map(_.value), k)
+          state.update(s)
+          if (s.n == 0L) Iterator.empty
+          else {
+            val Seq(p25, p50, p75) = KllOps.estimate(s, Seq(0.25, 0.5, 0.75))
+            Iterator.single(QuantileEstimate(etype, s.n, p25, p50, p75))
+          }
       }
   }
 

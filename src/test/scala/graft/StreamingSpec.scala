@@ -394,4 +394,60 @@ class StreamingSpec extends SparkSuite {
       s"verified candidates must equal exact heavy hitters; " +
         s"missing ${exactHeavy -- verified}, extra ${verified -- exactHeavy}")
   }
+
+  test("streaming quantile sketch tracks the exact batch quantiles within the rank band") {
+    import spark.implicits._
+    // two staged files + maxFilesPerTrigger=1 -> two micro-batches, so
+    // the sketch state MERGES across batches instead of bootstrapping
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsketch_src")
+    val e = Tables(spark, sf, "events")
+    e.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val evs = normalized.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[EventStreams.Event]
+    val q = EventStreams.quantileSketch(spark, evs).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("qsketch").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("qsketch").collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    // per key: one emission per micro-batch that saw it, with growing n
+    // (proves the state actually carried over, not re-bootstrapped)
+    byType.foreach { case (t, rs) =>
+      assert(rs.length >= 2, s"$t: expected an emission per micro-batch, got ${rs.length}")
+      val ns = rs.map(_.getAs[Long]("n")).sorted
+      assert(ns.distinct.length == ns.length && ns.last > ns.head,
+        s"$t: n must strictly grow across micro-batches, got ${ns.mkString(",")}")
+    }
+    val exact = e.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val eps = 0.05
+    exact.foreach { case (t, vals) =>
+      val fin = byType(t).maxBy(_.getAs[Long]("n"))
+      assert(fin.getAs[Long]("n") == vals.length,
+        s"$t: final n ${fin.getAs[Long]("n")} vs exact ${vals.length}")
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").foreach { case (qq, colName) =>
+        val est = fin.getAs[Double](colName)
+        val rLo = vals.count(_ < est)
+        val rHi = vals.count(_ <= est)
+        val target = qq * vals.length
+        assert(target >= rLo - eps * vals.length && target <= rHi + eps * vals.length,
+          s"$t $colName=$est: rank [$rLo,$rHi] vs target $target ± ${eps * vals.length}")
+      }
+    }
+  }
 }

@@ -85,4 +85,21 @@ class DedupSkewSpec extends SparkSuite {
     assert(got == Set((1L, 2L)), s"short-in-long pair must surface as a candidate: $got")
     spark.catalog.clearCache()
   }
+
+  test("BPE merges follow Sennrich semantics on a hand fixture") {
+    // corpus: "aaaa" x3, "aab" x2  (chars: a,a,a,a / a,a,b)
+    // round 1 pair counts: (a,a): 3*3 + 2*1... per-word non-overlapping
+    // COUNTS are of ADJACENT OCCURRENCES: "aaaa" has 3 adjacent (a,a),
+    // "aab" has 1 -> (a,a)=3*3+2*1=11, (a,b)=2 -> merge (a,a), freq 11
+    // round 2: "aaaa" -> [aa,aa] (LEFT-TO-RIGHT NON-OVERLAPPING),
+    // "aab" -> [aa,b]; pairs: (aa,aa)=3, (aa,b)=2 -> merge (aa,aa)
+    // round 3: "aaaa" -> [aaaa]; only "aab"=[aa,b] has a pair ->
+    // merge (aa,b), freq 2
+    val docs = Seq((1L, "aaaa aaaa aaaa aab aab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(spark, docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 11L), (2, "aa", "aa", 3L), (3, "aa", "b", 2L)),
+      s"got $got")
+    spark.catalog.clearCache()
+  }
 }
