@@ -98,6 +98,31 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    /** WEIGHTED sample without replacement (Efraimidis–Spirakis
+      * A-Res): per doc a uniform u ∈ (0,1) derives from the sha-256 of
+      * its id (60-bit hex prefix — deterministic, engine-portable, the
+      * q78/q79 stance on "randomness"), the sample key is ln(u)/w with
+      * w = n_chars (the log-domain form of u^(1/w): same ordering,
+      * without u^(1/500)-style clustering at 1.0), and the sample is
+      * the top-k keys — longer documents draw proportionally more
+      * often, the one-pass distributed form of weighted sampling (no
+      * per-partition reservoir state to merge: TakeOrderedAndProject
+      * does the k-selection per partition and the driver merges k-item
+      * heaps). Ordering is on the 6-dp-ROUNDED key with doc_id
+      * tiebreak — cross-engine stable (a last-ulp ln/pow difference
+      * cannot flip the selection boundary). */
+    "q134_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      val hv = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("long").cast("double")
+      val u = (hv + 1.0) / math.pow(2.0, 60) // +1 dodges u = 0
+      val key = log(u) / col("n_chars").cast("double")
+      Tables(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), r6(key).as("sample_key"))
+        .orderBy(desc("sample_key"), asc("doc_id"))
+        .limit(20)
+    }),
+
     /** Deterministic train/val/test split (75/12.5/12.5) keyed on
       * sha-256 of the doc id — stable under re-runs and engine changes,
       * stratification check by language. */
@@ -256,6 +281,24 @@ object PipelineOps {
         |WHERE substr(sha256(text), 1, 1) < '4'
         |GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // the same 60-bit sha-256 hex fold q36's oracle uses (seed the
+    // accumulator BIGINT or the fold overflows INT32)
+    "q134_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+        |                ELSE ord(c) - 87 END AS BIGINT))),
+        |    (acc, x) -> acc * 16 + x) AS hv
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |round(ln((CAST(hv AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |  / CAST(n_chars AS DOUBLE), 6) AS sample_key
+        |FROM h
+        |ORDER BY sample_key DESC NULLS LAST, doc_id NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "q79_train_split" ->
       """SELECT CASE WHEN h1 < 'c' THEN 'train'

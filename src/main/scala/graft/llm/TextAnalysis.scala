@@ -90,6 +90,44 @@ object TextAnalysis {
     "q132_bpe_merges" -> ((s: SparkSession, dir: String) =>
       bpeMerges(s, Tables(s, dir, "documents"), rounds = 3)),
 
+    /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
+      * query — the classic lexical ranking the dense q42/q57 paths
+      * complement. One corpus scan computes per-doc term frequencies
+      * as array-filter sizes (no explode, no per-token exchange); the
+      * corpus statistics (N, avgdl, per-term df) fold to ONE row,
+      * broadcast back for the scoring projection; output is a
+      * TakeOrderedAndProject top-10. IDF is the Lucene-style
+      * ln(1 + (N−df+0.5)/(df+0.5)) (always positive). Ordering is on
+      * the 6-dp-ROUNDED score with doc_id tiebreak — the cross-engine-
+      * stable form (both engines rank the identical rounded values,
+      * so a last-ulp ln/division difference cannot flip the top-10
+      * boundary). */
+    "q133_bm25" -> ((s: SparkSession, dir: String) => {
+      val terms = Seq("join", "hash", "scan")
+      val k1 = 1.2; val b = 0.75
+      val tf = withToks(Tables(s, dir, "documents").filter(col("text").isNotNull))
+        .select(col("doc_id") +: nTokens.as("dl") +: terms.zipWithIndex.map {
+          case (t, i) => size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf$i")
+        }: _*)
+        .cache() // one scan feeds both the stats fold and the scorer
+      val stats = tf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            count_if(col(s"tf$i") > 0).cast("double").as(s"df$i")): _*)
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tfi = col(s"tf$i").cast("double")
+        idf * (tfi * lit(k1 + 1)) /
+          (tfi + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+      }.reduce(_ + _)
+      tf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), r6(score).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(10)
+    }),
+
     /** Corpus token statistics per language. */
     "q38_token_stats" -> ((s: SparkSession, dir: String) => {
       withToks(Tables(s, dir, "documents"))
@@ -280,6 +318,32 @@ object TextAnalysis {
        |  chr(31)||l||r||chr(31)) AS s, f FROM $prev CROSS JOIN $b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q133_bm25" -> {
+      val terms = Seq("join", "hash", "scan")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n  ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n  ")
+      val score = terms.indices.map(i =>
+        s"""ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) *
+           |  (CAST(tf$i AS DOUBLE) * 2.2) /
+           |  (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+          .stripMargin).mkString(" + ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |  $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents WHERE text IS NOT NULL)),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         |  $dfCols
+         |  FROM tf)
+         |SELECT doc_id, dl, round($score, 6) AS bm25
+         |FROM tf CROSS JOIN st
+         |ORDER BY bm25 DESC NULLS LAST, doc_id NULLS FIRST
+         |LIMIT 10""".stripMargin
+    },
 
     "q132_bpe_merges" ->
       s"""WITH wd AS (

@@ -90,7 +90,10 @@ class PlanQualitySpec extends SparkSuite {
   private val boundedBnlj = Set(
     "q30_drift_compare", "q42_cosine_topk", "q43_knn_join", "q53_tfidf",
     "q57_ann_ivf", "q70_cross_join", "q81_length_band", "q86_semdedup",
-    "q122_kmeans")
+    "q122_kmeans",
+    // q133: the broadcast side is the ONE-ROW corpus-stats fold
+    // (N, avgdl, per-term df) — provably 1 row regardless of sf
+    "q133_bm25")
 
   test("suite-wide: no unbounded cartesian/nested-loop plan in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
