@@ -124,7 +124,59 @@ object Similarity {
       .limit(nprobe)
       .select(col("cent_id"))
 
+  /** One power-iteration step v ↦ Cv/‖Cv‖ against the centered
+    * covariance WITHOUT materializing C: per row the scalar
+    * s = (x−μ)·v (sequential fold, oracle order), then
+    * (Cv)_j = avg over rows of s·(x_j−μ_j) — a posexplode aggregation
+    * with map-side partial combine, d rows to the driver per step
+    * (control-plane, the q122-centroid stance). Normalization folds
+    * the d-vector in pos order on the driver, matching the oracle's
+    * list_reduce. */
+  private def powerStep(e: DataFrame, mu: Array[Double], v: Array[Double])
+      : (Array[Double], Double) = {
+    val dv = zip_with(col("embedding"), lit(mu), (p, q) => p.cast("double") - q)
+    val sCol = aggregate(zip_with(col("dv"), lit(v), (p, q) => p * q),
+      lit(0.0), (acc, x) => acc + x)
+    val w = e.select(dv.as("dv")).select(col("dv"), sCol.as("s"))
+      .select(col("s"), posexplode(col("dv")).as(Seq("pos", "dx")))
+      .groupBy(col("pos")).agg(avg(col("dx") * col("s")).as("w"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val norm = math.sqrt(w.map(x => x * x).sum)
+    (w.map(_ / norm), norm)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    /** Top principal component of the embedding cloud by two unrolled
+      * power iterations — the whitening/centering primitive a SemDeDup
+      * or quality-filter pipeline runs before cosine work. Spark-first
+      * shape: the d×d covariance is NEVER formed; each step is one
+      * corpus scan computing s = (x−μ)·v per row (s is against
+      * DRIVER-LITERAL μ and v — d = 64 doubles of control-plane state)
+      * and one k·d-bounded posexplode aggregate for Cv. Deterministic:
+      * init v₀ = 1/√d, and power iteration's sign/convergence is fixed
+      * by the arithmetic. Oracle: both iterations unrolled in SQL with
+      * the same sequential folds ([[powerStep]]). Output: the 64
+      * loadings plus the Rayleigh-quotient eigenvalue estimate ‖Cv‖. */
+    "q135_pca_power" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = 64
+      val e = Tables(s, dir, "embeddings").select(col("embedding")).cache()
+      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(avg(col("x").cast("double")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      val v0 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      val (v1, _) = powerStep(e, mu, v0)
+      val (v2, lambda) = powerStep(e, mu, v1)
+      v2.zipWithIndex
+        .map { case (x, i) => (i.toLong, x, lambda) }.toSeq
+        .toDF("pos", "loading_raw", "lambda_raw")
+        .select(col("pos"), r6(col("loading_raw")).as("loading"),
+          r6(col("lambda_raw")).as("lambda"))
+        .orderBy(col("pos"))
+    }),
 
     /** Exact top-20 cosine neighbors of vec_id=0 — brute force, one
       * streaming scan of the corpus against a broadcast query row. */
@@ -379,7 +431,45 @@ object Similarity {
     }
   }
 
+  /** One unrolled power-iteration step for the q135 oracle: `vin` is a
+    * CTE with a single `v` list column; emits s_, w_, n_ CTEs and a
+    * `vout` CTE holding the normalized next vector. The sequential
+    * list_reduce folds (prepend-0 accumulate) match the Spark side's
+    * aggregate() and driver fold order bit-for-bit. */
+  private def duckPowerStep(vin: String, tag: String, vout: String): String =
+    s"""s_$tag AS (
+       |  SELECT e.x AS x,
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       |    i -> (e.x[i] - mul.mu[i]) * $vin.v[i])), (a, b) -> a + b) AS s
+       |  FROM e, mul, $vin),
+       |w_$tag AS (
+       |  SELECT i, avg((x[i] - mul.mu[i]) * s) AS w
+       |  FROM s_$tag, mul, unnest(generate_series(1, 64)) AS g(i)
+       |  GROUP BY i),
+       |n_$tag AS (
+       |  SELECT list(w ORDER BY i) AS wl,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(list(w ORDER BY i), y -> y * y)), (a, b) -> a + b)) AS nrm
+       |  FROM w_$tag),
+       |$vout AS (SELECT list_transform(wl, y -> y / nrm) AS v, nrm FROM n_$tag)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q135_pca_power" ->
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |mu0 AS (
+         |  SELECT i, avg(x[i]) AS m
+         |  FROM e, unnest(generate_series(1, 64)) AS g(i) GROUP BY i),
+         |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+         |vinit AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+         |${duckPowerStep("vinit", "a", "v1")},
+         |${duckPowerStep("v1", "b", "v2")}
+         |SELECT CAST(i - 1 AS BIGINT) AS pos,
+         |round(v2.v[i], 6) AS loading, round(v2.nrm, 6) AS lambda
+         |FROM v2, unnest(generate_series(1, 64)) AS g(i)
+         |ORDER BY pos NULLS FIRST""".stripMargin,
 
     "q122_kmeans" ->
       s"""WITH c0 AS (

@@ -23,6 +23,34 @@ object Statistics {
 
   val queries: Map[String, Q] = Map(
 
+    /** Two-sample Kolmogorov-Smirnov statistic between the click and
+      * purchase value distributions — the distribution-drift test the
+      * reference's mean/std comparison cannot see (equal means, shifted
+      * shape). EXACT and distributed: D = sup|F₁−F₂| is attained at a
+      * jump of either ECDF, so evaluating at every distinct value of
+      * the pooled sample (each point's left-limit equals the previous
+      * point's value, which is also evaluated) is the full sup. Shape:
+      * groupBy distinct value (map-side combined) → two global running
+      * sums on the SAME range order via [[GlobalRank.withRunningSum]]
+      * (never an unpartitioned window) → one-row broadcast of the
+      * totals → max of |c₁/n₁ − c₂/n₂|. */
+    "q136_ks_test" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+        .select(col("value").cast("double").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
+      val g = ev.groupBy(col("v")).agg(sum(col("i1")).as("n1v"), sum(col("i2")).as("n2v"))
+      val c = GlobalRank.withRunningSum(
+        GlobalRank.withRunningSum(g, Seq(col("v")), "n1v", "c1"),
+        Seq(col("v")), "n2v", "c2")
+      val tot = c.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+      c.crossJoin(broadcast(tot))
+        .agg(r6(max(abs(col("c1").cast("double") / col("n1") -
+          col("c2").cast("double") / col("n2")))).as("ks_d"),
+          max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -345,6 +373,23 @@ object Statistics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_ks_test" ->
+      """WITH s AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |g AS (SELECT v, CAST(sum(i1) AS BIGINT) AS n1v, CAST(sum(i2) AS BIGINT) AS n2v
+        |  FROM s GROUP BY v),
+        |c AS (SELECT v,
+        |  sum(n1v) OVER (ORDER BY v) AS c1, sum(n2v) OVER (ORDER BY v) AS c2 FROM g),
+        |t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2 FROM g)
+        |SELECT
+        |round(max(abs(CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2)), 6) AS ks_d,
+        |t.n1, t.n2
+        |FROM c, t GROUP BY t.n1, t.n2""".stripMargin,
+
     "q63_corr_covar" ->
       """SELECT l_returnflag,
         |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,

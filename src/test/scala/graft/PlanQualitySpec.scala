@@ -93,7 +93,9 @@ class PlanQualitySpec extends SparkSuite {
     "q122_kmeans",
     // q133: the broadcast side is the ONE-ROW corpus-stats fold
     // (N, avgdl, per-term df) — provably 1 row regardless of sf
-    "q133_bm25")
+    "q133_bm25",
+    // q136: the broadcast side is the ONE-ROW (n1, n2) totals fold
+    "q136_ks_test")
 
   test("suite-wide: no unbounded cartesian/nested-loop plan in any registered query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
