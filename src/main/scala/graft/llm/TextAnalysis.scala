@@ -242,6 +242,39 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    /** Bigram-LM perplexity per document (CCNet-style quality filter,
+      * one order up from q102's unigram NLL): p(w₂|w₁) add-one
+      * smoothed over the corpus bigram model, ppl = exp(−avg ln p).
+      * Model tables are corpus-bounded (bigram and context counts —
+      * vocabulary-sized, AQE broadcasts them when small, shuffles
+      * when not); V is a scalar driver fold. The bigram stream is the
+      * only corpus-sized shuffle, and its count aggregation combines
+      * map-side. Boilerplate-heavy docs score LOW ppl (predictable),
+      * lorem-noise scores high — the standard filter signal. Docs
+      * with < 2 tokens have no bigrams and drop out (both engines). */
+    "q137_bigram_ppl" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val bi = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache() // model counts AND the scoring join read this
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0).toDouble
+      bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(exp(-avg(log((col("c12").cast("double") + 1.0) /
+            (col("c1").cast("double") + lit(v)))))).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** Heavy-hitter tokens (support > 1/64 of the stream) by the
       * two-pass sketch-then-verify pattern: pass 1 runs Misra-Gries
       * with capacity 64 INSIDE each partition (mapPartitions, O(64)
@@ -439,6 +472,26 @@ object TextAnalysis {
         |FROM toks LEFT JOIN vocab USING (t)
         |WHERE toks.doc_id < 20
         |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    "q137_bigram_ppl" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+        |    FROM d WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |round(exp(-avg(ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v)))), 6) AS ppl
+        |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q102_unigram_logprob" ->
       """WITH toks AS (

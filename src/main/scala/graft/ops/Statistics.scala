@@ -51,6 +51,35 @@ object Statistics {
           max(col("n1")).as("n1"), max(col("n2")).as("n2"))
     }),
 
+    /** Exact rank-based ROC-AUC (Mann-Whitney U with MIDRANKS for
+      * ties) of `value` as a predictor of event_type = 'error' — the
+      * model-quality / feature-screening aggregate, fully distributed:
+      * per distinct value one combined count row, ONE global running
+      * sum ([[GlobalRank.withRunningSum]]) turns it into midranks, and
+      * a single final aggregate folds U, n⁺, n⁻ together — unlike
+      * q136 there is no totals broadcast at all (the identity
+      * AUC = (Σ n⁺_v·midrank_v − n⁺(n⁺+1)/2)/(n⁺n⁻) needs only sums).
+      * Midranks are dyadic rationals, so every sum is EXACT in
+      * doubles — bit-identical across engines and summation orders. */
+    "q138_rank_auc" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("value").cast("double").as("v"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("pos"))
+      val g = ev.groupBy(col("v")).agg(
+        sum(col("pos")).as("n1v"),
+        count(lit(1)).as("nv"))
+      val c = GlobalRank.withRunningSum(g, Seq(col("v")), "nv", "cnv")
+      val mid = col("cnv").cast("double") - col("nv").cast("double") +
+        (col("nv").cast("double") + 1.0) / 2.0
+      c.agg(sum(col("n1v").cast("double") * mid).as("rsum"),
+          sum(col("n1v")).as("np"), sum(col("nv") - col("n1v")).as("nn"))
+        .select(
+          r6((col("rsum") - col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0) /
+            (col("np").cast("double") * col("nn").cast("double"))).as("auc"),
+          col("np").as("n_pos"), col("nn").as("n_neg"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -373,6 +402,25 @@ object Statistics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_rank_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, CAST(sum(pos) AS BIGINT) AS n1v, CAST(count(*) AS BIGINT) AS nv
+        |  FROM s GROUP BY v),
+        |c AS (SELECT v, n1v, nv, sum(nv) OVER (ORDER BY v) AS cnv FROM g),
+        |a AS (SELECT
+        |  sum(CAST(n1v AS DOUBLE) *
+        |    (CAST(cnv AS DOUBLE) - CAST(nv AS DOUBLE) + (CAST(nv AS DOUBLE) + 1.0) / 2.0)) AS rsum,
+        |  CAST(sum(n1v) AS BIGINT) AS np, CAST(sum(nv - n1v) AS BIGINT) AS nn
+        |  FROM c)
+        |SELECT
+        |round((rsum - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0) /
+        |  (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+        |np AS n_pos, nn AS n_neg
+        |FROM a""".stripMargin,
+
     "q136_ks_test" ->
       """WITH s AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
