@@ -35,18 +35,20 @@ object TextAnalysis {
     * "aa aa", not "aa a a"). U+001F never occurs in text tokens. */
   private val Sep = "\u001f"
 
-  /** The q132 merge loop, shared with the hand-fixture spec: `rounds`
-    * BPE iterations over `docs`(text), returning (round, left, right,
-    * pair_freq). See the q132 scaladoc for the plan-shape rationale. */
-  private[llm] def bpeMerges(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
+  /** The BPE training loop, shared by q132 (the merge table), q139
+    * (train → encode composition), and the hand-fixture spec: `rounds`
+    * iterations over `docs`(text). Returns the merge list and the
+    * final vocabulary frame (w, s, f) with `s` the merged
+    * wrapped-symbol form. See the q132 scaladoc for plan shape. */
+  private[llm] def bpeTrain(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      rounds: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val words = docs
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"), col("f"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"), col("f"))
       .cache()
     var cur = words
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -64,10 +66,17 @@ object TextAnalysis {
         .limit(1).collect()(0)
       val (l, r, pf) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((round, l, r, pf))
-      cur = cur.select(call_function("replace", col("s"),
+      cur = cur.select(col("w"), call_function("replace", col("s"),
         lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")).as("s"), col("f"))
     }
-    merges.result().toDF("round", "left", "right", "pair_freq")
+    (merges.result(), cur)
+  }
+
+  private[llm] def bpeMerges(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bpeTrain(s, docs, rounds)._1
+      .toDF("round", "left", "right", "pair_freq")
       .orderBy(col("round"))
   }
 
@@ -89,6 +98,62 @@ object TextAnalysis {
       * Lloyd. */
     "q132_bpe_merges" -> ((s: SparkSession, dir: String) =>
       bpeMerges(s, Tables(s, dir, "documents"), rounds = 3)),
+
+    /** ENCODE with the trained tokenizer — the q139 side of the q132
+      * train → apply composition (the q57/q122 stance for text): the
+      * 3 learned merges collapse the wrapped vocabulary, per-word
+      * symbol counts are a narrow projection on it, and documents
+      * join their words against that vocabulary-bounded table to get
+      * the per-doc BPE symbol count and compression ratio. At 100 TB
+      * the corpus-side work is one explode + one vocabulary join
+      * (AQE-broadcast when the vocab is small) — training cost is
+      * amortized across every encode. */
+    "q139_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, vocab) = bpeTrain(s, docs, rounds = 3)
+      val enc = vocab.select(col("w"),
+        size(expr(s"filter(split(s, '$Sep'), x -> x <> '')")).cast("long").as("n_sym"))
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(enc, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"),
+          r4(sum(col("n_sym")).cast("double") / count(lit(1))).as("sym_per_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Curation funnel report: retention counts through the standard
+      * filter chain (nonnull → length floor → language → deterministic
+      * 50% hash sample → exact dedup) as ONE fused aggregate over ONE
+      * scan — the reference's single-pass DQ stance applied to
+      * curation observability. Every stage is a count_if over the
+      * cumulative predicate (dedup is a conditional countDistinct on
+      * the 32-byte-hashed survivors), and the single result row
+      * unpivots to (stage, name, count) via stack. No scan runs
+      * twice; no stage materializes. */
+    "q140_curation_funnel" -> ((s: SparkSession, dir: String) => {
+      val c1 = col("text").isNotNull
+      val c2 = c1 && col("n_chars") >= 100
+      val c3 = c2 && col("lang") === "en"
+      val c4 = c3 && substring(sha2(col("text"), 256), 1, 1) < "8"
+      Tables(s, dir, "documents").agg(
+          count(lit(1)).as("raw"),
+          count_if(c1).as("nonnull"),
+          count_if(c2).as("minlen"),
+          count_if(c3).as("english"),
+          count_if(c4).as("sampled"),
+          countDistinct(when(c4, col("text"))).as("deduped"))
+        .select(expr(
+          """stack(6,
+            |  1, 'raw', raw,
+            |  2, 'text_nonnull', nonnull,
+            |  3, 'min_length_100', minlen,
+            |  4, 'lang_en', english,
+            |  5, 'hash_sample_50', sampled,
+            |  6, 'exact_dedup', deduped) AS (stage, stage_name, n_docs)""".stripMargin))
+        .orderBy(col("stage"))
+    }),
 
     /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
       * query — the classic lexical ranking the dense q42/q57 paths
@@ -347,10 +412,66 @@ object TextAnalysis {
        |  GROUP BY 1, 2),
        |$b AS (SELECT l, r, CAST(pf AS BIGINT) AS pf FROM p_$b
        |  ORDER BY pf DESC, l NULLS FIRST, r NULLS FIRST LIMIT 1),
-       |$w AS (SELECT replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+       |$w AS (SELECT w, replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31),
        |  chr(31)||l||r||chr(31)) AS s, f FROM $prev CROSS JOIN $b)""".stripMargin
 
+  /** Shared 3-round BPE training CTE chain (wd → w0 → b1/w1 → b2/w2 →
+    * b3/w3) — q132 reads the merge tables b1..b3, q139 the final
+    * encoded vocabulary w3. */
+  private lazy val duckBpeCtes: String =
+    s"""wd AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |w0 AS (SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, f
+       |  FROM wd),
+       |${duckBpeRound("w0", "b1", "w1")},
+       |${duckBpeRound("w1", "b2", "w2")},
+       |${duckBpeRound("w2", "b3", "w3")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q139_bpe_encode" ->
+      s"""WITH $duckBpeCtes,
+         |enc AS (
+         |  SELECT w,
+         |  CAST(len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS BIGINT) AS n_sym
+         |  FROM w3),
+         |tw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+         |round(sum(n_sym) * 1.0 / count(*), 4) AS sym_per_word
+         |FROM tw JOIN enc USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q140_curation_funnel" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS raw,
+        |  CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS minlen,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100 AND lang = 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS english,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100 AND lang = 'en'
+        |    AND substr(sha256(text), 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+        |  CAST(count(DISTINCT CASE WHEN text IS NOT NULL AND n_chars >= 100
+        |    AND lang = 'en' AND substr(sha256(text), 1, 1) < '8'
+        |    THEN text END) AS BIGINT) AS deduped
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'raw' AS stage_name, raw AS n_docs FROM a
+        |  UNION ALL SELECT 2, 'text_nonnull', nonnull FROM a
+        |  UNION ALL SELECT 3, 'min_length_100', minlen FROM a
+        |  UNION ALL SELECT 4, 'lang_en', english FROM a
+        |  UNION ALL SELECT 5, 'hash_sample_50', sampled FROM a
+        |  UNION ALL SELECT 6, 'exact_dedup', deduped FROM a)
+        |ORDER BY stage""".stripMargin,
 
     "q133_bm25" -> {
       val terms = Seq("join", "hash", "scan")
@@ -379,16 +500,7 @@ object TextAnalysis {
     },
 
     "q132_bpe_merges" ->
-      s"""WITH wd AS (
-         |  SELECT w, count(*) AS f FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w
-         |    FROM documents WHERE text IS NOT NULL)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |w0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, f
-         |  FROM wd),
-         |${duckBpeRound("w0", "b1", "w1")},
-         |${duckBpeRound("w1", "b2", "w2")},
-         |${duckBpeRound("w2", "b3", "w3")}
+      s"""WITH $duckBpeCtes
          |SELECT * FROM (
          |  SELECT 1 AS round, l AS "left", r AS "right", pf AS pair_freq FROM b1
          |  UNION ALL SELECT 2, l, r, pf FROM b2
