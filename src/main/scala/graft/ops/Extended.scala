@@ -249,6 +249,51 @@ object Extended {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    /** TPC-H Q10 shape (returned-item reporting): which customers
+      * returned the most revenue in a two-quarter window. Fact scan
+      * carries both pushed filters (returnflag on lineitem, the date
+      * window on orders); customer/nation resolve as broadcast-or-AQE
+      * hash joins; top-20 is TakeOrderedAndProject, never a global
+      * sort. Ordering on the 2-dp-rounded revenue + custkey tiebreak
+      * (cross-engine stable). */
+    "q141_returned_items" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1996-07-01 00:00:00"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q14 shape (promotion effect): the share of 1996 revenue
+      * from PROMO-type parts, by ship month. One filtered fact scan
+      * joined to part on the part key (no forced broadcast — part
+      * grows with the corpus; AQE picks BHJ when its runtime size
+      * allows), conditional aggregation for the promo share. */
+    "q142_promo_share" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
+            sum(rev), 6).as("promo_pct"),
+          round(sum(rev), 2).as("total_revenue"))
+        .orderBy(col("ship_month"))
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -667,6 +712,33 @@ object Extended {
         |  - log10(1 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_gap
         |FROM g, t
         |ORDER BY digit NULLS FIRST""".stripMargin,
+
+    "q141_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q142_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |round(sum(CASE WHEN p_type = 'PROMO'
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY ship_month NULLS FIRST""".stripMargin,
 
     "q123_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
