@@ -80,6 +80,38 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** The final funnel predicate (survivors of nonnull → length →
+    * lang → hash-sample), shared with the streaming twin's dedup leg. */
+  private[graft] def funnelSurvivor: Column = {
+    val c1 = col("text").isNotNull
+    val c2 = c1 && col("n_chars") >= 100
+    val c3 = c2 && col("lang") === "en"
+    c3 && substring(sha2(col("text"), 256), 1, 1) < "8"
+  }
+
+  /** The q140 funnel counts as ONE fused aggregate — shared with the
+    * streaming twin. `withDedup = false` omits the countDistinct
+    * stage: streaming forbids distinct aggregation, so the live twin
+    * runs these count_ifs in Complete mode and counts the dedup stage
+    * from a state-backed `dropDuplicates` in a second query. */
+  private[graft] def curationCounts(docs: org.apache.spark.sql.DataFrame,
+      withDedup: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val c1 = col("text").isNotNull
+    val c2 = c1 && col("n_chars") >= 100
+    val c3 = c2 && col("lang") === "en"
+    val c4 = funnelSurvivor
+    val base = Seq(
+      count(lit(1)).as("raw"),
+      count_if(c1).as("nonnull"),
+      count_if(c2).as("minlen"),
+      count_if(c3).as("english"),
+      count_if(c4).as("sampled"))
+    val aggs = if (withDedup)
+      base :+ countDistinct(when(c4, col("text"))).as("deduped")
+    else base
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, Q] = Map(
 
     /** BPE tokenizer training — the true ITERATIVE merge loop (q40
@@ -132,18 +164,8 @@ object TextAnalysis {
       * the 32-byte-hashed survivors), and the single result row
       * unpivots to (stage, name, count) via stack. No scan runs
       * twice; no stage materializes. */
-    "q140_curation_funnel" -> ((s: SparkSession, dir: String) => {
-      val c1 = col("text").isNotNull
-      val c2 = c1 && col("n_chars") >= 100
-      val c3 = c2 && col("lang") === "en"
-      val c4 = c3 && substring(sha2(col("text"), 256), 1, 1) < "8"
-      Tables(s, dir, "documents").agg(
-          count(lit(1)).as("raw"),
-          count_if(c1).as("nonnull"),
-          count_if(c2).as("minlen"),
-          count_if(c3).as("english"),
-          count_if(c4).as("sampled"),
-          countDistinct(when(c4, col("text"))).as("deduped"))
+    "q140_curation_funnel" -> ((s: SparkSession, dir: String) =>
+      curationCounts(Tables(s, dir, "documents"))
         .select(expr(
           """stack(6,
             |  1, 'raw', raw,
@@ -152,8 +174,7 @@ object TextAnalysis {
             |  4, 'lang_en', english,
             |  5, 'hash_sample_50', sampled,
             |  6, 'exact_dedup', deduped) AS (stage, stage_name, n_docs)""".stripMargin))
-        .orderBy(col("stage"))
-    }),
+        .orderBy(col("stage"))),
 
     /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
       * query — the classic lexical ranking the dense q42/q57 paths

@@ -229,9 +229,17 @@ object TextDedup {
       * inert (the capped index holds no hot rows), costing sample
       * width but never recall-silently: a doc with stop fraction f
       * still gets ~(1−f)k live samples of its CAPPED set (f=0.5 ⇒
-      * miss ≤ 1e-6). Candidate volume per probed shingle is df ≤ τ,
-      * so no hot key exceeds k·τ² pairs; exact verification touches
-      * candidates only. */
+      * miss ≤ 1e-6). Candidate volume: a shingle with document
+      * frequency df is probed by each holder with probability k/|A|,
+      * so expected pair volume is (k/avg|A|)·Σdf² — the full
+      * inverted-index join's volume scaled by k/|A| (~1/8 here), with
+      * the shared df cap still bounding the worst single key. That is
+      * a constant-factor reduction, not banding — deliberately: any
+      * banded scheme whose recall survives the short-in-long case
+      * needs O(size-ratio) band budgets (LSH Ensemble's per-partition
+      * tuning), while sampled membership keeps recall
+      * ratio-independent at fixed k and hands the rest to exact
+      * verification, which touches candidates only. */
     "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
       val k = 12
       val (arr, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)

@@ -21,7 +21,7 @@ final case class QuantileEstimate(event_type: String, n: Long,
   * instead of capturing the (non-serializable) EventStreams object: a
   * recursive local def inside the closure compiles to an instance
   * method of the enclosing object and drags it into the task. */
-private[streaming] object KllOps extends Serializable {
+private[graft] object KllOps extends Serializable {
   import scala.collection.mutable.ArrayBuffer
 
   /** Fold `vals` into the sketch: level l holds ≤ k values, each

@@ -395,6 +395,68 @@ class StreamingSpec extends SparkSuite {
         s"missing ${exactHeavy -- verified}, extra ${verified -- exactHeavy}")
   }
 
+  test("KLL sketch state stays bounded and deterministic under permutation-heavy feeds") {
+    import graft.streaming.{KllOps, KllState}
+    val k = 32
+    val empty = KllState(Array(Array.empty), Array(0), 0L)
+    // 100k values in a hostile order (interleaved high/low)
+    val vals = (0 until 100000).map(i => if (i % 2 == 0) i.toDouble else (100000 - i).toDouble)
+    val s = KllOps.update(empty, vals.iterator, k)
+    assert(s.n == 100000L)
+    val resident = s.levels.map(_.length).sum
+    val levels = s.levels.length
+    assert(levels <= 14, s"levels $levels should be ~log2(n/k)")
+    assert(resident <= k * levels,
+      s"resident $resident must be bounded by k*levels = ${k * levels}")
+    // deterministic: same feed -> bit-identical estimates
+    val s2 = KllOps.update(empty, vals.iterator, k)
+    assert(KllOps.estimate(s, Seq(0.25, 0.5, 0.75)) ==
+      KllOps.estimate(s2, Seq(0.25, 0.5, 0.75)))
+    // rank band on the known uniform distribution
+    val Seq(p25, p50, p75) = KllOps.estimate(s, Seq(0.25, 0.5, 0.75))
+    assert(math.abs(p25 - 25000) < 5000 && math.abs(p50 - 50000) < 5000 &&
+      math.abs(p75 - 75000) < 5000, s"estimates ($p25, $p50, $p75) out of band")
+    // incremental: one feed in two chunks equals state size bounds too
+    val sA = KllOps.update(empty, vals.iterator.take(50000), k)
+    val sB = KllOps.update(sA, vals.iterator.drop(50000), k)
+    assert(sB.n == 100000L)
+    assert(sB.levels.map(_.length).sum <= k * sB.levels.length)
+  }
+
+  test("streaming curation funnel (Complete mode) converges to the batch q140 counts") {
+    // the q140 fused aggregate IS the streaming query — Complete-mode
+    // global aggregation over a document stream; two files force the
+    // incremental-maintenance path
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_src")
+    val d = Tables(spark, sf, "documents")
+    d.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    d.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // leg 1: the fused count_if aggregate (distinct aggs are forbidden
+    // on streams, so the dedup stage rides leg 2)
+    val q = graft.llm.TextAnalysis.curationCounts(stream, withDedup = false)
+      .writeStream.outputMode("complete").format("memory").queryName("funnel").start()
+    // leg 2: dedup stage via state-backed dropDuplicates + count
+    val q2 = stream.filter(graft.llm.TextAnalysis.funnelSurvivor)
+      .select(sha2(col("text"), 256).as("h")).dropDuplicates("h")
+      .agg(count(lit(1)).as("deduped"))
+      .writeStream.outputMode("complete").format("memory").queryName("funnel_dedup").start()
+    q.processAllAvailable(); q2.processAllAvailable(); q.stop(); q2.stop()
+    val streamed = spark.table("funnel").collect().last.toSeq ++
+      spark.table("funnel_dedup").collect().last.toSeq
+    val batch = graft.llm.TextAnalysis.curationCounts(d).collect().head.toSeq
+    assert(streamed == batch,
+      s"streaming funnel $streamed must equal batch $batch")
+  }
+
   test("streaming quantile sketch tracks the exact batch quantiles within the rank band") {
     import spark.implicits._
     // two staged files + maxFilesPerTrigger=1 -> two micro-batches, so
