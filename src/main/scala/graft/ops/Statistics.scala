@@ -80,6 +80,58 @@ object Statistics {
           col("np").as("n_pos"), col("nn").as("n_neg"))
     }),
 
+    /** Rolling z-score anomaly screen — the windowed generalization of
+      * the reference's static mean/std drift check: each event scores
+      * against the TRAILING hour of its own type (RANGE frame over
+      * integer epoch-micros — the cross-engine-exact frame bound), and
+      * the report counts |z| > 3 flags per type. One shuffle on
+      * event_type, one sort per partition; the frame is time-bounded
+      * so state never exceeds an hour of events per type. Warm-up rows
+      * (window n < 30) and zero-variance windows are excluded from
+      * flagging on both engines. */
+    "q143_rolling_anomaly" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      val scored = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_type"), col("v"),
+          avg(col("v")).over(w).as("m"),
+          stddev_samp(col("v")).over(w).as("sd"),
+          count(lit(1)).over(w).as("wn"))
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("wn") >= 30 && col("sd") > 0 &&
+            abs((col("v") - col("m")) / col("sd")) > 3).as("n_anomalies"))
+        .select(col("event_type"), col("n_events"), col("n_anomalies"),
+          r6(col("n_anomalies").cast("double") / col("n_events")).as("anomaly_rate"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Ingestion rate limiting: keep at most 5 events per (user, hour),
+      * drop the overflow — the deterministic throttling primitive for
+      * a feed with hot keys. The window partitions on the HIGH-
+      * cardinality (user_id, hour) pair, so state is one counter per
+      * key per hour and the sort is per tiny partition; the total
+      * order (ts, event_id) makes kept/dropped reproducible. Report:
+      * retention per event type. */
+    "q144_rate_limit" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count_if(col("rn") <= 5).as("n_kept"),
+          count_if(col("rn") > 5).as("n_dropped"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -402,6 +454,37 @@ object Statistics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_rolling_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, v,
+        |  avg(v) OVER tw AS m, stddev_samp(v) OVER tw AS sd,
+        |  count(*) OVER tw AS wn
+        |  FROM s
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |CAST(sum(CASE WHEN wn >= 30 AND sd > 0 AND abs((v - m) / sd) > 3
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |round(sum(CASE WHEN wn >= 30 AND sd > 0 AND abs((v - m) / sd) > 3
+        |  THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS anomaly_rate
+        |FROM w GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q144_rate_limit" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
     "q138_rank_auc" ->
       """WITH s AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
