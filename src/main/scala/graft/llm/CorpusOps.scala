@@ -26,6 +26,37 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
 
+    /** Per-language percentile calibration of document length — the
+      * score-normalization step before a GLOBAL quality threshold
+      * (raw cutoffs over-prune verbose languages; percentiles within
+      * language compare like with like). Tie-robust and distributed:
+      * distinct (lang, n_chars) rows get ONE global running sum over
+      * the (lang, value) range order ([[graft.ops.GlobalRank]]), each
+      * language's base and size come from a per-lang aggregate of
+      * those same rows, and pct_below = (cum − cnt − base)/n — no
+      * per-language WindowExec funnel (a partitionBy(lang) window
+      * puts a fifth of the corpus in ONE task; the range exchange
+      * spreads all languages across the cluster). Report: per-lang
+      * decile occupancy (docs per calibrated decile). */
+    "q145_quantile_normalize" -> ((s: SparkSession, dir: String) => {
+      val g = Tables(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .groupBy(col("lang"), col("n_chars").cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.ops.GlobalRank.withRunningSum(
+        g, Seq(col("lang"), col("v")), "cnt", "cum")
+      val base = cum.groupBy(col("lang"))
+        .agg(min(col("cum") - col("cnt")).as("base"), sum(col("cnt")).as("n"))
+      val pct = cum.join(base, Seq("lang"))
+        .select(col("lang"), col("cnt"),
+          ((col("cum") - col("cnt") - col("base")).cast("double") /
+            col("n").cast("double")).as("pct_below"))
+      pct.groupBy(col("lang"),
+          least(floor(col("pct_below") * 10), lit(9L)).cast("long").as("decile"))
+        .agg(sum(col("cnt")).as("n_docs"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     /** Concat-and-chunk sequence packing (GPT-style pretraining): docs
       * concatenate in deterministic doc_id order into one token stream
       * split every `ctx` tokens; emit each doc's chunk span. The global
@@ -438,6 +469,21 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q145_quantile_normalize" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v, count(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, cnt,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |  sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM g)
+        |SELECT lang,
+        |CAST(least(floor((CAST(cum - cnt AS DOUBLE) / n) * 10), 9) AS BIGINT) AS decile,
+        |CAST(sum(cnt) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1, 2
+        |ORDER BY lang NULLS FIRST, decile NULLS FIRST""".stripMargin,
 
     "q94_pack_sequences" ->
       s"""WITH t AS (

@@ -176,6 +176,31 @@ object TextAnalysis {
             |  6, 'exact_dedup', deduped) AS (stage, stage_name, n_docs)""".stripMargin))
         .orderBy(col("stage"))),
 
+    /** Zipf rank-frequency fit of the corpus vocabulary: slope and r²
+      * of the ln(freq) ~ ln(rank) least-squares line — the classic
+      * corpus-health diagnostic (natural text sits near slope −1;
+      * template/boilerplate corpora flatten, spam steepens). Ranks
+      * come from [[graft.ops.GlobalRank.withRowNumbers]] over the
+      * (freq DESC, token) total order — never a single-partition
+      * window over the vocabulary — and the fit is ONE closed-form
+      * aggregate (covar_pop/var_pop/corr), so the whole query is two
+      * map-side-combined aggregations and a bounded-width rank pass. */
+    "q146_zipf_slope" -> ((s: SparkSession, dir: String) => {
+      val freq = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        freq, Seq(desc_nulls_last("f"), asc_nulls_first("t")), "rank")
+      ranked
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r6(covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
+          r6(pow(corr(col("x"), col("y")), 2)).as("r2"))
+    }),
+
     /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
       * query — the classic lexical ranking the dense q42/q57 paths
       * complement. One corpus scan computes per-doc term frequencies
@@ -493,6 +518,21 @@ object TextAnalysis {
         |  UNION ALL SELECT 5, 'hash_sample_50', sampled FROM a
         |  UNION ALL SELECT 6, 'exact_dedup', deduped FROM a)
         |ORDER BY stage""".stripMargin,
+
+    "q146_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT t, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY t),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, t) AS DOUBLE)) AS x,
+        |  ln(CAST(f AS DOUBLE)) AS y
+        |  FROM freq)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+        |round(pow(corr(x, y), 2), 6) AS r2
+        |FROM r""".stripMargin,
 
     "q133_bm25" -> {
       val terms = Seq("join", "hash", "scan")
