@@ -288,22 +288,29 @@ object TextDedup {
       // the 48 signature hashes derive from the 64-bit shingle hash
       // (fixed 12-byte input) instead of re-hashing the string 48
       // times — g_i(s) = xxhash64(i, xxhash64(s)) is still a uniform
-      // independent-enough hash family for minhash. Each min is an
-      // array_min over a per-row transform: the whole signature stage
-      // is a codegen'd projection with NO aggregation shuffle (the
-      // classic explode→48×min groupBy exchanges every shingle row).
+      // independent-enough hash family for minhash. The whole
+      // 48-minimum signature is ONE native codegen'd kernel
+      // ([[graft.functions.MinhashSignature]] — one element-major pass,
+      // no per-(row, hash fn) transform allocations), bit-identical to
+      // the former 48 × array_min(transform(...)) projection (pinned
+      // by MinhashSignatureSpec) and still a pure projection with NO
+      // aggregation shuffle (the classic explode→48×min groupBy
+      // exchanges every shingle row).
       // NOTE: a Kirsch-Mitzenmacher double-hash family
       // (h1 + i·h2, masked for ANSI) was tried and REVERTED: the
       // per-function minima correlate (one small (h1,h2) shingle wins
       // many i), which measurably drops LSH band recall (254/256
       // pairs on the sf0.1 fixture) with no speed win.
-      val sig = arr.select(col("doc_id") +: (0 until nHashes).map(i =>
-        expr(s"array_min(transform(shs, x -> xxhash64($i, x)))").as(s"h$i")): _*)
+      graft.functions.MinhashSignature.register(s)
+      val sig = arr.select(col("doc_id"),
+        expr(s"minhash_sig(shs, $nHashes)").as("sg"))
       // cached: both sides of the bucket self-join read this — without
-      // the cache the 48-min aggregation over all shingles runs twice
+      // the cache the 48-min signature over all shingles runs twice
       val banded = sig.select(col("doc_id"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("band"),
-          xxhash64(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")).as("sig"))): _*)).as("bk"))
+          xxhash64(element_at(col("sg"), 3 * b + 1),
+            element_at(col("sg"), 3 * b + 2),
+            element_at(col("sg"), 3 * b + 3)).as("sig"))): _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
         .cache()
       // shuffle_hash as in jaccardPairs: broadcasting the full banded
@@ -334,39 +341,28 @@ object TextDedup {
     "q36_dedup_simhash" -> ((s: SparkSession, dir: String) => {
       val bits = 60
       val docs = Tables(s, dir, "documents")
-      // Whole fingerprint with NO token-level exchange (same move as the
-      // q34/q35 shingle rewrite): token hashes from one transform over
-      // the split array, then the 60 bit-vote counters as 60 scalar
-      // aggregate() folds over that shared array, reassembled into the
-      // fingerprint in a final projection. The former explode →
-      // 60-column groupBy exchanged every TOKEN row; here nothing is
-      // exchanged — only the tiny per-doc (id, fp) rows reach the
-      // banding self-join. Token multiset semantics preserved:
-      // transform keeps duplicates exactly as the explode did.
-      // The hash array is aliased in its own projection; CollapseProject
-      // will not inline a non-cheap alias referenced 60 times, so the
-      // sha-256 pass runs once per token, not once per (token, bit).
-      // (60 scalar folds beat one array-valued fold: a zip_with
-      // accumulator allocates a fresh 60-element array per token —
-      // measured ~25% slower; a bit-packed 10-long accumulator of
-      // six 10-bit counters each measured ~18% slower for the same
-      // reason. The allocation per token dominates, not the passes.)
-      // null-text docs are dropped EXPLICITLY: the former explode-based
-      // shape dropped them implicitly, but aggregate() over a null
-      // array yields null votes and the when(...).otherwise(0) bit
-      // assembly would fold every null-text doc to fp=0 — silently
-      // band-joining them all into one bogus near-dup cluster
+      // Whole fingerprint with NO token-level exchange (same move as
+      // the q34/q35 shingle rewrite): token hashes from one transform
+      // over the split array, then the whole 60-bit vote + reassembly
+      // in ONE projection — only the tiny per-doc (id, fp) rows reach
+      // the banding self-join (the original explode → 60-column
+      // groupBy exchanged every TOKEN row). Token multiset semantics
+      // preserved: transform keeps duplicates exactly as explode did.
+      // null-text docs are dropped EXPLICITLY: aggregate-style votes
+      // over a null array would fold every null-text doc to fp=0 —
+      // silently band-joining them all into one bogus near-dup cluster
       val hs = docs.filter(col("text").isNotNull)
         .select(col("doc_id"), expr(
         """transform(split(text, ' '),
           |  t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"""
           .stripMargin).as("hs"))
-      val votes = hs.select(col("doc_id") +: (0 until bits).map(i => expr(
-        s"aggregate(hs, 0L, (acc, h) -> acc + IF((shiftright(h, $i) & 1L) = 1L, 1L, -1L))")
-        .as(s"b$i")): _*)
-      val fp = votes.select(col("doc_id"),
-        (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      // the 60 bit-vote folds + reassembly run as ONE native codegen'd
+      // kernel ([[graft.functions.SimHashFingerprint]]): the former 60
+      // aggregate() HOF folds each re-walked the token-hash array and
+      // ran interpreted (HOF lambdas have no codegen). All-integer
+      // math, so the swap is bit-identical (SimHashFingerprintSpec).
+      graft.functions.SimHashFingerprint.register(s)
+      val fp = hs.select(col("doc_id"), expr(s"simhash_fp(hs, $bits)").as("fp"))
       // cached: the pair self-join reads both sides — without it the
       // 60-bit-vote aggregation over all tokens runs twice
       val banded = fp.select(col("doc_id"), col("fp"), explode(array(

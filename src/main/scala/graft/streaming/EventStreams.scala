@@ -15,6 +15,8 @@ final case class MgCandidate(shard: Int, user_id: Long, est: Long)
 final case class KllState(levels: Array[Array[Double]], flips: Array[Int], n: Long)
 final case class QuantileEstimate(event_type: String, n: Long,
   p25: Double, p50: Double, p75: Double)
+final case class RollState(ts: Array[Long], vs: Array[Double], cumN: Long, cumA: Long)
+final case class AnomalyCount(event_type: String, n_events: Long, n_anomalies: Long)
 
 /** Sketch mechanics for [[EventStreams.quantileSketch]] — top-level so
   * the flatMapGroupsWithState closure references a serializable module
@@ -464,6 +466,50 @@ object EventStreams {
             val Seq(p25, p50, p75) = KllOps.estimate(s, Seq(0.25, 0.5, 0.75))
             Iterator.single(QuantileEstimate(etype, s.n, p25, p50, p75))
           }
+      }
+  }
+
+  /** Streaming rolling z-score anomaly counter — the LIVE twin of
+    * batch q143: per event_type the state holds the trailing hour of
+    * (ts, value) pairs (TIME-bounded, so state size is one horizon of
+    * events per key regardless of feed length) plus cumulative
+    * event/anomaly counters; each micro-batch appends, evicts, scores
+    * and emits the running totals. Events are processed per DISTINCT
+    * timestamp so the scoring window includes same-ts ties exactly
+    * like the batch RANGE frame (inclusive [t−h, t]); the feed must
+    * arrive in event-time order for twin equality (split batches on a
+    * time boundary), which is the standard contract for an
+    * order-sensitive streaming operator without a reordering buffer. */
+  def rollingAnomalies(spark: SparkSession, events: Dataset[Event],
+      horizonUs: Long = 3600000000L, minN: Int = 30, zThresh: Double = 3.0)
+      : Dataset[AnomalyCount] = {
+    import spark.implicits._
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RollState, AnomalyCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[RollState]) =>
+          val s0 = state.getOption.getOrElse(RollState(Array.empty, Array.empty, 0L, 0L))
+          var buf = s0.ts.zip(s0.vs).toVector
+          var cumN = s0.cumN
+          var cumA = s0.cumA
+          val byTs = rows.toSeq.map(e => (tsUs(e), e.value))
+            .groupBy(_._1).toSeq.sortBy(_._1)
+          byTs.foreach { case (t, evs) =>
+            buf = buf ++ evs.map { case (_, v) => (t, v) }
+            buf = buf.dropWhile(_._1 < t - horizonUs)
+            val n = buf.size
+            val mean = buf.iterator.map(_._2).sum / n
+            val sd =
+              if (n < 2) 0.0
+              else math.sqrt(buf.iterator.map(p => (p._2 - mean) * (p._2 - mean)).sum / (n - 1))
+            evs.foreach { case (_, v) =>
+              if (n >= minN && sd > 0 && math.abs((v - mean) / sd) > zThresh) cumA += 1
+            }
+            cumN += evs.size
+          }
+          state.update(RollState(buf.map(_._1).toArray, buf.map(_._2).toArray, cumN, cumA))
+          Iterator.single(AnomalyCount(etype, cumN, cumA))
       }
   }
 

@@ -423,6 +423,50 @@ class StreamingSpec extends SparkSuite {
     assert(sB.levels.map(_.length).sum <= k * sB.levels.length)
   }
 
+  test("streaming rolling anomaly counter converges to the batch q143 report") {
+    import spark.implicits._
+    // order-sensitive operator: split micro-batches on a TIME boundary
+    // (not id parity) so the feed arrives in event-time order
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll_src")
+    val e = Tables(spark, sf, "events")
+    val cut = e.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    e.filter(col("ts").cast("long") < cut).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("ts").cast("long") >= cut).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    move("p0", "f0.parquet", t0 - 60000); move("p1", "f1.parquet", t0)
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val evs = normalized.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[EventStreams.Event]
+    val q = EventStreams.rollingAnomalies(spark, evs).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("roll").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("roll").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) =>
+        val last = rs.maxBy(_.getAs[Long]("n_events"))
+        t -> (last.getAs[Long]("n_events"), last.getAs[Long]("n_anomalies"))
+      }
+    val batch = SparkEntry.queries("q143_rolling_anomaly")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_anomalies"))).toMap
+    assert(streamed == batch, s"streaming $streamed must equal batch $batch")
+  }
+
   test("streaming curation funnel (Complete mode) converges to the batch q140 counts") {
     // the q140 fused aggregate IS the streaming query — Complete-mode
     // global aggregation over a document stream; two files force the
