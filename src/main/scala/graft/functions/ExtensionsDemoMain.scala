@@ -33,6 +33,20 @@ object ExtensionsDemoMain {
       .collect().map(_.getDouble(0)).toSeq
     assert(cs == Seq(1.0, 0.0), s"cosine_sim via extensions: $cs")
 
+    // the two sketch kernels resolve from SQL and agree with their
+    // declarative reference forms
+    val sk = Seq(Tuple1(Seq(5L, 17L, 42L))).toDF("hs")
+      .selectExpr("minhash_sig(hs, 4) AS sg",
+        "array(array_min(transform(hs, x -> xxhash64(0, x))), " +
+          "array_min(transform(hs, x -> xxhash64(1, x))), " +
+          "array_min(transform(hs, x -> xxhash64(2, x))), " +
+          "array_min(transform(hs, x -> xxhash64(3, x)))) AS ref",
+        "simhash_fp(hs, 60) AS fp")
+      .collect()(0)
+    assert(sk.getSeq[Long](0) == sk.getSeq[Long](1),
+      s"minhash_sig via extensions: ${sk.getSeq[Long](0)} vs ${sk.getSeq[Long](1)}")
+    assert(sk.getLong(2) != 0L, "simhash_fp via extensions returned a degenerate fp")
+
     // build the custom plan directly: ONLY the injected strategy can plan it
     val l = Seq((1L, 10L, "x"), (2L, 7L, "y")).toDF("k", "ts", "v")
     val r = Seq((1L, 9L, "m"), (1L, 4L, "n")).toDF("rk", "rts", "w")

@@ -15,6 +15,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinhashSignature(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    extensions.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fp"),
+      (exprs: Seq[Expression]) =>
+        SimHashFingerprint(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     // whole-operator surface: the native as-of join planner strategy
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Catalyst cannot push filters or limits through a custom node by
