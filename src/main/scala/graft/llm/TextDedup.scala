@@ -405,6 +405,32 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    /** Cluster REPRESENTATIVE selection — the "keep best, not first"
+      * dedup decision: q93's connected components give the near-dup
+      * clusters, and each cluster keeps its LONGEST member (ties to
+      * the smallest doc_id) instead of q75's lowest-id survivor —
+      * the curation policy real pipelines want (the longest duplicate
+      * usually embeds the others; Lee et al.'s dedup keeps the longer
+      * of each pair for exactly that reason). Selection is one
+      * max_by-style argmax aggregate per cluster over the labels⋈docs
+      * join — labels stay cluster-resident, nothing driver-side.
+      * Oracle: the q93 recursive-CTE closure + the same argmax. */
+    "q147_cluster_rep" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val edges = jaccardPairs(docs, 0.8)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      val labels = graft.ops.ConnectedComponents.labels(edges)
+        .toDF("doc_id", "cluster_id")
+      labels.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("c"), (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.negid")).as("rep_doc"),
+          col("m.c").as("rep_chars"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -541,6 +567,30 @@ object TextDedup {
          |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // the q93 closure + per-cluster argmax (longest member, ties to
+    // the smallest doc_id)
+    "q147_cluster_rep" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |j AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+         |  FROM labels l JOIN documents d USING (doc_id))
+         |SELECT cluster_id,
+         |CAST(-(max(struct_pack(c := n_chars, negid := -doc_id))['negid']) AS BIGINT)
+         |  AS rep_doc,
+         |CAST(max(struct_pack(c := n_chars, negid := -doc_id))['c'] AS BIGINT)
+         |  AS rep_chars,
+         |CAST(count(*) AS BIGINT) AS n_members
+         |FROM j GROUP BY cluster_id
+         |ORDER BY cluster_id NULLS FIRST""".stripMargin,
 
     "q37_doc_fingerprint" ->
       s"""WITH sh AS ($duckShingles)

@@ -71,6 +71,15 @@ class PlanQualitySpec extends SparkSuite {
       l.contains("HashJoin") || l.contains("SortMergeJoin")) >= 2)
   }
 
+  test("q141: Q10 shape pushes both filters and plans top-k") {
+    val p = plan("q141_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), "top 20 must never be a global sort")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must reach the orders scan:\n$p")
+  }
+
   test("q51: exact all-pairs runs as a block equi-join, not a cartesian") {
     val p = plan("q51_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
