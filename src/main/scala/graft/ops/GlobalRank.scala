@@ -136,30 +136,59 @@ object GlobalRank {
       df: DataFrame,
       sortCols: Seq[Column],
       valueCol: String,
-      outCol: String): DataFrame = {
-    val guarded = df.withColumn(valueCol,
-      when(col(valueCol).isNull, raise_error(lit(
-        s"running sum: NULL in value column '$valueCol' — filter/coalesce first")))
-        .otherwise(col(valueCol)))
+      outCol: String): DataFrame =
+    withRunningSums(df, sortCols, Seq(valueCol -> outCol))
+
+  /** Multi-column form of [[withRunningSum]]: every (valueCol, outCol)
+    * pair gets its global running sum over ONE range exchange, one
+    * local sort, one narrow cumulative pass, and one offsets join —
+    * callers needing several cumulative columns on the same order
+    * (the KS statistic's two sample counts, debit/credit balances)
+    * previously paid a full re-exchange per column. */
+  def withRunningSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueOuts: Seq[(String, String)]): DataFrame = {
+    require(valueOuts.nonEmpty, "withRunningSums needs at least one (value, out) pair")
+    val guarded = valueOuts.foldLeft(df) { case (d, (v, _)) =>
+      d.withColumn(v, when(col(v).isNull, raise_error(lit(
+        s"running sum: NULL in value column '$v' — filter/coalesce first")))
+        .otherwise(col(v)))
+    }
     val parted = guarded.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
-    val vIdx = parted.schema.fieldIndex(valueCol)
-    val outSchema = parted.schema.add("_gr_lcw", LongType, false)
+    val vIdxs: Array[Int] =
+      valueOuts.map { case (v, _) => parted.schema.fieldIndex(v) }.toArray
+    val outSchema = valueOuts.indices.foldLeft(parted.schema)((sc, i) =>
+      sc.add(s"_gr_lcw$i", LongType, false))
+    val nVals = vIdxs.length
     val local = parted.mapPartitions { it =>
-      var acc = 0L
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      val accs = new Array[Long](nVals)
+      it.map { r =>
+        val extra = new Array[Any](nVals)
+        var i = 0
+        while (i < nVals) { accs(i) += r.getLong(vIdxs(i)); extra(i) = accs(i); i += 1 }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
     }(Encoders.row(outSchema))
       .cache() // see object doc: dedups the per-branch sort, not the exchange
     // partition total = sum of the VALUES, not max of the cumsum — the
     // two agree only for non-negative values, and this helper makes no
     // sign assumption (a running net-balance is a legitimate caller)
-    val totals = local.groupBy(col("_gr_pid")).agg(sum(col(valueCol)).as("_gr_cnt"))
-    val offsets = totals
-      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(countsWindow), lit(0L)))
-      .select(col("_gr_pid"), col("_gr_off"))
-    local.join(broadcast(offsets), "_gr_pid")
-      .withColumn(outCol, col("_gr_lcw") + col("_gr_off"))
-      .drop("_gr_pid", "_gr_lcw", "_gr_off")
+    val totalAggs = valueOuts.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v)).as(s"_gr_t$i") }
+    val totals = local.groupBy(col("_gr_pid")).agg(totalAggs.head, totalAggs.tail: _*)
+    val offsets = valueOuts.indices.foldLeft(totals)((d, i) =>
+        d.withColumn(s"_gr_off$i",
+          coalesce(sum(col(s"_gr_t$i")).over(countsWindow), lit(0L))))
+      .select(col("_gr_pid") +: valueOuts.indices.map(i => col(s"_gr_off$i")): _*)
+    val joined = valueOuts.zipWithIndex
+      .foldLeft(local.join(broadcast(offsets), "_gr_pid")) {
+        case (d, ((_, out), i)) =>
+          d.withColumn(out, col(s"_gr_lcw$i") + col(s"_gr_off$i"))
+      }
+    joined.drop("_gr_pid" +:
+      valueOuts.indices.flatMap(i => Seq(s"_gr_lcw$i", s"_gr_off$i")): _*)
   }
 }

@@ -30,10 +30,11 @@ object Statistics {
       * jump of either ECDF, so evaluating at every distinct value of
       * the pooled sample (each point's left-limit equals the previous
       * point's value, which is also evaluated) is the full sup. Shape:
-      * groupBy distinct value (map-side combined) → two global running
-      * sums on the SAME range order via [[GlobalRank.withRunningSum]]
-      * (never an unpartitioned window) → one-row broadcast of the
-      * totals → max of |c₁/n₁ − c₂/n₂|. */
+      * groupBy distinct value (map-side combined) → BOTH cumulative
+      * sample counts from one multi-column global running sum
+      * ([[GlobalRank.withRunningSums]]: one range exchange, never an
+      * unpartitioned window) → one-row broadcast of the totals → max
+      * of |c₁/n₁ − c₂/n₂|. */
     "q136_ks_test" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
         .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
@@ -41,9 +42,8 @@ object Statistics {
           when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
       val g = ev.groupBy(col("v")).agg(sum(col("i1")).as("n1v"), sum(col("i2")).as("n2v"))
-      val c = GlobalRank.withRunningSum(
-        GlobalRank.withRunningSum(g, Seq(col("v")), "n1v", "c1"),
-        Seq(col("v")), "n2v", "c2")
+      val c = GlobalRank.withRunningSums(g, Seq(col("v")),
+        Seq("n1v" -> "c1", "n2v" -> "c2"))
       val tot = c.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
       c.crossJoin(broadcast(tot))
         .agg(r6(max(abs(col("c1").cast("double") / col("n1") -

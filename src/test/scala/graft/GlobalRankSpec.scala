@@ -67,6 +67,26 @@ class GlobalRankSpec extends SparkSuite {
       s"expected the fail-loud guard message, got: ${messages(ex)}")
   }
 
+  test("withRunningSums: multi-column equals column-by-column, signed values included") {
+    val df = Seq((3L, -5L, 1L), (1L, 2L, 2L), (-4L, 7L, 3L), (10L, -1L, 4L))
+      .toDF("a", "b", "id")
+    val multi = GlobalRank.withRunningSums(df, Seq(col("id")),
+        Seq("a" -> "ca", "b" -> "cb"))
+      .select(col("id"), col("ca"), col("cb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val single = {
+      val s1 = GlobalRank.withRunningSum(df, Seq(col("id")), "a", "ca")
+      GlobalRank.withRunningSum(s1, Seq(col("id")), "b", "cb")
+        .select(col("id"), col("ca"), col("cb")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    }
+    assert(multi.toSeq == single.toSeq, s"multi ${multi.toSeq} vs single ${single.toSeq}")
+    assert(multi.toSeq == Seq((1L, 3L, -5L), (2L, 4L, -3L), (3L, 0L, 4L), (4L, 10L, 3L)))
+    assert(GlobalRank.withRunningSums(df, Seq(col("id")),
+      Seq("a" -> "ca", "b" -> "cb")).columns.toSet == Set("a", "b", "id", "ca", "cb"))
+    spark.catalog.clearCache()
+  }
+
   test("internal _gr_off / _gr_pid columns do not leak into output schemas") {
     val df = rows.toDF("v", "id")
     val rn = GlobalRank.withRowNumbers(df, Seq(col("v"), col("id")), "rn")
