@@ -74,8 +74,12 @@ object Bench {
     // file keeps full precision
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // bare numeric keys ("01".."147", unique by construction): with
+    // 147 queries the "qNN" form plus header runs ~1920 chars —
+    // inside the 2000-char capture window with no margin for the next
+    // round's queries. Full names stay in bench_detail.json.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
@@ -91,7 +95,7 @@ object Bench {
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":[${f2(sentinelPre)},${f2(sentinelPost)}],"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":[${f2(sentinelPre)},${f2(sentinelPost)}],"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
     System.out.flush()
   }
 }
