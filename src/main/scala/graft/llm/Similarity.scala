@@ -320,6 +320,40 @@ object Similarity {
       * Oracle: the same two iterations fully unrolled in SQL with the
       * shared sequential-fold cosine, so init, both assignments, and
       * both re-estimations are checked value-for-value. */
+    /** Cluster-quality report for the trained quantizer — the
+      * evaluation side of the q122 → q57/q86 composition: per trained
+      * cell, the average cosine to the OWN centroid vs the best OTHER
+      * centroid and the margin between them (a silhouette-style
+      * separation score; a cell whose margin ≈ 0 is not pulling its
+      * weight and the IVF nprobe needs raising). All per-vector work
+      * is one projection over driver-literal centroids (the k csims
+      * are aliased once, so the fold runs once per (vector, cell));
+      * own = the assignment max, other = greatest over the non-
+      * assigned cells (null-skipped), then one grouped aggregate.
+      * Oracle: the same two Lloyd iterations unrolled + a third
+      * assignment pass, own/other from the sims table. */
+    "q149_kmeans_quality" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 8, iters = 2)
+      val csimCols = cents.zipWithIndex.map { case ((_, c), i) =>
+        cosLit(col("embedding"), c).as(s"cs$i") }
+      val m1 = e.select(col("vec_id") +: csimCols: _*)
+      val structs = cents.zipWithIndex.map { case ((cid, _), i) =>
+        struct(col(s"cs$i").as("csim"), lit(-cid).as("nid")) }
+      val best = greatest(structs: _*)
+      val m2 = m1.select(
+        (best.getField("nid") * lit(-1L)).as("cent_id"),
+        best.getField("csim").as("own"),
+        greatest(cents.zipWithIndex.map { case ((cid, _), i) =>
+          when(best.getField("nid") =!= lit(-cid), col(s"cs$i")) }: _*).as("other"))
+      m2.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("own"))).as("avg_own"),
+          r6(avg(col("other"))).as("avg_other"),
+          r6(avg(col("own") - col("other"))).as("avg_margin"))
+        .orderBy(col("cent_id"))
+    }),
+
     "q122_kmeans" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val (cents, assigned) = trainKmeans(e, k = 8, iters = 2)
@@ -470,6 +504,33 @@ object Similarity {
          |round(v2.v[i], 6) AS loading, round(v2.nrm, 6) AS lambda
          |FROM v2, unnest(generate_series(1, 64)) AS g(i)
          |ORDER BY pos NULLS FIRST""".stripMargin,
+
+    // two unrolled Lloyd iterations (k=8) + a third assignment pass;
+    // own = csim at the assigned cell, other = max over the rest
+    "q149_kmeans_quality" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 8),
+         |${duckKmeansIter("c0", "s1", "a1", Some("c1"))},
+         |${duckKmeansIter("c1", "s2", "a2", Some("c2"))},
+         |${duckKmeansIter("c2", "s3", "assigned", None)},
+         |own AS (
+         |  SELECT s.vec_id, a.cent_id, s.csim AS own
+         |  FROM s3 s JOIN assigned a
+         |    ON s.vec_id = a.vec_id AND s.cent_id = a.cent_id),
+         |oth AS (
+         |  SELECT s.vec_id, max(s.csim) AS other
+         |  FROM s3 s JOIN assigned a
+         |    ON s.vec_id = a.vec_id AND s.cent_id <> a.cent_id
+         |  GROUP BY s.vec_id)
+         |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+         |round(avg(own), 6) AS avg_own,
+         |round(avg(other), 6) AS avg_other,
+         |round(avg(own - other), 6) AS avg_margin
+         |FROM own JOIN oth USING (vec_id)
+         |GROUP BY cent_id
+         |ORDER BY cent_id NULLS FIRST""".stripMargin,
 
     "q122_kmeans" ->
       s"""WITH c0 AS (

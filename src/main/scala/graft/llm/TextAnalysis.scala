@@ -311,6 +311,34 @@ object TextAnalysis {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    /** Classifier-evaluation aggregate: accuracy and Cohen's kappa of
+      * the q41 heuristic as a BINARY en-detector (predicted = any
+      * en-band, actual = labeled 'en'). Kappa corrects accuracy for
+      * chance agreement — the right scalar when classes are imbalanced
+      * (always-'not en' scores 56% accuracy here but κ = 0). One fused
+      * confusion-count aggregate over one scan; every downstream
+      * number is arithmetic on that single row. Integer confusion
+      * counts make the doubles deterministic across engines. */
+    "q148_cohens_kappa" -> ((s: SparkSession, dir: String) => {
+      val stopRatio = size(expr("filter(toks, t -> t IN ('the', 'a'))"))
+        .cast("double") / nTokens.cast("double")
+      val predEn = stopRatio > 0.0
+      val isEn = col("lang") === "en"
+      val c = withToks(Tables(s, dir, "documents").filter(col("text").isNotNull))
+        .agg(count(lit(1)).as("n"),
+          count_if(predEn && isEn).as("tp"),
+          count_if(predEn && !isEn).as("fp"),
+          count_if(!predEn && isEn).as("fn"),
+          count_if(!predEn && !isEn).as("tn"))
+      val po = (col("tp") + col("tn")).cast("double") / col("n")
+      val pe = ((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")) +
+        (col("fn") + col("tn")).cast("double") * (col("fp") + col("tn"))) /
+        (col("n").cast("double") * col("n"))
+      c.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        r6(po).as("accuracy"),
+        r6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
+
     /** Vocabulary encoding — the tokenizer-id path of a training
       * pipeline: top-1000 corpus tokens by frequency (ties by token)
       * get ids 1..1000; documents under doc_id 20 are emitted as
@@ -518,6 +546,28 @@ object TextAnalysis {
         |  UNION ALL SELECT 5, 'hash_sample_50', sampled FROM a
         |  UNION ALL SELECT 6, 'exact_dedup', deduped FROM a)
         |ORDER BY stage""".stripMargin,
+
+    "q148_cohens_kappa" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+        |    / len(string_split(text, ' ')) > 0.0 AS pred_en,
+        |  lang = 'en' AS is_en
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM t)
+        |SELECT n, tp, fp, fn, tn,
+        |round((tp + tn) * 1.0 / n, 6) AS accuracy,
+        |round(((tp + tn) * 1.0 / n -
+        |  ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (n * 1.0 * n)) /
+        |  (1.0 - ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (n * 1.0 * n)),
+        |  6) AS kappa
+        |FROM c""".stripMargin,
 
     "q146_zipf_slope" ->
       """WITH freq AS (
