@@ -249,6 +249,33 @@ object Extended {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    /** Cohort retention matrix — the canonical product-analytics
+      * query: users cohorted by the week of their FIRST event, each
+      * cohort's distinct-user activity tracked per week since. Two
+      * aggregation passes (first-event per user, then per (cohort,
+      * week) distinct users — both map-side combined and keyed on
+      * user/cohort, never a window) plus one join of events to their
+      * user's first timestamp (AQE broadcast when the user dim is
+      * small, shuffle otherwise). Retention is the per-row ratio to
+      * the cohort's week-0 size via a self-join on week 0 — cohort
+      * cardinality rows, not data rows. */
+    "q150_cohort_retention" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events").select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      val act = ev.join(firsts, "user_id")
+        .select(date_trunc("week", col("first_ts")).as("cohort_week"),
+          floor(datediff(col("ts"), col("first_ts")) / 7).cast("long").as("week_n"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val base = act.filter(col("week_n") === 0)
+        .select(col("cohort_week"), col("n_active").as("cohort_size"))
+      act.join(base, "cohort_week")
+        .select(col("cohort_week"), col("week_n"), col("n_active"), col("cohort_size"),
+          r6(col("n_active").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy(col("cohort_week"), col("week_n"))
+    }),
+
     /** TPC-H Q10 shape (returned-item reporting): which customers
       * returned the most revenue in a two-quarter window. Fact scan
       * carries both pushed filters (returnflag on lineitem, the date
@@ -712,6 +739,25 @@ object Extended {
         |  - log10(1 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_gap
         |FROM g, t
         |ORDER BY digit NULLS FIRST""".stripMargin,
+
+    "q150_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+        |  CAST(floor(date_diff('day', f.first_ts, e.ts) / 7.0) AS BIGINT) AS week_n,
+        |  e.user_id
+        |  FROM events e JOIN f USING (user_id)),
+        |act AS (
+        |  SELECT cohort_week, week_n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM a GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort_week, n_active AS cohort_size FROM act WHERE week_n = 0)
+        |SELECT act.cohort_week, act.week_n, act.n_active, base.cohort_size,
+        |round(act.n_active * 1.0 / base.cohort_size, 6) AS retention
+        |FROM act JOIN base USING (cohort_week)
+        |ORDER BY cohort_week NULLS FIRST, week_n NULLS FIRST""".stripMargin,
 
     "q141_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
