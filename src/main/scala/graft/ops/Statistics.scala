@@ -84,23 +84,42 @@ object Statistics {
       * the reference's static mean/std drift check: each event scores
       * against the TRAILING hour of its own type (RANGE frame over
       * integer epoch-micros — the cross-engine-exact frame bound), and
-      * the report counts |z| > 3 flags per type. One shuffle on
-      * event_type, one sort per partition; the frame is time-bounded
-      * so state never exceeds an hour of events per type. Warm-up rows
+      * the report counts |z| > 3 flags per type. event_type has a
+      * HANDFUL of values, so a window partitioned on it alone would
+      * sort each type's entire history in one task — the classic
+      * low-cardinality window scale-killer. Instead: TILE-AND-HALO.
+      * Bucket rows by (event_type, hour); a trailing-hour frame for a
+      * row in bucket B can only reach rows in buckets B and B-1, so
+      * replicating every row ONCE into its successor bucket as a halo
+      * makes the frame computable entirely inside the (type, bucket)
+      * partition. Halo rows feed frames but are dropped before the
+      * report, so each event is scored exactly once. All shuffles are
+      * keyed on (event_type, bkt) — partition count grows with data
+      * volume (types x hours), never one-task-per-type. Frame contents
+      * and their us-ascending accumulation order are identical to the
+      * flat window, so results are bit-identical. Warm-up rows
       * (window n < 30) and zero-variance windows are excluded from
       * flagging on both engines. */
     "q143_rolling_anomaly" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("us"))
-        .rangeBetween(-3600000000L, Window.currentRow)
-      val scored = Tables(s, dir, "events")
+      val hourUs = 3600000000L
+      val base = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("v"),
           unix_micros(col("ts")).as("us"))
-        .select(col("event_type"), col("v"),
+        .withColumn("bkt", expr(s"us DIV ${hourUs}L"))
+      val tiled = base.withColumn("halo", lit(false))
+        .unionByName(base
+          .withColumn("bkt", col("bkt") + lit(1L))
+          .withColumn("halo", lit(true)))
+      val w = Window.partitionBy(col("event_type"), col("bkt"))
+        .orderBy(col("us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      val scored = tiled
+        .select(col("event_type"), col("v"), col("halo"),
           avg(col("v")).over(w).as("m"),
           stddev_samp(col("v")).over(w).as("sd"),
           count(lit(1)).over(w).as("wn"))
+        .filter(!col("halo"))
       scored.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           count_if(col("wn") >= 30 && col("sd") > 0 &&
@@ -229,19 +248,35 @@ object Statistics {
         .orderBy(col("c_custkey"))
     }),
 
-    /** first/last/nth value with an explicit full-partition frame —
-      * constant per partition, so distinct-reduce to one row per
-      * segment. */
+    /** first/last/nth value over the full segment, WITHOUT the naive
+      * full-partition window: c_mktsegment has five values, so
+      * `first/last/nth_value OVER (PARTITION BY segment)` would sort
+      * every segment's entire customer set in one task — the same
+      * low-cardinality window scale-killer as the old q143. Instead,
+      * rank-filter BOTH ends of the total order (rn <= 3 ascending
+      * covers first and third; rn <= 1 descending covers last): the
+      * planner turns each filter into a partial WindowGroupLimit, so
+      * every map task ships at most k rows per segment into the
+      * window shuffle, and the final per-segment sort sees O(k x
+      * cluster width) rows regardless of data volume. The two limited
+      * ends then fold to one row per segment in a plain aggregate. */
     "q68_first_last_nth" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      val asc = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables(s, dir, "customer")
-        .select(col("c_mktsegment"),
-          first(col("c_custkey")).over(w).as("poorest_key"),
-          last(col("c_custkey")).over(w).as("richest_key"),
-          nth_value(col("c_custkey"), 3).over(w).as("third_key"))
-        .distinct()
+      val dsc = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").desc)
+      val lo = cust.withColumn("rn", row_number().over(asc))
+        .filter(col("rn") <= 3)
+      val hi = cust.withColumn("rn", row_number().over(dsc))
+        .filter(col("rn") <= 1).withColumn("rn", lit(-1))
+      lo.unionByName(hi)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          min(when(col("rn") === 1, col("c_custkey"))).as("poorest_key"),
+          min(when(col("rn") === -1, col("c_custkey"))).as("richest_key"),
+          min(when(col("rn") === 3, col("c_custkey"))).as("third_key"))
         .orderBy(col("c_mktsegment"))
     }),
 

@@ -106,15 +106,61 @@ class PlanQualitySpec extends SparkSuite {
     // q136: the broadcast side is the ONE-ROW (n1, n2) totals fold
     "q136_ks_test")
 
+  // ONE physical-plan sweep shared by every suite-wide guard below —
+  // building 150 plans is the dominant cost, don't pay it per test
+  private lazy val allPlans: Map[String, org.apache.spark.sql.execution.SparkPlan] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    }.toMap
+
   test("suite-wide: no unbounded cartesian/nested-loop plan in any registered query") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = plan(name)
-      if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    val offenders = allPlans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      val s = p.toString
+      if (s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct"))
         Some(name)
       else None
     }
     val unexpected = offenders.filterNot(boundedBnlj)
     assert(unexpected.isEmpty,
       s"queries with a new nested-loop/cartesian plan: ${unexpected.mkString(", ")}")
+  }
+
+  // Columns whose distinct count is a property of the SCHEMA/DOMAIN
+  // (a handful of segments, flags, priorities, types), not of data
+  // volume. A full Window partitioned ONLY on these sorts each key's
+  // entire history in one task no matter how many executors exist —
+  // the low-cardinality window scale-killer (old q143/q68 shape).
+  private val constCardinality = Set(
+    "event_type", "c_mktsegment", "c_nationkey", "s_nationkey",
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "r_name", "n_name", "p_brand", "p_container", "p_type",
+    "language", "severity", "status")
+
+  // Windows whose INPUT row count is provably bounded independent of
+  // data volume, so a constant-cardinality partition key is harmless:
+  //   q120: prefix window over the per-(range-partition, group) totals
+  //         table — ≤ tasks x groups rows by construction
+  private val boundedInputWindows = Set("q120_weighted_quantiles")
+
+  test("suite-wide: no full window partitioned only on constant-cardinality keys") {
+    val offenders = allPlans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      val wins = WindowAudit.collectWindows(p)
+      // a WindowGroupLimit with the same partition spec means the
+      // planner capped every map task's contribution at k rows per
+      // group BEFORE the window shuffle (q12/q92/q68 rank-filter
+      // shape) — the window input is O(k x cluster width), fine
+      val groupLimited = wins.collect { case ("WindowGroupLimit", s) => s }.toSet
+      wins.collect {
+        case ("Window", spec)
+            if !groupLimited.contains(spec) && !boundedInputWindows(name) =>
+          val refs = spec.flatMap(_.split("\\+")).filterNot(_.startsWith("<"))
+          if (refs.isEmpty || refs.forall(constCardinality))
+            Some(s"$name ${spec.mkString("[", ", ", "]")}")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      "window partition specs whose cardinality cannot grow with data " +
+        s"volume (tile-and-halo or rank-filter them): ${offenders.mkString("; ")}")
   }
 }
