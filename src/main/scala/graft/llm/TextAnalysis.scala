@@ -52,7 +52,9 @@ object TextAnalysis {
       .cache()
     var cur = words
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val best = cur
         .select(col("f"), expr(s"filter(split(s, '$Sep'), x -> x <> '')").as("syms"))
         .filter(size(col("syms")) >= 2) // sequence(1,0) would DESCEND
@@ -63,11 +65,27 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("f")).as("pf"))
         .orderBy(desc("pf"), asc("l"), asc("r"))
-        .limit(1).collect()(0)
-      val (l, r, pf) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((round, l, r, pf))
-      cur = cur.select(col("w"), call_function("replace", col("s"),
-        lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")).as("s"), col("f"))
+        .limit(1).collect().headOption
+      best match {
+        case None =>
+          // no adjacent pair left (degenerate corpus, or rounds >
+          // available merges): stop with the merges found so far —
+          // the DuckDB oracle's LIMIT 1 likewise yields empty rounds
+          exhausted = true
+        case Some(row) =>
+          val (l, r, pf) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((round, l, r, pf))
+          cur = cur.select(col("w"), call_function("replace", col("s"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")).as("s"), col("f"))
+          // each round's pair count re-evaluates every earlier round's
+          // `replace` projection (only `words` is cached) — O(rounds²)
+          // projection work overall, negligible at the bounded rounds
+          // used here. For a production-size merge budget, pin the
+          // chain every 8 rounds so re-evaluation stays O(8·rounds)
+          // while cache memory holds one vocab-bounded table at a time.
+          if (round % 8 == 0) cur = cur.cache()
+      }
+      round += 1
     }
     (merges.result(), cur)
   }
@@ -106,8 +124,13 @@ object TextAnalysis {
       count_if(c2).as("minlen"),
       count_if(c3).as("english"),
       count_if(c4).as("sampled"))
+    // distinct over the 64-hex sha2 digest, not the raw text: the
+    // partial-agg buffers and the distinct exchange then carry 64-byte
+    // keys instead of whole documents (every other dedup op in the
+    // repo hashes first; the count is identical modulo sha-256
+    // collision)
     val aggs = if (withDedup)
-      base :+ countDistinct(when(c4, col("text"))).as("deduped")
+      base :+ countDistinct(when(c4, sha2(col("text"), 256))).as("deduped")
     else base
     docs.agg(aggs.head, aggs.tail: _*)
   }
@@ -536,7 +559,7 @@ object TextAnalysis {
         |    AND substr(sha256(text), 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
         |  CAST(count(DISTINCT CASE WHEN text IS NOT NULL AND n_chars >= 100
         |    AND lang = 'en' AND substr(sha256(text), 1, 1) < '8'
-        |    THEN text END) AS BIGINT) AS deduped
+        |    THEN sha256(text) END) AS BIGINT) AS deduped
         |  FROM documents)
         |SELECT * FROM (
         |  SELECT 1 AS stage, 'raw' AS stage_name, raw AS n_docs FROM a

@@ -225,11 +225,17 @@ object TextDedup {
       * sketch is a pure projection on the cached array form — an
       * argmin-of-k-hash-fns variant needed min(struct(..)) per doc,
       * which falls off codegen into SortAggregate and measured ~2 s
-      * slower at sf0.1. Probes that happen to be stop-shingles are
-      * inert (the capped index holds no hot rows), costing sample
-      * width but never recall-silently: a doc with stop fraction f
-      * still gets ~(1−f)k live samples of its CAPPED set (f=0.5 ⇒
-      * miss ≤ 1e-6). Candidate volume: a shingle with document
+      * slower at sf0.1. The k probes are the bottom-k of the CAPPED
+      * set (rank-filtered off the capped index — the planner's
+      * WindowGroupLimit keeps ≤ k rows per doc on the map side, so
+      * the rank shuffle is probe-sized), never of the raw set: a
+      * bottom-k of the raw shingles can be mostly df-capped
+      * stop-shingles on boilerplate-heavy docs, which probe nothing
+      * and silently degrade the miss bound with the stop fraction.
+      * Sampling the capped set directly guarantees min(k, |capped|)
+      * live probes, so 0.1^k holds as stated — and a doc whose capped
+      * set is smaller than k probes ALL of it, making recall exact
+      * there. Candidate volume: a shingle with document
       * frequency df is probed by each holder with probability k/|A|,
       * so expected pair volume is (k/avg|A|)·Σdf² — the full
       * inverted-index join's volume scaled by k/|A| (~1/8 here), with
@@ -242,9 +248,12 @@ object TextDedup {
       * verification, which touches candidates only. */
     "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
       val k = 12
-      val (arr, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
-      val probes = arr.select(col("doc_id"),
-        explode(expr(s"slice(array_sort(shs), 1, $k)")).as("sh"))
+      val (_, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("sh"))
+      val probes = sh
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= k).drop("rn")
       val cand = probes.as("p")
         .join(sh.as("x").hint("shuffle_hash"),
           col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))

@@ -454,7 +454,11 @@ object EventStreams {
       k: Int = 128): Dataset[QuantileEstimate] = {
     import spark.implicits._
     require(k >= 8 && k % 2 == 0, s"sketch capacity k=$k must be even and >= 8")
-    events.groupByKey(_.event_type)
+    // the batch quantile twin drops null values; do the same HERE, as a
+    // row-level filter ahead of groupByKey, so a feed with nulls never
+    // reaches the Event deserializer (primitive Double would NPE there)
+    events.filter(col("value").isNotNull)
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState[KllState, QuantileEstimate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[Event], state: GroupState[KllState]) =>
@@ -485,7 +489,11 @@ object EventStreams {
       : Dataset[AnomalyCount] = {
     import spark.implicits._
     def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
-    events.groupByKey(_.event_type)
+    // batch q143 filters value IS NOT NULL — mirror it ahead of
+    // groupByKey so a null-bearing feed matches the batch report
+    // instead of NPE-ing in the Event deserializer
+    events.filter(col("value").isNotNull)
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState[RollState, AnomalyCount](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[Event], state: GroupState[RollState]) =>
