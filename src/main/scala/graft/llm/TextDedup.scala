@@ -122,6 +122,82 @@ object TextDedup {
     (arr, sh, sizes)
   }
 
+  /** One xxhash64 band key per (doc, band) from the 48-way minhash
+    * signature — the band index row shape shared by q35's self-join
+    * and the incremental snapshot-vs-corpus probe (band id folded
+    * into the hash so a single 8-byte key carries both). */
+  private[llm] def bandKeys(arr: DataFrame, nHashes: Int, bands: Int): DataFrame = {
+    val r = nHashes / bands
+    arr.select(col("doc_id"), expr(s"minhash_sig(shs, $nHashes)").as("sg"))
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (1 to r).map(i =>
+          element_at(col("sg"), r * b + i))): _*)): _*)).as("bk"))
+  }
+
+  /** INCREMENTAL near-dup dedup — the recurring production job (new
+    * crawl vs standing corpus) the one-shot q35 self-join does not
+    * cover: keep only the snapshot docs with NO Jaccard ≥ `threshold`
+    * near-dup in the corpus. Composition of the q35 and q108
+    * machinery:
+    *
+    *  1. the corpus's per-(doc, band) minhash keys form the BAND
+    *     INDEX (in production: precomputed once, maintained
+    *     incrementally — here derived in-plan);
+    *  2. a bloom filter over the index's 8-byte band keys gates the
+    *     snapshot's band rows at the scan: a bloom-NEGATIVE band key
+    *     provably has no index match (no false negatives), so the
+    *     probe join's left side carries only colliding-or-fpp rows —
+    *     for a mostly-novel snapshot, almost nothing;
+    *  3. survivors probe the index with a shuffle-hash equi-join on
+    *     the band key (broadcasting the corpus index is not a plan
+    *     that survives 100 TB) → candidate (snapshot, corpus) pairs;
+    *  4. candidates verify with EXACT Jaccard on the uncapped shingle
+    *     sets (the q35 contract), so banding + bloom only ever cost
+    *     recall 1-(1-j^r)^bands ≥ 0.99999 at j = 0.8 — never
+    *     precision — and the matched snapshot ids anti-join away.
+    *
+    * Cost scales with the SNAPSHOT, not the corpus: the corpus-side
+    * work is the one index+bloom build (amortized across snapshots in
+    * production), every downstream join is driven by snapshot-sized
+    * or candidate-sized inputs, and no corpus-vs-corpus pair is ever
+    * generated. */
+  private[llm] def incrementalNearDup(s: SparkSession, snapshot: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    graft.functions.MinhashSignature.register(s)
+    val nHashes = 48
+    val bands = 16
+    val snapArr = shingleArrays(snapshot).cache()
+    val corpArr = shingleArrays(corpus).cache()
+    // cached: the corpus band index feeds the bloom build AND the
+    // probe join build side
+    val corpBands = bandKeys(corpArr, nHashes, bands).cache()
+    val bloom = corpBands.stat.bloomFilter("bk",
+      math.max(corpBands.count(), 1L), 0.01)
+    val gated = bandKeys(snapArr, nHashes, bands)
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("bk")))
+    val cand = gated.as("p")
+      .join(corpBands.as("c").hint("shuffle_hash"), col("p.bk") === col("c.bk"))
+      .select(col("p.doc_id").as("sid"), col("c.doc_id").as("cid"))
+      .distinct()
+    // exact verification touches candidate pairs only
+    val snapSh = explodeShingles(snapArr)
+    val corpSh = explodeShingles(corpArr)
+    val inter = cand
+      .join(snapSh.as("a"), col("sid") === col("a.doc_id"))
+      .join(corpSh.as("b"), col("cid") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("sid"), col("cid")).agg(count(lit(1)).as("inter"))
+    val matched = inter
+      .join(shingleSizes(snapArr).withColumnRenamed("doc_id", "sid")
+        .withColumnRenamed("n", "n1"), "sid")
+      .join(shingleSizes(corpArr).withColumnRenamed("doc_id", "cid")
+        .withColumnRenamed("n", "n2"), "cid")
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= threshold)
+      .select(col("sid").as("doc_id")).distinct()
+    snapArr.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-Jaccard similar pairs above `threshold` from an
     * inverted-index equi-join on hashed shingles, over the df-capped
     * universe (see [[cappedIndex]]). */
@@ -338,6 +414,20 @@ object TextDedup {
       jaccardOf(inter, shingleSizes(arr), 0.8)
         .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** Incremental snapshot-vs-corpus near-dup dedup — see
+      * [[incrementalNearDup]] (bloom-gated minhash-band probe of the
+      * corpus band index, exact-Jaccard verification, anti-join). The
+      * q97 split convention: doc_id % 10 == 0 stands in for "today's
+      * crawl", the rest is the standing corpus. Output = snapshot docs
+      * with no ≥ 0.8-Jaccard corpus near-dup, with their shingle-set
+      * size. */
+    "q151_incremental_neardup" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      incrementalNearDup(s,
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
     }),
 
     /** SimHash near-dup pairs (Charikar): 60-bit fingerprint from
@@ -562,6 +652,27 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    // declarative twin of the banded+bloomed incremental path: exact
+    // uncapped Jaccard between every snapshot and corpus doc, snapshot
+    // docs with no >= 0.8 match survive
+    "q151_incremental_neardup" ->
+      s"""WITH sh AS ($duckShingles),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS sid, b.doc_id AS cid, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT sid FROM pairs
+         |  JOIN sizes s1 ON s1.doc_id = sid
+         |  JOIN sizes s2 ON s2.doc_id = cid
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles
+         |FROM sizes
+         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT sid FROM matched)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // recursive-CTE transitive closure + min per component — the same
     // fixpoint the Spark label propagation converges to
