@@ -61,24 +61,94 @@ object Multimodal {
   private val PngSigHex = "89504E470D0A1A0A"
   private val IhdrHex = "49484452" // "IHDR"
 
-  /** documents → (doc_id, payload): a structurally valid PNG — 8-byte
-    * signature, IHDR length(13)/type/width/height/bit-depth 8/
-    * truecolor/zip/adaptive/no-interlace — with the text as body.
-    * CRC bytes are zeroed (parsers below do not verify integrity,
-    * as codecs configured for metadata-only reads do not).
-    * width/height ground truth: 1 + doc_id mod 1920, 1 + n_chars
-    * mod 1080. */
+  /** The PNG container as a Column — 8-byte signature, IHDR
+    * length(13)/type/width/height/bit-depth 8/truecolor/zip/adaptive/
+    * no-interlace — with the text as body. CRC bytes are zeroed
+    * (parsers below do not verify integrity, as codecs configured for
+    * metadata-only reads do not). width/height ground truth:
+    * 1 + doc_id mod 1920, 1 + n_chars mod 1080. */
+  private def pngPayload: Column =
+    concat(
+      unhex(lit(PngSigHex)),
+      unhex(lit("0000000D")), // IHDR data length = 13
+      unhex(lit(IhdrHex)),
+      be(lit(1) + pmod(col("doc_id"), lit(1920)), 4),
+      be(lit(1) + pmod(col("n_chars"), lit(1080)), 4),
+      unhex(lit("0802000000")), // depth 8, truecolor, deflate, adaptive, none
+      unhex(lit("00000000")), // CRC (unverified)
+      col("text").cast("binary"))
+
+  /** documents → (doc_id, payload): a structurally valid PNG. */
   def synthesizePng(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), pngPayload.as("payload"))
+
+  /** The JPEG container as a Column: SOI, an APP1/EXIF segment whose
+    * TIFF IFD carries orientation = 1 + doc_id mod 8 (big-endian "MM"
+    * byte order, IFD offset 8, one tag-0x0112 SHORT entry), a
+    * VARIABLE number (doc_id mod 3) of junk APPn segments of variable
+    * length — so the SOF offset is data-dependent and a fixed-offset
+    * "parse" cannot fake the marker walk — then SOF0 with precision 8,
+    * ground-truth height/width (same arithmetic as the PNG), 3
+    * components, and SOS + text body + EOI. */
+  private def jpegPayload: Column = {
+    def junk(i: Int, markerHex: String): Column = {
+      val len = lit(6L) + pmod(col("doc_id") + lit(i.toLong), lit(7L))
+      when(pmod(col("doc_id"), lit(3)) > i,
+        concat(unhex(lit(markerHex)), be(len + 2L, 2),
+          unhex(repeat(lit("00"), (len).cast("int")))))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    concat(
+      unhex(lit("FFD8")), // SOI
+      // APP1 len 0x22: Exif\0\0 + TIFF(MM, 42, IFD@8) + 1 entry:
+      // tag 0x0112 (orientation), type 3 (SHORT), count 1, value
+      // in the first two value bytes, then next-IFD = 0
+      unhex(lit("FFE10022")),
+      unhex(lit("457869660000")), // "Exif\0\0"
+      unhex(lit("4D4D002A00000008")),
+      unhex(lit("0001")), unhex(lit("0112")), unhex(lit("0003")),
+      unhex(lit("00000001")),
+      be(lit(1) + pmod(col("doc_id"), lit(8)), 2),
+      unhex(lit("0000")), unhex(lit("00000000")),
+      junk(0, "FFE2"), junk(1, "FFE3"),
+      // SOF0: len 0x11, precision 8, height, width, 3 components
+      unhex(lit("FFC00011")), unhex(lit("08")),
+      be(lit(1) + pmod(col("n_chars"), lit(1080)), 2),
+      be(lit(1) + pmod(col("doc_id"), lit(1920)), 2),
+      unhex(lit("03")), unhex(lit("011100021100031100")),
+      unhex(lit("FFDA")), col("text").cast("binary"), unhex(lit("FFD9")))
+  }
+
+  /** documents → (doc_id, payload): a MIXED media column — even
+    * doc_ids are PNG, odd are JPEG, and every 17th payload is
+    * truncated to 10 bytes (the corrupt-crawl stand-in the lenient
+    * parsers must quarantine, not crash on). */
+  def synthesizeMixedMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      concat(
-        unhex(lit(PngSigHex)),
-        unhex(lit("0000000D")), // IHDR data length = 13
-        unhex(lit(IhdrHex)),
-        be(lit(1) + pmod(col("doc_id"), lit(1920)), 4),
-        be(lit(1) + pmod(col("n_chars"), lit(1080)), 4),
-        unhex(lit("0802000000")), // depth 8, truecolor, deflate, adaptive, none
-        unhex(lit("00000000")), // CRC (unverified)
-        col("text").cast("binary")).as("payload"))
+      when(pmod(col("doc_id"), lit(17)) === 0,
+          substring(when(pmod(col("doc_id"), lit(2)) === 0, pngPayload)
+            .otherwise(jpegPayload), 1, 10))
+        .otherwise(when(pmod(col("doc_id"), lit(2)) === 0, pngPayload)
+          .otherwise(jpegPayload)).as("payload"))
+
+  /** JPEG segment walk as a bounded fold: from the first segment after
+    * SOI (1-based offset 3), hop `o → o + 2 + len(o)` until a marker
+    * in `markersHex` is hit (fixed point) or the payload runs out
+    * (NULL, which the caller quarantines). 8 hops bounds any header
+    * this synthesis emits; a real corpus would size it to the APPn
+    * budget. Entirely relational: substr on binary + hex + conv. */
+  private def segWalk(markersHex: Seq[String]): Column = expr(
+    s"""aggregate(sequence(1, 8), CAST(3 AS BIGINT), (o, i) -> CASE
+       |  WHEN o IS NULL OR length(payload) < o + 3 THEN CAST(NULL AS BIGINT)
+       |  WHEN hex(substr(payload, CAST(o AS INT), 2))
+       |    IN (${markersHex.map("'" + _ + "'").mkString(", ")}) THEN o
+       |  ELSE o + 2 +
+       |    CAST(conv(hex(substr(payload, CAST(o AS INT) + 2, 2)), 16, 10) AS BIGINT)
+       |  END)""".stripMargin)
+
+  /** Big-endian read of `len` bytes at a COLUMN offset (1-based). */
+  private def beReadAt(pos: Column, len: Int): Column =
+    conv(hex(col("payload").substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
 
   /** documents → (doc_id, payload): canonical 44-byte PCM WAV header
     * (RIFF little-endian) + text as sample data. Ground truth:
@@ -240,6 +310,48 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    /** Mixed PNG/JPEG metadata with format DISPATCH and quarantine —
+      * the real-corpus shape: one binary column holds several
+      * container formats plus corrupt payloads, and the parser must
+      * (a) dispatch on the signature bytes, (b) walk JPEG's
+      * variable-length segment list to SOF0/SOF2 for
+      * height/width/components (the dominant image format's dimension
+      * read — fixed offsets do not exist in JPEG), (c) follow the
+      * APP1/EXIF TIFF IFD to the orientation tag using the PARSED IFD
+      * offset (so two misreads cannot cancel), and (d) quarantine
+      * truncated payloads as rows, never task failures. The walk is a
+      * bounded aggregate fold over binary substr/hex/conv — narrow,
+      * per-row, no shuffle; at 100 TB this runs at scan speed next to
+      * the payload bytes. Oracle: the ground-truth arithmetic each
+      * header was synthesized from. */
+    "q153_image_meta" -> ((s: SparkSession, dir: String) => {
+      val p = col("payload")
+      val parsed = synthesizeMixedMedia(Tables(s, dir, "documents"))
+        .withColumn("sof", segWalk(Seq("FFC0", "FFC2")))
+        .withColumn("app1", segWalk(Seq("FFE1")))
+        .withColumn("ifd", col("app1") + 10 + beReadAt(col("app1") + 14, 4))
+      val pngOk = length(p) >= PngHeaderLen &&
+        hex(substring(p, 1, 8)) === PngSigHex &&
+        hex(substring(p, 13, 4)) === IhdrHex
+      val jpegOk = hex(substring(p, 1, 2)) === "FFD8" &&
+        col("sof").isNotNull && length(p) >= col("sof") + 9 &&
+        col("app1").isNotNull &&
+        hex(p.substr((col("app1") + 4).cast("int"), lit(6))) === "457869660000" &&
+        beReadAt(col("ifd") + 2, 2) === 274 // first IFD entry is tag 0x0112
+      parsed.select(col("doc_id"),
+          when(pngOk, "png").when(jpegOk, "jpeg")
+            .otherwise("quarantined").as("format"),
+          when(pngOk, beRead(p, 17, 4))
+            .when(jpegOk, beReadAt(col("sof") + 7, 2)).as("width"),
+          when(pngOk, beRead(p, 21, 4))
+            .when(jpegOk, beReadAt(col("sof") + 5, 2)).as("height"),
+          when(jpegOk, beReadAt(col("sof") + 9, 1)).as("n_components"),
+          // SHORT value sits in the first 2 bytes of the entry's
+          // 4-byte value field (big-endian TIFF), entry = ifd + 2
+          when(jpegOk, beReadAt(col("ifd") + 2 + 8, 2)).as("orientation"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
       * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
       * then reassemble sample-rate / channels / bit-width / data size
@@ -304,6 +416,24 @@ object Multimodal {
         |CAST(1 + checksum % 16 AS BIGINT) AS n_frames,
         |round(CAST(CAST(checksum % 97 AS REAL) / CAST(97 AS REAL) AS DOUBLE), 6) AS f0
         |FROM f
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // mixed-media ground truth: even doc_ids PNG, odd JPEG, every
+    // 17th truncated to 10 bytes -> quarantined with NULL fields;
+    // JPEG carries 3 components and orientation 1 + doc_id % 8
+    "q153_image_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 17 = 0 THEN 'quarantined'
+        |     WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     ELSE 1 + doc_id % 1920 END AS width,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     ELSE 1 + n_chars % 1080 END AS height,
+        |CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0 THEN NULL
+        |     ELSE CAST(3 AS BIGINT) END AS n_components,
+        |CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0 THEN NULL
+        |     ELSE 1 + doc_id % 8 END AS orientation
+        |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // WAV ground truth: rate/channels/bits as synthesized; data bytes

@@ -540,8 +540,59 @@ object TextDedup {
         .agg(min(sha2(col("sh"), 256)).as("fingerprint"))
         .select(col("doc_id"), substring(col("fingerprint"), 1, 16).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    /** CHUNK-level winnowing dedup — the boilerplate census exact
+      * chunk hashing (q76) structurally misses: a footer repeated
+      * across documents at DIFFERENT token offsets never lands on the
+      * same aligned 10-token boundary, so its exact chunk hashes
+      * differ doc to doc, while a winnowing fingerprint (the q37
+      * min-sha sketch applied per 64-token chunk, q104's chunker)
+      * keys on the chunk's minimal SHINGLE — alignment-free, so the
+      * shared footer keeps producing the same fingerprint wherever it
+      * sits. Fingerprinting is ONE per-row projection (no shuffle:
+      * chunk windows, their shingles, and the min-sha all happen
+      * inside a single transform over the token array); the census is
+      * a groupBy on the 64-char fingerprint; the join-back marks each
+      * chunk row, and per-doc boilerplate fractions fold in the final
+      * aggregate. shuffle_hash on the join-back: the boilerplate side
+      * is data-dependent (Catalyst's static estimate would broadcast
+      * it). Both cache readers (census + join-back) reuse the chunk
+      * rows. */
+    "q152_boilerplate_chunks" -> ((s: SparkSession, dir: String) => {
+      val chunks = chunkFingerprints(Tables(s, dir, "documents")).cache()
+      val boiler = chunks.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("fp"), lit(1).as("isb"))
+      chunks.join(boiler.hint("shuffle_hash"), Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_if(col("isb") === 1).as("n_boiler"))
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          round(col("n_boiler") / col("n_chunks") + lit(1e-12), 4)
+            .as("boiler_frac"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Per-chunk winnowing fingerprints: 64-token windows at stride 48
+    * (the q104 chunker), each fingerprinted with the minimum SHA-256
+    * over its 3-shingles (the q37 sketch, per chunk). Windows too
+    * short to hold one shingle (the < 3-token tail) are dropped on
+    * both engines. Entirely per-row generator arithmetic — no
+    * shuffle, no state. */
+  private[llm] def chunkFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  filter(sequence(1, size(toks), 48),
+          |    s -> least(s + 63, size(toks)) - s + 1 >= 3),
+          |  s -> array_min(transform(
+          |    sequence(s, least(s + 63, size(toks)) - 2),
+          |    i -> sha2(concat_ws(' ', slice(toks, i, 3)), 256))))"""
+          .stripMargin)).as("fp"))
 
   private[llm] val duckShingles =
     """SELECT doc_id, unnest(list_distinct(list_transform(
@@ -652,6 +703,27 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    "q152_boilerplate_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    list_filter(generate_series(1, len(toks), 48),
+        |      s -> least(s + 63, len(toks)) - s + 1 >= 3),
+        |    s -> list_min(list_transform(
+        |      generate_series(s, least(s + 63, len(toks)) - 2),
+        |      i -> sha256(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))) AS fp
+        |  FROM t),
+        |census AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY fp),
+        |j AS (SELECT doc_id, n_docs FROM ch JOIN census USING (fp))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-12, 4)
+        |  AS boiler_frac
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // declarative twin of the banded+bloomed incremental path: exact
     // uncapped Jaccard between every snapshot and corpus doc, snapshot

@@ -86,6 +86,37 @@ class DedupSkewSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("chunk winnowing catches a cross-doc footer that exact chunk hashing misses") {
+    // a 45-token footer preceded by prefixes of DIFFERENT lengths (1
+    // vs 2 tokens): the offset difference is not a multiple of 10, so
+    // q76-style aligned exact 10-token chunks of the footer can never
+    // coincide across the two docs — but the winnowing chunk
+    // fingerprint keys on the chunk's minimal shingle, which lives in
+    // the shared footer for both
+    val footer = (0 until 45).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pa $footer"),
+      (2L, s"qb qc $footer")).toDF("doc_id", "text")
+    // exact aligned chunking (the q76 shape): zero cross-doc chunks
+    val exact = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 9, 10),
+          |  i -> sha2(concat_ws(' ', slice(toks, i, 10)), 256))""".stripMargin)).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    assert(exact.count() == 0L,
+      "aligned exact chunks must miss the offset-shifted footer")
+    // winnowing chunk fingerprints: the shared footer surfaces
+    val shared = TextDedup.chunkFingerprints(docs)
+      .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    assert(shared.count() == 1L,
+      "both docs' chunks must fingerprint to the shared footer shingle")
+    spark.catalog.clearCache()
+  }
+
   test("BPE merges follow Sennrich semantics on a hand fixture") {
     // corpus: "aaaa" x3, "aab" x2  (chars: a,a,a,a / a,a,b)
     // round 1 pair counts: (a,a): 3*3 + 2*1... per-word non-overlapping
