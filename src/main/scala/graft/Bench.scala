@@ -35,15 +35,23 @@ object Bench {
     // must not inflate the PRE reading relative to POST (measured
     // 0.50 vs 0.09 s without this)
     sentinel()
-    val sentinelPre = sentinel()
-    // best-of-2 per query: single-shot timings on a shared VM carry
-    // ±30% noise (GC pauses, host scheduling); the minimum of two runs
-    // reports steady-state cost (declared as runs/policy in the
-    // record). Caches are cleared between runs so each measurement is
-    // cold-data, warm-JIT.
+    // best-of-2 per query, INTERLEAVED: the whole suite runs twice
+    // end-to-end and each query keeps its minimum across passes.
+    // Back-to-back reps shared one wall-clock window, so a 10-minute
+    // host-contention block poisoned BOTH minima of every query inside
+    // it (the round-6 driver record's contiguous q36-q48 outlier block
+    // was exactly that signature); with the passes an hour apart in
+    // run order, one contention window can only taint one rep of any
+    // query. Caches are cleared between queries so each measurement is
+    // cold-data, warm-JIT. A sentinel brackets every pass boundary
+    // (before, between, after) so each pass carries its own
+    // contamination evidence.
     val benchRuns = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to benchRuns).map { _ =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sentinels = new Array[Double](benchRuns + 1)
+    sentinels(0) = sentinel()
+    val passes: Seq[Seq[Double]] = (1 to benchRuns).map { p =>
+      val times = names.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -51,10 +59,13 @@ object Bench {
         // a failed query must not masquerade as a fast success
         if (ok) dt else -1.0
       }
-      val succeeded = times.filter(_ >= 0)
+      sentinels(p) = sentinel()
+      times
+    }
+    val results = names.map(_._1).zipWithIndex.map { case (name, i) =>
+      val succeeded = passes.map(_(i)).filter(_ >= 0)
       name -> (if (succeeded.nonEmpty) succeeded.min else -1.0)
     }
-    val sentinelPost = sentinel()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The harness that captures this output keeps only the LAST 2000
     // characters of stdout and parses the JSON line out of that window;
@@ -84,8 +95,10 @@ object Bench {
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     // runs/policy declare the best-of-N aggregation IN the record —
-    // a min-over-runs composite must never present as a single run
-    val meta = s""""runs":$benchRuns,"policy":"min","sentinel_pre_s":${f3(sentinelPre)},"sentinel_post_s":${f3(sentinelPost)}"""
+    // a min-over-runs composite must never present as a single run;
+    // "interleaved" says the N reps come from separate full passes
+    val sentJson = sentinels.map(f3).mkString("[", ",", "]")
+    val meta = s""""runs":$benchRuns,"policy":"min","interleaved":true,"sentinels_s":$sentJson"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$detail,"sf":"$sfDir"}""")
@@ -95,7 +108,7 @@ object Bench {
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":[${f2(sentinelPre)},${f2(sentinelPost)}],"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
     System.out.flush()
   }
 }

@@ -64,7 +64,7 @@ object TextDedup {
     * (collision probability over a corpus's distinct shingles is
     * ~|sh|²/2⁶⁵ ≪ 1e-9; the DuckDB oracle joins raw strings, so a
     * collision would surface as a count mismatch, never silently). */
-  private[llm] def shingleArrays(docs: DataFrame): DataFrame =
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
@@ -126,13 +126,19 @@ object TextDedup {
     * signature — the band index row shape shared by q35's self-join
     * and the incremental snapshot-vs-corpus probe (band id folded
     * into the hash so a single 8-byte key carries both). */
-  private[llm] def bandKeys(arr: DataFrame, nHashes: Int, bands: Int): DataFrame = {
+  /** The per-doc array of `bands` single-long band keys, read off a
+    * `sg` signature column — shared by the batch probe and the
+    * streaming twin so both sides band identically. */
+  private[graft] def bandKeyArray(nHashes: Int, bands: Int): Column = {
     val r = nHashes / bands
-    arr.select(col("doc_id"), expr(s"minhash_sig(shs, $nHashes)").as("sg"))
-      .select(col("doc_id"), explode(array((0 until bands).map(b =>
-        xxhash64((lit(b) +: (1 to r).map(i =>
-          element_at(col("sg"), r * b + i))): _*)): _*)).as("bk"))
+    array((0 until bands).map(b =>
+      xxhash64((lit(b) +: (1 to r).map(i =>
+        element_at(col("sg"), r * b + i))): _*)): _*)
   }
+
+  private[graft] def bandKeys(arr: DataFrame, nHashes: Int, bands: Int): DataFrame =
+    arr.select(col("doc_id"), expr(s"minhash_sig(shs, $nHashes)").as("sg"))
+      .select(col("doc_id"), explode(bandKeyArray(nHashes, bands)).as("bk"))
 
   /** INCREMENTAL near-dup dedup — the recurring production job (new
     * crawl vs standing corpus) the one-shot q35 self-join does not

@@ -521,6 +521,81 @@ object EventStreams {
       }
   }
 
+  final case class BandBucketState(ids: Array[Long], shs: Array[Array[Long]])
+  final case class NearDupPair(d1: Long, d2: Long, jaccard: Double)
+
+  /** Streaming NEAR-DUP pair detector — the LIVE twin of batch q35's
+    * banded minhash dedup, completing the dedup surface's streaming
+    * story: documents arrive on a feed, and a pair is emitted the
+    * moment the second member of a ≥-threshold-Jaccard pair lands.
+    *
+    * Shape: the stream-side projections are the BATCH projections
+    * (distinct shingle-hash array → native 48-way `minhash_sig` → 16
+    * band keys per doc — all narrow and stream-safe), then
+    * `flatMapGroupsWithState` keyed on the band key holds each LSH
+    * bucket's members (doc_id + shingle array). A new arrival
+    * verifies EXACT Jaccard against its bucket's existing members
+    * in-state — the same sketch-candidates/exact-verify split as the
+    * batch side, so a reported pair is never a banding false
+    * positive.
+    *
+    * State bound: one bucket holds at most `maxBucket` member shingle
+    * sets — the LSH bucket cardinality is the streaming analogue of
+    * the batch df-cap (q86's per-cell bound): a bucket that keeps
+    * growing means a degenerate band (boilerplate-dominated corpus)
+    * and O(bucket²) comparisons, so overflow FAILS LOUD rather than
+    * silently degrading. Per-bucket state is O(maxBucket · avg doc
+    * shingles); buckets shard across executors like any keyed state.
+    *
+    * Delivery: a pair sharing several bands emits once per shared
+    * band (at-least-once, exactly the batch LSH trade-off before its
+    * distinct()) — consumers dedup on (d1, d2), as the twin spec
+    * does. Arrival order within a micro-batch follows doc_id, the
+    * feed-order contract of the other order-sensitive twins. */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8, maxBucket: Int = 128): Dataset[NearDupPair] = {
+    import spark.implicits._
+    graft.functions.MinhashSignature.register(spark)
+    val arr = graft.llm.TextDedup.shingleArrays(docs.filter(col("text").isNotNull))
+    val banded = arr
+      .select(col("doc_id"), col("shs"), expr("minhash_sig(shs, 48)").as("sg"))
+      .select(col("doc_id"), col("shs"),
+        explode(graft.llm.TextDedup.bandKeyArray(48, 16)).as("bk"))
+      .select(col("bk"), col("doc_id"), col("shs")).as[(Long, Long, Array[Long])]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: Long, rows: Iterator[(Long, Long, Array[Long])],
+            state: GroupState[BandBucketState]) =>
+          val s0 = state.getOption.getOrElse(BandBucketState(Array.empty, Array.empty))
+          var ids = s0.ids.toVector
+          var shs = s0.shs.toVector
+          val out = Seq.newBuilder[NearDupPair]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
+            if (!ids.contains(id)) {
+              val shSet = sh.toSet
+              ids.indices.foreach { j =>
+                val inter = shs(j).count(shSet.contains)
+                // same arithmetic as the batch verify join: long
+                // counts, one double division — bit-identical jaccard
+                val jac = inter.toDouble / (shs(j).length + sh.length - inter)
+                if (jac >= threshold)
+                  out += NearDupPair(math.min(ids(j), id), math.max(ids(j), id), jac)
+              }
+              if (ids.length >= maxBucket)
+                throw new IllegalStateException(
+                  s"LSH bucket $bk exceeded maxBucket=$maxBucket members — " +
+                    "degenerate band (boilerplate-dominated feed); widen bands " +
+                    "or raise the cap, do not let comparisons grow quadratically")
+              ids :+= id
+              shs :+= sh
+            }
+          }
+          state.update(BandBucketState(ids.toArray, shs.toArray))
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: emits
     * a session record each time a 30-minute gap closes it. Unlike
     * session_window, the state transition is explicit — the surface for

@@ -556,4 +556,36 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("streaming near-dup pairs equal the batch q35 pair set across micro-batches") {
+    // two staged files + maxFilesPerTrigger=1 -> pairs whose members
+    // arrive in DIFFERENT micro-batches prove the bucket state carries
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_src")
+    val d = Tables(spark, sf, "documents")
+    d.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    d.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    runToMemory(EventStreams.nearDupPairs(spark, stream).toDF(), "neardup")
+    // at-least-once per shared band: dedup on the pair key
+    val streamed = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = SparkEntry.queries("q35_dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty, "fixture should contain >= 0.8-jaccard pairs")
+    assert(streamed.keySet == batch.keySet,
+      s"missing: ${batch.keySet.diff(streamed.keySet)}; extra: ${streamed.keySet.diff(batch.keySet)}")
+    streamed.foreach { case (k, raw) =>
+      assert(math.abs(raw - batch(k)) <= 5e-5 + 1e-9,
+        s"pair $k: streamed jaccard $raw vs batch (r4) ${batch(k)}")
+    }
+    spark.catalog.clearCache()
+  }
 }
