@@ -131,6 +131,21 @@ object Multimodal {
         .otherwise(when(pmod(col("doc_id"), lit(2)) === 0, pngPayload)
           .otherwise(jpegPayload)).as("payload"))
 
+  /** documents → one PNG and one JPEG encoding of the SAME body per
+    * doc (media_id = 2·doc_id / 2·doc_id+1) — the exact-recompress
+    * scenario structural image dedup exists for — with every 17th
+    * media row truncated to 10 bytes (quarantine fodder). */
+  def synthesizeImagePairs(docs: DataFrame): DataFrame = {
+    val png = docs.select(col("doc_id"),
+      (col("doc_id") * 2).as("media_id"), pngPayload.as("payload"))
+    val jpeg = docs.select(col("doc_id"),
+      (col("doc_id") * 2 + 1).as("media_id"), jpegPayload.as("payload"))
+    png.unionByName(jpeg)
+      .withColumn("payload",
+        when(pmod(col("media_id"), lit(17)) === 0, substring(col("payload"), 1, 10))
+          .otherwise(col("payload")))
+  }
+
   /** JPEG segment walk as a bounded fold: from the first segment after
     * SOI (1-based offset 3), hop `o → o + 2 + len(o)` until a marker
     * in `markersHex` is hit (fixed point) or the payload runs out
@@ -352,6 +367,51 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    /** STRUCTURAL image near-dup — the perceptual-dedup stand-in for a
+      * corpus whose containers differ but whose content does not (the
+      * exact-recompress case: the same image saved as both PNG and
+      * JPEG has no shared container bytes, so content-hash dedup à la
+      * q33 sees two distinct files). The structural signature samples
+      * 64 BODY bytes at evenly spaced offsets — the byte-domain
+      * analogue of an 8×8 downsample — AFTER parsing each container
+      * to its body (PNG: fixed 33-byte header; JPEG: segment walk to
+      * SOS, body runs to EOI), so the signature is container-
+      * invariant by construction. Truncated payloads quarantine out.
+      * Everything is per-row projection except the final signature
+      * groupBy, whose key is a 32-byte hash. Oracle: DuckDB rebuilds
+      * the same 64-point sample from the ground-truth body text and
+      * must land on identical sha-256 groups. */
+    "q154_image_neardup" -> ((s: SparkSession, dir: String) => {
+      val p = col("payload")
+      val parsed = synthesizeImagePairs(Tables(s, dir, "documents"))
+        .withColumn("sos", segWalk(Seq("FFDA")))
+      val pngOk = length(p) >= PngHeaderLen &&
+        hex(substring(p, 1, 8)) === PngSigHex &&
+        hex(substring(p, 13, 4)) === IhdrHex
+      val jpegOk = hex(substring(p, 1, 2)) === "FFD8" &&
+        col("sos").isNotNull && length(p) >= col("sos") + 3
+      val withBody = parsed.select(col("media_id"),
+        when(pngOk, p.substr(lit(34), (length(p) - 33).cast("int")))
+          .when(jpegOk, p.substr((col("sos") + 2).cast("int"),
+            (length(p) - col("sos") - 3).cast("int")))
+          .as("body"),
+        when(pngOk, "png").when(jpegOk, "jpeg").as("fmt"))
+        .filter(col("body").isNotNull)
+      val n = length(col("body"))
+      val sig = sha2(concat((0 until 64).map(i =>
+        col("body").substr(
+          greatest(lit(1), (lit(1) + floor(lit(i.toDouble) * (n - 1) / 63.0)).cast("int")),
+          lit(1))): _*), 256)
+      withBody.select(col("media_id"), col("fmt"), sig.as("sg"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("n_media"),
+          countDistinct(col("fmt")).as("n_formats"))
+        .filter(col("n_media") >= 2)
+        .select(substring(col("sg"), 1, 16).as("sig_prefix"),
+          col("n_media"), col("n_formats"))
+        .orderBy(col("sig_prefix"))
+    }),
+
     /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
       * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
       * then reassemble sample-rate / channels / bit-width / data size
@@ -435,6 +495,28 @@ object Multimodal {
         |     ELSE 1 + doc_id % 8 END AS orientation
         |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // structural-signature ground truth: both containers carry the doc
+    // text as body, so the 64-point sample rebuilds from text directly;
+    // every 17th media row is truncated -> parsed out before grouping
+    "q154_image_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, 2 * doc_id AS media_id, 'png' AS fmt, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2 * doc_id + 1, 'jpeg', text FROM documents),
+        |ok AS (SELECT * FROM m WHERE media_id % 17 <> 0),
+        |sig AS (
+        |  SELECT media_id, fmt,
+        |  sha256(array_to_string(list_transform(generate_series(0, 63),
+        |    i -> substr(text,
+        |      greatest(1, 1 + CAST(floor(i * (len(text) - 1) / 63.0) AS INT)),
+        |      1)), '')) AS sg
+        |  FROM ok)
+        |SELECT substr(sg, 1, 16) AS sig_prefix,
+        |CAST(count(*) AS BIGINT) AS n_media,
+        |CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats
+        |FROM sig GROUP BY sg HAVING count(*) >= 2
+        |ORDER BY sig_prefix NULLS FIRST""".stripMargin,
 
     // WAV ground truth: rate/channels/bits as synthesized; data bytes
     // = text body; samples = bytes / block align

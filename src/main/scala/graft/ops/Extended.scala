@@ -321,6 +321,87 @@ object Extended {
         .orderBy(col("ship_month"))
     }),
 
+    /** TPC-H Q18 shape (large-volume orders): the classic
+      * IN-(aggregating-subquery) decorrelation — "orders whose total
+      * lineitem quantity exceeds 150" becomes a pre-aggregated HAVING
+      * table joined back to orders, never a per-order subquery probe.
+      * The having table is order-cardinality (one row per qualifying
+      * order) and joins on the order key; top-k plans as
+      * TakeOrderedAndProject with the (qty desc, key) tie-break total
+      * on both engines. */
+    "q155_large_orders" -> ((s: SparkSession, dir: String) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), r2(col("o_totalprice")).as("o_totalprice"),
+          col("total_qty").cast("long").as("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q21 shape (suppliers who kept orders waiting): supplier s
+      * is blamed for an order when the order involves at least two
+      * suppliers, s shipped LATE (> 90 days after the order date —
+      * this schema has no receipt/commit dates), and s is the ONLY
+      * late supplier. The doubly-correlated EXISTS / NOT-EXISTS pair
+      * decorrelates into ONE per-order aggregate (distinct suppliers,
+      * distinct late suppliers) joined back to the distinct late
+      * (order, supplier) pairs — two scans of the same cached
+      * fact-side projection, no correlated probe per row, every join
+      * on the high-cardinality order key. */
+    "q156_waiting_blame" -> ((s: SparkSession, dir: String) => {
+      val lo = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("is_late"))
+        .cache()
+      val stats = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      lo.filter(col("is_late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(stats, Seq("l_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("l_suppkey"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q22 shape (global-relation anti join): customers richer
+      * than the positive-balance average with no order since 2000 —
+      * the churned-high-value segment. The scalar subquery folds to a
+      * ONE-ROW aggregate broadcast into the filter (provably 1 row at
+      * any scale — the q133/q136 stance, allowlisted), the "no recent
+      * orders" predicate is a left-anti join on the customer key
+      * against the date-filtered fact (filter pushed to the scan),
+      * and the threshold is r6-rounded on BOTH engines so a last-ulp
+      * average difference cannot flip a boundary customer. */
+    "q157_rich_inactive" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgPos = cust.filter(col("c_acctbal") > 0)
+        .agg(r6(avg(col("c_acctbal"))).as("thresh"))
+      val recent = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("thresh"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -772,6 +853,51 @@ object Extended {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q155_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |round(o_totalprice, 2) AS o_totalprice,
+        |CAST(total_qty AS BIGINT) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC NULLS LAST, o_orderkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q156_waiting_blame" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |  l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |stats AS (
+        |  SELECT l_orderkey,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY l_orderkey),
+        |blamed AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late)
+        |SELECT b.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM blamed b JOIN stats s ON b.l_orderkey = s.l_orderkey
+        |WHERE s.n_supp >= 2 AND s.n_late = 1
+        |GROUP BY b.l_suppkey
+        |ORDER BY numwait DESC NULLS LAST, b.l_suppkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q157_rich_inactive" ->
+      """WITH t AS (
+        |  SELECT round(avg(c_acctbal), 6) AS thresh
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, t
+        |WHERE c_acctbal > thresh
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
 
     "q142_promo_share" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

@@ -104,7 +104,10 @@ class PlanQualitySpec extends SparkSuite {
     // (N, avgdl, per-term df) — provably 1 row regardless of sf
     "q133_bm25",
     // q136: the broadcast side is the ONE-ROW (n1, n2) totals fold
-    "q136_ks_test")
+    "q136_ks_test",
+    // q157: the broadcast side is the ONE-ROW positive-balance
+    // average (TPC-H Q22's scalar subquery) — provably 1 row at any sf
+    "q157_rich_inactive")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
