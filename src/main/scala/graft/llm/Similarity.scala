@@ -111,6 +111,64 @@ object Similarity {
     (cents, assigned)
   }
 
+  // ---- product quantization (q158): m subspaces × ks codes ----
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (m · sub = 64)
+  private val PqKs = 4 // codes per subspace codebook
+  private val PqIters = 2
+
+  /** Subspace j of the embedding as a double array (pure projection). */
+  private def pqSubCol(j: Int): Column = expr(
+    s"transform(slice(embedding, ${j * PqSub + 1}, $PqSub), x -> cast(x AS double))")
+
+  /** Squared L2 to a DRIVER-LITERAL sub-centroid — sequential fold in
+    * dim order, the op order the oracle's list_reduce replays. */
+  private def pqDist(sub: Column, c: Array[Double]): Column =
+    aggregate(zip_with(sub, lit(c), (p, q) => (p - q) * (p - q)),
+      lit(0.0), (a, x) => a + x)
+
+  /** Nearest-code assignment for subspace j as a projection: `least`
+    * over (dist, code) structs — ties to the LOWEST code, matching
+    * `ORDER BY dist, code` in the oracle. */
+  private def pqCode(j: Int, book: Seq[(Int, Array[Double])]): Column =
+    least(book.map { case (code, c) =>
+      struct(pqDist(pqSubCol(j), c).as("d"), lit(code).as("c"))
+    }: _*).getField("c")
+
+  /** PQ codebook training — the q122 Lloyd stance applied per
+    * subspace, with ALL m subspaces trained in the SAME pass: each
+    * iteration is one zero-shuffle assignment projection (m `least`
+    * folds per row) and ONE m·ks·sub-bounded posexplode aggregation
+    * (256 doubles here) collected to the driver. Codebook state is
+    * control-plane-sized regardless of corpus size; a code cell that
+    * loses all members drops out on both engines. Deterministic init:
+    * code c of every subspace = vector c's subvector. */
+  private[graft] def trainPq(e: DataFrame): Array[Seq[(Int, Array[Double])]] = {
+    val init = e.filter(col("vec_id") < PqKs)
+      .select(col("vec_id") +: (0 until PqM).map(j => pqSubCol(j).as(s"v$j")): _*)
+      .collect().sortBy(_.getLong(0))
+    var books: Array[Seq[(Int, Array[Double])]] = Array.tabulate(PqM) { j =>
+      init.map(r => (r.getLong(0).toInt, r.getSeq[Double](j + 1).toArray)).toSeq
+    }
+    for (_ <- 1 to PqIters) {
+      val rows = e.select(col("vec_id"), explode(array((0 until PqM).map(j =>
+          struct(lit(j).as("sub"), pqCode(j, books(j)).as("code"),
+            pqSubCol(j).as("v"))): _*)).as("a"))
+        .select(col("a.sub").as("sub"), col("a.code").as("code"),
+          posexplode(col("a.v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      books = Array.tabulate(PqM) { j =>
+        rows.filter(_.getInt(0) == j).groupBy(_.getInt(1)).toSeq
+          .map { case (code, rs) =>
+            (code, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray) }
+          .sortBy(_._1)
+      }
+    }
+    books
+  }
+
   /** Top-`nprobe` trained cells for the probe vector `queryId` — a
     * one-row projection of all k csims, exploded and limited. */
   private def probeCells(e: DataFrame, cents: Seq[(Long, Array[Double])],
@@ -147,6 +205,51 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+
+    /** Product-quantization ANN — the third leg of the ANN triad
+      * (q42 brute-force / q57 IVF / this), and the one that changes
+      * the STORAGE equation at 100 TB: a 64-float vector compresses to
+      * m = 8 two-bit codes (one int per vector here), and query-time
+      * scoring touches only an m·ks distance table, never the floats.
+      * Train: [[trainPq]] (per-subspace Lloyd, all subspaces in one
+      * pass per iteration, driver-resident codebooks — the q122
+      * stance). Encode + asymmetric-distance scoring are pure
+      * projections: per subspace a `least` fold picks the code, the
+      * query's distance table rides the plan as a literal CASE chain,
+      * and the ADC sum folds in subspace order. Top-10 by the
+      * r6-ROUNDED score + vec_id (cross-engine float-ranking rule) →
+      * TakeOrderedAndProject. Oracle: training unrolled in SQL the
+      * way q122 unrolls Lloyd, same sequential folds throughout. */
+    "q158_pq_ann" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).cache()
+      val books = trainPq(e)
+      val q = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x AS double))"))
+        .collect()(0).getSeq[Double](0).toArray
+      // driver-side ADC table: same fold order as the oracle's
+      // list_reduce over dims
+      val tbl: Array[Seq[(Int, Double)]] = Array.tabulate(PqM) { j =>
+        books(j).map { case (code, c) =>
+          (code, (0 until PqSub).foldLeft(0.0) { (acc, i) =>
+            val d = q(j * PqSub + i) - c(i); acc + d * d
+          })
+        }
+      }
+      def adcj(j: Int): Column = {
+        val code = pqCode(j, books(j))
+        tbl(j).tail.foldLeft(when(code === tbl(j).head._1, lit(tbl(j).head._2))) {
+          case (acc, (c, d)) => acc.when(code === c, lit(d))
+        }
+      }
+      val adc = (0 until PqM).map(adcj).reduce(_ + _)
+      val packed = (0 until PqM).map(j =>
+        pqCode(j, books(j)).cast("long") * lit(1L << (2 * j))).reduce(_ + _)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), packed.as("codes_packed"), r6(adc).as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+    }),
 
     /** Top principal component of the embedding cloud by two unrolled
       * power iterations — the whitening/centering primitive a SemDeDup
@@ -465,6 +568,41 @@ object Similarity {
     }
   }
 
+  /** Sequential squared-L2 fold between two sub-dim lists — the
+    * oracle twin of [[pqDist]] (prepend-0 left fold ≡ aggregate()). */
+  private def duckPqDist(v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(1, $PqSub),
+       |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** One unrolled PQ Lloyd iteration for the q158 oracle: assign every
+    * (vector, subspace) to its nearest code in `prev` (ties to the
+    * lowest code, ≡ the Spark `least` struct), and optionally
+    * re-estimate the per-(sub, code) centroid lists. */
+  private def duckPqIter(prev: String, assign: String, outCents: Option[String]): String = {
+    val head =
+      s"""$assign AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT sv.vec_id, sv.sub, cb.code,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |      ORDER BY ${duckPqDist("sv.v", "cb.cent")} ASC NULLS LAST,
+         |        cb.code NULLS FIRST) AS rn
+         |    FROM sv JOIN $prev cb USING (sub))
+         |  WHERE rn = 1)""".stripMargin
+    outCents match {
+      case None => head
+      case Some(c) => head + s""",
+         |$c AS (
+         |  SELECT sub, code, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT a.sub, a.code, pos, avg(sv.v[pos]) AS m
+         |    FROM $assign a JOIN sv USING (vec_id, sub),
+         |      unnest(generate_series(1, $PqSub)) AS t(pos)
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY sub, code)""".stripMargin
+    }
+  }
+
   /** One unrolled power-iteration step for the q135 oracle: `vin` is a
     * CTE with a single `v` list column; emits s_, w_, n_ CTEs and a
     * `vout` CTE holding the normalized next vector. The sequential
@@ -548,6 +686,42 @@ object Similarity {
          |round(p2.m, 6) AS coord, sizes.n
          |FROM p2 JOIN sizes USING (cent_id)
          |ORDER BY cent_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+    // the whole PQ training unrolled: subvector table, init codebooks
+    // from vectors 0..ks-1, two Lloyd iterations, a final assignment,
+    // the query's distance table, and the sequential ADC fold — every
+    // float op in the same order as the Spark plan
+    "q158_pq_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, s AS sub, emb[s * $PqSub + 1 : s * $PqSub + $PqSub] AS v
+         |  FROM e, unnest(generate_series(0, ${PqM - 1})) AS t(s)),
+         |c0 AS (
+         |  SELECT sub, CAST(vec_id AS INT) AS code, v AS cent
+         |  FROM sv WHERE vec_id < $PqKs),
+         |${duckPqIter("c0", "a1", Some("c1"))},
+         |${duckPqIter("c1", "a2", Some("c2"))},
+         |${duckPqIter("c2", "af", None)},
+         |qsv AS (SELECT sub, v AS qv FROM sv WHERE vec_id = 0),
+         |tbl AS (
+         |  SELECT c.sub, c.code, ${duckPqDist("q.qv", "c.cent")} AS d
+         |  FROM c2 c JOIN qsv q USING (sub)),
+         |fin AS (
+         |  SELECT a.vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(t.d ORDER BY a.sub)), (acc, x) -> acc + x) AS adc,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(CAST(a.code AS BIGINT) << (2 * a.sub) ORDER BY a.sub)),
+         |    (acc, x) -> acc + x) AS BIGINT) AS codes_packed
+         |  FROM af a JOIN tbl t USING (sub, code)
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id)
+         |SELECT vec_id, codes_packed, round(adc, 6) AS adc
+         |FROM fin
+         |ORDER BY round(adc, 6) NULLS FIRST, vec_id NULLS FIRST
+         |LIMIT 10""".stripMargin,
+
     // list_reduce (sequential left fold) matches Spark's aggregate()
     // accumulation order bit-for-bit; floor(x + 0.5) is the shared
     // round-half-up, dodging the engines' round() tie disagreement
