@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, r6}
 
 /** Multimodal-column plumbing: media as opaque binary columns with
   * typed metadata, decoded / feature-extracted in distributed batches.
@@ -412,6 +412,53 @@ object Multimodal {
         .orderBy(col("sig_prefix"))
     }),
 
+    /** Audio FEATURE extraction over the PCM stream — the DSP step
+      * after q105's header parse: decode the data chunk as int16
+      * little-endian samples (each sample reassembled from its two
+      * bytes inside a transform lambda — byte offsets derive from the
+      * PARSED data-size field, so a header misread corrupts the
+      * features and fails the oracle), then RMS energy, peak
+      * amplitude, and the mean-crossing rate (sign changes around the
+      * stream mean — the DC-offset-robust zero-crossing analogue),
+      * all as HOF folds over the per-row sample array. Narrow,
+      * per-row, no shuffle: at 100 TB this runs at scan speed next to
+      * the payload bytes, exactly where a real PCM feature pass
+      * (loudness screens, silence trimming) runs. Integer sample
+      * squares sum exactly in doubles, and the mean fold is
+      * sequential, so every feature is engine-exact. */
+    "q159_audio_features" -> ((s: SparkSession, dir: String) => {
+      val wav = synthesizeWav(Tables(s, dir, "documents"))
+      val p = col("payload")
+      val n16 = (leRead(p, 41, 4) / 2L).cast("long")
+      val smp = expr(
+        """transform(sequence(1, CAST(n16 AS INT)), i ->
+          |  CAST(conv(hex(substr(payload, 43 + 2 * i, 1)), 16, 10) AS INT)
+          |  + 256 * CAST(conv(hex(substr(payload, 44 + 2 * i, 1)), 16, 10) AS INT))"""
+          .stripMargin)
+      val signed = expr("transform(smp_u, u -> u - 65536 * CAST(u >= 32768 AS INT))")
+      val base = wav
+        .filter(substring(p, 1, 4).cast("string") === "RIFF" &&
+          substring(p, 37, 4).cast("string") === "data")
+        .select(col("doc_id"), col("payload"), n16.as("n16"))
+        .select(col("doc_id"), col("n16"), smp.as("smp_u"))
+        .select(col("doc_id"), col("n16"), signed.as("smp"))
+      val sumSq = expr(
+        "aggregate(smp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)")
+      val mean = expr(
+        "aggregate(smp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(smp)")
+      base
+        .select(col("doc_id"), col("n16").as("n_samples"),
+          r6(sqrt(sumSq / col("n16"))).as("rms"),
+          expr("array_max(transform(smp, x -> abs(x)))").cast("long").as("peak"),
+          mean.as("m"), col("smp"))
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          when(col("n_samples") >= 2, expr(
+            """size(filter(sequence(2, CAST(n_samples AS INT)), i ->
+              |  (element_at(smp, i - 1) < m) != (element_at(smp, i) < m)))"""
+              .stripMargin)).otherwise(lit(0)).cast("long").as("mean_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
       * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
       * then reassemble sample-rate / channels / bit-width / data size
@@ -517,6 +564,38 @@ object Multimodal {
         |CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats
         |FROM sig GROUP BY sg HAVING count(*) >= 2
         |ORDER BY sig_prefix NULLS FIRST""".stripMargin,
+
+    // audio-feature ground truth: the data chunk IS the text bytes, so
+    // the int16 stream rebuilds from character pairs; identical
+    // sequential folds for mean/energy, so rms and the mean-crossing
+    // count are engine-exact
+    "q159_audio_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) // 2 AS n16, text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n16,
+        |  list_transform(generate_series(1, CAST(n16 AS INT)),
+        |    i -> ord(text[2*i-1]) + 256 * ord(text[2*i])
+        |         - 65536 * CAST((ord(text[2*i-1]) + 256 * ord(text[2*i])) >= 32768 AS INT))
+        |    AS smp
+        |  FROM t),
+        |sm AS (
+        |  SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(smp, x -> CAST(x AS DOUBLE))),
+        |    (acc, x) -> acc + x) / n16 AS m
+        |  FROM s)
+        |SELECT doc_id, CAST(n16 AS BIGINT) AS n_samples,
+        |round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(smp, x -> CAST(x AS DOUBLE) * x)),
+        |  (acc, x) -> acc + x) / n16), 6) AS rms,
+        |CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+        |CAST(CASE WHEN n16 >= 2 THEN
+        |  len(list_filter(generate_series(2, CAST(n16 AS INT)),
+        |    i -> (smp[i-1] < m) != (smp[i] < m)))
+        |  ELSE 0 END AS BIGINT) AS mean_crossings
+        |FROM sm
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // WAV ground truth: rate/channels/bits as synthesized; data bytes
     // = text body; samples = bytes / block align

@@ -536,6 +536,44 @@ object TextDedup {
         .orderBy(col("cluster_id"))
     }),
 
+    /** PageRank over the near-dup graph — the iterative distributed
+      * graph primitive (beyond q93's connected components): rank docs
+      * by how centrally they sit in the ≥ 0.5-Jaccard similarity
+      * graph, the signal a curation pipeline uses to pick cluster
+      * exemplars and spot template hubs. Spark-first shape: the
+      * symmetric edge list + degrees are built once and CACHED; each
+      * of the 3 damped iterations (d = 0.85) is one keyed join + one
+      * map-side-combined sum — every shuffle on the high-cardinality
+      * doc id, rank state stays cluster-resident (never on the
+      * driver; only the scalar node COUNT is collected). An
+      * undirected graph has no dangling nodes, so no leaked-mass
+      * correction is needed. At production iteration counts,
+      * checkpoint the rank frame every few rounds to cut the lazy
+      * join chain. Oracle: all 3 iterations unrolled in SQL; rank
+      * values are accumulated floats (off the rounding grid), so r6
+      * is engine-stable. */
+    "q160_pagerank" -> ((s: SparkSession, dir: String) => {
+      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2"))
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      // deg is one row per node by construction — it doubles as the
+      // node list (no extra distinct) and the iteration join side
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
+      val withDeg = edges.join(deg, "src").cache()
+      val n = deg.count()
+      var pr = deg.select(col("src").as("v"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = withDeg.join(pr, col("v") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("dg")).as("c"))
+          .select(col("dst").as("v"),
+            (lit(0.15 / n) + lit(0.85) * col("c")).as("pr"))
+      }
+      pr.select(col("v").as("doc_id"), r6(col("pr")).as("pagerank"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -709,6 +747,43 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    // 3 damped iterations unrolled over the same capped >= 0.5
+    // jaccard pair graph; the per-iteration template is identical, so
+    // generate it
+    "q160_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT e.t AS v, 0.15 / nn.n + 0.85 * sum(p.pr / d.dg) AS pr
+           |  FROM edges e
+           |  JOIN $prev p ON p.v = e.s
+           |  JOIN deg d ON d.s = e.s, nn
+           |  GROUP BY e.t, nn.n)""".stripMargin
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS s, d2 AS t FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+         |nodes AS (SELECT DISTINCT s AS v FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |p0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes, nn),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT v AS doc_id, round(pr, 6) AS pagerank
+         |FROM p3
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
 
     "q152_boilerplate_chunks" ->
       """WITH t AS (
