@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Q, Tables, r6}
 
 /** Corpus-assembly operators: the steps between a curated document set
   * and training-ready shards — sequence packing, PII redaction,
@@ -252,6 +252,33 @@ object CorpusOps {
       definiteNew.unionByName(verifiedNew)
         .select(col("doc_id"), substring(col("h"), 1, 16).as("hash_prefix"))
         .orderBy(col("doc_id"))
+    }),
+
+    /** Source-mixture DRIFT between the incoming snapshot and the
+      * standing corpus (the q97 split): per source, both shares and
+      * the snapshot-side KL term p·ln(p/q) — the categorical-drift
+      * screen a pipeline runs before re-weighting a new crawl into
+      * the mixture (the reference's numeric drift check, applied to
+      * the mixture distribution). Two map-side-combined counts on the
+      * source key and one tiny join; counts are exact, shares are
+      * small divisions, and the ln-based term is r6-rounded
+      * (accumulated-float values sit off the rounding grid). Sources
+      * present on only one side surface with a NULL term — the signal
+      * a NEW source appeared, which no finite KL captures. */
+    "q163_mixture_drift" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      def shares(side: org.apache.spark.sql.DataFrame, cnt: String, share: String) = {
+        val n = side.count().toDouble
+        side.groupBy(col("source")).agg(count(lit(1)).as(cnt))
+          .withColumn(share, col(cnt) / lit(n))
+      }
+      val snap = shares(docs.filter(col("doc_id") % 10 === 0), "n_snap", "p")
+      val corp = shares(docs.filter(col("doc_id") % 10 =!= 0), "n_corp", "q")
+      snap.join(corp, Seq("source"), "full_outer")
+        .select(col("source"), col("n_snap"), col("n_corp"),
+          r6(col("p")).as("snap_share"), r6(col("q")).as("corp_share"),
+          r6(col("p") * log(col("p") / col("q"))).as("kl_term"))
+        .orderBy(col("source"))
     }),
 
     /** Source-mixture upsampling: per-source integer weights (derived
@@ -591,6 +618,22 @@ object CorpusOps {
         |WHERE b.doc_id % 10 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM h c WHERE c.doc_id % 10 <> 0 AND c.h = b.h)
         |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
+
+    "q163_mixture_drift" ->
+      """WITH snap AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_snap
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY source),
+        |corp AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_corp
+        |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY source),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 10 = 0),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT source, n_snap, n_corp,
+        |round(n_snap / ns.t, 6) AS snap_share,
+        |round(n_corp / nc.t, 6) AS corp_share,
+        |round((n_snap / ns.t) * ln((n_snap / ns.t) / (n_corp / nc.t)), 6) AS kl_term
+        |FROM snap FULL OUTER JOIN corp USING (source), ns, nc
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q98_mixture_upsample" ->
       """SELECT doc_id, source,

@@ -251,6 +251,34 @@ object Similarity {
         .limit(10)
     }),
 
+    /** Matryoshka truncation quality — how much cosine fidelity a
+      * prefix-truncated embedding keeps: for a vector renormalized
+      * after truncation to its first k dims, cos(full, truncated) =
+      * ‖prefix‖/‖full‖ exactly, so the whole audit is a per-row
+      * norm-ratio projection per k ∈ {8, 16, 32} (one explode, no
+      * joins) aggregated to mean / min / p10-ish floor per k. This is
+      * the measurement behind "can we serve 16-dim vectors for
+      * retrieval": a front-loaded embedding family keeps ratios near
+      * 1. Scan-speed at any corpus size; fidelity ratios are
+      * accumulated floats, off the rounding grid, so r6 is
+      * engine-stable. */
+    "q162_matryoshka" -> ((s: SparkSession, dir: String) => {
+      def sq(arr: String) = s"aggregate(transform($arr, " +
+        "x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v)"
+      val ks = Seq(8, 16, 32)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), explode(array(ks.map(k =>
+          struct(lit(k).as("k"),
+            (sqrt(expr(sq(s"slice(embedding, 1, $k)"))) /
+              sqrt(expr(sq("embedding")))).as("ratio"))): _*)).as("t"))
+        .select(col("t.k").as("k"), col("t.ratio").as("ratio"))
+        .groupBy(col("k"))
+        .agg(r6(avg(col("ratio"))).as("mean_fidelity"),
+          r6(min(col("ratio"))).as("min_fidelity"),
+          count_if(col("ratio") >= 0.9).as("n_above_090"))
+        .orderBy(col("k"))
+    }),
+
     /** Top principal component of the embedding cloud by two unrolled
       * power iterations — the whitening/centering primitive a SemDeDup
       * or quality-filter pipeline runs before cosine work. Spark-first
@@ -686,6 +714,23 @@ object Similarity {
          |round(p2.m, 6) AS coord, sizes.n
          |FROM p2 JOIN sizes USING (cent_id)
          |ORDER BY cent_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+    // same prepend-0 sequential squared-norm folds as the Spark plan
+    "q162_matryoshka" -> {
+      def sq(arr: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform($arr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |    (acc, v) -> acc + v)""".stripMargin
+      s"""WITH r AS (
+         |  SELECT k,
+         |  sqrt(${sq("embedding[1:k]")}) / sqrt(${sq("embedding")}) AS ratio
+         |  FROM embeddings, unnest([8, 16, 32]) AS t(k))
+         |SELECT k, round(avg(ratio), 6) AS mean_fidelity,
+         |round(min(ratio), 6) AS min_fidelity,
+         |CAST(sum(CASE WHEN ratio >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_090
+         |FROM r GROUP BY k
+         |ORDER BY k NULLS FIRST""".stripMargin
+    },
+
     // the whole PQ training unrolled: subvector table, init codebooks
     // from vectors 0..ks-1, two Lloyd iterations, a final assignment,
     // the query's distance table, and the sequential ADC fold — every

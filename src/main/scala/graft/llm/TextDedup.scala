@@ -574,6 +574,27 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    /** Cross-source duplication matrix — WHERE the near-dups come
+      * from: every ≥ 0.5-Jaccard pair labeled with its two docs'
+      * sources, counted per unordered source pair. The curation
+      * diagnostic behind mixture decisions ("crawl B is 40% copies of
+      * crawl A — dedup before weighting"). Pure composition: the
+      * capped pair graph (q34 machinery) plus two doc-id equi-joins
+      * against the (doc_id, source) projection, then a source-pair
+      * count — all shuffles keyed on doc id or the source pair. */
+    "q161_source_copy_matrix" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -747,6 +768,27 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    "q161_source_copy_matrix" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5)
+         |SELECT least(da.source, db.source) AS source_a,
+         |greatest(da.source, db.source) AS source_b,
+         |CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = d1
+         |JOIN documents db ON db.doc_id = d2
+         |GROUP BY 1, 2
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
 
     // 3 damped iterations unrolled over the same capped >= 0.5
     // jaccard pair graph; the per-iteration template is identical, so
