@@ -146,6 +146,62 @@ object Multimodal {
           .otherwise(col("payload")))
   }
 
+  /** documents → (doc_id, payload): a structurally valid MP4
+    * (ISO-BMFF) container — `ftyp` with an alternating major brand, a
+    * VARIABLE number (doc_id mod 3) of variable-length `free` boxes
+    * (so the moov offset is data-dependent and only an honest box
+    * walk finds it), a `moov` holding a full 108-byte version-0
+    * `mvhd` whose timescale/duration carry the ground truth, then
+    * `mdat` with the text as media body. Every 17th payload is
+    * truncated to 6 bytes (quarantine fodder). Ground truth:
+    * timescale = 600 + 10·(doc_id mod 90), duration = 25·n_chars. */
+  def synthesizeMp4(docs: DataFrame): DataFrame = {
+    def box(typ: String, body: Column*): Column = {
+      val b = concat(body: _*)
+      concat(be(length(b).cast("long") + 8L, 4), lit(typ).cast("binary"), b)
+    }
+    def junk(i: Int): Column =
+      when(pmod(col("doc_id"), lit(3)) > i,
+        box("free", unhex(repeat(lit("00"),
+          (pmod(col("doc_id") + lit(i.toLong), lit(7L))).cast("int")))))
+        .otherwise(lit(Array.empty[Byte]))
+    val timescale = lit(600L) + lit(10L) * pmod(col("doc_id"), lit(90L))
+    val duration = lit(25L) * col("n_chars")
+    val mvhd = box("mvhd",
+      unhex(lit("00000000")), // version 0 + flags
+      unhex(lit("0000000000000000")), // ctime + mtime
+      be(timescale, 4),
+      be(duration, 4),
+      unhex(lit("00010000")), // rate 1.0
+      unhex(lit("0100")), // volume 1.0
+      unhex(repeat(lit("00"), lit(70))), // reserved+matrix+predefined
+      be(lit(2L), 4)) // next track id
+    val payload = concat(
+      box("ftyp",
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("isom"))
+          .otherwise(lit("mp42")).cast("binary"),
+        unhex(lit("00000200"))),
+      junk(0), junk(1),
+      box("moov", mvhd),
+      box("mdat", col("text").cast("binary")))
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0, substring(payload, 1, 6))
+        .otherwise(payload).as("payload"))
+  }
+
+  /** ISO-BMFF box walk as a bounded fold: from offset 1, hop
+    * `o → o + size(o)` (size = big-endian 4 bytes at the box start)
+    * until the 4-byte type at o+4 matches `typeHex` (fixed point) or
+    * the payload runs out (NULL → quarantine). 8 hops bounds this
+    * synthesis; a real corpus sizes it to the top-level box budget. */
+  private def boxWalk(typeHex: String): Column = expr(
+    s"""aggregate(sequence(1, 8), CAST(1 AS BIGINT), (o, i) -> CASE
+       |  WHEN o IS NULL OR length(payload) < o + 7 THEN CAST(NULL AS BIGINT)
+       |  WHEN hex(substr(payload, CAST(o AS INT) + 4, 4)) = '$typeHex' THEN o
+       |  ELSE o +
+       |    CAST(conv(hex(substr(payload, CAST(o AS INT), 4)), 16, 10) AS BIGINT)
+       |  END)""".stripMargin)
+
   /** JPEG segment walk as a bounded fold: from the first segment after
     * SOI (1-based offset 3), hop `o → o + 2 + len(o)` until a marker
     * in `markersHex` is hit (fixed point) or the payload runs out
@@ -459,6 +515,42 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    /** VIDEO container metadata — the MP4 (ISO-BMFF) box walk that
+      * completes the image (q153) / audio (q105, q159) / video triad.
+      * The parser hops top-level boxes by their big-endian size fields
+      * to `moov` (the offset is data-dependent — junk `free` boxes sit
+      * in front of it), verifies the `mvhd` header INSIDE the parsed
+      * moov offset (two misreads cannot cancel), reads
+      * timescale/duration big-endian, and walks separately to `mdat`
+      * for the media body size. duration_ms is integer floor division
+      * on both engines — no float boundary to flip. Truncated payloads
+      * quarantine as rows. Narrow per-row projection, no shuffle: at
+      * 100 TB this is the scan-speed metadata pass a video-corpus
+      * curator runs before any frame decode. Oracle: the ground-truth
+      * arithmetic the headers were synthesized from. */
+    "q169_video_meta" -> ((s: SparkSession, dir: String) => {
+      val p = col("payload")
+      val parsed = synthesizeMp4(Tables(s, dir, "documents"))
+        .withColumn("moov", boxWalk("6D6F6F76"))
+        .withColumn("mdat", boxWalk("6D646174"))
+      val ftypOk = length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970"
+      val moovOk = col("moov").isNotNull && length(p) >= col("moov") + 35 &&
+        hex(p.substr((col("moov") + 12).cast("int"), lit(4))) === "6D766864" &&
+        beReadAt(col("moov") + 16, 1) === 0 // mvhd version 0
+      val mdatOk = col("mdat").isNotNull
+      val ok = ftypOk && moovOk && mdatOk
+      parsed.select(col("doc_id"),
+          when(ok, "mp4").otherwise("quarantined").as("format"),
+          when(ok, substring(p, 9, 4).cast("string")).as("brand"),
+          when(ok, beReadAt(col("moov") + 28, 4)).as("timescale"),
+          when(ok, beReadAt(col("moov") + 32, 4)).as("duration"),
+          when(ok, beReadAt(col("moov") + 28, 4)).as("ts2"),
+          when(ok, beReadAt(col("mdat"), 4) - 8L).as("media_bytes"))
+        .withColumn("duration_ms", expr("1000 * duration DIV ts2"))
+        .drop("ts2")
+        .orderBy(col("doc_id"))
+    }),
+
     /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
       * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
       * then reassemble sample-rate / channels / bit-width / data size
@@ -595,6 +687,25 @@ object Multimodal {
         |    i -> (smp[i-1] < m) != (smp[i] < m)))
         |  ELSE 0 END AS BIGINT) AS mean_crossings
         |FROM sm
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // MP4 ground truth: brand alternates by doc_id parity, timescale
+    // and duration as synthesized, every 17th truncated -> quarantined;
+    // duration_ms is BIGINT floor division in both engines
+    "q169_video_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 17 = 0 THEN 'quarantined' ELSE 'mp4' END AS format,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     ELSE 600 + 10 * (doc_id % 90) END AS timescale,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 25 * n_chars END AS duration,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     ELSE octet_length(CAST(text AS BLOB)) END AS media_bytes,
+        |CASE WHEN doc_id % 17 = 0 THEN NULL
+        |     ELSE (1000 * 25 * n_chars) // (600 + 10 * (doc_id % 90))
+        |     END AS duration_ms
+        |FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // WAV ground truth: rate/channels/bits as synthesized; data bytes

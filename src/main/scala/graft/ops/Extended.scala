@@ -402,6 +402,59 @@ object Extended {
         .orderBy(col("c_nationkey"))
     }),
 
+    /** TPC-H Q17 shape (small-quantity-order revenue): the classic
+      * CORRELATED SCALAR AVG subquery — "lineitems under 20% of their
+      * part's average quantity" — decorrelated into one per-part
+      * aggregate joined back to the same fact slice. The brand filter
+      * reduces part to a key list FIRST so both the threshold build
+      * and the probe scan only the qualifying slice; that slice is
+      * CACHED (it feeds two consumers), the threshold table is
+      * part-cardinality (AQE broadcasts it at this selectivity, and
+      * the join key keeps it shuffle-correct at any scale), and the
+      * threshold itself is exact cross-engine: per-part quantity sums
+      * are integer-valued doubles, so avg and the 0.2 multiple are
+      * bit-identical IEEE ops in both engines. */
+    "q167_small_qty_revenue" -> ((s: SparkSession, dir: String) => {
+      val keys = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables(s, dir, "lineitem")
+        .join(keys, col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .cache()
+      val thresh = li.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
+      li.join(thresh, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(r6(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    /** TPC-H Q19 shape (disjunctive predicate join): three
+      * brand/size/quantity disjuncts OR-ed across BOTH relations. The
+      * part-only half of each disjunct is pushed BELOW the join (the
+      * union of the three brand+size slices reaches the part scan as
+      * one pushed filter), so the join builds only on qualifying
+      * parts; the mixed part x lineitem half evaluates as a post-join
+      * codegen filter. One equi-join on the part key — the OR never
+      * degenerates into a cartesian or three separate scans. */
+    "q168_brand_disjunction" -> ((s: SparkSession, dir: String) => {
+      val p = Tables(s, dir, "part").filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+      Tables(s, dir, "lineitem")
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -885,6 +938,33 @@ object Extended {
         |GROUP BY b.l_suppkey
         |ORDER BY numwait DESC NULLS LAST, b.l_suppkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q167_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |t AS (
+        |  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_cap
+        |  FROM li GROUP BY l_partkey)
+        |SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+        |CAST(count(*) AS BIGINT) AS n_small
+        |FROM li JOIN t USING (l_partkey)
+        |WHERE l_quantity < qty_cap""".stripMargin,
+
+    "q168_brand_disjunction" ->
+      """SELECT p_brand,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand
+        |ORDER BY p_brand NULLS FIRST""".stripMargin,
 
     "q157_rich_inactive" ->
       """WITH t AS (

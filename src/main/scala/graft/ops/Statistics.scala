@@ -151,6 +151,108 @@ object Statistics {
         .orderBy(col("event_type"))
     }),
 
+    /** Chi-square test of independence between document source and
+      * language — the CATEGORICAL drift screen beside q136's numeric
+      * KS test (a crawl whose language mix shifts per source fails
+      * this before any mean moves). Distributed shape: one map-side-
+      * combined count per observed (source, lang) cell, then two
+      * BROADCAST joins against the tiny row/column marginal tables and
+      * ONE final aggregate. The zero-observed cells every textbook
+      * formula iterates are folded away algebraically:
+      * Σ_all (o−e)²/e = n·Σ_obs o²/(nr·nc) − n, since empty cells
+      * contribute nothing to the left sum's o² term — so no dense
+      * cross join, no totals broadcast (the q138 stance), and the
+      * post-shuffle data is bounded by |sources|·|langs| regardless of
+      * corpus size. Cramér's V normalizes for table size. */
+    "q164_chi_square" -> ((s: SparkSession, dir: String) => {
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy(col("source")).agg(sum(col("o")).as("nr"))
+      val colTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("nc"))
+      cells
+        .join(broadcast(rowTot), "source")
+        .join(broadcast(colTot), "lang")
+        .agg(
+          sum(col("o").cast("double") * col("o") /
+            (col("nr").cast("double") * col("nc"))).as("sfrac"),
+          sum(col("o")).as("n"),
+          countDistinct(col("source")).as("r"),
+          countDistinct(col("lang")).as("c"))
+        .select(
+          r6(col("n").cast("double") * col("sfrac") - col("n")).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          col("n"),
+          r6(sqrt((col("n") * col("sfrac") - col("n")) /
+            (col("n").cast("double") * least(col("r") - 1, col("c") - 1))))
+            .as("cramers_v"))
+    }),
+
+    /** Hourly-count autocorrelation per event type at lags 1-3 — the
+      * seasonality/burstiness screen on an ingest feed (a daily cycle
+      * shows as positive lag-24 ACF; retry storms as high lag-1). The
+      * series is DENSIFIED first: per-type min/max hour from one tiny
+      * aggregate, `sequence`-exploded to the full hour range, observed
+      * counts left-joined in and missing hours kept as TRUE ZEROS
+      * (skipping empty hours silently biases every lag). Pairing is an
+      * equi-join of the series against itself on (type, hour+lag) —
+      * shuffles keyed on (type, hour), which GROWS with the time span,
+      * never one-task-per-type — and each (type, lag) folds to one
+      * Pearson correlation. Post-aggregation volume is types x hours:
+      * at 100 TB the raw scan dominates and everything after the first
+      * groupBy is control-plane-sized. */
+    "q165_autocorrelation" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+          .cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val dense = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val lagged = dense.select(col("event_type"),
+          explode(expr("array(1L, 2L, 3L)")).as("lag"),
+          (col("hr") - col("lag")).as("hr"), col("c").as("c_lead"))
+      dense.join(lagged, Seq("event_type", "hr"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(r6(corr(col("c").cast("double"), col("c_lead").cast("double")))
+            .as("acf"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    /** Welch's unequal-variance t-test on click vs purchase values —
+      * the MEAN-shift drift screen completing the trio (q136 KS =
+      * shape, q164 chi-square = categorical mix, this = location).
+      * ONE single-pass conditional aggregate produces both samples'
+      * (n, mean, s²) simultaneously — no split, no join, no second
+      * scan — then t and the Welch-Satterthwaite degrees of freedom
+      * are a 1-row projection. The whole query is one partial+final
+      * aggregate: linear scan at any scale. */
+    "q166_welch_t" -> ((s: SparkSession, dir: String) => {
+      val v = col("value").cast("double")
+      val click = when(col("event_type") === "click", v)
+      val purch = when(col("event_type") === "purchase", v)
+      val se1 = col("s1") / col("n1")
+      val se2 = col("s2") / col("n2")
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+        .agg(
+          count(click).cast("double").as("n1"), avg(click).as("m1"),
+          var_samp(click).as("s1"),
+          count(purch).cast("double").as("n2"), avg(purch).as("m2"),
+          var_samp(purch).as("s2"))
+        .select(
+          col("n1").cast("long").as("n_click"),
+          col("n2").cast("long").as("n_purchase"),
+          r6(col("m1") - col("m2")).as("mean_diff"),
+          r6((col("m1") - col("m2")) / sqrt(se1 + se2)).as("t_stat"),
+          r6(pow(se1 + se2, 2) /
+            (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1)))
+            .as("welch_df"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -555,6 +657,67 @@ object Statistics {
         |round(max(abs(CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2)), 6) AS ks_d,
         |t.n1, t.n2
         |FROM c, t GROUP BY t.n1, t.n2""".stripMargin,
+
+    // same zero-cell-free identity: chi2 = n * sum(o^2/(nr*nc)) - n
+    "q164_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS nr FROM cells GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY lang),
+        |a AS (
+        |  SELECT
+        |  sum(CAST(o AS DOUBLE) * o / (CAST(nr AS DOUBLE) * nc)) AS sfrac,
+        |  CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT cells.source) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT cells.lang) AS BIGINT) AS c
+        |  FROM cells JOIN rt USING (source) JOIN ct USING (lang))
+        |SELECT round(n * sfrac - n, 6) AS chi2,
+        |(r - 1) * (c - 1) AS dof, n,
+        |round(sqrt((n * sfrac - n) / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+        |  AS cramers_v
+        |FROM a""".stripMargin,
+
+    "q165_autocorrelation" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+        |  FROM (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |        FROM hourly GROUP BY event_type)),
+        |dense AS (
+        |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |lagged AS (
+        |  SELECT event_type, lag, hr - lag AS hr, c AS c_lead
+        |  FROM dense, unnest([1, 2, 3]) AS l(lag))
+        |SELECT d.event_type, CAST(g.lag AS BIGINT) AS lag,
+        |round(corr(CAST(d.c AS DOUBLE), CAST(g.c_lead AS DOUBLE)), 6) AS acf,
+        |CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM dense d JOIN lagged g ON g.event_type = d.event_type AND g.hr = d.hr
+        |GROUP BY d.event_type, g.lag
+        |ORDER BY d.event_type NULLS FIRST, lag NULLS FIRST""".stripMargin,
+
+    "q166_welch_t" ->
+      """WITH a AS (
+        |  SELECT
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n1,
+        |  avg(CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END) AS m1,
+        |  var_samp(CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END) AS s1,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n2,
+        |  avg(CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) END) AS m2,
+        |  var_samp(CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) END) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL)
+        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+        |round(m1 - m2, 6) AS mean_diff,
+        |round((m1 - m2) / sqrt(s1 / n1 + s2 / n2), 6) AS t_stat,
+        |round(pow(s1 / n1 + s2 / n2, 2) /
+        |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+        |FROM a""".stripMargin,
 
     "q63_corr_covar" ->
       """SELECT l_returnflag,
