@@ -551,6 +551,40 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    /** VIDEO frame sampling — the "every Nth frame" feature pass a
+      * video curator runs before any ML scoring, over the q169
+      * containers: parse to the `mdat` body, treat it as fixed-64-byte
+      * frames, sample at a stride targeting ~4 frames per clip, and
+      * fingerprint each sampled frame (sha-256). The scene-change
+      * proxy (distinct sampled fingerprints) and the first-frame
+      * signature come out of ONE per-row higher-order projection —
+      * sequence → transform → array_distinct — with no explode, no
+      * shuffle, no state: at 100 TB the pass runs at scan speed and
+      * only the tiny per-clip features ever leave the row. A real
+      * deployment swaps the sha fingerprint for a decoded-frame
+      * embedding inside the same lambda shape. */
+    "q170_frame_sample" -> ((s: SparkSession, dir: String) => {
+      val p = col("payload")
+      val parsed = synthesizeMp4(Tables(s, dir, "documents"))
+        .withColumn("mdat", boxWalk("6D646174"))
+      val ok = col("mdat").isNotNull && length(p) >= col("mdat") + 8
+      parsed.filter(ok)
+        .select(col("doc_id"),
+          p.substr((col("mdat") + 8).cast("int"),
+            (beReadAt(col("mdat"), 4) - 8).cast("int")).as("body"))
+        .withColumn("n_frames", expr("CAST((length(body) + 63) DIV 64 AS BIGINT)"))
+        .withColumn("sigs", expr(
+          """transform(
+            |  sequence(0L, n_frames - 1, greatest(1L, n_frames DIV 4)),
+            |  i -> sha2(substr(body, CAST(1 + 64 * i AS INT), 64), 256))"""
+            .stripMargin))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("sigs")).cast("long").as("n_sampled"),
+          size(array_distinct(col("sigs"))).cast("long").as("n_distinct_frames"),
+          substring(element_at(col("sigs"), 1), 1, 16).as("first_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** WAV (RIFF) metadata by little-endian byte parse: synthesize the
       * canonical 44-byte PCM header, verify the RIFF/WAVE/data tags,
       * then reassemble sample-rate / channels / bit-width / data size
@@ -706,6 +740,27 @@ object Multimodal {
         |     ELSE (1000 * 25 * n_chars) // (600 + 10 * (doc_id % 90))
         |     END AS duration_ms
         |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // frame-sample ground truth: the mdat body IS the text bytes, so
+    // frames/stride/fingerprints rebuild from the text directly
+    "q170_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |  (octet_length(CAST(text AS BLOB)) + 63) // 64 AS n_frames, text
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (
+        |  SELECT doc_id, n_frames,
+        |  list_transform(
+        |    generate_series(0, CAST(n_frames - 1 AS INT),
+        |      CAST(greatest(1, n_frames // 4) AS INT)),
+        |    i -> sha256(substr(text, CAST(1 + 64 * i AS INT), 64))) AS sigs
+        |  FROM f)
+        |SELECT doc_id, n_frames,
+        |CAST(len(sigs) AS BIGINT) AS n_sampled,
+        |CAST(len(list_distinct(sigs)) AS BIGINT) AS n_distinct_frames,
+        |substr(sigs[1], 1, 16) AS first_sig
+        |FROM s
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // WAV ground truth: rate/channels/bits as synthesized; data bytes

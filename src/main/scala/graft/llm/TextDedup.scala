@@ -595,6 +595,41 @@ object TextDedup {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    /** Triangle census of the near-dup graph — beyond q93's
+      * components and q160's PageRank, the CLUSTERING-STRUCTURE
+      * signal: a template family shows as a dense triangle-rich blob
+      * (high global clustering coefficient), while chained partial
+      * copies show as triangle-free paths. Triangles count by the
+      * standard distributed two-join: ordered edges (d1 < d2) give
+      * each wedge a<b<c exactly once, the closing (a,c) edge is an
+      * equi-join probe, and both joins are hinted shuffle_hash so the
+      * CACHED edge list is never whole-graph-broadcast (the q34
+      * stance). Degrees fold to Σd/2 edges and ΣC(d,2) wedge counts
+      * in one tiny aggregate; the two 1-row sides meet on a literal
+      * key — a broadcast equi-join, bounded at any scale. */
+    "q172_triangle_count" -> ((s: SparkSession, dir: String) => {
+      val e = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2")).cache()
+      val degStats = e.select(col("d1").as("v"))
+        .unionByName(e.select(col("d2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .agg(expr("CAST(sum(d) DIV 2 AS BIGINT)").as("n_edges"),
+          expr("CAST(sum(d * (d - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+        .withColumn("k", lit(1))
+      val tri = e.as("ab")
+        .join(e.as("bc").hint("shuffle_hash"), col("ab.d2") === col("bc.d1"))
+        .select(col("ab.d1").as("a"), col("bc.d2").as("c"))
+        .join(e.select(col("d1").as("a"), col("d2").as("c")).hint("shuffle_hash"),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .withColumn("k", lit(1))
+      degStats.join(tri, "k").drop("k")
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0,
+            r6(lit(3.0) * col("n_triangles") / col("n_wedges")))
+            .as("global_cc"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -768,6 +803,33 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    "q172_triangle_count" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v),
+         |m AS (
+         |  SELECT CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM e ab JOIN e bc ON ab.d2 = bc.d1
+         |  JOIN e ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |CASE WHEN n_wedges > 0
+         |  THEN round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+         |FROM m, t""".stripMargin,
 
     "q161_source_copy_matrix" ->
       s"""WITH ${duckCappedShingles(DfCap)},

@@ -455,6 +455,44 @@ object Extended {
         .orderBy(col("p_brand"))
     }),
 
+    /** TPC-H Q8 shape (national market share): one nation's share of
+      * ECONOMY-part revenue sold into the AMERICA region, by order
+      * year. The nation dimension plays TWO roles — the customer's
+      * nation anchors the market (filtered through region before the
+      * fact join, so the probe side shrinks first), the supplier's
+      * nation feeds the share numerator as a conditional aggregate
+      * (no second pass, no self-join on the fact). Dimensions
+      * broadcast; the only shuffles are the fact-side equi-joins on
+      * order/customer/supplier keys and the final year aggregate. */
+    "q173_market_share" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val nation = Tables(s, dir, "nation")
+      val custNations = nation
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNations = nation
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey")), col("p_partkey") === col("l_partkey"))
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNations), col("cn_key") === col("c_nationkey"))
+        .join(Tables(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNations), col("sn_key") === col("s_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          r6(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0))) /
+            sum(rev)).as("mkt_share"),
+          r2(sum(rev)).as("total_revenue"))
+        .orderBy(col("o_year"))
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -938,6 +976,25 @@ object Extended {
         |GROUP BY b.l_suppkey
         |ORDER BY numwait DESC NULLS LAST, b.l_suppkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q173_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON o_orderkey = l_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |GROUP BY 1
+        |ORDER BY o_year NULLS FIRST""".stripMargin,
 
     "q167_small_qty_revenue" ->
       """WITH li AS (

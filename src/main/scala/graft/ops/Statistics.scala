@@ -253,6 +253,35 @@ object Statistics {
             .as("welch_df"))
     }),
 
+    /** First-order Markov transition matrix over each user's event
+      * stream — the next-event-prediction baseline and the
+      * behavioral-drift fingerprint (a bot cohort shows as a
+      * transition row collapsing onto one column). `lead` over the
+      * HIGH-cardinality user partition pairs consecutive events
+      * (total order by (ts, event_id) — reproducible under ties),
+      * one map-side-combined count per (from, to) cell, and the
+      * row-normalizing totals arrive by BROADCAST join of the
+      * type-cardinality marginal table. Transition probabilities are
+      * SMALL-DENOMINATOR rationals (n_ab/n_a), so both engines round
+      * with the +1e-12 nudge to keep exact half-ties off the r6
+      * grid. */
+    "q171_session_markov" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val cells = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      cells.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from") + 1e-12, 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -718,6 +747,22 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q171_session_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |cells AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM cells GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |round(CAST(n AS DOUBLE) / n_from + 1e-12, 6) AS p
+        |FROM cells JOIN t USING (from_type)
+        |ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
 
     "q63_corr_covar" ->
       """SELECT l_returnflag,

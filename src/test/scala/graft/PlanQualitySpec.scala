@@ -107,7 +107,11 @@ class PlanQualitySpec extends SparkSuite {
     "q136_ks_test",
     // q157: the broadcast side is the ONE-ROW positive-balance
     // average (TPC-H Q22's scalar subquery) — provably 1 row at any sf
-    "q157_rich_inactive")
+    "q157_rich_inactive",
+    // q172: the final combine joins the ONE-ROW degree-stats fold to
+    // the ONE-ROW triangle count — both provably 1 row at any sf; the
+    // graph joins themselves are hinted shuffle_hash equi-joins
+    "q172_triangle_count")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
