@@ -137,6 +137,35 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    /** Character-distribution Shannon entropy per document — the
+      * mojibake / binary-junk / keyboard-mash screen (natural text
+      * sits near 4.2 bits/char; base64 blobs near 6; repeated-char
+      * spam near 0). Deliberately NOT an explode+groupBy histogram —
+      * that would shuffle every character of a 100 TB corpus. Instead
+      * the whole histogram lives inside ONE per-row higher-order
+      * projection (distinct chars → occurrence counts → SORTED fold),
+      * so the query is a pure scan-speed map with no exchange at all.
+      * The identity H = log₂n − (Σ c·log₂c)/n avoids materializing
+      * probabilities; sorting the count array before the fold pins
+      * one summation order for both engines (array_distinct order is
+      * engine-specific, sorted ints are not). */
+    "q174_char_entropy" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .withColumn("chs", expr(
+          "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+        .withColumn("cnts", expr(
+          """array_sort(transform(array_distinct(chs),
+            |  c -> size(filter(chs, x -> x = c))))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("cnts")).cast("long").as("n_distinct_chars"),
+          r6(log(2.0, length(col("text")).cast("double")) -
+            expr("""aggregate(cnts, CAST(0.0 AS DOUBLE),
+              |  (a, c) -> a + CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))"""
+              .stripMargin) / length(col("text")).cast("double"))
+            .as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     /** BPE tokenizer training — the true ITERATIVE merge loop (q40
       * counts pair frequencies once; this actually merges): 3 rounds
       * of count-adjacent-pairs → pick the most frequent (ties to the
@@ -528,6 +557,24 @@ object TextAnalysis {
        |${duckBpeRound("w2", "b3", "w3")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same sorted-count fold: H = log2(n) - sum(c*log2(c))/n
+    "q174_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, len(text) AS n,
+        |  list_sort(list_transform(
+        |    list_distinct(list_transform(generate_series(1, len(text)),
+        |      i -> substr(text, CAST(i AS INT), 1))),
+        |    ch -> len(list_filter(list_transform(generate_series(1, len(text)),
+        |      i -> substr(text, CAST(i AS INT), 1)), x -> x = ch)))) AS cnts
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+        |round(log2(CAST(n AS DOUBLE)) -
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(cnts, c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))),
+        |    (a, x) -> a + x) / n, 6) AS entropy_bits
+        |FROM c
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q139_bpe_encode" ->
       s"""WITH $duckBpeCtes,

@@ -630,6 +630,23 @@ object TextDedup {
             .as("global_cc"))
     }),
 
+    /** Jaccard THRESHOLD SWEEP — the diagnostic a curator runs before
+      * committing to a dedup threshold: the ≥ 0.5 pair graph bucketed
+      * by similarity decile, with pair counts and mean similarity per
+      * bucket (a fat 0.5-0.6 tail means the threshold choice moves
+      * real volume; a bimodal shape separates template copies from
+      * true near-dups). ONE pair computation feeds every bucket —
+      * never one join per candidate threshold — and the bucket floor
+      * is the same IEEE multiply in both engines, so boundary pairs
+      * land identically. */
+    "q175_jaccard_sweep" -> ((s: SparkSession, dir: String) => {
+      jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("jac"), (floor(col("jac") * 10) / 10.0).as("jac_lo"))
+        .groupBy(col("jac_lo"))
+        .agg(count(lit(1)).as("n_pairs"), r6(avg(col("jac"))).as("mean_jac"))
+        .orderBy(col("jac_lo"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -803,6 +820,24 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    "q175_jaccard_sweep" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT inter * 1.0 / (s1.n + s2.n - inter) AS jac FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5)
+         |SELECT floor(jac * 10) / 10.0 AS jac_lo,
+         |CAST(count(*) AS BIGINT) AS n_pairs,
+         |round(avg(jac), 6) AS mean_jac
+         |FROM j GROUP BY 1
+         |ORDER BY jac_lo NULLS FIRST""".stripMargin,
 
     "q172_triangle_count" ->
       s"""WITH ${duckCappedShingles(DfCap)},

@@ -282,6 +282,35 @@ object Statistics {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    /** Time-weighted average (TWAP) of each user's value stream — the
+      * irregular-sampling average where the plain mean over-weights
+      * burst periods (the feature-engineering primitive for sensor /
+      * price / telemetry features). Each sample holds until the next
+      * one (`lead` over the HIGH-cardinality user partition, total
+      * order by (ts, event_id)), weights are exact integer
+      * microsecond spans, and the final per-user fold compares TWAP
+      * against the unweighted mean so the burst bias is visible.
+      * Single window pass + one map-side-combined aggregate; only
+      * users with ≥ 2 samples have a defined span. */
+    "q176_twap" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("value").cast("double").as("v"), unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          r6(sum(col("v") * (col("next_us") - col("us")).cast("double")) /
+            sum(col("next_us") - col("us")).cast("double")).as("twap"),
+          r6(avg(col("v"))).as("plain_mean"),
+          count(lit(1)).as("n_spans"),
+          sum(col("next_us") - col("us")).as("span_us"))
+        .orderBy(col("user_id"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -747,6 +776,22 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q176_twap" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS next_us
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id,
+        |round(sum(v * CAST(next_us - us AS DOUBLE)) /
+        |  sum(CAST(next_us - us AS DOUBLE)), 6) AS twap,
+        |round(avg(v), 6) AS plain_mean,
+        |CAST(count(*) AS BIGINT) AS n_spans,
+        |CAST(sum(next_us - us) AS BIGINT) AS span_us
+        |FROM s WHERE next_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q171_session_markov" ->
       """WITH p AS (
