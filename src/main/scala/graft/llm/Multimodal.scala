@@ -202,6 +202,37 @@ object Multimodal {
        |    CAST(conv(hex(substr(payload, CAST(o AS INT), 4)), 16, 10) AS BIGINT)
        |  END)""".stripMargin)
 
+  /** The q169 parser over any (doc_id, payload) frame: box-walk to
+    * `moov`, verify `mvhd` inside the parsed offset, read
+    * timescale/duration, walk to `mdat` for the body size. Lenient:
+    * any structural failure — truncation, a size-0 box pinning the
+    * walk, a missing or misplaced mvhd — quarantines the row. */
+  def parseMp4(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    val parsed = payloads
+      .withColumn("moov", boxWalk("6D6F6F76"))
+      .withColumn("mdat", boxWalk("6D646174"))
+    val ftypOk = length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970"
+    // the walk's 8-hop bound can end ON a non-matching offset (a
+    // size-0 box pins it) — re-verify the type AT the result offset
+    val moovOk = col("moov").isNotNull && length(p) >= col("moov") + 35 &&
+      hex(p.substr((col("moov") + 4).cast("int"), lit(4))) === "6D6F6F76" &&
+      hex(p.substr((col("moov") + 12).cast("int"), lit(4))) === "6D766864" &&
+      beReadAt(col("moov") + 16, 1) === 0 // mvhd version 0
+    val mdatOk = col("mdat").isNotNull &&
+      hex(p.substr((col("mdat") + 4).cast("int"), lit(4))) === "6D646174"
+    val ok = ftypOk && moovOk && mdatOk
+    parsed.select(col("doc_id"),
+        when(ok, "mp4").otherwise("quarantined").as("format"),
+        when(ok, substring(p, 9, 4).cast("string")).as("brand"),
+        when(ok, beReadAt(col("moov") + 28, 4)).as("timescale"),
+        when(ok, beReadAt(col("moov") + 32, 4)).as("duration"),
+        when(ok, beReadAt(col("moov") + 28, 4)).as("ts2"),
+        when(ok, beReadAt(col("mdat"), 4) - 8L).as("media_bytes"))
+      .withColumn("duration_ms", expr("1000 * duration DIV ts2"))
+      .drop("ts2")
+  }
+
   /** JPEG segment walk as a bounded fold: from the first segment after
     * SOI (1-based offset 3), hop `o → o + 2 + len(o)` until a marker
     * in `markersHex` is hit (fixed point) or the payload runs out
@@ -528,28 +559,9 @@ object Multimodal {
       * 100 TB this is the scan-speed metadata pass a video-corpus
       * curator runs before any frame decode. Oracle: the ground-truth
       * arithmetic the headers were synthesized from. */
-    "q169_video_meta" -> ((s: SparkSession, dir: String) => {
-      val p = col("payload")
-      val parsed = synthesizeMp4(Tables(s, dir, "documents"))
-        .withColumn("moov", boxWalk("6D6F6F76"))
-        .withColumn("mdat", boxWalk("6D646174"))
-      val ftypOk = length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970"
-      val moovOk = col("moov").isNotNull && length(p) >= col("moov") + 35 &&
-        hex(p.substr((col("moov") + 12).cast("int"), lit(4))) === "6D766864" &&
-        beReadAt(col("moov") + 16, 1) === 0 // mvhd version 0
-      val mdatOk = col("mdat").isNotNull
-      val ok = ftypOk && moovOk && mdatOk
-      parsed.select(col("doc_id"),
-          when(ok, "mp4").otherwise("quarantined").as("format"),
-          when(ok, substring(p, 9, 4).cast("string")).as("brand"),
-          when(ok, beReadAt(col("moov") + 28, 4)).as("timescale"),
-          when(ok, beReadAt(col("moov") + 32, 4)).as("duration"),
-          when(ok, beReadAt(col("moov") + 28, 4)).as("ts2"),
-          when(ok, beReadAt(col("mdat"), 4) - 8L).as("media_bytes"))
-        .withColumn("duration_ms", expr("1000 * duration DIV ts2"))
-        .drop("ts2")
-        .orderBy(col("doc_id"))
-    }),
+    "q169_video_meta" -> ((s: SparkSession, dir: String) =>
+      parseMp4(synthesizeMp4(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
 
     /** VIDEO frame sampling — the "every Nth frame" feature pass a
       * video curator runs before any ML scoring, over the q169

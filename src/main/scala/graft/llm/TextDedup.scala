@@ -224,6 +224,35 @@ object TextDedup {
     jaccardOf(inter, sizes, threshold)
   }
 
+  /** Triangle census over an ORDERED edge list (d1 < d2): edges,
+    * wedges (ΣC(deg,2)), triangles (each wedge a<b<c closed by an
+    * (a,c) equi-join probe — every triangle counted exactly once),
+    * and the global clustering coefficient 3T/W. Both graph joins are
+    * hinted shuffle_hash so the cached edge list is never
+    * whole-graph-broadcast; the two 1-row folds meet on a broadcast
+    * join, bounded at any scale. */
+  private[llm] def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.cache()
+    val degStats = e.select(col("d1").as("v"))
+      .unionByName(e.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(expr("CAST(sum(d) DIV 2 AS BIGINT)").as("n_edges"),
+        expr("CAST(sum(d * (d - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+      .withColumn("k", lit(1))
+    val tri = e.as("ab")
+      .join(e.as("bc").hint("shuffle_hash"), col("ab.d2") === col("bc.d1"))
+      .select(col("ab.d1").as("a"), col("bc.d2").as("c"))
+      .join(e.select(col("d1").as("a"), col("d2").as("c")).hint("shuffle_hash"),
+        Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .withColumn("k", lit(1))
+    degStats.join(tri, "k").drop("k")
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          r6(lit(3.0) * col("n_triangles") / col("n_wedges")))
+          .as("global_cc"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     /** Exact dedup by full content: canonical id = min doc_id per text.
@@ -607,28 +636,9 @@ object TextDedup {
       * stance). Degrees fold to Σd/2 edges and ΣC(d,2) wedge counts
       * in one tiny aggregate; the two 1-row sides meet on a literal
       * key — a broadcast equi-join, bounded at any scale. */
-    "q172_triangle_count" -> ((s: SparkSession, dir: String) => {
-      val e = jaccardPairs(Tables(s, dir, "documents"), 0.5)
-        .select(col("d1"), col("d2")).cache()
-      val degStats = e.select(col("d1").as("v"))
-        .unionByName(e.select(col("d2").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .agg(expr("CAST(sum(d) DIV 2 AS BIGINT)").as("n_edges"),
-          expr("CAST(sum(d * (d - 1) DIV 2) AS BIGINT)").as("n_wedges"))
-        .withColumn("k", lit(1))
-      val tri = e.as("ab")
-        .join(e.as("bc").hint("shuffle_hash"), col("ab.d2") === col("bc.d1"))
-        .select(col("ab.d1").as("a"), col("bc.d2").as("c"))
-        .join(e.select(col("d1").as("a"), col("d2").as("c")).hint("shuffle_hash"),
-          Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
-        .withColumn("k", lit(1))
-      degStats.join(tri, "k").drop("k")
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          when(col("n_wedges") > 0,
-            r6(lit(3.0) * col("n_triangles") / col("n_wedges")))
-            .as("global_cc"))
-    }),
+    "q172_triangle_count" -> ((s: SparkSession, dir: String) =>
+      triangleStats(jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2")))),
 
     /** Jaccard THRESHOLD SWEEP — the diagnostic a curator runs before
       * committing to a dedup threshold: the ≥ 0.5 pair graph bucketed

@@ -596,6 +596,43 @@ object EventStreams {
       }
   }
 
+  final case class Transition(from_type: String, to_type: String)
+  final case class LastType(us: Long, event_id: Long, etype: String)
+
+  /** Streaming first-order transition extractor — the LIVE twin of
+    * batch q171's Markov matrix: each user's arrival emits the
+    * (previous type → this type) transition, so the transition counts
+    * maintain incrementally as the feed flows (the behavioral-drift
+    * monitor a pipeline runs ON the stream, not after it lands).
+    *
+    * State bound: ONE (ts, id, type) triple per active user — the
+    * sessionizer's O(active users) bound, far below any windowed
+    * buffer. Rows within a micro-batch are sorted by (ts, event_id) —
+    * the batch window's total order — and the cross-batch contract is
+    * the usual event-time-ordered feed (split on a time boundary).
+    * `value` is coalesced before decoding so a null-bearing feed
+    * produces the same transitions as the batch query (which never
+    * reads value) instead of dying in the Event deserializer. */
+  def markovTransitions(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[LastType]) =>
+          var prev = state.getOption
+          val out = Vector.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (tsUs(e), e.event_id)).foreach { e =>
+            prev.foreach(p => out += Transition(p.etype, e.event_type))
+            prev = Some(LastType(tsUs(e), e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: emits
     * a session record each time a 30-minute gap closes it. Unlike
     * session_window, the state transition is explicit — the surface for

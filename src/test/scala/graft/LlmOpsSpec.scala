@@ -114,6 +114,40 @@ class LlmOpsSpec extends SparkSuite {
     intercept[Exception] { Multimodal.decodePng(2L, bogus) }
   }
 
+  test("MP4 box walk quarantines adversarial containers — size-0 box, lying size, truncation") {
+    import spark.implicits._
+    def be4(n: Long): Array[Byte] =
+      Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8L) ++ typ.getBytes("ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be4(0x200))
+    val mvhd = box("mvhd",
+      be4(0) ++ be4(0) ++ be4(0) ++ be4(700) ++ be4(12345) ++
+        be4(0x00010000) ++ Array[Byte](1, 0) ++ Array.fill[Byte](70)(0) ++ be4(2))
+    val good = ftyp ++ box("moov", mvhd) ++ box("mdat", "hello".getBytes)
+    // a size-0 box pins the walk at a non-moov offset: the 8-hop bound
+    // must terminate and the type re-check must quarantine, not misparse
+    val sizeZero = ftyp ++ be4(0) ++ "free".getBytes ++ box("moov", mvhd)
+    // a size field pointing past the end must quarantine via the
+    // length guard, not read garbage
+    val lyingSize = ftyp ++ be4(1 << 20) ++ "free".getBytes ++ box("moov", mvhd)
+    val truncated = good.take(10)
+    val rows = Seq(1L -> good, 2L -> sizeZero, 3L -> lyingSize, 4L -> truncated)
+      .toDF("doc_id", "payload")
+    val out = Multimodal.parseMp4(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "mp4")
+    assert(out(1L).getAs[Long]("timescale") == 700L)
+    assert(out(1L).getAs[Long]("duration") == 12345L)
+    assert(out(1L).getAs[Long]("media_bytes") == 5L)
+    assert(out(1L).getAs[Long]("duration_ms") == 12345L * 1000 / 700)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[String]("format") == "quarantined",
+        s"doc $id must quarantine")
+    }
+  }
+
   test("WAV little-endian fields survive the byte round-trip at every doc") {
     val out = Multimodal.queries("q105_wav_meta")(spark, sf).collect()
     assert(out.length == 500, "tag filters must not drop any synthesized payload")

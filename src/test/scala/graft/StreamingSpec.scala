@@ -467,6 +467,42 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streaming $streamed must equal batch $batch")
   }
 
+  test("streaming Markov transitions converge to the batch q171 transition counts") {
+    // two time-split files force per-user state to carry a last-type
+    // across the micro-batch boundary — the cross-batch contract
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov_src")
+    val e = Tables(spark, sf, "events")
+    val cut = e.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    e.filter(col("ts").cast("long") < cut).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("ts").cast("long") >= cut).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    move("p0", "f0.parquet", t0 - 60000); move("p1", "f1.parquet", t0)
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    runToMemory(EventStreams.markovTransitions(spark, normalized).toDF(), "markov")
+    val streamed = spark.table("markov").collect()
+      .groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val batch = SparkEntry.queries("q171_session_markov")(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed == batch, s"streaming $streamed must equal batch $batch")
+  }
+
   test("streaming curation funnel (Complete mode) converges to the batch q140 counts") {
     // the q140 fused aggregate IS the streaming query — Complete-mode
     // global aggregation over a document stream; two files force the
