@@ -281,6 +281,56 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    /** Temperature-scaled mixture weights — the multilingual/
+      * multi-source sampling formula (w_s ∝ n_s^α, α < 1 upsamples
+      * low-resource sources) at α = 0.3 and 0.7, with the boost factor
+      * over natural sampling made explicit. Shape: one
+      * map-side-combined count per source, then totals and cells fold
+      * into ONE row (the cell list is bounded by |sources| —
+      * control-plane-sized) and explode back — no join of any kind,
+      * no totals broadcast. Natural shares are small-denominator
+      * rationals, so every rounded column takes the +1e-12 nudge on
+      * both engines. */
+    "q177_temperature_mix" -> ((s: SparkSession, dir: String) => {
+      val folded = Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("double").as("nn"),
+          sum(pow(col("n"), 0.3)).as("z3"),
+          sum(pow(col("n"), 0.7)).as("z7"),
+          collect_list(struct(col("source"), col("n"))).as("cells"))
+      def r6n(c: org.apache.spark.sql.Column) = round(c + 1e-12, 6)
+      folded
+        .select(explode(col("cells")).as("c"),
+          col("nn"), col("z3"), col("z7"))
+        .select(col("c.source").as("source"), col("c.n").as("n_docs"),
+          r6n(col("c.n") / col("nn")).as("share"),
+          r6n(pow(col("c.n"), 0.3) / col("z3")).as("w_t03"),
+          r6n(pow(col("c.n"), 0.7) / col("z7")).as("w_t07"),
+          r6n((pow(col("c.n"), 0.3) / col("z3")) / (col("c.n") / col("nn")))
+            .as("boost_t03"))
+        .orderBy(col("source"))
+    }),
+
+    /** Balanced shard manifest — the write-side layout step that turns
+      * a curated corpus into N ≈ equal-byte shards: a GLOBAL size-
+      * ordered row number ([[graft.ops.GlobalRank.withRowNumbers]] —
+      * one range exchange, never an unpartitioned window) dealt
+      * round-robin across 16 shards, so each shard receives every
+      * 16th document of the size-sorted order and byte totals
+      * equalize by construction (largest docs spread 1-per-shard
+      * first). The manifest reports per-shard doc counts and byte
+      * totals — the spread IS the balance proof. */
+    "q178_shard_manifest" -> ((s: SparkSession, dir: String) => {
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars"), col("doc_id")), "rn")
+      ranked.withColumn("shard", pmod(col("rn") - 1, lit(16L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("shard"))
+    }),
+
     /** Source-mixture upsampling: per-source integer weights (derived
       * deterministically from the source name) replicate docs
       * weight-many times with a copy index — the standard way to hit a
@@ -634,6 +684,33 @@ object CorpusOps {
         |round((n_snap / ns.t) * ln((n_snap / ns.t) / (n_corp / nc.t)), 6) AS kl_term
         |FROM snap FULL OUTER JOIN corp USING (source), ns, nc
         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q177_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |  sum(pow(n, 0.3)) AS z3, sum(pow(n, 0.7)) AS z7 FROM c)
+        |SELECT source, n AS n_docs,
+        |round(n / nn + 1e-12, 6) AS share,
+        |round(pow(n, 0.3) / z3 + 1e-12, 6) AS w_t03,
+        |round(pow(n, 0.7) / z7 + 1e-12, 6) AS w_t07,
+        |round((pow(n, 0.3) / z3) / (n / nn) + 1e-12, 6) AS boost_t03
+        |FROM c, t
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q178_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT (rn - 1) % 16 AS shard,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM r GROUP BY 1
+        |ORDER BY shard NULLS FIRST""".stripMargin,
 
     "q98_mixture_upsample" ->
       """SELECT doc_id, source,

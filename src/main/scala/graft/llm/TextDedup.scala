@@ -657,6 +657,28 @@ object TextDedup {
         .orderBy(col("jac_lo"))
     }),
 
+    /** Near-dup cluster SIZE DISTRIBUTION — the dedup-savings census a
+      * curator reads before running the delete: how many clusters of
+      * each size the ≥ 0.8 graph contains and how many documents each
+      * size class would remove (keep-one policy). Composition: q93's
+      * distributed connected components → per-cluster size → size
+      * histogram; everything after the CC label assignment is two tiny
+      * aggregations keyed on cluster id then size. Singleton documents
+      * (no edges) are not clusters and do not appear — the histogram
+      * starts at size 2 by construction. */
+    "q179_cluster_sizes" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      graft.ops.ConnectedComponents.labels(edges)
+        .toDF("doc_id", "cluster_id")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("n_removable"))
+        .orderBy(col("sz"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -830,6 +852,26 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    // the q93 closure + size histogram
+    "q179_cluster_sizes" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM labels GROUP BY cluster_id)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         |CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY sz
+         |ORDER BY sz NULLS FIRST""".stripMargin,
 
     "q175_jaccard_sweep" ->
       s"""WITH ${duckCappedShingles(DfCap)},
