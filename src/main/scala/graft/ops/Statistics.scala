@@ -311,6 +311,29 @@ object Statistics {
         .orderBy(col("user_id"))
     }),
 
+    /** Per-group OLS trend — value regressed on event-time hours per
+      * event type: the drift-SLOPE screen (is the error-value level
+      * drifting up?) completing the location/shape/mix trio with a
+      * direction. The `regr_slope/intercept/r2` aggregates are
+      * codegen'd single-pass moment folds (n, Σx, Σy, Σxy, Σx², Σy²)
+      * — one map-side-combined aggregate, no window, no join, linear
+      * scan at any scale. Hours-scale x keeps the moments well-
+      * conditioned; r6 absorbs engine ulp differences in the moment
+      * algebra. */
+    "q180_group_ols" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          col("value").cast("double").as("v"),
+          (unix_micros(col("ts")).cast("double") / 3600.0e6).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("regr_slope(v, x)")).as("slope_per_hour"),
+          r6(expr("regr_intercept(v, x)")).as("intercept"),
+          r6(expr("regr_r2(v, x)")).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -776,6 +799,18 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q180_group_ols" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 3600.0e6 AS x
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(regr_slope(v, x), 6) AS slope_per_hour,
+        |round(regr_intercept(v, x), 6) AS intercept,
+        |round(regr_r2(v, x), 6) AS r2
+        |FROM s GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q176_twap" ->
       """WITH s AS (
