@@ -334,6 +334,40 @@ object Statistics {
         .orderBy(col("event_type"))
     }),
 
+    /** Top session path trigrams — the product-analytics "what do
+      * users actually do" sequence census: sessions cut at 30-minute
+      * gaps (a lag-flag running sum inside the HIGH-cardinality user
+      * partition — no sessionizer state, one window pass), then each
+      * in-session (t, t+1, t+2) type trigram counts toward the global
+      * top 20. Both windows partition on user (then user+session) —
+      * cardinality grows with data — and the trigram aggregate is
+      * map-side combined into at most |types|³ cells. Top-k plans as
+      * TakeOrderedAndProject with a total (n desc, trigram) order. */
+    "q181_path_trigrams" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val sess = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_idx",
+          sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val w2 = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("us"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(w2))
+        .withColumn("t3", lead(col("event_type"), 2).over(w2))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("t1"), asc("t2"), asc("t3"))
+        .limit(20)
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -799,6 +833,30 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q181_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |g AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s),
+        |t AS (
+        |  SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER w2 AS t2,
+        |  lead(event_type, 2) OVER w2 AS t3
+        |  FROM g
+        |  WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY us, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3
+        |LIMIT 20""".stripMargin,
 
     "q180_group_ols" ->
       """WITH s AS (
