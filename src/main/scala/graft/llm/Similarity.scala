@@ -323,6 +323,36 @@ object Similarity {
         .select(col("vec_id"), r6(col("cs")).as("cos_sim"))
     }),
 
+    /** Hard-negative mining for embedding-model training — per anchor,
+      * the top-3 corpus vectors in the similarity BAND [0.3, 0.8):
+      * similar enough to be informative negatives, below the near-dup
+      * ceiling that would make them false negatives (the standard
+      * contrastive-training curation step). Same bounded plan as q43
+      * (broadcast anchor block × corpus scan, allowlisted), with the
+      * band as a post-score filter and ranking on the r6-ROUNDED
+      * score + id tiebreak so a last-ulp cosine difference cannot
+      * flip the cut. At 100 TB the anchor block stays driver-bounded
+      * and the scan is one pass; the banded variant of q44's LSH
+      * candidates replaces the product when anchors grow. */
+    "q182_hard_negatives" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc_nulls_last("cs6"), asc_nulls_first("vec_id"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(cosine("embedding", "q_emb")).as("cs6"))
+        .filter(col("cs6") >= 0.3 && col("cs6") < 0.8)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+          col("vec_id").as("neg_id"), col("cs6").as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     /** k-NN join: top-3 neighbors for each of the first 50 vectors.
       * Broadcast the query block; rank per query with a window. At
       * 100 TB the same plan holds with a bucketed candidate join
@@ -863,6 +893,22 @@ object Similarity {
          |  FROM assigned a JOIN qcells USING (cent_id) CROSS JOIN q
          |  WHERE a.vec_id <> 0)
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST LIMIT 10""".stripMargin,
+
+    // band filter + rank both on the ROUNDED score, exactly as Spark
+    "q182_hard_negatives" ->
+      s"""SELECT q_id, rnk, vec_id AS neg_id, cs6 AS cos_sim FROM (
+         |  SELECT q_id, vec_id, cs6,
+         |  cast(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cs6 DESC NULLS LAST, vec_id NULLS FIRST) AS BIGINT) AS rnk
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id, round($duckCosine, 6) AS cs6
+         |    FROM embeddings e
+         |    CROSS JOIN (SELECT vec_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id < 20) q
+         |    WHERE e.vec_id <> q.vec_id)
+         |  WHERE cs6 >= 0.3 AND cs6 < 0.8)
+         |WHERE rnk <= 3
+         |ORDER BY q_id NULLS FIRST, rnk NULLS FIRST""".stripMargin,
 
     "q43_knn_join" ->
       s"""SELECT q_id, vec_id AS neighbor_id, rank, round(cs, 6) AS cos_sim FROM (

@@ -368,6 +368,30 @@ object Statistics {
         .limit(20)
     }),
 
+    /** Exponentially time-decayed engagement score per user — the
+      * feature-store primitive that beats both the plain sum (never
+      * forgets) and a cutoff window (cliff at the boundary): each
+      * event contributes value·2^(−age/half-life) toward a fixed
+      * reference instant with a 7-day half-life. Closed-form per row
+      * (no recurrence, no state, no ordering requirement — unlike
+      * EWMA-per-step the decay target is a constant), so the whole
+      * query is ONE map-side-combined aggregate per user: linear scan
+      * at any scale, and trivially incremental (yesterday's score
+      * just decays by a constant factor before merging today's). */
+    "q183_decayed_score" -> ((s: SparkSession, dir: String) => {
+      val refUs = 1706745600000000L // 2024-02-01 00:00:00 UTC
+      val halfLifeUs = 7.0 * 86400.0e6
+      val age = (lit(refUs) - unix_micros(col("ts"))).cast("double")
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value") * pow(lit(0.5), age / halfLifeUs)))
+            .as("decayed_score"),
+          r6(sum(col("value"))).as("plain_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -833,6 +857,16 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q183_decayed_score" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |round(sum(CAST(value AS DOUBLE) *
+        |  pow(0.5, (1706745600000000 - epoch_us(ts)) / (7.0 * 86400e6))), 6)
+        |  AS decayed_score,
+        |round(sum(CAST(value AS DOUBLE)), 6) AS plain_sum
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q181_path_trigrams" ->
       """WITH s AS (

@@ -111,7 +111,10 @@ class PlanQualitySpec extends SparkSuite {
     // q172: the final combine joins the ONE-ROW degree-stats fold to
     // the ONE-ROW triangle count — both provably 1 row at any sf; the
     // graph joins themselves are hinted shuffle_hash equi-joins
-    "q172_triangle_count")
+    "q172_triangle_count",
+    // q182: the broadcast side is the 20-anchor query block (q42/q43
+    // class — limit-k anchors, driver-bounded at any sf)
+    "q182_hard_negatives")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
