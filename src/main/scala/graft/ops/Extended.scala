@@ -493,6 +493,38 @@ object Extended {
         .orderBy(col("o_year"))
     }),
 
+    /** Market-basket lift — top co-purchased part pairs with the
+      * lift statistic n_ab·N/(n_a·n_b) (lift > 1 = genuinely
+      * associated, not just both popular). The pair generation is a
+      * SELF-JOIN ON THE ORDER KEY, so the blowup is bounded by
+      * C(basket, 2) per order (baskets are schema-bounded small) and
+      * every shuffle is keyed on order or part — never all-pairs over
+      * the part dimension. (order, part) dedups first so multi-line
+      * items count once; part supports arrive by broadcast of the
+      * part-cardinality count table; N is one control-plane count.
+      * Support ≥ 3 screens noise; ordering is total. */
+    "q184_basket_lift" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().cache()
+      val nOrders = li.select(col("o")).distinct().count().toDouble
+      val supp = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val pairs = li.as("a")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("p").as("p1"), col("n_p").as("n_1"))), "p1")
+        .join(broadcast(supp.select(col("p").as("p2"), col("n_p").as("n_2"))), "p2")
+        .select(col("p1"), col("p2"), col("n_ab"),
+          r6(col("n_ab").cast("double") * nOrders /
+            (col("n_1").cast("double") * col("n_2"))).as("lift"))
+        .orderBy(desc("n_ab"), asc("p1"), asc("p2"))
+        .limit(15)
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -976,6 +1008,22 @@ object Extended {
         |GROUP BY b.l_suppkey
         |ORDER BY numwait DESC NULLS LAST, b.l_suppkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q184_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM li),
+        |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, n_ab,
+        |round(n_ab * n.n_orders / (s1.n_p * CAST(s2.n_p AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN supp s1 ON s1.p = p1
+        |JOIN supp s2 ON s2.p = p2, n
+        |ORDER BY n_ab DESC, p1, p2
+        |LIMIT 15""".stripMargin,
 
     "q173_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
