@@ -392,6 +392,71 @@ object Statistics {
         .orderBy(col("user_id"))
     }),
 
+    /** Join-key SKEW report — the pre-flight diagnostic for every
+      * shuffle in this engine: per candidate join key, cardinality,
+      * the Herfindahl concentration Σp² (1/HHI ≈ effective key
+      * count), the hottest key's share (the salting trigger), and
+      * normalized entropy. Everything derives from ONE count-per-key
+      * aggregation per column via moment identities — HHI = Σc²/N²,
+      * top share = max(c)/N, H = (ln N − Σ c·ln c / N)/ln k — so no
+      * joins, no totals broadcast, no second pass; three key columns
+      * union three tiny result rows. This is the measurement behind
+      * the repo's salting/AQE-skew machinery: a top-share over ~1/p
+      * means one reducer owns the key. */
+    "q185_key_skew" -> ((s: SparkSession, dir: String) => {
+      def stats(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column,
+          label: String) = {
+        val n = sum(col("c")).cast("double")
+        df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            r6(sum(col("c") * col("c")).cast("double") / (n * n)).as("hhi"),
+            r6(max(col("c")).cast("double") / n).as("top1_share"),
+            r6((log(n) - sum(col("c").cast("double") * log(col("c").cast("double"))) / n) /
+              log(count(lit(1)).cast("double"))).as("norm_entropy"))
+          .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+            col("hhi"), col("top1_share"), col("norm_entropy"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      stats(li, col("l_partkey"), "lineitem.l_partkey")
+        .unionByName(stats(li, col("l_suppkey"), "lineitem.l_suppkey"))
+        .unionByName(stats(Tables(s, dir, "events"), col("user_id"), "events.user_id"))
+        .orderBy(col("key_col"))
+    }),
+
+    /** Windowed conversion attribution — signup → purchase WITHIN 24
+      * hours, by signup day: the funnel metric with a time constraint
+      * (q85's funnel counts any later purchase; marketing attribution
+      * wants a bounded window). The purchase probe is an equi-join on
+      * the HIGH-cardinality user key with the 24-hour range as a
+      * join-level filter (the q126 PIT shape — per-user purchase
+      * lists are small, never a time-range cross join), a per-signup
+      * max-flag dedups multiple in-window purchases, and the daily
+      * rate takes the +1e-12 nudge (small-count rationals). */
+    "q186_conversion_window" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val ev = Tables(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          date_trunc("day", col("ts")).as("day"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      signups
+        .join(purchases,
+          Seq("user_id"), "left")
+        .withColumn("hit",
+          col("p_us").isNotNull && col("p_us") > col("us") &&
+            col("p_us") <= col("us") + dayUs)
+        .groupBy(col("day"), col("event_id"))
+        .agg(max(when(col("hit"), 1L).otherwise(0L)).as("converted"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("day"), col("n_signups"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signups") + 1e-12, 6)
+            .as("conv_rate"))
+        .orderBy(col("day"))
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -857,6 +922,61 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q186_conversion_window" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |per AS (
+        |  SELECT s.day, s.event_id,
+        |  max(CASE WHEN p.p_us IS NOT NULL AND p.p_us > s.us
+        |    AND p.p_us <= s.us + 86400000000 THEN 1 ELSE 0 END) AS converted
+        |  FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |  GROUP BY s.day, s.event_id)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_signups,
+        |CAST(sum(converted) AS BIGINT) AS n_converted,
+        |round(sum(converted) / CAST(count(*) AS DOUBLE) + 1e-12, 6) AS conv_rate
+        |FROM per GROUP BY day
+        |ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q185_key_skew" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |e AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col,
+        |  CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  round(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS hhi,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+        |  round((ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)) /
+        |    ln(CAST(count(*) AS DOUBLE)), 6) AS norm_entropy
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey',
+        |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |  round(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6),
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+        |  round((ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)) /
+        |    ln(CAST(count(*) AS DOUBLE)), 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'events.user_id',
+        |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |  round(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6),
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+        |  round((ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)) /
+        |    ln(CAST(count(*) AS DOUBLE)), 6)
+        |  FROM e)
+        |SELECT * FROM u
+        |ORDER BY key_col NULLS FIRST""".stripMargin,
 
     "q183_decayed_score" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
