@@ -331,6 +331,34 @@ object CorpusOps {
         .orderBy(col("shard"))
     }),
 
+    /** CDC snapshot diff — the added/removed/changed/unchanged census
+      * between two crawl snapshots, the reconciliation step before any
+      * incremental pipeline run. The fixture synthesizes the snapshots
+      * from one table (A drops doc_id % 5, B drops % 7 and mutates
+      * % 11 — deterministic, so the oracle re-derives them); the
+      * OPERATOR is the full-outer join on the doc key comparing
+      * 32-byte CONTENT HASHES — at 100 TB the exchange carries keys
+      * and digests, never document bodies, and change classification
+      * is a codegen projection on the joined row. */
+    "q188_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val a = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("ha"))
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")), 256).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     /** Source-mixture upsampling: per-source integer weights (derived
       * deterministically from the source name) replicate docs
       * weight-many times with a copy index — the standard way to hit a
@@ -684,6 +712,24 @@ object CorpusOps {
         |round((n_snap / ns.t) * ln((n_snap / ns.t) / (n_corp / nc.t)), 6) AS kl_term
         |FROM snap FULL OUTER JOIN corp USING (source), ns, nc
         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q188_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, sha256(text) AS ha FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |  sha256(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS hb
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT CASE WHEN ha IS NULL THEN 'added'
+        |    WHEN hb IS NULL THEN 'removed'
+        |    WHEN ha <> hb THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY status
+        |ORDER BY status NULLS FIRST""".stripMargin,
 
     "q177_temperature_mix" ->
       """WITH c AS (

@@ -679,6 +679,36 @@ object TextDedup {
         .orderBy(col("sz"))
     }),
 
+    /** Edit-distance near-dup — the character-level measure completing
+      * the similarity family (set Jaccard, banded minhash, simhash
+      * bits, containment, cosine): Levenshtein ≤ 5 over 40-char
+      * prefixes catches typo-level variants that set measures blur
+      * away. NEVER all-pairs: candidate pairs must agree on an exact
+      * 8-char BLOCKING prefix (an equi-join on a tiny key, the
+      * entity-resolution standard), the O(40²) DP then runs only
+      * inside blocks, and the df-cap analogue bounds block size by
+      * failing loud past 512 members (the df-cap value) (boilerplate-prefix corpora need
+      * a longer blocking key, not a silent quadratic). Levenshtein is
+      * integer-exact in both engines. */
+    "q187_editdist_dedup" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 8)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 40).as("pfx"))
+      val capped = docs.join(
+        docs.groupBy(col("blk")).agg(count(lit(1)).as("bn")), "blk")
+      val guarded = capped.select(col("doc_id"), col("blk"), col("pfx"),
+        when(col("bn") > 512, raise_error(concat(lit("editdist block over cap: "),
+          col("blk")))).otherwise(col("bn")).as("bn"))
+      guarded.as("a")
+        .join(guarded.as("b").hint("shuffle_hash"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+        .filter(col("dist") <= 5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -852,6 +882,16 @@ object TextDedup {
     // verified-minhash output ≡ UNCAPPED exact jaccard at the verify
     // threshold (LSH recall ≥ 1 - 1e-5 at j ≥ 0.8 with b=16, r=3)
     "q35_dedup_minhash" -> duckJaccard("0.8", capped = false),
+
+    "q187_editdist_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS pfx
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 8)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 5
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
 
     // the q93 closure + size histogram
     "q179_cluster_sizes" ->
