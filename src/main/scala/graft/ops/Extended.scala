@@ -525,6 +525,40 @@ object Extended {
         .limit(15)
     }),
 
+    /** Referential-integrity audit — orphan foreign keys across every
+      * relationship in the star schema, the conformance check a DQ
+      * pipeline runs before trusting any join (an orphan rate > 0
+      * silently deletes fact rows from every inner join downstream).
+      * Each relationship is ONE left join on its key with a null-probe
+      * count — total and orphan counts come from the same pass, dims
+      * deduplicate before probing, and the five tiny result rows
+      * union. All joins are keyed equi-joins; the big fact sides
+      * shuffle on their own keys exactly as the production joins
+      * would. */
+    "q190_fk_audit" -> ((s: SparkSession, dir: String) => {
+      def audit(fact: org.apache.spark.sql.DataFrame, fk: String,
+          dim: org.apache.spark.sql.DataFrame, pk: String, label: String) =
+        fact.select(col(fk).as("k"))
+          .join(dim.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count_if(col("hit").isNull).as("n_orphans"))
+          .select(lit(label).as("relation"), col("n_rows"), col("n_orphans"),
+            r6(col("n_orphans").cast("double") / col("n_rows")).as("orphan_rate"))
+      val li = Tables(s, dir, "lineitem")
+      audit(li, "l_orderkey", Tables(s, dir, "orders"), "o_orderkey",
+          "lineitem->orders")
+        .unionByName(audit(li, "l_partkey", Tables(s, dir, "part"), "p_partkey",
+          "lineitem->part"))
+        .unionByName(audit(li, "l_suppkey", Tables(s, dir, "supplier"), "s_suppkey",
+          "lineitem->supplier"))
+        .unionByName(audit(Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey", "orders->customer"))
+        .unionByName(audit(Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey", "customer->nation"))
+        .orderBy(col("relation"))
+    }),
+
     /** SCD2 (type-2 dimension) incremental merge — the
       * validity-interval sibling of q84's SCD1 upsert: the purchase
       * history BEFORE the cutoff becomes the existing dimension
@@ -1008,6 +1042,41 @@ object Extended {
         |GROUP BY b.l_suppkey
         |ORDER BY numwait DESC NULLS LAST, b.l_suppkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q190_fk_audit" ->
+      """WITH
+        |r1 AS (SELECT 'lineitem->orders' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |r2 AS (SELECT 'lineitem->part',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |    ON p.p_partkey = l.l_partkey),
+        |r3 AS (SELECT 'lineitem->supplier',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |    ON s.s_suppkey = l.l_suppkey),
+        |r4 AS (SELECT 'orders->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = o.o_custkey),
+        |r5 AS (SELECT 'customer->nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON n.n_nationkey = c.c_nationkey),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |  SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+        |SELECT relation, n_rows, n_orphans,
+        |round(n_orphans / CAST(n_rows AS DOUBLE), 6) AS orphan_rate
+        |FROM u
+        |ORDER BY relation NULLS FIRST""".stripMargin,
 
     "q184_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -457,6 +457,29 @@ object Statistics {
         .orderBy(col("day"))
     }),
 
+    /** Hour-over-hour trending screen — which event types are rising
+      * fastest right now: hourly counts self-joined on (type, hour−1)
+      * (the q165 pairing — shuffles keyed on (type, hour), which
+      * grows with the span), the rise ratio +1e-12-nudged, and the
+      * top 10 biggest risers with a minimum-volume floor (ratios on
+      * tiny counts are noise, the floor is the classic trending-feed
+      * guard). Total (ratio, type, hour) order makes the cut
+      * reproducible. */
+    "q189_trending" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val prev = hourly.select(col("event_type"), (col("hr") + 1L).as("hr"),
+        col("c").as("c_prev"))
+      hourly.join(prev, Seq("event_type", "hr"))
+        .filter(col("c") >= 3 && col("c_prev") >= 3)
+        .select(col("event_type"), col("hr"), col("c"), col("c_prev"),
+          round(col("c").cast("double") / col("c_prev") + 1e-12, 6).as("rise"))
+        .orderBy(desc("rise"), asc("event_type"), asc("hr"))
+        .limit(10)
+    }),
+
     /** Bivariate statistics per group — one pass, one shuffle on the
       * 3-value group key; partial aggregation makes the shuffle O(groups). */
     "q63_corr_covar" -> ((s: SparkSession, dir: String) => {
@@ -922,6 +945,19 @@ object Statistics {
         |round(pow(s1 / n1 + s2 / n2, 2) /
         |  (pow(s1 / n1, 2) / (n1 - 1) + pow(s2 / n2, 2) / (n2 - 1)), 6) AS welch_df
         |FROM a""".stripMargin,
+
+    "q189_trending" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.hr, a.c, b.c AS c_prev,
+        |round(a.c / CAST(b.c AS DOUBLE) + 1e-12, 6) AS rise
+        |FROM hourly a JOIN hourly b
+        |  ON b.event_type = a.event_type AND b.hr = a.hr - 1
+        |WHERE a.c >= 3 AND b.c >= 3
+        |ORDER BY rise DESC, a.event_type, a.hr
+        |LIMIT 10""".stripMargin,
 
     "q186_conversion_window" ->
       """WITH s AS (
