@@ -21,6 +21,36 @@ import graft.{Q, Tables, r2, r4, r6}
   */
 object Statistics {
 
+  /** The q166 Welch aggregate over any events frame — shared with the
+    * streaming twin ([[graft.streaming.EventStreams.welchDrift]]):
+    * one conditional aggregate pass producing both samples'
+    * (n, mean, s²), then t and the Welch–Satterthwaite df as a
+    * projection. All six partial aggregates are sum-mergeable, so the
+    * identical code runs batch or Complete-mode streaming. */
+  private[graft] def welchSummary(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = col("value").cast("double")
+    val click = when(col("event_type") === "click", v)
+    val purch = when(col("event_type") === "purchase", v)
+    val se1 = col("s1") / col("n1")
+    val se2 = col("s2") / col("n2")
+    events
+      .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+      .agg(
+        count(click).cast("double").as("n1"), avg(click).as("m1"),
+        var_samp(click).as("s1"),
+        count(purch).cast("double").as("n2"), avg(purch).as("m2"),
+        var_samp(purch).as("s2"))
+      .select(
+        col("n1").cast("long").as("n_click"),
+        col("n2").cast("long").as("n_purchase"),
+        r6(col("m1") - col("m2")).as("mean_diff"),
+        r6((col("m1") - col("m2")) / sqrt(se1 + se2)).as("t_stat"),
+        r6(pow(se1 + se2, 2) /
+          (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1)))
+          .as("welch_df"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     /** Two-sample Kolmogorov-Smirnov statistic between the click and
@@ -230,28 +260,8 @@ object Statistics {
       * scan — then t and the Welch-Satterthwaite degrees of freedom
       * are a 1-row projection. The whole query is one partial+final
       * aggregate: linear scan at any scale. */
-    "q166_welch_t" -> ((s: SparkSession, dir: String) => {
-      val v = col("value").cast("double")
-      val click = when(col("event_type") === "click", v)
-      val purch = when(col("event_type") === "purchase", v)
-      val se1 = col("s1") / col("n1")
-      val se2 = col("s2") / col("n2")
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
-        .agg(
-          count(click).cast("double").as("n1"), avg(click).as("m1"),
-          var_samp(click).as("s1"),
-          count(purch).cast("double").as("n2"), avg(purch).as("m2"),
-          var_samp(purch).as("s2"))
-        .select(
-          col("n1").cast("long").as("n_click"),
-          col("n2").cast("long").as("n_purchase"),
-          r6(col("m1") - col("m2")).as("mean_diff"),
-          r6((col("m1") - col("m2")) / sqrt(se1 + se2)).as("t_stat"),
-          r6(pow(se1 + se2, 2) /
-            (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1)))
-            .as("welch_df"))
-    }),
+    "q166_welch_t" -> ((s: SparkSession, dir: String) =>
+      welchSummary(Tables(s, dir, "events"))),
 
     /** First-order Markov transition matrix over each user's event
       * stream — the next-event-prediction baseline and the

@@ -596,6 +596,16 @@ object EventStreams {
       }
   }
 
+  /** LIVE Welch drift screen — batch q166's conditional aggregate run
+    * in Complete output mode over the event feed: all six partial
+    * aggregates (n, Σ, M2 per sample) are sum-mergeable, so Spark
+    * maintains them incrementally per micro-batch and each emission
+    * is the t-test OVER THE FEED SO FAR. State is six scalars — the
+    * mean/std drift monitor runs ON the stream, not after it lands.
+    * The twin spec pins the converged row to the batch q166 result. */
+  def welchDrift(spark: SparkSession, events: DataFrame): DataFrame =
+    graft.ops.Statistics.welchSummary(events)
+
   final case class Transition(from_type: String, to_type: String)
   final case class LastType(us: Long, event_id: Long, etype: String)
 

@@ -503,6 +503,33 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streaming $streamed must equal batch $batch")
   }
 
+  test("streaming Welch drift screen (Complete mode) converges to the batch q166 row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_welch_src")
+    val e = Tables(spark, sf, "events")
+    e.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    runToMemory(EventStreams.welchDrift(spark, raw), "welch", "complete")
+    // Complete mode: the table holds the LATEST emission = full feed
+    val got = spark.table("welch").collect()
+    assert(got.length == 1)
+    val batch = SparkEntry.queries("q166_welch_t")(spark, sf).collect().head
+    assert(got.head.getAs[Long]("n_click") == batch.getAs[Long]("n_click"))
+    assert(got.head.getAs[Long]("n_purchase") == batch.getAs[Long]("n_purchase"))
+    assert(math.abs(got.head.getAs[Double]("t_stat") -
+      batch.getAs[Double]("t_stat")) < 1e-9)
+    assert(math.abs(got.head.getAs[Double]("welch_df") -
+      batch.getAs[Double]("welch_df")) < 1e-9)
+  }
+
   test("streaming curation funnel (Complete mode) converges to the batch q140 counts") {
     // the q140 fused aggregate IS the streaming query — Complete-mode
     // global aggregation over a document stream; two files force the
