@@ -15,6 +15,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are tz-less micros (isAdjustedToUTC=false);
+      // read them as session-TZ TIMESTAMP, not TIMESTAMP_NTZ, so casts
+      // (ts -> double/long) and the Encoder-based streaming twins keep
+      // the LTZ type every operator and oracle was written against.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
     extraConfigs.foreach { case (k, v) => builder.config(k, v) }

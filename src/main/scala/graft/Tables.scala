@@ -37,11 +37,15 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    // only under spark.sql.legacy.parquet.nanosAsLong=true (set in
-    // Verify/Bench/test sessions). All values are whole microseconds, so
-    // integer-dividing to micros is lossless; `div` keeps 64-bit integer
-    // arithmetic (a double roundtrip would lose precision above 2^53 ns).
+    // Older testdata stored events.ts as parquet TIMESTAMP(NANOS), which
+    // Spark reads as a long only under
+    // spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/test
+    // sessions); current fixtures ship tz-less micros, which
+    // inferTimestampNTZ=false (GraftSession) reads directly as TIMESTAMP.
+    // Keep the long branch so both fixture vintages load: all values are
+    // whole microseconds, so integer-dividing is lossless; `div` keeps
+    // 64-bit integer arithmetic (a double roundtrip would lose precision
+    // above 2^53 ns).
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts",

@@ -107,9 +107,10 @@ object EventStreams {
     dir.toString
   }
 
-  /** Streaming source over an events-shaped parquet directory. The
-    * testdata stores ts as TIMESTAMP(NANOS) (long under nanosAsLong) —
-    * normalize to micros exactly like graft.Tables. */
+  /** Streaming source over an events-shaped parquet directory. Older
+    * testdata stored ts as TIMESTAMP(NANOS) (a long under nanosAsLong) —
+    * normalize to micros exactly like graft.Tables; current micros
+    * fixtures pass through (read as LTZ via inferTimestampNTZ=false). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(batchSchema).parquet(dir)
