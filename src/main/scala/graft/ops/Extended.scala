@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables, r2, r4, r6}
 
@@ -792,6 +793,211 @@ object Extended {
         .filter(col("cs") >= 0.3)
         .select(col("d1"), col("d2"), r6(col("cs")).as("cos_sim"))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** TPC-H Q2 shape (min-cost supplier): for every ECONOMY part of
+      * size <= 10, the ASIA-region supplier with the LOWEST observed
+      * average unit price. This schema has no partsupp, so the offer
+      * relation derives from lineitem history — per (part, supplier)
+      * avg(extendedprice/quantity). The classic correlated-MIN
+      * subquery decorrelates into a row_number window partitioned on
+      * the HIGH-cardinality part key (never a float-equality join
+      * back to the min — the r6-rounded (cost, suppkey) order makes
+      * the pick total and cross-engine stable, the q147 ranking
+      * stance). Dimension chain region->nation->supplier broadcasts;
+      * the only big shuffles are the fact join on the part key and
+      * the (part, supplier) aggregate. */
+    "q191_min_cost_supplier" -> ((s: SparkSession, dir: String) => {
+      val asiaSupp = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables(s, dir, "region")
+          .filter(col("r_name") === "ASIA"), col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val slice = Tables(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))
+      val offers = Tables(s, dir, "lineitem")
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(asiaSupp), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(r6(avg(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("unit_cost"), col("s_suppkey"))
+      offers.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("unit_cost"))
+        .orderBy(desc("s_acctbal"), asc("p_partkey"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q9 shape (product-type profit): profit on 'plate' parts
+      * by supplier nation and order year. Cost has no partsupp side
+      * here, so it is modeled as 60% of retail — profit =
+      * rev - 0.6 * p_retailprice * l_quantity. The p_name LIKE filter
+      * prunes part FIRST (the join builds only on qualifying parts);
+      * supplier->nation broadcasts; orders joins on the order key for
+      * the year. One aggregate over (nation, year) at the end — no
+      * re-shuffle between the joins, AQE picks the join strategy. */
+    "q192_profit_by_nation" -> ((s: SparkSession, dir: String) => {
+      val plates = Tables(s, dir, "part")
+        .filter(col("p_name").like("%plate%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sn = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables(s, dir, "lineitem")
+        .join(plates, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        // per-row profits are 6-decimal rationals, so the group sum can
+        // land EXACTLY on the half-cent grid while the two engines'
+        // accumulation orders differ by ~1e-9 — nudge by 1e-6 (> the
+        // ordering error, < the 1e-6 rational grid step) on both sides
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")) + 1e-6, 2).as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), desc("o_year"))
+    }),
+
+    /** TPC-H Q11 shape (important stock): parts whose EUROPE-supplied
+      * revenue exceeds TWICE the mean per-part share — the
+      * scale-correct form of Q11's 0.0001/SF threshold (a fixed
+      * fraction empties as the part count grows; the mean-relative
+      * cut keeps the head at any sf). The global (total, n_parts)
+      * folds to a ONE-ROW aggregate broadcast into the HAVING filter
+      * (provably 1 row at any scale — the q157 stance, allowlisted);
+      * the per-part aggregate and the fact join shuffle on
+      * high-cardinality keys. The value slice is cached: it feeds
+      * both the per-part aggregate and the scalar total, one scan. */
+    "q193_important_parts" -> ((s: SparkSession, dir: String) => {
+      val eurSupp = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables(s, dir, "region")
+          .filter(col("r_name") === "EUROPE"), col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables(s, dir, "lineitem")
+        .join(broadcast(eurSupp), col("s_suppkey") === col("l_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("val"))
+        .cache()
+      val byPart = vals.groupBy(col("l_partkey")).agg(sum(col("val")).as("value"))
+      val total = vals.agg(sum(col("val")).as("grand"),
+        countDistinct(col("l_partkey")).cast("double").as("n_parts"))
+      byPart.join(broadcast(total))
+        .filter(col("value") > col("grand") * 2.0 / col("n_parts"))
+        .select(col("l_partkey"), r2(col("value")).as("value"),
+          r6(col("value") / col("grand")).as("share"))
+        .orderBy(desc("value"), asc("l_partkey"))
+        .limit(25)
+    }),
+
+    /** TPC-H Q12 shape (late-shipment priority mix): 1996 lineitems
+      * shipped more than 60 days after their order date, bucketed by
+      * line status (the schema's shipmode stand-in), counting
+      * critical (1-URGENT / 2-HIGH) vs other order priorities. One
+      * fact scan with the date filter PUSHED, one join on the order
+      * key, one conditional aggregate — the whole query is a single
+      * shuffle pair. */
+    "q194_late_priority" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderdate"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("n_critical"),
+          sum(when(crit, 0L).otherwise(1L)).as("n_other"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    /** TPC-H Q15 shape (top supplier view): suppliers whose 1996-Q1
+      * revenue EQUALS the maximum — the view-vs-max self-reference,
+      * tie-aware by contract (all maximizers return). The max folds
+      * to a ONE-ROW aggregate broadcast into the filter; revenue is
+      * r2-rounded on BOTH sides of the comparison (and in both
+      * engines) so a last-ulp summation difference cannot break the
+      * equality. The per-supplier revenue table is cached — it feeds
+      * the max and the final filter from one scan. */
+    "q195_top_supplier" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1996-04-01 00:00:00"))
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_rev"))
+        .cache()
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(mx)).filter(col("total_rev") === col("max_rev"))
+        .join(Tables(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    /** TPC-H Q16 shape (supplier diversity census): distinct supplier
+      * counts per (brand, type, size) over the observed part-supplier
+      * pairs, excluding Brand#12, PROMO parts, and negative-balance
+      * suppliers (the complaint-supplier NOT IN, decorrelated to a
+      * broadcast LEFT-ANTI join — never a per-row probe). The pair
+      * relation is the DISTINCT (partkey, suppkey) projection of the
+      * fact — map-side combined before the dimension joins. */
+    "q196_supplier_census" -> ((s: SparkSession, dir: String) => {
+      val pairs = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val parts = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complained = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(parts, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complained), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q20 shape (dominant-share suppliers): AMERICA-region
+      * suppliers who shipped more than 30% of some 'red' part's total
+      * 1996 quantity. The nested IN/correlated-subquery chain
+      * decorrelates into two aggregates over ONE cached fact slice —
+      * per (part, supplier) quantity and per part total — joined on
+      * the part key; qualifying (part, supplier) pairs then LEFT-SEMI
+      * the supplier dimension. Every join is an equi-join on a key
+      * that grows with the data; nothing is correlated per row. */
+    "q197_dominant_suppliers" -> ((s: SparkSession, dir: String) => {
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+      val redKeys = Tables(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val slice = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(redKeys, col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .cache()
+      val perSupp = slice.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val perPart = slice.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+      val dominant = perSupp.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") > col("total_qty") * 0.3)
+        .select(col("l_suppkey")).distinct()
+      Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables(s, dir, "region")
+          .filter(col("r_name") === "AMERICA"), col("r_regionkey") === col("n_regionkey"))
+        .join(dominant, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -1218,6 +1424,124 @@ object Extended {
         |      i -> cast(b.embedding[i] AS DOUBLE) * cast(b.embedding[i] AS DOUBLE)), 'sum')) AS cs
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cs >= 0.3
-        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
+
+    "q191_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |  round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |    AND p_type = 'ECONOMY' AND p_size <= 10
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY unit_cost, s_suppkey) AS rn
+        |  FROM offers)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        |FROM ranked WHERE rn = 1
+        |ORDER BY s_acctbal DESC NULLS LAST, p_partkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q192_profit_by_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |round(sum(l_extendedprice * (1 - l_discount)
+        |  - 0.6 * p_retailprice * l_quantity) + 1e-6, 2) AS profit,
+        |CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%plate%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY n_name NULLS FIRST, o_year DESC NULLS LAST""".stripMargin,
+
+    "q193_important_parts" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'),
+        |by_part AS (
+        |  SELECT l_partkey, sum(val) AS value FROM vals GROUP BY 1),
+        |total AS (SELECT sum(val) AS grand,
+        |  CAST(count(DISTINCT l_partkey) AS DOUBLE) AS n_parts FROM vals)
+        |SELECT l_partkey, round(value, 2) AS value,
+        |round(value / grand, 6) AS share
+        |FROM by_part, total
+        |WHERE value > grand * 2.0 / n_parts
+        |ORDER BY value DESC NULLS LAST, l_partkey NULLS FIRST
+        |LIMIT 25""".stripMargin,
+
+    "q194_late_priority" ->
+      """SELECT l_linestatus,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin,
+
+    "q195_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q196_supplier_census" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
+        |  p_type NULLS FIRST, p_size NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q197_dominant_suppliers" ->
+      """WITH slice AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM slice GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, sum(l_quantity) AS total_qty
+        |  FROM slice GROUP BY 1),
+        |dominant AS (
+        |  SELECT DISTINCT s.l_suppkey
+        |  FROM per_supp s JOIN per_part p ON s.l_partkey = p.l_partkey
+        |  WHERE s.qty > p.total_qty * 0.3)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin
   )
 }

@@ -114,7 +114,13 @@ class PlanQualitySpec extends SparkSuite {
     "q172_triangle_count",
     // q182: the broadcast side is the 20-anchor query block (q42/q43
     // class — limit-k anchors, driver-bounded at any sf)
-    "q182_hard_negatives")
+    "q182_hard_negatives",
+    // q193: the broadcast side is the ONE-ROW grand-total fold
+    // (TPC-H Q11's scalar subquery) — provably 1 row at any sf
+    "q193_important_parts",
+    // q195: the broadcast side is the ONE-ROW max-revenue fold
+    // (TPC-H Q15's view max) — provably 1 row at any sf
+    "q195_top_supplier")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
