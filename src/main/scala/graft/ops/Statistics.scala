@@ -824,6 +824,173 @@ object Statistics {
             zip_with(sequence(1, n), reverse(sequence(1, n)), (a, b) -> a * b),
             0L, (acc, x) -> acc + x)""").as("weighted_sum"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    /** Spearman rank correlation between quantity and price per return
+      * flag — the monotone-association screen Pearson (q63) misses on
+      * nonlinear-but-monotone drift. Midranks are derived WITHOUT any
+      * low-cardinality window: per-(flag, value) counts get ONE global
+      * running sum over (flag, value) order ([[GlobalRank]] — one
+      * range exchange), the per-flag rank offset falls out of the SAME
+      * table as min(cum - cnt) per flag (the group's first cumulative
+      * position — no second pass, no triangular join), and rows pick
+      * up their midranks through two value-keyed equi-joins. Spearman
+      * is then plain corr over the midrank pairs. Midranks are exact
+      * .0/.5 doubles, so the only cross-engine float is the final
+      * correlation — r6 on both sides. */
+    "q198_spearman" -> ((s: SparkSession, dir: String) => {
+      def midranks(valueCol: String, mrName: String) = {
+        val cnts = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("g"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = GlobalRank.withRunningSum(cnts, Seq(col("g"), col("v")), "cnt", "ccum")
+        val offs = cum.groupBy(col("g"))
+          .agg(min(col("ccum") - col("cnt")).as("off"))
+        cum.join(offs, "g")
+          .select(col("g"), col("v"),
+            ((col("ccum") - col("off") - col("cnt")).cast("double") +
+              (col("cnt").cast("double") + 1.0) / 2.0).as(mrName))
+      }
+      val mrQ = midranks("l_quantity", "mr_qty")
+      val mrP = midranks("l_extendedprice", "mr_price")
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").as("qv"), col("l_extendedprice").as("pv"))
+        .join(mrQ.withColumnRenamed("v", "qv"), Seq("g", "qv"))
+        .join(mrP.withColumnRenamed("v", "pv"), Seq("g", "pv"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r6(corr(col("mr_qty"), col("mr_price"))).as("spearman"),
+          r6(corr(col("qv").cast("double"), col("pv").cast("double"))).as("pearson"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    /** Benjamini-Hochberg FDR over per-type temporal drift tests —
+      * the multiple-comparisons discipline a fleet of drift screens
+      * needs (m tests at alpha each inflate false alarms; BH caps the
+      * expected false-discovery RATE). Per event type: Welch z between
+      * the first and second half of that type's own time span (the
+      * half-split join is a type-keyed equi-join against the per-type
+      * min/max fold — never a global collect), p is the subgaussian
+      * tail bound exp(-z²/2) (monotone in |z|, cross-engine exact
+      * after r6 — documented as a bound, not the exact normal tail).
+      * The BH step-up runs over the m-row type table folded into ONE
+      * row (collect_list → sort_array → indexed transform — the q177
+      * tiny-marginal pattern, no constant-key window, no broadcast
+      * BNLJ), then explodes back flagged. */
+    "q199_bh_fdr" -> ((s: SparkSession, dir: String) => {
+      val spans = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("us0"),
+          max(unix_micros(col("ts"))).as("us1"))
+        .select(col("event_type"), ((col("us0") + col("us1")) / 2).as("mid"))
+      val v = col("value").cast("double")
+      val h1 = when(col("h") === 1, v)
+      val h2 = when(col("h") === 2, v)
+      val stats = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .join(broadcast(spans), "event_type")
+        .select(col("event_type"), col("value"),
+          when(unix_micros(col("ts")) <= col("mid"), 1).otherwise(2).as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(h1).cast("double").as("n1"), avg(h1).as("m1"), var_samp(h1).as("s1"),
+          count(h2).cast("double").as("n2"), avg(h2).as("m2"), var_samp(h2).as("s2"))
+        .filter(col("n1") >= 2 && col("n2") >= 2)
+        .select(col("event_type"), col("n1").cast("long").as("n_first"),
+          col("n2").cast("long").as("n_second"),
+          r6((col("m1") - col("m2")) /
+            sqrt(col("s1") / col("n1") + col("s2") / col("n2"))).as("z"))
+        .select(col("event_type"), col("n_first"), col("n_second"), col("z"),
+          r6(exp(col("z") * col("z") * -0.5)).as("p_bound"))
+      stats.agg(collect_list(struct(col("p_bound"), col("event_type"),
+          col("n_first"), col("n_second"), col("z"))).as("ts"))
+        .select(sort_array(col("ts")).as("ts"))
+        .select(col("ts"), size(col("ts")).as("m"),
+          expr("""array_max(filter(transform(ts, (t, i) ->
+            CASE WHEN t.p_bound <= 0.25 * (i + 1) / size(ts)
+                 THEN i + 1 ELSE 0 END), k -> k > 0))""").as("kmax"))
+        .select(posexplode(col("ts")).as(Seq("i", "t")), col("kmax"))
+        .select(col("t.event_type").as("event_type"),
+          col("t.n_first").as("n_first"), col("t.n_second").as("n_second"),
+          col("t.z").as("z"), col("t.p_bound").as("p_bound"),
+          (col("i") + 1).cast("long").as("k"),
+          (col("kmax").isNotNull && col("i") + 1 <= col("kmax")).as("flagged"))
+        .orderBy(col("k"))
+    }),
+
+    /** Mann-Whitney U with tie correction — the nonparametric
+      * location test completing the drift trio's robustness story
+      * (q166's Welch t assumes near-normal means; U only needs ranks).
+      * Same distributed-midrank shape as q138's AUC: per-value counts,
+      * ONE global running sum for the cumulative, then U, the
+      * tie-corrected variance, and the normal-approximation z all fold
+      * in a single final aggregate — no broadcast, no window, linear
+      * at any scale. */
+    "q200_mann_whitney" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+        .select(col("value").cast("double").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c1"))
+      val g = ev.groupBy(col("v"))
+        .agg(sum(col("c1")).as("n1v"), count(lit(1)).as("nv"))
+      val c = GlobalRank.withRunningSum(g, Seq(col("v")), "nv", "cnv")
+      val mid = col("cnv").cast("double") - col("nv").cast("double") +
+        (col("nv").cast("double") + 1.0) / 2.0
+      c.agg(sum(col("n1v").cast("double") * mid).as("r1"),
+          sum(col("n1v")).cast("double").as("n1"),
+          sum(col("nv") - col("n1v")).cast("double").as("n2"),
+          sum(col("nv") * col("nv") * col("nv") - col("nv")).cast("double").as("tie"))
+        .select(col("n1").cast("long").as("n_click"),
+          col("n2").cast("long").as("n_purchase"),
+          r2(col("r1") - col("n1") * (col("n1") + 1.0) / 2.0).as("u_stat"),
+          r6((col("r1") - col("n1") * (col("n1") + 1.0) / 2.0 -
+              col("n1") * col("n2") / 2.0) /
+            sqrt(col("n1") * col("n2") / 12.0 *
+              (col("n1") + col("n2") + 1.0 -
+                col("tie") / ((col("n1") + col("n2")) *
+                  (col("n1") + col("n2") - 1.0))))).as("z"))
+    }),
+
+    /** EWMA control chart over the hourly event-rate series — the
+      * smoothed anomaly screen that reacts faster than q143's rolling
+      * z (EWMA weights recent hours geometrically) while staying
+      * fully declarative: the recursive ewma_t unrolls over a FINITE
+      * 48-hour horizon (weight lambda(1-lambda)^gap, normalized over
+      * the available gaps so series starts are unbiased; the dropped
+      * tail mass is (1-lambda)^48 ≈ 3e-8 — negligible). Shape: dense
+      * per-(type, hour) grid (q165's sequence densify — missing hours
+      * are true zeros), each source hour replicates to the <= 48
+      * target hours it influences (a pure projection explode), one
+      * (type, hour)-keyed aggregate forms the weighted mean, and an
+      * equi-join back to the grid scores each hour. Every shuffle key
+      * is (type, hour) — cardinality grows with the data, never
+      * one-task-per-type. Deviations are r6-rounded with id
+      * tie-breaks before the top-k, the cross-engine float-ranking
+      * stance. */
+    "q201_ewma_chart" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+          .cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val dense = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val contrib = dense.select(col("event_type"), col("hr"), col("c"),
+          explode(expr("sequence(0L, 47L)")).as("gap"))
+        .select(col("event_type"), (col("hr") + col("gap")).as("hr"),
+          (col("c").cast("double") * lit(0.3) * pow(lit(0.7), col("gap"))).as("wc"),
+          (lit(0.3) * pow(lit(0.7), col("gap"))).as("w"))
+      val ewma = contrib.groupBy(col("event_type"), col("hr"))
+        .agg((sum(col("wc")) / sum(col("w"))).as("ewma"))
+      dense.join(ewma, Seq("event_type", "hr"))
+        .select(col("event_type"), col("hr"), col("c"),
+          r6(col("ewma")).as("ewma"),
+          r6(col("c").cast("double") - col("ewma")).as("dev"))
+        .orderBy(r6(abs(col("dev"))).desc, col("event_type"), col("hr"))
+        .limit(20)
     })
   )
 
@@ -1283,6 +1450,117 @@ object Statistics {
       """SELECT l_returnflag, n, CAST(n*(n+1)*(n+2)/6 AS BIGINT) AS weighted_sum
         |FROM (SELECT l_returnflag, CAST(max(l_quantity) AS BIGINT) AS n
         |      FROM lineitem GROUP BY l_returnflag)
-        |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q198_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS g,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + (CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |       AS DOUBLE) - 1) / 2.0 AS mr_qty,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |    + (CAST(count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |       AS DOUBLE) - 1) / 2.0 AS mr_price,
+        |  CAST(l_quantity AS DOUBLE) AS qv, CAST(l_extendedprice AS DOUBLE) AS pv
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |round(corr(mr_qty, mr_price), 6) AS spearman,
+        |round(corr(qv, pv), 6) AS pearson
+        |FROM ranked GROUP BY 1
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q199_bh_fdr" ->
+      """WITH spans AS (
+        |  SELECT event_type,
+        |  (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |halves AS (
+        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+        |  CASE WHEN epoch_us(e.ts) <= s.mid THEN 1 ELSE 2 END AS h
+        |  FROM events e JOIN spans s ON s.event_type = e.event_type
+        |  WHERE e.value IS NOT NULL),
+        |stats AS (
+        |  SELECT event_type,
+        |  CAST(count(CASE WHEN h = 1 THEN 1 END) AS DOUBLE) AS n1,
+        |  avg(CASE WHEN h = 1 THEN v END) AS m1,
+        |  var_samp(CASE WHEN h = 1 THEN v END) AS s1,
+        |  CAST(count(CASE WHEN h = 2 THEN 1 END) AS DOUBLE) AS n2,
+        |  avg(CASE WHEN h = 2 THEN v END) AS m2,
+        |  var_samp(CASE WHEN h = 2 THEN v END) AS s2
+        |  FROM halves GROUP BY 1
+        |  HAVING count(CASE WHEN h = 1 THEN 1 END) >= 2
+        |    AND count(CASE WHEN h = 2 THEN 1 END) >= 2),
+        |tests AS (
+        |  SELECT event_type, CAST(n1 AS BIGINT) AS n_first,
+        |  CAST(n2 AS BIGINT) AS n_second,
+        |  round((m1 - m2) / sqrt(s1 / n1 + s2 / n2), 6) AS z
+        |  FROM stats),
+        |pb AS (
+        |  SELECT *, round(exp(z * z * -0.5), 6) AS p_bound FROM tests),
+        |kd AS (
+        |  SELECT *, row_number() OVER (ORDER BY p_bound, event_type,
+        |    n_first, n_second, z) AS k,
+        |  count(*) OVER () AS m FROM pb),
+        |km AS (
+        |  SELECT max(CASE WHEN p_bound <= 0.25 * k / m THEN k END) AS kmax
+        |  FROM kd)
+        |SELECT event_type, n_first, n_second, z, p_bound,
+        |CAST(k AS BIGINT) AS k,
+        |(kmax IS NOT NULL AND k <= kmax) AS flagged
+        |FROM kd, km
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q200_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |ranked AS (
+        |  SELECT v, sum(c1) AS n1v, count(*) AS nv,
+        |  sum(count(*)) OVER (ORDER BY v) AS cnv
+        |  FROM ev GROUP BY v),
+        |folded AS (
+        |  SELECT
+        |  sum(n1v * (CAST(cnv AS DOUBLE) - nv + (nv + 1) / 2.0)) AS r1,
+        |  CAST(sum(n1v) AS DOUBLE) AS n1,
+        |  CAST(sum(nv - n1v) AS DOUBLE) AS n2,
+        |  CAST(sum(nv * nv * nv - nv) AS DOUBLE) AS tie
+        |  FROM ranked)
+        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+        |round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+        |round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+        |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
+        |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+        |FROM folded""".stripMargin,
+
+    "q201_ewma_chart" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM hourly GROUP BY event_type),
+        |dense AS (
+        |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |gaps AS (SELECT unnest(generate_series(0, 47)) AS gap),
+        |contrib AS (
+        |  SELECT d.event_type, d.hr + g.gap AS hr,
+        |  d.c * 0.3 * power(0.7, g.gap) AS wc,
+        |  0.3 * power(0.7, g.gap) AS w
+        |  FROM dense d, gaps g),
+        |ewma AS (
+        |  SELECT event_type, hr, sum(wc) / sum(w) AS ewma
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT d.event_type, d.hr, d.c,
+        |round(e.ewma, 6) AS ewma, round(d.c - e.ewma, 6) AS dev
+        |FROM dense d JOIN ewma e
+        |  ON e.event_type = d.event_type AND e.hr = d.hr
+        |ORDER BY round(abs(round(d.c - e.ewma, 6)), 6) DESC,
+        |  d.event_type NULLS FIRST, d.hr NULLS FIRST
+        |LIMIT 20""".stripMargin
   )
 }
