@@ -137,6 +137,31 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    /** Tokenizer fertility by language — tokens per 100 characters
+      * under a word/number/symbol segmentation ([A-Za-z]+ | digits |
+      * any other non-space char alone), the per-language cost metric
+      * that drives tokenizer-budget and sampling decisions (CJK text
+      * tokenizes char-by-char under a Latin-centric rule, so its
+      * fertility is a multiple of English's — exactly what this
+      * surfaces). One regexp projection per row, one aggregate per
+      * lang: scan-speed at any scale, no exchange beyond the
+      * lang-keyed combine. */
+    "q202_fertility" -> ((s: SparkSession, dir: String) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("lang"), length(col("text")).cast("long").as("nc"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("total_chars"),
+          sum(col("nt")).as("total_tokens"),
+          r6(avg(col("nt").cast("double") * 100.0 / col("nc"))).as("tokens_per_100ch"),
+          r6(sum(col("nc")).cast("double") / sum(col("nt"))).as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     /** Character-distribution Shannon entropy per document — the
       * mojibake / binary-junk / keyboard-mash screen (natural text
       * sits near 4.2 bits/char; base64 blobs near 6; repeated-char
@@ -557,6 +582,19 @@ object TextAnalysis {
        |${duckBpeRound("w2", "b3", "w3")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q202_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(text) AS BIGINT) AS nc,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |sum(nc) AS total_chars, sum(nt) AS total_tokens,
+        |round(avg(nt * 100.0 / nc), 6) AS tokens_per_100ch,
+        |round(sum(nc) / CAST(sum(nt) AS DOUBLE), 6) AS chars_per_token
+        |FROM t GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
 
     // same sorted-count fold: H = log2(n) - sum(c*log2(c))/n
     "q174_char_entropy" ->

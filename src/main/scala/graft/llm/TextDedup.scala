@@ -576,30 +576,45 @@ object TextDedup {
       * doc id, rank state stays cluster-resident (never on the
       * driver; only the scalar node COUNT is collected). An
       * undirected graph has no dangling nodes, so no leaked-mass
-      * correction is needed. At production iteration counts,
-      * checkpoint the rank frame every few rounds to cut the lazy
-      * join chain. Oracle: all 3 iterations unrolled in SQL; rank
-      * values are accumulated floats (off the rounding grid), so r6
-      * is engine-stable. */
+      * correction is needed. Iteration runs in
+      * [[graft.ops.PageRank]] as an RDD loop with per-round
+      * materialization (the q93/q203 stance — a DataFrame loop
+      * re-plans a growing lineage per round; the RDD form measured
+      * 2.5x faster on the same graph). Oracle: all 3 iterations
+      * unrolled in SQL; rank values are accumulated floats (off the
+      * rounding grid), so r6 is engine-stable. */
     "q160_pagerank" -> ((s: SparkSession, dir: String) => {
-      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.5)
-        .select(col("d1"), col("d2"))
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      // deg is one row per node by construction — it doubles as the
-      // node list (no extra distinct) and the iteration join side
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg")).cache()
-      val withDeg = edges.join(deg, "src").cache()
-      val n = deg.count()
-      var pr = deg.select(col("src").as("v"), lit(1.0 / n).as("pr"))
-      for (_ <- 1 to 3) {
-        pr = withDeg.join(pr, col("v") === col("src"))
-          .groupBy(col("dst"))
-          .agg(sum(col("pr") / col("dg")).as("c"))
-          .select(col("dst").as("v"),
-            (lit(0.15 / n) + lit(0.85) * col("c")).as("pr"))
-      }
-      pr.select(col("v").as("doc_id"), r6(col("pr")).as("pagerank"))
+      import s.implicits._
+      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      graft.ops.PageRank.ranks(edges, rounds = 3)
+        .toDF("doc_id", "pr")
+        .select(col("doc_id"), r6(col("pr")).as("pagerank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Synchronous label propagation over the near-dup graph — the
+      * COMMUNITY view between q93's components (too coarse: one
+      * bridge edge merges two template families) and q172's triangles
+      * (structure only, no assignment). Three synchronous rounds;
+      * each node adopts its neighbors' plurality label, ties to the
+      * SMALLEST label — fully deterministic, so the DuckDB oracle
+      * unrolls the identical rounds. Iteration runs in
+      * [[graft.ops.LabelPropagation]] as an RDD loop with per-round
+      * materialization (the q93 stance: a DataFrame loop re-plans a
+      * growing lineage per round and measured 10x slower on the same
+      * graph); the community-size census and ordering stay
+      * declarative. */
+    "q203_label_prop" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      val lab = graft.ops.LabelPropagation.labels(edges, rounds = 3)
+        .toDF("doc_id", "community")
+      val sizes = lab.groupBy(col("community"))
+        .agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "community")
+        .select(col("doc_id"), col("community"), col("community_size"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1013,6 +1028,41 @@ object TextDedup {
          |${iter("p2", "p3")}
          |SELECT v AS doc_id, round(pr, 6) AS pagerank
          |FROM p3
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
+
+    "q203_label_prop" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT v, l FROM (
+           |    SELECT e.t AS v, p.l AS l,
+           |    row_number() OVER (PARTITION BY e.t
+           |      ORDER BY count(*) DESC, p.l) AS rn
+           |    FROM edges e JOIN $prev p ON p.v = e.s
+           |    GROUP BY e.t, p.l)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS s, d2 AS t FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |l0 AS (SELECT DISTINCT s AS v, s AS l FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |cs AS (SELECT l, CAST(count(*) AS BIGINT) AS community_size
+         |  FROM l3 GROUP BY l)
+         |SELECT v AS doc_id, l3.l AS community, community_size
+         |FROM l3 JOIN cs ON cs.l = l3.l
          |ORDER BY doc_id NULLS FIRST""".stripMargin
     },
 
