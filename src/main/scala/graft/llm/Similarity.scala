@@ -437,6 +437,55 @@ object Similarity {
     "q44_ann_lsh" -> ((s: SparkSession, dir: String) =>
       annLsh(Tables(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
+    /** ANN recall audit — recall@10 of the multi-probe SRP-LSH path
+      * (q44) against the exact brute-force top-10 (q43's plan shape),
+      * per anchor: THE metric an ANN deployment tracks before trading
+      * exactness for speed, and the empirical counterpart to q44's
+      * 9/256-of-corpus cost claim. One bucket projection serves both
+      * the anchor block and the candidate side (cached); the exact
+      * arm is the bounded 20-anchor broadcast nested loop (q42/q43
+      * class, allowlisted), the LSH arm probes the anchor's bucket
+      * plus its 8 hamming-1 neighbors; BOTH arms rank on the
+      * r6-ROUNDED cosine with the vec_id tie-break, so a last-ulp
+      * difference cannot flip either top-10 cut. Recall joins the two
+      * id sets per anchor — never materializing more than k rows per
+      * anchor per arm. */
+    "q205_ann_recall" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val k = 10
+      val bucketed = srpBuckets(Tables(s, dir, "embeddings")).cache()
+      val anchors = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val wExact = Window.partitionBy(col("q_id"))
+        .orderBy(desc_nulls_last("cs6"), asc_nulls_first("vec_id"))
+      val exact = bucketed
+        .crossJoin(broadcast(anchors.select(col("q_id"), col("q_emb"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(cosine("embedding", "q_emb")).as("cs6"))
+        .withColumn("rk", row_number().over(wExact)).filter(col("rk") <= k)
+      val probes = anchors.select(col("q_id"), col("q_emb"), col("q_bucket"),
+          explode(array((lit(-1L) +: (0 until 8).map(b => lit(b.toLong))): _*))
+            .as("flip"))
+        .select(col("q_id"), col("q_emb"), expr(
+          "CASE WHEN flip = -1 THEN q_bucket " +
+            "ELSE q_bucket ^ shiftleft(1L, cast(flip AS int)) END").as("pb"))
+      val lsh = bucketed.join(broadcast(probes), col("bucket") === col("pb"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(cosine("embedding", "q_emb")).as("cs6"))
+        .withColumn("rk", row_number().over(wExact)).filter(col("rk") <= k)
+      exact.join(lsh.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("q_id"), col("n_exact"), col("hits"),
+          round(col("hits").cast("double") / k + 1e-12, 4).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     /** Int8 scalar quantization of the embedding column — the 4×
       * memory/bandwidth reduction every large-scale ANN index applies
       * before distance math. Per vector: symmetric max-abs scale
@@ -544,19 +593,24 @@ object Similarity {
     (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
   }
 
+  /** (vec_id, embedding, bucket) with the 8-bit SRP bucket: bit p =
+    * sign of <v, h_p>. The hyperplanes are shipped as array literals,
+    * so the per-row work is a pure fused dot product (the first
+    * version recomputed a hash per element per row: 512 hashes/row;
+    * this is 0). */
+  private def srpBuckets(e: DataFrame): DataFrame = {
+    val bucketBits = (0 until 8).map { p =>
+      val planeSql = (0 until 64).map(d => s"${srpCoef(p, d)}D").mkString("array(", ", ", ")")
+      val proj = expr(s"aggregate(zip_with(embedding, $planeSql, (x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    e.select(col("vec_id"), col("embedding"),
+      bucketBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+  }
+
   private[graft] def annLsh(e: DataFrame, queryId: Long, k: Int): DataFrame = {
     withCosine(e.sparkSession)
-    // bit p of the bucket = sign of <v, h_p>. The hyperplanes are
-    // shipped as array literals, so the per-row work is a pure fused
-    // dot product (the first version recomputed a hash per element per
-    // row: 512 hashes/row; this is 0).
-      val bucketBits = (0 until 8).map { p =>
-        val planeSql = (0 until 64).map(d => s"${srpCoef(p, d)}D").mkString("array(", ", ", ")")
-        val proj = expr(s"aggregate(zip_with(embedding, $planeSql, (x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      val bucketed = e.select(col("vec_id"), col("embedding"),
-        bucketBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      val bucketed = srpBuckets(e)
       val qv = bucketed.filter(col("vec_id") === queryId)
         .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
       // multi-probe: the query's bucket plus all 8 hamming-1 neighbors —
@@ -856,6 +910,51 @@ object Similarity {
          |  WHERE b.vec_id <> 0)
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 10""".stripMargin
+    },
+
+    "q205_ann_recall" -> {
+      def proj(p: Int, v: String) = {
+        val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i])""".stripMargin)
+      }
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${proj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |anchors AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM b WHERE vec_id < 20),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT a.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY a.q_id
+         |      ORDER BY round(${duckCos("b.embedding", "a.q_emb")}, 6)
+         |        DESC NULLS LAST, b.vec_id) AS rk
+         |    FROM b CROSS JOIN anchors a WHERE b.vec_id <> a.q_id)
+         |  WHERE rk <= 10),
+         |probes AS (
+         |  SELECT q_id, q_emb,
+         |  CASE WHEN f = -1 THEN q_bucket
+         |       ELSE xor(q_bucket, (CAST(1 AS BIGINT) << f)) END AS pb
+         |  FROM anchors, unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS u(f)),
+         |lsh AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckCos("b.embedding", "p.q_emb")}, 6)
+         |        DESC NULLS LAST, b.vec_id) AS rk
+         |    FROM b JOIN probes p ON b.bucket = p.pb WHERE b.vec_id <> p.q_id)
+         |  WHERE rk <= 10)
+         |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |CAST(count(l.vec_id) AS BIGINT) AS hits,
+         |round(count(l.vec_id) / 10.0 + 1e-12, 4) AS recall
+         |FROM exact e LEFT JOIN lsh l
+         |  ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+         |GROUP BY 1
+         |ORDER BY e.q_id NULLS FIRST""".stripMargin
     },
 
     // trained cells: the same 2-iteration k=16 Lloyd unroll as q122's

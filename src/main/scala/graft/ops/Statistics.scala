@@ -952,6 +952,64 @@ object Statistics {
                   (col("n1") + col("n2") - 1.0))))).as("z"))
     }),
 
+    /** Population Stability Index per event type — THE industry drift
+      * score for deployed models: each type's SECOND time-half is
+      * binned by the FIRST half's own exact deciles (type-7
+      * interpolated cuts from [[Quantiles.exactQuantiles]] — one rank
+      * pass over the reference rows) and PSI = Σ (q−p)·ln(q/p) over
+      * the 10 bins. The half-split reuses the q199 per-type
+      * min/max-fold equi-join; cut rows are type-cardinality and
+      * BROADCAST; the bin index is a pure projection (count of cuts
+      * below the value — cut/value comparisons are exact doubles:
+      * interpolated cuts only coincide with a sample when the
+      * interpolation is degenerate, and then they are bit-equal in
+      * both engines); bins densify per type via a 1..10 sequence so
+      * structurally-empty bins still contribute their smoothed term.
+      * Laplace smoothing ((c+0.5)/(n+5)) keeps empty-bin PSI finite
+      * and identical cross-engine. */
+    "q204_psi_drift" -> ((s: SparkSession, dir: String) => {
+      val spans = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("us0"),
+          max(unix_micros(col("ts"))).as("us1"))
+        .select(col("event_type"), ((col("us0") + col("us1")) / 2).as("mid"))
+      val halved = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .join(broadcast(spans), "event_type")
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          when(unix_micros(col("ts")) <= col("mid"), 1).otherwise(2).as("h"))
+        .cache()
+      val cutNames = (1 to 9).map(i => s"c$i" -> i / 10.0)
+      val cuts = Quantiles.exactQuantiles(
+        halved.filter(col("h") === 1), Seq("event_type"), "v", cutNames)
+      val binCol = (1 to 9).map(i =>
+        when(col("v") > col(s"c$i"), 1).otherwise(0)).reduce(_ + _) + 1
+      val counts = halved.join(broadcast(cuts), "event_type")
+        .groupBy(col("event_type"), binCol.as("bin"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val dense = counts.groupBy(col("event_type"))
+        .agg(sum(when(col("h") === 1, col("c")).otherwise(0L)).as("n1"),
+          sum(when(col("h") === 2, col("c")).otherwise(0L)).as("n2"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          explode(expr("sequence(1, 10)")).as("bin"))
+        .join(counts.filter(col("h") === 1)
+          .select(col("event_type"), col("bin"), col("c").as("c1")),
+          Seq("event_type", "bin"), "left")
+        .join(counts.filter(col("h") === 2)
+          .select(col("event_type"), col("bin"), col("c").as("c2")),
+          Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("n1"), col("n2"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val p = (col("c1").cast("double") + 0.5) / (col("n1").cast("double") + 5.0)
+      val q = (col("c2").cast("double") + 0.5) / (col("n2").cast("double") + 5.0)
+      dense.groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+          r6(sum((q - p) * log(q / p))).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
     /** EWMA control chart over the hourly event-rate series — the
       * smoothed anomaly screen that reacts faster than q143's rolling
       * z (EWMA weights recent hours geometrically) while staying
@@ -1533,6 +1591,64 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q204_psi_drift" ->
+      """WITH spans AS (
+        |  SELECT event_type,
+        |  (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |halved AS (
+        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+        |  CASE WHEN epoch_us(e.ts) <= s.mid THEN 1 ELSE 2 END AS h
+        |  FROM events e JOIN spans s ON s.event_type = e.event_type
+        |  WHERE e.value IS NOT NULL),
+        |cuts AS (
+        |  SELECT event_type,
+        |  quantile_cont(v, 0.1) AS c1, quantile_cont(v, 0.2) AS c2,
+        |  quantile_cont(v, 0.3) AS c3, quantile_cont(v, 0.4) AS c4,
+        |  quantile_cont(v, 0.5) AS c5, quantile_cont(v, 0.6) AS c6,
+        |  quantile_cont(v, 0.7) AS c7, quantile_cont(v, 0.8) AS c8,
+        |  quantile_cont(v, 0.9) AS c9
+        |  FROM halved WHERE h = 1 GROUP BY 1),
+        |binned AS (
+        |  SELECT hv.event_type, hv.h,
+        |  1 + (CASE WHEN v > c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > c9 THEN 1 ELSE 0 END) AS bin
+        |  FROM halved hv JOIN cuts ct ON ct.event_type = hv.event_type),
+        |counts AS (
+        |  SELECT event_type, bin, h, count(*) AS c
+        |  FROM binned GROUP BY 1, 2, 3),
+        |totals AS (
+        |  SELECT event_type,
+        |  sum(CASE WHEN h = 1 THEN c ELSE 0 END) AS n1,
+        |  sum(CASE WHEN h = 2 THEN c ELSE 0 END) AS n2
+        |  FROM counts GROUP BY 1),
+        |grid AS (
+        |  SELECT t.event_type, t.n1, t.n2, g.bin
+        |  FROM totals t, (SELECT unnest(generate_series(1, 10)) AS bin) g),
+        |dense AS (
+        |  SELECT g.event_type, g.n1, g.n2, g.bin,
+        |  coalesce(a.c, 0) AS c1n, coalesce(b.c, 0) AS c2n
+        |  FROM grid g
+        |  LEFT JOIN counts a ON a.event_type = g.event_type
+        |    AND a.bin = g.bin AND a.h = 1
+        |  LEFT JOIN counts b ON b.event_type = g.event_type
+        |    AND b.bin = g.bin AND b.h = 2)
+        |SELECT event_type, CAST(max(n1) AS BIGINT) AS n_ref,
+        |CAST(max(n2) AS BIGINT) AS n_cur,
+        |round(sum(
+        |  ((c2n + 0.5) / (n2 + 5.0) - (c1n + 0.5) / (n1 + 5.0)) *
+        |  ln(((c2n + 0.5) / (n2 + 5.0)) / ((c1n + 0.5) / (n1 + 5.0)))), 6)
+        |  AS psi
+        |FROM dense GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q201_ewma_chart" ->
       """WITH hourly AS (

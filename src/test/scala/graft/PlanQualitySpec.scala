@@ -120,7 +120,10 @@ class PlanQualitySpec extends SparkSuite {
     "q193_important_parts",
     // q195: the broadcast side is the ONE-ROW max-revenue fold
     // (TPC-H Q15's view max) — provably 1 row at any sf
-    "q195_top_supplier")
+    "q195_top_supplier",
+    // q205: the exact arm's broadcast side is the 20-anchor query
+    // block (q42/q43 class — driver-bounded at any sf)
+    "q205_ann_recall")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
