@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables, r2, r4, r6}
 
@@ -160,6 +161,44 @@ object TextAnalysis {
           r6(avg(col("nt").cast("double") * 100.0 / col("nc"))).as("tokens_per_100ch"),
           r6(sum(col("nc")).cast("double") / sum(col("nt"))).as("chars_per_token"))
         .orderBy(col("lang"))
+    }),
+
+    /** Top-100 vocabulary overlap between sources — the
+      * domain-similarity diagnostic behind mixture decisions (two
+      * crawls sharing 90% of their head vocabulary are near-duplicate
+      * DOMAINS even when no documents match, the complement of q161's
+      * document-level copy matrix). Per-source token counts map-side
+      * combine; the top-100 cut is a row_number ≤ k rank filter
+      * (WindowGroupLimit caps per-task rows before the sort, the
+      * q92/q68 stance) over the total (count desc, token) order so
+      * the boundary is engine-stable; head sets then meet in ONE
+      * token-keyed equi-join per unordered source pair, Jaccard from
+      * the set sizes. */
+    "q209_vocab_overlap" -> ((s: SparkSession, dir: String) => {
+      val counts = withToks(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
+        .select(col("source"), explode(toks).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(desc("cnt"), asc("w"))
+      val tops = counts.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 100)
+        .select(col("source"), col("w"))
+        .cache()
+      val sizes = tops.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = tops.select(col("source").as("sa"), col("w"))
+        .join(tops.select(col("source").as("sb"), col("w")), "w")
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("sz").as("za"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"), col("sz").as("zb"))), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("za") + col("zb") - col("n_inter")) + 1e-12, 4).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
     }),
 
     /** Character-distribution Shannon entropy per document — the
@@ -582,6 +621,32 @@ object TextAnalysis {
        |${duckBpeRound("w2", "b3", "w3")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q209_vocab_overlap" ->
+      """WITH counts AS (
+        |  SELECT source, w, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(w) > 0 GROUP BY 1, 2),
+        |tops AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, w,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, w) AS rn
+        |    FROM counts) WHERE rn <= 100),
+        |sizes AS (SELECT source, count(*) AS sz FROM tops GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        |  FROM tops a JOIN tops b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b,
+        |CAST(n_inter AS BIGINT) AS n_inter,
+        |round(n_inter / CAST(za.sz + zb.sz - n_inter AS DOUBLE) + 1e-12, 4)
+        |  AS jaccard
+        |FROM inter
+        |JOIN sizes za ON za.source = sa
+        |JOIN sizes zb ON zb.source = sb
+        |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
 
     "q202_fertility" ->
       """WITH t AS (

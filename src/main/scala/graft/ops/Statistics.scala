@@ -952,6 +952,106 @@ object Statistics {
                   (col("n1") + col("n2") - 1.0))))).as("z"))
     }),
 
+    /** Theil-Sen robust trend per event type — the median of pairwise
+      * hourly-mean slopes: one wild hour drags q180's OLS slope
+      * arbitrarily far, but moves the slope MEDIAN by at most one
+      * rank. Pair generation self-joins the HOURLY AGGREGATE (never
+      * raw rows) on the type key with h2 > h1 — pair count is
+      * span-bounded (H² per type over hour-cardinality rows, ~10⁵
+      * pairs for a two-week span; for unbounded retention, window the
+      * span first). The median lands via the exact distributed
+      * quantile machinery ([[Quantiles.exactQuantiles]]); OLS over
+      * the same hourly means is reported alongside so the
+      * outlier-sensitivity gap is visible. */
+    "q206_theil_sen" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+        .agg(avg(col("value").cast("double")).as("m"))
+        .cache()
+      val slopes = hourly.select(col("event_type"), col("hr").as("h1"), col("m").as("m1"))
+        .join(hourly.select(col("event_type"), col("hr").as("h2"), col("m").as("m2")),
+          "event_type")
+        .filter(col("h2") > col("h1"))
+        .select(col("event_type"),
+          ((col("m2") - col("m1")) / (col("h2") - col("h1")).cast("double"))
+            .as("slope"))
+      val ts = Quantiles.exactQuantiles(slopes, Seq("event_type"), "slope",
+        Seq("ts_slope" -> 0.5))
+      val ols = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          expr("regr_slope(m, cast(hr as double))").as("ols"))
+      ols.join(ts, "event_type")
+        .select(col("event_type"), col("n_hours"),
+          r6(col("ts_slope")).as("ts_slope"), r6(col("ols")).as("ols_slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Median/MAD robust outlier screen per event type — the
+      * breakdown-proof alternative to mean±3σ (q143's z) and the IQR
+      * fence (q129): median and MAD have 50% breakdown, so the
+      * outliers being screened cannot drag the screen itself. Two
+      * passes of the exact distributed quantile machinery (median,
+      * then median absolute deviation), cuts broadcast by type, and
+      * the robust z = 0.6745·(v−med)/MAD is flagged on its r6-rounded
+      * value (the cross-engine float-compare stance). Zero-MAD
+      * types (> half the values identical) are reported but not
+      * flagged — the robust z is undefined there. */
+    "q207_mad_outliers" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val med = Quantiles.exactQuantiles(ev, Seq("event_type"), "v",
+        Seq("med" -> 0.5))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("v"), col("med"),
+          abs(col("v") - col("med")).as("adev"))
+      val mad = Quantiles.exactQuantiles(dev, Seq("event_type"), "adev",
+        Seq("mad" -> 0.5))
+      val rz = round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(max(col("med"))).as("median"),
+          r6(max(col("mad"))).as("mad"),
+          sum(when(col("mad") > 0 && abs(rz) > 3.5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Conversion LATENCY percentiles by signup day — q186 counts the
+      * 24 h conversions; this reports how fast they convert (p50/p90
+      * minutes to the FIRST qualifying purchase), the product-health
+      * metric behind activation dashboards. Same user-keyed equi-join
+      * shape as q186; the first-purchase pick is a min aggregate (no
+      * window), latencies are exact integer-microsecond differences
+      * scaled to minutes, and the day-grouped percentiles ride the
+      * exact distributed quantile machinery. */
+    "q208_conversion_latency" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val ev = Tables(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          date_trunc("day", col("ts")).as("day"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val firstConv = signups.join(purchases, Seq("user_id"))
+        .filter(col("p_us") > col("us") && col("p_us") <= col("us") + dayUs)
+        .groupBy(col("day"), col("event_id"), col("us"))
+        .agg(min(col("p_us")).as("first_us"))
+        .select(col("day"),
+          ((col("first_us") - col("us")).cast("double") / 60000000.0)
+            .as("latency_min"))
+      Quantiles.exactQuantiles(firstConv, Seq("day"), "latency_min",
+        Seq("p50_min" -> 0.5, "p90_min" -> 0.9))
+        .join(firstConv.groupBy(col("day")).agg(count(lit(1)).as("n_converted")),
+          "day")
+        .select(col("day"), col("n_converted"),
+          r4(col("p50_min")).as("p50_min"), r4(col("p90_min")).as("p90_min"))
+        .orderBy(col("day"))
+    }),
+
     /** Population Stability Index per event type — THE industry drift
       * score for deployed models: each type's SECOND time-half is
       * binned by the FIRST half's own exact deciles (type-7
@@ -1591,6 +1691,65 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q206_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  avg(CAST(value AS DOUBLE)) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |  (b.m - a.m) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+        |  FROM hourly a JOIN hourly b
+        |    ON b.event_type = a.event_type AND b.hr > a.hr)
+        |SELECT h.event_type, CAST(count(DISTINCT h.hr) AS BIGINT) AS n_hours,
+        |round((SELECT quantile_cont(slope, 0.5) FROM slopes s
+        |       WHERE s.event_type = h.event_type), 6) AS ts_slope,
+        |round(regr_slope(h.m, CAST(h.hr AS DOUBLE)), 6) AS ols_slope
+        |FROM hourly h GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q207_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, ev.v, med.med, abs(ev.v - med.med) AS adev
+        |  FROM ev JOIN med ON med.event_type = ev.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(max(d.med), 6) AS median, round(max(m.mad), 6) AS mad,
+        |CAST(sum(CASE WHEN m.mad > 0 AND
+        |  abs(round(0.6745 * (d.v - d.med) / m.mad, 6)) > 3.5
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON m.event_type = d.event_type
+        |GROUP BY 1
+        |ORDER BY d.event_type NULLS FIRST""".stripMargin,
+
+    "q208_conversion_latency" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT s.day, s.event_id,
+        |  (min(p.p_us) - s.us) / 60000000.0 AS latency_min
+        |  FROM s JOIN p ON p.user_id = s.user_id
+        |    AND p.p_us > s.us AND p.p_us <= s.us + 86400000000
+        |  GROUP BY s.day, s.event_id, s.us)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_converted,
+        |round(quantile_cont(latency_min, 0.5), 4) AS p50_min,
+        |round(quantile_cont(latency_min, 0.9), 4) AS p90_min
+        |FROM conv GROUP BY 1
+        |ORDER BY day NULLS FIRST""".stripMargin,
 
     "q204_psi_drift" ->
       """WITH spans AS (
