@@ -1127,23 +1127,7 @@ object Statistics {
       * tie-breaks before the top-k, the cross-engine float-ranking
       * stance. */
     "q201_ewma_chart" -> ((s: SparkSession, dir: String) => {
-      val hourly = Tables(s, dir, "events")
-        .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
-          .cast("long").as("hr"))
-        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
-      val dense = hourly.groupBy(col("event_type"))
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
-        .join(hourly, Seq("event_type", "hr"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-      val contrib = dense.select(col("event_type"), col("hr"), col("c"),
-          explode(expr("sequence(0L, 47L)")).as("gap"))
-        .select(col("event_type"), (col("hr") + col("gap")).as("hr"),
-          (col("c").cast("double") * lit(0.3) * pow(lit(0.7), col("gap"))).as("wc"),
-          (lit(0.3) * pow(lit(0.7), col("gap"))).as("w"))
-      val ewma = contrib.groupBy(col("event_type"), col("hr"))
-        .agg((sum(col("wc")) / sum(col("w"))).as("ewma"))
-      dense.join(ewma, Seq("event_type", "hr"))
+      ewmaFrame(Tables(s, dir, "events"))
         .select(col("event_type"), col("hr"), col("c"),
           r6(col("ewma")).as("ewma"),
           r6(col("c").cast("double") - col("ewma")).as("dev"))
@@ -1151,6 +1135,31 @@ object Statistics {
         .limit(20)
     })
   )
+
+  /** q201's pre-ranking EWMA frame — (event_type, hr, c, ewma) over
+    * the dense hourly grid — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.ewmaChart]]) and its
+    * batch-equivalence spec. */
+  private[graft] def ewmaFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hourly = events
+      .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+        .cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val contrib = dense.select(col("event_type"), col("hr"), col("c"),
+        explode(expr("sequence(0L, 47L)")).as("gap"))
+      .select(col("event_type"), (col("hr") + col("gap")).as("hr"),
+        (col("c").cast("double") * lit(0.3) * pow(lit(0.7), col("gap"))).as("wc"),
+        (lit(0.3) * pow(lit(0.7), col("gap"))).as("w"))
+    val ewma = contrib.groupBy(col("event_type"), col("hr"))
+      .agg((sum(col("wc")) / sum(col("w"))).as("ewma"))
+    dense.join(ewma, Seq("event_type", "hr"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q143_rolling_anomaly" ->

@@ -607,6 +607,78 @@ object EventStreams {
   def welchDrift(spark: SparkSession, events: DataFrame): DataFrame =
     graft.ops.Statistics.welchSummary(events)
 
+  final case class EwmaState(h0: Long, maxHr: Long, hrs: Array[Long],
+    cnts: Array[Long])
+  final case class EwmaPoint(event_type: String, hr: Long, c: Long,
+    ewma: Double, dev: Double)
+
+  /** LIVE EWMA control chart — the streaming twin of batch q201: one
+    * chart point per (type, hour) as the feed flows, smoothed over
+    * the same finite 48-hour horizon with the same
+    * available-gap-normalized weights, missing hours counting as true
+    * zeros exactly like the batch dense grid.
+    *
+    * State bound: per event type, the series start hour plus AT MOST
+    * 48 trailing (hour, count) pairs — O(types · horizon) forever,
+    * independent of feed volume. An hour that receives more events in
+    * a later micro-batch RE-EMITS its updated point (Append-mode
+    * at-least-once, the cumulative-re-emission contract of
+    * rollingAnomalies) — consumers and the twin spec keep the last
+    * emission per (type, hour). The weighted sum accumulates in
+    * ascending-gap order — a fixed summation order, so re-emissions
+    * are deterministic; the batch side's shuffle-order sum differs
+    * only in last-ulp (the spec compares at 1e-6). */
+  def ewmaChart(spark: SparkSession, events: DataFrame,
+      lambda: Double = 0.3, horizon: Int = 48): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val add = rows.toSeq.groupBy(e => tsUs(e) / hourUs)
+            .map { case (hr, es) => hr -> es.size.toLong }
+          val s0 = state.getOption.getOrElse(
+            EwmaState(Long.MaxValue, Long.MinValue, Array.empty, Array.empty))
+          val counts = scala.collection.mutable.Map(s0.hrs.zip(s0.cnts).toSeq: _*)
+          add.foreach { case (hr, n) =>
+            counts(hr) = counts.getOrElse(hr, 0L) + n
+          }
+          val h0 = math.min(s0.h0, if (add.isEmpty) Long.MaxValue else add.keys.min)
+          val maxHr = math.max(s0.maxHr, if (add.isEmpty) Long.MinValue else add.keys.max)
+          // emit every hour at or after the earliest changed hour —
+          // and any zero hours SINCE the previous frontier, so the
+          // emitted series matches the batch dense grid hour-for-hour
+          val start =
+            if (s0.maxHr == Long.MinValue) add.keys.min
+            else math.min(add.keys.min, s0.maxHr + 1)
+          val out =
+            if (add.isEmpty) Iterator.empty
+            else (start to maxHr).iterator.map { t =>
+              var wc = 0.0; var w = 0.0
+              var g = 0
+              val gMax = math.min(horizon - 1, (t - h0).toInt)
+              while (g <= gMax) {
+                val wt = lambda * math.pow(1.0 - lambda, g)
+                wc += counts.getOrElse(t - g, 0L).toDouble * wt
+                w += wt
+                g += 1
+              }
+              val c = counts.getOrElse(t, 0L)
+              val e = wc / w
+              EwmaPoint(etype, t, c, e, c.toDouble - e)
+            }
+          val keep = counts.filter { case (hr, _) => hr >= maxHr - (horizon - 1) }
+            .toArray.sortBy(_._1)
+          state.update(EwmaState(h0, maxHr, keep.map(_._1), keep.map(_._2)))
+          out
+      }
+  }
+
   final case class Transition(from_type: String, to_type: String)
   final case class LastType(us: Long, event_id: Long, etype: String)
 

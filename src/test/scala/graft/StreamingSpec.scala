@@ -503,6 +503,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streaming $streamed must equal batch $batch")
   }
 
+  test("streaming EWMA chart matches the batch q201 frame across a time-split boundary") {
+    // time-split files: hour counts must carry across the micro-batch
+    // boundary (a mid-hour cut forces a re-emission of the cut hour),
+    // and zero hours between the batches' frontiers must still emit
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_src")
+    val e = Tables(spark, sf, "events")
+    val cut = e.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    e.filter(col("ts").cast("long") < cut).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("ts").cast("long") >= cut).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    move("p0", "f0.parquet", t0 - 60000); move("p1", "f1.parquet", t0)
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    runToMemory(EventStreams.ewmaChart(spark, normalized).toDF(), "ewma")
+    // an hour's count only grows under the time-ordered feed — the
+    // row with the max count is the last emission for that hour
+    val streamed = spark.table("ewma").collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")))
+      .map { case (k, rs) =>
+        val last = rs.maxBy(_.getAs[Long]("c"))
+        k -> (last.getAs[Long]("c"), last.getAs[Double]("ewma"))
+      }
+    val batch = graft.ops.Statistics.ewmaFrame(Tables(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")) ->
+        (r.getAs[Long]("c"), r.getAs[Double]("ewma"))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"hour grids differ: stream-only=${streamed.keySet -- batch.keySet} " +
+        s"batch-only=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (k, (c, ew)) =>
+      assert(c == batch(k)._1, s"count mismatch at $k: $c vs ${batch(k)._1}")
+      assert(math.abs(ew - batch(k)._2) < 1e-6,
+        s"ewma mismatch at $k: $ew vs ${batch(k)._2}")
+    }
+  }
+
   test("streaming Welch drift screen (Complete mode) converges to the batch q166 row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_welch_src")
     val e = Tables(spark, sf, "events")
