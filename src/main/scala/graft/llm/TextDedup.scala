@@ -593,6 +593,44 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    /** N-gram novelty vs a reference corpus — the memorization /
+      * freshness screen: what fraction of each candidate document's
+      * 3-gram shingles has the reference sub-corpus (src0-src3 here)
+      * NEVER seen? Low novelty means the doc restates reference
+      * content (dedup/contamination risk); novelty 1.0 means genuinely
+      * new text. Same compact shingle machinery as q34 (per-row
+      * distinct 8-byte hash arrays, zero-shuffle projection); the
+      * membership probe is ONE shuffle-hash equi-join of the snapshot
+      * shingles against the DISTINCT reference universe (hinted — the
+      * static size estimate would broadcast the whole reference
+      * index), then a per-doc count pair and a source rollup.
+      * Fully-novel counts compare integers; the mean novelty is
+      * +1e-12-nudged (25-doc averages of small-denominator rationals
+      * sit on the rounding grid). */
+    "q210_novelty" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val refSrc = Seq("src0", "src1", "src2", "src3")
+      val refSh = explodeShingles(shingleArrays(
+          docs.filter(col("source").isin(refSrc: _*))))
+        .select(col("sh")).distinct()
+        .withColumn("seen", lit(1L))
+      val snapEx = explodeShingles(shingleArrays(
+        docs.filter(!col("source").isin(refSrc: _*))))
+      val perDoc = snapEx.hint("shuffle_hash")
+        .join(refSh, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_novel").cast("double") / col("n_sh")) + 1e-12, 6)
+            .as("avg_novelty"),
+          sum(when(col("n_novel") === col("n_sh"), 1L).otherwise(0L))
+            .as("n_fully_novel"))
+        .orderBy(col("source"))
+    }),
+
     /** Synchronous label propagation over the near-dup graph — the
       * COMMUNITY view between q93's components (too coarse: one
       * bridge edge merges two template families) and q172's triangles
@@ -1030,6 +1068,29 @@ object TextDedup {
          |FROM p3
          |ORDER BY doc_id NULLS FIRST""".stripMargin
     },
+
+    "q210_novelty" ->
+      s"""WITH sh0 AS ($duckShingles),
+         |refsh AS (
+         |  SELECT DISTINCT s.sh FROM sh0 s
+         |  JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+         |snap AS (
+         |  SELECT s.doc_id, s.sh FROM sh0 s
+         |  JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')),
+         |per AS (
+         |  SELECT snap.doc_id, count(*) AS n_sh,
+         |  sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |  FROM snap LEFT JOIN refsh r ON r.sh = snap.sh
+         |  GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |round(avg(n_novel * 1.0 / n_sh) + 1e-12, 6) AS avg_novelty,
+         |CAST(sum(CASE WHEN n_novel = n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_fully_novel
+         |FROM per JOIN documents d ON d.doc_id = per.doc_id
+         |GROUP BY 1
+         |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q203_label_prop" -> {
       def round(prev: String, out: String): String =
