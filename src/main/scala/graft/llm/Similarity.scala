@@ -486,6 +486,37 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    /** Embedding-space mixture drift — per-label centroids scored
+      * against the global centroid: a label whose centroid cosine
+      * drops is a cluster drifting away from the corpus center (the
+      * embedding-space complement of q163's source-share drift — the
+      * MIX can be stable while the geometry moves). Centroids are
+      * NEVER materialized as driver arrays: posexplode to (label,
+      * dim, v), per-(label, dim) and per-dim means (map-side
+      * combined), and the cosine folds as one more aggregate over the
+      * dim-keyed join of the two mean tables — every shuffle keyed on
+      * (label, dim) or dim, linear at any corpus size. */
+    "q211_centroid_drift" -> ((s: SparkSession, dir: String) => {
+      val el = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("label"), col("i"), col("v").cast("double").as("v"))
+        .cache()
+      val lm = el.groupBy(col("label"), col("i")).agg(avg(col("v")).as("m"))
+      val gm = el.groupBy(col("i")).agg(avg(col("v")).as("g"))
+      val n = Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      lm.join(broadcast(gm), "i")
+        .groupBy(col("label"))
+        .agg(sum(col("m") * col("g")).as("mg"),
+          sum(col("m") * col("m")).as("mm"),
+          sum(col("g") * col("g")).as("gg"))
+        .join(broadcast(n), "label")
+        .select(col("label"), col("n_vecs"),
+          r6(col("mg") / sqrt(col("mm") * col("gg"))).as("cos_to_global"),
+          r6(sqrt(col("mm"))).as("centroid_norm"))
+        .orderBy(col("label"))
+    }),
+
     /** Int8 scalar quantization of the embedding column — the 4×
       * memory/bandwidth reduction every large-scale ANN index applies
       * before distance math. Per vector: symmetric max-abs scale
@@ -911,6 +942,23 @@ object Similarity {
          |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 10""".stripMargin
     },
+
+    "q211_centroid_drift" ->
+      """WITH el AS (
+        |  SELECT label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+        |lm AS (SELECT label, i, avg(v) AS m FROM el GROUP BY 1, 2),
+        |gm AS (SELECT i, avg(v) AS g FROM el GROUP BY 1),
+        |folds AS (
+        |  SELECT label,
+        |  sum(m * g) AS mg, sum(m * m) AS mm, sum(g * g) AS gg
+        |  FROM lm JOIN gm ON gm.i = lm.i GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT f.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+        |round(mg / sqrt(mm * gg), 6) AS cos_to_global,
+        |round(sqrt(mm), 6) AS centroid_norm
+        |FROM folds f JOIN n ON n.label = f.label
+        |ORDER BY f.label NULLS FIRST""".stripMargin,
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {

@@ -1133,6 +1133,51 @@ object Statistics {
           r6(col("c").cast("double") - col("ewma")).as("dev"))
         .orderBy(r6(abs(col("dev"))).desc, col("event_type"), col("hr"))
         .limit(20)
+    }),
+
+    /** Spike ATTRIBUTION — the drill-down that turns q201's "hour X
+      * is anomalous" into "driven by THESE users": for the top-3
+      * EWMA-deviation hours, each contributing user's spike share is
+      * scored against their baseline share of that type (lift =
+      * spike share / baseline share — a bot burst shows lift ≫ 1 on
+      * a handful of ids, an organic surge shows lift ≈ 1 everywhere).
+      * The spike list is a 3-row TakeOrderedAndProject broadcast into
+      * ONE events-scan join; per-user counts map-side combine; the
+      * top-3-per-spike rank is WindowGroupLimit-capped; shares and
+      * lifts are integer rationals, +1e-12-nudged and ranked on their
+      * r6 values with id tie-breaks (the cross-engine float stance). */
+    "q212_spike_attribution" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val dev6 = r6(col("c").cast("double") - col("ewma"))
+      val spikes = ewmaFrame(ev)
+        .orderBy(r6(abs(dev6)).desc, col("event_type"), col("hr"))
+        .limit(3)
+        .select(col("event_type"), col("hr"))
+      val se = ev.select(col("event_type"),
+          (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"),
+          col("user_id"))
+        .join(broadcast(spikes), Seq("event_type", "hr"))
+      val uh = se.groupBy(col("event_type"), col("hr"), col("user_id"))
+        .agg(count(lit(1)).as("n_u"))
+      val ht = uh.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("n_u")).as("n_h"))
+      val ub = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("b_u"))
+      val tt = ev.groupBy(col("event_type")).agg(count(lit(1)).as("b_t"))
+      val lifted = uh
+        .join(broadcast(ht), Seq("event_type", "hr"))
+        .join(ub, Seq("event_type", "user_id"))
+        .join(broadcast(tt), Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("user_id"), col("n_u"),
+          round(col("n_u").cast("double") / col("n_h") + 1e-12, 6)
+            .as("spike_share"),
+          round((col("n_u") * col("b_t")).cast("double") /
+            (col("n_h") * col("b_u")).cast("double") + 1e-12, 6).as("lift"))
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(desc("lift"), asc("user_id"))
+      lifted.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("event_type"), col("hr"), col("rn"))
     })
   )
 
@@ -1819,32 +1864,79 @@ object Statistics {
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q201_ewma_chart" ->
-      """WITH hourly AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |  CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
-        |  FROM hourly GROUP BY event_type),
-        |dense AS (
-        |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
-        |  FROM grid g LEFT JOIN hourly h
-        |    ON h.event_type = g.event_type AND h.hr = g.hr),
-        |gaps AS (SELECT unnest(generate_series(0, 47)) AS gap),
-        |contrib AS (
-        |  SELECT d.event_type, d.hr + g.gap AS hr,
-        |  d.c * 0.3 * power(0.7, g.gap) AS wc,
-        |  0.3 * power(0.7, g.gap) AS w
-        |  FROM dense d, gaps g),
-        |ewma AS (
-        |  SELECT event_type, hr, sum(wc) / sum(w) AS ewma
-        |  FROM contrib GROUP BY 1, 2)
-        |SELECT d.event_type, d.hr, d.c,
-        |round(e.ewma, 6) AS ewma, round(d.c - e.ewma, 6) AS dev
-        |FROM dense d JOIN ewma e
-        |  ON e.event_type = d.event_type AND e.hr = d.hr
-        |ORDER BY round(abs(round(d.c - e.ewma, 6)), 6) DESC,
-        |  d.event_type NULLS FIRST, d.hr NULLS FIRST
-        |LIMIT 20""".stripMargin
+      s"""WITH $duckEwmaCtes
+         |SELECT event_type, hr, c, round(ewma, 6) AS ewma,
+         |round(c - ewma, 6) AS dev
+         |FROM frame
+         |ORDER BY round(abs(round(c - ewma, 6)), 6) DESC,
+         |  event_type NULLS FIRST, hr NULLS FIRST
+         |LIMIT 20""".stripMargin,
+
+    "q212_spike_attribution" ->
+      s"""WITH $duckEwmaCtes,
+         |spikes AS (
+         |  SELECT event_type, hr FROM frame
+         |  ORDER BY round(abs(round(c - ewma, 6)), 6) DESC,
+         |    event_type NULLS FIRST, hr NULLS FIRST
+         |  LIMIT 3),
+         |se AS (
+         |  SELECT e.event_type, s.hr, e.user_id
+         |  FROM events e JOIN spikes s ON s.event_type = e.event_type
+         |    AND s.hr = epoch_us(e.ts) // 3600000000),
+         |uh AS (
+         |  SELECT event_type, hr, user_id, count(*) AS n_u
+         |  FROM se GROUP BY 1, 2, 3),
+         |ht AS (SELECT event_type, hr, sum(n_u) AS n_h FROM uh GROUP BY 1, 2),
+         |ub AS (SELECT event_type, user_id, count(*) AS b_u
+         |  FROM events GROUP BY 1, 2),
+         |tt AS (SELECT event_type, count(*) AS b_t FROM events GROUP BY 1),
+         |lifted AS (
+         |  SELECT uh.event_type, uh.hr, uh.user_id, uh.n_u,
+         |  round(uh.n_u * 1.0 / ht.n_h + 1e-12, 6) AS spike_share,
+         |  round((uh.n_u * tt.b_t) / CAST(ht.n_h * ub.b_u AS DOUBLE) + 1e-12, 6)
+         |    AS lift
+         |  FROM uh
+         |  JOIN ht ON ht.event_type = uh.event_type AND ht.hr = uh.hr
+         |  JOIN ub ON ub.event_type = uh.event_type AND ub.user_id = uh.user_id
+         |  JOIN tt ON tt.event_type = uh.event_type)
+         |SELECT event_type, hr, user_id, CAST(n_u AS BIGINT) AS n_u,
+         |spike_share, lift, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, hr
+         |    ORDER BY lift DESC, user_id) AS rn
+         |  FROM lifted)
+         |WHERE rn <= 3
+         |ORDER BY event_type NULLS FIRST, hr NULLS FIRST, rn""".stripMargin
   )
+
+  /** q201's EWMA frame as shared oracle CTEs ending in
+    * `frame(event_type, hr, c, ewma)` — reused by the q212 spike
+    * drill-down so both oracles bin and smooth identically. A def,
+    * not a val: the oracles map above interpolates it during
+    * construction, and a val declared below it would still be null
+    * at that point. */
+  private def duckEwmaCtes: String =
+    """hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |  CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+      |  FROM hourly GROUP BY event_type),
+      |dense AS (
+      |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON h.event_type = g.event_type AND h.hr = g.hr),
+      |gaps AS (SELECT unnest(generate_series(0, 47)) AS gap),
+      |contrib AS (
+      |  SELECT d.event_type, d.hr + g.gap AS hr,
+      |  d.c * 0.3 * power(0.7, g.gap) AS wc,
+      |  0.3 * power(0.7, g.gap) AS w
+      |  FROM dense d, gaps g),
+      |ewma AS (
+      |  SELECT event_type, hr, sum(wc) / sum(w) AS ewma
+      |  FROM contrib GROUP BY 1, 2),
+      |frame AS (
+      |  SELECT d.event_type, d.hr, d.c, e.ewma
+      |  FROM dense d JOIN ewma e
+      |    ON e.event_type = d.event_type AND e.hr = d.hr)""".stripMargin
 }
