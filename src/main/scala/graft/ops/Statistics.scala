@@ -952,6 +952,69 @@ object Statistics {
                   (col("n1") + col("n2") - 1.0))))).as("z"))
     }),
 
+    /** Bot-regularity screen — the inter-arrival coefficient of
+      * variation per user: humans are bursty (CV ≈ 1 for Poisson,
+      * higher with sessions), schedulers and bots are metronomic
+      * (CV → 0). Gaps come from ONE lead pass over the
+      * high-cardinality user partition (total order by (ts, id) — the
+      * q171 stance), the per-user moments are one map-side-combined
+      * aggregate, and the top-20 most-regular cut ranks on the
+      * r6-rounded CV with the id tie-break. The min-events floor
+      * keeps small-sample CVs (noise) out of the ranking. */
+    "q213_bot_regularity" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", (lead(col("us"), 1).over(w) - col("us")).cast("double"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          avg(col("gap")).as("mean_gap"),
+          stddev_samp(col("gap")).as("sd_gap"))
+        .filter(col("n_gaps") >= 20 && col("mean_gap") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          // mean gap is an exact integer rational — it can land on the
+          // half-millisecond rounding grid, hence the +1e-12 nudge
+          round(col("mean_gap") / 1000000.0 + 1e-12, 3).as("mean_gap_s"),
+          r6(col("sd_gap") / col("mean_gap")).as("cv"))
+        .orderBy(col("cv"), col("user_id"))
+        .limit(20)
+    }),
+
+    /** Weekday/hour seasonality profile per event type — weekend
+      * share plus the peak activity hour (argmax over the 24-cell
+      * hour histogram as TWO codegen hash aggregates — max count,
+      * join back, min hour — the q203 stance, never a struct-max
+      * SortAggregate). The shape a capacity planner reads before
+      * trusting any hourly anomaly screen: a "spike" at the daily
+      * peak is seasonality, not drift. */
+    "q214_seasonality" -> ((s: SparkSession, dir: String) => {
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+        .groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val byHour = cells.groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("c")).as("ch"))
+      val peak = byHour.groupBy(col("event_type")).agg(max(col("ch")).as("ch"))
+        .join(byHour, Seq("event_type", "ch"))
+        .groupBy(col("event_type"))
+        .agg(min(col("hod")).as("peak_hour"), max(col("ch")).as("peak_n"))
+      cells.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n"),
+          sum(when(col("dow").isin(1, 7), col("c")).otherwise(0L)).as("wkend"))
+        .join(broadcast(peak), "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("wkend").cast("double") / col("n") + 1e-12, 6)
+            .as("weekend_share"),
+          col("peak_hour").cast("long").as("peak_hour"),
+          round(col("peak_n").cast("double") / col("n") + 1e-12, 6)
+            .as("peak_hour_share"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Theil-Sen robust trend per event type — the median of pairwise
       * hourly-mean slopes: one wild hour drags q180's OLS slope
       * arbitrarily far, but moves the slope MEDIAN by at most one
@@ -1745,6 +1808,46 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q213_bot_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |  CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS DOUBLE) AS gap
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_gaps, avg(gap) AS mg,
+        |  stddev_samp(gap) AS sd
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 20 AND avg(gap) > 0)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |round(mg / 1000000.0 + 1e-12, 3) AS mean_gap_s,
+        |round(sd / mg, 6) AS cv
+        |FROM a
+        |ORDER BY round(sd / mg, 6) NULLS FIRST, user_id NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q214_seasonality" ->
+      """WITH cells AS (
+        |  SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hod,
+        |  count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |byhour AS (
+        |  SELECT event_type, hod, sum(c) AS ch FROM cells GROUP BY 1, 2),
+        |peak AS (
+        |  SELECT b.event_type, min(b.hod) AS peak_hour, max(b.ch) AS peak_n
+        |  FROM byhour b
+        |  JOIN (SELECT event_type, max(ch) AS mch FROM byhour GROUP BY 1) m
+        |    ON m.event_type = b.event_type AND b.ch = m.mch
+        |  GROUP BY 1)
+        |SELECT c.event_type, CAST(sum(c.c) AS BIGINT) AS n,
+        |round(sum(CASE WHEN c.dow IN (0, 6) THEN c.c ELSE 0 END) * 1.0
+        |  / sum(c.c) + 1e-12, 6) AS weekend_share,
+        |CAST(p.peak_hour AS BIGINT) AS peak_hour,
+        |round(max(p.peak_n) * 1.0 / sum(c.c) + 1e-12, 6) AS peak_hour_share
+        |FROM cells c JOIN peak p ON p.event_type = c.event_type
+        |GROUP BY 1, p.peak_hour
+        |ORDER BY c.event_type NULLS FIRST""".stripMargin,
 
     "q206_theil_sen" ->
       """WITH hourly AS (
