@@ -952,6 +952,97 @@ object Statistics {
                   (col("n1") + col("n2") - 1.0))))).as("z"))
     }),
 
+    /** Gini concentration of user activity — the inequality summary
+      * behind "10% of users generate 90% of events": G =
+      * (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over the ascending-sorted
+      * per-user counts. The global sort-rank comes from ONE
+      * [[GlobalRank.withRowNumbers]] range exchange (never an
+      * unpartitioned window); ties break by user id, which cannot
+      * change the value (swapping equal xᵢ preserves Σ i·xᵢ). All
+      * sums are exact integers — the only float is the final ratio,
+      * r6 on both engines. */
+    "q215_gini_activity" -> ((s: SparkSession, dir: String) => {
+      val counts = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      GlobalRank.withRowNumbers(counts, Seq(col("x"), col("user_id")), "i")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("n").as("n_users"), col("total").as("total_events"),
+          r6(lit(2.0) * col("ix").cast("double") /
+              (col("n").cast("double") * col("total").cast("double")) -
+            (col("n").cast("double") + 1.0) / col("n").cast("double"))
+            .as("gini"))
+    }),
+
+    /** Kaplan-Meier signup→purchase survival curve — time-to-convert
+      * WITH censoring, which q208's converted-only percentiles cannot
+      * see (users who never purchased still carry information up to
+      * the observation end). Discrete hour grid: d_t = conversions at
+      * hour t, the at-risk count n_t and the survival product both
+      * derive from the q201 gap-explode trick (each aggregated hour
+      * row replicates to the span-bounded hours it influences, then
+      * one equi-keyed aggregate — no inequality join, no
+      * unpartitioned window, no cumulative-product recursion: S(t) =
+      * exp(Σ ln(1−d/n)) with the sum grouped per t). Censoring time
+      * is the global max event time (one-row broadcast, allowlisted
+      * class). Emitted only at death times, the standard KM table. */
+    "q216_km_survival" -> ((s: SparkSession, dir: String) => {
+      val hourUs = 3600000000L
+      val ev = Tables(s, dir, "events")
+      val tEnd = ev.agg(max(unix_micros(col("ts"))).as("t_end"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      // the after-signup predicate lives IN the left join: a user
+      // whose purchases all precede signup must stay as a censored
+      // row (null first_p), not vanish through a post-join filter
+      val perUser = signups.join(
+          purchases.withColumnRenamed("user_id", "p_uid"),
+          col("p_uid") === col("user_id") && col("p_us") > col("s_us"),
+          "left")
+        .groupBy(col("user_id"), col("s_us"))
+        .agg(min(col("p_us")).as("first_p"))
+        .join(broadcast(tEnd))
+        .select(col("user_id"),
+          when(col("first_p").isNotNull,
+            ((col("first_p") - col("s_us")) / hourUs).cast("long"))
+            .as("dur"),
+          ((col("t_end") - col("s_us")) / hourUs).cast("long").as("cens"))
+        .select(col("user_id"), col("dur"),
+          coalesce(least(col("dur"), col("cens")), col("cens")).as("obs"))
+      val deaths = perUser.filter(col("dur").isNotNull)
+        .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+      val ends = perUser.groupBy(col("obs").as("t")).agg(count(lit(1)).as("e"))
+      val tMax = deaths.agg(max(col("t")).as("t_max"))
+      val total = perUser.agg(count(lit(1)).as("n_total"))
+      // at-risk n_t = total − #users whose observation ended before t:
+      // each obs-end hour replicates to the death hours AFTER it
+      val endedBefore = ends.join(broadcast(tMax))
+        .filter(col("t") < col("t_max"))
+        .select(explode(expr("sequence(t + 1, t_max)")).as("t"), col("e"))
+        .groupBy(col("t")).agg(sum(col("e")).as("ended"))
+      val atRisk = deaths.join(endedBefore, Seq("t"), "left")
+        .join(broadcast(total))
+        .select(col("t"), col("d"),
+          (col("n_total") - coalesce(col("ended"), lit(0L))).as("n_risk"))
+      // survival: each death hour's ln(1−d/n) replicates to hours ≥ it
+      // d = n_risk (everyone remaining converts) makes the factor 0:
+      // ln(0) diverges between engines (Spark null, DuckDB error), so
+      // the absorbing zero becomes a −1e4 sentinel — exp underflows
+      // to exactly 0.0 in IEEE double on both engines
+      val lnTerms = atRisk.join(broadcast(tMax))
+        .select(explode(expr("sequence(t, t_max)")).as("t"),
+          when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .otherwise(lit(-1e4)).as("lnf"))
+        .groupBy(col("t")).agg(sum(col("lnf")).as("lnS"))
+      atRisk.join(lnTerms, Seq("t"))
+        .select(col("t").as("t_hr"), col("n_risk"), col("d").as("n_deaths"),
+          r6(exp(col("lnS"))).as("survival"))
+        .orderBy(col("t_hr"))
+    }),
+
     /** Bot-regularity screen — the inter-arrival coefficient of
       * variation per user: humans are bursty (CV ≈ 1 for Poisson,
       * higher with sessions), schedulers and bots are metronomic
@@ -1808,6 +1899,61 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q215_gini_activity" ->
+      """WITH x AS (
+        |  SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM x)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |CAST(sum(x) AS BIGINT) AS total_events,
+        |round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
+        |  - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM ranked""".stripMargin,
+
+    "q216_km_survival" ->
+      """WITH tend AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+        |s AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (
+        |  SELECT s.user_id, s.s_us, min(p.p_us) AS first_p
+        |  FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.p_us > s.s_us
+        |  GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT user_id,
+        |  CASE WHEN first_p IS NOT NULL
+        |       THEN (first_p - s_us) // 3600000000 END AS dur,
+        |  coalesce(
+        |    CASE WHEN first_p IS NOT NULL
+        |         THEN (first_p - s_us) // 3600000000 END,
+        |    (t.t_end - s_us) // 3600000000) AS obs
+        |  FROM pu, tend t),
+        |d AS (SELECT dur AS t, count(*) AS d FROM obs
+        |  WHERE dur IS NOT NULL GROUP BY 1),
+        |e AS (SELECT obs AS t, count(*) AS e FROM obs GROUP BY 1),
+        |tmax AS (SELECT max(t) AS t_max FROM d),
+        |tot AS (SELECT count(*) AS n_total FROM obs),
+        |endedx AS (
+        |  SELECT unnest(generate_series(e.t + 1, tm.t_max)) AS t, e.e
+        |  FROM e, tmax tm WHERE e.t < tm.t_max),
+        |endedb AS (SELECT t, sum(e) AS ended FROM endedx GROUP BY 1),
+        |atrisk AS (
+        |  SELECT d.t, d.d, tot.n_total - coalesce(eb.ended, 0) AS n_risk
+        |  FROM d LEFT JOIN endedb eb ON eb.t = d.t, tot),
+        |lnx AS (
+        |  SELECT unnest(generate_series(a.t, tm.t_max)) AS t,
+        |  CASE WHEN a.d < a.n_risk
+        |       THEN ln(1.0 - a.d / CAST(a.n_risk AS DOUBLE))
+        |       ELSE -1e4 END AS lnf
+        |  FROM atrisk a, tmax tm),
+        |lns AS (SELECT t, sum(lnf) AS lnS FROM lnx GROUP BY 1)
+        |SELECT a.t AS t_hr, CAST(a.n_risk AS BIGINT) AS n_risk,
+        |CAST(a.d AS BIGINT) AS n_deaths,
+        |round(exp(l.lnS), 6) AS survival
+        |FROM atrisk a JOIN lns l ON l.t = a.t
+        |ORDER BY t_hr NULLS FIRST""".stripMargin,
 
     "q213_bot_regularity" ->
       """WITH g AS (

@@ -123,7 +123,10 @@ class PlanQualitySpec extends SparkSuite {
     "q195_top_supplier",
     // q205: the exact arm's broadcast side is the 20-anchor query
     // block (q42/q43 class — driver-bounded at any sf)
-    "q205_ann_recall")
+    "q205_ann_recall",
+    // q216: the broadcast sides are the ONE-ROW censoring-time,
+    // total-count, and max-death-hour folds — provably 1 row each
+    "q216_km_survival")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
