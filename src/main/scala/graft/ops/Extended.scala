@@ -966,6 +966,82 @@ object Extended {
         .limit(20)
     }),
 
+    /** Discount elasticity per part type — does a deeper discount
+      * actually move quantity? regr_slope(quantity, discount) per
+      * p_type with the r² alongside so a non-relationship reads as
+      * noise, not signal. One fact-dimension equi-join and one
+      * map-side-combined moment aggregate (regr_* are single-pass
+      * codegen folds in both engines) — linear at any scale. */
+    "q217_discount_elasticity" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("regr_slope(l_quantity, l_discount)")).as("qty_per_discount"),
+          r6(expr("regr_r2(l_quantity, l_discount)")).as("r2"),
+          r6(avg(col("l_discount"))).as("avg_discount"))
+        .orderBy(col("p_type"))
+    }),
+
+    /** Order-to-ship latency percentiles by order priority — the SLA
+      * report: p50/p90/p99 days from order date to each lineitem's
+      * ship date, per priority class. Latencies are exact integer-day
+      * differences; the priority-grouped percentiles ride the exact
+      * distributed quantile machinery (one rank pass, never a
+      * per-group percentile buffer). A premium priority whose p99
+      * matches 5-LOW's is the reference's incident story told from
+      * the data side. */
+    "q218_ship_latency" -> ((s: SparkSession, dir: String) => {
+      val lat = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate"))
+            .cast("double").as("lat_days"))
+      Quantiles.exactQuantiles(lat, Seq("o_orderpriority"), "lat_days",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .join(lat.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+          "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"),
+          r4(col("p50")).as("p50_days"), r4(col("p90")).as("p90_days"),
+          r4(col("p99")).as("p99_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    /** Behavioral fingerprint rings — users with the same event-type
+      * activity PROFILE (which types, at which order of magnitude):
+      * organic users differ, scripted account farms collapse onto a
+      * handful of fingerprints. Counts band by DECIMAL DIGIT COUNT
+      * (an exact integer-string property — a log2 band would sit on
+      * the ln(8)/ln(2) float boundary and flip between engines;
+      * exact counts never collide at all). The fingerprint is a sha2
+      * of the sorted "type:band" profile built INSIDE one per-user
+      * aggregate + projection (collect → sort → hash — no second
+      * shuffle); rings group on the 8-byte-prefix digest, reporting
+      * rings of ≥ 3 users with example ids. The exchange carries
+      * digests, never profiles (the q140/q188 stance). */
+    "q219_fingerprint_rings" -> ((s: SparkSession, dir: String) => {
+      val prof = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(concat_ws(":", col("event_type"),
+          length(col("c").cast("string"))))).as("hist"))
+        .select(col("user_id"),
+          sha2(concat_ws("|", col("hist")), 256).as("fp"),
+          size(col("hist")).cast("long").as("n_types"))
+      prof.groupBy(col("fp"))
+        .agg(count(lit(1)).as("ring_size"), min(col("user_id")).as("example_user"),
+          max(col("n_types")).as("n_types"))
+        .filter(col("ring_size") >= 3)
+        .select(substring(col("fp"), 1, 16).as("fp16"), col("ring_size"),
+          col("example_user"), col("n_types"))
+        .orderBy(desc("ring_size"), asc("fp16"))
+        .limit(20)
+    }),
+
     /** TPC-H Q20 shape (dominant-share suppliers): AMERICA-region
       * suppliers who shipped more than 30% of some 'red' part's total
       * 1996 quantity. The nested IN/correlated-subquery chain
@@ -1518,6 +1594,47 @@ object Extended {
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
         |  p_type NULLS FIRST, p_size NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "q217_discount_elasticity" ->
+      """SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+        |round(regr_slope(l_quantity, l_discount), 6) AS qty_per_discount,
+        |round(regr_r2(l_quantity, l_discount), 6) AS r2,
+        |round(avg(l_discount), 6) AS avg_discount
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1
+        |ORDER BY p_type NULLS FIRST""".stripMargin,
+
+    "q218_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |  CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat_days
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |round(quantile_cont(lat_days, 0.5), 4) AS p50_days,
+        |round(quantile_cont(lat_days, 0.9), 4) AS p90_days,
+        |round(quantile_cont(lat_days, 0.99), 4) AS p99_days
+        |FROM lat GROUP BY 1
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q219_fingerprint_rings" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT user_id,
+        |  list_sort(list(event_type || ':' ||
+        |    CAST(len(CAST(c AS VARCHAR)) AS VARCHAR))) AS hist
+        |  FROM counts GROUP BY 1),
+        |fps AS (
+        |  SELECT user_id, sha256(array_to_string(hist, '|')) AS fp,
+        |  CAST(len(hist) AS BIGINT) AS n_types
+        |  FROM prof)
+        |SELECT substr(fp, 1, 16) AS fp16, CAST(count(*) AS BIGINT) AS ring_size,
+        |min(user_id) AS example_user, max(n_types) AS n_types
+        |FROM fps GROUP BY fp
+        |HAVING count(*) >= 3
+        |ORDER BY ring_size DESC, fp16 NULLS FIRST
         |LIMIT 20""".stripMargin,
 
     "q197_dominant_suppliers" ->
