@@ -1136,7 +1136,10 @@ object Statistics {
       val ols = hourly.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hours"),
           expr("regr_slope(m, cast(hr as double))").as("ols"))
-      ols.join(ts, "event_type")
+      // LEFT join: a single-hour type has no slope pairs — it must
+      // surface with NULL slopes (as the oracle's empty-subquery
+      // NULL does), not vanish
+      ols.join(ts, Seq("event_type"), "left")
         .select(col("event_type"), col("n_hours"),
           r6(col("ts_slope")).as("ts_slope"), r6(col("ols")).as("ols_slope"))
         .orderBy(col("event_type"))
