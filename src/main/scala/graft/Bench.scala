@@ -85,13 +85,28 @@ object Bench {
     // file keeps full precision
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // bare numeric keys ("01".."147", unique by construction): with
-    // 147 queries the "qNN" form plus header runs ~1920 chars —
-    // inside the 2000-char capture window with no margin for the next
-    // round's queries. Full names stay in bench_detail.json.
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(v)
-    }.mkString("{", ",", "}")
+    // bare numeric keys ("01".."219", unique by construction). At 219
+    // queries even the compact form runs ~2350 chars — past the
+    // 2000-char capture window, which keeps the TAIL and so cuts the
+    // line's head (the round-1-2 parsed=null failure from the other
+    // side). The stdout map therefore carries the SLOWEST queries
+    // that fit a 1700-char entry budget and counts the omitted fast
+    // tail ("qx_omitted", each ≤ the slowest included time);
+    // bench_detail.json always has every query at full precision.
+    val entryBudget = 1700
+    val sortedDesc = results.sortBy { case (_, v) => -v }
+    val included = {
+      val b = Seq.newBuilder[String]
+      var used = 0
+      var n = 0
+      sortedDesc.foreach { case (k, v) =>
+        val e = "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(v)
+        if (used + e.length + 1 <= entryBudget) { b += e; used += e.length + 1; n += 1 }
+      }
+      (b.result(), n)
+    }
+    val qs = included._1.mkString("{", ",", "}")
+    val omitted = results.size - included._2
     val detail = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     // runs/policy declare the best-of-N aggregation IN the record —
@@ -108,7 +123,7 @@ object Bench {
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"qx_omitted":$omitted,"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
     System.out.flush()
   }
 }
