@@ -565,6 +565,49 @@ object TextDedup {
         .orderBy(col("cluster_id"))
     }),
 
+    /** Survivor-policy agreement audit — how much does the dedup
+      * KEEP RULE actually matter? Three policies pick a survivor per
+      * q93 cluster (keep-FIRST = min id, keep-LONGEST = max chars
+      * tie-min-id, keep-most-DIVERSE = max distinct tokens
+      * tie-min-id) and the report counts pairwise agreement: high
+      * agreement means the keep rule is a non-decision for this
+      * corpus; low agreement means curation quality hinges on it.
+      * Integer argmaxes per cluster (struct-max over a
+      * cluster-cardinality table — bounded input, not a hot path),
+      * three survivor tables meeting on the cluster key, exact
+      * integer agreement counts, +1e-12-nudged rates. */
+    "q220_survivor_policies" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val edges = jaccardPairs(docs, 0.8)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      val labels = graft.ops.ConnectedComponents.labels(edges)
+        .toDF("doc_id", "cluster_id")
+      val feats = labels.join(docs.select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_div")),
+        "doc_id")
+      val picks = feats.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("keep_first"),
+          (-max(struct(col("n_chars").as("c"), (-col("doc_id")).as("ni")))
+            .getField("ni")).as("keep_longest"),
+          (-max(struct(col("n_div").as("d"), (-col("doc_id")).as("ni")))
+            .getField("ni")).as("keep_diverse"))
+      picks.agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("keep_first") === col("keep_longest"), 1L)
+            .otherwise(0L)).as("fl"),
+          sum(when(col("keep_first") === col("keep_diverse"), 1L)
+            .otherwise(0L)).as("fd"),
+          sum(when(col("keep_longest") === col("keep_diverse"), 1L)
+            .otherwise(0L)).as("ld"))
+        .select(col("n_clusters"),
+          round(col("fl").cast("double") / col("n_clusters") + 1e-12, 4)
+            .as("agree_first_longest"),
+          round(col("fd").cast("double") / col("n_clusters") + 1e-12, 4)
+            .as("agree_first_diverse"),
+          round(col("ld").cast("double") / col("n_clusters") + 1e-12, 4)
+            .as("agree_longest_diverse"))
+    }),
+
     /** PageRank over the near-dup graph — the iterative distributed
       * graph primitive (beyond q93's connected components): rank docs
       * by how centrally they sit in the ≥ 0.5-Jaccard similarity
@@ -1068,6 +1111,42 @@ object TextDedup {
          |FROM p3
          |ORDER BY doc_id NULLS FIRST""".stripMargin
     },
+
+    "q220_survivor_policies" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |feats AS (
+         |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+         |  len(list_distinct(string_split(d.text, ' '))) AS n_div
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+         |rf AS (SELECT cluster_id, min(doc_id) AS keep_first
+         |  FROM feats GROUP BY 1),
+         |rl AS (SELECT cluster_id, doc_id AS keep_longest FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM feats) WHERE rn = 1),
+         |rd AS (SELECT cluster_id, doc_id AS keep_diverse FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY n_div DESC, doc_id) AS rn
+         |  FROM feats) WHERE rn = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |round(sum(CASE WHEN keep_first = keep_longest THEN 1 ELSE 0 END)
+         |  * 1.0 / count(*) + 1e-12, 4) AS agree_first_longest,
+         |round(sum(CASE WHEN keep_first = keep_diverse THEN 1 ELSE 0 END)
+         |  * 1.0 / count(*) + 1e-12, 4) AS agree_first_diverse,
+         |round(sum(CASE WHEN keep_longest = keep_diverse THEN 1 ELSE 0 END)
+         |  * 1.0 / count(*) + 1e-12, 4) AS agree_longest_diverse
+         |FROM rf
+         |JOIN rl USING (cluster_id)
+         |JOIN rd USING (cluster_id)""".stripMargin,
 
     "q210_novelty" ->
       s"""WITH sh0 AS ($duckShingles),
