@@ -1200,6 +1200,7 @@ object Statistics {
         .select(col("day"),
           ((col("first_us") - col("us")).cast("double") / 60000000.0)
             .as("latency_min"))
+        .cache() // feeds both the quantile pass and the per-day count
       Quantiles.exactQuantiles(firstConv, Seq("day"), "latency_min",
         Seq("p50_min" -> 0.5, "p90_min" -> 0.9))
         .join(firstConv.groupBy(col("day")).agg(count(lit(1)).as("n_converted")),
