@@ -28,8 +28,12 @@ object PageRank {
     val numParts = math.max(edges0.getNumPartitions, 1)
     val part = new HashPartitioner(numParts)
 
+    // distinct: input carrying both orientations (or duplicates) of
+    // an edge would otherwise double that edge's degree share and
+    // skew the mass it forwards
     val sym = edges0.filter(p => p._1 != p._2)
       .flatMap(p => Iterator(p, p.swap))
+      .distinct(numParts)
 
     // (src, (dst, outDegree)) — the per-round join side, built once
     val deg = sym.mapValues(_ => 1L).reduceByKey(part, _ + _)

@@ -36,6 +36,45 @@ class GraphIterationSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("random graph: distributed LPA equals the local reference") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = lpa(edges, rounds = 3)
+    // local synchronous plurality/min-tie reference
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val nbrs = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (v, ns) =>
+        val votes = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        val maxN = votes.values.max
+        v -> votes.filter(_._2 == maxN).keys.min
+      }
+    }
+    assert(got == lab)
+  }
+
+  test("random graph: distributed PageRank equals the local reference") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = PageRank.ranks(
+      spark.sparkContext.parallelize(edges, 4), rounds = 3).collect().toMap
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val n = out.size
+    var pr: Map[Long, Double] = out.keys.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = out.toSeq.flatMap { case (v, ns) =>
+        ns.map(d => d -> pr(v) / ns.size)
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      pr = contrib.map { case (v, c) => v -> (0.15 / n + 0.85 * c) }
+    }
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - pr(v)) < 1e-9) }
+  }
+
   test("pagerank: mass conserved, star hub outranks leaves") {
     val star = (1L to 6L).map(leaf => (0L, leaf))
     val pr = PageRank.ranks(
