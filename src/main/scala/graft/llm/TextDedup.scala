@@ -565,6 +565,50 @@ object TextDedup {
         .orderBy(col("cluster_id"))
     }),
 
+    /** Per-source curation SCORECARD — the dashboard row a data lead
+      * reads before approving a mixture: volume, length, language
+      * spread, near-dup exposure (share of docs in ≥ 1 pair of the
+      * ≥ 0.5-Jaccard graph, q34's machinery), and reference-corpus
+      * novelty (q210's probe; NULL for the reference sources
+      * themselves). One pair computation and one membership probe
+      * feed every column — the scorecard composes the primitives, it
+      * does not recompute them per metric. */
+    "q221_source_scorecard" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars").cast("double")) + 1e-12, 2).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+      val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))
+      val dupDocs = pairs.select(col("d1").as("doc_id"))
+        .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+        .join(src, "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+      val refSrc = Seq("src0", "src1", "src2", "src3")
+      val refSh = explodeShingles(shingleArrays(
+          docs.filter(col("source").isin(refSrc: _*))))
+        .select(col("sh")).distinct().withColumn("seen", lit(1L))
+      val novelty = explodeShingles(shingleArrays(
+          docs.filter(!col("source").isin(refSrc: _*))))
+        .hint("shuffle_hash").join(refSh, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(round(avg(col("n_novel").cast("double") / col("n_sh")) + 1e-12, 4)
+          .as("avg_novelty"))
+      base
+        .join(dupDocs, Seq("source"), "left")
+        .join(novelty, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("avg_chars"), col("n_langs"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs")
+            + 1e-12, 4).as("dup_rate"),
+          col("avg_novelty"))
+        .orderBy(col("source"))
+    }),
+
     /** Survivor-policy agreement audit — how much does the dedup
       * KEEP RULE actually matter? Three policies pick a survivor per
       * q93 cluster (keep-FIRST = min id, keep-LONGEST = max chars
@@ -1111,6 +1155,56 @@ object TextDedup {
          |FROM p3
          |ORDER BY doc_id NULLS FIRST""".stripMargin
     },
+
+    "q221_source_scorecard" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |dup AS (
+         |  SELECT d.source, count(*) AS n_dup FROM (
+         |    SELECT d1 AS doc_id FROM pairs
+         |    UNION SELECT d2 FROM pairs) u
+         |  JOIN documents d ON d.doc_id = u.doc_id
+         |  GROUP BY 1),
+         |sh0n AS ($duckShingles),
+         |refsh AS (
+         |  SELECT DISTINCT s.sh FROM sh0n s
+         |  JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+         |snap AS (
+         |  SELECT s.doc_id, s.sh FROM sh0n s
+         |  JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')),
+         |per AS (
+         |  SELECT snap.doc_id, count(*) AS n_sh,
+         |  sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |  FROM snap LEFT JOIN refsh r ON r.sh = snap.sh
+         |  GROUP BY 1),
+         |nov AS (
+         |  SELECT d.source,
+         |  round(avg(n_novel * 1.0 / n_sh) + 1e-12, 4) AS avg_novelty
+         |  FROM per JOIN documents d ON d.doc_id = per.doc_id
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(CAST(n_chars AS DOUBLE)) + 1e-12, 2) AS avg_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.avg_chars, b.n_langs,
+         |round(coalesce(dup.n_dup, 0) * 1.0 / b.n_docs + 1e-12, 4) AS dup_rate,
+         |nov.avg_novelty
+         |FROM base b
+         |LEFT JOIN dup ON dup.source = b.source
+         |LEFT JOIN nov ON nov.source = b.source
+         |ORDER BY b.source NULLS FIRST""".stripMargin,
 
     "q220_survivor_policies" ->
       s"""WITH RECURSIVE
