@@ -853,11 +853,16 @@ object Statistics {
       }
       val mrQ = midranks("l_quantity", "mr_qty")
       val mrP = midranks("l_extendedprice", "mr_price")
+      // join ORDER matters: price midranks first (high-cardinality
+      // (g, price) keys distribute the 600k-row shuffle evenly), then
+      // the ~150-row quantity table by BROADCAST — the old
+      // quantity-first order funneled the full fact shuffle onto 150
+      // keys for no benefit
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           col("l_quantity").as("qv"), col("l_extendedprice").as("pv"))
-        .join(mrQ.withColumnRenamed("v", "qv"), Seq("g", "qv"))
         .join(mrP.withColumnRenamed("v", "pv"), Seq("g", "pv"))
+        .join(broadcast(mrQ.withColumnRenamed("v", "qv")), Seq("g", "qv"))
         .groupBy(col("g").as("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           r6(corr(col("mr_qty"), col("mr_price"))).as("spearman"),
