@@ -979,6 +979,34 @@ object Statistics {
             .as("gini"))
     }),
 
+    /** Revenue Lorenz curve — "the top 10% of orders carry X% of
+      * revenue" at each decile, the actionable view of q215's scalar
+      * Gini. Prices convert to EXACT integer cents (floor(p·100+0.5),
+      * the cross-engine integer-rounding stance), so the descending
+      * cumulative revenue and the order counter ride ONE
+      * [[GlobalRank.withRunningSums]] range exchange with integer
+      * state; decile rows pick out by exact integer rank match
+      * against the one-row total fold (broadcast, allowlisted
+      * class). */
+    "q222_revenue_lorenz" -> ((s: SparkSession, dir: String) => {
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          lit(1L).as("one"))
+      val cum = GlobalRank.withRunningSums(ord,
+        Seq((-col("cents")).as("negc"), col("o_orderkey")),
+        Seq("cents" -> "cum_rev", "one" -> "rn"))
+      val tot = ord.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      val targets = tot
+        .select(col("n"), col("total"), explode(expr("sequence(1, 10)")).as("k"))
+        .select(col("k").cast("long").as("decile"),
+          expr("CAST((k * n) DIV 10 AS BIGINT)").as("rn"), col("total"))
+      cum.join(broadcast(targets), "rn")
+        .select(col("decile"), col("rn").as("n_orders"),
+          r6(col("cum_rev").cast("double") / col("total")).as("rev_share"))
+        .orderBy(col("decile"))
+    }),
+
     /** Kaplan-Meier signup→purchase survival curve — time-to-convert
       * WITH censoring, which q208's converted-only percentiles cannot
       * see (users who never purchased still carry information up to
@@ -1908,6 +1936,25 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q222_revenue_lorenz" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cum AS (
+        |  SELECT row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn,
+        |  sum(cents) OVER (ORDER BY cents DESC, o_orderkey) AS cum_rev
+        |  FROM ord),
+        |tot AS (SELECT count(*) AS n, sum(cents) AS total FROM ord),
+        |targets AS (
+        |  SELECT CAST(g.k AS BIGINT) AS decile, (g.k * t.n) // 10 AS rn,
+        |  t.total
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS k) g, tot t)
+        |SELECT tg.decile, CAST(c.rn AS BIGINT) AS n_orders,
+        |round(c.cum_rev / CAST(tg.total AS DOUBLE), 6) AS rev_share
+        |FROM cum c JOIN targets tg ON tg.rn = c.rn
+        |ORDER BY tg.decile NULLS FIRST""".stripMargin,
 
     "q215_gini_activity" ->
       """WITH x AS (
