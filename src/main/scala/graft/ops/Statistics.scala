@@ -957,6 +957,69 @@ object Statistics {
                   (col("n1") + col("n2") - 1.0))))).as("z"))
     }),
 
+    /** DAU/WAU stickiness — daily actives over trailing-7-day actives
+      * per day, the canonical engagement ratio. Exact distinct users
+      * per rolling window WITHOUT a window function: each (user, day)
+      * active pair replicates to the ≤ 7 window-END days it counts
+      * toward (the q201 gap-explode stance — a 7× blowup of the
+      * already-aggregated pairs, not of raw events), then one
+      * countDistinct per window day. Shuffles are keyed on the day —
+      * cardinality grows with the span, never one task per metric. */
+    "q223_stickiness" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val active = Tables(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+        .distinct()
+        .cache()
+      val span = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val dau = active.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = active.join(broadcast(span))
+        .select(col("user_id"),
+          explode(expr("sequence(day, least(day + 6, d1))")).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .join(broadcast(span))
+        .filter(col("day") >= col("d0") + 6) // full windows only
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau") + 1e-12, 4)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    /** Naive lag-1 forecast error per event type — the baseline every
+      * forecasting effort must beat (and the drift signal when it
+      * suddenly degrades): predict each hour's count with the
+      * previous hour's, report MAE and sMAPE over the dense hourly
+      * grid (missing hours are true zeros, so a quiet-hour gap is a
+      * real forecast miss, not a skipped row). One (type, hour+1)
+      * self-pairing equi-join on the aggregated series — the q165/
+      * q189 pairing shape, shuffles keyed on (type, hour). */
+    "q224_naive_forecast" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+          .cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val dense = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .cache()
+      val prev = dense.select(col("event_type"), (col("hr") + 1).as("hr"),
+        col("c").as("c_prev"))
+      dense.join(prev, Seq("event_type", "hr"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(avg(abs(col("c") - col("c_prev")).cast("double")) + 1e-12, 4)
+            .as("mae"),
+          round(avg(when(col("c") + col("c_prev") > 0,
+            abs(col("c") - col("c_prev")).cast("double") * 2.0 /
+              (col("c") + col("c_prev")).cast("double")).otherwise(lit(0.0)))
+            + 1e-12, 6).as("smape"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Gini concentration of user activity — the inequality summary
       * behind "10% of users generate 90% of events": G =
       * (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over the ascending-sorted
@@ -1936,6 +1999,50 @@ object Statistics {
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
         |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
         |FROM folded""".stripMargin,
+
+    "q223_stickiness" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM active),
+        |dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM active GROUP BY 1),
+        |wx AS (
+        |  SELECT a.user_id,
+        |  unnest(generate_series(a.day, least(a.day + 6, s.d1))) AS day
+        |  FROM active a, span s),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM wx GROUP BY 1)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |CAST(w.wau AS BIGINT) AS wau,
+        |round(d.dau * 1.0 / w.wau + 1e-12, 4) AS stickiness
+        |FROM dau d JOIN wau w ON w.day = d.day, span s
+        |WHERE d.day >= s.d0 + 6
+        |ORDER BY d.day NULLS FIRST""".stripMargin,
+
+    "q224_naive_forecast" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM hourly GROUP BY event_type),
+        |dense AS (
+        |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hr = g.hr),
+        |paired AS (
+        |  SELECT a.event_type, a.c, b.c AS c_prev
+        |  FROM dense a JOIN dense b
+        |    ON b.event_type = a.event_type AND b.hr = a.hr - 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |round(avg(CAST(abs(c - c_prev) AS DOUBLE)) + 1e-12, 4) AS mae,
+        |round(avg(CASE WHEN c + c_prev > 0
+        |  THEN abs(c - c_prev) * 2.0 / (c + c_prev) ELSE 0.0 END) + 1e-12, 6)
+        |  AS smape
+        |FROM paired GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q222_revenue_lorenz" ->
       """WITH ord AS (
