@@ -966,6 +966,30 @@ object Extended {
         .limit(20)
     }),
 
+    /** Basket-size economics — revenue by lineitems-per-order: do
+      * bigger baskets carry the business? Two map-side-combined
+      * aggregates (order rollup, then size rollup) and a one-row
+      * total fold carried through the TINY size table as a broadcast
+      * (size cardinality is bounded by the basket domain). Average
+      * revenue per order is a small-denominator rational at small
+      * sf — +1e-12-nudged on both engines. */
+    "q225_basket_economics" -> ((s: SparkSession, dir: String) => {
+      val perOrder = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("basket_size"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .cache()
+      val bySize = perOrder.groupBy(col("basket_size"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("rev")).as("size_rev"))
+      val total = perOrder.agg(sum(col("rev")).as("total_rev"))
+      bySize.join(broadcast(total))
+        .select(col("basket_size"), col("n_orders"),
+          r2(col("size_rev")).as("revenue"),
+          round(col("size_rev") / col("n_orders") + 1e-12, 2).as("avg_order_rev"),
+          r6(col("size_rev") / col("total_rev")).as("rev_share"))
+        .orderBy(col("basket_size"))
+    }),
+
     /** Discount elasticity per part type — does a deeper discount
       * actually move quantity? regr_slope(quantity, discount) per
       * p_type with the r² alongside so a non-relationship reads as
@@ -1599,6 +1623,20 @@ object Extended {
         |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
         |  p_type NULLS FIRST, p_size NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q225_basket_economics" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*) AS basket_size,
+        |  sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |total AS (SELECT sum(rev) AS total_rev FROM per_order)
+        |SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+        |round(sum(rev), 2) AS revenue,
+        |round(sum(rev) / count(*) + 1e-12, 2) AS avg_order_rev,
+        |round(sum(rev) / max(t.total_rev), 6) AS rev_share
+        |FROM per_order, total t
+        |GROUP BY 1
+        |ORDER BY basket_size NULLS FIRST""".stripMargin,
 
     "q217_discount_elasticity" ->
       """SELECT p_type, CAST(count(*) AS BIGINT) AS n,

@@ -126,7 +126,9 @@ class PlanQualitySpec extends SparkSuite {
     "q205_ann_recall",
     // q216: the broadcast sides are the ONE-ROW censoring-time,
     // total-count, and max-death-hour folds — provably 1 row each
-    "q216_km_survival")
+    "q216_km_survival",
+    // q225: the broadcast side is the ONE-ROW total-revenue fold
+    "q225_basket_economics")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
