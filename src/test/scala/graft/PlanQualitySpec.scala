@@ -128,7 +128,10 @@ class PlanQualitySpec extends SparkSuite {
     // total-count, and max-death-hour folds — provably 1 row each
     "q216_km_survival",
     // q225: the broadcast side is the ONE-ROW total-revenue fold
-    "q225_basket_economics")
+    "q225_basket_economics",
+    // q223: the broadcast side is the ONE-ROW (d0, d1) span fold —
+    // provably 1 row at any sf
+    "q223_stickiness")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
