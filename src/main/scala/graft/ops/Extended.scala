@@ -966,6 +966,81 @@ object Extended {
         .limit(20)
     }),
 
+    /** Supply concentration per part type — the supplier-side HHI
+      * (Σ share² over supplier quantity shares) with the top-1 share
+      * alongside: a type sourced 0.9 from one supplier is a
+      * single-point-of-failure, whatever its supplier COUNT says.
+      * Two map-side-combined rollups ((type, supplier), then type) —
+      * the HHI folds from Σq² and (Σq)² without materializing
+      * shares, and the top-1 share is the q203-stance two-aggregate
+      * argmax. All integer sums until the final ratios. */
+    "q226_supply_concentration" -> ((s: SparkSession, dir: String) => {
+      val bySupp = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .cache()
+      val byType = bySupp.groupBy(col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          sum(col("q")).as("qt"), sum(col("q") * col("q")).as("q2"),
+          max(col("q")).as("qmax"))
+      byType.select(col("p_type"), col("n_suppliers"),
+          r6(col("q2") / (col("qt") * col("qt"))).as("hhi"),
+          r6(col("qmax") / col("qt")).as("top1_share"))
+        .orderBy(col("p_type"))
+    }),
+
+    /** New-part census — parts whose FIRST shipment falls in the last
+      * quarter of the observed span, by brand: the assortment-growth
+      * view (which brands are actually launching). Per-part first
+      * ship date is one map-side-combined min; the span cutoff is a
+      * one-row fold broadcast (allowlisted class); integer-exact
+      * comparisons throughout. */
+    "q227_new_parts" -> ((s: SparkSession, dir: String) => {
+      val firstShip = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(min(unix_micros(col("l_shipdate"))).as("first_us"))
+      val span = Tables(s, dir, "lineitem")
+        .agg(min(unix_micros(col("l_shipdate"))).as("s0"),
+          max(unix_micros(col("l_shipdate"))).as("s1"))
+        // DIV: Spark's `/` is fractional division — a .75 cutoff vs
+        // DuckDB's floored integer would flip boundary parts
+        .select(expr("(s0 * 1 + s1 * 3) DIV 4").as("cutoff"))
+      firstShip.join(broadcast(span))
+        .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("first_us") >= col("cutoff"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("p_brand"), col("n_parts"), col("n_new"),
+          round(col("n_new").cast("double") / col("n_parts") + 1e-12, 4)
+            .as("new_rate"))
+        .orderBy(col("p_brand"))
+    }),
+
+    /** Price dispersion audit — the top-15 parts by unit-price
+      * coefficient of variation across their lineitems: high CV means
+      * inconsistent pricing (or data quality trouble) for the same
+      * part. One map-side-combined moment aggregate per part; the
+      * top-k ranks on the r6-rounded CV with the part-key tie-break
+      * (the cross-engine float-ranking stance) and plans as
+      * TakeOrderedAndProject. */
+    "q228_price_dispersion" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), avg(col("unit")).as("mu"),
+          stddev_samp(col("unit")).as("sd"))
+        .filter(col("n") >= 5 && col("mu") > 0)
+        .select(col("l_partkey"), col("n"), r2(col("mu")).as("mean_unit_price"),
+          r6(col("sd") / col("mu")).as("cv"))
+        .orderBy(desc("cv"), asc("l_partkey"))
+        .limit(15)
+    }),
+
     /** Basket-size economics — revenue by lineitems-per-order: do
       * bigger baskets carry the business? Two map-side-combined
       * aggregates (order rollup, then size rollup) and a one-row
@@ -1623,6 +1698,50 @@ object Extended {
         |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
         |  p_type NULLS FIRST, p_size NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "q226_supply_concentration" ->
+      """WITH by_supp AS (
+        |  SELECT p_type, l_suppkey, sum(l_quantity) AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |round(sum(q * q) / (sum(q) * sum(q)), 6) AS hhi,
+        |round(max(q) / sum(q), 6) AS top1_share
+        |FROM by_supp GROUP BY 1
+        |ORDER BY p_type NULLS FIRST""".stripMargin,
+
+    "q227_new_parts" ->
+      """WITH first_ship AS (
+        |  SELECT l_partkey, min(epoch_us(l_shipdate)) AS first_us
+        |  FROM lineitem GROUP BY 1),
+        |span AS (
+        |  SELECT (min(epoch_us(l_shipdate)) * 1 + max(epoch_us(l_shipdate)) * 3)
+        |    // 4 AS cutoff
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |CAST(sum(CASE WHEN first_us >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_new,
+        |round(sum(CASE WHEN first_us >= cutoff THEN 1 ELSE 0 END) * 1.0
+        |  / count(*) + 1e-12, 4) AS new_rate
+        |FROM first_ship
+        |JOIN part ON p_partkey = l_partkey, span
+        |GROUP BY 1
+        |ORDER BY p_brand NULLS FIRST""".stripMargin,
+
+    "q228_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey, l_extendedprice / l_quantity AS unit
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_partkey, count(*) AS n, avg(unit) AS mu,
+        |  stddev_samp(unit) AS sd
+        |  FROM u GROUP BY 1
+        |  HAVING count(*) >= 5 AND avg(unit) > 0)
+        |SELECT l_partkey, CAST(n AS BIGINT) AS n,
+        |round(mu, 2) AS mean_unit_price, round(sd / mu, 6) AS cv
+        |FROM m
+        |ORDER BY round(sd / mu, 6) DESC NULLS LAST, l_partkey NULLS FIRST
+        |LIMIT 15""".stripMargin,
 
     "q225_basket_economics" ->
       """WITH per_order AS (

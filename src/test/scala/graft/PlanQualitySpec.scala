@@ -131,7 +131,9 @@ class PlanQualitySpec extends SparkSuite {
     "q225_basket_economics",
     // q223: the broadcast side is the ONE-ROW (d0, d1) span fold —
     // provably 1 row at any sf
-    "q223_stickiness")
+    "q223_stickiness",
+    // q227: the broadcast side is the ONE-ROW span-cutoff fold
+    "q227_new_parts")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
