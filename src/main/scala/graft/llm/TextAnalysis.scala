@@ -146,9 +146,19 @@ object TextAnalysis {
       * fertility is a multiple of English's — exactly what this
       * surfaces). One regexp projection per row, one aggregate per
       * lang: scan-speed at any scale, no exchange beyond the
-      * lang-keyed combine. */
+      * lang-keyed combine.
+      *
+      * Cross-engine portability, both learned the hard way in r7:
+      * the space class is spelled as an explicit ASCII set
+      * ([ \t\n\f\r]) because Java's \s and RE2's \s disagree at the
+      * edges (U+000B et al.), and both ratio columns divide INTEGER
+      * TOTALS once (sum(nt)/sum(nc)) — a per-row avg() of double
+      * ratios is an unordered float fold whose last ulp depends on
+      * combine order, so two engines can round 6 decimals apart. The
+      * single division plus the repo's +1e-12 nudge (r6n convention,
+      * CorpusOps) is order-independent and grid-stable. */
     "q202_fertility" -> ((s: SparkSession, dir: String) => {
-      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
       Tables(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("lang"), length(col("text")).cast("long").as("nc"),
@@ -158,8 +168,10 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nc")).as("total_chars"),
           sum(col("nt")).as("total_tokens"),
-          r6(avg(col("nt").cast("double") * 100.0 / col("nc"))).as("tokens_per_100ch"),
-          r6(sum(col("nc")).cast("double") / sum(col("nt"))).as("chars_per_token"))
+          round(sum(col("nt")).cast("double") * 100.0 / sum(col("nc")) + 1e-12, 6)
+            .as("tokens_per_100ch"),
+          round(sum(col("nc")).cast("double") / sum(col("nt")) + 1e-12, 6)
+            .as("chars_per_token"))
         .orderBy(col("lang"))
     }),
 
@@ -652,12 +664,13 @@ object TextAnalysis {
       """WITH t AS (
         |  SELECT lang, CAST(len(text) AS BIGINT) AS nc,
         |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS nt
         |  FROM documents WHERE text IS NOT NULL AND len(text) > 0)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |sum(nc) AS total_chars, sum(nt) AS total_tokens,
-        |round(avg(nt * 100.0 / nc), 6) AS tokens_per_100ch,
-        |round(sum(nc) / CAST(sum(nt) AS DOUBLE), 6) AS chars_per_token
+        |round(CAST(sum(nt) AS DOUBLE) * 100.0 / sum(nc) + 1e-12, 6)
+        |  AS tokens_per_100ch,
+        |round(CAST(sum(nc) AS DOUBLE) / sum(nt) + 1e-12, 6) AS chars_per_token
         |FROM t GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
