@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r6}
+import graft.{Q, Tables, r6, r2n, r4n, r6n}
 
 /** Corpus-assembly operators: the steps between a curated document set
   * and training-ready shards — sequence packing, PII redaction,
@@ -276,7 +276,7 @@ object CorpusOps {
       val corp = shares(docs.filter(col("doc_id") % 10 =!= 0), "n_corp", "q")
       snap.join(corp, Seq("source"), "full_outer")
         .select(col("source"), col("n_snap"), col("n_corp"),
-          r6(col("p")).as("snap_share"), r6(col("q")).as("corp_share"),
+          r6n(col("p")).as("snap_share"), r6n(col("q")).as("corp_share"),
           r6(col("p") * log(col("p") / col("q"))).as("kl_term"))
         .orderBy(col("source"))
     }),
@@ -396,7 +396,7 @@ object CorpusOps {
           "user_id", "c_user", "ts", "c_ts")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("c_id").as("asof_click_id"),
-          graft.r6(col("ts").cast("double") - col("c_ts").cast("double"))
+          graft.r6n(col("ts").cast("double") - col("c_ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
     }),
@@ -418,7 +418,7 @@ object CorpusOps {
           "user_id", "c_user", "ts", "c_ts")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("c_id").as("asof_click_id"),
-          graft.r6(col("c_ts").cast("double") - col("ts").cast("double"))
+          graft.r6n(col("c_ts").cast("double") - col("ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
     }),
@@ -439,7 +439,7 @@ object CorpusOps {
           "user_id", "c_user", "ts", "c_ts")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("c_id").as("asof_click_id"),
-          graft.r6(abs(col("ts").cast("double") - col("c_ts").cast("double")))
+          graft.r6n(abs(col("ts").cast("double") - col("c_ts").cast("double")))
             .as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
     }),
@@ -465,7 +465,7 @@ object CorpusOps {
           "user_id", "c_user", "ts", "c_ts", tolerance = Some(3600e6 /* 1h in µs */))
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("c_id").as("asof_click_id"),
-          graft.r6(col("ts").cast("double") - col("c_ts").cast("double"))
+          graft.r6n(col("ts").cast("double") - col("c_ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
     }),
@@ -481,7 +481,7 @@ object CorpusOps {
       graft.streaming.EventStreams
         .purchaseClickAttributionBatch(Tables(s, dir, "events"))
         .select(col("purchase_id"), col("user_id"), col("click_id"),
-          graft.r6(col("p_ts").cast("double") - col("c_ts").cast("double"))
+          graft.r6n(col("p_ts").cast("double") - col("c_ts").cast("double"))
             .as("gap_sec"))
         .orderBy(col("purchase_id"), col("click_id"))
     }),
@@ -707,8 +707,8 @@ object CorpusOps {
         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 10 = 0),
         |nc AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 10 <> 0)
         |SELECT source, n_snap, n_corp,
-        |round(n_snap / ns.t, 6) AS snap_share,
-        |round(n_corp / nc.t, 6) AS corp_share,
+        |round(n_snap / ns.t + 1e-12, 6) AS snap_share,
+        |round(n_corp / nc.t + 1e-12, 6) AS corp_share,
         |round((n_snap / ns.t) * ln((n_snap / ns.t) / (n_corp / nc.t)), 6) AS kl_term
         |FROM snap FULL OUTER JOIN corp USING (source), ns, nc
         |ORDER BY source NULLS FIRST""".stripMargin,
@@ -770,7 +770,7 @@ object CorpusOps {
     "q99_asof_native" ->
       """SELECT p.user_id, p.event_id AS purchase_id,
         |c.event_id AS asof_click_id,
-        |round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec
+        |round(epoch(p.ts) - epoch(c.ts) + 1e-12, 6) AS gap_sec
         |FROM (SELECT user_id, ts, event_id FROM events
         |      WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
@@ -781,7 +781,7 @@ object CorpusOps {
     "q106_asof_forward" ->
       """SELECT p.user_id, p.event_id AS purchase_id,
         |c.event_id AS asof_click_id,
-        |round(epoch(c.ts) - epoch(p.ts), 6) AS gap_sec
+        |round(epoch(c.ts) - epoch(p.ts) + 1e-12, 6) AS gap_sec
         |FROM (SELECT user_id, ts, event_id FROM events
         |      WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
@@ -798,7 +798,7 @@ object CorpusOps {
       """SELECT user_id, purchase_id, asof_click_id, gap_sec FROM (
         |  SELECT p.user_id, p.event_id AS purchase_id,
         |  c.event_id AS asof_click_id,
-        |  round(abs(epoch(p.ts) - epoch(c.ts)), 6) AS gap_sec,
+        |  round(abs(epoch(p.ts) - epoch(c.ts)) + 1e-12, 6) AS gap_sec,
         |  row_number() OVER (PARTITION BY p.event_id
         |    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) NULLS LAST,
         |             c.ts NULLS LAST) AS rn
@@ -817,7 +817,7 @@ object CorpusOps {
       """SELECT user_id, purchase_id, asof_click_id, gap_sec FROM (
         |  SELECT p.user_id, p.event_id AS purchase_id,
         |  c.event_id AS asof_click_id,
-        |  round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec,
+        |  round(epoch(p.ts) - epoch(c.ts) + 1e-12, 6) AS gap_sec,
         |  row_number() OVER (PARTITION BY p.event_id
         |    ORDER BY c.ts DESC NULLS LAST) AS rn
         |  FROM (SELECT user_id, ts, event_id FROM events
@@ -831,7 +831,7 @@ object CorpusOps {
 
     "q100_click_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
-        |round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec
+        |round(epoch(p.ts) - epoch(c.ts) + 1e-12, 6) AS gap_sec
         |FROM events p JOIN events c
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts

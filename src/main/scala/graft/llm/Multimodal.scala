@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r6}
+import graft.{Q, Tables, r6, r2n, r4n, r6n}
 
 /** Multimodal-column plumbing: media as opaque binary columns with
   * typed metadata, decoded / feature-extracted in distributed batches.
@@ -392,7 +392,7 @@ object Multimodal {
         .select(col("doc_id"), col("n_frames"),
           explode(expr("sequence(0L, n_frames - 1, 2L)")).as("frame_idx"))
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-          round(pmod(col("doc_id") * (col("frame_idx") + 1), lit(97L)) / 97.0, 6)
+          round(pmod(col("doc_id") * (col("frame_idx") + 1), lit(97L)) / 97.0 + 1e-12, 6)
             .as("frame_feature"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
@@ -408,7 +408,7 @@ object Multimodal {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          round(element_at(col("features"), 1).cast("double") + 1e-12, 6).as("f0"))
         .orderBy(col("doc_id"))
     }),
 
@@ -535,7 +535,7 @@ object Multimodal {
         "aggregate(smp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(smp)")
       base
         .select(col("doc_id"), col("n16").as("n_samples"),
-          r6(sqrt(sumSq / col("n16"))).as("rms"),
+          r6n(sqrt(sumSq / col("n16"))).as("rms"),
           expr("array_max(transform(smp, x -> abs(x)))").cast("long").as("peak"),
           mean.as("m"), col("smp"))
         .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
@@ -635,7 +635,7 @@ object Multimodal {
 
     "q62_frame_sample" ->
       """SELECT doc_id, n_frames, i AS frame_idx,
-        |round((doc_id * (i + 1)) % 97 / 97.0, 6) AS frame_feature
+        |round((doc_id * (i + 1)) % 97 / 97.0 + 1e-12, 6) AS frame_feature
         |FROM (SELECT doc_id,
         |      1 + octet_length(cast(text AS BLOB)) % 16 AS n_frames
         |      FROM documents),
@@ -659,7 +659,7 @@ object Multimodal {
         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
         |CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
         |CAST(1 + checksum % 16 AS BIGINT) AS n_frames,
-        |round(CAST(CAST(checksum % 97 AS REAL) / CAST(97 AS REAL) AS DOUBLE), 6) AS f0
+        |round(CAST(CAST(checksum % 97 AS REAL) / CAST(97 AS REAL) AS DOUBLE) + 1e-12, 6) AS f0
         |FROM f
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
@@ -726,7 +726,7 @@ object Multimodal {
         |SELECT doc_id, CAST(n16 AS BIGINT) AS n_samples,
         |round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(smp, x -> CAST(x AS DOUBLE) * x)),
-        |  (acc, x) -> acc + x) / n16), 6) AS rms,
+        |  (acc, x) -> acc + x) / n16) + 1e-12, 6) AS rms,
         |CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
         |CAST(CASE WHEN n16 >= 2 THEN
         |  len(list_filter(generate_series(2, CAST(n16 AS INT)),

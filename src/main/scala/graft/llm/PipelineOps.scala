@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** End-to-end training-data curation operators a 100 TB pipeline needs
   * beyond raw dedup detection: applying a dedup keep-list, chunk-level
@@ -94,7 +94,7 @@ object PipelineOps {
       Tables(s, dir, "documents")
         .filter(substring(sha2(col("text"), 256), 1, 1) < "4")
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_sampled"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .agg(count(lit(1)).as("n_sampled"), r2n(avg(col("n_chars"))).as("avg_chars"))
         .orderBy(col("lang"))
     }),
 
@@ -132,7 +132,7 @@ object PipelineOps {
         .select(col("lang"), col("n_chars"),
           when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").as("split"))
         .groupBy(col("split"), col("lang"))
-        .agg(count(lit(1)).as("n"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .agg(count(lit(1)).as("n"), r2n(avg(col("n_chars"))).as("avg_chars"))
         .orderBy(col("split"), col("lang"))
     }),
 
@@ -229,7 +229,7 @@ object PipelineOps {
       docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars") >= col("p25") && col("n_chars") <= col("p75"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_in_band"), r2(avg(col("n_chars"))).as("avg_chars"))
+        .agg(count(lit(1)).as("n_in_band"), r2n(avg(col("n_chars"))).as("avg_chars"))
         .orderBy(col("lang"))
     })
   )
@@ -276,7 +276,7 @@ object PipelineOps {
 
     "q78_hash_sample" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
-        |round(avg(n_chars), 2) AS avg_chars
+        |round(avg(n_chars) + 1e-12, 2) AS avg_chars
         |FROM documents
         |WHERE substr(sha256(text), 1, 1) < '4'
         |GROUP BY lang
@@ -305,7 +305,7 @@ object PipelineOps {
         |            WHEN h1 < 'e' THEN 'val'
         |            ELSE 'test' END AS split,
         |lang, CAST(count(*) AS BIGINT) AS n,
-        |round(avg(n_chars), 2) AS avg_chars
+        |round(avg(n_chars) + 1e-12, 2) AS avg_chars
         |FROM (SELECT lang, n_chars,
         |      substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) AS h1
         |      FROM documents)
@@ -366,7 +366,7 @@ object PipelineOps {
       """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS p25,
         |                  quantile_cont(n_chars, 0.75) AS p75 FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_in_band,
-        |round(avg(n_chars), 2) AS avg_chars
+        |round(avg(n_chars) + 1e-12, 2) AS avg_chars
         |FROM documents, b
         |WHERE n_chars >= p25 AND n_chars <= p75
         |GROUP BY lang

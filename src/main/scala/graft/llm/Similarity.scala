@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Similarity search over the embeddings table (ArrayType(FloatType),
   * 64-dim): brute-force cosine top-k as the exact baseline, a k-NN

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Text-analysis operators for training-data curation: token statistics,
   * quality scoring (length / stopword / lexical-diversity signals, after
@@ -279,7 +279,7 @@ object TextAnalysis {
         .join(enc, Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"),
-          r4(sum(col("n_sym")).cast("double") / count(lit(1))).as("sym_per_word"))
+          r4n(sum(col("n_sym")).cast("double") / count(lit(1))).as("sym_per_word"))
         .orderBy(col("doc_id"))
     }),
 
@@ -374,8 +374,8 @@ object TextAnalysis {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
-          r4(avg(col("n_tok"))).as("avg_tokens"),
-          r4(avg(col("n_chars"))).as("avg_chars"),
+          r4n(avg(col("n_tok"))).as("avg_tokens"),
+          r4n(avg(col("n_chars"))).as("avg_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
     }),
@@ -391,9 +391,9 @@ object TextAnalysis {
         .select(col("doc_id"),
           nTokens.as("n_tokens"),
           nUniq.as("n_uniq"),
-          r4(nUniq / nTokens.cast("double")).as("ttr"),
-          r6(nStop / nTokens.cast("double")).as("stop_ratio"),
-          r4(charsNoSpace / nTokens.cast("double")).as("avg_tok_len"),
+          r4n(nUniq / nTokens.cast("double")).as("ttr"),
+          r6n(nStop / nTokens.cast("double")).as("stop_ratio"),
+          r4n(charsNoSpace / nTokens.cast("double")).as("avg_tok_len"),
           // + 1e-12 pushes exact round-half ties (possible for these
           // small-denominator rationals) off the boundary the same way
           // in both engines — Spark's BigDecimal HALF_UP and DuckDB's
@@ -416,7 +416,7 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_ws")).as("ws_tokens"),
           sum(col("n_bpe")).as("bpe_tokens"),
-          r4(avg(col("n_bpe") / col("n_ws").cast("double"))).as("bpe_per_ws"))
+          r4n(avg(col("n_bpe") / col("n_ws").cast("double"))).as("bpe_per_ws"))
         .orderBy(col("source"))
     }),
 
@@ -463,8 +463,8 @@ object TextAnalysis {
         (col("fn") + col("tn")).cast("double") * (col("fp") + col("tn"))) /
         (col("n").cast("double") * col("n"))
       c.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
-        r6(po).as("accuracy"),
-        r6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+        r6n(po).as("accuracy"),
+        r6n((po - pe) / (lit(1.0) - pe)).as("kappa"))
     }),
 
     /** Vocabulary encoding — the tokenizer-id path of a training
@@ -705,7 +705,7 @@ object TextAnalysis {
          |  WHERE len(w) > 0)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |CAST(sum(n_sym) AS BIGINT) AS n_bpe,
-         |round(sum(n_sym) * 1.0 / count(*), 4) AS sym_per_word
+         |round(sum(n_sym) * 1.0 / count(*) + 1e-12, 4) AS sym_per_word
          |FROM tw JOIN enc USING (w)
          |GROUP BY doc_id
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
@@ -748,11 +748,11 @@ object TextAnalysis {
         |  CAST(sum(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM t)
         |SELECT n, tp, fp, fn, tn,
-        |round((tp + tn) * 1.0 / n, 6) AS accuracy,
+        |round((tp + tn) * 1.0 / n + 1e-12, 6) AS accuracy,
         |round(((tp + tn) * 1.0 / n -
         |  ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (n * 1.0 * n)) /
-        |  (1.0 - ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (n * 1.0 * n)),
-        |  6) AS kappa
+        |  (1.0 - ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (n * 1.0 * n))
+        |  + 1e-12, 6) AS kappa
         |FROM c""".stripMargin,
 
     "q146_zipf_slope" ->
@@ -818,8 +818,8 @@ object TextAnalysis {
     "q38_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |cast(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
-        |round(avg(len(string_split(text,' '))),4) AS avg_tokens,
-        |round(avg(n_chars),4) AS avg_chars,
+        |round(avg(len(string_split(text,' '))) + 1e-12,4) AS avg_tokens,
+        |round(avg(n_chars) + 1e-12,4) AS avg_chars,
         |count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
@@ -827,9 +827,9 @@ object TextAnalysis {
     "q39_text_quality" ->
       """SELECT doc_id,
         |cast(nt AS BIGINT) AS n_tokens, cast(nu AS BIGINT) AS n_uniq,
-        |round(nu*1.0/nt, 4) AS ttr,
-        |round(ns*1.0/nt, 6) AS stop_ratio,
-        |round(cns*1.0/nt, 4) AS avg_tok_len,
+        |round(nu*1.0/nt + 1e-12, 4) AS ttr,
+        |round(ns*1.0/nt + 1e-12, 6) AS stop_ratio,
+        |round(cns*1.0/nt + 1e-12, 4) AS avg_tok_len,
         |round(0.5*(nu*1.0/nt) + 0.3*(1.0 - ns*1.0/nt) + 0.2*least(nt/100.0, 1.0) + 1e-12, 4) AS quality_score
         |FROM (
         |  SELECT doc_id,
@@ -844,7 +844,7 @@ object TextAnalysis {
       """SELECT source, count(*) AS n_docs,
         |cast(sum(n_ws) AS BIGINT) AS ws_tokens,
         |cast(sum(n_bpe) AS BIGINT) AS bpe_tokens,
-        |round(avg(n_bpe*1.0/n_ws),4) AS bpe_per_ws
+        |round(avg(n_bpe*1.0/n_ws) + 1e-12,4) AS bpe_per_ws
         |FROM (SELECT source, len(string_split(text,' ')) AS n_ws,
         |      cast(ceil(length(text)/4.0) AS BIGINT) AS n_bpe FROM documents)
         |GROUP BY source

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (group-by / content-hash), n-gram Jaccard (inverted-index
@@ -249,7 +249,7 @@ object TextDedup {
     degStats.join(tri, "k").drop("k")
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") > 0,
-          r6(lit(3.0) * col("n_triangles") / col("n_wedges")))
+          r6n(lit(3.0) * col("n_triangles") / col("n_wedges")))
           .as("global_cc"))
   }
 
@@ -284,7 +284,7 @@ object TextDedup {
       * see [[cappedIndex]]); q35 is the banded linear-cost path. */
     "q34_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
       jaccardPairs(Tables(s, dir, "documents"), 0.5)
-        .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
+        .select(col("d1"), col("d2"), r4n(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -312,8 +312,8 @@ object TextDedup {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
         .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
         .select(col("d1"), col("d2"),
-          r4(col("inter") / col("n1")).as("cont_d1"),
-          r4(col("inter") / col("n2")).as("cont_d2"))
+          r4n(col("inter") / col("n1")).as("cont_d1"),
+          r4n(col("inter") / col("n2")).as("cont_d2"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -385,8 +385,8 @@ object TextDedup {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
         .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
         .select(col("d1"), col("d2"),
-          r4(col("inter") / col("n1")).as("cont_d1"),
-          r4(col("inter") / col("n2")).as("cont_d2"))
+          r4n(col("inter") / col("n1")).as("cont_d1"),
+          r4n(col("inter") / col("n2")).as("cont_d2"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -447,7 +447,7 @@ object TextDedup {
         .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       jaccardOf(inter, shingleSizes(arr), 0.8)
-        .select(col("d1"), col("d2"), r4(col("jac")).as("jaccard"))
+        .select(col("d1"), col("d2"), r4n(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -676,7 +676,7 @@ object TextDedup {
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       graft.ops.PageRank.ranks(edges, rounds = 3)
         .toDF("doc_id", "pr")
-        .select(col("doc_id"), r6(col("pr")).as("pagerank"))
+        .select(col("doc_id"), r6n(col("pr")).as("pagerank"))
         .orderBy(col("doc_id"))
     }),
 
@@ -793,7 +793,7 @@ object TextDedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.5)
         .select(col("jac"), (floor(col("jac") * 10) / 10.0).as("jac_lo"))
         .groupBy(col("jac_lo"))
-        .agg(count(lit(1)).as("n_pairs"), r6(avg(col("jac"))).as("mean_jac"))
+        .agg(count(lit(1)).as("n_pairs"), r6n(avg(col("jac"))).as("mean_jac"))
         .orderBy(col("jac_lo"))
     }),
 
@@ -938,7 +938,7 @@ object TextDedup {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT d1, d2, round(inter*1.0/(s1.n + s2.n - inter),4) AS jaccard
+       |SELECT d1, d2, round(inter*1.0/(s1.n + s2.n - inter) + 1e-12,4) AS jaccard
        |FROM pairs
        |JOIN sizes s1 ON s1.doc_id = d1
        |JOIN sizes s2 ON s2.doc_id = d2
@@ -957,8 +957,8 @@ object TextDedup {
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2,
-       |round(inter * 1.0 / s1.n, 4) AS cont_d1,
-       |round(inter * 1.0 / s2.n, 4) AS cont_d2
+       |round(inter * 1.0 / s1.n + 1e-12, 4) AS cont_d1,
+       |round(inter * 1.0 / s2.n + 1e-12, 4) AS cont_d2
        |FROM pairs
        |JOIN sizes s1 ON s1.doc_id = d1
        |JOIN sizes s2 ON s2.doc_id = d2
@@ -1067,7 +1067,7 @@ object TextDedup {
          |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5)
          |SELECT floor(jac * 10) / 10.0 AS jac_lo,
          |CAST(count(*) AS BIGINT) AS n_pairs,
-         |round(avg(jac), 6) AS mean_jac
+         |round(avg(jac) + 1e-12, 6) AS mean_jac
          |FROM j GROUP BY 1
          |ORDER BY jac_lo NULLS FIRST""".stripMargin,
 
@@ -1095,7 +1095,7 @@ object TextDedup {
          |  JOIN e ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2)
          |SELECT n_edges, n_wedges, n_triangles,
          |CASE WHEN n_wedges > 0
-         |  THEN round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+         |  THEN round(3.0 * n_triangles / n_wedges + 1e-12, 6) END AS global_cc
          |FROM m, t""".stripMargin,
 
     "q161_source_copy_matrix" ->
@@ -1151,7 +1151,7 @@ object TextDedup {
          |${iter("p0", "p1")},
          |${iter("p1", "p2")},
          |${iter("p2", "p3")}
-         |SELECT v AS doc_id, round(pr, 6) AS pagerank
+         |SELECT v AS doc_id, round(pr + 1e-12, 6) AS pagerank
          |FROM p3
          |ORDER BY doc_id NULLS FIRST""".stripMargin
     },

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Advanced composite operators: generator-based token frequency,
   * TF-IDF, and an as-of join.
@@ -115,7 +115,7 @@ object Advanced {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("asof_click_id"),
-          r6(col("ts").cast("double") - col("asof_click_ts").cast("double")).as("gap_sec"))
+          r6n(col("ts").cast("double") - col("asof_click_ts").cast("double")).as("gap_sec"))
         .orderBy(col("user_id"), col("purchase_id"))
     })
   )
@@ -176,7 +176,7 @@ object Advanced {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id AS purchase_id, asof_click_id,
-        |round(epoch(ts) - epoch(asof_click_ts), 6) AS gap_sec
+        |round(epoch(ts) - epoch(asof_click_ts) + 1e-12, 6) AS gap_sec
         |FROM lcf WHERE event_type = 'purchase'
         |ORDER BY user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
   )

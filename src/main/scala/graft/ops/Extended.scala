@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Extended operator coverage: pivot, SQL-surface queries (scalar +
   * EXISTS subqueries through spark.sql), explicit GROUPING SETS,
@@ -273,7 +273,7 @@ object Extended {
         .select(col("cohort_week"), col("n_active").as("cohort_size"))
       act.join(base, "cohort_week")
         .select(col("cohort_week"), col("week_n"), col("n_active"), col("cohort_size"),
-          r6(col("n_active").cast("double") / col("cohort_size")).as("retention"))
+          r6n(col("n_active").cast("double") / col("cohort_size")).as("retention"))
         .orderBy(col("cohort_week"), col("week_n"))
     }),
 
@@ -520,7 +520,7 @@ object Extended {
         .join(broadcast(supp.select(col("p").as("p1"), col("n_p").as("n_1"))), "p1")
         .join(broadcast(supp.select(col("p").as("p2"), col("n_p").as("n_2"))), "p2")
         .select(col("p1"), col("p2"), col("n_ab"),
-          r6(col("n_ab").cast("double") * nOrders /
+          r6n(col("n_ab").cast("double") * nOrders /
             (col("n_1").cast("double") * col("n_2"))).as("lift"))
         .orderBy(desc("n_ab"), asc("p1"), asc("p2"))
         .limit(15)
@@ -545,7 +545,7 @@ object Extended {
           .agg(count(lit(1)).as("n_rows"),
             count_if(col("hit").isNull).as("n_orphans"))
           .select(lit(label).as("relation"), col("n_rows"), col("n_orphans"),
-            r6(col("n_orphans").cast("double") / col("n_rows")).as("orphan_rate"))
+            r6n(col("n_orphans").cast("double") / col("n_rows")).as("orphan_rate"))
       val li = Tables(s, dir, "lineitem")
       audit(li, "l_orderkey", Tables(s, dir, "orders"), "o_orderkey",
           "lineitem->orders")
@@ -614,7 +614,7 @@ object Extended {
           (col("valid_to").isNull || col("c_ts") < col("valid_to")), "left")
         .select(col("click_id"), col("user_id"), col("version_id"),
           graft.r6(col("h_value")).as("h_value"),
-          graft.r6(col("c_ts").cast("double") - col("valid_from").cast("double"))
+          graft.r6n(col("c_ts").cast("double") - col("valid_from").cast("double"))
             .as("age_sec"))
         .orderBy(col("click_id"))
     }),
@@ -700,7 +700,7 @@ object Extended {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("k_val")).as("sum_k"),
-          round(avg(col("len_no_digits")), 4).as("avg_len_no_digits"))
+          round(avg(col("len_no_digits")) + 1e-12, 4).as("avg_len_no_digits"))
         .orderBy(col("event_type"))
     }),
 
@@ -748,7 +748,7 @@ object Extended {
         .agg(
           max(col("l_shipdate") + expr("INTERVAL 30 DAYS")).as("max_ship_plus_30d"),
           round(avg(datediff(col("l_shipdate"),
-            to_timestamp(lit("1995-01-01 00:00:00"))).cast("double")), 4).as("avg_days_since_95"))
+            to_timestamp(lit("1995-01-01 00:00:00"))).cast("double")) + 1e-12, 4).as("avg_days_since_95"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1108,8 +1108,8 @@ object Extended {
         .join(lat.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
           "o_orderpriority")
         .select(col("o_orderpriority"), col("n"),
-          r4(col("p50")).as("p50_days"), r4(col("p90")).as("p90_days"),
-          r4(col("p99")).as("p99_days"))
+          r4n(col("p50")).as("p50_days"), r4n(col("p90")).as("p90_days"),
+          r4n(col("p99")).as("p99_days"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -1237,7 +1237,7 @@ object Extended {
     "q61_date_arith" ->
       """SELECT l_returnflag,
         |max(l_shipdate + INTERVAL 30 DAY) AS max_ship_plus_30d,
-        |round(avg(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)), 4) AS avg_days_since_95
+        |round(avg(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)) + 1e-12, 4) AS avg_days_since_95
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
@@ -1254,7 +1254,7 @@ object Extended {
     "q56_regex" ->
       """SELECT event_type, count(*) AS n,
         |cast(sum(k_val) AS BIGINT) AS sum_k,
-        |round(avg(len_no_digits), 4) AS avg_len_no_digits
+        |round(avg(len_no_digits) + 1e-12, 4) AS avg_len_no_digits
         |FROM (SELECT event_type,
         |      cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
         |      cast(length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS len_no_digits
@@ -1329,7 +1329,7 @@ object Extended {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c.event_id AS click_id, c.user_id, h.version_id,
         |round(h.h_value, 6) AS h_value,
-        |round(epoch(c.ts) - epoch(h.valid_from), 6) AS age_sec
+        |round(epoch(c.ts) - epoch(h.valid_from) + 1e-12, 6) AS age_sec
         |FROM (SELECT user_id, ts, event_id FROM events
         |      WHERE event_type = 'click') c
         |LEFT JOIN hist h
@@ -1378,7 +1378,7 @@ object Extended {
         |base AS (
         |  SELECT cohort_week, n_active AS cohort_size FROM act WHERE week_n = 0)
         |SELECT act.cohort_week, act.week_n, act.n_active, base.cohort_size,
-        |round(act.n_active * 1.0 / base.cohort_size, 6) AS retention
+        |round(act.n_active * 1.0 / base.cohort_size + 1e-12, 6) AS retention
         |FROM act JOIN base USING (cohort_week)
         |ORDER BY cohort_week NULLS FIRST, week_n NULLS FIRST""".stripMargin,
 
@@ -1459,7 +1459,7 @@ object Extended {
         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
         |  SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
         |SELECT relation, n_rows, n_orphans,
-        |round(n_orphans / CAST(n_rows AS DOUBLE), 6) AS orphan_rate
+        |round(n_orphans / CAST(n_rows AS DOUBLE) + 1e-12, 6) AS orphan_rate
         |FROM u
         |ORDER BY relation NULLS FIRST""".stripMargin,
 
@@ -1472,7 +1472,7 @@ object Extended {
         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT p1, p2, n_ab,
-        |round(n_ab * n.n_orders / (s1.n_p * CAST(s2.n_p AS DOUBLE)), 6) AS lift
+        |round(n_ab * n.n_orders / (s1.n_p * CAST(s2.n_p AS DOUBLE)) + 1e-12, 6) AS lift
         |FROM pairs
         |JOIN supp s1 ON s1.p = p1
         |JOIN supp s2 ON s2.p = p2, n
@@ -1772,9 +1772,9 @@ object Extended {
         |  CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat_days
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |round(quantile_cont(lat_days, 0.5), 4) AS p50_days,
-        |round(quantile_cont(lat_days, 0.9), 4) AS p90_days,
-        |round(quantile_cont(lat_days, 0.99), 4) AS p99_days
+        |round(quantile_cont(lat_days, 0.5) + 1e-12, 4) AS p50_days,
+        |round(quantile_cont(lat_days, 0.9) + 1e-12, 4) AS p90_days,
+        |round(quantile_cont(lat_days, 0.99) + 1e-12, 4) AS p99_days
         |FROM lat GROUP BY 1
         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** The reference's data-quality / profiling / drift semantics
   * (SURVEY.md §2.4 A1-A12, §2.10) re-expressed as single-pass Spark
@@ -27,7 +27,7 @@ object Profiling {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       Tables(s, dir, "customer").agg(
         count(lit(1)).as("row_count"),
-        cols.map(c => r6(avg(col(c).isNull.cast("double"))).as(s"nf_$c")): _*)
+        cols.map(c => r6n(avg(col(c).isNull.cast("double"))).as(s"nf_$c")): _*)
     }),
 
     /** Statistical profile (reference A6/A7/A12, `drift_detector.py:16-26`):
@@ -101,11 +101,11 @@ object Profiling {
   val oracles: Map[String, String] = Map(
     "q28_dq_null_profile" ->
       """SELECT count(*) AS row_count,
-        |round(avg(CASE WHEN c_custkey IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_custkey,
-        |round(avg(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_name,
-        |round(avg(CASE WHEN c_nationkey IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_nationkey,
-        |round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_acctbal,
-        |round(avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END),6) AS nf_c_mktsegment
+        |round(avg(CASE WHEN c_custkey IS NULL THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS nf_c_custkey,
+        |round(avg(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS nf_c_name,
+        |round(avg(CASE WHEN c_nationkey IS NULL THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS nf_c_nationkey,
+        |round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS nf_c_acctbal,
+        |round(avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS nf_c_mktsegment
         |FROM customer""".stripMargin,
 
     "q29_profile_stats" ->

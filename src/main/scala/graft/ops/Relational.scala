@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** The relational operator inventory (SURVEY.md §2.1-§2.8): scans,
   * filter/projection pushdown, every join strategy, aggregation
@@ -136,7 +136,7 @@ object Relational {
           col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("type_a").as("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
-          r4(avg(col("ts_b").cast("double") - col("ts_a").cast("double"))).as("avg_gap_sec"))
+          r4n(avg(col("ts_b").cast("double") - col("ts_a").cast("double"))).as("avg_gap_sec"))
         .orderBy(col("event_type"))
     }),
 
@@ -274,7 +274,7 @@ object Relational {
         .groupBy(upper(col("p_brand")).as("brand_u"),
           substring(col("p_name"), 1, 4).as("name_pre"),
           concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"))
-        .agg(count(lit(1)).as("n"), r4(avg(length(col("p_name")))).as("avg_name_len"))
+        .agg(count(lit(1)).as("n"), r4n(avg(length(col("p_name")))).as("avg_name_len"))
         .orderBy(col("brand_u"), col("name_pre"), col("brand_type"))
     }),
 
@@ -308,7 +308,7 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          r4(avg(col("k_val"))).as("avg_k"),
+          r4n(avg(col("k_val"))).as("avg_k"),
           sum(col("k_val")).as("sum_k"),
           max(col("k_val")).as("max_k"))
         .orderBy(col("event_type"))
@@ -335,7 +335,7 @@ object Relational {
           count(when(col("event_type") === "error", 1)).as("n_error"),
           count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
           count(when(col("event_type").contains("click"), 1)).as("n_click_like"),
-          r6(avg(when(col("event_type") === "error", 1.0).otherwise(0.0))).as("error_rate"))
+          r6n(avg(when(col("event_type") === "error", 1.0).otherwise(0.0))).as("error_rate"))
     }),
 
     /** Tumbling one-hour time bucket (batch twin of the streaming
@@ -417,7 +417,7 @@ object Relational {
 
     "q07_range_join" ->
       """SELECT a.event_type AS event_type, count(*) AS n_pairs,
-        |round(avg(epoch(b.ts) - epoch(a.ts)),4) AS avg_gap_sec
+        |round(avg(epoch(b.ts) - epoch(a.ts)) + 1e-12,4) AS avg_gap_sec
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY a.event_type
@@ -507,7 +507,7 @@ object Relational {
     "q20_string_funcs" ->
       """SELECT upper(p_brand) AS brand_u, substr(p_name,1,4) AS name_pre,
         |concat_ws(':', p_brand, p_type) AS brand_type,
-        |count(*) AS n, round(avg(length(p_name)),4) AS avg_name_len
+        |count(*) AS n, round(avg(length(p_name)) + 1e-12,4) AS avg_name_len
         |FROM part
         |WHERE p_name LIKE '%bolt%' OR p_name LIKE 'red%'
         |GROUP BY 1, 2, 3
@@ -532,7 +532,7 @@ object Relational {
 
     "q23_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |round(avg(k_val),4) AS avg_k, cast(sum(k_val) AS BIGINT) AS sum_k, max(k_val) AS max_k
+        |round(avg(k_val) + 1e-12,4) AS avg_k, cast(sum(k_val) AS BIGINT) AS sum_k, max(k_val) AS max_k
         |FROM (SELECT event_type, cast(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events)
         |GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
@@ -552,7 +552,7 @@ object Relational {
         |count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
         |count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |count(CASE WHEN event_type LIKE '%click%' THEN 1 END) AS n_click_like,
-        |round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END),6) AS error_rate
+        |round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) + 1e-12,6) AS error_rate
         |FROM events""".stripMargin,
 
     "q26_time_bucket" ->

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables, r2, r4, r6}
+import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
 
 /** Round-2 coverage widening: statistical aggregates (correlation /
   * covariance / variance / skewness / kurtosis / median / arg-extrema),
@@ -76,7 +76,7 @@ object Statistics {
         Seq("n1v" -> "c1", "n2v" -> "c2"))
       val tot = c.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
       c.crossJoin(broadcast(tot))
-        .agg(r6(max(abs(col("c1").cast("double") / col("n1") -
+        .agg(r6n(max(abs(col("c1").cast("double") / col("n1") -
           col("c2").cast("double") / col("n2")))).as("ks_d"),
           max(col("n1")).as("n1"), max(col("n2")).as("n2"))
     }),
@@ -105,7 +105,7 @@ object Statistics {
       c.agg(sum(col("n1v").cast("double") * mid).as("rsum"),
           sum(col("n1v")).as("np"), sum(col("nv") - col("n1v")).as("nn"))
         .select(
-          r6((col("rsum") - col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0) /
+          r6n((col("rsum") - col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0) /
             (col("np").cast("double") * col("nn").cast("double"))).as("auc"),
           col("np").as("n_pos"), col("nn").as("n_neg"))
     }),
@@ -209,10 +209,10 @@ object Statistics {
           countDistinct(col("source")).as("r"),
           countDistinct(col("lang")).as("c"))
         .select(
-          r6(col("n").cast("double") * col("sfrac") - col("n")).as("chi2"),
+          r6n(col("n").cast("double") * col("sfrac") - col("n")).as("chi2"),
           ((col("r") - 1) * (col("c") - 1)).as("dof"),
           col("n"),
-          r6(sqrt((col("n") * col("sfrac") - col("n")) /
+          r6n(sqrt((col("n") * col("sfrac") - col("n")) /
             (col("n").cast("double") * least(col("r") - 1, col("c") - 1))))
             .as("cramers_v"))
     }),
@@ -246,7 +246,7 @@ object Statistics {
           (col("hr") - col("lag")).as("hr"), col("c").as("c_lead"))
       dense.join(lagged, Seq("event_type", "hr"))
         .groupBy(col("event_type"), col("lag"))
-        .agg(r6(corr(col("c").cast("double"), col("c_lead").cast("double")))
+        .agg(r6n(corr(col("c").cast("double"), col("c_lead").cast("double")))
             .as("acf"),
           count(lit(1)).as("n_pairs"))
         .orderBy(col("event_type"), col("lag"))
@@ -419,8 +419,8 @@ object Statistics {
         val n = sum(col("c")).cast("double")
         df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
           .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-            r6(sum(col("c") * col("c")).cast("double") / (n * n)).as("hhi"),
-            r6(max(col("c")).cast("double") / n).as("top1_share"),
+            r6n(sum(col("c") * col("c")).cast("double") / (n * n)).as("hhi"),
+            r6n(max(col("c")).cast("double") / n).as("top1_share"),
             r6((log(n) - sum(col("c").cast("double") * log(col("c").cast("double"))) / n) /
               log(count(lit(1)).cast("double"))).as("norm_entropy"))
           .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
@@ -581,9 +581,9 @@ object Statistics {
             .otherwise(rem +
               floor((col("rn") - bigSpan - 1).cast("double") / base.cast("double")))
             .cast("long") + 1).as("quartile"),
-          r6((col("rn") - 1).cast("double") /
+          r6n((col("rn") - 1).cast("double") /
             greatest(col("n") - 1, lit(1L)).cast("double")).as("pct_rank"),
-          r6(col("rn").cast("double") / col("n").cast("double")).as("cum_dist"))
+          r6n(col("rn").cast("double") / col("n").cast("double")).as("cum_dist"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -865,7 +865,7 @@ object Statistics {
         .join(broadcast(mrQ.withColumnRenamed("v", "qv")), Seq("g", "qv"))
         .groupBy(col("g").as("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          r6(corr(col("mr_qty"), col("mr_price"))).as("spearman"),
+          r6n(corr(col("mr_qty"), col("mr_price"))).as("spearman"),
           r6(corr(col("qv").cast("double"), col("pv").cast("double"))).as("pearson"))
         .orderBy(col("l_returnflag"))
     }),
@@ -948,8 +948,8 @@ object Statistics {
           sum(col("nv") * col("nv") * col("nv") - col("nv")).cast("double").as("tie"))
         .select(col("n1").cast("long").as("n_click"),
           col("n2").cast("long").as("n_purchase"),
-          r2(col("r1") - col("n1") * (col("n1") + 1.0) / 2.0).as("u_stat"),
-          r6((col("r1") - col("n1") * (col("n1") + 1.0) / 2.0 -
+          r2n(col("r1") - col("n1") * (col("n1") + 1.0) / 2.0).as("u_stat"),
+          r6n((col("r1") - col("n1") * (col("n1") + 1.0) / 2.0 -
               col("n1") * col("n2") / 2.0) /
             sqrt(col("n1") * col("n2") / 12.0 *
               (col("n1") + col("n2") + 1.0 -
@@ -1036,7 +1036,7 @@ object Statistics {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
           sum(col("i") * col("x")).as("ix"))
         .select(col("n").as("n_users"), col("total").as("total_events"),
-          r6(lit(2.0) * col("ix").cast("double") /
+          r6n(lit(2.0) * col("ix").cast("double") /
               (col("n").cast("double") * col("total").cast("double")) -
             (col("n").cast("double") + 1.0) / col("n").cast("double"))
             .as("gini"))
@@ -1164,7 +1164,7 @@ object Statistics {
           // mean gap is an exact integer rational — it can land on the
           // half-millisecond rounding grid, hence the +1e-12 nudge
           round(col("mean_gap") / 1000000.0 + 1e-12, 3).as("mean_gap_s"),
-          r6(col("sd_gap") / col("mean_gap")).as("cv"))
+          r6n(col("sd_gap") / col("mean_gap")).as("cv"))
         .orderBy(col("cv"), col("user_id"))
         .limit(20)
     }),
@@ -1302,7 +1302,7 @@ object Statistics {
         .join(firstConv.groupBy(col("day")).agg(count(lit(1)).as("n_converted")),
           "day")
         .select(col("day"), col("n_converted"),
-          r4(col("p50_min")).as("p50_min"), r4(col("p90_min")).as("p90_min"))
+          r4n(col("p50_min")).as("p50_min"), r4n(col("p90_min")).as("p90_min"))
         .orderBy(col("day"))
     }),
 
@@ -1507,7 +1507,7 @@ object Statistics {
         |  FROM c)
         |SELECT
         |round((rsum - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0) /
-        |  (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+        |  (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) + 1e-12, 6) AS auc,
         |np AS n_pos, nn AS n_neg
         |FROM a""".stripMargin,
 
@@ -1524,7 +1524,7 @@ object Statistics {
         |  sum(n1v) OVER (ORDER BY v) AS c1, sum(n2v) OVER (ORDER BY v) AS c2 FROM g),
         |t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2 FROM g)
         |SELECT
-        |round(max(abs(CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2)), 6) AS ks_d,
+        |round(max(abs(CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2)) + 1e-12, 6) AS ks_d,
         |t.n1, t.n2
         |FROM c, t GROUP BY t.n1, t.n2""".stripMargin,
 
@@ -1542,9 +1542,9 @@ object Statistics {
         |  CAST(count(DISTINCT cells.source) AS BIGINT) AS r,
         |  CAST(count(DISTINCT cells.lang) AS BIGINT) AS c
         |  FROM cells JOIN rt USING (source) JOIN ct USING (lang))
-        |SELECT round(n * sfrac - n, 6) AS chi2,
+        |SELECT round(n * sfrac - n + 1e-12, 6) AS chi2,
         |(r - 1) * (c - 1) AS dof, n,
-        |round(sqrt((n * sfrac - n) / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+        |round(sqrt((n * sfrac - n) / (CAST(n AS DOUBLE) * least(r - 1, c - 1))) + 1e-12, 6)
         |  AS cramers_v
         |FROM a""".stripMargin,
 
@@ -1565,7 +1565,7 @@ object Statistics {
         |  SELECT event_type, lag, hr - lag AS hr, c AS c_lead
         |  FROM dense, unnest([1, 2, 3]) AS l(lag))
         |SELECT d.event_type, CAST(g.lag AS BIGINT) AS lag,
-        |round(corr(CAST(d.c AS DOUBLE), CAST(g.c_lead AS DOUBLE)), 6) AS acf,
+        |round(corr(CAST(d.c AS DOUBLE), CAST(g.c_lead AS DOUBLE)) + 1e-12, 6) AS acf,
         |CAST(count(*) AS BIGINT) AS n_pairs
         |FROM dense d JOIN lagged g ON g.event_type = d.event_type AND g.hr = d.hr
         |GROUP BY d.event_type, g.lag
@@ -1630,8 +1630,8 @@ object Statistics {
         |u AS (
         |  SELECT 'lineitem.l_partkey' AS key_col,
         |  CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
-        |  round(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS hhi,
-        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+        |  round(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)) + 1e-12, 6) AS hhi,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-12, 6) AS top1_share,
         |  round((ln(CAST(sum(c) AS DOUBLE)) -
         |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)) /
         |    ln(CAST(count(*) AS DOUBLE)), 6) AS norm_entropy
@@ -1782,8 +1782,8 @@ object Statistics {
     "q67_ntile_ranks" ->
       """SELECT c_custkey,
         |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |round(percent_rank() OVER w, 6) AS pct_rank,
-        |round(cume_dist() OVER w, 6) AS cum_dist
+        |round(percent_rank() OVER w + 1e-12, 6) AS pct_rank,
+        |round(cume_dist() OVER w + 1e-12, 6) AS cum_dist
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
@@ -1930,7 +1930,7 @@ object Statistics {
         |  CAST(l_quantity AS DOUBLE) AS qv, CAST(l_extendedprice AS DOUBLE) AS pv
         |  FROM lineitem)
         |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |round(corr(mr_qty, mr_price), 6) AS spearman,
+        |round(corr(mr_qty, mr_price) + 1e-12, 6) AS spearman,
         |round(corr(qv, pv), 6) AS pearson
         |FROM ranked GROUP BY 1
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
@@ -1994,10 +1994,10 @@ object Statistics {
         |  CAST(sum(nv * nv * nv - nv) AS DOUBLE) AS tie
         |  FROM ranked)
         |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
-        |round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+        |round(r1 - n1 * (n1 + 1) / 2.0 + 1e-12, 2) AS u_stat,
         |round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
         |  sqrt(n1 * n2 / 12.0 * (n1 + n2 + 1.0
-        |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+        |    - tie / ((n1 + n2) * (n1 + n2 - 1.0)))) + 1e-12, 6) AS z
         |FROM folded""".stripMargin,
 
     "q223_stickiness" ->
@@ -2071,7 +2071,7 @@ object Statistics {
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
         |CAST(sum(x) AS BIGINT) AS total_events,
         |round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
-        |  - (count(*) + 1.0) / count(*), 6) AS gini
+        |  - (count(*) + 1.0) / count(*) + 1e-12, 6) AS gini
         |FROM ranked""".stripMargin,
 
     "q216_km_survival" ->
@@ -2131,9 +2131,9 @@ object Statistics {
         |  HAVING count(*) >= 20 AND avg(gap) > 0)
         |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
         |round(mg / 1000000.0 + 1e-12, 3) AS mean_gap_s,
-        |round(sd / mg, 6) AS cv
+        |round(sd / mg + 1e-12, 6) AS cv
         |FROM a
-        |ORDER BY round(sd / mg, 6) NULLS FIRST, user_id NULLS FIRST
+        |ORDER BY round(sd / mg + 1e-12, 6) NULLS FIRST, user_id NULLS FIRST
         |LIMIT 20""".stripMargin,
 
     "q214_seasonality" ->
@@ -2212,8 +2212,8 @@ object Statistics {
         |    AND p.p_us > s.us AND p.p_us <= s.us + 86400000000
         |  GROUP BY s.day, s.event_id, s.us)
         |SELECT day, CAST(count(*) AS BIGINT) AS n_converted,
-        |round(quantile_cont(latency_min, 0.5), 4) AS p50_min,
-        |round(quantile_cont(latency_min, 0.9), 4) AS p90_min
+        |round(quantile_cont(latency_min, 0.5) + 1e-12, 4) AS p50_min,
+        |round(quantile_cont(latency_min, 0.9) + 1e-12, 4) AS p90_min
         |FROM conv GROUP BY 1
         |ORDER BY day NULLS FIRST""".stripMargin,
 

@@ -192,4 +192,27 @@ class PlanQualitySpec extends SparkSuite {
       "window partition specs whose cardinality cannot grow with data " +
         s"volume (tile-and-halo or rank-filter them): ${offenders.mkString("; ")}")
   }
+
+  // Any double column a query emits is hash-compared bit-for-bit
+  // against DuckDB, so its expression must be portable across two
+  // independent engines (round-7's q202 red row was exactly this
+  // class). FloatAudit classifies each: nudged rounds and pure
+  // integer arithmetic are safe by construction; rounds over
+  // volume-scale float folds / libm calls sit off the rounding grid
+  // (RoundedFold — the measured stance, 7 rounds of green hashes);
+  // anything else fails here until fixed or allowlisted WITH a
+  // rationale, so the one-red-row-per-round pattern cannot recur.
+  private val floatAllow = Map.empty[String, String]
+
+  test("suite-wide: every emitted double column is cross-engine portable") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      FloatAudit.audit(SparkEntry.queries(name)(spark, sf)).collect {
+        case (c, u: FloatAudit.Unsafe) if !floatAllow.contains(s"$name.$c") =>
+          s"$name.$c (${u.reason})"
+      }
+    }
+    assert(offenders.isEmpty,
+      "non-portable double outputs (nudge-then-round them, derive them " +
+        s"from integer totals, or allowlist with rationale): ${offenders.mkString("; ")}")
+  }
 }
