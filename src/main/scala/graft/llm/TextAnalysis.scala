@@ -512,13 +512,23 @@ object TextAnalysis {
     /** Bigram-LM perplexity per document (CCNet-style quality filter,
       * one order up from q102's unigram NLL): p(w₂|w₁) add-one
       * smoothed over the corpus bigram model, ppl = exp(−avg ln p).
-      * Model tables are corpus-bounded (bigram and context counts —
-      * vocabulary-sized, AQE broadcasts them when small, shuffles
-      * when not); V is a scalar driver fold. The bigram stream is the
-      * only corpus-sized shuffle, and its count aggregation combines
-      * map-side. Boilerplate-heavy docs score LOW ppl (predictable),
-      * lorem-noise scores high — the standard filter signal. Docs
-      * with < 2 tokens have no bigrams and drop out (both engines). */
+      *
+      * The bigram stream shuffles exactly TWICE (model count + scoring
+      * join, the same (w1,w2) key, one exchange by ReuseExchange);
+      * everything else is model-table-sized: the context counts c1
+      * derive from the distinct-bigram table (c1(w1) = Σ_w2 c12 —
+      * every bigram instance has exactly one w1), so there is no
+      * second corpus-sized groupBy, and the per-bigram log-prob is
+      * computed ONCE per distinct bigram, not per instance. The vocab
+      * size V also never re-scans the token stream: every token of a
+      * ≥2-token doc appears as a w1 (non-last) or w2 (non-first), so
+      * V = distinct(c12.w1 ∪ c12.w2 ∪ single-token docs' token) —
+      * model-table-sized input plus a cheap singles scan — folded in
+      * as a 1-row broadcast (bounded BNLJ, the q133/q136 class; no
+      * separate driver action). Boilerplate-heavy docs score LOW ppl
+      * (predictable), lorem-noise scores high — the standard filter
+      * signal. Docs with < 2 tokens have no bigrams and drop out
+      * (both engines). */
     "q137_bigram_ppl" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val bi = docs
@@ -531,14 +541,23 @@ object TextAnalysis {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .cache() // model counts AND the scoring join read this
       val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val v = docs.select(explode(split(col("text"), " ")).as("t"))
-        .agg(countDistinct(col("t"))).head.getLong(0).toDouble
-      bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .cache() // model-table-sized; read by c1, vocab, and the scored join
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val singles = docs.select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) === 1)
+        .select(element_at(col("toks"), 1).as("t"))
+      val vocab = c12.select(explode(array(col("w1"), col("w2"))).as("t"))
+        .unionAll(singles)
+        .agg(countDistinct(col("t")).cast("double").as("v"))
+      val scored = c12.join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          log((col("c12").cast("double") + 1.0) /
+            (col("c1").cast("double") + col("v"))).as("lp"))
+      bi.join(scored, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          r6(exp(-avg(log((col("c12").cast("double") + 1.0) /
-            (col("c1").cast("double") + lit(v)))))).as("ppl"))
+          r6(exp(-avg(col("lp")))).as("ppl"))
         .orderBy(col("doc_id"))
     }),
 

@@ -105,6 +105,10 @@ class PlanQualitySpec extends SparkSuite {
     "q133_bm25",
     // q136: the broadcast side is the ONE-ROW (n1, n2) totals fold
     "q136_ks_test",
+    // q137: the broadcast side is the ONE-ROW vocab-size fold
+    // (V = countDistinct over model-table-sized input) — provably
+    // 1 row at any sf; it meets the model table, not the bigram stream
+    "q137_bigram_ppl",
     // q157: the broadcast side is the ONE-ROW positive-balance
     // average (TPC-H Q22's scalar subquery) — provably 1 row at any sf
     "q157_rich_inactive",
