@@ -356,7 +356,21 @@ object TextDedup {
       * needs O(size-ratio) band budgets (LSH Ensemble's per-partition
       * tuning), while sampled membership keeps recall
       * ratio-independent at fixed k and hands the rest to exact
-      * verification, which touches candidates only. */
+      * verification, which touches candidates only.
+      *
+      * Measured crossover (round 8, this host, warm minima): the probe
+      * path costs q127's exact join PLUS ~0.5 s of fixed stage
+      * overhead (probe rank, candidate join, id restriction, pair
+      * semi) MINUS the (1 − k/avg|A|) ≈ 7/8 of self-join volume it
+      * avoids. At sf0.01 that is 0.93 vs 0.39 s and at sf0.1 1.8-2.1
+      * vs 1.0-1.3 s — the fixture's capped Σdf² is so small that the
+      * avoided join volume never covers the overhead, so EXACT WINS AT
+      * EVERY LOCAL SF and the crossover sits beyond the largest local
+      * fixture: the probe path pays off exactly when the capped
+      * self-join volume Σ_sh C(df,2) times its per-row join cost
+      * exceeds ~8/7 × (overhead + probe volume) — boilerplate-heavy
+      * corpora where df saturates the 512 cap on many shingles, i.e.
+      * the 100 TB regime this path exists for, not a 5k-doc sample. */
     "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
       val k = 12
       val (_, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
@@ -370,16 +384,29 @@ object TextDedup {
           col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
         .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
           greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
-        .distinct()
-      // verification touches candidates only: the first join restricts
-      // the index to candidate d1 docs (one full-index exchange on
-      // doc_id — the same single exchange an explicit semi-filter
-      // would cost, measured slower here as extra stages), and the
-      // second join's left side is already candidate-sized
-      val inter = cand
-        .join(sh.as("a"), col("d1") === col("a.doc_id"))
-        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        .cache() // read by the id restriction AND the final pair filter
+        // no pre-distinct: both consumers (the id explode+distinct and
+        // the left_semi pair filter) dedup inherently — a distinct here
+        // would spend an exchange on the probe-hit stream for nothing
+      // verification touches candidates only, and touches the FULL
+      // index exactly once: semi-restrict the index to candidate DOCS
+      // (the one full-index exchange this phase pays), then self-join
+      // that candidate-sized slice on the shingle key — each candidate
+      // doc's shingles cross the wire once, never once PER PAIR (the
+      // former cand⋈index⋈index shape replicated a doc's shingles by
+      // its pair multiplicity and paid a second full-index exchange on
+      // (doc_id, sh)) — and keep only the probed pairs with a semi-join
+      val candIds = cand
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+      val shC = sh
+        .join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .cache() // both sides of the verify self-join read this slice
+      val inter = shC.as("a")
+        .join(shC.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cand, Seq("d1", "d2"), "left_semi")
       inter
         .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
