@@ -472,19 +472,19 @@ object TextAnalysis {
       * get ids 1..1000; documents under doc_id 20 are emitted as
       * (pos, token_id) with OOV = -1. The vocab is selected with
       * TakeOrderedAndProject (top-k, no global sort) and id-assigned
-      * over that FIXED-size k on the driver, then broadcast back for
-      * the encode join — the standard shape for a bounded side table
-      * at any corpus scale. */
+      * IN-PLAN by a row_number over the already-limited 1000 rows
+      * (bounded-input window — no driver collect round-trip), then
+      * broadcast for the encode join — the standard shape for a
+      * bounded side table at any corpus scale. */
     "q101_vocab_encode" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
       val docs = Tables(s, dir, "documents")
       val toks = docs
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      val top = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("t")).limit(1000)
-        .collect().zipWithIndex
-        .map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
-      val vocab = top.toDF("t", "token_id")
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("t"))).cast("long"))
+        .select(col("t"), col("token_id"))
       toks.filter(col("doc_id") < 20)
         .join(broadcast(vocab), Seq("t"), "left_outer")
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),

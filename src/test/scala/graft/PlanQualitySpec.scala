@@ -173,7 +173,10 @@ class PlanQualitySpec extends SparkSuite {
   // data volume, so a constant-cardinality partition key is harmless:
   //   q120: prefix window over the per-(range-partition, group) totals
   //         table — ≤ tasks x groups rows by construction
-  private val boundedInputWindows = Set("q120_weighted_quantiles")
+  //   q101: vocab id assignment — row_number over the LIMIT-1000 top-k
+  //         output, ≤ 1000 rows in one task at any corpus scale
+  private val boundedInputWindows =
+    Set("q120_weighted_quantiles", "q101_vocab_encode")
 
   test("suite-wide: no full window partitioned only on constant-cardinality keys") {
     val offenders = allPlans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
