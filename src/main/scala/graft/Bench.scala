@@ -99,9 +99,19 @@ object Bench {
       val b = Seq.newBuilder[String]
       var used = 0
       var n = 0
+      var full = false
+      // stop at the FIRST entry that does not fit: the included set is
+      // then a strict prefix of the time-descending order, so every
+      // omitted query is provably ≤ the slowest included one — a
+      // keep-admitting-smaller-entries greedy could omit a large-time
+      // query whose serialized entry happened to be longer, silently
+      // breaking that reading of the record
       sortedDesc.foreach { case (k, v) =>
-        val e = "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(v)
-        if (used + e.length + 1 <= entryBudget) { b += e; used += e.length + 1; n += 1 }
+        if (!full) {
+          val e = "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(v)
+          if (used + e.length + 1 <= entryBudget) { b += e; used += e.length + 1; n += 1 }
+          else full = true
+        }
       }
       (b.result(), n)
     }

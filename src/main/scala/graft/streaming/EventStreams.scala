@@ -652,25 +652,31 @@ object EventStreams {
           val maxHr = math.max(s0.maxHr, if (add.isEmpty) Long.MinValue else add.keys.max)
           // emit every hour at or after the earliest changed hour —
           // and any zero hours SINCE the previous frontier, so the
-          // emitted series matches the batch dense grid hour-for-hour
-          val start =
-            if (s0.maxHr == Long.MinValue) add.keys.min
-            else math.min(add.keys.min, s0.maxHr + 1)
+          // emitted series matches the batch dense grid hour-for-hour.
+          // start derives from add ONLY inside the nonEmpty branch:
+          // with NoTimeout the function always sees data, but a
+          // future timeout-based invocation hands an empty iterator,
+          // and an unguarded add.keys.min would throw mid-stream.
           val out =
             if (add.isEmpty) Iterator.empty
-            else (start to maxHr).iterator.map { t =>
-              var wc = 0.0; var w = 0.0
-              var g = 0
-              val gMax = math.min(horizon - 1, (t - h0).toInt)
-              while (g <= gMax) {
-                val wt = lambda * math.pow(1.0 - lambda, g)
-                wc += counts.getOrElse(t - g, 0L).toDouble * wt
-                w += wt
-                g += 1
+            else {
+              val start =
+                if (s0.maxHr == Long.MinValue) add.keys.min
+                else math.min(add.keys.min, s0.maxHr + 1)
+              (start to maxHr).iterator.map { t =>
+                var wc = 0.0; var w = 0.0
+                var g = 0
+                val gMax = math.min(horizon - 1, (t - h0).toInt)
+                while (g <= gMax) {
+                  val wt = lambda * math.pow(1.0 - lambda, g)
+                  wc += counts.getOrElse(t - g, 0L).toDouble * wt
+                  w += wt
+                  g += 1
+                }
+                val c = counts.getOrElse(t, 0L)
+                val e = wc / w
+                EwmaPoint(etype, t, c, e, c.toDouble - e)
               }
-              val c = counts.getOrElse(t, 0L)
-              val e = wc / w
-              EwmaPoint(etype, t, c, e, c.toDouble - e)
             }
           val keep = counts.filter { case (hr, _) => hr >= maxHr - (horizon - 1) }
             .toArray.sortBy(_._1)
