@@ -22,7 +22,7 @@ object SparkEntry {
     ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
-    llm.PipelineOps.queries ++ llm.CorpusOps.queries
+    llm.PipelineOps.queries ++ llm.CorpusOps.queries ++ llm.StateStores.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
     ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
-    llm.PipelineOps.oracles ++ llm.CorpusOps.oracles
+    llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++ llm.StateStores.oracles
 }

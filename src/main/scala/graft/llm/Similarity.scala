@@ -87,9 +87,10 @@ object Similarity {
     * Deterministic init: the first k vectors. Returns the trained
     * centroids and the LAZY final assignment frame (a projection —
     * cheap to re-evaluate, nothing cached). */
-  private[graft] def trainKmeans(e: DataFrame, k: Int, iters: Int)
+  private[graft] def trainKmeans(e: DataFrame, k: Int, iters: Int,
+      initPred: Option[Column] = None)
       : (Seq[(Long, Array[Double])], DataFrame) = {
-    var cents: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < k)
+    var cents: Seq[(Long, Array[Double])] = e.filter(initPred.getOrElse(col("vec_id") < k))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -671,7 +672,7 @@ object Similarity {
 
   /** DuckDB twin of the sequential-fold cosine for two named list
     * columns — same op order, bitwise-compatible with the Spark side. */
-  private def duckCos(a: String, b: String): String =
+  private[llm] def duckCos(a: String, b: String): String =
     s"""${duckFoldSum(s"""list_transform(generate_series(1, 64),
        |  i -> cast($a[i] AS DOUBLE) * cast($b[i] AS DOUBLE))""".stripMargin)}
        |/ sqrt(
@@ -686,13 +687,13 @@ object Similarity {
     * vector to its argmax-cosine cell of `prevCents`, producing CTEs
     * `$sims` and `$assign` (and, when `outCents` is set, the
     * re-estimated centroid list table). */
-  private def duckKmeansIter(prevCents: String, sims: String, assign: String,
-      outCents: Option[String]): String = {
+  private[llm] def duckKmeansIter(prevCents: String, sims: String, assign: String,
+      outCents: Option[String], src: String = "embeddings"): String = {
     val head =
       s"""$sims AS (
          |  SELECT e.vec_id, e.embedding, c.cent_id,
          |  ${duckCos("e.embedding", "c.cent")} AS csim
-         |  FROM embeddings e CROSS JOIN $prevCents c),
+         |  FROM $src e CROSS JOIN $prevCents c),
          |$assign AS (
          |  SELECT vec_id, embedding, cent_id FROM (
          |    SELECT vec_id, embedding, cent_id,

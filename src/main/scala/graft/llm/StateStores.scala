@@ -1,0 +1,221 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables, r6n}
+
+/** Persisted, incrementally-maintained derived state — the round-7
+  * verdict's top scale gap: every expensive derived artifact (the
+  * near-dup band index, the IVF centroid table) was rebuilt in-plan on
+  * every invocation, so at 100 TB the index build would dominate the
+  * job it serves. The reference itself persists its derived state
+  * between runs (`drift_detector.py:43-45` writes
+  * `reference_profile.json`; `self_healing_agent.py:122` rewrites its
+  * config) — these stores give the engine's artifacts the same
+  * treatment, as parquet state tables:
+  *
+  *   - SEED once from the standing corpus (the one-time expensive
+  *     build — amortized across every later snapshot);
+  *   - APPEND per snapshot: the maintenance write derives from the
+  *     SNAPSHOT alone — it never reads, rescans, or rebuilds the
+  *     existing index, so per-snapshot cost scales with the snapshot
+  *     (StateStoreSpec pins both properties on the plan);
+  *   - READ to serve: consumers load the state table instead of
+  *     re-deriving it (q151's in-plan band-index build is the
+  *     contrast case — correct, but rebuilt per run).
+  *
+  * Both queries EMIT the maintenance contract in oracle-checkable
+  * form: the maintained state must equal the from-scratch rebuild
+  * (band index: per-(doc, key) multiset equality folded to a
+  * mismatch count the oracle pins to zero; centroids: the maintained
+  * running-mean update over persisted full-precision state, which the
+  * oracle reproduces from first principles).
+  */
+object StateStores {
+
+  /** Deterministic per-(fixture, store) state dir under /tmp — reruns
+    * at the same sf reuse (and overwrite-seed) the same location. */
+  private def statePath(dir: String, name: String): String = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"/tmp/graft_state/$name-$tag"
+  }
+
+  private val NHashes = 48
+  private val Bands = 16
+
+  /** The corpus band index rows (doc_id, bk) for `docs` — q151's
+    * probe-side shape, derived ONLY from `docs` (the spec asserts the
+    * append path never touches existing state). */
+  private[graft] def bandIndexRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.MinhashSignature.register(s)
+    TextDedup.bandKeys(TextDedup.shingleArrays(docs), NHashes, Bands)
+  }
+
+  /** Seed + two snapshot appends + contract check — the q229 body,
+    * factored for the spec. Returns the per-generation summary. */
+  private[graft] def bandIndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val path = statePath(dir, "band_index")
+    def gen(g: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+    // seed = generation 0 (the standing corpus); each later generation
+    // is "today's crawl" appended by itself. Overwrite on the seed
+    // makes the whole sequence idempotent across reruns.
+    bandIndexRows(s, gen(0)).write.mode("overwrite").parquet(path)
+    bandIndexRows(s, gen(1)).write.mode("append").parquet(path)
+    bandIndexRows(s, gen(2)).write.mode("append").parquet(path)
+    val maintained = s.read.parquet(path)
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cm"))
+    val rebuilt = bandIndexRows(s, docs)
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cr"))
+    // multiset equality per (doc, band key): any divergence — a doc
+    // dropped by an append, a double-append duplicate, a key drift —
+    // lands in n_mismatch, which the oracle pins to ZERO
+    maintained.join(rebuilt, Seq("doc_id", "bk"), "full_outer")
+      .select(col("doc_id"),
+        when(coalesce(col("cm"), lit(0L)) =!= coalesce(col("cr"), lit(0L)), 1L)
+          .otherwise(0L).as("bad"))
+      .groupBy(pmod(col("doc_id"), lit(3)).as("gen"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_index_rows"),
+        sum(col("bad")).as("n_mismatch"))
+      .orderBy(col("gen"))
+  }
+
+  /** Maintained-centroid update frame, factored for the spec: given
+    * the PERSISTED state (cent_id, pos, coord, n — full-precision
+    * coords) and a snapshot, assign each snapshot vector to its
+    * nearest persisted centroid (driver-literal centroids, zero
+    * shuffle — the q122 stance) and fold the per-cell running-mean
+    * update in ONE snapshot-sized aggregation. The standing corpus is
+    * NEVER rescanned. */
+  private[graft] def centroidUpdate(s: SparkSession, state: DataFrame,
+      snap: DataFrame): DataFrame = {
+    val cents = state.select(col("cent_id"), col("pos"), col("coord"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+      .toSeq.sortBy(_._1)
+    val upd = Similarity.assignCells(snap, cents)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos").cast("long").as("pos"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("m"))
+    state.join(upd, Seq("cent_id", "pos"), "left")
+      .select(col("cent_id"), col("pos"),
+        r6n(when(col("m").isNull, col("coord"))
+          .otherwise((col("n").cast("double") * col("coord") + col("sx")) /
+            (col("n") + col("m")).cast("double"))).as("coord_new"),
+        col("n").as("n_before"), coalesce(col("m"), lit(0L)).as("n_added"))
+      .orderBy(col("cent_id"), col("pos"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    /** Persisted near-dup band index with append-only maintenance —
+      * the production form of q151's in-plan index build: seed the
+      * (doc_id, band key) table from the standing corpus ONCE, append
+      * each snapshot's keys as it arrives (snapshot-sized work — the
+      * append plan never reads the state table), read to serve.
+      * Output is the maintenance CONTRACT per generation: doc count,
+      * index row count (16 bands per ≥3-token doc — a schema
+      * invariant DuckDB derives from the documents table alone), and
+      * the maintained-vs-rebuilt multiset mismatch count, pinned to
+      * zero by the oracle. */
+    "q229_band_index_store" -> ((s: SparkSession, dir: String) =>
+      bandIndexMaintain(s, dir)),
+
+    /** Persisted IVF centroids with incremental maintenance — the
+      * q57/q86 training cost amortized: train on the standing corpus
+      * (vec_id % 10 ≠ 0, deterministic init = ids 1..8, the q122
+      * Lloyd loop), persist (cent_id, pos, coord, n) at FULL
+      * precision, then fold "today's" snapshot (vec_id % 10 = 0) into
+      * the cell means by the running-mean identity
+      * new = (n·mean + Σx)/(n + m) — one snapshot-sized pass, no
+      * corpus rescan, no retrain. The oracle reproduces seed training
+      * AND the maintained update from first principles, so a stale or
+      * double-applied state table goes red. */
+    "q230_centroid_store" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val snap = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val path = statePath(dir, "ivf_centroids")
+      val (cents, assigned) = Similarity.trainKmeans(corpus, k = 8, iters = 2,
+        initPred = Some(col("vec_id").between(1, 8)))
+      val sizes = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      import s.implicits._
+      val centRows = cents.flatMap { case (cid, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) => (cid, i.toLong, v) } }
+      centRows.toDF("cent_id", "pos", "coord")
+        .join(broadcast(sizes), Seq("cent_id"))
+        .write.mode("overwrite").parquet(path)
+      centroidUpdate(s, s.read.parquet(path), snap)
+    })
+  )
+
+  private def duckSnapAssign(centsCte: String, out: String): String =
+    s"""ss AS (
+       |  SELECT s.vec_id, s.embedding, c.cent_id,
+       |  ${Similarity.duckCos("s.embedding", "c.cent")} AS csim
+       |  FROM snap s CROSS JOIN $centsCte c),
+       |$out AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT vec_id, embedding, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS rn
+       |    FROM ss) WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // The schema invariant: every ≥3-token doc emits exactly 16 band
+    // keys, and maintained ≡ rebuilt means zero mismatches — all three
+    // columns derive from the documents table alone.
+    "q229_band_index_store" ->
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS gen,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(*) * 16 AS BIGINT) AS n_index_rows,
+        |CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents
+        |WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+        |GROUP BY 1
+        |ORDER BY gen NULLS FIRST""".stripMargin,
+
+    // Seed training (two Lloyd iterations over the corpus slice, init
+    // ids 1..8) + snapshot assignment + the running-mean fold — the
+    // maintained state reproduced from first principles.
+    "q230_centroid_store" -> {
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |snap AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM corpus WHERE vec_id BETWEEN 1 AND 8),
+         |${Similarity.duckKmeansIter("c0", "s1", "a1", Some("c1"), "corpus")},
+         |${Similarity.duckKmeansIter("c1", "s2", "a2", None, "corpus")},
+         |p2 AS (
+         |  SELECT cent_id, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS m
+         |  FROM a2, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1),
+         |cents AS (SELECT cent_id, list(m ORDER BY pos) AS cent FROM p2 GROUP BY cent_id),
+         |${duckSnapAssign("cents", "sa")},
+         |supd AS (
+         |  SELECT cent_id, pos, sum(CAST(embedding[pos] AS DOUBLE)) AS sx,
+         |  CAST(count(*) AS BIGINT) AS m
+         |  FROM sa, unnest(generate_series(1, 64)) AS t(pos)
+         |  GROUP BY 1, 2)
+         |SELECT p2.cent_id, CAST(p2.pos - 1 AS BIGINT) AS pos,
+         |round(CASE WHEN supd.m IS NULL THEN p2.m
+         |  ELSE (sizes.n * p2.m + supd.sx) / (sizes.n + supd.m) END + 1e-12, 6)
+         |  AS coord_new,
+         |sizes.n AS n_before,
+         |CAST(coalesce(supd.m, 0) AS BIGINT) AS n_added
+         |FROM p2
+         |JOIN sizes ON sizes.cent_id = p2.cent_id
+         |LEFT JOIN supd ON supd.cent_id = p2.cent_id AND supd.pos = p2.pos
+         |ORDER BY p2.cent_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+    }
+  )
+}
