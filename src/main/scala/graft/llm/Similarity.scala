@@ -607,6 +607,92 @@ object Similarity {
         .join(broadcast(sizes), Seq("cent_id"))
         .select(col("cent_id"), col("pos"), r6(col("coord")).as("coord"), col("n"))
         .orderBy(col("cent_id"), col("pos"))
+    }),
+
+    /** Chunk-level semantic retrieval with a recall audit — the RAG
+      * shape composed end-to-end: q104's sliding 64-token chunks get
+      * POOLED embeddings (per-dim mean of deterministic token
+      * vectors, derived from the q36 sha-based token hash so BOTH
+      * engines rebuild the identical vectors — the fixture ships
+      * doc-level embeddings only, so chunk vectors must be derived,
+      * and mean-pooling token vectors is the standard derivation);
+      * three query documents retrieve their top-10 chunks corpus-wide
+      * by exact cosine (the baseline arm), and the SRP-LSH bucketed
+      * arm (q44's 8-plane literals + hamming-1 multi-probe — the
+      * scale path whose candidate set is ~9/256 of the corpus) is
+      * scored against it q205-style: hits inside the exact top-10 and
+      * recall@10 per query. All per-chunk work is one generator
+      * projection off the scan; the query block is a bounded 3-row
+      * broadcast (the q42/q182 anchor class); ranking uses the
+      * r6-rounded score + id tiebreak so the top-k boundary cannot
+      * flip on a last-ulp fold difference. */
+    "q231_chunk_retrieval" -> ((s: SparkSession, dir: String) => {
+      val k = 10
+      // dim i of token t: ((h(t) % 100003) · i) % 2003 − 1001 with
+      // h = the 60-bit sha prefix — integer-exact in both engines,
+      // pooled by per-dim mean (sums ≤ 2^53, division exact IEEE)
+      def tokHashes(tokExpr: String) = s"transform($tokExpr, " +
+        "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"
+      val vecExpr = expr("""transform(sequence(1, 64), i ->
+        aggregate(hs, CAST(0 AS BIGINT),
+          (a, h) -> a + (h % 100003) * i % 2003 - 1001)
+          / CAST(size(hs) AS DOUBLE))""")
+      val toksed = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tok"))
+      val cvec = toksed
+        .select(col("doc_id"), col("n_tok"), col("toks"),
+          posexplode(expr("sequence(1L, n_tok, 48L)")).as(Seq("ci", "start")))
+        .select(col("doc_id"), (col("ci") + 1).cast("long").as("chunk_ix"),
+          expr(tokHashes("slice(toks, cast(start AS int), " +
+            "cast(least(start + 63L, n_tok) - start + 1 AS int))")).as("hs"))
+        .select(col("doc_id"), col("chunk_ix"), vecExpr.as("cv"))
+        .cache() // exact arm, bucket projection, and candidate join read this
+      val qvec = toksed.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"), expr(tokHashes("toks")).as("hs"))
+        .select(col("q_id"), vecExpr.as("qv"))
+      def cosCols(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+        dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+      }
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(desc_nulls_last("cs6"), asc("doc_id"), asc("chunk_ix"))
+      val exact = cvec.crossJoin(broadcast(qvec))
+        .select(col("q_id"), col("doc_id"), col("chunk_ix"),
+          r6(cosCols(col("cv"), col("qv"))).as("cs6"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      def srpBucketOf(vcol: String): org.apache.spark.sql.Column =
+        (0 until 8).map { p =>
+          val planeSql = (0 until 64).map(d => s"${srpCoef(p, d)}D")
+            .mkString("array(", ", ", ")")
+          val proj = expr(s"aggregate(zip_with($vcol, $planeSql, " +
+            "(x, c) -> x * c), 0D, (acc, v) -> acc + v)")
+          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+      val cb = cvec.withColumn("bucket", srpBucketOf("cv"))
+      val probes = qvec.withColumn("q_bucket", srpBucketOf("qv"))
+        .select(col("q_id"), col("qv"), col("q_bucket"),
+          explode(array((lit(-1L) +: (0 until 8).map(b => lit(b.toLong))): _*))
+            .as("flip"))
+        .select(col("q_id"), col("qv"), expr(
+          "CASE WHEN flip = -1 THEN q_bucket " +
+            "ELSE q_bucket ^ shiftleft(1L, cast(flip AS int)) END").as("pb"))
+      val cand = cb.join(broadcast(probes), col("bucket") === col("pb"))
+        .select(col("q_id"), col("doc_id"), col("chunk_ix"),
+          r6(cosCols(col("cv"), col("qv"))).as("cs6"))
+        .cache() // the top-k arm and the candidate census read this
+      val approx = cand.withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      exact
+        .join(approx.select(col("q_id"), col("doc_id"), col("chunk_ix"),
+          lit(1L).as("hit")), Seq("q_id", "doc_id", "chunk_ix"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .join(cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand")), "q_id")
+        .select(col("q_id"), col("n_exact"), col("n_cand"), col("hits"),
+          r4n(col("hits").cast("double") / col("n_exact")).as("recall_at_10"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -1068,6 +1154,93 @@ object Similarity {
          |    CROSS JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 50) q
          |    WHERE e.vec_id <> q.vec_id))
          |WHERE rank <= 3
-         |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+         |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin,
+
+    // chunk vectors, both arms, and the recall fold rebuilt from first
+    // principles: q104's chunk windows, the q36 sha hex-fold token
+    // hash, the integer token-vector formula, prepend-0 cosine folds,
+    // q44's plane literals, and the r6-rounded rank order
+    "q231_chunk_retrieval" -> {
+      val hexFold = (t: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split(substr(sha256($t), 1, 15), ''),
+           |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+           |                ELSE ord(c) - 87 END AS BIGINT))),
+           |    (acc, x) -> acc * 16 + x)""".stripMargin
+      val pooled = (hsCol: String) =>
+        s"""list_transform(generate_series(1, 64), i ->
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform($hsCol, h -> (h % 100003) * i % 2003 - 1001)),
+           |      (a, x) -> a + x) / CAST(len($hsCol) AS DOUBLE))""".stripMargin
+      def proj(p: Int, v: String) = {
+        val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |    i -> $v[i] * ($plane::DOUBLE[])[i])""".stripMargin)
+      }
+      def bucket(v: String) = (0 until 8).map(p =>
+        s"(CASE WHEN ${proj(p, v)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, n_tok, toks, unnest(list_transform(
+         |    generate_series(1, CAST(n_tok AS INT), 48),
+         |    s -> {'ci': (s - 1) // 48 + 1, 'start': s})) AS u
+         |  FROM t),
+         |hv AS (
+         |  SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_ix,
+         |  list_transform(toks[CAST(u.start AS INT) :
+         |    CAST(least(u.start + 63, n_tok) AS INT)],
+         |    t -> ${hexFold("t")}) AS hs
+         |  FROM c),
+         |vec AS (
+         |  SELECT doc_id, chunk_ix, ${pooled("hs")} AS cv FROM hv),
+         |qh AS (
+         |  SELECT doc_id AS q_id, list_transform(toks, t -> ${hexFold("t")}) AS hs
+         |  FROM t WHERE doc_id < 3),
+         |qv AS (SELECT q_id, ${pooled("hs")} AS qv FROM qh),
+         |ex AS (
+         |  SELECT q_id, doc_id, chunk_ix FROM (
+         |    SELECT q.q_id, v.doc_id, v.chunk_ix,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${duckCos("v.cv", "q.qv")}, 6) DESC NULLS LAST,
+         |        v.doc_id NULLS FIRST, v.chunk_ix NULLS FIRST) AS rk
+         |    FROM vec v CROSS JOIN qv q)
+         |  WHERE rk <= 10),
+         |cb AS (
+         |  SELECT doc_id, chunk_ix, cv, CAST(${bucket("cv")} AS BIGINT) AS bucket
+         |  FROM vec),
+         |probes AS (
+         |  SELECT q_id, qv, CASE WHEN f = -1 THEN q_bucket
+         |                ELSE xor(q_bucket, (CAST(1 AS BIGINT) << f)) END AS pb
+         |  FROM (SELECT q_id, qv, CAST(${bucket("qv")} AS BIGINT) AS q_bucket FROM qv),
+         |  unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS u(f)),
+         |cand AS (
+         |  SELECT p.q_id, cb.doc_id, cb.chunk_ix,
+         |  round(${duckCos("cb.cv", "p.qv")}, 6) AS cs6
+         |  FROM cb JOIN probes p ON cb.bucket = p.pb),
+         |ap AS (
+         |  SELECT q_id, doc_id, chunk_ix FROM (
+         |    SELECT q_id, doc_id, chunk_ix,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cs6 DESC NULLS LAST,
+         |        doc_id NULLS FIRST, chunk_ix NULLS FIRST) AS rk
+         |    FROM cand)
+         |  WHERE rk <= 10),
+         |folded AS (
+         |  SELECT e.q_id, count(*) AS n_exact,
+         |  sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM ex e LEFT JOIN ap a
+         |    ON a.q_id = e.q_id AND a.doc_id = e.doc_id AND a.chunk_ix = e.chunk_ix
+         |  GROUP BY 1),
+         |cc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1)
+         |SELECT f.q_id, CAST(f.n_exact AS BIGINT) AS n_exact, cc.n_cand,
+         |CAST(f.hits AS BIGINT) AS hits,
+         |round(f.hits * 1.0 / f.n_exact + 1e-12, 4) AS recall_at_10
+         |FROM folded f JOIN cc ON cc.q_id = f.q_id
+         |ORDER BY f.q_id NULLS FIRST""".stripMargin
+    }
   )
 }

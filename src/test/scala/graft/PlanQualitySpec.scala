@@ -128,6 +128,9 @@ class PlanQualitySpec extends SparkSuite {
     // q205: the exact arm's broadcast side is the 20-anchor query
     // block (q42/q43 class — driver-bounded at any sf)
     "q205_ann_recall",
+    // q231: the exact arm's broadcast side is the 3-row query-document
+    // block (q42/q182 anchor class — bounded at any sf)
+    "q231_chunk_retrieval",
     // q216: the broadcast sides are the ONE-ROW censoring-time,
     // total-count, and max-death-hour folds — provably 1 row each
     "q216_km_survival",
