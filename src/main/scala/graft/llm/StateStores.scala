@@ -35,7 +35,7 @@ object StateStores {
 
   /** Deterministic per-(fixture, store) state dir under /tmp — reruns
     * at the same sf reuse (and overwrite-seed) the same location. */
-  private def statePath(dir: String, name: String): String = {
+  private[llm] def statePath(dir: String, name: String): String = {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
     s"/tmp/graft_state/$name-$tag"
@@ -81,6 +81,20 @@ object StateStores {
         sum(col("bad")).as("n_mismatch"))
       .orderBy(col("gen"))
   }
+
+  /** LIVE band-index maintenance — the streaming form of q229's
+    * appends (the q128 foreachBatch state-sink pattern): every
+    * micro-batch of arriving documents appends ITS OWN band keys to
+    * the state table. Unlike the SCD1 upsert sink there is nothing to
+    * merge — the index is append-only — so each batch is one
+    * snapshot-sized derivation + append, and the state table equals
+    * the batch rebuild after any prefix of batches (spec-pinned). */
+  def bandIndexAppendSink(docs: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      bandIndexRows(batch.sparkSession, batch)
+        .write.mode("append").parquet(path)
+    }.start()
 
   /** Maintained-centroid update frame, factored for the spec: given
     * the PERSISTED state (cent_id, pos, coord, n — full-precision
@@ -150,6 +164,52 @@ object StateStores {
         .join(broadcast(sizes), Seq("cent_id"))
         .write.mode("overwrite").parquet(path)
       centroidUpdate(s, s.read.parquet(path), snap)
+    }),
+
+    /** Persisted BPE tokenizer — the merge table (the q132 training
+      * artifact) written once from the standing corpus, then APPLIED
+      * to "today's" snapshot by replaying the persisted merges: the
+      * tokenizer-deployment shape (train rarely, encode every batch).
+      * The merge list reads back from the state table (rounds-bounded
+      * driver state, like the centroid literals) and the replace
+      * chain runs as pure projections over the snapshot's DISTINCT
+      * words — words the corpus never saw still encode (they just
+      * match no merges), which the q139 vocab-join form cannot do.
+      * Output: per snapshot doc, words / BPE symbols / fertility.
+      * The oracle retrains the corpus merges and replays them over
+      * the snapshot from first principles, so a stale or truncated
+      * state table goes red. */
+    "q232_bpe_store" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val snap = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val path = statePath(dir, "bpe_merges")
+      import s.implicits._
+      TextAnalysis.bpeTrain(s, corpus, rounds = 3)._1
+        .toDF("round", "left", "right", "pair_freq")
+        .write.mode("overwrite").parquet(path)
+      val merges = s.read.parquet(path).orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val Sep = TextAnalysis.Sep
+      val words = snap.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val encoded = merges.foldLeft(
+          regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep")) {
+        case (c, (l, r)) => call_function("replace", c,
+          lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
+      }
+      val enc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("w"), encoded.as("sym"))
+        .select(col("w"),
+          size(expr(s"filter(split(sym, '$Sep'), x -> x <> '')"))
+            .cast("long").as("n_sym"))
+      words.join(enc, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"),
+          graft.r4n(sum(col("n_sym")).cast("double") / count(lit(1)))
+            .as("sym_per_word"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -216,6 +276,43 @@ object StateStores {
          |JOIN sizes ON sizes.cent_id = p2.cent_id
          |LEFT JOIN supd ON supd.cent_id = p2.cent_id AND supd.pos = p2.pos
          |ORDER BY p2.cent_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+    },
+
+    // corpus-trained merges (the q132 CTE chain over the corpus slice)
+    // replayed over the snapshot's distinct words; LEFT JOIN ON TRUE
+    // guards keep a degenerate empty merge round a no-op, mirroring
+    // the Spark side's shortened replace chain
+    "q232_bpe_store" -> {
+      def apply(prev: String, b: String, out: String): String =
+        s"""$out AS (
+           |  SELECT w, CASE WHEN m.l IS NULL THEN s
+           |    ELSE replace(s, chr(31)||m.l||chr(31)||chr(31)||m.r||chr(31),
+           |      chr(31)||m.l||m.r||chr(31)) END AS s
+           |  FROM $prev LEFT JOIN $b m ON TRUE)""".stripMargin
+      s"""WITH ${TextAnalysis.duckBpeCtesFor(
+              "text IS NOT NULL AND doc_id % 10 <> 0")},
+         |sw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0)
+         |  WHERE len(w) > 0),
+         |e0 AS (
+         |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s
+         |  FROM (SELECT DISTINCT w FROM sw)),
+         |${apply("e0", "b1", "e1")},
+         |${apply("e1", "b2", "e2")},
+         |${apply("e2", "b3", "e3")},
+         |enc AS (
+         |  SELECT w,
+         |  CAST(len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS BIGINT)
+         |    AS n_sym
+         |  FROM e3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+         |round(sum(n_sym) * 1.0 / count(*) + 1e-12, 4) AS sym_per_word
+         |FROM sw JOIN enc USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
     }
   )
 }

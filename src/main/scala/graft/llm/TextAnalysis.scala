@@ -34,7 +34,7 @@ object TextAnalysis {
     * between pairs would make `replace`'s left-to-right scan consume
     * the boundary a consecutive merge needs ("a a a a" must become
     * "aa aa", not "aa a a"). U+001F never occurs in text tokens. */
-  private val Sep = "\u001f"
+  private[llm] val Sep = "\u001f"
 
   /** The BPE training loop, shared by q132 (the merge table), q139
     * (train → encode composition), and the hand-fixture spec: `rounds`
@@ -639,17 +639,19 @@ object TextAnalysis {
   /** Shared 3-round BPE training CTE chain (wd → w0 → b1/w1 → b2/w2 →
     * b3/w3) — q132 reads the merge tables b1..b3, q139 the final
     * encoded vocabulary w3. */
-  private lazy val duckBpeCtes: String =
+  private[llm] def duckBpeCtesFor(where: String): String =
     s"""wd AS (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w
-       |    FROM documents WHERE text IS NOT NULL)
+       |    FROM documents WHERE $where)
        |  WHERE len(w) > 0 GROUP BY w),
        |w0 AS (SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, f
        |  FROM wd),
        |${duckBpeRound("w0", "b1", "w1")},
        |${duckBpeRound("w1", "b2", "w2")},
        |${duckBpeRound("w2", "b3", "w3")}""".stripMargin
+
+  private lazy val duckBpeCtes: String = duckBpeCtesFor("text IS NOT NULL")
 
   val oracles: Map[String, String] = Map(
 

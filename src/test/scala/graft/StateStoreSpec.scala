@@ -33,6 +33,30 @@ class StateStoreSpec extends SparkSuite {
       s"append derivation must not touch persisted state:\n$plan")
   }
 
+  test("streaming band-index sink: state equals the batch rebuild after all micro-batches") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_bands_src").toString
+    val statePath = Files.createTempDirectory("graft_bands_state")
+      .resolve("state").toString
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // three generation files — one micro-batch each via maxFilesPerTrigger
+    (0 until 3).foreach { g =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === g)
+        .coalesce(1).write.parquet(s"$srcDir/gen$g")
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/gen*")
+    val q = StateStores.bandIndexAppendSink(stream, statePath)
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(statePath)
+    val rebuilt = StateStores.bandIndexRows(spark, docs)
+    assert(state.count() == rebuilt.count())
+    assert(state.except(rebuilt).isEmpty && rebuilt.except(state).isEmpty,
+      "streamed state table must equal the batch-rebuilt band index")
+  }
+
   test("q230: centroid maintenance scans ONLY the snapshot, never the corpus") {
     val e = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
     val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
