@@ -1432,6 +1432,200 @@ object Statistics {
       lifted.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy(col("event_type"), col("hr"), col("rn"))
+    }),
+
+    /** Per-type upper CUSUM over the daily count series — the
+      * change-point screen that catches a SUSTAINED small shift the
+      * q201 EWMA band misses (CUSUM accumulates evidence; EWMA
+      * forgets it). The recursion S_t = max(0, S_{t-1} + z_t - k) is
+      * NOT computed recursively: the closed form
+      * S_t = cs_t − min(0, min_{j≤t} cs_j) (cs = prefix sum of
+      * z_t − k) turns it into two prefix folds, and both ride the
+      * q216 gap-explode stance — each day row replicates to the
+      * span-bounded days it influences, then ONE equi-keyed
+      * aggregate. Rows after the first groupBy are types × days²/2:
+      * bounded by the TIME SPAN, independent of the 100 TB row
+      * count, and the shuffles are keyed on (type, day) — never one
+      * task per type, no constant-cardinality window anywhere.
+      * Standardization stats come from a 5-row broadcast; alarm
+      * decisions compare the NUDGED r6 value in both engines so the
+      * threshold crossing is grid-stable. */
+    "q233_cusum_shift" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+          map_from_entries(array_sort(collect_list(struct(col("day"), col("c")))))
+            .as("mp"))
+        .withColumn("n_days", col("d1") - col("d0") + 1)
+        // Σc / Σc² over the DENSE grid equal the sparse sums (zero days
+        // contribute nothing) but the COUNT is the span — so mean/sd of
+        // the zero-padded series come without materializing the grid.
+        // The explicit sum/sumsq formula (not stddev_samp) is mirrored
+        // verbatim in the oracle: identical arithmetic, no Welford-vs-
+        // textbook float divergence.
+        .withColumn("m", col("sc").cast("double") / col("n_days"))
+        .withColumn("sd", sqrt(
+          (col("sc2").cast("double") - col("sc").cast("double") * col("sc") /
+            col("n_days")) / (col("n_days") - 1.0)))
+        .filter(col("sd") > 0)
+      g.withColumn("fold", expr("""
+          aggregate(
+            transform(sequence(d0, d1),
+              dd -> (CAST(coalesce(try_element_at(mp, dd), 0L) AS DOUBLE) - m)
+                      / sd - 0.25D),
+            named_struct(
+              's', CAST(0.0 AS DOUBLE), 'mx', CAST(0.0 AS DOUBLE),
+              'na', CAST(0 AS BIGINT), 'fa', CAST(NULL AS BIGINT),
+              'i', CAST(0 AS BIGINT)),
+            (acc, x) -> named_struct(
+              's', greatest(0.0D, acc.s + x),
+              'mx', greatest(acc.mx, greatest(0.0D, acc.s + x)),
+              'na', acc.na + IF(round(greatest(0.0D, acc.s + x) + 1e-12, 6)
+                      > 3.0D, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+              'fa', coalesce(acc.fa,
+                IF(round(greatest(0.0D, acc.s + x) + 1e-12, 6) > 3.0D,
+                   d0 + acc.i, CAST(NULL AS BIGINT))),
+              'i', acc.i + 1))"""))
+        .select(col("event_type"), col("n_days"),
+          round(col("fold.mx") + 1e-12, 6).as("max_cusum"),
+          col("fold.na").as("n_alarms"),
+          col("fold.fa").as("first_alarm_day"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Kruskal-Wallis rank ANOVA across ALL event types' value
+      * distributions — the k-sample generalization of q200's
+      * Mann-Whitney, and the right omnibus test when q235's F-test
+      * assumptions (normality, equal variance) fail. Midranks ride
+      * the SAME machinery as q200: group by distinct value (map-side
+      * combined — the shuffle carries distinct values, not rows),
+      * ONE [[GlobalRank.withRunningSum]] range exchange, midrank =
+      * cnv − nv + (nv+1)/2. Doubled midranks (2·cnv − nv + 1) keep
+      * every per-group rank sum an EXACT LONG, and the per-group H
+      * terms are scaled BEFORE the 5-term fold (term =
+      * r2g·3/(N(N+1))·r2g/n_g, each O(N)) so no intermediate exceeds
+      * double precision — the final sum is order-robust to the last
+      * ulp in both engines. */
+    "q234_kruskal_wallis" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("value").cast("double").as("v"), col("event_type").as("g"))
+      val vg = ev.groupBy(col("v"), col("g")).agg(count(lit(1)).as("n_gv"))
+      val vv = vg.groupBy(col("v")).agg(sum(col("n_gv")).as("nv"))
+      val c = GlobalRank.withRunningSum(vv, Seq(col("v")), "nv", "cnv")
+      val vgm = vg.join(
+        c.select(col("v"), (lit(2) * col("cnv") - col("nv") + 1).as("mid2")),
+        "v")
+      val grp = vgm.groupBy(col("g"))
+        .agg(sum(col("n_gv")).as("n_g"),
+          sum(col("n_gv") * col("mid2")).as("r2g"))
+      val tot = c.agg(sum(col("nv")).as("n"),
+        sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tie"))
+      val terms = grp.join(broadcast(tot))
+        .select(col("n"), col("tie"), col("n_g"),
+          ((col("r2g").cast("double") * 3.0 /
+            (col("n") * (col("n") + 1.0))) * col("r2g") / col("n_g")).as("term"))
+      terms
+        .groupBy(col("n"), col("tie"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("term")).as("st"))
+        .select(col("k_groups"), col("n"),
+          r6n(col("st") - lit(3.0) * (col("n") + 1.0)).as("h"),
+          r6n((col("st") - lit(3.0) * (col("n") + 1.0)) /
+            (lit(1.0) - col("tie").cast("double") /
+              (col("n") * col("n") * col("n") - col("n")))).as("h_tie_corrected"),
+          r6n((col("st") - lit(3.0) * (col("n") + 1.0)) / (col("n") - 1.0))
+            .as("epsilon_sq"))
+    }),
+
+    /** One-way ANOVA F across event-type value distributions — the
+      * classical mean-separation omnibus next to q234's rank version
+      * (run both: agreement says the effect is real, disagreement
+      * says it lives in the tails). Pure two-level aggregation: one
+      * per-group pass for (n, mean, s²) — six sum-mergeable partials,
+      * map-side combined — then a k-row fold using the
+      * Σn·m² − (Σn·m)²/N identity for the between-group sum of
+      * squares, so NO second data pass and no grand-mean broadcast
+      * join. Floats flow through data-volume folds of parquet
+      * doubles (the q166 Welch stance): off-grid in practice, plain
+      * r6. */
+    "q235_anova_oneway" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+      val grp = ev.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"), avg(col("v")).as("m_g"),
+          var_samp(col("v")).as("s_g"))
+      val ssb = col("sb2") - col("sb") * col("sb") / col("n")
+      grp.agg(count(lit(1)).as("k_groups"), sum(col("n_g")).as("n"),
+          sum(col("n_g") * col("m_g")).as("sb"),
+          sum(col("n_g") * col("m_g") * col("m_g")).as("sb2"),
+          sum((col("n_g") - 1) * col("s_g")).as("ssw"))
+        .select(col("k_groups"), col("n"),
+          r6((ssb / (col("k_groups") - 1.0)) /
+            (col("ssw") / (col("n") - col("k_groups")).cast("double")))
+            .as("f_stat"),
+          r6(ssb / (ssb + col("ssw"))).as("eta_sq"))
+    }),
+
+    /** Kendall's tau-b between order quantity and discount depth —
+      * the tie-robust monotone-association check behind "do bigger
+      * lines get deeper discounts?" (q198's Spearman answers with
+      * midranks; tau answers with PAIR counts, and the two disagreeing
+      * flags outlier leverage). NEVER all-pairs over rows: both
+      * variables live on FIXED small domains (quantity 1-50, discount
+      * in cents 0-10), so one map-side-combined groupBy reduces 100 TB
+      * of lines to a ≤ 550-cell contingency table, and the
+      * concordant/discordant counts come from the cells via the
+      * gap-explode stance — each cell replicates to the grid positions
+      * strictly below it (≤ domain² positions per cell, bounded by the
+      * VALUE DOMAIN, not the data), then one equi-keyed join back onto
+      * the cells. Everything is exact integer until the final
+      * tau = (C−D)/√((n0−n1)(n0−n2)) projection (deterministic IEEE,
+      * nudged r6). */
+    "q236_kendall_tau" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("d"))
+      val cells = li.groupBy(col("q"), col("d")).agg(count(lit(1)).as("o"))
+      val qd = cells.agg(min(col("q")).as("q0"), max(col("q")).as("q1"),
+        min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val withB = cells.join(broadcast(qd))
+      // G(i,j) = Σ_{k>i, l>j} o_kl : cell (k,l) lands on all (i,j) below it
+      val gTab = withB.filter(col("q") > col("q0") && col("d") > col("d0"))
+        .select(explode(expr("sequence(q0, q - 1)")).as("qi"), col("d"),
+          col("d0"), col("o"))
+        .select(col("qi"), explode(expr("sequence(d0, d - 1)")).as("di"),
+          col("o"))
+        .groupBy(col("qi"), col("di")).agg(sum(col("o")).as("gt"))
+      // Hd(i,j) = Σ_{k>i, l<j} o_kl
+      val hTab = withB.filter(col("q") > col("q0") && col("d") < col("d1"))
+        .select(explode(expr("sequence(q0, q - 1)")).as("qi"), col("d"),
+          col("d1"), col("o"))
+        .select(col("qi"), explode(expr("sequence(d + 1, d1)")).as("di"),
+          col("o"))
+        .groupBy(col("qi"), col("di")).agg(sum(col("o")).as("ht"))
+      val cd = cells
+        .join(gTab, col("q") === col("qi") && col("d") === col("di"), "left")
+        .drop("qi", "di")
+        .join(hTab, col("q") === col("qi") && col("d") === col("di"), "left")
+        .agg(sum(col("o")).as("n"),
+          sum(col("o") * coalesce(col("gt"), lit(0L))).as("nc"),
+          sum(col("o") * coalesce(col("ht"), lit(0L))).as("nd"))
+      val rowT = cells.groupBy(col("q")).agg(sum(col("o")).as("tq"))
+        .agg(sum(col("tq") * (col("tq") - 1) / 2).as("n1"))
+      val colT = cells.groupBy(col("d")).agg(sum(col("o")).as("td"))
+        .agg(sum(col("td") * (col("td") - 1) / 2).as("n2"))
+      cd.join(broadcast(rowT)).join(broadcast(colT))
+        .select(col("n"), col("nc").as("concordant"), col("nd").as("discordant"),
+          r6n((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n") * (col("n") - 1) / 2 - col("n1")).cast("double") *
+              (col("n") * (col("n") - 1) / 2 - col("n2")).cast("double")))
+            .as("tau_b"))
     })
   )
 
@@ -2317,7 +2511,118 @@ object Statistics {
          |    ORDER BY lift DESC, user_id) AS rn
          |  FROM lifted)
          |WHERE rn <= 3
-         |ORDER BY event_type NULLS FIRST, hr NULLS FIRST, rn""".stripMargin
+         |ORDER BY event_type NULLS FIRST, hr NULLS FIRST, rn""".stripMargin,
+
+    "q233_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+        |  sum(c) AS sc, sum(c * c) AS sc2 FROM daily GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, d0, d1, d1 - d0 + 1 AS n_days,
+        |  CAST(sc AS DOUBLE) / (d1 - d0 + 1) AS m,
+        |  sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc / (d1 - d0 + 1))
+        |    / ((d1 - d0 + 1) - 1.0)) AS sd
+        |  FROM g),
+        |grid AS (
+        |  SELECT event_type, m, sd,
+        |  unnest(generate_series(d0, d1)) AS day
+        |  FROM st WHERE sd > 0),
+        |x AS (
+        |  SELECT gr.event_type, gr.day,
+        |  (CAST(coalesce(d.c, 0) AS DOUBLE) - gr.m) / gr.sd - 0.25 AS x
+        |  FROM grid gr LEFT JOIN daily d
+        |    ON d.event_type = gr.event_type AND d.day = gr.day),
+        |cs AS (
+        |  SELECT event_type, day,
+        |  sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cs
+        |  FROM x),
+        |sv AS (
+        |  SELECT event_type, day, cs - least(0.0,
+        |    min(cs) OVER (PARTITION BY event_type ORDER BY day)) AS s
+        |  FROM cs)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |round(max(s) + 1e-12, 6) AS max_cusum,
+        |CAST(sum(CASE WHEN round(s + 1e-12, 6) > 3.0 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_alarms,
+        |min(CASE WHEN round(s + 1e-12, 6) > 3.0 THEN day END)
+        |  AS first_alarm_day
+        |FROM sv GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q234_kruskal_wallis" ->
+      """WITH ev AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |vg AS (SELECT v, g, count(*) AS n_gv FROM ev GROUP BY 1, 2),
+        |vv AS (SELECT v, sum(n_gv) AS nv FROM vg GROUP BY 1),
+        |c AS (
+        |  SELECT v, nv, sum(nv) OVER (ORDER BY v) AS cnv FROM vv),
+        |m AS (SELECT v, 2 * cnv - nv + 1 AS mid2 FROM c),
+        |grp AS (
+        |  SELECT vg.g, sum(vg.n_gv) AS n_g, sum(vg.n_gv * m.mid2) AS r2g
+        |  FROM vg JOIN m ON m.v = vg.v GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie FROM vv),
+        |terms AS (
+        |  SELECT t.n, t.tie,
+        |  (CAST(g.r2g AS DOUBLE) * 3.0 / (t.n * (t.n + 1.0))) * g.r2g / g.n_g
+        |    AS term
+        |  FROM grp g, tot t),
+        |f AS (
+        |  SELECT n, tie, CAST(count(*) AS BIGINT) AS k_groups,
+        |  sum(term) AS st FROM terms GROUP BY 1, 2)
+        |SELECT k_groups, n,
+        |round(st - 3.0 * (n + 1.0) + 1e-12, 6) AS h,
+        |round((st - 3.0 * (n + 1.0)) /
+        |  (1.0 - CAST(tie AS DOUBLE) / (n * n * n - n)) + 1e-12, 6)
+        |  AS h_tie_corrected,
+        |round((st - 3.0 * (n + 1.0)) / (n - 1.0) + 1e-12, 6) AS epsilon_sq
+        |FROM f""".stripMargin,
+
+    "q235_anova_oneway" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |grp AS (
+        |  SELECT g, count(*) AS n_g, avg(v) AS m_g, var_samp(v) AS s_g
+        |  FROM ev GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(n_g) AS BIGINT) AS n,
+        |  sum(n_g * m_g) AS sb, sum(n_g * m_g * m_g) AS sb2,
+        |  sum((n_g - 1) * s_g) AS ssw FROM grp)
+        |SELECT k_groups, n,
+        |round(((sb2 - sb * sb / n) / (k_groups - 1.0)) /
+        |  (ssw / CAST(n - k_groups AS DOUBLE)), 6) AS f_stat,
+        |round((sb2 - sb * sb / n) / ((sb2 - sb * sb / n) + ssw), 6) AS eta_sq
+        |FROM f""".stripMargin,
+
+    "q236_kendall_tau" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d FROM lineitem),
+        |cells AS (SELECT q, d, count(*) AS o FROM li GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT CAST(sum(a.o * b.o) FILTER (b.q > a.q AND b.d > a.d)
+        |    AS BIGINT) AS nc,
+        |  CAST(sum(a.o * b.o) FILTER (b.q > a.q AND b.d < a.d)
+        |    AS BIGINT) AS nd
+        |  FROM cells a, cells b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |rt AS (SELECT CAST(sum(tq * (tq - 1) // 2) AS BIGINT) AS n1
+        |  FROM (SELECT sum(o) AS tq FROM cells GROUP BY q)),
+        |ct AS (SELECT CAST(sum(td * (td - 1) // 2) AS BIGINT) AS n2
+        |  FROM (SELECT sum(o) AS td FROM cells GROUP BY d))
+        |SELECT t.n, c.nc AS concordant, c.nd AS discordant,
+        |round(CAST(c.nc - c.nd AS DOUBLE) /
+        |  sqrt(CAST(t.n * (t.n - 1) // 2 - r.n1 AS DOUBLE) *
+        |       CAST(t.n * (t.n - 1) // 2 - c2.n2 AS DOUBLE)) + 1e-12, 6)
+        |  AS tau_b
+        |FROM cd c, tot t, rt r, ct c2""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
