@@ -587,6 +587,158 @@ object TextAnalysis {
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > lit(total) / lit(k.toDouble))
         .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    /** Coleman-Liau readability per (lang, source) — the one classic
+      * readability index computable WITHOUT a syllable dictionary
+      * (letters, words, sentences only), so it is exactly
+      * reproducible on any engine. Per-doc counts are three scan-time
+      * projections (no explode); the index derives from INTEGER GROUP
+      * TOTALS (Σletters, Σwords, Σsentences), never an average of
+      * per-doc ratios — the q202 lesson: one division per group, no
+      * order-dependent float fold, nudged r4. Sentence count floors
+      * at 1 per doc (this corpus has no terminal punctuation; real
+      * corpora do — the operator shape is what carries). */
+    "q237_readability" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+            .as("nl"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("ns"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nl")).as("l"),
+          sum(col("nw")).as("w"), sum(col("ns")).as("st"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          r4n(col("l").cast("double") / col("w")).as("letters_per_word"),
+          r4n(lit(0.0588) * (col("l").cast("double") * 100.0 / col("w")) -
+            lit(0.296) * (col("st").cast("double") * 100.0 / col("w")) - 15.8)
+            .as("cli"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    /** Gopher-style repetition screens per source — the two
+      * duplicate-content signals a pretraining filter runs per doc
+      * (Rae et al. 2021 §A1.3): the character fraction covered by the
+      * highest-coverage word 2-gram, and the character fraction inside
+      * tokens that repeat within the doc. Both are exact and
+      * distributed: explode → count per (doc, unit) — shuffles keyed
+      * on (doc, unit), map-side combined — then per-doc integer
+      * aggregates. Source-level fractions derive from INTEGER TOTALS
+      * (q202 stance) and per-doc flags compare the NUDGED r6 ratio
+      * against the threshold in both engines, so the flag boundary is
+      * grid-stable. Thresholds (0.15 / 0.95) sit at the measured p90
+      * tail of this corpus. */
+    "q238_gopher_repetition" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("nch"),
+          split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val tokDup = docs
+        .select(col("doc_id"), col("source"), explode(col("l")).as("t"))
+        .groupBy(col("doc_id"), col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(length(col("t")) * col("c")).as("totc"),
+          sum(when(col("c") > 1, length(col("t")) * col("c")).otherwise(0L))
+            .as("dupc"))
+      val gram = docs
+        .select(col("doc_id"), col("nch"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+            .stripMargin)).as("g"))
+        .groupBy(col("doc_id"), col("nch"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("nch"))
+        .agg(max(col("c") * length(col("g"))).as("mc"))
+      tokDup.join(gram, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          r6n(sum(col("dupc")).cast("double") / sum(col("totc")))
+            .as("dup_char_frac"),
+          r6n(sum(col("mc")).cast("double") / sum(col("nch")))
+            .as("top2gram_char_frac"),
+          sum(when(r6n(col("dupc").cast("double") / col("totc")) > 0.95, 1L)
+            .otherwise(0L)).as("n_dup_flagged"),
+          sum(when(r6n(col("mc").cast("double") / col("nch")) > 0.15, 1L)
+            .otherwise(0L)).as("n_top_flagged"))
+        .orderBy(col("source"))
+    }),
+
+    /** Jensen-Shannon divergence of each source's token distribution
+      * from the corpus distribution — the bounded, symmetric
+      * mixture-drift metric next to q204's PSI (PSI explodes on
+      * zero-bins; JSD is finite by construction). NO dense
+      * source × vocab grid: for tokens ABSENT from a source the
+      * summand collapses to ½·q·ln2, so the absent-token mass folds
+      * into a closed-form coverage correction ½·ln2·(1−Σ_matched q)
+      * and the join stays on (source, token) pairs that EXIST —
+      * shuffles keyed on token, linear in the observed vocabulary.
+      * Corpus totals ride the q177 one-row collect-explode (no
+      * cartesian broadcast). */
+    "q239_js_divergence" -> ((s: SparkSession, dir: String) => {
+      val st = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("a"))
+      val ct = st.groupBy(col("t")).agg(sum(col("a")).as("b"))
+      val totsrc = st.groupBy(col("source")).agg(sum(col("a")).as("ts"))
+        .agg(collect_list(struct(col("source"), col("ts"))).as("lst"))
+        .select(expr("aggregate(lst, 0L, (acc, e) -> acc + e.ts)").as("tt"),
+          explode(col("lst")).as("e"))
+        .select(col("e.source").as("source"), col("e.ts").as("ts"), col("tt"))
+      val p = col("a").cast("double") / col("ts")
+      val q = col("b").cast("double") / col("tt")
+      val m = (p + q) / 2.0
+      st.join(ct, "t")
+        .join(broadcast(totsrc), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r6n(sum(q)).as("coverage"),
+          r6n(sum(lit(0.5) * (p * log(p / m) + q * log(q / m))) +
+            lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(q))).as("jsd"))
+        .orderBy(col("source"))
+    }),
+
+    /** Cavnar-Trenkle character-bigram rank profiles per lang + the
+      * pairwise out-of-place distance matrix — the classical
+      * language-ID machinery (q41 is the stopword-density shortcut;
+      * this is the real profile method, here at profile depth 20).
+      * Per-lang bigram counts explode from a per-row transform
+      * (shuffles keyed on (lang, gram), map-side combined); the
+      * alphabet-bounded count table collects per lang into ONE array,
+      * sorts in-expression, and slices the top 20 — no
+      * constant-cardinality window anywhere. The pair grid is the
+      * lang-domain cross (≤ langs² rows, data-independent) and
+      * missing grams take the out-of-place penalty 21 via left join.
+      * All-integer output: FloatAudit-clean by construction. */
+    "q240_chargram_profile" -> ((s: SparkSession, dir: String) => {
+      val counts = Tables(s, dir, "documents")
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("g"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+      val prof = counts
+        .groupBy(col("lang"))
+        .agg(collect_list(struct(col("cnt"), col("g"))).as("l"))
+        .select(col("lang"), posexplode(expr(
+          "slice(array_sort(transform(l, e -> struct(-e.cnt AS nc, e.g AS g))), 1, 20)")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.g").as("g"))
+      val pairs = prof.select(col("lang").as("la")).distinct()
+        .crossJoin(broadcast(prof.select(col("lang").as("lang_b")).distinct()))
+        .filter(col("la") =!= col("lang_b"))
+      val profB = prof.select(col("lang").as("lb2"), col("g").as("g2"),
+        col("rnk").as("rnk_b"))
+      pairs
+        .join(prof, col("la") === col("lang"))
+        .join(profB,
+          col("lang_b") === col("lb2") && col("g") === col("g2"), "left")
+        .groupBy(col("la").as("lang_a"), col("lang_b"))
+        .agg(count(col("rnk_b")).as("n_shared"),
+          sum(abs(col("rnk") - coalesce(col("rnk_b"), lit(21L)))).as("oop_dist"))
+        .orderBy(col("lang_a"), col("lang_b"))
     })
   )
 
@@ -932,6 +1084,101 @@ object TextAnalysis {
         |count(*) AS n_tok
         |FROM toks JOIN freq USING (t) CROSS JOIN total
         |GROUP BY doc_id
-        |ORDER BY doc_id NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q237_readability" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |round(CAST(sum(nl) AS DOUBLE) / sum(nw) + 1e-12, 4)
+        |  AS letters_per_word,
+        |round(0.0588 * (CAST(sum(nl) AS DOUBLE) * 100.0 / sum(nw)) -
+        |  0.296 * (CAST(sum(ns) AS DOUBLE) * 100.0 / sum(nw)) - 15.8
+        |  + 1e-12, 4) AS cli
+        |FROM (SELECT lang, source,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nl,
+        |  len(string_split(text, ' ')) AS nw,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+        |  FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q238_gopher_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, length(text) AS nch,
+        |  string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |tc AS (
+        |  SELECT doc_id, source, t, count(*) AS c
+        |  FROM (SELECT doc_id, source, unnest(l) AS t FROM docs)
+        |  GROUP BY 1, 2, 3),
+        |td AS (
+        |  SELECT doc_id, source, sum(len(t) * c) AS totc,
+        |  sum(CASE WHEN c > 1 THEN len(t) * c ELSE 0 END) AS dupc
+        |  FROM tc GROUP BY 1, 2),
+        |gm AS (
+        |  SELECT doc_id, nch, g, count(*) AS c
+        |  FROM (SELECT doc_id, nch, unnest(list_transform(
+        |    generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS g FROM docs)
+        |  GROUP BY 1, 2, 3),
+        |gd AS (SELECT doc_id, nch, max(c * len(g)) AS mc FROM gm GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |round(CAST(sum(dupc) AS DOUBLE) / sum(totc) + 1e-12, 6)
+        |  AS dup_char_frac,
+        |round(CAST(sum(mc) AS DOUBLE) / sum(nch) + 1e-12, 6)
+        |  AS top2gram_char_frac,
+        |CAST(sum(CASE WHEN round(CAST(dupc AS DOUBLE) / totc + 1e-12, 6) > 0.95
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flagged,
+        |CAST(sum(CASE WHEN round(CAST(mc AS DOUBLE) / nch + 1e-12, 6) > 0.15
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flagged
+        |FROM td JOIN gd USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q239_js_divergence" ->
+      """WITH st AS (
+        |  SELECT source, t, count(*) AS a
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT t, sum(a) AS b FROM st GROUP BY 1),
+        |tsrc AS (SELECT source, sum(a) AS ts FROM st GROUP BY 1),
+        |tall AS (SELECT sum(a) AS tt FROM st),
+        |j AS (
+        |  SELECT st.source, CAST(st.a AS DOUBLE) / tsrc.ts AS p,
+        |  CAST(ct.b AS DOUBLE) / tall.tt AS q
+        |  FROM st JOIN ct USING (t) JOIN tsrc USING (source) CROSS JOIN tall)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |round(sum(q) + 1e-12, 6) AS coverage,
+        |round(sum(0.5 * (p * ln(p / ((p + q) / 2.0)) +
+        |               q * ln(q / ((p + q) / 2.0)))) +
+        |  0.5 * ln(2.0) * (1.0 - sum(q)) + 1e-12, 6) AS jsd
+        |FROM j GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q240_chargram_profile" ->
+      """WITH counts AS (
+        |  SELECT lang, g, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(list_transform(
+        |    generate_series(1, length(text) - 1), i -> text[i:i+1])) AS g
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT * FROM (
+        |    SELECT lang, g, CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, g) AS BIGINT) AS rnk
+        |    FROM counts)
+        |  WHERE rnk <= 20),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |pairs AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b
+        |  FROM langs a, langs b WHERE a.lang <> b.lang)
+        |SELECT p.lang_a, p.lang_b,
+        |CAST(count(pb.rnk) AS BIGINT) AS n_shared,
+        |CAST(sum(abs(pa.rnk - coalesce(pb.rnk, 21))) AS BIGINT) AS oop_dist
+        |FROM pairs p
+        |JOIN prof pa ON pa.lang = p.lang_a
+        |LEFT JOIN prof pb ON pb.lang = p.lang_b AND pb.g = pa.g
+        |GROUP BY 1, 2
+        |ORDER BY lang_a NULLS FIRST, lang_b NULLS FIRST""".stripMargin
   )
 }
