@@ -1626,6 +1626,121 @@ object Statistics {
             sqrt((col("n") * (col("n") - 1) / 2 - col("n1")).cast("double") *
               (col("n") * (col("n") - 1) / 2 - col("n2")).cast("double")))
             .as("tau_b"))
+    }),
+
+    /** RFM customer segmentation — the classical
+      * recency/frequency/monetary quintile grid, the behavioral
+      * counterpart of q150's cohort view. Every score is an INTEGER
+      * RANK bucket ((rank−1)·5 DIV n + 1), never a float quantile
+      * cut: ranks come from three [[GlobalRank.withRowNumbers]]
+      * range exchanges over the ALREADY per-customer-aggregated
+      * table (input cardinality = customers, not orders), totally
+      * ordered by (metric, custkey) so both engines agree on every
+      * boundary. Ranking on last-active day ascending makes the
+      * recency score need NO corpus max-date subtraction. Monetary
+      * sums ride exact integer cents (the q222 stance). The one-row
+      * customer-count fold joins broadcast (allowlisted class). */
+    "q241_rfm_segments" -> ((s: SparkSession, dir: String) => {
+      val rfm = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          (unix_micros(col("o_orderdate")) / 86400000000L).cast("long")
+            .as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("cents"))
+        // three rank passes consume this — cache the narrow
+        // per-customer aggregate once (customers ≪ orders)
+        .cache()
+      val n1 = GlobalRank.withRowNumbers(rfm,
+        Seq(col("last_day"), col("o_custkey")), "rr")
+        .select(col("o_custkey"), col("rr"))
+      val n2 = GlobalRank.withRowNumbers(rfm,
+        Seq(col("freq"), col("o_custkey")), "rf")
+        .select(col("o_custkey").as("ck2"), col("rf"))
+      val n3 = GlobalRank.withRowNumbers(rfm,
+        Seq(col("cents"), col("o_custkey")), "rm")
+        .select(col("o_custkey").as("ck3"), col("rm"), col("cents"))
+      val nc = rfm.agg(count(lit(1)).as("n"))
+      val scored = n1
+        .join(n2, col("o_custkey") === col("ck2"))
+        .join(n3, col("o_custkey") === col("ck3"))
+        .join(broadcast(nc))
+        .select(
+          expr("CAST((rr - 1) * 5 DIV n AS BIGINT) + 1").as("r_q"),
+          expr("CAST((rf - 1) * 5 DIV n AS BIGINT) + 1").as("f_q"),
+          expr("CAST((rm - 1) * 5 DIV n AS BIGINT) + 1").as("m_q"),
+          col("cents"))
+      scored
+        .select(
+          when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4,
+            "champion")
+            .when(col("r_q") <= 2 && col("f_q") >= 4, "at_risk_loyal")
+            .when(col("r_q") >= 4 && col("f_q") <= 2, "recent_light")
+            .otherwise("regular").as("segment"),
+          col("r_q"), col("f_q"), col("m_q"), col("cents"))
+        .groupBy(col("segment"), col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          r6n(avg(col("cents"))).as("avg_cents"))
+        .orderBy(col("segment"), col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    /** Per-user event-type entropy census — how PREDICTABLE each
+      * user's behavior mix is (a bot pinned to one action scores 0;
+      * a uniform 5-type user scores ln 5), bucketed into 0.01-nat
+      * bands (this corpus's uniform mixers span only ~1.51-1.61 nats). Two map-side-combined aggregates (user × type, then
+      * user) and one final census groupBy — shuffles keyed on
+      * user_id, nothing driver-side. Band assignment floors the
+      * NUDGED r6 entropy so the band boundary is grid-stable in both
+      * engines (the q238 flag stance). */
+    "q242_session_entropy" -> ((s: SparkSession, dir: String) => {
+      val ut = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val uh = ut.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c").cast("double"))).as("clc"))
+        // H = ln n − (Σ c·ln c)/n : one log per (user, type) plus a
+        // closed-form finish — no per-row p=c/n materialization
+        .select(col("user_id"), col("n_types"),
+          (log(col("n").cast("double")) - col("clc") / col("n")).as("h"))
+      uh.select(col("n_types"),
+          floor(round(col("h") + 1e-12, 6) / 0.01).cast("long").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_users"),
+          r6n(avg(col("n_types").cast("double"))).as("avg_types"))
+        .orderBy(col("band"))
+    }),
+
+    /** Fano factor + Goh-Barabási burstiness per event type over the
+      * DENSE hourly series — the dispersion fingerprint that
+      * separates Poisson traffic (F≈1) from bursty retry storms
+      * (F≫1). Like q233, the zero-hour-padded mean/variance need NO
+      * grid materialization: Σc and Σc² over the dense series equal
+      * the sparse sums while the count is the span — one
+      * map-side-combined groupBy and a 5-row projection. The
+      * explicit sum/sumsq variance formula is mirrored verbatim in
+      * the oracle. */
+    "q243_fano_burstiness" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+          sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"))
+        .withColumn("nh", col("h1") - col("h0") + 1)
+        .withColumn("m", col("sc").cast("double") / col("nh"))
+        .withColumn("v",
+          (col("sc2").cast("double") - col("sc").cast("double") * col("sc") /
+            col("nh")) / (col("nh") - 1.0))
+        .filter(col("m") > 0 && col("nh") > 1)
+        .select(col("event_type"), col("nh").as("n_hours"),
+          r6n(col("m")).as("mean_per_hour"),
+          r6n(col("v") / col("m")).as("fano"),
+          r6n((sqrt(col("v")) - col("m")) / (sqrt(col("v")) + col("m")))
+            .as("burstiness"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2622,7 +2737,71 @@ object Statistics {
         |  sqrt(CAST(t.n * (t.n - 1) // 2 - r.n1 AS DOUBLE) *
         |       CAST(t.n * (t.n - 1) // 2 - c2.n2 AS DOUBLE)) + 1e-12, 6)
         |  AS tau_b
-        |FROM cd c, tot t, rt r, ct c2""".stripMargin
+        |FROM cd c, tot t, rt r, ct c2""".stripMargin,
+
+    "q241_rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(epoch_us(o_orderdate) // 86400000000)
+        |    AS last_day,
+        |  count(*) AS freq,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |nc AS (SELECT count(*) AS n FROM rfm),
+        |ranked AS (
+        |  SELECT cents,
+        |  row_number() OVER (ORDER BY last_day, o_custkey) AS rr,
+        |  row_number() OVER (ORDER BY freq, o_custkey) AS rf,
+        |  row_number() OVER (ORDER BY cents, o_custkey) AS rm
+        |  FROM rfm),
+        |scored AS (
+        |  SELECT CAST((rr - 1) * 5 // n AS BIGINT) + 1 AS r_q,
+        |  CAST((rf - 1) * 5 // n AS BIGINT) + 1 AS f_q,
+        |  CAST((rm - 1) * 5 // n AS BIGINT) + 1 AS m_q, cents
+        |  FROM ranked, nc)
+        |SELECT CASE
+        |  WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+        |  WHEN r_q <= 2 AND f_q >= 4 THEN 'at_risk_loyal'
+        |  WHEN r_q >= 4 AND f_q <= 2 THEN 'recent_light'
+        |  ELSE 'regular' END AS segment,
+        |r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |round(avg(cents) + 1e-12, 6) AS avg_cents
+        |FROM scored GROUP BY 1, 2, 3, 4
+        |ORDER BY segment NULLS FIRST, r_q, f_q, m_q""".stripMargin,
+
+    "q242_session_entropy" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |uh AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(c * ln(CAST(c AS DOUBLE))) / sum(c) AS h
+        |  FROM ut GROUP BY 1)
+        |SELECT CAST(floor(round(h + 1e-12, 6) / 0.01) AS BIGINT) AS band,
+        |CAST(count(*) AS BIGINT) AS n_users,
+        |round(avg(CAST(n_types AS DOUBLE)) + 1e-12, 6) AS avg_types
+        |FROM uh GROUP BY 1
+        |ORDER BY band""".stripMargin,
+
+    "q243_fano_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, min(hr) AS h0, max(hr) AS h1,
+        |  sum(c) AS sc, sum(c * c) AS sc2 FROM hourly GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, h1 - h0 + 1 AS nh,
+        |  CAST(sc AS DOUBLE) / (h1 - h0 + 1) AS m,
+        |  (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc / (h1 - h0 + 1))
+        |    / ((h1 - h0 + 1) - 1.0) AS v
+        |  FROM g)
+        |SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+        |round(m + 1e-12, 6) AS mean_per_hour,
+        |round(v / m + 1e-12, 6) AS fano,
+        |round((sqrt(v) - m) / (sqrt(v) + m) + 1e-12, 6) AS burstiness
+        |FROM st WHERE m > 0 AND nh > 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
