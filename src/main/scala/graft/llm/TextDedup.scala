@@ -919,6 +919,40 @@ object TextDedup {
           round(col("n_boiler") / col("n_chunks") + lit(1e-12), 4)
             .as("boiler_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    /** Cross-doc duplicated-shingle mass per source — the Lee et al.
+      * 2022 ("Deduplicating Training Data Makes Language Models
+      * Better") substring-duplication signal at shingle granularity:
+      * the fraction of a source's 3-shingle set occurrences that
+      * appear in ≥ 2 documents corpus-wide. Finer than every
+      * doc-level screen in the suite: a sentence copied into
+      * thousands of otherwise-distinct docs never crosses q34's
+      * pairwise Jaccard threshold and is invisible to q161's copy
+      * matrix, but it is exactly the memorization mass this census
+      * weighs. Linear at any scale: shuffles carry the 8-byte shingle
+      * hash (map-side-combined df counts, one shuffle-hash join
+      * back), per-doc and per-source fractions derive from INTEGER
+      * TOTALS (q202 stance), and the heavy-doc flag compares the
+      * NUDGED r6 ratio in both engines (q238 flag stance) so the
+      * boundary is grid-stable. */
+    "q245_dup_ngram_mass" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val sh = explodeShingles(shingleArrays(docs).cache()).cache()
+      val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(dfc.hint("shuffle_hash"), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count_if(col("df") >= 2).as("n_dup"))
+      perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("total_shingles"),
+          sum(col("n_dup")).as("dup_shingles"),
+          r6n(sum(col("n_dup")).cast("double") / sum(col("n_sh")))
+            .as("dup_mass"),
+          count_if(r6n(col("n_dup").cast("double") / col("n_sh")) > 0.5)
+            .as("n_heavy_docs"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1411,6 +1445,22 @@ object TextDedup {
       s"""WITH sh AS ($duckShingles)
          |SELECT doc_id, substr(min(sha256(sh)), 1, 16) AS fingerprint
          |FROM sh GROUP BY doc_id
-         |ORDER BY doc_id NULLS FIRST""".stripMargin
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q245_dup_ngram_mass" ->
+      s"""WITH sh AS ($duckShingles),
+         |dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |d AS (
+         |  SELECT s.doc_id, count(*) AS n_sh,
+         |  count(*) FILTER (f.df >= 2) AS n_dup
+         |  FROM sh s JOIN dfc f ON f.sh = s.sh GROUP BY 1)
+         |SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(d.n_sh) AS BIGINT) AS total_shingles,
+         |CAST(sum(d.n_dup) AS BIGINT) AS dup_shingles,
+         |round(sum(d.n_dup) * 1.0 / sum(d.n_sh) + 1e-12, 6) AS dup_mass,
+         |CAST(count(*) FILTER (round(d.n_dup * 1.0 / d.n_sh + 1e-12, 6) > 0.5)
+         |  AS BIGINT) AS n_heavy_docs
+         |FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY doc.source NULLS FIRST""".stripMargin
   )
 }

@@ -526,6 +526,58 @@ object Extended {
         .limit(15)
     }),
 
+    /** Adamic-Adar link prediction over the part co-purchase graph —
+      * the "never bought together, but share many co-purchase
+      * neighbors" recommendation screen (Adamic-Adar 2003): score =
+      * Σ_w 1/ln(deg w) over common neighbors w, down-weighting the
+      * hub middles a raw common-neighbor count overweights. Built
+      * entirely from bounded joins: pair generation self-joins ON THE
+      * ORDER KEY (C(basket,2) per order, the q184 stance) with
+      * support ≥ 2; the wedge join a-w-b keys on the MIDDLE part, and
+      * its fan-out is capped by excluding middles with degree > 512
+      * (the DfCap analogue — a hub middle contributes ≤ 1/ln(512) ≈
+      * 0.16 per wedge while generating deg² of them, so the cap
+      * bounds every join key's blowup at any scale while barely
+      * moving scores; mirrored in the oracle). The middle's degree
+      * rides ON the wedge arm (one equi join, no per-wedge lookup),
+      * existing edges leave via an equi anti join, and the top-20 is
+      * TakeOrderedAndProject on the NUDGED rounded score with id
+      * tie-breaks so the cut is engine-stable. Graph joins hinted
+      * shuffle_hash — the edge list's static size estimate reads
+      * "small" and a broadcast plan could not exist at 100 TB. */
+    "q244_adamic_adar" -> ((s: SparkSession, dir: String) => {
+      val hubCap = 512
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().cache()
+      val e = li.as("a")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("d1"), col("b.p").as("d2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("d1"), col("d2")).cache()
+      val edges = e.unionByName(
+        e.select(col("d2").as("d1"), col("d1").as("d2")))
+      val deg = edges.groupBy(col("d1").as("w")).agg(count(lit(1)).as("dg"))
+      val aw = edges.select(col("d1").as("a"), col("d2").as("w"))
+        .join(deg.filter(col("dg") <= hubCap).hint("shuffle_hash"), "w")
+      val wedges = aw.join(
+          edges.select(col("d1").as("w"), col("d2").as("b"))
+            .hint("shuffle_hash"),
+          Seq("w"))
+        .filter(col("a") < col("b"))
+      val cand = wedges.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(lit(1.0) / log(col("dg"))).as("score"))
+      cand.join(e.hint("shuffle_hash"),
+          cand("a") === e("d1") && cand("b") === e("d2"), "left_anti")
+        .select(col("a").as("p1"), col("b").as("p2"), col("n_common"),
+          r6n(col("score")).as("aa_score"))
+        .orderBy(desc("aa_score"), col("p1"), col("p2"))
+        .limit(20)
+    }),
+
     /** Referential-integrity audit — orphan foreign keys across every
       * relationship in the star schema, the conformance check a DQ
       * pipeline runs before trusting any join (an orphan rate > 0
@@ -1478,6 +1530,31 @@ object Extended {
         |JOIN supp s2 ON s2.p = p2, n
         |ORDER BY n_ab DESC, p1, p2
         |LIMIT 15""".stripMargin,
+
+    "q244_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS d1, b.p AS d2
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT d1 AS s, d2 AS t FROM e UNION ALL SELECT d2, d1 FROM e),
+        |deg AS (SELECT s AS w, count(*) AS dg FROM edges GROUP BY 1),
+        |wed AS (
+        |  SELECT aw.s AS a, wb.t AS b, d.dg AS dg
+        |  FROM edges aw
+        |  JOIN deg d ON d.w = aw.t AND d.dg <= 512
+        |  JOIN edges wb ON wb.s = aw.t AND aw.s < wb.t),
+        |cand AS (
+        |  SELECT a, b, count(*) AS n_common, sum(1.0 / ln(dg)) AS score
+        |  FROM wed GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT c.a, c.b, c.n_common, c.score FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.d1 = c.a AND e.d2 = c.b))
+        |SELECT a AS p1, b AS p2, CAST(n_common AS BIGINT) AS n_common,
+        |round(score + 1e-12, 6) AS aa_score
+        |FROM fresh
+        |ORDER BY aa_score DESC, p1, p2 LIMIT 20""".stripMargin,
 
     "q173_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
