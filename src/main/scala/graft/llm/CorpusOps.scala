@@ -331,6 +331,40 @@ object CorpusOps {
         .orderBy(col("shard"))
     }),
 
+    /** Compaction planning — the small-files fix every lakehouse
+      * table needs (q178 deals equal-COUNT shards; real writers pack
+      * to a target FILE SIZE): docs are laid out per source in
+      * (bytes desc, id) order and cut into files by start-offset
+      * binning — file = (running_bytes − own_bytes) DIV 64 KiB, the
+      * same contiguous running-sum packing Spark's own
+      * maxPartitionBytes split uses, so every file lands within one
+      * document of the target. The per-source running sum does NOT
+      * use a source-partitioned window (source is a constant-
+      * cardinality key — one task per source at any scale, the exact
+      * shape WindowAudit rejects): ONE [[graft.ops.GlobalRank]]
+      * range exchange over (source, bytes desc, id) carries the
+      * global sum, the per-source start offset falls out of the SAME
+      * table as min(cum − bytes) per source (the q198 offset trick),
+      * and the offsets join back broadcast (bounded by the source
+      * domain). Everything integer until the nudged fill ratio. */
+    "q247_compaction_plan" -> ((s: SparkSession, dir: String) => {
+      val cum = graft.ops.GlobalRank.withRunningSum(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        Seq(col("source"), col("n_chars").desc, col("doc_id")),
+        "n_chars", "cum")
+      val off = cum.groupBy(col("source"))
+        .agg(min(col("cum") - col("n_chars")).as("off"))
+      cum.join(broadcast(off), "source")
+        .withColumn("file_id",
+          expr("CAST((cum - off - n_chars) DIV 65536 AS BIGINT)"))
+        .groupBy(col("source"), col("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+        .select(col("source"), col("file_id"), col("n_docs"), col("bytes"),
+          r6n(col("bytes").cast("double") / lit(65536.0)).as("fill_ratio"))
+        .orderBy(col("source"), col("file_id"))
+    }),
+
     /** CDC snapshot diff — the added/removed/changed/unchanged census
       * between two crawl snapshots, the reconciliation step before any
       * incremental pipeline run. The fixture synthesizes the snapshots
@@ -757,6 +791,20 @@ object CorpusOps {
         |CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM r GROUP BY 1
         |ORDER BY shard NULLS FIRST""".stripMargin,
+
+    "q247_compaction_plan" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS scum
+        |  FROM documents)
+        |SELECT source,
+        |CAST((scum - n_chars) // 65536 AS BIGINT) AS file_id,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |round(sum(n_chars) / 65536.0 + 1e-12, 6) AS fill_ratio
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source NULLS FIRST, file_id""".stripMargin,
 
     "q98_mixture_upsample" ->
       """SELECT doc_id, source,

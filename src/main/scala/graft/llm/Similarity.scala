@@ -518,6 +518,53 @@ object Similarity {
         .orderBy(col("label"))
     }),
 
+    /** Embedding-space anisotropy audit — the geometry health check
+      * behind every cosine-based retrieval decision (Ethayarajh 2019:
+      * contextual embedding spaces collapse into a narrow cone, and a
+      * high mean pairwise cosine means raw cosine scores stop
+      * discriminating). The full n² pairwise mean folds away via
+      * ‖Σu‖² = Σᵢⱼ uᵢ·uⱼ: mean pairwise cos = (‖Σu‖² − n)/(n(n−1))
+      * over unit-normalized vectors, so ONE pass over the corpus
+      * (per-(label, dim) partial sums, map-side combined, post-shuffle
+      * bounded by labels × 64) yields the per-label rows AND the
+      * global row — the 'all' scope derives from the SAME cached
+      * bounded table, no second corpus scan, no 1-row broadcast. The
+      * per-row norm is a sequential array fold mirrored operation-for-
+      * operation in the oracle (bit-identical float32→double math);
+      * distributed sums are off-grid volume folds (plain r6, the
+      * q235 stance). */
+    "q246_anisotropy" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "embeddings")
+        .select(col("label"), col("embedding"),
+          sqrt(expr("""aggregate(transform(embedding,
+            |  x -> cast(x as double) * cast(x as double)),
+            |  0.0D, (a, v) -> a + v)""".stripMargin)).as("nrm"))
+        .filter(col("nrm") > 0)
+      val el = base
+        .select(col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("label"), col("i"),
+          (col("v").cast("double") / col("nrm")).as("u"))
+      val ls = el.groupBy(col("label"), col("i"))
+        .agg(sum(col("u")).as("su"), count(lit(1)).as("cnt")).cache()
+      val perLabel = ls.groupBy(col("label"))
+        .agg(sum(col("su") * col("su")).as("s2"),
+          max(when(col("i") === 0, col("cnt"))).as("n"))
+        .select(col("label").cast("string").as("scope"), col("s2"), col("n"))
+      val global = ls.groupBy(col("i"))
+        .agg(sum(col("su")).as("su"), sum(col("cnt")).as("cnt"))
+        .agg(sum(col("su") * col("su")).as("s2"),
+          max(when(col("i") === 0, col("cnt"))).as("n"))
+        .select(lit("all").as("scope"), col("s2"), col("n"))
+      perLabel.unionByName(global)
+        .select(col("scope"), col("n").cast("long").as("n_vecs"),
+          when(col("n") > 1,
+            r6((col("s2") - col("n")) / (col("n") * (col("n") - lit(1.0)))))
+            .as("mean_pairwise_cos"),
+          r6(sqrt(col("s2")) / col("n")).as("mean_unit_norm"))
+        .orderBy(col("scope"))
+    }),
+
     /** Int8 scalar quantization of the embedding column — the 4×
       * memory/bandwidth reduction every large-scale ANN index applies
       * before distance math. Per vector: symmetric max-abs scale
@@ -1046,6 +1093,34 @@ object Similarity {
         |round(sqrt(mm), 6) AS centroid_norm
         |FROM folds f JOIN n ON n.label = f.label
         |ORDER BY f.label NULLS FIRST""".stripMargin,
+
+    "q246_anisotropy" ->
+      s"""WITH base AS (
+         |  SELECT label, embedding,
+         |  sqrt(${duckFoldSum(
+               """list_transform(generate_series(1, 64),
+                 |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))"""
+                 .stripMargin)}) AS nrm
+         |  FROM embeddings),
+         |el AS (
+         |  SELECT label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) / nrm AS uv
+         |  FROM base, unnest(generate_series(1, 64)) AS u(i)
+         |  WHERE nrm > 0),
+         |ls AS (SELECT label, i, sum(uv) AS su, count(*) AS cnt
+         |       FROM el GROUP BY 1, 2),
+         |pl AS (SELECT CAST(label AS VARCHAR) AS scope,
+         |       sum(su * su) AS s2, max(CASE WHEN i = 1 THEN cnt END) AS n
+         |       FROM ls GROUP BY 1),
+         |g0 AS (SELECT i, sum(su) AS su, sum(cnt) AS cnt FROM ls GROUP BY 1),
+         |gl AS (SELECT 'all' AS scope, sum(su * su) AS s2,
+         |       max(CASE WHEN i = 1 THEN cnt END) AS n FROM g0),
+         |allrows AS (SELECT * FROM pl UNION ALL SELECT * FROM gl)
+         |SELECT scope, CAST(n AS BIGINT) AS n_vecs,
+         |CASE WHEN n > 1
+         |  THEN round((s2 - n) / (n * (n - 1.0)), 6) END AS mean_pairwise_cos,
+         |round(sqrt(s2) / n, 6) AS mean_unit_norm
+         |FROM allrows
+         |ORDER BY scope NULLS FIRST""".stripMargin,
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {
