@@ -1741,6 +1741,154 @@ object Statistics {
           r6n((sqrt(col("v")) - col("m")) / (sqrt(col("v")) + col("m")))
             .as("burstiness"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Cliff's delta effect-size matrix across ALL event-type pairs —
+      * the magnitude companion to q200's significance test (at 100 TB
+      * everything is "significant"; delta = P(a > b) − P(a < b) says
+      * whether the difference MATTERS, with the Romano et al. 2006
+      * negligible/small/medium/large bands). All 10 pairwise deltas
+      * from ONE pass: per-distinct-value conditional counts (the
+      * shuffle carries distinct values, not rows), then ONE
+      * [[GlobalRank.withRunningSums]] range exchange computes all
+      * five per-type cumulative columns together, and every pair's
+      * U = Σ_v n_a·(below_b) + n_a·n_b/2 folds in a single aggregate
+      * — never a per-pair rank pass, never all-pairs over rows.
+      * Every per-row term is a half-integer (exactly representable),
+      * so the U sums are EXACT in both engines; delta is an
+      * integer-rational → nudged r6, and the band compares the
+      * ROUNDED value so the boundary cannot flip. */
+    "q248_cliffs_delta" -> ((s: SparkSession, dir: String) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pairs = for {
+        i <- types.indices; j <- i + 1 until types.size
+      } yield (types(i), types(j))
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isin(types: _*))
+        .select(col("event_type").as("t"), col("value").cast("double").as("v"))
+      val nAggs = types.map(t => count_if(col("t") === t).as(s"n_$t"))
+      val g = ev.groupBy(col("v")).agg(nAggs.head, nAggs.tail: _*)
+      val c = GlobalRank.withRunningSums(g, Seq(col("v")),
+        types.map(t => s"n_$t" -> s"c_$t"))
+      val uAggs = pairs.map { case (a, b) =>
+        sum(col(s"n_$a").cast("double") *
+            (col(s"c_$b") - col(s"n_$b")).cast("double") +
+          col(s"n_$a").cast("double") * col(s"n_$b").cast("double") / 2.0)
+          .as(s"u_${a}_$b")
+      } ++ types.map(t => sum(col(s"n_$t")).as(s"tot_$t"))
+      val one = c.agg(uAggs.head, uAggs.tail: _*)
+      one.select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("type_a"), lit(b).as("type_b"),
+            col(s"tot_$a").as("n_a"), col(s"tot_$b").as("n_b"),
+            r6n(lit(2.0) * col(s"u_${a}_$b") /
+              (col(s"tot_$a").cast("double") * col(s"tot_$b")) - 1.0)
+              .as("delta"))
+        }: _*)).as("r"))
+        .select(col("r.type_a"), col("r.type_b"), col("r.n_a"), col("r.n_b"),
+          col("r.delta"),
+          when(abs(col("r.delta")) < 0.147, "negligible")
+            .when(abs(col("r.delta")) < 0.33, "small")
+            .when(abs(col("r.delta")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    /** Brown-Forsythe variance-homogeneity test — the assumption
+      * check for q235's ANOVA itself (a significant F with unequal
+      * variances is an artifact), in the robust median-centered form
+      * (Levene's mean-centered W collapses under the heavy tails this
+      * corpus has). Group medians come from the exact-quantile
+      * machinery ([[Quantiles.withQuantiles]] — every row re-reads
+      * the SAME cached range exchange, medians broadcast back onto
+      * the rows, one source scan total); the F fold on |x − med| is
+      * q235's two-level aggregation verbatim. Floats are volume
+      * folds over parquet doubles: plain r6. */
+    "q249_brown_forsythe" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+      val z = Quantiles.withQuantiles(ev, Seq("g"), "v", Seq(("med", 0.5)))
+        .select(col("g"), abs(col("v") - col("med")).as("z"))
+      val grp = z.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"), avg(col("z")).as("m_g"),
+          var_samp(col("z")).as("s_g"))
+      val ssb = col("sb2") - col("sb") * col("sb") / col("n")
+      grp.agg(count(lit(1)).as("k_groups"), sum(col("n_g")).as("n"),
+          sum(col("n_g") * col("m_g")).as("sb"),
+          sum(col("n_g") * col("m_g") * col("m_g")).as("sb2"),
+          sum((col("n_g") - 1) * col("s_g")).as("ssw"))
+        .select(col("k_groups"), col("n"),
+          r6((ssb / (col("k_groups") - 1.0)) /
+            (col("ssw") / (col("n") - col("k_groups")).cast("double")))
+            .as("w_stat"))
+    }),
+
+    /** Theil-T inequality decomposition of customer spend by nation —
+      * the property Gini (q215) famously lacks: T splits EXACTLY into
+      * a between-nations term plus a spend-weighted within-nation sum,
+      * so "is revenue concentration a geography story or a
+      * whale-customer story?" gets a number for each part. Two fact
+      * passes (nation moments, then per-row (x/μ_g)ln(x/μ_g) terms
+      * against the broadcast nation table — bounded by the nation
+      * domain); the global μ and both summary terms fold over the
+      * 25-row nation table via the q177 collect-explode (no 1-row
+      * broadcast join anywhere). Spend rides exact integer cents
+      * (q222 stance); ln terms are off-grid libm folds (plain r6);
+      * the income share is an integer rational → nudged r6. */
+    "q250_theil_decomposition" -> ((s: SparkSession, dir: String) => {
+      val spend = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+        .filter(col("cents") > 0)
+      val cn = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val x = spend.join(cn, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("cents")).cache()
+      val na = x.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+      val tg = x.join(broadcast(na), "n_name")
+        .select(col("n_name"), col("n_g"), col("s_g"),
+          (col("cents").cast("double") * col("n_g") / col("s_g")).as("r"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_g")).as("n_g"), max(col("s_g")).as("s_g"),
+          sum(col("r") * log(col("r"))).as("tsum"))
+      val enriched = tg
+        .agg(collect_list(struct(col("n_name"), col("n_g"), col("s_g"),
+          (col("tsum") / col("n_g")).as("theil_w"))).as("gs"))
+        .withColumn("n", expr("aggregate(gs, 0L, (a, g) -> a + g.n_g)"))
+        .withColumn("s_tot", expr("aggregate(gs, 0L, (a, g) -> a + g.s_g)"))
+        .select(explode(col("gs")).as("g"), col("n"), col("s_tot"))
+        .select(col("g.n_name").as("n_name"), col("g.n_g").as("n_g"),
+          col("g.s_g").as("s_g"), col("g.theil_w").as("theil_w"),
+          col("n"), col("s_tot"))
+        .cache()
+      val nilL = lit(null).cast("long")
+      val nilD = lit(null).cast("double")
+      val natRows = enriched.select(col("n_name").as("scope"),
+        col("n_g").as("n_cust"), col("s_g").as("total_cents"),
+        r6n(col("s_g").cast("double") / col("s_tot")).as("income_share"),
+        r6(col("theil_w")).as("theil"))
+      val share = col("s_g").cast("double") / col("s_tot")
+      val muRatio = (col("s_g").cast("double") / col("n_g")) /
+        (col("s_tot").cast("double") / col("n"))
+      val summary = enriched
+        .agg(sum(share * col("theil_w")).as("w"),
+          sum(share * log(muRatio)).as("b"))
+        .select(explode(array(
+          struct(lit("_between").as("scope"), nilL.as("n_cust"),
+            nilL.as("total_cents"), nilD.as("income_share"),
+            r6(col("b")).as("theil")),
+          struct(lit("_total").as("scope"), nilL.as("n_cust"),
+            nilL.as("total_cents"), nilD.as("income_share"),
+            r6(col("w") + col("b")).as("theil")),
+          struct(lit("_within").as("scope"), nilL.as("n_cust"),
+            nilL.as("total_cents"), nilD.as("income_share"),
+            r6(col("w")).as("theil")))).as("r"))
+        .select(col("r.*"))
+      natRows.unionByName(summary).orderBy(col("scope"))
     })
   )
 
@@ -2801,7 +2949,108 @@ object Statistics {
         |round(v / m + 1e-12, 6) AS fano,
         |round((sqrt(v) - m) / (sqrt(v) + m) + 1e-12, 6) AS burstiness
         |FROM st WHERE m > 0 AND nh > 1
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q248_cliffs_delta" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val tpairs = for {
+        i <- types.indices; j <- i + 1 until types.size
+      } yield (types(i), types(j))
+      val nCols = types
+        .map(t => s"count(*) FILTER (t = '$t') AS n_$t").mkString(", ")
+      val cCols = types
+        .map(t => s"sum(n_$t) OVER (ORDER BY v) AS c_$t").mkString(", ")
+      val uCols = tpairs.map { case (a, b) =>
+        s"sum(CAST(n_$a AS DOUBLE) * (c_$b - n_$b) + " +
+          s"CAST(n_$a AS DOUBLE) * n_$b / 2.0) AS u_${a}_$b"
+      }.mkString(", ")
+      val tCols = types.map(t => s"sum(n_$t) AS tot_$t").mkString(", ")
+      val rows = tpairs.map { case (a, b) =>
+        s"SELECT '$a' AS type_a, '$b' AS type_b, " +
+          s"CAST(tot_$a AS BIGINT) AS n_a, CAST(tot_$b AS BIGINT) AS n_b, " +
+          s"round(2.0 * u_${a}_$b / (tot_$a * CAST(tot_$b AS DOUBLE)) " +
+          s"- 1.0 + 1e-12, 6) AS delta FROM onerow"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT event_type AS t, CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE value IS NOT NULL
+         |  AND event_type IN (${types.map("'" + _ + "'").mkString(", ")})),
+         |g AS (SELECT v, $nCols FROM ev GROUP BY v),
+         |c AS (SELECT *, $cCols FROM g),
+         |onerow AS (SELECT $uCols, $tCols FROM c),
+         |allpairs AS ($rows)
+         |SELECT type_a, type_b, n_a, n_b, delta,
+         |CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+         |     WHEN abs(delta) < 0.33 THEN 'small'
+         |     WHEN abs(delta) < 0.474 THEN 'medium'
+         |     ELSE 'large' END AS magnitude
+         |FROM allpairs
+         |ORDER BY type_a NULLS FIRST, type_b NULLS FIRST""".stripMargin
+    },
+
+    "q249_brown_forsythe" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+        |z AS (SELECT ev.g, abs(ev.v - med.med) AS z
+        |      FROM ev JOIN med ON med.g = ev.g),
+        |grp AS (SELECT g, count(*) AS n_g, avg(z) AS m_g, var_samp(z) AS s_g
+        |        FROM z GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |      CAST(sum(n_g) AS BIGINT) AS n,
+        |      sum(n_g * m_g) AS sb, sum(n_g * m_g * m_g) AS sb2,
+        |      sum((n_g - 1) * s_g) AS ssw FROM grp)
+        |SELECT k_groups, n,
+        |round(((sb2 - sb * sb / n) / (k_groups - 1.0)) /
+        |  (ssw / CAST(n - k_groups AS DOUBLE)), 6) AS w_stat
+        |FROM f""".stripMargin,
+
+    "q250_theil_decomposition" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT n_name, cents FROM spend
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE cents > 0),
+        |na AS (SELECT n_name, count(*) AS n_g, sum(cents) AS s_g
+        |       FROM x GROUP BY 1),
+        |tg AS (
+        |  SELECT x.n_name, max(na.n_g) AS n_g, max(na.s_g) AS s_g,
+        |  sum((CAST(cents AS DOUBLE) * na.n_g / na.s_g) *
+        |      ln(CAST(cents AS DOUBLE) * na.n_g / na.s_g)) AS tsum
+        |  FROM x JOIN na ON na.n_name = x.n_name GROUP BY 1),
+        |nr AS (SELECT n_name, n_g, s_g, tsum / n_g AS theil_w FROM tg),
+        |tot AS (SELECT sum(n_g) AS n, sum(s_g) AS s FROM nr),
+        |nrows AS (
+        |  SELECT n_name AS scope, CAST(n_g AS BIGINT) AS n_cust,
+        |  CAST(s_g AS BIGINT) AS total_cents,
+        |  round(CAST(s_g AS DOUBLE) / t.s + 1e-12, 6) AS income_share,
+        |  round(theil_w, 6) AS theil
+        |  FROM nr, tot t),
+        |parts AS (
+        |  SELECT sum((CAST(s_g AS DOUBLE) / t.s) * theil_w) AS w,
+        |  sum((CAST(s_g AS DOUBLE) / t.s) *
+        |      ln((CAST(s_g AS DOUBLE) / n_g) / (CAST(t.s AS DOUBLE) / t.n)))
+        |    AS b
+        |  FROM nr, tot t),
+        |summ AS (
+        |  SELECT '_between' AS scope, CAST(NULL AS BIGINT) AS n_cust,
+        |  CAST(NULL AS BIGINT) AS total_cents,
+        |  CAST(NULL AS DOUBLE) AS income_share, round(b, 6) AS theil
+        |  FROM parts
+        |  UNION ALL SELECT '_total', CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), round(w + b, 6)
+        |  FROM parts
+        |  UNION ALL SELECT '_within', CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), round(w, 6)
+        |  FROM parts)
+        |SELECT * FROM nrows
+        |UNION ALL SELECT * FROM summ
+        |ORDER BY scope NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
