@@ -740,6 +740,32 @@ object Similarity {
         .select(col("q_id"), col("n_exact"), col("n_cand"), col("hits"),
           r4n(col("hits").cast("double") / col("n_exact")).as("recall_at_10"))
         .orderBy(col("q_id"))
+    }),
+
+    /** Per-dimension embedding health census — the dead/collapsed-
+      * dimension screen run before trusting any ANN index build (a
+      * dimension with near-zero variance wastes PQ codebook bits and
+      * distance budget; q162's Matryoshka audit assumes the PREFIX
+      * dims carry signal — this verifies it dimension by dimension).
+      * One posexplode pass, per-dim moments map-side combined:
+      * post-shuffle cardinality is the DIMENSION COUNT, independent
+      * of corpus size. The dead flag compares the ROUNDED variance
+      * (grid-stable in both engines, q238 flag stance); the zero
+      * fraction is an integer rational → nudged r6. */
+    "q252_dead_dims" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"),
+          var_samp(col("v")).as("s2"),
+          count_if(abs(col("v")) < 1e-6).as("n_zero"))
+        .select(col("dim"), col("n"),
+          r6(col("m")).as("mean"), r6(col("s2")).as("variance"),
+          r6n(col("n_zero").cast("double") / col("n")).as("zero_frac"),
+          when(r6(col("s2")) < 0.001, 1L).otherwise(0L).as("dead"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -1121,6 +1147,19 @@ object Similarity {
          |round(sqrt(s2) / n, 6) AS mean_unit_norm
          |FROM allrows
          |ORDER BY scope NULLS FIRST""".stripMargin,
+
+    "q252_dead_dims" ->
+      """WITH el AS (
+        |  SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(v), 6) AS mean, round(var_samp(v), 6) AS variance,
+        |round(sum(CASE WHEN abs(v) < 1e-6 THEN 1 ELSE 0 END) * 1.0 /
+        |  count(*) + 1e-12, 6) AS zero_frac,
+        |CAST(CASE WHEN round(var_samp(v), 6) < 0.001
+        |  THEN 1 ELSE 0 END AS BIGINT) AS dead
+        |FROM el GROUP BY 1
+        |ORDER BY dim NULLS FIRST""".stripMargin,
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {

@@ -739,6 +739,86 @@ object TextAnalysis {
         .agg(count(col("rnk_b")).as("n_shared"),
           sum(abs(col("rnk") - coalesce(col("rnk_b"), lit(21L)))).as("oop_dist"))
         .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    /** Mutual information + Theil's uncertainty coefficients between
+      * source and language — the DIRECTED association measure q164's
+      * chi-square/Cramér's V cannot give: U(lang|source) answers "how
+      * much does knowing the crawl tell me about the language mix?"
+      * and its asymmetry with U(source|lang) says which way the
+      * dependency runs — the signal behind per-source language-quota
+      * decisions. One (source, lang) contingency pass (map-side
+      * combined, post-shuffle bounded by the domain product); both
+      * marginals and the joint meet as TAGGED ROWS of one tiny union
+      * folded in a SINGLE aggregate via H = ln N − (Σ m ln m)/N — no
+      * 1-row broadcast join anywhere. ln folds are off-grid libm
+      * sums: plain r6 (q235 stance). */
+    "q251_uncertainty_coeff" -> ((s: SparkSession, dir: String) => {
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .cache()
+      val tagged = cells.groupBy(col("source"))
+          .agg(sum(col("c")).as("m")).select(lit("x").as("part"), col("m"))
+        .unionByName(cells.groupBy(col("lang"))
+          .agg(sum(col("c")).as("m")).select(lit("y").as("part"), col("m")))
+        .unionByName(cells.select(lit("xy").as("part"), col("c").as("m")))
+      val mLnM = col("m").cast("double") * log(col("m").cast("double"))
+      tagged.agg(
+          sum(when(col("part") === "xy", col("m"))).as("n"),
+          sum(when(col("part") === "x", mLnM)).as("sx"),
+          sum(when(col("part") === "y", mLnM)).as("sy"),
+          sum(when(col("part") === "xy", mLnM)).as("sxy"))
+        .select(col("n").cast("long").as("n_docs"),
+          r6(log(col("n")) - col("sx") / col("n")).as("h_source"),
+          r6(log(col("n")) - col("sy") / col("n")).as("h_lang"),
+          r6(log(col("n")) - col("sxy") / col("n")).as("h_joint"),
+          r6((log(col("n")) - col("sx") / col("n")) +
+            (log(col("n")) - col("sy") / col("n")) -
+            (log(col("n")) - col("sxy") / col("n"))).as("mi"),
+          r6(((log(col("n")) - col("sx") / col("n")) +
+            (log(col("n")) - col("sy") / col("n")) -
+            (log(col("n")) - col("sxy") / col("n"))) /
+            (log(col("n")) - col("sy") / col("n")))
+            .as("u_lang_given_source"),
+          r6(((log(col("n")) - col("sx") / col("n")) +
+            (log(col("n")) - col("sy") / col("n")) -
+            (log(col("n")) - col("sxy") / col("n"))) /
+            (log(col("n")) - col("sx") / col("n")))
+            .as("u_source_given_lang"))
+    }),
+
+    /** Heaps'-law type-token fit — V(n) ≈ K·n^β estimated by log-log
+      * least squares over every document's (token count, distinct
+      * token count) point: the sublinearity test behind "will
+      * vocabulary keep exploding as the corpus grows?" (β near 1 =
+      * unbounded novel-token influx — OCR noise or id-like junk; low
+      * β = a closed vocabulary), the growth-side complement of q146's
+      * Zipf slope. Doc-level points, NOT per-source totals: this
+      * fixture's 31-token universe saturates every source to the
+      * same vocab size, making a source-level regression 0/0-
+      * degenerate (constant y — both engines emit noise; measured in
+      * round 8). Per-doc (n, V) are pure per-row projections
+      * (size/array_distinct — no explode, no countDistinct shuffle),
+      * and the fit is one regr_slope/intercept/r2 codegen fold (q180
+      * stance), scan-speed at any corpus size. regr_* over libm ln
+      * points: off-grid, plain r6. */
+    "q253_heaps_law" -> ((s: SparkSession, dir: String) => {
+      val pts = withToks(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
+        .select(
+          expr("size(filter(toks, w -> length(w) > 0))").cast("long").as("n"),
+          expr("size(array_distinct(filter(toks, w -> length(w) > 0)))")
+            .cast("long").as("v"))
+        .filter(col("n") >= 2)
+      pts.agg(count(lit(1)).as("n_docs"),
+          expr("regr_slope(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))")
+            .as("beta"),
+          expr("regr_intercept(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))")
+            .as("lnk"),
+          expr("regr_r2(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE)))")
+            .as("rr"))
+        .select(col("n_docs"), r6(col("beta")).as("beta"),
+          r6(col("lnk")).as("ln_k"), r6(col("rr")).as("r2"))
     })
   )
 
@@ -1179,6 +1259,51 @@ object TextAnalysis {
         |JOIN prof pa ON pa.lang = p.lang_a
         |LEFT JOIN prof pb ON pb.lang = p.lang_b AND pb.g = pa.g
         |GROUP BY 1, 2
-        |ORDER BY lang_a NULLS FIRST, lang_b NULLS FIRST""".stripMargin
+        |ORDER BY lang_a NULLS FIRST, lang_b NULLS FIRST""".stripMargin,
+
+    "q251_uncertainty_coeff" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |tagged AS (
+        |  SELECT 'x' AS part, sum(c) AS m FROM cells GROUP BY source
+        |  UNION ALL SELECT 'y', sum(c) FROM cells GROUP BY lang
+        |  UNION ALL SELECT 'xy', c FROM cells),
+        |f AS (
+        |  SELECT sum(CASE WHEN part = 'xy' THEN m END) AS n,
+        |  sum(CASE WHEN part = 'x'
+        |    THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) END) AS sx,
+        |  sum(CASE WHEN part = 'y'
+        |    THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) END) AS sy,
+        |  sum(CASE WHEN part = 'xy'
+        |    THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) END) AS sxy
+        |  FROM tagged),
+        |h AS (
+        |  SELECT CAST(n AS BIGINT) AS n_docs,
+        |  ln(CAST(n AS DOUBLE)) - sx / n AS hx,
+        |  ln(CAST(n AS DOUBLE)) - sy / n AS hy,
+        |  ln(CAST(n AS DOUBLE)) - sxy / n AS hxy FROM f)
+        |SELECT n_docs, round(hx, 6) AS h_source, round(hy, 6) AS h_lang,
+        |round(hxy, 6) AS h_joint,
+        |round(hx + hy - hxy, 6) AS mi,
+        |round((hx + hy - hxy) / hy, 6) AS u_lang_given_source,
+        |round((hx + hy - hxy) / hx, 6) AS u_source_given_lang
+        |FROM h""".stripMargin,
+
+    "q253_heaps_law" ->
+      """WITH pts AS (
+        |  SELECT
+        |  len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n,
+        |  len(list_distinct(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0))) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT * FROM pts WHERE n >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |round(regr_slope(ln(CAST(v AS DOUBLE)),
+        |  ln(CAST(n AS DOUBLE))), 6) AS beta,
+        |round(regr_intercept(ln(CAST(v AS DOUBLE)),
+        |  ln(CAST(n AS DOUBLE))), 6) AS ln_k,
+        |round(regr_r2(ln(CAST(v AS DOUBLE)),
+        |  ln(CAST(n AS DOUBLE))), 6) AS r2
+        |FROM f""".stripMargin
   )
 }
