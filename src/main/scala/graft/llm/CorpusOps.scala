@@ -108,6 +108,60 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    /** Luhn-validated payment-card screen — the checksum step that
+      * separates a production PII scanner from q95's regex pass: a
+      * 16-digit run is only a card number if its Luhn mod-10 checksum
+      * closes, which cuts the false-positive flood (order ids,
+      * timestamps) that makes naive \d{16} redaction unusable. The
+      * fixture has no PII, so each doc gets a deterministic synthetic
+      * card (payload from the doc id; even ids carry the CORRECT
+      * check digit, odd ids a broken one — both engines re-derive
+      * byte-for-byte), and the operator half is real: regex candidate
+      * extraction + per-candidate in-expression Luhn fold (digit
+      * doubling on odd positions, >9 fold-back, mod 10) — one narrow
+      * codegen projection, no shuffle before the per-source census,
+      * scan-speed at any corpus size. Valid-rate is an integer
+      * rational → nudged r6. */
+    "q254_luhn_cards" -> ((s: SparkSession, dir: String) => {
+      val digit = (src: String, i: String) =>
+        s"CAST(substring($src, $i, 1) AS INT)"
+      def luhnTerm(src: String) =
+        s"""IF(i % 2 = 1,
+           |  IF(${digit(src, "i")} * 2 > 9,
+           |    ${digit(src, "i")} * 2 - 9, ${digit(src, "i")} * 2),
+           |  ${digit(src, "i")})""".stripMargin
+      val withCard = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("pay", lpad(
+          expr("CAST((doc_id * 7919 + 12345) % 1000000000000000 AS STRING)"),
+          15, "0"))
+        .withColumn("psum", expr(
+          s"""aggregate(transform(sequence(1, 15), i -> ${luhnTerm("pay")}),
+             |  0, (a, x) -> a + x)""".stripMargin))
+        .withColumn("chk", expr("CAST((10 - psum % 10) % 10 AS INT)"))
+        .withColumn("card", concat(col("pay"),
+          when(col("doc_id") % 2 === 0, col("chk"))
+            .otherwise((col("chk") + 1) % 10).cast("string")))
+        .withColumn("cands", regexp_extract_all(
+          concat(col("text"), lit(" card "), col("card")),
+          lit("\\b\\d{16}\\b"), lit(0)))
+      withCard
+        .select(col("source"),
+          size(col("cands")).cast("long").as("n_cand"),
+          expr(
+            s"""size(filter(cands, c ->
+               |  aggregate(transform(sequence(1, 16), i -> ${luhnTerm("c")}),
+               |    0, (a, x) -> a + x) % 10 = 0))""".stripMargin)
+            .cast("long").as("n_valid"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_cand")).as("n_candidates"),
+          sum(col("n_valid")).as("n_luhn_valid"),
+          r6n(sum(col("n_valid")).cast("double") / sum(col("n_cand")))
+            .as("valid_rate"))
+        .orderBy(col("source"))
+    }),
+
     /** Stratified quota sampling: at most K docs per language, chosen
       * by sha-256 content-key order — a reproducible "random" quota
       * that never reshuffles on re-run. A plain
@@ -664,6 +718,48 @@ object CorpusOps {
         |CAST(length(red) AS BIGINT) AS red_len,
         |CAST(length(aug) - length(red) AS BIGINT) AS removed
         |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q254_luhn_cards" -> {
+      def luhnTerm(src: String) =
+        s"""CASE WHEN i % 2 = 1
+           |  THEN CASE WHEN CAST(substr($src, CAST(i AS INT), 1) AS INT) * 2 > 9
+           |    THEN CAST(substr($src, CAST(i AS INT), 1) AS INT) * 2 - 9
+           |    ELSE CAST(substr($src, CAST(i AS INT), 1) AS INT) * 2 END
+           |  ELSE CAST(substr($src, CAST(i AS INT), 1) AS INT) END"""
+          .stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id, source, text,
+         |  lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000 AS VARCHAR),
+         |    15, '0') AS pay
+         |  FROM documents),
+         |ps AS (
+         |  SELECT doc_id, source, text, pay,
+         |  list_reduce(list_prepend(0, list_transform(generate_series(1, 15),
+         |    i -> ${luhnTerm("pay")})), (a, x) -> a + x) AS psum
+         |  FROM p),
+         |cd AS (
+         |  SELECT doc_id, source, text,
+         |  pay || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - psum % 10) % 10
+         |    ELSE ((10 - psum % 10) % 10 + 1) % 10 END AS VARCHAR) AS card
+         |  FROM ps),
+         |ex AS (
+         |  SELECT doc_id, source,
+         |  regexp_extract_all(text || ' card ' || card, '\\b\\d{16}\\b')
+         |    AS cands
+         |  FROM cd),
+         |v AS (
+         |  SELECT source, len(cands) AS n_cand,
+         |  len(list_filter(cands, c ->
+         |    list_reduce(list_prepend(0, list_transform(generate_series(1, 16),
+         |      i -> ${luhnTerm("c")})), (a, x) -> a + x) % 10 = 0)) AS n_valid
+         |  FROM ex)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+         |CAST(sum(n_valid) AS BIGINT) AS n_luhn_valid,
+         |round(sum(n_valid) * 1.0 / sum(n_cand) + 1e-12, 6) AS valid_rate
+         |FROM v GROUP BY 1
+         |ORDER BY source NULLS FIRST""".stripMargin
+    },
 
     "q96_stratified_sample" ->
       """SELECT lang, rk, doc_id, skey FROM (

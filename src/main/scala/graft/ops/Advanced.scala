@@ -95,6 +95,45 @@ object Advanced {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    /** Per-document keyword extraction — each doc's top-3 tokens by
+      * TF-IDF (the classic unsupervised tagger: what a doc is ABOUT,
+      * for routing, clustering labels, index facets). q53 computes
+      * the raw score surface; this adds the decision: a row_number ≤ 3
+      * rank filter over the doc partition, which plans a
+      * WindowGroupLimit so every map task caps its contribution at 3
+      * rows per doc BEFORE the window shuffle (the q92 top-k-per-group
+      * stance — the partition key is the high-cardinality doc id,
+      * never a domain-bounded column). Ranking is on the ROUNDED
+      * score with a token tie-break in BOTH engines, so a last-ulp
+      * ln() difference cannot flip the keyword cut (ties are real
+      * here: equal-tf equal-df tokens share a score). */
+    "q255_doc_keywords" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tokens = docs
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+            .cast("double").as("doc_len"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
+        .agg(count(lit(1)).as("occ"))
+      val df_ = tokens.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "token")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          r6((col("occ") / col("doc_len")) *
+            log(col("n_docs").cast("double") / col("df"))).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     /** As-of join: for every purchase event, the most recent prior
       * click of the same user (union + last-carried-forward window —
       * one shuffle on user_id, one sort, zero custom physical code). */
@@ -161,6 +200,34 @@ object Advanced {
         |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
         |WHERE tf.doc_id < 20
         |ORDER BY tf.doc_id NULLS FIRST, tf.token NULLS FIRST""".stripMargin,
+
+    "q255_doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), w -> len(w) > 0)) * 1.0
+        |    AS doc_len,
+        |  unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE len(token) > 0),
+        |tf AS (
+        |  SELECT doc_id, token, doc_len, count(*) AS occ
+        |  FROM tk GROUP BY doc_id, token, doc_len),
+        |df AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+        |n AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |  round((tf.occ / tf.doc_len) * ln(n.n_docs / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, score FROM ranked
+        |WHERE rk <= 3
+        |ORDER BY doc_id NULLS FIRST, rk""".stripMargin,
 
     "q54_asof_join" ->
       """WITH tagged AS (

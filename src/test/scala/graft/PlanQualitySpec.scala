@@ -154,7 +154,10 @@ class PlanQualitySpec extends SparkSuite {
     // provably 1 row at any sf
     "q223_stickiness",
     // q227: the broadcast side is the ONE-ROW span-cutoff fold
-    "q227_new_parts")
+    "q227_new_parts",
+    // q255: the broadcast side is the ONE-ROW corpus doc-count fold
+    // (q53's IDF denominator, same class) — provably 1 row at any sf
+    "q255_doc_keywords")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
