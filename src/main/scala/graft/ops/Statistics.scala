@@ -1889,6 +1889,59 @@ object Statistics {
             r6(col("w")).as("theil")))).as("r"))
         .select(col("r.*"))
       natRows.unionByName(summary).orderBy(col("scope"))
+    }),
+
+    /** Pettitt changepoint test per event type — the NONPARAMETRIC
+      * complement to q233's CUSUM (CUSUM assumes the pre-shift
+      * mean/σ and accumulates z-scores; Pettitt asks only "do the
+      * ranks before t and after t look exchangeable?", so a
+      * heavy-tailed count series cannot fake or mask a shift), with
+      * the changepoint LOCATION and the closed-form significance
+      * 2·exp(−6K²/(n³+n²)). Rides the q233 one-row-per-type stance:
+      * the span-bounded daily series collects into a day→count map,
+      * and the O(span²) midrank construction + the U_t =
+      * 2Σr_i − t(n+1) prefix scan run as ONE per-row expression fold
+      * — rows after the first groupBy are |types|, work is bounded by
+      * the TIME SPAN squared (data-independent), and no
+      * constant-cardinality window exists anywhere. Doubled midranks
+      * keep everything an exact LONG until the final exp. */
+    "q256_pettitt" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          map_from_entries(array_sort(collect_list(struct(col("day"), col("c")))))
+            .as("mp"))
+        .withColumn("n", col("d1") - col("d0") + 1)
+        .filter(col("n") > 2)
+      g.withColumn("xs", expr(
+          "transform(sequence(d0, d1), dd -> coalesce(try_element_at(mp, dd), 0L))"))
+        .withColumn("r2s", expr(
+          """transform(xs, x -> CAST(2 * size(filter(xs, y -> y < x))
+            |  + size(filter(xs, y -> y = x)) + 1 AS BIGINT))""".stripMargin))
+        .withColumn("fold", expr("""
+          aggregate(r2s,
+            named_struct('cum', CAST(0 AS BIGINT), 'k', CAST(-1 AS BIGINT),
+                         'ad', CAST(NULL AS BIGINT), 'i', CAST(0 AS BIGINT)),
+            (acc, r) -> named_struct(
+              'cum', acc.cum + r,
+              'k', IF(acc.i + 1 < n
+                      AND abs(acc.cum + r - (acc.i + 1) * (n + 1)) > acc.k,
+                    abs(acc.cum + r - (acc.i + 1) * (n + 1)), acc.k),
+              'ad', IF(acc.i + 1 < n
+                      AND abs(acc.cum + r - (acc.i + 1) * (n + 1)) > acc.k,
+                    d0 + acc.i, acc.ad),
+              'i', acc.i + 1))"""))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("fold.k").as("k_stat"), col("fold.ad").as("change_day"),
+          r6(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("fold.k") *
+            col("fold.k") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double")))).as("p_approx"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3050,7 +3103,47 @@ object Statistics {
         |  FROM parts)
         |SELECT * FROM nrows
         |UNION ALL SELECT * FROM summ
-        |ORDER BY scope NULLS FIRST""".stripMargin
+        |ORDER BY scope NULLS FIRST""".stripMargin,
+
+    "q256_pettitt" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |      FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |  FROM g WHERE d1 - d0 + 1 > 2),
+        |x AS (
+        |  SELECT gr.event_type, gr.day, coalesce(d.c, 0) AS x
+        |  FROM grid gr LEFT JOIN daily d
+        |    ON d.event_type = gr.event_type AND d.day = gr.day),
+        |r AS (
+        |  SELECT event_type, day, x,
+        |  2 * (rank() OVER (PARTITION BY event_type ORDER BY x) - 1)
+        |    + count(*) OVER (PARTITION BY event_type, x) + 1 AS r2,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM x),
+        |u AS (
+        |  SELECT event_type, day, i, n,
+        |  sum(r2) OVER (PARTITION BY event_type ORDER BY day)
+        |    - i * (n + 1) AS u
+        |  FROM r),
+        |k AS (
+        |  SELECT event_type, max(n) AS n,
+        |  max(abs(u)) FILTER (i < n) AS k FROM u GROUP BY 1),
+        |res AS (
+        |  SELECT k.event_type, k.n, k.k,
+        |  min(CASE WHEN u.i < u.n AND abs(u.u) = k.k THEN u.day END)
+        |    AS change_day
+        |  FROM k JOIN u ON u.event_type = k.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |CAST(k AS BIGINT) AS k_stat, change_day,
+        |round(least(1.0, 2.0 * exp(-6.0 * k * k /
+        |  CAST(n * n * n + n * n AS DOUBLE))), 6) AS p_approx
+        |FROM res ORDER BY event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
