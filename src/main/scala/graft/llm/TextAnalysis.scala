@@ -819,6 +819,61 @@ object TextAnalysis {
             .as("rr"))
         .select(col("n_docs"), r6(col("beta")).as("beta"),
           r6(col("lnk")).as("ln_k"), r6(col("rr")).as("r2"))
+    }),
+
+    /** Quality-signal agreement matrix — pairwise Spearman between
+      * four per-doc curation signals (length, type-token ratio, mean
+      * word length, hapax fraction): the redundancy audit
+      * behind filter-stack design (two signals at ρ ≈ 1 are one
+      * filter paid for twice; a NEGATIVE ρ between signals that
+      * should agree flags a miscalibrated screen — the q220
+      * curation-diagnostics spirit applied to the filters
+      * themselves). Every signal is an INTEGER per-row projection
+      * (ppm/milli fixed-point — no float join keys, no engine
+      * disagreement in the tie structure); midranks per signal ride
+      * the q198 machinery — distinct-value counts, ONE
+      * [[graft.ops.GlobalRank]] running-sum exchange each (global
+      * order ⇒ the per-group offset term vanishes), value-keyed join
+      * back — and all six correlations fold in a SINGLE aggregate,
+      * exploded to rows. corr over midranks is a rational fold →
+      * nudged r6 (q198 stance). */
+    "q258_signal_agreement" -> ((s: SparkSession, dir: String) => {
+      val sigs = Seq("hap", "len", "mwl", "ttr")
+      val base = withToks(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0))
+        .withColumn("tk", expr("filter(toks, w -> length(w) > 0)"))
+        .filter(expr("size(tk) > 0"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          expr("CAST(size(array_distinct(tk)) * 1000000 DIV size(tk) AS BIGINT)")
+            .as("ttr"),
+          expr("""CAST((length(text) - size(toks) + 1) * 1000
+            |  DIV size(tk) AS BIGINT)""".stripMargin).as("mwl"),
+          expr("""CAST(size(filter(array_distinct(tk),
+            |    t -> size(filter(tk, y -> y = t)) = 1)) * 1000000
+            |  DIV size(tk) AS BIGINT)""".stripMargin).as("hap"))
+      def mid(sig: String) = {
+        val cnts = base.groupBy(col(sig).as("v")).agg(count(lit(1)).as("cnt"))
+        graft.ops.GlobalRank
+          .withRunningSum(cnts, Seq(col("v")), "cnt", "ccum")
+          .select(col("v").as(sig),
+            ((col("ccum") - col("cnt")).cast("double") +
+              (col("cnt").cast("double") + 1.0) / 2.0).as(s"mr_$sig"))
+      }
+      val ranked = sigs.foldLeft(base)((d, sg) => d.join(mid(sg), Seq(sg)))
+      val prs = for {
+        i <- sigs.indices; j <- i + 1 until sigs.size
+      } yield (sigs(i), sigs(j))
+      val aggs = prs.map { case (a, b) =>
+        corr(col(s"mr_$a"), col(s"mr_$b")).as(s"c_${a}_$b")
+      } :+ count(lit(1)).as("n_docs")
+      ranked.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(prs.map { case (a, b) =>
+          struct(lit(a).as("signal_a"), lit(b).as("signal_b"),
+            col("n_docs"), r6n(col(s"c_${a}_$b")).as("spearman"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("signal_a"), col("signal_b"))
     })
   )
 
@@ -1304,6 +1359,44 @@ object TextAnalysis {
         |  ln(CAST(n AS DOUBLE))), 6) AS ln_k,
         |round(regr_r2(ln(CAST(v AS DOUBLE)),
         |  ln(CAST(n AS DOUBLE))), 6) AS r2
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q258_signal_agreement" -> {
+      val sigs = Seq("hap", "len", "mwl", "ttr")
+      val prs = for {
+        i <- sigs.indices; j <- i + 1 until sigs.size
+      } yield (sigs(i), sigs(j))
+      val mrCols = sigs.map(sg =>
+        s"(rank() OVER (ORDER BY $sg) - 1) + " +
+          s"(count(*) OVER (PARTITION BY $sg) + 1) / 2.0 AS mr_$sg")
+        .mkString(",\n|  ")
+      val corrCols = prs.map { case (a, b) =>
+        s"corr(mr_$a, mr_$b) AS c_${a}_$b" }.mkString(", ")
+      val rows = prs.map { case (a, b) =>
+        s"SELECT '$a' AS signal_a, '$b' AS signal_b, " +
+          s"CAST(n_docs AS BIGINT) AS n_docs, " +
+          s"round(c_${a}_$b + 1e-12, 6) AS spearman FROM f"
+      }.mkString("\nUNION ALL ")
+      s"""WITH b0 AS (
+         |  SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+         |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+         |base AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS len,
+         |  CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT) AS ttr,
+         |  CAST((len(text) - len(string_split(text, ' ')) + 1) * 1000
+         |    // len(tk) AS BIGINT) AS mwl,
+         |  CAST(len(list_filter(list_distinct(tk),
+         |      t -> len(list_filter(tk, y -> y = t)) = 1)) * 1000000
+         |    // len(tk) AS BIGINT) AS hap
+         |  FROM b0 WHERE len(tk) > 0),
+         |mr AS (
+         |  SELECT doc_id,
+         |  $mrCols
+         |  FROM base),
+         |f AS (SELECT $corrCols, count(*) AS n_docs FROM mr)
+         |$rows
+         |ORDER BY signal_a NULLS FIRST, signal_b NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -1942,6 +1942,56 @@ object Statistics {
             (col("n") * col("n") * col("n") + col("n") * col("n"))
               .cast("double")))).as("p_approx"))
         .orderBy(col("event_type"))
+    }),
+
+    /** One-pass Poisson-bootstrap confidence interval for each type's
+      * mean value — the error bar every drift threshold should be
+      * judged against, computed WITHOUT resampling passes: each row
+      * draws a deterministic Poisson(1) weight per replica (the
+      * online-bootstrap identity — multinomial resampling converges
+      * to iid Poisson(1) weights as n grows), so 32 bootstrap
+      * replicas cost one 32× row explode folded map-side into
+      * |types|·33 cells. "Randomness" is the repo's sha-256 uniform
+      * (q78/q134 stance): u = (hex60(sha2(id:b)) + 1)/2⁶⁰ stepped
+      * through the Poisson(1) CDF ladder as literal thresholds —
+      * byte-identical in both engines. Replica b = −1 carries weight
+      * 1 everywhere: the point estimate rides the SAME aggregate, no
+      * second pass, no join. The CI is the 2nd/31st order statistic
+      * of the 32 replicate means (~94% percentile interval), sorted
+      * on the NUDGED ROUNDED mean with replica tie-break so the
+      * order — and hence the interval — cannot flip on a last-ulp
+      * fold difference. */
+    "q257_bootstrap_ci" -> ((s: SparkSession, dir: String) => {
+      val thr = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+      val eb = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("v"),
+          explode(expr("sequence(-1, 31)")).as("b"))
+      val hv = conv(substring(sha2(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string")), 256), 1, 15), 16, 10)
+        .cast("long").cast("double")
+      val u = (hv + 1.0) / math.pow(2.0, 60)
+      val w = when(col("b") === -1, 1)
+        .when(u < thr(0), 0).when(u < thr(1), 1).when(u < thr(2), 2)
+        .when(u < thr(3), 3).when(u < thr(4), 4).otherwise(5)
+      val rm = eb.withColumn("w", w.cast("long"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"),
+          count(lit(1)).as("cnt"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), col("b"),
+          r6n(col("swv") / col("sw")).as("m"), col("cnt"))
+      rm.groupBy(col("event_type"))
+        .agg(expr("array_sort(collect_list(IF(b >= 0, struct(m, b), NULL)))")
+            .as("ms"),
+          max(when(col("b") === -1, col("m"))).as("mean"),
+          max(when(col("b") === -1, col("cnt"))).as("n_events"))
+        .select(col("event_type"), col("n_events"), col("mean"),
+          expr("element_at(ms, 2).m").as("ci_lo"),
+          expr("element_at(ms, 31).m").as("ci_hi"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3143,7 +3193,48 @@ object Statistics {
         |CAST(k AS BIGINT) AS k_stat, change_day,
         |round(least(1.0, 2.0 * exp(-6.0 * k * k /
         |  CAST(n * n * n + n * n AS DOUBLE))), 6) AS p_approx
-        |FROM res ORDER BY event_type NULLS FIRST""".stripMargin
+        |FROM res ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q257_bootstrap_ci" ->
+      """WITH eb AS (
+        |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v,
+        |  unnest(generate_series(-1, 31)) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, b, v,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(sha256(
+        |      CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |      1, 15), ''),
+        |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+        |                ELSE ord(c) - 87 END AS BIGINT))),
+        |    (acc, x) -> acc * 16 + x) AS hv
+        |  FROM eb),
+        |wt AS (
+        |  SELECT event_type, b, v,
+        |  CASE WHEN b = -1 THEN 1
+        |       WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       ELSE 5 END AS w
+        |  FROM (SELECT *, (CAST(hv AS DOUBLE) + 1.0) /
+        |        1152921504606846976.0 AS u FROM h)),
+        |rm AS (
+        |  SELECT event_type, b,
+        |  round(sum(w * v) / sum(w) + 1e-12, 6) AS m,
+        |  count(*) AS cnt
+        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+        |ci AS (
+        |  SELECT event_type,
+        |  list(m ORDER BY m, b) FILTER (b >= 0) AS ms,
+        |  max(CASE WHEN b = -1 THEN m END) AS mean,
+        |  max(CASE WHEN b = -1 THEN cnt END) AS n_events
+        |  FROM rm GROUP BY 1)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mean,
+        |ms[2] AS ci_lo, ms[31] AS ci_hi
+        |FROM ci ORDER BY event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

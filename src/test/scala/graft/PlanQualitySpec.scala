@@ -230,6 +230,18 @@ class PlanQualitySpec extends SparkSuite {
   // anything else fails here until fixed or allowlisted WITH a
   // rationale, so the one-red-row-per-round pattern cannot recur.
   private val floatAllow = Map[String, String](
+    "q257_bootstrap_ci.mean" ->
+      ("the replica mean m IS round(swv/sw + 1e-12, 6) — a nudged round; " +
+        "above it sit only SELECTION ops (max of the single b = -1 row), " +
+        "which cannot move the value off the rounded grid"),
+    "q257_bootstrap_ci.ci_lo" ->
+      ("element_at(array_sort(collect_list(...)), k).m extracts one " +
+        "already-nudged-rounded replica mean — pure selection above the " +
+        "round, no arithmetic"),
+    "q257_bootstrap_ci.ci_hi" ->
+      ("same as ci_lo: order-statistic selection of a nudged-rounded " +
+        "value; the sort key is the rounded value itself with replica " +
+        "tie-break, so selection is engine-stable too"),
     "q233_cusum_shift.max_cusum" ->
       ("the emitted value IS round(fold.mx + 1e-12, 6) — a nudged round " +
         "as the final step; the classifier cannot project into the " +
