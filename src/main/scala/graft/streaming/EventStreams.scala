@@ -607,6 +607,88 @@ object EventStreams {
   def welchDrift(spark: SparkSession, events: DataFrame): DataFrame =
     graft.ops.Statistics.welchSummary(events)
 
+  final case class CusumState(days: Array[Long], cnts: Array[Long])
+  final case class CusumSummary(event_type: String, n_events: Long,
+    n_days: Long, max_cusum: Double, n_alarms: Long,
+    first_alarm_day: java.lang.Long)
+
+  /** LIVE CUSUM change monitor — the streaming twin of batch q233:
+    * each micro-batch merges its day counts into the per-type state
+    * and re-emits the current upper-CUSUM summary (max statistic,
+    * alarm count, first alarm day) over the feed so far — sustained
+    * small shifts accumulate evidence ON the stream instead of
+    * waiting for the batch job.
+    *
+    * State bound: one (day, count) pair per active day per type —
+    * O(types · span-in-days), independent of feed volume (the q233
+    * one-row-map stance, live). Append-mode at-least-once
+    * re-emission (the ewmaChart contract): each batch emits one
+    * refreshed summary per type; `n_events` grows monotonically, so
+    * consumers and the twin spec keep the max-n_events emission.
+    * Arithmetic mirrors the batch fold operation-for-operation —
+    * explicit sum/sumsq variance, greatest(0, s+x) scan over the
+    * dense zero-padded day grid, and Spark's HALF_UP shortest-repr
+    * 6-dp round (java BigDecimal.valueOf) with the +1e-12 nudge
+    * before the 3.0 alarm compare — so the converged row equals
+    * batch q233. */
+  def cusumShift(spark: SparkSession, events: DataFrame,
+      k: Double = 0.25, alarm: Double = 3.0): Dataset[CusumSummary] = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    def r6h(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val add = rows.toSeq.groupBy(e => tsUs(e) / dayUs)
+            .map { case (d, es) => d -> es.size.toLong }
+          val s0 = state.getOption.getOrElse(
+            CusumState(Array.empty, Array.empty))
+          val counts = scala.collection.mutable.Map(s0.days.zip(s0.cnts).toSeq: _*)
+          add.foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val arr = counts.toArray.sortBy(_._1)
+            state.update(CusumState(arr.map(_._1), arr.map(_._2)))
+            val d0 = arr.head._1
+            val d1 = arr.last._1
+            val n = d1 - d0 + 1
+            if (n <= 1) Iterator.empty
+            else {
+              val sc = arr.map(_._2).sum
+              val sc2 = arr.map(p => p._2 * p._2).sum
+              val m = sc.toDouble / n
+              val sd = math.sqrt(
+                (sc2.toDouble - sc.toDouble * sc / n) / (n - 1.0))
+              if (!(sd > 0)) Iterator.empty
+              else {
+                var s = 0.0; var mx = 0.0; var na = 0L
+                var fa: java.lang.Long = null
+                var dd = d0
+                while (dd <= d1) {
+                  val c = counts.getOrElse(dd, 0L)
+                  val x = (c.toDouble - m) / sd - k
+                  s = math.max(0.0, s + x)
+                  mx = math.max(mx, s)
+                  if (r6h(s + 1e-12) > alarm) {
+                    na += 1
+                    if (fa == null) fa = dd
+                  }
+                  dd += 1
+                }
+                Iterator.single(CusumSummary(etype, sc, n, r6h(mx + 1e-12),
+                  na, fa))
+              }
+            }
+          }
+      }
+  }
+
   final case class EwmaState(h0: Long, maxHr: Long, hrs: Array[Long],
     cnts: Array[Long])
   final case class EwmaPoint(event_type: String, hr: Long, c: Long,
