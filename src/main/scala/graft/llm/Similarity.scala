@@ -766,6 +766,64 @@ object Similarity {
           r6n(col("n_zero").cast("double") / col("n")).as("zero_frac"),
           when(r6(col("s2")) < 0.001, 1L).otherwise(0L).as("dead"))
         .orderBy(col("dim"))
+    }),
+
+    /** IVF-accelerated k-NN label-consistency audit — the supervised
+      * embedding-quality number (q149's cell purity is unsupervised;
+      * this asks the retrieval question directly): hold out every
+      * 10th vector, predict its label by 10-NN majority vote over
+      * SAME-CELL neighbors, report per-label accuracy. Composes the
+      * suite's own scale path end-to-end: trained Lloyd cells
+      * ([[trainKmeans]] — driver-resident centroids), a zero-shuffle
+      * cell-assignment projection carrying the label, and an
+      * eval × train join keyed on the CELL (per-key blowup bounded by
+      * cell sizes, the q86 stance — never all-pairs, shuffle_hash
+      * pinned). Both rank cuts (neighbor top-10, majority vote) run
+      * on ROUNDED cosine / integer counts with id tie-breaks, so the
+      * prediction is engine-stable; the WindowGroupLimit partition
+      * key is the high-cardinality query id. Accuracy is an integer
+      * rational → nudged r6. */
+    "q260_knn_label_audit" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val emb = Tables(s, dir, "embeddings")
+      val (cents, _) = trainKmeans(
+        emb.select(col("vec_id"), col("embedding")), k = 16, iters = 2)
+      val scored = cents.map { case (cid, c) =>
+        struct(cosLit(col("embedding"), c).as("csim"), lit(-cid).as("nid"))
+      }
+      val assigned = emb
+        .select(col("vec_id"), col("embedding"), col("label"),
+          (greatest(scored: _*).getField("nid") * lit(-1L)).as("cent_id"))
+        .cache()
+      val eval = assigned.filter(col("vec_id") % 10 === 0)
+      val train = assigned.filter(col("vec_id") % 10 =!= 0)
+      val cand = eval.as("q")
+        .join(train.as("t").hint("shuffle_hash"), Seq("cent_id"))
+        .select(col("q.vec_id").as("q_id"), col("q.label").as("true_label"),
+          col("t.label").as("cand_label"), col("t.vec_id").as("t_id"),
+          r6(expr("cosine_sim(t.embedding, q.embedding)")).as("cs6"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(desc_nulls_last("cs6"), asc("t_id"))
+      val votes = cand.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .groupBy(col("q_id"), col("true_label"), col("cand_label"))
+        .agg(count(lit(1)).as("cnt"))
+      val wVote = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cnt"), asc("cand_label"))
+      val pred = votes.withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+      val predAgg = pred.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_predicted"),
+          count_if(col("cand_label") === col("true_label")).as("n_correct"))
+      eval.groupBy(col("label").as("true_label"))
+        .agg(count(lit(1)).as("n_queries"))
+        .join(predAgg, Seq("true_label"), "left")
+        .select(col("true_label").as("label"), col("n_queries"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          r6n(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            col("n_queries")).as("accuracy"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1160,6 +1218,52 @@ object Similarity {
         |  THEN 1 ELSE 0 END AS BIGINT) AS dead
         |FROM el GROUP BY 1
         |ORDER BY dim NULLS FIRST""".stripMargin,
+
+    "q260_knn_label_audit" ->
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "ks1", "ka1", Some("kc1"))},
+         |${duckKmeansIter("kc1", "ks2", "ka2", Some("kc2"))},
+         |${duckKmeansIter("kc2", "ks3", "assigned", None)},
+         |lab AS (
+         |  SELECT a.vec_id, a.embedding, a.cent_id, e.label
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |ev AS (SELECT * FROM lab WHERE vec_id % 10 = 0),
+         |tr AS (SELECT * FROM lab WHERE vec_id % 10 <> 0),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, q.label AS true_label,
+         |  t.label AS cand_label, t.vec_id AS t_id,
+         |  round(${duckCos("t.embedding", "q.embedding")}, 6) AS cs6
+         |  FROM ev q JOIN tr t ON t.cent_id = q.cent_id),
+         |topk AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cs6 DESC NULLS LAST, t_id) AS rk FROM cand)
+         |  WHERE rk <= 10),
+         |votes AS (
+         |  SELECT q_id, true_label, cand_label, count(*) AS cnt
+         |  FROM topk GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT q_id, true_label, cand_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cnt DESC, cand_label) AS vr FROM votes)
+         |  WHERE vr = 1),
+         |evc AS (SELECT label AS true_label, count(*) AS n_queries
+         |        FROM ev GROUP BY 1),
+         |pa AS (
+         |  SELECT true_label, count(*) AS n_predicted,
+         |  count(*) FILTER (cand_label = true_label) AS n_correct
+         |  FROM pred GROUP BY 1)
+         |SELECT evc.true_label AS label,
+         |CAST(n_queries AS BIGINT) AS n_queries,
+         |CAST(coalesce(n_predicted, 0) AS BIGINT) AS n_predicted,
+         |CAST(coalesce(n_correct, 0) AS BIGINT) AS n_correct,
+         |round(coalesce(n_correct, 0) * 1.0 / n_queries + 1e-12, 6)
+         |  AS accuracy
+         |FROM evc LEFT JOIN pa USING (true_label)
+         |ORDER BY label NULLS FIRST""".stripMargin,
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {

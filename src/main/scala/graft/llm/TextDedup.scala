@@ -953,6 +953,34 @@ object TextDedup {
           count_if(r6n(col("n_dup").cast("double") / col("n_sh")) > 0.5)
             .as("n_heavy_docs"))
         .orderBy(col("source"))
+    }),
+
+    /** Stop-shingle (df-cap) self-audit — the measurement behind the
+      * suite's own approximation: every exact dedup join runs over
+      * the df ≤ 512 universe ([[cappedIndex]]), and this census says
+      * exactly what that costs — shingle counts and POSTING mass
+      * (Σdf — the join work) per log₂(df) bucket, with the capped
+      * tail broken out. A capped-postings share creeping up means
+      * boilerplate is eating the corpus and the cap is no longer a
+      * no-op on recall; at 100 TB it is the difference between an
+      * audited approximation and a silent one. One map-side-combined
+      * df count (the shuffle carries 8-byte hashes), one bounded
+      * bucket aggregate; the bucket index is length(bin(df)) − 1 —
+      * INTEGER floor(log₂) with no float boundary, identical in both
+      * engines. All-integer output: FloatAudit-clean by
+      * construction. */
+    "q259_stop_shingle_audit" -> ((s: SparkSession, dir: String) => {
+      explodeShingles(shingleArrays(Tables(s, dir, "documents")).cache())
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .select(col("df"),
+          (length(expr("bin(df)")) - 1).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("postings"),
+          count_if(col("df") > DfCap).as("n_capped"),
+          sum(when(col("df") > DfCap, col("df")).otherwise(0L))
+            .as("capped_postings"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1461,6 +1489,19 @@ object TextDedup {
          |CAST(count(*) FILTER (round(d.n_dup * 1.0 / d.n_sh + 1e-12, 6) > 0.5)
          |  AS BIGINT) AS n_heavy_docs
          |FROM d JOIN documents doc ON doc.doc_id = d.doc_id
-         |GROUP BY 1 ORDER BY doc.source NULLS FIRST""".stripMargin
+         |GROUP BY 1 ORDER BY doc.source NULLS FIRST""".stripMargin,
+
+    "q259_stop_shingle_audit" ->
+      s"""WITH sh AS ($duckShingles),
+         |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |b AS (SELECT df, CAST(length(bin(df)) - 1 AS BIGINT) AS bucket
+         |      FROM dfs)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_shingles,
+         |CAST(sum(df) AS BIGINT) AS postings,
+         |CAST(count(*) FILTER (df > $DfCap) AS BIGINT) AS n_capped,
+         |CAST(sum(CASE WHEN df > $DfCap THEN df ELSE 0 END) AS BIGINT)
+         |  AS capped_postings
+         |FROM b GROUP BY 1
+         |ORDER BY bucket NULLS FIRST""".stripMargin
   )
 }
