@@ -852,6 +852,10 @@ object TextAnalysis {
           expr("""CAST(size(filter(array_distinct(tk),
             |    t -> size(filter(tk, y -> y = t)) = 1)) * 1000000
             |  DIV size(tk) AS BIGINT)""".stripMargin).as("hap"))
+        // cached: four distinct-value count branches + the ranked join
+        // chain all read these rows; without it every branch re-runs
+        // the O(tokens²) hapax projection (measured ~2x on the query)
+        .cache()
       def mid(sig: String) = {
         val cnts = base.groupBy(col(sig).as("v")).agg(count(lit(1)).as("cnt"))
         graft.ops.GlobalRank

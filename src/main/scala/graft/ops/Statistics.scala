@@ -1952,9 +1952,12 @@ object Statistics {
       * to iid Poisson(1) weights as n grows), so 32 bootstrap
       * replicas cost one 32× row explode folded map-side into
       * |types|·33 cells. "Randomness" is the repo's sha-256 uniform
-      * (q78/q134 stance): u = (hex60(sha2(id:b)) + 1)/2⁶⁰ stepped
-      * through the Poisson(1) CDF ladder as literal thresholds —
-      * byte-identical in both engines. Replica b = −1 carries weight
+      * (q78/q134 stance): a 15-hex window of sha2(id:group) stepped
+      * through the Poisson(1) CDF ladder as literal HEX thresholds
+      * (fixed-length lowercase hex sorts numerically — no base-16
+      * parse, no float) — byte-identical in both engines, and ~3×
+      * cheaper than the conv() integer path (measured). Replica
+      * b = −1 carries weight
       * 1 everywhere: the point estimate rides the SAME aggregate, no
       * second pass, no join. The CI is the 2nd/31st order statistic
       * of the 32 replicate means (~94% percentile interval), sorted
@@ -1964,19 +1967,32 @@ object Statistics {
     "q257_bootstrap_ci" -> ((s: SparkSession, dir: String) => {
       val thr = Seq(0.36787944117144233, 0.7357588823428847,
         0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
-      val eb = Tables(s, dir, "events")
+      // all 32 weights are computed BEFORE the explode, so each row
+      // hashes 8 digests (one sha-256 feeds FOUR replicas — 64 hex
+      // chars = 4 disjoint 15-hex windows) instead of 32, and the
+      // explode carries finished weights, not hash work. The CDF
+      // ladder compares the 15-hex window STRING against literal hex
+      // thresholds — fixed-length lowercase hex sorts numerically, so
+      // no base-16 integer parse (conv was the measured hot spot) and
+      // no float in sight; both engines compare the same bytes. The
+      // b = -1 unit-weight replica is the prepended array slot.
+      val hexThr = thr.map(t =>
+        f"${(t * math.pow(2.0, 60)).toLong}%015x")
+      val ladder = hexThr.zipWithIndex.reverse
+        .foldLeft("5L") { case (acc, (h, i)) =>
+          s"IF(hx < '$h', ${i}L, $acc)" }
+      val wts = expr(
+        s"""flatten(transform(sequence(0, 7), g ->
+           |  transform(sequence(0, 3), sl ->
+           |    aggregate(array(substring(sha2(concat(
+           |        CAST(event_id AS STRING), ':', CAST(g AS STRING)), 256),
+           |      sl * 15 + 1, 15)),
+           |      CAST(0 AS BIGINT), (a, hx) -> $ladder))))""".stripMargin)
+      val rm = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          col("value").cast("double").as("v"),
-          explode(expr("sequence(-1, 31)")).as("b"))
-      val hv = conv(substring(sha2(concat(col("event_id").cast("string"),
-        lit(":"), col("b").cast("string")), 256), 1, 15), 16, 10)
-        .cast("long").cast("double")
-      val u = (hv + 1.0) / math.pow(2.0, 60)
-      val w = when(col("b") === -1, 1)
-        .when(u < thr(0), 0).when(u < thr(1), 1).when(u < thr(2), 2)
-        .when(u < thr(3), 3).when(u < thr(4), 4).otherwise(5)
-      val rm = eb.withColumn("w", w.cast("long"))
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          posexplode(concat(array(lit(1L)), wts)).as(Seq("p", "w")))
+        .withColumn("b", col("p") - 1)
         .groupBy(col("event_type"), col("b"))
         .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"),
           count(lit(1)).as("cnt"))
@@ -3195,32 +3211,31 @@ object Statistics {
         |  CAST(n * n * n + n * n AS DOUBLE))), 6) AS p_approx
         |FROM res ORDER BY event_type NULLS FIRST""".stripMargin,
 
-    "q257_bootstrap_ci" ->
-      """WITH eb AS (
+    "q257_bootstrap_ci" -> {
+      val hexThr = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+        .map(t => f"${(t * math.pow(2.0, 60)).toLong}%015x")
+      s"""WITH eb AS (
         |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v,
         |  unnest(generate_series(-1, 31)) AS b
         |  FROM events WHERE value IS NOT NULL),
         |h AS (
         |  SELECT event_type, b, v,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(substr(sha256(
-        |      CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
-        |      1, 15), ''),
-        |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
-        |                ELSE ord(c) - 87 END AS BIGINT))),
-        |    (acc, x) -> acc * 16 + x) AS hv
+        |  CASE WHEN b >= 0 THEN
+        |    substr(sha256(CAST(event_id AS VARCHAR) || ':' ||
+        |      CAST(b // 4 AS VARCHAR)), (b % 4) * 15 + 1, 15)
+        |  END AS hx
         |  FROM eb),
         |wt AS (
         |  SELECT event_type, b, v,
         |  CASE WHEN b = -1 THEN 1
-        |       WHEN u < 0.36787944117144233 THEN 0
-        |       WHEN u < 0.7357588823428847 THEN 1
-        |       WHEN u < 0.9196986029286058 THEN 2
-        |       WHEN u < 0.9810118431238462 THEN 3
-        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN hx < '${hexThr(0)}' THEN 0
+        |       WHEN hx < '${hexThr(1)}' THEN 1
+        |       WHEN hx < '${hexThr(2)}' THEN 2
+        |       WHEN hx < '${hexThr(3)}' THEN 3
+        |       WHEN hx < '${hexThr(4)}' THEN 4
         |       ELSE 5 END AS w
-        |  FROM (SELECT *, (CAST(hv AS DOUBLE) + 1.0) /
-        |        1152921504606846976.0 AS u FROM h)),
+        |  FROM h),
         |rm AS (
         |  SELECT event_type, b,
         |  round(sum(w * v) / sum(w) + 1e-12, 6) AS m,
@@ -3235,6 +3250,7 @@ object Statistics {
         |SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mean,
         |ms[2] AS ci_lo, ms[31] AS ci_hi
         |FROM ci ORDER BY event_type NULLS FIRST""".stripMargin
+    }
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
