@@ -95,6 +95,40 @@ object Profiling {
           max(col("ts")).as("session_end"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    /** Approximate functional-dependency audit — "does column A
+      * determine column B?" measured as a violation RATE (rows
+      * outside their key's dominant B value), the data-profiling
+      * step that discovers the de-facto constraints a contract
+      * (reference `pipeline_config.yml`) should declare, and catches
+      * their erosion before a join or healing rule silently relies
+      * on one. Five candidate FDs across three tables; each is two
+      * map-side-combined aggregates — (A, B) counts, then the
+      * per-key max folded against the key total — shuffles keyed on
+      * A, post-shuffle bounded by the key domain, never a row-level
+      * comparison. Exact integers until the nudged rate. */
+    "q262_fd_audit" -> ((s: SparkSession, dir: String) => {
+      def audit(table: String, a: String, b: String) = {
+        val ab = Tables(s, dir, table)
+          .groupBy(col(a).as("k"), col(b).as("v"))
+          .agg(count(lit(1)).as("c"))
+        ab.groupBy(col("k"))
+          .agg(sum(col("c")).as("nk"), max(col("c")).as("mx"))
+          .agg(sum(col("nk")).as("n_rows"), count(lit(1)).as("n_keys"),
+            sum(col("nk") - col("mx")).as("violations"))
+          .select(lit(table).as("table_name"), lit(a).as("lhs"),
+            lit(b).as("rhs"), col("n_rows"), col("n_keys"),
+            col("violations"),
+            r6n(col("violations").cast("double") / col("n_rows"))
+              .as("violation_rate"))
+      }
+      audit("part", "p_brand", "p_type")
+        .unionByName(audit("part", "p_type", "p_brand"))
+        .unionByName(audit("orders", "o_custkey", "o_orderpriority"))
+        .unionByName(audit("lineitem", "l_partkey", "l_suppkey"))
+        .unionByName(audit("lineitem", "l_orderkey", "l_returnflag"))
+        .orderBy(col("table_name"), col("lhs"), col("rhs"))
     })
   )
 
@@ -147,6 +181,26 @@ object Profiling {
         |cast(min(ts) AS TIMESTAMP) AS session_start,
         |cast(max(ts) AS TIMESTAMP) AS session_end, round(sum(value),2) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
-        |ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""".stripMargin
+        |ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""".stripMargin,
+
+    "q262_fd_audit" -> {
+      def one(table: String, a: String, b: String) =
+        s"""SELECT '$table' AS table_name, '$a' AS lhs, '$b' AS rhs,
+           |CAST(sum(nk) AS BIGINT) AS n_rows,
+           |CAST(count(*) AS BIGINT) AS n_keys,
+           |CAST(sum(nk - mx) AS BIGINT) AS violations,
+           |round(sum(nk - mx) * 1.0 / sum(nk) + 1e-12, 6) AS violation_rate
+           |FROM (
+           |  SELECT k, sum(c) AS nk, max(c) AS mx FROM (
+           |    SELECT $a AS k, $b AS v, count(*) AS c FROM $table
+           |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      Seq(one("part", "p_brand", "p_type"),
+        one("part", "p_type", "p_brand"),
+        one("orders", "o_custkey", "o_orderpriority"),
+        one("lineitem", "l_partkey", "l_suppkey"),
+        one("lineitem", "l_orderkey", "l_returnflag"))
+        .mkString("", "\nUNION ALL ",
+          "\nORDER BY table_name NULLS FIRST, lhs NULLS FIRST, rhs NULLS FIRST")
+    }
   )
 }

@@ -2008,6 +2008,39 @@ object Statistics {
           expr("element_at(ms, 2).m").as("ci_lo"),
           expr("element_at(ms, 31).m").as("ci_hi"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Hill tail-index estimator over per-user activity — the
+      * "HOW heavy is the tail?" number behind every salting, quota,
+      * and skew decision the repo measures qualitatively (q185's
+      * top-1 share, q215's Gini say concentration exists; α says
+      * whether the tail is power-law and how fast it fattens as the
+      * corpus grows — α ≤ 2 means per-key variance diverges and
+      * today's hottest key is NOT the worst one a 100× crawl will
+      * see). Classical Hill over the top k = 100 order statistics:
+      * α̂ = k / Σ ln(x_i/x_{k+1}); the tail set is a
+      * TakeOrderedAndProject on (count desc, user_id) — bounded rows
+      * regardless of scale — and with x_{k+1} = the min of the
+      * (k+1)-set, Σ ln(x_i/x_min) folds as Σ ln x − (k+1)·ln x_min
+      * in ONE aggregate (the boundary term ln(x_min/x_min) = 0).
+      * Degenerate flat tails (denominator 0) yield NULL, not a
+      * division error. ln folds are off-grid: plain r6. */
+    "q261_hill_tail_index" -> ((s: SparkSession, dir: String) => {
+      val tail = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("user_id"))
+        .limit(101)
+      tail.agg(count(lit(1)).as("k1"),
+          sum(log(col("cnt").cast("double"))).as("slog"),
+          min(col("cnt")).as("xmin"))
+        .select((col("k1") - 1).as("k"),
+          col("xmin").as("x_tail_min"),
+          r6(col("slog") - col("k1") * log(col("xmin").cast("double")))
+            .as("sum_log_ratio"),
+          when(col("slog") - col("k1") * log(col("xmin").cast("double")) > 0,
+            r6((col("k1") - 1.0) /
+              (col("slog") - col("k1") * log(col("xmin").cast("double")))))
+            .as("alpha"))
     })
   )
 
@@ -3250,7 +3283,23 @@ object Statistics {
         |SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mean,
         |ms[2] AS ci_lo, ms[31] AS ci_hi
         |FROM ci ORDER BY event_type NULLS FIRST""".stripMargin
-    }
+    },
+
+    "q261_hill_tail_index" ->
+      """WITH tail AS (
+        |  SELECT cnt FROM (
+        |    SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |  ORDER BY cnt DESC, user_id LIMIT 101),
+        |f AS (
+        |  SELECT count(*) AS k1, sum(ln(CAST(cnt AS DOUBLE))) AS slog,
+        |  min(cnt) AS xmin FROM tail)
+        |SELECT CAST(k1 - 1 AS BIGINT) AS k,
+        |CAST(xmin AS BIGINT) AS x_tail_min,
+        |round(slog - k1 * ln(CAST(xmin AS DOUBLE)), 6) AS sum_log_ratio,
+        |CASE WHEN slog - k1 * ln(CAST(xmin AS DOUBLE)) > 0
+        |  THEN round((k1 - 1.0) / (slog - k1 * ln(CAST(xmin AS DOUBLE))), 6)
+        |END AS alpha
+        |FROM f""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
