@@ -824,6 +824,65 @@ object Similarity {
           r6n(coalesce(col("n_correct"), lit(0L)).cast("double") /
             col("n_queries")).as("accuracy"))
         .orderBy(col("label"))
+    }),
+
+    /** Reciprocal-rank-fusion hybrid retrieval — the standard "lexical
+      * OR semantic, why not both" production pattern (Cormack et al.
+      * 2009): the q133 BM25 arm and a cosine arm each contribute
+      * 1/(60 + rank) for their top-20, and documents surfacing in
+      * BOTH arms dominate the fused top-10 — robust to either arm's
+      * score-scale pathologies precisely because only RANKS cross the
+      * fusion boundary. Each arm is already scale-bounded (one corpus
+      * scan + TakeOrderedAndProject; the rank assignment windows run
+      * over the LIMIT-20 subplans — bounded input, q101 class); the
+      * fusion is a full-outer join of two 20-row sets. Both arm cuts
+      * AND the fused cut rank on ROUNDED scores with id tie-breaks;
+      * the RRF sum is a small-denominator rational → nudged r6. */
+    "q264_rrf_fusion" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val terms = Seq("join", "hash", "scan")
+      val k1 = 1.2; val b = 0.75
+      val tf = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(expr(s"filter(toks, x -> x = '$t')")).cast("long")
+              .as(s"tf$i") }: _*)
+        .cache()
+      val stats = tf.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            count_if(col(s"tf$i") > 0).cast("double").as(s"df$i")): _*)
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tfi = col(s"tf$i").cast("double")
+        idf * (tfi * lit(k1 + 1)) /
+          (tfi + lit(k1) * (lit(1 - b) + lit(b) *
+            col("dl").cast("double") / col("avgdl")))
+      }.reduce(_ + _)
+      val lex = tf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), r6(score).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val sem = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          r6(expr("cosine_sim(embedding, q_emb)")).as("cs"))
+        .orderBy(desc("cs"), asc("doc_id")).limit(20)
+        .withColumn("r_sem", row_number()
+          .over(Window.orderBy(desc("cs"), asc("doc_id"))).cast("long"))
+      lex.select(col("doc_id"), col("r_lex"))
+        .join(sem.select(col("doc_id"), col("r_sem")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          r6n(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(10)
     })
   )
 
@@ -1264,6 +1323,52 @@ object Similarity {
          |  AS accuracy
          |FROM evc LEFT JOIN pa USING (true_label)
          |ORDER BY label NULLS FIRST""".stripMargin,
+
+    "q264_rrf_fusion" -> {
+      val terms = Seq("join", "hash", "scan")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"""ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) *
+           |  (CAST(tf$i AS DOUBLE) * 2.2) /
+           |  (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+           |    CAST(dl AS DOUBLE) / avgdl))""".stripMargin).mkString(" + ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents WHERE text IS NOT NULL)),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         |  $dfCols
+         |  FROM tf),
+         |lexall AS (
+         |  SELECT doc_id, round($score, 6) AS bm25
+         |  FROM tf CROSS JOIN st),
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC NULLS LAST, doc_id) AS BIGINT) AS r_lex
+         |  FROM (SELECT * FROM lexall
+         |        ORDER BY bm25 DESC NULLS LAST, doc_id LIMIT 20)),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |semall AS (
+         |  SELECT vec_id AS doc_id, round($duckCosine, 6) AS cs
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+         |sem AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cs DESC NULLS LAST, doc_id) AS BIGINT) AS r_sem
+         |  FROM (SELECT * FROM semall
+         |        ORDER BY cs DESC NULLS LAST, doc_id LIMIT 20))
+         |SELECT doc_id, r_lex, r_sem,
+         |round(coalesce(1.0 / (60.0 + r_lex), 0.0) +
+         |  coalesce(1.0 / (60.0 + r_sem), 0.0) + 1e-12, 6) AS rrf
+         |FROM lex FULL OUTER JOIN sem USING (doc_id)
+         |ORDER BY rrf DESC NULLS LAST, doc_id
+         |LIMIT 10""".stripMargin
+    },
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {

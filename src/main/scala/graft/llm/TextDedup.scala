@@ -981,6 +981,46 @@ object TextDedup {
           sum(when(col("df") > DfCap, col("df")).otherwise(0L))
             .as("capped_postings"))
         .orderBy(col("bucket"))
+    }),
+
+    /** Positional boilerplate census — header vs footer attribution
+      * for cross-doc duplication: the fraction of each source's docs
+      * whose FIRST-16-token prefix (resp. LAST-16 suffix) appears in
+      * ≥ 2 documents. q152 finds shared chunks anywhere; position
+      * matters operationally — shared prefixes are templated headers
+      * a stripper can cut by offset, shared suffixes are
+      * footers/signatures, and a source whose prefix rate ≫ chunk
+      * rate needs a template stripper, not a near-dup pass. Two
+      * per-row fingerprint projections (8-byte xxhash64 — the
+      * exchange never carries text), two map-side-combined df
+      * counts, two shuffle-hash joins back; rates from integer
+      * totals, nudged. */
+    "q263_boilerplate_position" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          expr("xxhash64(concat_ws(' ', slice(split(text, ' '), 1, 16)))")
+            .as("pfx"),
+          expr("""xxhash64(concat_ws(' ', slice(split(text, ' '),
+            |  greatest(size(split(text, ' ')) - 15, 1), 16)))"""
+            .stripMargin).as("sfx"))
+        .cache()
+      def dfOf(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col(c), lit(1L).as(s"${c}_shared"))
+      base
+        .join(dfOf("pfx").hint("shuffle_hash"), Seq("pfx"), "left")
+        .join(dfOf("sfx").hint("shuffle_hash"), Seq("sfx"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("pfx_shared") === 1).as("n_shared_prefix"),
+          count_if(col("sfx_shared") === 1).as("n_shared_suffix"))
+        .select(col("source"), col("n_docs"), col("n_shared_prefix"),
+          col("n_shared_suffix"),
+          r6n(col("n_shared_prefix").cast("double") / col("n_docs"))
+            .as("prefix_rate"),
+          r6n(col("n_shared_suffix").cast("double") / col("n_docs"))
+            .as("suffix_rate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1502,6 +1542,32 @@ object TextDedup {
          |CAST(sum(CASE WHEN df > $DfCap THEN df ELSE 0 END) AS BIGINT)
          |  AS capped_postings
          |FROM b GROUP BY 1
-         |ORDER BY bucket NULLS FIRST""".stripMargin
+         |ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    "q263_boilerplate_position" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |  array_to_string(list_transform(generate_series(1,
+        |    least(len(string_split(text, ' ')), 16)),
+        |    i -> string_split(text, ' ')[i]), ' ') AS pfx,
+        |  array_to_string(list_transform(generate_series(
+        |    greatest(len(string_split(text, ' ')) - 15, 1),
+        |    len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i]), ' ') AS sfx
+        |  FROM documents WHERE text IS NOT NULL),
+        |pdf AS (SELECT pfx, count(*) AS df FROM base GROUP BY 1
+        |        HAVING count(*) >= 2),
+        |sdf AS (SELECT sfx, count(*) AS df FROM base GROUP BY 1
+        |        HAVING count(*) >= 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(p.pfx) AS BIGINT) AS n_shared_prefix,
+        |CAST(count(sd.sfx) AS BIGINT) AS n_shared_suffix,
+        |round(count(p.pfx) * 1.0 / count(*) + 1e-12, 6) AS prefix_rate,
+        |round(count(sd.sfx) * 1.0 / count(*) + 1e-12, 6) AS suffix_rate
+        |FROM base b
+        |LEFT JOIN pdf p ON p.pfx = b.pfx
+        |LEFT JOIN sdf sd ON sd.sfx = b.sfx
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin
   )
 }

@@ -157,7 +157,11 @@ class PlanQualitySpec extends SparkSuite {
     "q227_new_parts",
     // q255: the broadcast side is the ONE-ROW corpus doc-count fold
     // (q53's IDF denominator, same class) — provably 1 row at any sf
-    "q255_doc_keywords")
+    "q255_doc_keywords",
+    // q264: the broadcast sides are the ONE-ROW BM25 corpus-stats
+    // fold (q133 class) and the ONE-ROW query-vector block (q42/q57
+    // class) — provably 1 row each at any sf
+    "q264_rrf_fusion")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
@@ -195,8 +199,10 @@ class PlanQualitySpec extends SparkSuite {
   //         table — ≤ tasks x groups rows by construction
   //   q101: vocab id assignment — row_number over the LIMIT-1000 top-k
   //         output, ≤ 1000 rows in one task at any corpus scale
+  //   q264: rank assignment over each retrieval arm's LIMIT-20
+  //         output — ≤ 20 rows in one task at any corpus scale
   private val boundedInputWindows =
-    Set("q120_weighted_quantiles", "q101_vocab_encode")
+    Set("q120_weighted_quantiles", "q101_vocab_encode", "q264_rrf_fusion")
 
   test("suite-wide: no full window partitioned only on constant-cardinality keys") {
     val offenders = allPlans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
@@ -230,6 +236,12 @@ class PlanQualitySpec extends SparkSuite {
   // anything else fails here until fixed or allowlisted WITH a
   // rationale, so the one-red-row-per-round pattern cannot recur.
   private val floatAllow = Map[String, String](
+    "q264_rrf_fusion.rrf" ->
+      ("the emitted value IS round(sum of 1/(60 + rank) + 1e-12, 6) — a " +
+        "nudged round as the final step over INTEGER ranks; the " +
+        "classifier chases row_number's window ORDER key (the arm's " +
+        "rounded score) and misreads it as arithmetic above a round — " +
+        "the rank is an integer, the score round never feeds the value"),
     "q257_bootstrap_ci.mean" ->
       ("the replica mean m IS round(swv/sw + 1e-12, 6) — a nudged round; " +
         "above it sit only SELECTION ops (max of the single b = -1 row), " +
