@@ -883,6 +883,58 @@ object Similarity {
             coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)))
             .as("rrf"))
         .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+    }),
+
+    /** nDCG@10 of the multi-probe SRP-LSH arm — the RANKING-quality
+      * companion to q205's recall (recall says the right documents
+      * were found; nDCG says whether they surfaced in the right
+      * ORDER, which is what a RAG context window actually consumes).
+      * Relevance grades derive from the exact arm's rank
+      * (rel = 11 − exact_rank: integer, engine-stable), the LSH
+      * arm's positions come from the same rounded-cosine rank cut as
+      * q205, and the ideal DCG folds over a LITERAL sequence with
+      * identical op order in both engines — no driver-side float
+      * constant to drift. Same bounded plan as q205: 20-anchor
+      * broadcast blocks, one bucket-keyed probe join. */
+    "q266_ndcg_audit" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val k = 10
+      val bucketed = srpBuckets(Tables(s, dir, "embeddings")).cache()
+      val anchors = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(desc_nulls_last("cs6"), asc_nulls_first("vec_id"))
+      val exact = bucketed
+        .crossJoin(broadcast(anchors.select(col("q_id"), col("q_emb"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(cosine("embedding", "q_emb")).as("cs6"))
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
+        .select(col("q_id"), col("vec_id"), (lit(11L) - col("rk")).as("rel"))
+      val probes = anchors.select(col("q_id"), col("q_emb"), col("q_bucket"),
+          explode(array((lit(-1L) +: (0 until 8).map(b => lit(b.toLong))): _*))
+            .as("flip"))
+        .select(col("q_id"), col("q_emb"), expr(
+          "CASE WHEN flip = -1 THEN q_bucket " +
+            "ELSE q_bucket ^ shiftleft(1L, cast(flip AS int)) END").as("pb"))
+      val lsh = bucketed.join(broadcast(probes), col("bucket") === col("pb"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(cosine("embedding", "q_emb")).as("cs6"))
+        .withColumn("pos", row_number().over(wRank)).filter(col("pos") <= k)
+      lsh.join(exact, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_lsh"),
+          sum(coalesce(col("rel"), lit(0L)).cast("double") /
+            expr("log2(CAST(pos + 1 AS DOUBLE))")).as("dcg"))
+        .withColumn("idcg", expr(
+          """aggregate(sequence(1, 10), CAST(0.0 AS DOUBLE),
+            |  (a, i) -> a + CAST(11 - i AS DOUBLE) /
+            |    log2(CAST(i + 1 AS DOUBLE)))""".stripMargin))
+        .select(col("q_id"), col("n_lsh"), r6(col("dcg")).as("dcg"),
+          r6(col("dcg") / col("idcg")).as("ndcg_at_10"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -1368,6 +1420,59 @@ object Similarity {
          |FROM lex FULL OUTER JOIN sem USING (doc_id)
          |ORDER BY rrf DESC NULLS LAST, doc_id
          |LIMIT 10""".stripMargin
+    },
+
+    "q266_ndcg_audit" -> {
+      def proj(p: Int, v: String) = {
+        val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i])""".stripMargin)
+      }
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN ${proj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |anchors AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM b WHERE vec_id < 20),
+         |exact AS (
+         |  SELECT q_id, vec_id, CAST(11 - rk AS BIGINT) AS rel FROM (
+         |    SELECT a.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY a.q_id
+         |      ORDER BY round(${duckCos("b.embedding", "a.q_emb")}, 6)
+         |        DESC NULLS LAST, b.vec_id) AS rk
+         |    FROM b CROSS JOIN anchors a WHERE b.vec_id <> a.q_id)
+         |  WHERE rk <= 10),
+         |probes AS (
+         |  SELECT q_id, q_emb,
+         |  CASE WHEN f = -1 THEN q_bucket
+         |       ELSE xor(q_bucket, (CAST(1 AS BIGINT) << f)) END AS pb
+         |  FROM anchors, unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS u(f)),
+         |lsh AS (
+         |  SELECT q_id, vec_id, pos FROM (
+         |    SELECT p.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckCos("b.embedding", "p.q_emb")}, 6)
+         |        DESC NULLS LAST, b.vec_id) AS pos
+         |    FROM b JOIN probes p ON b.bucket = p.pb WHERE b.vec_id <> p.q_id)
+         |  WHERE pos <= 10),
+         |d AS (
+         |  SELECT l.q_id, count(*) AS n_lsh,
+         |  sum(CAST(coalesce(e.rel, 0) AS DOUBLE) /
+         |    log2(CAST(l.pos + 1 AS DOUBLE))) AS dcg
+         |  FROM lsh l LEFT JOIN exact e
+         |    ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+         |  GROUP BY 1),
+         |ideal AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 10),
+         |    i -> CAST(11 - i AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE)))),
+         |  (a, x) -> a + x) AS idcg)
+         |SELECT q_id, CAST(n_lsh AS BIGINT) AS n_lsh, round(dcg, 6) AS dcg,
+         |round(dcg / ideal.idcg, 6) AS ndcg_at_10
+         |FROM d, ideal
+         |ORDER BY q_id NULLS FIRST""".stripMargin
     },
 
     "q205_ann_recall" -> {

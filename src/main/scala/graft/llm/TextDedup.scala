@@ -1021,6 +1021,41 @@ object TextDedup {
           r6n(col("n_shared_suffix").cast("double") / col("n_docs"))
             .as("suffix_rate"))
         .orderBy(col("source"))
+    }),
+
+    /** Rarity-weighted near-dup pairs — Jaccard where each shingle
+      * weighs 1/df: two docs sharing RARE content score high even
+      * when their common boilerplate is diluted away, and two docs
+      * that agree only on stock phrases score low — the pair set
+      * plain q34 structurally cannot produce (its count-based measure
+      * values "of the quarter" and a verbatim rare paragraph
+      * equally). Same linear machinery as q34 — the df count is
+      * computed ONCE and rides the inverted index as the weight, the
+      * pair join stays on the df-capped 8-byte hash universe — so the
+      * rarity weighting is free at any scale. The weighted measure is
+      * a fold of small-denominator rationals: the threshold compares
+      * the NUDGED ROUNDED value in both engines (q238 flag stance) so
+      * the pair-set boundary cannot flip on summation order. */
+    "q265_weighted_jaccard" -> ((s: SparkSession, dir: String) => {
+      val (_, sh, _) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      val dfw = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val shw = sh.join(dfw.hint("shuffle_hash"), "sh")
+        .select(col("doc_id"), col("sh"),
+          (lit(1.0) / col("df")).as("w")).cache()
+      val wsz = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsz"))
+      val inter = shw.as("a")
+        .join(shw.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.w")).as("wint"), count(lit(1)).as("inter"))
+      val wj = r6n(col("wint") / (col("w1") + col("w2") - col("wint")))
+      inter
+        .join(wsz.select(col("doc_id").as("d1"), col("wsz").as("w1")), "d1")
+        .join(wsz.select(col("doc_id").as("d2"), col("wsz").as("w2")), "d2")
+        .filter(wj >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"),
+          wj.as("weighted_jaccard"))
+        .orderBy(col("d1"), col("d2"))
     })
   )
 
@@ -1568,6 +1603,28 @@ object TextDedup {
         |LEFT JOIN pdf p ON p.pfx = b.pfx
         |LEFT JOIN sdf sd ON sd.sfx = b.sfx
         |GROUP BY 1
-        |ORDER BY source NULLS FIRST""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q265_weighted_jaccard" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |dfw AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |shw AS (
+         |  SELECT s.doc_id, s.sh, 1.0 / f.df AS w
+         |  FROM sh s JOIN dfw f ON f.sh = s.sh),
+         |wsz AS (SELECT doc_id, sum(w) AS wsz FROM shw GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  sum(a.w) AS wint, count(*) AS inter
+         |  FROM shw a JOIN shw b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+         |round(wint / (z1.wsz + z2.wsz - wint) + 1e-12, 6)
+         |  AS weighted_jaccard
+         |FROM inter
+         |JOIN wsz z1 ON z1.doc_id = d1
+         |JOIN wsz z2 ON z2.doc_id = d2
+         |WHERE round(wint / (z1.wsz + z2.wsz - wint) + 1e-12, 6) >= 0.5
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
   )
 }

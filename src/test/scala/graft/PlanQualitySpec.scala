@@ -158,6 +158,9 @@ class PlanQualitySpec extends SparkSuite {
     // q255: the broadcast side is the ONE-ROW corpus doc-count fold
     // (q53's IDF denominator, same class) — provably 1 row at any sf
     "q255_doc_keywords",
+    // q266: the broadcast side is the 20-anchor query block
+    // (q205's exact arm, q42/q43 class — driver-bounded at any sf)
+    "q266_ndcg_audit",
     // q264: the broadcast sides are the ONE-ROW BM25 corpus-stats
     // fold (q133 class) and the ONE-ROW query-vector block (q42/q57
     // class) — provably 1 row each at any sf
@@ -236,6 +239,15 @@ class PlanQualitySpec extends SparkSuite {
   // anything else fails here until fixed or allowlisted WITH a
   // rationale, so the one-red-row-per-round pattern cannot recur.
   private val floatAllow = Map[String, String](
+    "q266_ndcg_audit.dcg" ->
+      ("round(sum(rel / log2(pos + 1)), 6) — rel and pos are INTEGER " +
+        "rank derivatives; the classifier chases row_number's window " +
+        "ORDER key (the rounded cosine) and misreads it as arithmetic " +
+        "above a round; the grade values never touch the score round"),
+    "q266_ndcg_audit.ndcg_at_10" ->
+      ("same integer-rank lineage divided by a literal-sequence fold " +
+        "(identical op order in both engines) then rounded — the only " +
+        "rounds below are window ORDER keys, not value inputs"),
     "q264_rrf_fusion.rrf" ->
       ("the emitted value IS round(sum of 1/(60 + rank) + 1e-12, 6) — a " +
         "nudged round as the final step over INTEGER ranks; the " +
