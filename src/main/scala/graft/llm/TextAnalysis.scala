@@ -878,6 +878,38 @@ object TextAnalysis {
         }: _*)).as("r"))
         .select(col("r.*"))
         .orderBy(col("signal_a"), col("signal_b"))
+    }),
+
+    /** Vocabulary coverage curve — the token mass covered by the
+      * top-10/100/1000 most frequent tokens: the number that sizes a
+      * tokenizer vocabulary (if the top-1000 cover 98%, a bigger
+      * vocab buys almost nothing) and prices the q101/q232 vocab
+      * cuts. One token-keyed count aggregate (map-side combined),
+      * ONE [[graft.ops.GlobalRank]] range exchange for the global
+      * (count desc, token) rank — no constant-key window — and all
+      * three checkpoints fold as conditional sums in a single final
+      * aggregate. Integer totals; nudged coverage shares. */
+    "q267_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      val counts = withToks(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        counts, Seq(col("cnt").desc, col("w")), "rn")
+      ranked.agg(count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("total_tokens"),
+          sum(when(col("rn") <= 10, col("cnt"))).as("top10"),
+          sum(when(col("rn") <= 100, col("cnt"))).as("top100"),
+          sum(when(col("rn") <= 1000, col("cnt"))).as("top1000"))
+        .select(col("vocab_size"), col("total_tokens"),
+          coalesce(col("top10"), lit(0L)).as("top10_tokens"),
+          r6n(coalesce(col("top10"), lit(0L)).cast("double") /
+            col("total_tokens")).as("top10_share"),
+          r6n(coalesce(col("top100"), lit(0L)).cast("double") /
+            col("total_tokens")).as("top100_share"),
+          r6n(coalesce(col("top1000"), lit(0L)).cast("double") /
+            col("total_tokens")).as("top1000_share"))
     })
   )
 
@@ -1401,6 +1433,27 @@ object TextAnalysis {
          |f AS (SELECT $corrCols, count(*) AS n_docs FROM mr)
          |$rows
          |ORDER BY signal_a NULLS FIRST, signal_b NULLS FIRST""".stripMargin
-    }
+    },
+
+    "q267_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT w, count(*) AS cnt FROM tk
+        |           WHERE len(w) > 0 GROUP BY 1),
+        |ranked AS (
+        |  SELECT cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM counts)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |CAST(coalesce(sum(cnt) FILTER (rn <= 10), 0) AS BIGINT)
+        |  AS top10_tokens,
+        |round(coalesce(sum(cnt) FILTER (rn <= 10), 0) * 1.0 / sum(cnt)
+        |  + 1e-12, 6) AS top10_share,
+        |round(coalesce(sum(cnt) FILTER (rn <= 100), 0) * 1.0 / sum(cnt)
+        |  + 1e-12, 6) AS top100_share,
+        |round(coalesce(sum(cnt) FILTER (rn <= 1000), 0) * 1.0 / sum(cnt)
+        |  + 1e-12, 6) AS top1000_share
+        |FROM ranked""".stripMargin
   )
 }

@@ -578,6 +578,33 @@ object Extended {
         .limit(20)
     }),
 
+    /** Frequent 3-itemsets — the Apriori step past q184's pairs:
+      * part triples co-purchased in ≥ 2 orders, the bundle signal
+      * pair lift misses (A-B, B-C, A-C can each be popular while
+      * A-B-C never co-occurs). Generation is two SELF-JOINS ON THE
+      * ORDER KEY with an ascending-id chain (a < b < c), so the
+      * per-order blowup is C(basket, 3) — bounded by the
+      * schema-small basket, never part-domain-wide — and every
+      * shuffle keys on the order or the triple. Support is exact
+      * integer; the top-15 is TakeOrderedAndProject on a total
+      * order. */
+    "q268_triple_itemsets" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().cache()
+      li.as("a")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .join(li.as("c").hint("shuffle_hash"),
+          col("b.o") === col("c.o") && col("b.p") < col("c.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"),
+          col("c.p").as("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(desc("support"), col("p1"), col("p2"), col("p3"))
+        .limit(15)
+    }),
+
     /** Referential-integrity audit — orphan foreign keys across every
       * relationship in the star schema, the conformance check a DQ
       * pipeline runs before trusting any join (an orphan rate > 0
@@ -1555,6 +1582,17 @@ object Extended {
         |round(score + 1e-12, 6) AS aa_score
         |FROM fresh
         |ORDER BY aa_score DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q268_triple_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        |CAST(count(*) AS BIGINT) AS support
+        |FROM li a
+        |JOIN li b ON a.o = b.o AND a.p < b.p
+        |JOIN li c ON b.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 15""".stripMargin,
 
     "q173_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
