@@ -2041,6 +2041,79 @@ object Statistics {
             r6((col("k1") - 1.0) /
               (col("slog") - col("k1") * log(col("xmin").cast("double")))))
             .as("alpha"))
+    }),
+
+    /** Two-proportion z-test on purchase rate, first vs second half
+      * of the span — the PROPORTIONS member of the drift family
+      * (q166's Welch compares means, q164's chi-square compares whole
+      * mixes; "did the conversion RATE move?" is its own question
+      * with its own pooled-variance statistic). One conditional
+      * aggregate pass (four sum-mergeable counts — map-side combined,
+      * one row out), halves split on the span midpoint from the same
+      * pass's min/max via the q199 half-split shape; z and the
+      * subgaussian tail bound exp(−z²/2) are 1-row projections (the
+      * bound stance q199 documents). Rates are integer rationals →
+      * nudged r6. */
+    "q269_prop_ztest" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"),
+          (col("event_type") === "purchase").cast("long").as("hit"))
+      val span = ev.agg(min(col("us")).as("u0"), max(col("us")).as("u1"))
+      val f = ev.join(broadcast(span))
+        .withColumn("h2", (col("us") * 2 >= col("u0") + col("u1")).cast("long"))
+        .agg(count_if(col("h2") === 0).as("n1"),
+          sum(when(col("h2") === 0, col("hit")).otherwise(0L)).as("x1"),
+          count_if(col("h2") === 1).as("n2"),
+          sum(when(col("h2") === 1, col("hit")).otherwise(0L)).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1")
+      val p2 = col("x2").cast("double") / col("n2")
+      val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+      val z = (p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      f.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        r6n(p1).as("rate_first_half"), r6n(p2).as("rate_second_half"),
+        r6n(z).as("z"),
+        r6(exp(lit(-0.5) * z * z)).as("p_bound"))
+    }),
+
+    /** Churn by activity decile — do power users actually churn less?
+      * Users active in the FIRST half of the span, churned = absent
+      * from the second half, bucketed by their first-half activity
+      * decile (an INTEGER rank bucket from ONE [[GlobalRank]] range
+      * exchange over the per-user aggregate — the q241 quintile
+      * stance, no float cuts). The per-decile answer is what a
+      * retention intervention actually targets (q150's cohort matrix
+      * is time-sliced, not behavior-sliced). Churn flag from a
+      * second-half distinct-user anti probe (left join + null check,
+      * user-keyed); everything integer until the nudged rate. */
+    "q270_churn_by_decile" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val span = ev.agg(min(col("us")).as("u0"), max(col("us")).as("u1"))
+      val tagged = ev.join(broadcast(span))
+        .withColumn("h2", (col("us") * 2 >= col("u0") + col("u1")))
+      val firstHalf = tagged.filter(!col("h2"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("acts"))
+      val second = tagged.filter(col("h2"))
+        .select(col("user_id")).distinct()
+        .withColumn("alive", lit(1L))
+      val nUsers = firstHalf.agg(count(lit(1)).as("nu"))
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        firstHalf, Seq(col("acts"), col("user_id")), "rn")
+        .join(broadcast(nUsers))
+        .withColumn("decile",
+          expr("CAST((rn - 1) * 10 DIV nu AS BIGINT) + 1"))
+      ranked.join(second, Seq("user_id"), "left")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("acts")).as("min_acts"), max(col("acts")).as("max_acts"),
+          count_if(col("alive").isNull).as("n_churned"))
+        .select(col("decile"), col("n_users"), col("min_acts"),
+          col("max_acts"), col("n_churned"),
+          r6n(col("n_churned").cast("double") / col("n_users"))
+            .as("churn_rate"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -3299,7 +3372,61 @@ object Statistics {
         |CASE WHEN slog - k1 * ln(CAST(xmin AS DOUBLE)) > 0
         |  THEN round((k1 - 1.0) / (slog - k1 * ln(CAST(xmin AS DOUBLE))), 6)
         |END AS alpha
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q269_prop_ztest" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |span AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+        |f AS (
+        |  SELECT
+        |  sum(CASE WHEN us * 2 < u0 + u1 THEN 1 ELSE 0 END) AS n1,
+        |  sum(CASE WHEN us * 2 < u0 + u1 THEN hit ELSE 0 END) AS x1,
+        |  sum(CASE WHEN us * 2 >= u0 + u1 THEN 1 ELSE 0 END) AS n2,
+        |  sum(CASE WHEN us * 2 >= u0 + u1 THEN hit ELSE 0 END) AS x2
+        |  FROM ev, span),
+        |g AS (
+        |  SELECT n1, x1, n2, x2,
+        |  CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2,
+        |  CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+        |  FROM f)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+        |CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+        |round(p1 + 1e-12, 6) AS rate_first_half,
+        |round(p2 + 1e-12, 6) AS rate_second_half,
+        |round((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+        |  + 1e-12, 6) AS z,
+        |round(exp(-0.5 *
+        |  ((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))) *
+        |  ((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))), 6)
+        |  AS p_bound
+        |FROM g""".stripMargin,
+
+    "q270_churn_by_decile" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |span AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+        |fh AS (
+        |  SELECT user_id, count(*) AS acts FROM ev, span
+        |  WHERE us * 2 < u0 + u1 GROUP BY 1),
+        |sh AS (
+        |  SELECT DISTINCT user_id FROM ev, span WHERE us * 2 >= u0 + u1),
+        |nu AS (SELECT count(*) AS nu FROM fh),
+        |ranked AS (
+        |  SELECT user_id, acts,
+        |  CAST((row_number() OVER (ORDER BY acts, user_id) - 1) * 10
+        |    // nu.nu AS BIGINT) + 1 AS decile
+        |  FROM fh, nu)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |CAST(min(acts) AS BIGINT) AS min_acts,
+        |CAST(max(acts) AS BIGINT) AS max_acts,
+        |CAST(count(*) FILTER (sh.user_id IS NULL) AS BIGINT) AS n_churned,
+        |round(count(*) FILTER (sh.user_id IS NULL) * 1.0 / count(*)
+        |  + 1e-12, 6) AS churn_rate
+        |FROM ranked LEFT JOIN sh ON sh.user_id = ranked.user_id
+        |GROUP BY 1
+        |ORDER BY decile NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

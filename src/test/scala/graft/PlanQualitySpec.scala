@@ -158,6 +158,9 @@ class PlanQualitySpec extends SparkSuite {
     // q255: the broadcast side is the ONE-ROW corpus doc-count fold
     // (q53's IDF denominator, same class) — provably 1 row at any sf
     "q255_doc_keywords",
+    // q269/q270: the broadcast side is the ONE-ROW span fold
+    // (q223 class) — provably 1 row at any sf
+    "q269_prop_ztest", "q270_churn_by_decile",
     // q266: the broadcast side is the 20-anchor query block
     // (q205's exact arm, q42/q43 class — driver-bounded at any sf)
     "q266_ndcg_audit",
