@@ -2114,6 +2114,86 @@ object Statistics {
           r6n(col("n_churned").cast("double") / col("n_users"))
             .as("churn_rate"))
         .orderBy(col("decile"))
+    }),
+
+    /** Order↔lineitem financial reconciliation — the cross-table
+      * consistency check every warehouse runs before trusting revenue
+      * numbers (the reference's DQ engine checks columns in
+      * isolation; the expensive bugs live BETWEEN tables): per order,
+      * the header total against the sum of line charges
+      * price·(1−disc)·(1+tax), censused into exact / ≤1% / ≤5% /
+      * worse / missing-lines buckets. Both sides fold to EXACT
+      * integer cents per line (floor(x·100 + 0.5), the q222 stance)
+      * before any comparison; the relative-gap bucket boundaries
+      * compare the NUDGED rounded ratio in both engines. One
+      * order-keyed aggregate + one join — shuffles keyed on the
+      * order, linear at any scale. */
+    "q271_order_reconciliation" -> ((s: SparkSession, dir: String) => {
+      val line = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          """CAST(floor(l_extendedprice * (1 - l_discount) *
+            |  (1 + l_tax) * 100 + 0.5) AS BIGINT)""".stripMargin))
+          .as("line_cents"))
+      val rel = r6n(abs(col("o_cents") - col("line_cents")).cast("double") /
+        col("o_cents"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("o_cents"))
+        .join(line, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_cents"), col("line_cents"),
+          when(col("line_cents").isNull, "missing_lines")
+            .when(col("o_cents") === col("line_cents"), "exact")
+            .when(rel <= 0.01, "within_1pct")
+            .when(rel <= 0.05, "within_5pct")
+            .otherwise("worse").as("bucket"),
+          coalesce(abs(col("o_cents") - col("line_cents")), col("o_cents"))
+            .as("gap_cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("gap_cents")).as("total_gap_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    /** Feature-staleness audit — for every purchase, how OLD was the
+      * most recent prior click the as-of join (q54) would serve as
+      * its feature row? p50/p90/p99 staleness plus the unmatched
+      * fraction: the number that decides whether a feature store
+      * needs fresher snapshots, and the first thing to check when
+      * "training features look fine but serving is stale". The
+      * last-carried-forward window runs in the high-cardinality USER
+      * partition (q54's shape); staleness is exact integer
+      * microseconds converted once; the percentile row rides the
+      * bounded-state exact-quantile machinery and meets the 1-row
+      * match-rate fold on a broadcast (q30 class, allowlisted). */
+    "q272_feature_staleness" -> ((s: SparkSession, dir: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val purchases = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"))
+        .withColumn("asof_ts",
+          last(col("click_ts"), ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .select(
+          ((unix_micros(col("ts")) - unix_micros(col("asof_ts"))).cast("double")
+            / 60000000.0).as("stale_min"))
+        .cache()
+      val rate = purchases.agg(count(lit(1)).as("n_purchases"),
+        count(col("stale_min")).as("n_matched"))
+      Quantiles.exactQuantiles(
+          purchases.filter(col("stale_min").isNotNull), Seq.empty,
+          "stale_min", Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+        .crossJoin(broadcast(rate))
+        .select(col("n_purchases"), col("n_matched"),
+          r6n(col("n_matched").cast("double") / col("n_purchases"))
+            .as("match_rate"),
+          r6n(col("p50")).as("p50_min"), r6n(col("p90")).as("p90_min"),
+          r6n(col("p99")).as("p99_min"))
     })
   )
 
@@ -3426,7 +3506,64 @@ object Statistics {
         |  + 1e-12, 6) AS churn_rate
         |FROM ranked LEFT JOIN sh ON sh.user_id = ranked.user_id
         |GROUP BY 1
-        |ORDER BY decile NULLS FIRST""".stripMargin
+        |ORDER BY decile NULLS FIRST""".stripMargin,
+
+    "q271_order_reconciliation" ->
+      """WITH line AS (
+        |  SELECT l_orderkey,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) *
+        |    (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents
+        |  FROM orders),
+        |j AS (
+        |  SELECT o_cents, line_cents,
+        |  CASE WHEN line_cents IS NULL THEN 'missing_lines'
+        |    WHEN o_cents = line_cents THEN 'exact'
+        |    WHEN round(abs(o_cents - line_cents) * 1.0 / o_cents
+        |      + 1e-12, 6) <= 0.01 THEN 'within_1pct'
+        |    WHEN round(abs(o_cents - line_cents) * 1.0 / o_cents
+        |      + 1e-12, 6) <= 0.05 THEN 'within_5pct'
+        |    ELSE 'worse' END AS bucket,
+        |  coalesce(abs(o_cents - line_cents), o_cents) AS gap_cents
+        |  FROM o LEFT JOIN line ON l_orderkey = o_orderkey)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(sum(gap_cents) AS BIGINT) AS total_gap_cents
+        |FROM j GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    "q272_feature_staleness" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |lcf AS (
+        |  SELECT user_id, ts, event_type,
+        |  last_value(click_ts IGNORE NULLS) OVER w AS asof_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT (epoch_us(ts) - epoch_us(asof_ts)) / 60000000.0
+        |    AS stale_min
+        |  FROM lcf WHERE event_type = 'purchase'),
+        |r AS (SELECT count(*) AS n_purchases, count(stale_min) AS n_matched
+        |      FROM p),
+        |q AS (
+        |  SELECT quantile_cont(stale_min, 0.5) AS p50,
+        |  quantile_cont(stale_min, 0.9) AS p90,
+        |  quantile_cont(stale_min, 0.99) AS p99
+        |  FROM p WHERE stale_min IS NOT NULL)
+        |SELECT CAST(n_purchases AS BIGINT) AS n_purchases,
+        |CAST(n_matched AS BIGINT) AS n_matched,
+        |round(n_matched * 1.0 / n_purchases + 1e-12, 6) AS match_rate,
+        |round(p50 + 1e-12, 6) AS p50_min,
+        |round(p90 + 1e-12, 6) AS p90_min,
+        |round(p99 + 1e-12, 6) AS p99_min
+        |FROM r, q""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

@@ -158,6 +158,9 @@ class PlanQualitySpec extends SparkSuite {
     // q255: the broadcast side is the ONE-ROW corpus doc-count fold
     // (q53's IDF denominator, same class) — provably 1 row at any sf
     "q255_doc_keywords",
+    // q272: the broadcast side is the ONE-ROW match-rate fold
+    // (q30 class) — provably 1 row at any sf
+    "q272_feature_staleness",
     // q269/q270: the broadcast side is the ONE-ROW span fold
     // (q223 class) — provably 1 row at any sf
     "q269_prop_ztest", "q270_churn_by_decile",
