@@ -574,6 +574,40 @@ object CorpusOps {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    /** Linear multi-touch attribution by click hour-of-day — q100
+      * emits the raw (purchase, click) pairs; the BUSINESS question
+      * is which hours' clicks actually drive purchases, and
+      * last-touch famously over-credits the final click. Here every
+      * purchase splits one unit of credit equally across its k
+      * window-qualified clicks (linear attribution), reported next
+      * to the last-touch count so the over-credit is visible per
+      * hour. Same bounded interval join as q100 (equi on user + the
+      * hour window as a join-level filter), one per-purchase count
+      * joined back on the purchase key, map-side-combined hour
+      * rollup. Credit sums are small-denominator rationals (Σ 1/k)
+      * → nudged r6; last-touch picks max(click_ts, click_id)
+      * integer-lexicographically, engine-stable. */
+    "q273_linear_attribution" -> ((s: SparkSession, dir: String) => {
+      val pairs = graft.streaming.EventStreams
+        .purchaseClickAttributionBatch(Tables(s, dir, "events"))
+        .select(col("purchase_id"), col("click_id"), col("c_ts"))
+        .cache()
+      val k = pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("k"),
+          max(struct(unix_micros(col("c_ts")).as("us"),
+            col("click_id").as("cid"))).as("lastc"))
+      val credited = pairs.join(k, "purchase_id")
+        .select(hour(col("c_ts")).cast("long").as("click_hour"),
+          (lit(1.0) / col("k")).as("credit"),
+          (unix_micros(col("c_ts")) === col("lastc.us") &&
+            col("click_id") === col("lastc.cid")).cast("long").as("is_last"))
+      credited.groupBy(col("click_hour"))
+        .agg(count(lit(1)).as("n_clicks"),
+          graft.r6n(sum(col("credit"))).as("linear_credit"),
+          sum(col("is_last")).as("last_touch_count"))
+        .orderBy(col("click_hour"))
+    }),
+
     /** Sliding-window chunking with overlap — the RAG / embedding-prep
       * step: 64-token chunks at stride 48 (16-token overlap), short
       * tail kept. Entirely per-row generator arithmetic
@@ -981,6 +1015,30 @@ object CorpusOps {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
+
+    "q273_linear_attribution" ->
+      """WITH pairs AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  c.ts AS c_ts
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+        |k AS (
+        |  SELECT purchase_id, count(*) AS k,
+        |  max(struct_pack(us := epoch_us(c_ts), cid := click_id)) AS lastc
+        |  FROM pairs GROUP BY 1),
+        |credited AS (
+        |  SELECT CAST(hour(p.c_ts) AS BIGINT) AS click_hour,
+        |  1.0 / k.k AS credit,
+        |  CASE WHEN epoch_us(p.c_ts) = k.lastc['us']
+        |        AND p.click_id = k.lastc['cid'] THEN 1 ELSE 0 END AS is_last
+        |  FROM pairs p JOIN k ON k.purchase_id = p.purchase_id)
+        |SELECT click_hour, CAST(count(*) AS BIGINT) AS n_clicks,
+        |round(sum(credit) + 1e-12, 6) AS linear_credit,
+        |CAST(sum(is_last) AS BIGINT) AS last_touch_count
+        |FROM credited GROUP BY 1
+        |ORDER BY click_hour NULLS FIRST""".stripMargin,
 
     "q104_chunk_overlap" ->
       """WITH t AS (

@@ -85,4 +85,34 @@ class CorpusOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("mx") == r.getAs[Long]("weight"))
     }
   }
+
+  test("q247 compaction plan conserves bytes and packs contiguous files") {
+    val out = CorpusOps.queries("q247_compaction_plan")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("bytes"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bytes"))).toMap
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.keySet == docs.keySet)
+    bySource.foreach { case (src, rows) =>
+      // conservation: every doc lands in exactly one file
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == docs(src)._1)
+      assert(rows.map(_.getAs[Long]("bytes")).sum == docs(src)._2)
+      // contiguity: file ids are 0..k-1 with no gaps
+      val ids = rows.map(_.getAs[Long]("file_id")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"file ids not contiguous for $src: ${ids.mkString(",")}")
+      // start-offset packing invariant: the next file's first doc
+      // starts at offset >= (b+1)*target, so the prefix byte sum
+      // through every NON-final file b must reach (b+1)*target
+      val byId = rows.sortBy(_.getAs[Long]("file_id"))
+      byId.init.zipWithIndex.foldLeft(0L) { case (acc, (f, b)) =>
+        val cum = acc + f.getAs[Long]("bytes")
+        assert(cum >= (b + 1L) * 65536L,
+          s"file $b of $src closed early: prefix bytes $cum < ${(b + 1) * 65536}")
+        cum
+      }
+    }
+  }
 }
