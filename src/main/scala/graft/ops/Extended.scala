@@ -605,6 +605,38 @@ object Extended {
         .limit(15)
     }),
 
+    /** Co-purchase graph degree census — the structural summary
+      * behind every graph-op cost estimate in the suite (q244's
+      * wedge fan-out, q172's wedge count, q203's propagation load all
+      * scale with the DEGREE DISTRIBUTION, not the edge count):
+      * vertices and endpoint mass per log₂(degree) bucket. A tail
+      * bucket growing faster than the corpus is the early warning
+      * that hub caps (the q244 512 cap) will start binding.
+      * Integer-only output; the bucket index is length(bin(d)) − 1
+      * (exact floor(log₂), the q259 stance). */
+    "q274_degree_census" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().cache()
+      val e = li.as("a")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("d1"), col("b.p").as("d2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("d1"), col("d2"))
+      val deg = e.select(col("d1").as("v"))
+        .unionByName(e.select(col("d2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      deg.select(col("dg"),
+          (length(expr("bin(dg)")) - 1).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("dg")).as("endpoint_sum"),
+          max(col("dg")).as("max_degree"))
+        .orderBy(col("bucket"))
+    }),
+
     /** Referential-integrity audit — orphan foreign keys across every
       * relationship in the star schema, the conformance check a DQ
       * pipeline runs before trusting any join (an orphan rate > 0
@@ -1593,6 +1625,24 @@ object Extended {
         |JOIN li c ON b.o = c.o AND b.p < c.p
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY support DESC, p1, p2, p3 LIMIT 15""".stripMargin,
+
+    "q274_degree_census" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS d1, b.p AS d2
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT v, count(*) AS dg FROM (
+        |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
+        |  GROUP BY 1)
+        |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n_vertices,
+        |CAST(sum(dg) AS BIGINT) AS endpoint_sum,
+        |CAST(max(dg) AS BIGINT) AS max_degree
+        |FROM deg GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
 
     "q173_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

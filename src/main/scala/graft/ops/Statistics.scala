@@ -2194,6 +2194,53 @@ object Statistics {
             .as("match_rate"),
           r6n(col("p50")).as("p50_min"), r6n(col("p90")).as("p90_min"),
           r6n(col("p99")).as("p99_min"))
+    }),
+
+    /** Seasonal-naive forecast baseline — same-hour-last-week
+      * (lag-168) MAE against q224's lag-1 naive, per type over the
+      * dense zero-padded hourly grid: if the seasonal baseline wins
+      * (improvement > 1), the series has real weekly structure and
+      * any forecaster must beat THIS number, not lag-1; if it loses,
+      * "seasonality" claims about the series are noise. Rides the
+      * q233 one-row-per-type map stance — both absolute-error sums
+      * fold over the span-bounded hour sequence in ONE per-row
+      * expression, and both are EXACT LONGS (|c_t − c_lag| of
+      * integer counts), so the MAEs are integer rationals → nudged
+      * r6, flat-series division guarded to NULL. */
+    "q275_seasonal_naive" -> ((s: SparkSession, dir: String) => {
+      val hourUs = 3600000000L
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / hourUs).cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val g = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+          map_from_entries(array_sort(collect_list(struct(col("hr"), col("c")))))
+            .as("mp"))
+        .withColumn("nh", col("h1") - col("h0") + 1)
+        .filter(col("nh") > 168)
+      g.withColumn("fold", expr("""
+          aggregate(sequence(h0 + 168, h1),
+            named_struct('n', CAST(0 AS BIGINT),
+              's168', CAST(0 AS BIGINT), 's1', CAST(0 AS BIGINT)),
+            (acc, t) -> named_struct(
+              'n', acc.n + 1,
+              's168', acc.s168 + abs(coalesce(try_element_at(mp, t), 0L)
+                - coalesce(try_element_at(mp, t - 168L), 0L)),
+              's1', acc.s1 + abs(coalesce(try_element_at(mp, t), 0L)
+                - coalesce(try_element_at(mp, t - 1L), 0L))))"""))
+        .select(col("event_type"), col("nh").as("n_hours"),
+          col("fold.n").as("n_scored"),
+          col("fold.s168").as("sae_seasonal"),
+          col("fold.s1").as("sae_naive1"),
+          r6n(col("fold.s168").cast("double") / col("fold.n"))
+            .as("mae_seasonal"),
+          r6n(col("fold.s1").cast("double") / col("fold.n"))
+            .as("mae_naive1"),
+          when(col("fold.s168") > 0,
+            r6n(col("fold.s1").cast("double") / col("fold.s168")))
+            .as("improvement"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3563,7 +3610,41 @@ object Statistics {
         |round(p50 + 1e-12, 6) AS p50_min,
         |round(p90 + 1e-12, 6) AS p90_min,
         |round(p99 + 1e-12, 6) AS p99_min
-        |FROM r, q""".stripMargin
+        |FROM r, q""".stripMargin,
+
+    "q275_seasonal_naive" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, h1 - h0 + 1 AS nh,
+        |  unnest(generate_series(h0 + 168, h1)) AS t
+        |  FROM g WHERE h1 - h0 + 1 > 168),
+        |x AS (
+        |  SELECT gr.event_type, gr.nh,
+        |  abs(coalesce(cur.c, 0) - coalesce(l168.c, 0)) AS e168,
+        |  abs(coalesce(cur.c, 0) - coalesce(l1.c, 0)) AS e1
+        |  FROM grid gr
+        |  LEFT JOIN hourly cur
+        |    ON cur.event_type = gr.event_type AND cur.hr = gr.t
+        |  LEFT JOIN hourly l168
+        |    ON l168.event_type = gr.event_type AND l168.hr = gr.t - 168
+        |  LEFT JOIN hourly l1
+        |    ON l1.event_type = gr.event_type AND l1.hr = gr.t - 1)
+        |SELECT event_type, CAST(max(nh) AS BIGINT) AS n_hours,
+        |CAST(count(*) AS BIGINT) AS n_scored,
+        |CAST(sum(e168) AS BIGINT) AS sae_seasonal,
+        |CAST(sum(e1) AS BIGINT) AS sae_naive1,
+        |round(sum(e168) * 1.0 / count(*) + 1e-12, 6) AS mae_seasonal,
+        |round(sum(e1) * 1.0 / count(*) + 1e-12, 6) AS mae_naive1,
+        |CASE WHEN sum(e168) > 0
+        |  THEN round(sum(e1) * 1.0 / sum(e168) + 1e-12, 6) END
+        |  AS improvement
+        |FROM x GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in
