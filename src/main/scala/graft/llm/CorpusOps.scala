@@ -608,6 +608,54 @@ object CorpusOps {
         .orderBy(col("click_hour"))
     }),
 
+    /** Token-budget waterfilling — the allocation step behind every
+      * "sample B tokens from m sources without letting the big crawls
+      * drown the small ones" decision (q177's temperature weights are
+      * a heuristic; waterfilling is the exact fair allocation): find
+      * the level cap where Σ min(n_s, cap) = B, take every source up
+      * to the cap, small sources whole. Per-source token counts are
+      * one map-side-combined aggregate; the solve runs over the
+      * SOURCE-DOMAIN-bounded table via the q177 collect-explode
+      * stance — sources sort ascending in-expression and one fold
+      * finds the breakpoint j (sources kept whole) and the INTEGER
+      * cap (B − prefix_j) DIV (m − j) — everything exact LONGs, the
+      * emitted allocation is min(n_s, cap), and Σ alloc ≤ B with
+      * slack < m by construction. B = half the corpus tokens
+      * (parametric in real use). */
+    "q276_token_waterfill" -> ((s: SparkSession, dir: String) => {
+      val perSrc = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+            .as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      perSrc
+        .agg(collect_list(struct(col("n_tokens"), col("source"))).as("gs"))
+        .withColumn("b", expr("aggregate(gs, 0L, (a, g) -> a + g.n_tokens) DIV 2"))
+        .withColumn("m", size(col("gs")).cast("long"))
+        .withColumn("ns", expr("array_sort(transform(gs, g -> g.n_tokens))"))
+        // fold over ascending counts: j sources kept whole (prefix
+        // grows); the first index where n_j * (m - j) + prefix > B
+        // fixes the level; cap = (B - prefix_j) DIV (m - j)
+        .withColumn("cap", expr("""
+          aggregate(ns,
+            named_struct('j', 0L, 'prefix', 0L, 'cap', CAST(NULL AS BIGINT)),
+            (acc, n) -> IF(acc.cap IS NOT NULL, acc,
+              IF(acc.prefix + n * (m - acc.j) > b,
+                named_struct('j', acc.j, 'prefix', acc.prefix,
+                  'cap', (b - acc.prefix) DIV (m - acc.j)),
+                named_struct('j', acc.j + 1, 'prefix', acc.prefix + n,
+                  'cap', CAST(NULL AS BIGINT)))),
+            acc -> coalesce(acc.cap, b))""".stripMargin))
+        .select(explode(col("gs")).as("g"), col("b").as("budget"),
+          col("cap"))
+        .select(col("g.source").as("source"), col("g.n_tokens").as("n_tokens"),
+          col("budget"), col("cap").as("cap_tokens"),
+          least(col("g.n_tokens"), col("cap")).as("allocation"),
+          (col("g.n_tokens") > col("cap")).cast("long").as("capped"))
+        .orderBy(col("source"))
+    }),
+
     /** Sliding-window chunking with overlap — the RAG / embedding-prep
       * step: 64-token chunks at stride 48 (16-token overlap), short
       * tail kept. Entirely per-row generator arithmetic
@@ -1039,6 +1087,38 @@ object CorpusOps {
         |CAST(sum(is_last) AS BIGINT) AS last_touch_count
         |FROM credited GROUP BY 1
         |ORDER BY click_hour NULLS FIRST""".stripMargin,
+
+    "q276_token_waterfill" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |  sum(CAST(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS BIGINT)) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_tokens) // 2 AS b, count(*) AS m,
+        |  list_sort(list(n_tokens)) AS ns
+        |  FROM ps),
+        |solved AS (
+        |  SELECT b, m,
+        |  list_reduce(list_prepend(
+        |    struct_pack(j := CAST(0 AS BIGINT), pfx := CAST(0 AS BIGINT),
+        |      cap := CAST(NULL AS BIGINT)),
+        |    list_transform(ns, n -> struct_pack(j := n, pfx := n, cap := n))),
+        |    (acc, x) -> CASE WHEN acc.cap IS NOT NULL THEN acc
+        |      WHEN acc.pfx + x.j * (m - acc.j) > b THEN
+        |        struct_pack(j := acc.j, pfx := acc.pfx,
+        |          cap := (b - acc.pfx) // (m - acc.j))
+        |      ELSE struct_pack(j := acc.j + 1, pfx := acc.pfx + x.j,
+        |        cap := CAST(NULL AS BIGINT)) END) AS f
+        |  FROM tot),
+        |capped AS (SELECT b, coalesce(f.cap, b) AS cap FROM solved)
+        |SELECT ps.source, CAST(ps.n_tokens AS BIGINT) AS n_tokens,
+        |CAST(c.b AS BIGINT) AS budget, CAST(c.cap AS BIGINT) AS cap_tokens,
+        |CAST(least(ps.n_tokens, c.cap) AS BIGINT) AS allocation,
+        |CAST(CASE WHEN ps.n_tokens > c.cap THEN 1 ELSE 0 END AS BIGINT)
+        |  AS capped
+        |FROM ps, capped c
+        |ORDER BY ps.source NULLS FIRST""".stripMargin,
 
     "q104_chunk_overlap" ->
       """WITH t AS (
