@@ -2241,6 +2241,57 @@ object Statistics {
             r6n(col("fold.s1").cast("double") / col("fold.s168")))
             .as("improvement"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Per-source KS conformance — each source's doc-length
+      * distribution against the WHOLE corpus, the "which crawl is
+      * shaped differently?" screen (q136 compares two named samples;
+      * a pipeline owner needs the per-source sweep). Exact sup
+      * distance: every per-source CDF and the corpus CDF jump only at
+      * corpus-distinct values, so ONE
+      * [[GlobalRank.withRunningSums]] range exchange over the
+      * distinct-value table carries ALL per-source cumulative counts
+      * plus the corpus's — source count is domain-bounded (collected
+      * once, control-plane, the k-means-init stance) — and D_s is one
+      * max fold of |cum_s/n_s − cum/n|. The decision flag compares
+      * the NUDGED rounded D against the 1.36·√((n+n_s)/(n·n_s))
+      * large-sample critical value rounded the same way, so the
+      * boundary is grid-stable in both engines. */
+    "q277_source_ks_profile" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      // source list: domain-bounded, collected once (the k-means-init
+      // control-plane stance) to mint one cumulative column per source
+      val sources = docs.select(col("source")).distinct()
+        .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+      val idx = sources.indices
+      val nAggs = count(lit(1)).as("nv") +:
+        idx.map(i => count_if(col("source") === sources(i)).as(s"n$i"))
+      val g = docs.select(col("source"), col("n_chars").as("v"))
+        .groupBy(col("v")).agg(nAggs.head, nAggs.tail: _*)
+        .cache() // the running-sum exchange AND the totals fold read it
+      val c = GlobalRank.withRunningSums(g, Seq(col("v")),
+        ("nv" -> "cv") +: idx.map(i => s"n$i" -> s"c$i"))
+      val totAggs = sum(col("nv")).as("nn") +:
+        idx.map(i => sum(col(s"n$i")).as(s"t$i"))
+      val totals = g.agg(totAggs.head, totAggs.tail: _*)
+      val dAggs: Seq[org.apache.spark.sql.Column] = idx.map(i =>
+        max(abs(col(s"c$i").cast("double") / col(s"t$i") -
+          col("cv").cast("double") / col("nn"))).as(s"d$i")) ++
+        Seq(max(col("nn")).as("nn")) ++
+        idx.map(i => max(col(s"t$i")).as(s"tt$i"))
+      val one = c.crossJoin(broadcast(totals))
+        .agg(dAggs.head, dAggs.tail: _*)
+      one.select(explode(array(idx.map { i =>
+          struct(lit(sources(i)).as("source"), col(s"tt$i").as("n_docs"),
+            r6n(col(s"d$i")).as("d_stat"),
+            r6n(lit(1.36) *
+              sqrt((col("nn") + col(s"tt$i")).cast("double") /
+                (col("nn") * col(s"tt$i")))).as("crit_136"))
+        }: _*)).as("r"))
+        .select(col("r.source"), col("r.n_docs"), col("r.d_stat"),
+          col("r.crit_136"),
+          (col("r.d_stat") > col("r.crit_136")).cast("long").as("flagged"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3644,7 +3695,41 @@ object Statistics {
         |  THEN round(sum(e1) * 1.0 / sum(e168) + 1e-12, 6) END
         |  AS improvement
         |FROM x GROUP BY 1
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q277_source_ks_profile" ->
+      """WITH dv AS (
+        |  SELECT n_chars AS v, count(*) AS nv FROM documents GROUP BY 1),
+        |cvt AS (SELECT v, nv, sum(nv) OVER (ORDER BY v) AS cv FROM dv),
+        |sv AS (SELECT source, n_chars AS v, count(*) AS ns
+        |       FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT s.source, d.v, d.cv FROM srcs s CROSS JOIN cvt d),
+        |j AS (
+        |  SELECT g.source, g.v, g.cv, coalesce(sv.ns, 0) AS ns
+        |  FROM grid g LEFT JOIN sv
+        |    ON sv.source = g.source AND sv.v = g.v),
+        |k AS (
+        |  SELECT source, v, cv,
+        |  sum(ns) OVER (PARTITION BY source ORDER BY v) AS cs,
+        |  sum(ns) OVER (PARTITION BY source) AS t
+        |  FROM j),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |d AS (
+        |  SELECT k.source, max(k.t) AS n_docs,
+        |  max(abs(CAST(k.cs AS DOUBLE) / k.t - CAST(k.cv AS DOUBLE) / tot.n))
+        |    AS dd
+        |  FROM k, tot GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |round(dd + 1e-12, 6) AS d_stat,
+        |round(1.36 * sqrt(CAST(tot.n + n_docs AS DOUBLE) / (tot.n * n_docs))
+        |  + 1e-12, 6) AS crit_136,
+        |CAST(CASE WHEN round(dd + 1e-12, 6) >
+        |  round(1.36 * sqrt(CAST(tot.n + n_docs AS DOUBLE) /
+        |    (tot.n * n_docs)) + 1e-12, 6)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM d, tot
+        |ORDER BY source NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

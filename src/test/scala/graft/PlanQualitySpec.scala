@@ -158,6 +158,9 @@ class PlanQualitySpec extends SparkSuite {
     // q255: the broadcast side is the ONE-ROW corpus doc-count fold
     // (q53's IDF denominator, same class) — provably 1 row at any sf
     "q255_doc_keywords",
+    // q277: the broadcast side is the ONE-ROW totals fold (corpus
+    // count + per-source counts — q136 class), provably 1 row
+    "q277_source_ks_profile",
     // q272: the broadcast side is the ONE-ROW match-rate fold
     // (q30 class) — provably 1 row at any sf
     "q272_feature_staleness",
