@@ -1056,6 +1056,37 @@ object TextDedup {
         .select(col("d1"), col("d2"), col("inter"),
           wj.as("weighted_jaccard"))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** Cluster-density chaining audit — single-linkage components
+      * (q93) merge A~B~C even when A and C share nothing, and
+      * keep-one dedup then DELETES documents that were never
+      * near-dups of the survivor. Density = observed pairs /
+      * C(size, 2) per cluster size class is the chaining risk number:
+      * ≈ 1 means cliques (safe to keep one), low density means
+      * chains (the keep rule needs review — exactly the q220
+      * disagreement, located structurally). Composes the cached pair
+      * graph and the CC labels with one doc-keyed join; everything
+      * integer until the nudged density. */
+    "q278_cluster_density" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+        .select(col("d1"), col("d2")).cache()
+      val labels = graft.ops.ConnectedComponents
+        .labels(pairs.as[(Long, Long)].rdd)
+        .toDF("doc_id", "cluster_id")
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      val edges = pairs
+        .join(labels.withColumnRenamed("doc_id", "d1"), "d1")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+      sizes.join(edges, "cluster_id")
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_edges")).as("edges"),
+          sum(expr("sz * (sz - 1) DIV 2")).as("possible"))
+        .select(col("sz"), col("n_clusters"), col("edges"), col("possible"),
+          r6n(col("edges").cast("double") / col("possible")).as("density"))
+        .orderBy(col("sz"))
     })
   )
 
@@ -1625,6 +1656,30 @@ object TextDedup {
          |JOIN wsz z1 ON z1.doc_id = d1
          |JOIN wsz z2 ON z2.doc_id = d2
          |WHERE round(wint / (z1.wsz + z2.wsz - wint) + 1e-12, 6) >= 0.5
-         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
+
+    "q278_cluster_density" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1),
+         |ec AS (
+         |  SELECT l.cluster_id, count(*) AS n_edges
+         |  FROM p JOIN labels l ON l.doc_id = p.d1 GROUP BY 1)
+         |SELECT sz.sz AS sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         |CAST(sum(ec.n_edges) AS BIGINT) AS edges,
+         |CAST(sum(sz.sz * (sz.sz - 1) // 2) AS BIGINT) AS possible,
+         |round(sum(ec.n_edges) * 1.0 /
+         |  sum(sz.sz * (sz.sz - 1) // 2) + 1e-12, 6) AS density
+         |FROM sz JOIN ec USING (cluster_id)
+         |GROUP BY 1
+         |ORDER BY sz NULLS FIRST""".stripMargin
   )
 }
