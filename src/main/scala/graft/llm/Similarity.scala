@@ -935,6 +935,32 @@ object Similarity {
         .select(col("q_id"), col("n_lsh"), r6(col("dcg")).as("dcg"),
           r6(col("dcg") / col("idcg")).as("ndcg_at_10"))
         .orderBy(col("q_id"))
+    }),
+
+    /** Label-balance report — the class-imbalance datasheet row every
+      * supervised use of the embedding corpus needs before trusting
+      * q260's accuracy or any sampled eval: per-label counts fold to
+      * imbalance ratio (max/min) and the effective number of classes
+      * exp(H) — the single scalar that says "10 labels on paper,
+      * 3.2 in practice". One label-keyed count (map-side combined,
+      * post-shuffle bounded by the label domain) and one fold; the
+      * entropy identity H = ln N − (Σ c ln c)/N avoids materializing
+      * probabilities (q174 stance). Integer counts; ln folds off-grid
+      * → plain r6; the imbalance ratio is an integer rational →
+      * nudged. */
+    "q279_label_balance" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_labels"), sum(col("c")).as("n_vecs"),
+          min(col("c")).as("min_count"), max(col("c")).as("max_count"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clnc"))
+        .select(col("n_labels"), col("n_vecs"), col("min_count"),
+          col("max_count"),
+          r6n(col("max_count").cast("double") / col("min_count"))
+            .as("imbalance_ratio"),
+          r6(exp(log(col("n_vecs").cast("double")) -
+            col("clnc") / col("n_vecs"))).as("effective_classes"))
     })
   )
 
@@ -1474,6 +1500,24 @@ object Similarity {
          |FROM d, ideal
          |ORDER BY q_id NULLS FIRST""".stripMargin
     },
+
+    "q279_label_balance" ->
+      """WITH lc AS (
+        |  SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+        |f AS (
+        |  SELECT count(*) AS n_labels, sum(c) AS n_vecs,
+        |  min(c) AS min_count, max(c) AS max_count,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        |  FROM lc)
+        |SELECT CAST(n_labels AS BIGINT) AS n_labels,
+        |CAST(n_vecs AS BIGINT) AS n_vecs,
+        |CAST(min_count AS BIGINT) AS min_count,
+        |CAST(max_count AS BIGINT) AS max_count,
+        |round(CAST(max_count AS DOUBLE) / min_count + 1e-12, 6)
+        |  AS imbalance_ratio,
+        |round(exp(ln(CAST(n_vecs AS DOUBLE)) - clnc / n_vecs), 6)
+        |  AS effective_classes
+        |FROM f""".stripMargin,
 
     "q205_ann_recall" -> {
       def proj(p: Int, v: String) = {
