@@ -88,12 +88,21 @@ object StateStores {
     * the state table. Unlike the SCD1 upsert sink there is nothing to
     * merge — the index is append-only — so each batch is one
     * snapshot-sized derivation + append, and the state table equals
-    * the batch rebuild after any prefix of batches (spec-pinned). */
+    * the batch rebuild after any prefix of batches (spec-pinned).
+    *
+    * IDEMPOTENT against foreachBatch's at-least-once replays: each
+    * batch writes mode=Overwrite into its OWN batchId-keyed
+    * subdirectory, so a task/driver failure after the write but
+    * before the streaming commit re-runs the batch into the same
+    * subdir instead of double-appending (a plain mode("append") here
+    * silently duplicated index rows on replay — round-8 self-review;
+    * readers scan `path` recursively and see each batch exactly
+    * once). */
   def bandIndexAppendSink(docs: DataFrame, path: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       bandIndexRows(batch.sparkSession, batch)
-        .write.mode("append").parquet(path)
+        .write.mode("overwrite").parquet(s"$path/batch=$batchId")
     }.start()
 
   /** Maintained-centroid update frame, factored for the spec: given
@@ -199,7 +208,7 @@ object StateStores {
         case (c, (l, r)) => call_function("replace", c,
           lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
       }
-      val enc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val enc = words.select(col("w")).distinct()
         .select(col("w"), encoded.as("sym"))
         .select(col("w"),
           size(expr(s"filter(split(sym, '$Sep'), x -> x <> '')"))

@@ -226,7 +226,11 @@ object TextAnalysis {
       * one summation order for both engines (array_distinct order is
       * engine-specific, sorted ints are not). */
     "q174_char_entropy" -> ((s: SparkSession, dir: String) => {
+      // length >= 1 guard: Spark sequence(1, 0) DESCENDS while the
+      // oracle's generate_series(1, 0) is empty (same class as q240;
+      // round-8 self-review)
       Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
         .withColumn("chs", expr(
           "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
         .withColumn("cnts", expr(
@@ -714,7 +718,12 @@ object TextAnalysis {
       * missing grams take the out-of-place penalty 21 via left join.
       * All-integer output: FloatAudit-clean by construction. */
     "q240_chargram_profile" -> ((s: SparkSession, dir: String) => {
+      // length >= 2 guard on the SPARK side: sequence(1, 0) DESCENDS
+      // in Spark while the oracle's generate_series(1, 0) is empty —
+      // an unguarded <= 1-char doc would emit phantom grams here only
+      // (the round-6 lesson, re-found by round-8 self-review)
       val counts = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
         .select(col("lang"), explode(expr(
           "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
           .as("g"))
@@ -1027,7 +1036,7 @@ object TextAnalysis {
         |      i -> substr(text, CAST(i AS INT), 1))),
         |    ch -> len(list_filter(list_transform(generate_series(1, len(text)),
         |      i -> substr(text, CAST(i AS INT), 1)), x -> x = ch)))) AS cnts
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 1)
         |SELECT doc_id, CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
         |round(log2(CAST(n AS DOUBLE)) -
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

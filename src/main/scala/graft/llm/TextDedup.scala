@@ -938,7 +938,7 @@ object TextDedup {
       * boundary is grid-stable. */
     "q245_dup_ngram_mass" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val sh = explodeShingles(shingleArrays(docs).cache()).cache()
+      val sh = explodeShingles(shingleArrays(docs)).cache()
       val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       val perDoc = sh.join(dfc.hint("shuffle_hash"), "sh")
         .groupBy(col("doc_id"))
@@ -970,7 +970,7 @@ object TextDedup {
       * engines. All-integer output: FloatAudit-clean by
       * construction. */
     "q259_stop_shingle_audit" -> ((s: SparkSession, dir: String) => {
-      explodeShingles(shingleArrays(Tables(s, dir, "documents")).cache())
+      explodeShingles(shingleArrays(Tables(s, dir, "documents")))
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .select(col("df"),
           (length(expr("bin(df)")) - 1).cast("long").as("bucket"))

@@ -945,7 +945,11 @@ object Statistics {
       c.agg(sum(col("n1v").cast("double") * mid).as("r1"),
           sum(col("n1v")).cast("double").as("n1"),
           sum(col("nv") - col("n1v")).cast("double").as("n2"),
-          sum(col("nv") * col("nv") * col("nv") - col("nv")).cast("double").as("tie"))
+          // nv cast BEFORE cubing: the long product overflows once one
+          // value has ~2.1M duplicates (ANSI throws); double keeps the
+          // fold exact to 2^53 and both engines mirror the op order
+          sum(col("nv").cast("double") * col("nv") * col("nv") - col("nv"))
+            .as("tie"))
         .select(col("n1").cast("long").as("n_click"),
           col("n2").cast("long").as("n_purchase"),
           r2n(col("r1") - col("n1") * (col("n1") + 1.0) / 2.0).as("u_stat"),
@@ -1525,7 +1529,9 @@ object Statistics {
         .agg(sum(col("n_gv")).as("n_g"),
           sum(col("n_gv") * col("mid2")).as("r2g"))
       val tot = c.agg(sum(col("nv")).as("n"),
-        sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tie"))
+        // double BEFORE cubing (overflow at ~2.1M dupes of one value)
+        sum(col("nv").cast("double") * col("nv") * col("nv") - col("nv"))
+          .as("tie"))
       val terms = grp.join(broadcast(tot))
         .select(col("n"), col("tie"), col("n_g"),
           ((col("r2g").cast("double") * 3.0 /
@@ -1537,7 +1543,8 @@ object Statistics {
           r6n(col("st") - lit(3.0) * (col("n") + 1.0)).as("h"),
           r6n((col("st") - lit(3.0) * (col("n") + 1.0)) /
             (lit(1.0) - col("tie").cast("double") /
-              (col("n") * col("n") * col("n") - col("n")))).as("h_tie_corrected"),
+              (col("n").cast("double") * col("n") * col("n") - col("n"))))
+            .as("h_tie_corrected"),
           r6n((col("st") - lit(3.0) * (col("n") + 1.0)) / (col("n") - 1.0))
             .as("epsilon_sq"))
     }),
@@ -1614,17 +1621,23 @@ object Statistics {
         .drop("qi", "di")
         .join(hTab, col("q") === col("qi") && col("d") === col("di"), "left")
         .agg(sum(col("o")).as("n"),
-          sum(col("o") * coalesce(col("gt"), lit(0L))).as("nc"),
-          sum(col("o") * coalesce(col("ht"), lit(0L))).as("nd"))
+          // double BEFORE the product: o * cumulated-count is a long
+          // multiply bounded only by n^2 (same overflow class as the
+          // tie terms); integer-valued doubles stay exact to 2^53
+          sum(col("o").cast("double") * coalesce(col("gt"), lit(0L))).as("nc"),
+          sum(col("o").cast("double") * coalesce(col("ht"), lit(0L))).as("nd"))
+      // doubles BEFORE the products: tq*(tq-1) and n*(n-1) are long
+      // multiplies that overflow at the row counts the docstring
+      // targets; double keeps them exact to 2^53 with mirrored op order
       val rowT = cells.groupBy(col("q")).agg(sum(col("o")).as("tq"))
-        .agg(sum(col("tq") * (col("tq") - 1) / 2).as("n1"))
+        .agg(sum(col("tq").cast("double") * (col("tq") - 1) / 2).as("n1"))
       val colT = cells.groupBy(col("d")).agg(sum(col("o")).as("td"))
-        .agg(sum(col("td") * (col("td") - 1) / 2).as("n2"))
+        .agg(sum(col("td").cast("double") * (col("td") - 1) / 2).as("n2"))
       cd.join(broadcast(rowT)).join(broadcast(colT))
         .select(col("n"), col("nc").as("concordant"), col("nd").as("discordant"),
           r6n((col("nc") - col("nd")).cast("double") /
-            sqrt((col("n") * (col("n") - 1) / 2 - col("n1")).cast("double") *
-              (col("n") * (col("n") - 1) / 2 - col("n2")).cast("double")))
+            sqrt((col("n").cast("double") * (col("n") - 1) / 2 - col("n1")) *
+              (col("n").cast("double") * (col("n") - 1) / 2 - col("n2"))))
             .as("tau_b"))
     }),
 
@@ -2005,8 +2018,11 @@ object Statistics {
           max(when(col("b") === -1, col("m"))).as("mean"),
           max(when(col("b") === -1, col("cnt"))).as("n_events"))
         .select(col("event_type"), col("n_events"), col("mean"),
-          expr("element_at(ms, 2).m").as("ci_lo"),
-          expr("element_at(ms, 31).m").as("ci_hi"))
+          // try_element_at: a type so sparse that replicas drop under
+          // the sw > 0 guard yields NULL bounds (matching the
+          // oracle's ms[31]) instead of an ANSI index error
+          expr("try_element_at(ms, 2).m").as("ci_lo"),
+          expr("try_element_at(ms, 31).m").as("ci_hi"))
         .orderBy(col("event_type"))
     }),
 
@@ -2851,7 +2867,7 @@ object Statistics {
         |  sum(n1v * (CAST(cnv AS DOUBLE) - nv + (nv + 1) / 2.0)) AS r1,
         |  CAST(sum(n1v) AS DOUBLE) AS n1,
         |  CAST(sum(nv - n1v) AS DOUBLE) AS n2,
-        |  CAST(sum(nv * nv * nv - nv) AS DOUBLE) AS tie
+        |  sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS tie
         |  FROM ranked)
         |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
         |round(r1 - n1 * (n1 + 1) / 2.0 + 1e-12, 2) AS u_stat,
@@ -3232,7 +3248,7 @@ object Statistics {
         |  FROM vg JOIN m ON m.v = vg.v GROUP BY 1),
         |tot AS (
         |  SELECT CAST(sum(nv) AS BIGINT) AS n,
-        |  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie FROM vv),
+        |  sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS tie FROM vv),
         |terms AS (
         |  SELECT t.n, t.tie,
         |  (CAST(g.r2g AS DOUBLE) * 3.0 / (t.n * (t.n + 1.0))) * g.r2g / g.n_g
@@ -3244,7 +3260,7 @@ object Statistics {
         |SELECT k_groups, n,
         |round(st - 3.0 * (n + 1.0) + 1e-12, 6) AS h,
         |round((st - 3.0 * (n + 1.0)) /
-        |  (1.0 - CAST(tie AS DOUBLE) / (n * n * n - n)) + 1e-12, 6)
+        |  (1.0 - tie / (CAST(n AS DOUBLE) * n * n - n)) + 1e-12, 6)
         |  AS h_tie_corrected,
         |round((st - 3.0 * (n + 1.0)) / (n - 1.0) + 1e-12, 6) AS epsilon_sq
         |FROM f""".stripMargin,
@@ -3273,20 +3289,20 @@ object Statistics {
         |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d FROM lineitem),
         |cells AS (SELECT q, d, count(*) AS o FROM li GROUP BY 1, 2),
         |cd AS (
-        |  SELECT CAST(sum(a.o * b.o) FILTER (b.q > a.q AND b.d > a.d)
-        |    AS BIGINT) AS nc,
-        |  CAST(sum(a.o * b.o) FILTER (b.q > a.q AND b.d < a.d)
-        |    AS BIGINT) AS nd
+        |  SELECT sum(CAST(a.o AS DOUBLE) * b.o)
+        |    FILTER (b.q > a.q AND b.d > a.d) AS nc,
+        |  sum(CAST(a.o AS DOUBLE) * b.o)
+        |    FILTER (b.q > a.q AND b.d < a.d) AS nd
         |  FROM cells a, cells b),
         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-        |rt AS (SELECT CAST(sum(tq * (tq - 1) // 2) AS BIGINT) AS n1
+        |rt AS (SELECT sum(CAST(tq AS DOUBLE) * (tq - 1) / 2) AS n1
         |  FROM (SELECT sum(o) AS tq FROM cells GROUP BY q)),
-        |ct AS (SELECT CAST(sum(td * (td - 1) // 2) AS BIGINT) AS n2
+        |ct AS (SELECT sum(CAST(td AS DOUBLE) * (td - 1) / 2) AS n2
         |  FROM (SELECT sum(o) AS td FROM cells GROUP BY d))
         |SELECT t.n, c.nc AS concordant, c.nd AS discordant,
         |round(CAST(c.nc - c.nd AS DOUBLE) /
-        |  sqrt(CAST(t.n * (t.n - 1) // 2 - r.n1 AS DOUBLE) *
-        |       CAST(t.n * (t.n - 1) // 2 - c2.n2 AS DOUBLE)) + 1e-12, 6)
+        |  sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - r.n1) *
+        |       (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - c2.n2)) + 1e-12, 6)
         |  AS tau_b
         |FROM cd c, tot t, rt r, ct c2""".stripMargin,
 

@@ -50,11 +50,26 @@ class StateStoreSpec extends SparkSuite {
       .parquet(s"$srcDir/gen*")
     val q = StateStores.bandIndexAppendSink(stream, statePath)
     q.processAllAvailable(); q.stop()
-    val state = spark.read.parquet(statePath)
+    // the sink writes one batch=N partition dir per micro-batch (its
+    // replay-idempotence mechanism) — drop the synthetic column
+    val state = spark.read.parquet(statePath).drop("batch")
     val rebuilt = StateStores.bandIndexRows(spark, docs)
     assert(state.count() == rebuilt.count())
     assert(state.except(rebuilt).isEmpty && rebuilt.except(state).isEmpty,
       "streamed state table must equal the batch-rebuilt band index")
+    // idempotence: re-running a batch into its own partition dir must
+    // not change the state (the at-least-once replay contract).
+    // Recover WHICH generation landed in batch 0 from its content
+    // (file-listing order is not guaranteed), regenerate that batch
+    // from the source docs, and replay it.
+    val gen0 = spark.read.parquet(s"$statePath/batch=0")
+      .select(pmod(col("doc_id"), lit(3))).head.getLong(0)
+    StateStores.bandIndexRows(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === gen0))
+      .write.mode("overwrite").parquet(s"$statePath/batch=0")
+    val replayed = spark.read.parquet(statePath).drop("batch")
+    assert(replayed.count() == rebuilt.count(),
+      "a replayed micro-batch must overwrite, not double-append")
   }
 
   test("q230: centroid maintenance scans ONLY the snapshot, never the corpus") {
