@@ -919,6 +919,39 @@ object TextAnalysis {
             col("total_tokens")).as("top100_share"),
           r6n(coalesce(col("top1000"), lit(0L)).cast("double") /
             col("total_tokens")).as("top1000_share"))
+    }),
+
+    /** Head-vocabulary drift — each snapshot half's top-20 tokens
+      * with the rank SHIFT between halves (tokens entering or leaving
+      * the head take the out-of-place penalty 21 — the q240
+      * Cavnar-Trenkle stance applied over TIME instead of across
+      * languages): the earliest topical-drift signal a corpus emits,
+      * visible long before distribution tests fire. Halves split on
+      * doc_id parity (the q188 snapshot convention); per half one
+      * map-side-combined token count and the in-expression
+      * sort/slice to depth 20 (bounded collect per half, no
+      * constant-key window); the heads meet in ONE token-keyed
+      * full-outer join. All-integer output: FloatAudit-clean. */
+    "q280_vocab_drift" -> ((s: SparkSession, dir: String) => {
+      def topOf(half: org.apache.spark.sql.DataFrame, rk: String) = half
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .agg(collect_list(struct(col("cnt"), col("w"))).as("l"))
+        .select(posexplode(expr(
+          "slice(array_sort(transform(l, e -> struct(-e.cnt AS nc, e.w AS w))), 1, 20)")))
+        .select(col("col.w").as("w"), (col("pos") + 1).cast("long").as(rk))
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val a = topOf(docs.filter(col("doc_id") % 2 === 0), "rank_a")
+      val b = topOf(docs.filter(col("doc_id") % 2 =!= 0), "rank_b")
+      a.join(b, Seq("w"), "full_outer")
+        .select(col("w").as("token"), col("rank_a"), col("rank_b"),
+          abs(coalesce(col("rank_a"), lit(21L)) -
+            coalesce(col("rank_b"), lit(21L))).as("shift"),
+          when(col("rank_a").isNull, "entered")
+            .when(col("rank_b").isNull, "dropped")
+            .otherwise("stable").as("status"))
+        .orderBy(col("token"))
     })
   )
 
@@ -1463,6 +1496,28 @@ object TextAnalysis {
         |  + 1e-12, 6) AS top100_share,
         |round(coalesce(sum(cnt) FILTER (rn <= 1000), 0) * 1.0 / sum(cnt)
         |  + 1e-12, 6) AS top1000_share
-        |FROM ranked""".stripMargin
+        |FROM ranked""".stripMargin,
+
+    "q280_vocab_drift" -> {
+      def topOf(par: String, rk: String) =
+        s"""SELECT w, CAST(row_number() OVER
+           |    (ORDER BY cnt DESC, w) AS BIGINT) AS $rk
+           |  FROM (
+           |    SELECT w, count(*) AS cnt FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS w
+           |      FROM documents WHERE text IS NOT NULL AND doc_id % 2 $par)
+           |    WHERE len(w) > 0 GROUP BY 1)
+           |  ORDER BY cnt DESC, w LIMIT 20""".stripMargin
+      s"""WITH a AS (${topOf("= 0", "rank_a")}),
+         |b AS (${topOf("<> 0", "rank_b")})
+         |SELECT w AS token, rank_a, rank_b,
+         |CAST(abs(coalesce(rank_a, 21) - coalesce(rank_b, 21)) AS BIGINT)
+         |  AS shift,
+         |CASE WHEN rank_a IS NULL THEN 'entered'
+         |     WHEN rank_b IS NULL THEN 'dropped'
+         |     ELSE 'stable' END AS status
+         |FROM a FULL OUTER JOIN b USING (w)
+         |ORDER BY token NULLS FIRST""".stripMargin
+    }
   )
 }
