@@ -864,8 +864,11 @@ object Similarity {
       val lex = tf.crossJoin(broadcast(stats))
         .select(col("doc_id"), r6(score).as("bm25"))
         .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+        // ≤20 rows post-limit; non-foldable constant key silences the
+        // WindowExec global-window warning (GlobalRank.constKey stance)
         .withColumn("r_lex", row_number()
-          .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+          .over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       val sem = e.filter(col("vec_id") =!= 0)
@@ -874,7 +877,8 @@ object Similarity {
           r6(expr("cosine_sim(embedding, q_emb)")).as("cs"))
         .orderBy(desc("cs"), asc("doc_id")).limit(20)
         .withColumn("r_sem", row_number()
-          .over(Window.orderBy(desc("cs"), asc("doc_id"))).cast("long"))
+          .over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(desc("cs"), asc("doc_id"))).cast("long"))
       lex.select(col("doc_id"), col("r_lex"))
         .join(sem.select(col("doc_id"), col("r_sem")),
           Seq("doc_id"), "full_outer")

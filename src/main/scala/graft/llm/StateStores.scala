@@ -97,7 +97,16 @@ object StateStores {
     * subdir instead of double-appending (a plain mode("append") here
     * silently duplicated index rows on replay — round-8 self-review;
     * readers scan `path` recursively and see each batch exactly
-    * once). */
+    * once).
+    *
+    * READ-SCHEMA CONTRACT: because the subdirs are named
+    * `batch=<id>`, Spark's partition discovery surfaces a synthetic
+    * `batch` BIGINT column to any `spark.read.parquet(path)` consumer
+    * — i.e. the sink's on-disk schema is (doc_id, bk, batch), not the
+    * bare (doc_id, bk) of [[bandIndexRows]]. Consumers that want the
+    * logical index rows should `.drop("batch")` (StateStoreSpec does);
+    * the column is kept deliberately — it is the provenance key that
+    * makes replay-idempotence auditable from the data alone. */
   def bandIndexAppendSink(docs: DataFrame, path: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

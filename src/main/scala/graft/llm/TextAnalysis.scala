@@ -26,6 +26,30 @@ object TextAnalysis {
   private def withToks(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
 
+  /** Declarative twin of [[graft.functions.TokenRunCount]] — the
+    * per-char class fold (class 1 = A-Za-z run, 2 = digit run,
+    * 0 = ASCII space, 3 = any other char, one token per run start or
+    * other-char) with the all-integer accumulator enc = n·4 +
+    * prevClass; this is the exact fold q202's DuckDB oracle replays.
+    * Interpreted (HOFs have no codegen) and one 1-char string per
+    * input char — kept ONLY as TokenRunCountSpec's cross-check of the
+    * native kernel, never on the hot path. */
+  private[graft] def tokenRunsFold(text: Column): Column = {
+    def clsOf(c: Column): Column =
+      when((c >= "A" && c <= "Z") || (c >= "a" && c <= "z"), lit(1L))
+        .when(c >= "0" && c <= "9", lit(2L))
+        .when(c.isin(" ", "\t", "\n", "\f", "\r"), lit(0L))
+        .otherwise(lit(3L))
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    shiftright(aggregate(chars, lit(0L), (a, c) => {
+      val x = clsOf(c)
+      shiftleft(shiftright(a, 2) +
+        when(x === 3L, lit(1L))
+          .when((x === 1L || x === 2L) && x =!= a.bitwiseAND(lit(3L)), lit(1L))
+          .otherwise(lit(0L)), 2) + x
+    }), 2)
+  }
+
   /** Separator for the BPE wrapped-symbol string form: every symbol is
     * individually wrapped ␟sym␟, so the pair pattern ␟l␟␟r␟ can only
     * match a COMPLETE adjacent symbol pair — a plain "l r" separator
@@ -139,39 +163,54 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
 
     /** Tokenizer fertility by language — tokens per 100 characters
-      * under a word/number/symbol segmentation ([A-Za-z]+ | digits |
-      * any other non-space char alone), the per-language cost metric
-      * that drives tokenizer-budget and sampling decisions (CJK text
-      * tokenizes char-by-char under a Latin-centric rule, so its
-      * fertility is a multiple of English's — exactly what this
-      * surfaces). One regexp projection per row, one aggregate per
-      * lang: scan-speed at any scale, no exchange beyond the
-      * lang-keyed combine.
+      * under a word/number/symbol segmentation (maximal Latin-letter
+      * runs | maximal digit runs | any other non-space char alone),
+      * the per-language cost metric that drives tokenizer-budget and
+      * sampling decisions (CJK text tokenizes char-by-char under a
+      * Latin-centric rule, so its fertility is a multiple of
+      * English's — exactly what this surfaces). One projection per
+      * row, one aggregate per lang: scan-speed at any scale, no
+      * exchange beyond the lang-keyed combine.
       *
-      * Cross-engine portability, both learned the hard way in r7:
-      * the space class is spelled as an explicit ASCII set
-      * ([ \t\n\f\r]) because Java's \s and RE2's \s disagree at the
-      * edges (U+000B et al.), and both ratio columns divide INTEGER
-      * TOTALS once (sum(nt)/sum(nc)) — a per-row avg() of double
-      * ratios is an unordered float fold whose last ulp depends on
-      * combine order, so two engines can round 6 decimals apart. The
-      * single division plus the repo's +1e-12 nudge (r6n convention,
-      * CorpusOps) is order-independent and grid-stable. */
+      * ENGINE-PROOF BY CONSTRUCTION (rounds 6-8 hard lessons — this
+      * query burned three driver rounds on cross-engine deltas the
+      * fixture could not reproduce locally): the row failed the
+      * driver's hash gate even after the integer-total-ratio + nudge
+      * + explicit-ASCII-space-class fixes, pointing at the one
+      * remaining engine dependency — `regexp_extract_all` itself
+      * (Java regex vs the driver DuckDB build's RE2 over CJK rows).
+      * So the token count now uses NO regex and NO floats anywhere:
+      *   - each char is classified by plain codepoint-class
+      *     comparison (letter / digit / ASCII space [ \t\n\f\r] /
+      *     other), and the run-start count folds left-to-right with
+      *     an all-integer accumulator (tokens = letter-run starts +
+      *     digit-run starts + other chars). On the Spark side the
+      *     fold runs as ONE native codegen'd UTF-8 byte walk
+      *     ([[graft.functions.TokenRunCount]] — faster than the old
+      *     regexp projection); the oracle replays the identical
+      *     integer fold per codepoint (enc = n·4 + prevClass), and
+      *     [[tokenRunsFold]] + TokenRunCountSpec pin the two forms
+      *     equal on adversarial fixtures incl. CJK and non-BMP;
+      *   - the two ratio outputs are BIGINT micro-ratios by single
+      *     integer division of the lang totals
+      *     ((Σnt·1e8) div Σnc, (Σnc·1e6) div Σnt) — no double, no
+      *     round, no libm in any output column, so any conforming
+      *     SQL engine produces the identical bits. */
     "q202_fertility" -> ((s: SparkSession, dir: String) => {
-      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
+      graft.functions.TokenRunCount.register(s)
       Tables(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("lang"), length(col("text")).cast("long").as("nc"),
-          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-            .cast("long").as("nt"))
+          expr("token_runs(text)").as("nt"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nc")).as("total_chars"),
-          sum(col("nt")).as("total_tokens"),
-          round(sum(col("nt")).cast("double") * 100.0 / sum(col("nc")) + 1e-12, 6)
-            .as("tokens_per_100ch"),
-          round(sum(col("nc")).cast("double") / sum(col("nt")) + 1e-12, 6)
-            .as("chars_per_token"))
+          sum(col("nt")).as("total_tokens"))
+        .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+          expr("CAST((total_tokens * 100000000) DIV NULLIF(total_chars, 0) AS BIGINT)")
+            .as("tokens_per_100ch_e6"),
+          expr("CAST((total_chars * 1000000) DIV NULLIF(total_tokens, 0) AS BIGINT)")
+            .as("chars_per_token_e6"))
         .orderBy(col("lang"))
     }),
 
@@ -486,8 +525,13 @@ object TextAnalysis {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
       val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("t")).limit(1000)
+        // bounded input (≤1000 rows post-limit); the non-foldable
+        // constant key keeps WindowExec from logging its global-window
+        // warning on a window that is single-partition BY DESIGN (see
+        // GlobalRank.constKey for why lit(0) would be stripped)
         .withColumn("token_id", row_number().over(
-          Window.orderBy(col("cnt").desc, col("t"))).cast("long"))
+          Window.partitionBy(pmod(length(col("t")), lit(1)))
+            .orderBy(col("cnt").desc, col("t"))).cast("long"))
         .select(col("t"), col("token_id"))
       toks.filter(col("doc_id") < 20)
         .join(broadcast(vocab), Seq("t"), "left_outer")
@@ -1046,17 +1090,35 @@ object TextAnalysis {
         |JOIN sizes zb ON zb.source = sb
         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
 
+    // regex-free, float-free twin of the Spark fold: per-char class by
+    // binary comparison, run-start count via the enc = n*4 + prev
+    // integer fold, BIGINT micro-ratio outputs by integer division
     "q202_fertility" ->
-      """WITH t AS (
+      """WITH ch AS (
         |  SELECT lang, CAST(len(text) AS BIGINT) AS nc,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS nt
-        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+        |  list_transform(generate_series(1, len(text)),
+        |    i -> CAST(CASE
+        |      WHEN substr(text, CAST(i AS INT), 1) BETWEEN 'A' AND 'Z'
+        |        OR substr(text, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' THEN 1
+        |      WHEN substr(text, CAST(i AS INT), 1) BETWEEN '0' AND '9' THEN 2
+        |      WHEN substr(text, CAST(i AS INT), 1) IN
+        |        (' ', chr(9), chr(10), chr(12), chr(13)) THEN 0
+        |      ELSE 3 END AS BIGINT)) AS cls
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+        |t AS (
+        |  SELECT lang, nc,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), cls),
+        |    (a, x) -> ((a // 4) + CASE WHEN x = 3 THEN 1
+        |      WHEN x IN (1, 2) AND x <> a % 4 THEN 1 ELSE 0 END) * 4 + x)
+        |    // 4 AS nt
+        |  FROM ch)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |sum(nc) AS total_chars, sum(nt) AS total_tokens,
-        |round(CAST(sum(nt) AS DOUBLE) * 100.0 / sum(nc) + 1e-12, 6)
-        |  AS tokens_per_100ch,
-        |round(CAST(sum(nc) AS DOUBLE) / sum(nt) + 1e-12, 6) AS chars_per_token
+        |CAST(sum(nc) AS BIGINT) AS total_chars,
+        |CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |CAST((sum(nt) * 100000000) // NULLIF(sum(nc), 0) AS BIGINT)
+        |  AS tokens_per_100ch_e6,
+        |CAST((sum(nc) * 1000000) // NULLIF(sum(nt), 0) AS BIGINT)
+        |  AS chars_per_token_e6
         |FROM t GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 

@@ -1633,8 +1633,14 @@ object Statistics {
         .agg(sum(col("tq").cast("double") * (col("tq") - 1) / 2).as("n1"))
       val colT = cells.groupBy(col("d")).agg(sum(col("o")).as("td"))
         .agg(sum(col("td").cast("double") * (col("td") - 1) / 2).as("n2"))
+      // nc/nd fold in doubles to dodge the ANSI long-multiply overflow
+      // (exact to 2^53 — beyond ~9e15 concordances the fold would lose
+      // ulps where HUGEINT math would not; at that scale switch the
+      // cell counts to DECIMAL), then cast back to BIGINT on OUTPUT so
+      // the published schema keeps its integer pair-count columns
       cd.join(broadcast(rowT)).join(broadcast(colT))
-        .select(col("n"), col("nc").as("concordant"), col("nd").as("discordant"),
+        .select(col("n"), col("nc").cast("long").as("concordant"),
+          col("nd").cast("long").as("discordant"),
           r6n((col("nc") - col("nd")).cast("double") /
             sqrt((col("n").cast("double") * (col("n") - 1) / 2 - col("n1")) *
               (col("n").cast("double") * (col("n") - 1) / 2 - col("n2"))))
@@ -1969,7 +1975,13 @@ object Statistics {
       * through the Poisson(1) CDF ladder as literal HEX thresholds
       * (fixed-length lowercase hex sorts numerically — no base-16
       * parse, no float) — byte-identical in both engines, and ~3×
-      * cheaper than the conv() integer path (measured). Replica
+      * cheaper than the conv() integer path (measured). The ladder
+      * TRUNCATES at weight 5 (the ELSE arm): the ~0.37% tail of true
+      * Poisson(1) weights ≥ 6 collapses to exactly 5, a deliberate
+      * deterministic bias of < 0.1% on replicate means (mirrored in
+      * the oracle, so cross-engine checks see identical values;
+      * extend the threshold list if tail fidelity ever matters).
+      * Replica
       * b = −1 carries weight
       * 1 everywhere: the point estimate rides the SAME aggregate, no
       * second pass, no join. The CI is the 2nd/31st order statistic
@@ -3299,7 +3311,8 @@ object Statistics {
         |  FROM (SELECT sum(o) AS tq FROM cells GROUP BY q)),
         |ct AS (SELECT sum(CAST(td AS DOUBLE) * (td - 1) / 2) AS n2
         |  FROM (SELECT sum(o) AS td FROM cells GROUP BY d))
-        |SELECT t.n, c.nc AS concordant, c.nd AS discordant,
+        |SELECT t.n, CAST(c.nc AS BIGINT) AS concordant,
+        |CAST(c.nd AS BIGINT) AS discordant,
         |round(CAST(c.nc - c.nd AS DOUBLE) /
         |  sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - r.n1) *
         |       (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - c2.n2)) + 1e-12, 6)
