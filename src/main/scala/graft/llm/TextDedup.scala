@@ -77,11 +77,11 @@ object TextDedup {
     * hash set — already deduplicated, so no distinct() shuffle.
     * `arr` should be a CACHED shingleArrays so the tokenize+hash pass
     * runs once; the explode itself is a narrow, near-free op. */
-  private def explodeShingles(arr: DataFrame): DataFrame =
+  private[llm] def explodeShingles(arr: DataFrame): DataFrame =
     arr.select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Per-doc shingle-set size — a narrow projection, no aggregation. */
-  private def shingleSizes(arr: DataFrame): DataFrame =
+  private[llm] def shingleSizes(arr: DataFrame): DataFrame =
     arr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
 
   /** Document-frequency cap for the exact inverted-index joins: a
@@ -167,7 +167,7 @@ object TextDedup {
     * production), every downstream join is driven by snapshot-sized
     * or candidate-sized inputs, and no corpus-vs-corpus pair is ever
     * generated. */
-  private[llm] def incrementalNearDup(s: SparkSession, snapshot: DataFrame,
+  private[graft] def incrementalNearDup(s: SparkSession, snapshot: DataFrame,
       corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
     graft.functions.MinhashSignature.register(s)
     val nHashes = 48
@@ -1115,6 +1115,28 @@ object TextDedup {
       |       string_split(text,' ')[i+2])))) AS sh
       |FROM documents""".stripMargin
 
+  /** Declarative twin of the incremental snapshot-vs-corpus near-dup
+    * path — shared by q151 (in-plan index build) and q281 (the serve
+    * path reading the PERSISTED band index): both compute the same
+    * output, so one first-principles oracle guards both. */
+  private[llm] def duckIncrementalNeardup: String =
+    s"""WITH sh AS ($duckShingles),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS sid, b.doc_id AS cid, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT DISTINCT sid FROM pairs
+       |  JOIN sizes s1 ON s1.doc_id = sid
+       |  JOIN sizes s2 ON s2.doc_id = cid
+       |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles
+       |FROM sizes
+       |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT sid FROM matched)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   /** Shingle CTE body over the df-capped universe — the oracle twin of
     * [[cappedIndex]] (`sh0` → df filter → capped `sh`). */
   private[llm] def duckCappedShingles(dfCap: Int) =
@@ -1519,23 +1541,7 @@ object TextDedup {
     // declarative twin of the banded+bloomed incremental path: exact
     // uncapped Jaccard between every snapshot and corpus doc, snapshot
     // docs with no >= 0.8 match survive
-    "q151_incremental_neardup" ->
-      s"""WITH sh AS ($duckShingles),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS sid, b.doc_id AS cid, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh
-         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-         |  GROUP BY 1, 2),
-         |matched AS (
-         |  SELECT DISTINCT sid FROM pairs
-         |  JOIN sizes s1 ON s1.doc_id = sid
-         |  JOIN sizes s2 ON s2.doc_id = cid
-         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles
-         |FROM sizes
-         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT sid FROM matched)
-         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q151_incremental_neardup" -> duckIncrementalNeardup,
 
     // recursive-CTE transitive closure + min per component — the same
     // fixpoint the Spark label propagation converges to
