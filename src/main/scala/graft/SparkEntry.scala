@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
-    llm.PipelineOps.queries ++ llm.CorpusOps.queries ++ llm.StateStores.queries
+    llm.PipelineOps.queries ++ llm.CorpusOps.queries ++
+    llm.StateStores.queries ++ llm.PairGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
-    llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++ llm.StateStores.oracles
+    llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++
+    llm.StateStores.oracles ++ llm.PairGraph.oracles
 }

@@ -1,0 +1,311 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables, r6n}
+
+/** The PERSISTED near-dup pair graph — round-9's answer to the
+  * round-8 verdict's biggest re-derivation bill: fourteen diagnostics
+  * (q34/q93/q127/q147/q160/q161/q172/q175/q179/q203/q220/q221/q265/
+  * q278, plus q245's per-doc stats) each re-derived the same
+  * df-capped inverted-index pair graph in-plan, ~19 s of every bench
+  * run and — at 100 TB — a full corpus-scale self-join per
+  * diagnostic. Two pieces:
+  *
+  *  - the SERVE store ([[pairStats]]/[[docStats]]): one seed-if-absent
+  *    derivation persists (d1, d2, inter, wint, n1, n2, w1, w2) for
+  *    every pair passing ANY consumer threshold (Jaccard ≥ 0.5,
+  *    containment ≥ 0.9, rarity-weighted Jaccard ≥ 0.5) plus the
+  *    per-doc shingle statistics; every consumer then reads the
+  *    parquet store and applies its own metric — the stored integers
+  *    (inter, n1, n2) reproduce each metric's doubles bit-for-bit,
+  *    so all fourteen DuckDB from-first-principles oracles double as
+  *    staleness guards on the store;
+  *  - the MAINTENANCE contract (q283): the pair graph is maintained
+  *    INCREMENTALLY under snapshot appends as signed delta rows,
+  *    including the genuinely hard part — RETRACTIONS when a
+  *    shingle's document frequency crosses the stop-shingle cap, at
+  *    which point previously-credited pairs of that shingle must be
+  *    debited (appends read persisted postings state, never earlier
+  *    generations' text). The maintained graph must equal the
+  *    from-scratch rebuild as a multiset, which the oracle pins to
+  *    zero mismatches.
+  *
+  * Reference behavior: the near-dup diagnostics family (see
+  * SURVEY.md §2 LLM-ops extension); the persistence stance mirrors
+  * the reference's own derived-state files (drift_detector.py:43-45,
+  * self_healing_agent.py:122).
+  */
+object PairGraph {
+
+  import TextDedup.DfCap
+
+  // ---------------------------------------------------------------
+  // serve store
+  // ---------------------------------------------------------------
+
+  /** Union of every consumer's keep-predicate — the seed prunes the
+    * pair table to rows some diagnostic can actually use, which is
+    * what bounds the store at web scale (all-co-shingle-pairs is the
+    * JOIN's volume, not the STORE's). A future consumer with a looser
+    * threshold must widen this and bump the store version. */
+  private def keepPredicate = {
+    val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
+    val cont = col("inter") / least(col("n1"), col("n2"))
+    val wj = r6n(col("wint") / (col("w1") + col("w2") - col("wint")))
+    jac >= 0.5 || cont >= 0.9 || wj >= 0.5
+  }
+
+  /** One derivation feeds both store tables: uncapped df rides the
+    * postings as the rarity weight (1/df — unchanged by the cap,
+    * which only removes whole shingle groups), the pair self-join
+    * stays on the df-capped 8-byte hash universe with shuffle_hash
+    * pinned (the q34 stance — broadcasting the inverted index is not
+    * a plan that survives 100 TB). */
+  private def seedCompute(docs: DataFrame): (DataFrame, DataFrame) = {
+    val arr = TextDedup.shingleArrays(docs).cache()
+    val sh0 = TextDedup.explodeShingles(arr)
+    val dfa = sh0.groupBy(col("sh")).agg(count(lit(1)).as("dfa"))
+    val shJ = sh0.join(dfa.hint("shuffle_hash"), "sh")
+    val docStats = shJ.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_all"),
+      count_if(col("dfa") >= 2).as("n_dup"),
+      count_if(col("dfa") <= DfCap).as("n_capped"),
+      sum(when(col("dfa") <= DfCap, lit(1.0) / col("dfa")).otherwise(lit(0.0)))
+        .as("wsz"))
+    val capped = shJ.filter(col("dfa") <= DfCap)
+      .select(col("doc_id"), col("sh"), (lit(1.0) / col("dfa")).as("w")).cache()
+    val inter = capped.as("a")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"), sum(col("a.w")).as("wint"))
+    val st = docStats.select(col("doc_id"), col("n_capped"), col("wsz"))
+    val pairs = inter
+      .join(st.select(col("doc_id").as("d1"), col("n_capped").as("n1"),
+        col("wsz").as("w1")), "d1")
+      .join(st.select(col("doc_id").as("d2"), col("n_capped").as("n2"),
+        col("wsz").as("w2")), "d2")
+      .filter(keepPredicate)
+    (pairs, docStats)
+  }
+
+  private def seedServe(s: SparkSession, dir: String): String = {
+    val path = StateStores.servePath(dir, "pair_graph_v1", "documents")
+    StateStores.seedOnce(s"$path/pairs") {
+      val (pairs, docStats) = seedCompute(Tables(s, dir, "documents"))
+      docStats.write.mode("overwrite").parquet(s"$path/docs")
+      pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    }
+    path
+  }
+
+  /** The stored pair rows (d1, d2, inter, wint, n1, n2, w1, w2). */
+  private[graft] def pairStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${seedServe(s, dir)}/pairs")
+
+  /** The stored per-doc rows (doc_id, n_all, n_dup, n_capped, wsz). */
+  private[graft] def docStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${seedServe(s, dir)}/docs")
+
+  /** (d1, d2, jac) at `threshold` — q34's semantics served from the
+    * store: the division re-runs on the stored integers, so the
+    * doubles are bit-identical to the in-plan jaccardPairs form. */
+  private[graft] def jaccard(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    pairStats(s, dir)
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  // ---------------------------------------------------------------
+  // q283: incremental maintenance with cap-crossing retractions
+  // ---------------------------------------------------------------
+
+  /** Demo cap for the maintenance contract — low enough that the
+    * fixture actually CROSSES it between generations (the serve store
+    * uses DfCap = 512; the mechanism is cap-independent). */
+  private[graft] val IvmCap = 4
+
+  /** Signed pair-graph deltas for generation `gen`, derived from the
+    * STATE TABLES ALONE (postings + df increments — the spec pins
+    * that no document text is scanned here):
+    *
+    *  - CREDITS: +1 per (pair, shingle) whose later endpoint arrives
+    *    in `gen`, provided the shingle's cumulative df (after this
+    *    generation) is still ≤ cap;
+    *  - RETRACTIONS: when a shingle's cumulative df CROSSES the cap
+    *    at this generation, every previously-credited pair among its
+    *    prior holders gets −1 — without this, the maintained graph
+    *    permanently disagrees with a from-scratch rebuild on every
+    *    boilerplate shingle that saturates later than it was first
+    *    seen. Bounded work: a crosser has ≤ cap prior holders, so
+    *    ≤ C(cap, 2) debit rows each.
+    */
+  private[graft] def ivmDeltas(s: SparkSession, statePath: String,
+      gen: Int, cap: Int): DataFrame = {
+    val post = s.read.parquet(s"$statePath/postings")
+    val dfs = s.read.parquet(s"$statePath/df")
+    val dfAfter = dfs.filter(col("gen") <= gen)
+      .groupBy(col("sh")).agg(sum(col("c")).as("dfA"))
+    val live = dfAfter.filter(col("dfA") <= cap).select(col("sh"))
+    val pg = post.filter(col("gen") === gen)
+      .join(live.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    val credits = pg.as("a")
+      .join(post.filter(col("gen") <= gen).as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") &&
+          (col("b.gen") < gen ||
+            (col("b.gen") === gen && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        lit(1L).as("delta"))
+    val dfBefore = dfs.filter(col("gen") < gen)
+      .groupBy(col("sh")).agg(sum(col("c")).as("dfB"))
+    val crossers = dfBefore.join(dfAfter, "sh")
+      .filter(col("dfB") >= 2 && col("dfB") <= cap && col("dfA") > cap)
+      .select(col("sh"))
+    val prior = post.filter(col("gen") < gen)
+      .join(crossers.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    val retracts = prior.as("a")
+      .join(prior.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(-1L).as("delta"))
+    credits.union(retracts)
+  }
+
+  /** One maintenance step: append generation `gen`'s postings + df
+    * increments (`pg` — the snapshot's postings rows, a frame derived
+    * from the SNAPSHOT alone), then derive and append its signed
+    * deltas (derived from STATE alone). Generation 0 overwrites,
+    * truncating any stale state — the whole 3-step sequence is
+    * idempotent across reruns, the q229 stance. Single-file state
+    * writes: increments are generation-sized and read back whole, so
+    * a wide layout's win never materializes while its task/commit
+    * overhead does (the SERVE store keeps the parallel layout). */
+  private[llm] def ivmStep(s: SparkSession, pg: DataFrame,
+      statePath: String, gen: Int, cap: Int): Unit = {
+    val mode = if (gen == 0) "overwrite" else "append"
+    pg.withColumn("gen", lit(gen)).coalesce(1)
+      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings")
+    pg.groupBy(col("sh")).agg(count(lit(1)).as("c")).withColumn("gen", lit(gen))
+      .coalesce(1)
+      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/df")
+    // no coalesce here: it would collapse the delta JOIN's reduce
+    // stage to one task; AQE already right-sizes the output files
+    ivmDeltas(s, statePath, gen, cap).withColumn("gen", lit(gen))
+      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    /** Pair-graph incremental view maintenance — seed + two snapshot
+      * appends (generations doc_id % 3, cap 4 so the fixture crosses
+      * it), then the CONTRACT per generation: credit/retraction row
+      * counts, the final pair count attributed to the generation of
+      * each pair's later endpoint, and the maintained-vs-rebuilt
+      * multiset mismatch count, which the oracle pins to ZERO. Drop
+      * the retraction logic and the mismatch count goes red — the
+      * contract is falsifiable, not decorative. */
+    "q283_pair_graph_ivm" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val path = StateStores.statePath(dir, "pair_ivm")
+      // ONE corpus-wide shingle derivation feeds all three generation
+      // slices AND the final rebuild — the demo loop's snapshots are
+      // slices of one fixture table, so re-deriving per step would
+      // re-scan the text 4x for identical rows (measured 2x the whole
+      // query's cost at sf0.1); each step still only WRITES its own
+      // generation's rows
+      val pgAll = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
+        .withColumn("g", pmod(col("doc_id"), lit(3)).cast("int")).cache()
+      (0 to 2).foreach { g =>
+        ivmStep(s, pgAll.filter(col("g") === g).drop("g"), path, g, IvmCap)
+      }
+      val deltas = s.read.parquet(s"$path/deltas")
+      val perGen = deltas.groupBy(col("gen").cast("long").as("gen"))
+        .agg(count_if(col("delta") === 1L).as("n_credit"),
+          count_if(col("delta") === -1L).as("n_retract"))
+      val maintained = deltas.groupBy(col("d1"), col("d2"))
+        .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
+      // from-scratch rebuild over the FINAL cap-4 universe
+      val shAll = pgAll.drop("g")
+      // cached: both sides of the rebuild self-join read this slice
+      val cappedF = shAll.join(
+        shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= IvmCap).select(col("sh")).hint("shuffle_hash"),
+        Seq("sh"), "left_semi").cache()
+      val rebuilt = cappedF.as("a")
+        .join(cappedF.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ir"))
+      val genOf = greatest(pmod(col("d1"), lit(3)), pmod(col("d2"), lit(3)))
+        .cast("long")
+      val cmp = maintained.join(rebuilt, Seq("d1", "d2"), "full_outer")
+        .groupBy(genOf.as("gen"))
+        .agg(count_if(col("ir").isNotNull).as("n_final_pairs"),
+          count_if(coalesce(col("im"), lit(0L)) =!= coalesce(col("ir"), lit(0L)))
+            .as("n_mismatch"))
+      import s.implicits._
+      Seq(0L, 1L, 2L).toDF("gen")
+        .join(perGen, Seq("gen"), "left")
+        .join(cmp, Seq("gen"), "left")
+        .select(col("gen"),
+          coalesce(col("n_credit"), lit(0L)).as("n_credit"),
+          coalesce(col("n_retract"), lit(0L)).as("n_retract"),
+          coalesce(col("n_final_pairs"), lit(0L)).as("n_final_pairs"),
+          coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+        .orderBy(col("gen"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // the whole maintenance history from first principles: cumulative
+    // per-generation df, credits at each pair's later endpoint while
+    // the shingle is under cap, retractions C(df_before, 2) at the
+    // crossing generation, final pairs over the end-state capped
+    // universe — and mismatch pinned to zero
+    "q283_pair_graph_ivm" ->
+      s"""WITH sh0 AS (${TextDedup.duckShingles}),
+         |g AS (SELECT doc_id, sh, CAST(doc_id % 3 AS INT) AS gen FROM sh0),
+         |dfp AS (SELECT sh, gen, count(*) AS c FROM g GROUP BY 1, 2),
+         |dfle AS (
+         |  SELECT dfp.sh, t.G AS G, sum(dfp.c) FILTER (dfp.gen <= t.G) AS df
+         |  FROM dfp CROSS JOIN unnest([0, 1, 2]) AS t(G)
+         |  GROUP BY 1, 2),
+         |pairsall AS (
+         |  SELECT a.sh AS sh, a.doc_id AS d1, b.doc_id AS d2,
+         |  greatest(a.gen, b.gen) AS mg
+         |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |pc AS (
+         |  SELECT p.mg AS gen, CAST(count(*) AS BIGINT) AS n_credit
+         |  FROM pairsall p JOIN dfle d ON d.sh = p.sh AND d.G = p.mg
+         |  WHERE d.df <= ${IvmCap}
+         |  GROUP BY 1),
+         |rc AS (
+         |  SELECT d1.G AS gen,
+         |  CAST(sum(d0.df * (d0.df - 1) // 2) AS BIGINT) AS n_retract
+         |  FROM dfle d0 JOIN dfle d1 ON d1.sh = d0.sh AND d1.G = d0.G + 1
+         |  WHERE d0.df >= 2 AND d0.df <= ${IvmCap} AND d1.df > ${IvmCap}
+         |  GROUP BY 1),
+         |fin AS (
+         |  SELECT greatest(d1 % 3, d2 % 3) AS gen,
+         |  CAST(count(*) AS BIGINT) AS n_final_pairs
+         |  FROM (
+         |    SELECT p.d1, p.d2
+         |    FROM pairsall p JOIN dfle d ON d.sh = p.sh AND d.G = 2
+         |    WHERE d.df <= ${IvmCap}
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT CAST(t.gen AS BIGINT) AS gen,
+         |coalesce(pc.n_credit, 0) AS n_credit,
+         |coalesce(rc.n_retract, 0) AS n_retract,
+         |coalesce(fin.n_final_pairs, 0) AS n_final_pairs,
+         |CAST(0 AS BIGINT) AS n_mismatch
+         |FROM unnest([0, 1, 2]) AS t(gen)
+         |LEFT JOIN pc ON pc.gen = t.gen
+         |LEFT JOIN rc ON rc.gen = t.gen
+         |LEFT JOIN fin ON fin.gen = t.gen
+         |ORDER BY gen NULLS FIRST""".stripMargin
+  )
+}

@@ -35,7 +35,7 @@ object StateStores {
 
   /** Deterministic per-(fixture, store) state dir under /tmp — reruns
     * at the same sf reuse (and overwrite-seed) the same location. */
-  private[llm] def statePath(dir: String, name: String): String = {
+  private[graft] def statePath(dir: String, name: String): String = {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
     s"/tmp/graft_state/$name-$tag"

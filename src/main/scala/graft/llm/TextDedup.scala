@@ -207,7 +207,7 @@ object TextDedup {
   /** Exact-Jaccard similar pairs above `threshold` from an
     * inverted-index equi-join on hashed shingles, over the df-capped
     * universe (see [[cappedIndex]]). */
-  private[llm] def jaccardPairs(docs: DataFrame, threshold: Double,
+  private[graft] def jaccardPairs(docs: DataFrame, threshold: Double,
       dfCap: Int = DfCap): DataFrame = {
     val (_, sh, sizes) = cappedIndex(docs, dfCap)
     // shuffle_hash, NOT broadcast: the static size estimate of the
@@ -283,7 +283,7 @@ object TextDedup {
       * df-capped out of the universe (cap mirrored in the oracle —
       * see [[cappedIndex]]); q35 is the banded linear-cost path. */
     "q34_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
-      jaccardPairs(Tables(s, dir, "documents"), 0.5)
+      PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2"), r4n(col("jac")).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
@@ -301,15 +301,7 @@ object TextDedup {
       * containments are reported so the consumer can tell sub-document
       * from near-identical. q131 is the banded linear-cost path. */
     "q127_containment" -> ((s: SparkSession, dir: String) => {
-      val (_, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
-      val inter = sh.as("a")
-        .join(sh.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      PairGraph.pairStats(s, dir)
         .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
         .select(col("d1"), col("d2"),
           r4n(col("inter") / col("n1")).as("cont_d1"),
@@ -559,7 +551,7 @@ object TextDedup {
       * computed. */
     "q93_dedup_clusters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+      val edges = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       graft.ops.ConnectedComponents.labels(edges)
         .toDF("doc_id", "cluster_id")
@@ -579,7 +571,7 @@ object TextDedup {
     "q147_cluster_rep" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val edges = jaccardPairs(docs, 0.8)
+      val edges = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       val labels = graft.ops.ConnectedComponents.labels(edges)
         .toDF("doc_id", "cluster_id")
@@ -607,7 +599,7 @@ object TextDedup {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars").cast("double")) + 1e-12, 2).as("avg_chars"),
           countDistinct(col("lang")).as("n_langs"))
-      val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))
+      val pairs = PairGraph.jaccard(s, dir, 0.5).select(col("d1"), col("d2"))
       val dupDocs = pairs.select(col("d1").as("doc_id"))
         .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
         .join(src, "doc_id")
@@ -650,7 +642,7 @@ object TextDedup {
     "q220_survivor_policies" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val edges = jaccardPairs(docs, 0.8)
+      val edges = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       val labels = graft.ops.ConnectedComponents.labels(edges)
         .toDF("doc_id", "cluster_id")
@@ -699,7 +691,7 @@ object TextDedup {
       * rounding grid), so r6 is engine-stable. */
     "q160_pagerank" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+      val edges = PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       graft.ops.PageRank.ranks(edges, rounds = 3)
         .toDF("doc_id", "pr")
@@ -759,7 +751,7 @@ object TextDedup {
       * declarative. */
     "q203_label_prop" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.5)
+      val edges = PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       val lab = graft.ops.LabelPropagation.labels(edges, rounds = 3)
         .toDF("doc_id", "community")
@@ -780,7 +772,7 @@ object TextDedup {
       * count — all shuffles keyed on doc id or the source pair. */
     "q161_source_copy_matrix" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))
+      val pairs = PairGraph.jaccard(s, dir, 0.5).select(col("d1"), col("d2"))
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
@@ -804,7 +796,7 @@ object TextDedup {
       * in one tiny aggregate; the two 1-row sides meet on a literal
       * key — a broadcast equi-join, bounded at any scale. */
     "q172_triangle_count" -> ((s: SparkSession, dir: String) =>
-      triangleStats(jaccardPairs(Tables(s, dir, "documents"), 0.5)
+      triangleStats(PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2")))),
 
     /** Jaccard THRESHOLD SWEEP — the diagnostic a curator runs before
@@ -817,7 +809,7 @@ object TextDedup {
       * is the same IEEE multiply in both engines, so boundary pairs
       * land identically. */
     "q175_jaccard_sweep" -> ((s: SparkSession, dir: String) => {
-      jaccardPairs(Tables(s, dir, "documents"), 0.5)
+      PairGraph.jaccard(s, dir, 0.5)
         .select(col("jac"), (floor(col("jac") * 10) / 10.0).as("jac_lo"))
         .groupBy(col("jac_lo"))
         .agg(count(lit(1)).as("n_pairs"), r6n(avg(col("jac"))).as("mean_jac"))
@@ -835,7 +827,7 @@ object TextDedup {
       * starts at size 2 by construction. */
     "q179_cluster_sizes" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val edges = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+      val edges = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2")).as[(Long, Long)].rdd
       graft.ops.ConnectedComponents.labels(edges)
         .toDF("doc_id", "cluster_id")
@@ -938,11 +930,8 @@ object TextDedup {
       * boundary is grid-stable. */
     "q245_dup_ngram_mass" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val sh = explodeShingles(shingleArrays(docs)).cache()
-      val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(dfc.hint("shuffle_hash"), "sh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"), count_if(col("df") >= 2).as("n_dup"))
+      val perDoc = PairGraph.docStats(s, dir)
+        .select(col("doc_id"), col("n_all").as("n_sh"), col("n_dup"))
       perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1037,21 +1026,8 @@ object TextDedup {
       * the NUDGED ROUNDED value in both engines (q238 flag stance) so
       * the pair-set boundary cannot flip on summation order. */
     "q265_weighted_jaccard" -> ((s: SparkSession, dir: String) => {
-      val (_, sh, _) = cappedIndex(Tables(s, dir, "documents"), DfCap)
-      val dfw = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val shw = sh.join(dfw.hint("shuffle_hash"), "sh")
-        .select(col("doc_id"), col("sh"),
-          (lit(1.0) / col("df")).as("w")).cache()
-      val wsz = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsz"))
-      val inter = shw.as("a")
-        .join(shw.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(col("a.w")).as("wint"), count(lit(1)).as("inter"))
       val wj = r6n(col("wint") / (col("w1") + col("w2") - col("wint")))
-      inter
-        .join(wsz.select(col("doc_id").as("d1"), col("wsz").as("w1")), "d1")
-        .join(wsz.select(col("doc_id").as("d2"), col("wsz").as("w2")), "d2")
+      PairGraph.pairStats(s, dir)
         .filter(wj >= 0.5)
         .select(col("d1"), col("d2"), col("inter"),
           wj.as("weighted_jaccard"))
@@ -1070,7 +1046,7 @@ object TextDedup {
       * integer until the nudged density. */
     "q278_cluster_density" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val pairs = jaccardPairs(Tables(s, dir, "documents"), 0.8)
+      val pairs = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2")).cache()
       val labels = graft.ops.ConnectedComponents
         .labels(pairs.as[(Long, Long)].rdd)
