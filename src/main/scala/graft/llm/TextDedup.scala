@@ -253,7 +253,9 @@ object TextDedup {
           .as("global_cc"))
   }
 
-  val queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = queries1 ++ queries2
+
+  private val queries1: Map[String, Q] = Map(
 
     /** Exact dedup by full content: canonical id = min doc_id per text.
       * The 100 TB form shuffles a content hash instead (q33). */
@@ -350,22 +352,51 @@ object TextDedup {
       * ratio-independent at fixed k and hands the rest to exact
       * verification, which touches candidates only.
       *
-      * Measured crossover (round 8, this host, warm minima): the probe
-      * path costs q127's exact join PLUS ~0.5 s of fixed stage
-      * overhead (probe rank, candidate join, id restriction, pair
-      * semi) MINUS the (1 − k/avg|A|) ≈ 7/8 of self-join volume it
-      * avoids. At sf0.01 that is 0.93 vs 0.39 s and at sf0.1 1.8-2.1
-      * vs 1.0-1.3 s — the fixture's capped Σdf² is so small that the
-      * avoided join volume never covers the overhead, so EXACT WINS AT
-      * EVERY LOCAL SF and the crossover sits beyond the largest local
-      * fixture: the probe path pays off exactly when the capped
-      * self-join volume Σ_sh C(df,2) times its per-row join cost
-      * exceeds ~8/7 × (overhead + probe volume) — boilerplate-heavy
-      * corpora where df saturates the 512 cap on many shingles, i.e.
-      * the 100 TB regime this path exists for, not a 5k-doc sample. */
-    "q131_containment_probe" -> ((s: SparkSession, dir: String) => {
-      val k = 12
-      val (_, sh, sizes) = cappedIndex(Tables(s, dir, "documents"), DfCap)
+      * MEASURED VERDICT (round 9, graft.llm.ProbeCrossover — the
+      * crossover table in BASELINE.md): the probe path loses to the
+      * exact join at EVERY measured size, ~2.2-2.5×, INCLUDING
+      * synthetic df-saturated variants (near-cap boilerplate shingles
+      * at df ≈ 417-500, corpora to 15k docs) — the regime its
+      * avoided-volume argument targeted. The reason is structural:
+      * the candidate-DOC-restricted verify below re-joins the
+      * candidate slice on the shingle key, and one probe of a
+      * near-cap shingle makes all ~df of its holders candidates, so
+      * the verify re-derives the C(df,2) pair volume the probe join
+      * avoided. Candidates are sparse exactly when the exact join is
+      * cheap anyway. The production containment path is therefore
+      * q127 served from the PairGraph store; this query is retained
+      * as the sampled-membership demonstration (ratio-independent
+      * recall is real; the cost advantage is not), with BASELINE.md
+      * carrying its honest price tag. */
+    "q131_containment_probe" -> ((s: SparkSession, dir: String) =>
+      probeContainment(Tables(s, dir, "documents"))),
+  )
+
+  /** The exact containment join (the pre-store q127 body), kept as the
+    * measured baseline for the probe path — see BASELINE.md's
+    * probe-vs-exact crossover table. */
+  private[graft] def exactContainment(docs: DataFrame): DataFrame = {
+    val (_, sh, sizes) = cappedIndex(docs, DfCap)
+    val inter = sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
+      .select(col("d1"), col("d2"),
+        r4n(col("inter") / col("n1")).as("cont_d1"),
+        r4n(col("inter") / col("n2")).as("cont_d2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The q131 probe body, factored so the crossover harness
+    * (ProbeCrossover) can time it against [[exactContainment]] on
+    * synthetic corpus variants. */
+  private[graft] def probeContainment(docs: DataFrame, k: Int = 12): DataFrame = {
+      val (_, sh, sizes) = cappedIndex(docs, DfCap)
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("sh"))
       val probes = sh
@@ -407,7 +438,9 @@ object TextDedup {
           r4n(col("inter") / col("n1")).as("cont_d1"),
           r4n(col("inter") / col("n2")).as("cont_d2"))
         .orderBy(col("d1"), col("d2"))
-    }),
+  }
+
+  private[llm] val queries2: Map[String, Q] = Map(
 
     /** MinHash + LSH near-dup pairs, verified: 48 hash functions in 16
       * bands of 3; candidates = docs sharing any band signature;
