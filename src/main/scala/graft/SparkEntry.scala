@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
     ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
-    ops.Forensics.queries ++
+    ops.Forensics.queries ++ ops.Inference.queries ++ ops.Sketches.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
     llm.PipelineOps.queries ++ llm.CorpusOps.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
     ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
-    ops.Forensics.oracles ++
+    ops.Forensics.oracles ++ ops.Inference.oracles ++ ops.Sketches.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
     llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++

@@ -417,6 +417,49 @@ object Similarity {
       * (cross-cell pairs are unseen — SemDeDup's documented
       * trade-off); the oracle unrolls the identical training + cell
       * assignment, so the check is exact. */
+    /** k-NN-density outlier screen over the embedding cloud — the
+      * "weird vectors" audit (mojibake docs, truncated inputs, wrong
+      * modality) run before any cosine-based curation: a vector whose
+      * 5th-nearest-neighbor distance is far above its cell's average
+      * sits in locally sparse space. Scale shape: train-once cells
+      * (the q86 assignment), distances only WITHIN cells — O(Σk_i²)
+      * never O(n²) — the k-th distance by a per-vector rank window
+      * (n-vector partitions, never a funnel), one bounded per-cell
+      * average, top-10 by the r6n-ROUNDED ratio with id tiebreak
+      * (cross-engine ranking rule). Distances are rounded BEFORE
+      * ranking so a last-ulp cosine difference cannot reorder
+      * neighbors. Cells with < 6 members produce no 5th neighbor and
+      * drop out on both engines. */
+    "q296_knn_outlier" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val assigned = assignCells(e, cents).cache()
+      val dists = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.cent_id").as("cent_id"), col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nb"),
+          r6(lit(1.0) - expr("cosine_sim(a.embedding, b.embedding)")).as("d6"))
+      // rn <= 5 (not == 5) so WindowGroupLimit keeps at most 5 rows
+      // per vector on the MAP side of the rank exchange; the 5th
+      // distance is then the max of the kept rows, and vectors with
+      // fewer than 5 neighbors drop via the exact-count filter
+      val wV = Window.partitionBy(col("vec_id")).orderBy(col("d6"), col("nb"))
+      val dk = dists.withColumn("rn", row_number().over(wV))
+        .filter(col("rn") <= 5)
+        .groupBy(col("cent_id"), col("vec_id"))
+        .agg(count(lit(1)).as("nn"), max(col("d6")).as("dk"))
+        .filter(col("nn") === 5)
+        .select(col("cent_id"), col("vec_id"), col("dk"))
+        .cache() // read by the cell average AND the final join
+      val cellAvg = dk.groupBy(col("cent_id")).agg(avg(col("dk")).as("avg_dk"))
+      dk.join(cellAvg, "cent_id")
+        .select(col("vec_id"), col("cent_id"), col("dk"),
+          r6n(col("dk") / col("avg_dk")).as("outlier_ratio"))
+        .orderBy(desc("outlier_ratio"), asc("vec_id"))
+        .limit(10)
+    }),
+
     "q86_semdedup" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1576,6 +1619,35 @@ object Similarity {
          |GROUP BY 1
          |ORDER BY e.q_id NULLS FIRST""".stripMargin
     },
+
+    // same 2-iteration k=16 Lloyd unroll as q86, within-cell rounded
+    // distances, 5th-neighbor rank, cell average, rounded-ratio rank
+    "q296_knn_outlier" ->
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "os1", "oa1", Some("oc1"))},
+         |${duckKmeansIter("oc1", "os2", "oa2", Some("oc2"))},
+         |${duckKmeansIter("oc2", "os3", "assigned", None)},
+         |dists AS (
+         |  SELECT a.cent_id, a.vec_id, b.vec_id AS nb,
+         |  round(1.0 - ${duckCos("a.embedding", "b.embedding")}, 6) AS d6
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |dk AS (
+         |  SELECT cent_id, vec_id, d6 AS dk FROM (
+         |    SELECT cent_id, vec_id, d6,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d6, nb) AS rn
+         |    FROM dists)
+         |  WHERE rn = 5),
+         |ca AS (SELECT cent_id, avg(dk) AS avg_dk FROM dk GROUP BY 1)
+         |SELECT vec_id, dk.cent_id AS cent_id, dk,
+         |round(dk / avg_dk + 1e-12, 6) AS outlier_ratio
+         |FROM dk JOIN ca ON ca.cent_id = dk.cent_id
+         |ORDER BY outlier_ratio DESC NULLS LAST, vec_id NULLS FIRST
+         |LIMIT 10""".stripMargin,
 
     // trained cells: the same 2-iteration k=16 Lloyd unroll as q122's
     // oracle, plus a third assignment pass over the trained centroids

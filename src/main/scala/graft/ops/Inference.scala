@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables, r2, r6, r6n}
+
+/** Round-9 inferential / decision statistics: Benford digit audit,
+  * Gini concentration, Cramér–von Mises two-sample distance, Wald's
+  * SPRT sequential decision, and score-calibration (reliability bins
+  * + Brier components). Shared stances: integer or literal-embedded
+  * constants wherever a boundary could flip cross-engine, GlobalRank
+  * for anything cumulative (never an unpartitioned window), one
+  * map-side-combined aggregate per scan.
+  */
+object Inference {
+
+  /** Benford expected first-digit shares log10(1 + 1/d), computed
+    * once on the driver and embedded as LITERALS in both engines (the
+    * q44 hyperplane stance) — no cross-engine libm in any plan. */
+  private val benford: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** First decimal digit of a positive double: floor to BIGINT, cast
+    * to string, take the first character — INTEGER formatting is
+    * exact and identical on any engine (it is float formatting that
+    * differs), so no log10 and no division ladder is needed. (A
+    * nested CASE halving ladder was tried first and REVERTED: each
+    * level references its operand three times, so 18 textual levels
+    * build a 3^18-node expression — the driver OOMs composing the
+    * string.) */
+  private def firstDigitSql(x: String): String =
+    s"CAST(substr(CAST(CAST(floor($x) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)"
+
+  private def firstDigitSpark(x: String): String =
+    s"CAST(substring(CAST(CAST(floor($x) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+
+    /** Benford first-digit audit of order totals — the classic
+      * fabricated-data / unit-mixing screen a DQ pipeline runs on any
+      * financial column: organic multi-scale amounts follow
+      * P(d) = log10(1+1/d); a flat or spiked digit histogram flags
+      * synthetic, truncated, or re-priced data. The first digit
+      * derives by INTEGER halving (no log10/format in-plan — a
+      * near-power-of-ten float could round differently per engine);
+      * the Benford expectations ride both plans as driver literals.
+      * One scan, one 9-bucket combine: scan-speed at any corpus. */
+    "q288_benford_audit" -> ((s: SparkSession, dir: String) => {
+      val expCase = benford.foldLeft(lit(null).cast("double")) {
+        case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+      Tables(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(expr(firstDigitSpark("o_totalprice")).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("digit"), lit(1)))))
+        .select(col("digit"), col("n"),
+          r6n(col("n").cast("double") / col("total")).as("share"),
+          r6(expCase).as("benford_share"),
+          r6n(col("n").cast("double") / col("total") - expCase).as("deviation"))
+        .orderBy(col("digit"))
+    }),
+
+    /** Gini concentration of customer revenue — the inequality scalar
+      * behind quota, fraud, and dependency-risk reads ("12% of
+      * customers are 60% of revenue"). Distributed exactly:
+      * per-customer revenue (one map-side combine), a GLOBAL rank
+      * over (revenue, custkey) via [[GlobalRank.withRowNumbers]] (one
+      * range exchange, never a WindowExec funnel), then ONE aggregate
+      * folds Σi·xᵢ, Σx, n into Gini = (2Σi·xᵢ − (n+1)Σx)/(nΣx); the
+      * tie order can't matter (equal x swap freely in Σi·xᵢ). The
+      * top-decile share reuses the same ranked rows with an integer
+      * cut. */
+    "q289_gini_concentration" -> ((s: SparkSession, dir: String) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val ranked = GlobalRank.withRowNumbers(rev,
+        Seq(col("rev"), col("o_custkey")), "rn", Some("n"))
+      ranked.agg(
+          max(col("n")).as("n_customers"),
+          sum(col("rev")).as("tot"),
+          sum(col("rn").cast("double") * col("rev")).as("iwx"),
+          sum(when(col("rn") > col("n") - expr("n DIV 10"), col("rev"))
+            .otherwise(lit(0.0))).as("top_rev"))
+        .select(col("n_customers"), r2(col("tot")).as("total_rev"),
+          r6((lit(2.0) * col("iwx") -
+            (col("n_customers") + 1).cast("double") * col("tot")) /
+            (col("n_customers").cast("double") * col("tot"))).as("gini"),
+          r6(col("top_rev") / col("tot")).as("top_decile_share"))
+    }),
+
+    /** Cramér–von Mises two-sample distance between error-event and
+      * non-error value distributions — the L² companion to the KS
+      * sup-norm (q33 family): T = (n·m/N²)·Σ_obs (F₁−F₂)², sensitive
+      * to body-wide shifts KS's single supremum misses. Same
+      * distributed shape as the KS/AUC rank machinery: one combined
+      * count row per distinct value, BOTH cumulative counts in ONE
+      * [[GlobalRank.withRunningSums]] exchange, one final fold. The
+      * ecdf convention (right-continuous, evaluated at each
+      * observation) is mirrored exactly in the oracle. */
+    "q290_cvm_two_sample" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("value").cast("double").as("v"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      val g = ev.groupBy(col("v"))
+        .agg(sum(col("e")).as("c1v"), count(lit(1)).as("cv"))
+        .withColumn("c2v", col("cv") - col("c1v"))
+      val c = GlobalRank.withRunningSums(g, Seq(col("v")),
+        Seq("c1v" -> "f1", "c2v" -> "f2"))
+      // the totals n1/n2 fold into the SAME aggregate via the
+      // expansion Σcv(F1−F2)² = A/n1² − 2B/(n1n2) + C/n2² with
+      // A=Σcv·f1², B=Σcv·f1·f2, C=Σcv·f2² — no totals broadcast, no
+      // window funnel (the q138/q164 identity stance). Products go
+      // through DOUBLE before multiplying (ANSI long-overflow guard,
+      // exact to 2^53; op order mirrored in the oracle).
+      val cd = (n: String) => col(n).cast("double")
+      c.agg(sum(col("c1v")).as("n1"), sum(col("c2v")).as("n2"),
+          sum(cd("cv") * cd("f1") * cd("f1")).as("a"),
+          sum(cd("cv") * cd("f1") * cd("f2")).as("b"),
+          sum(cd("cv") * cd("f2") * cd("f2")).as("cc"))
+        .select(col("n1"), col("n2"),
+          r6n((cd("n1") * cd("n2")) /
+            ((cd("n1") + cd("n2")) * (cd("n1") + cd("n2"))) *
+            (col("a") / (cd("n1") * cd("n1")) -
+             lit(2.0) * col("b") / (cd("n1") * cd("n2")) +
+             col("cc") / (cd("n2") * cd("n2")))).as("t_cvm"))
+    }),
+
+    /** Wald SPRT over the event stream, per type — the SEQUENTIAL
+      * decision primitive (accept/reject with bounded error at the
+      * earliest possible n) that batch tests can't give: testing
+      * H₁: P(value > 50) = 0.6 vs H₀: 0.4 at α = β = 0.05, the
+      * log-likelihood walk is ln(1.5)·(2S−n), so the WHOLE TEST IS AN
+      * INTEGER WALK W = 2S−n with decision at the first |W| ≥ 8
+      * (⌈ln19/ln1.5⌉) — no float anywhere, engine-proof by
+      * construction. Per-type cumulative sums over (ts, event_id)
+      * order ride ONE global [[GlobalRank.withRunningSums]] exchange
+      * with per-type offsets subtracted (the q163 grouped-cumsum
+      * pattern — never a per-type WindowExec funnel, which would put
+      * a fifth of a 100 TB stream in one task). */
+    "q291_sprt_sequential" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("ts"), col("event_id"),
+          when(col("value") > 50.0, 1L).otherwise(-1L).as("step"),
+          lit(1L).as("one"))
+      val c = GlobalRank.withRunningSums(ev,
+        Seq(col("t"), col("ts"), col("event_id")),
+        Seq("step" -> "cw", "one" -> "crn"))
+      // per-type offsets: totals of all PRECEDING types (bounded by
+      // the type domain; the offsets window partitions on a
+      // non-foldable constant key, the q67 counts-table stance)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(length(col("t")), lit(1)))
+        .orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = c.groupBy(col("t"))
+        .agg(sum(col("step")).as("tw"), count(lit(1)).as("tn"))
+        .select(col("t"),
+          coalesce(sum(col("tw")).over(w), lit(0L)).as("ow"),
+          coalesce(sum(col("tn")).over(w), lit(0L)).as("on"))
+      val walk = c.join(broadcast(offs), "t")
+        .select(col("t"), (col("cw") - col("ow")).as("w"),
+          (col("crn") - col("on")).as("n"))
+      val hit = walk.filter(abs(col("w")) >= 8)
+        .groupBy(col("t"))
+        .agg(min(struct(col("n"), col("w"))).as("first"))
+        .select(col("t"), col("first.n").as("n_at_decision"),
+          col("first.w").as("w_at_decision"))
+      walk.groupBy(col("t")).agg(count(lit(1)).as("n_events"))
+        .join(hit, Seq("t"), "left")
+        .select(col("t").as("event_type"), col("n_events"),
+          coalesce(col("n_at_decision"), lit(0L)).as("n_at_decision"),
+          coalesce(col("w_at_decision"), lit(0L)).as("w_at_decision"),
+          when(col("w_at_decision") >= 8, "accept_h1")
+            .when(col("w_at_decision") <= -8, "accept_h0")
+            .otherwise("inconclusive").as("decision"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Score calibration audit — reliability bins + Brier components
+      * for a deterministic logistic score of order value predicting
+      * high priority: the "is this model's 0.7 actually 70%?" read
+      * that AUC (q138) cannot give (AUC is rank-only; a miscalibrated
+      * monotone score keeps its AUC). Bins cut on the r6-ROUNDED
+      * score in BOTH engines so a last-ulp exp() difference cannot
+      * flip a boundary (the cross-engine float-ranking rule applied
+      * to binning). Per bin: volume, mean score (accumulated floats,
+      * off-grid), empirical rate (integer rational, nudged), Brier
+      * contribution. One scan, bounded combine. */
+    "q292_brier_calibration" -> ((s: SparkSession, dir: String) => {
+      val score = lit(1.0) /
+        (lit(1.0) + exp(-(col("o_totalprice") / lit(100000.0) - lit(2.5))))
+      val y = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L)
+      Tables(s, dir, "orders")
+        .select(r6(score).as("s6"), y.as("y"),
+          (score - y.cast("double")).as("err"))
+        .select(least(floor(col("s6") * 10).cast("long"), lit(9L)).as("bin"),
+          col("s6"), col("y"), (col("err") * col("err")).as("sq"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          r6n(avg(col("s6"))).as("mean_score"),
+          r6n(avg(col("y").cast("double"))).as("event_rate"),
+          r6(sum(col("sq"))).as("brier_sum"))
+        .orderBy(col("bin"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q288_benford_audit" -> {
+      val expCase = benford.map { case (d, p) =>
+        s"WHEN digit = $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT ${firstDigitSql("o_totalprice")} AS digit
+         |  FROM orders WHERE o_totalprice >= 1.0),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM g)
+         |SELECT digit, n,
+         |round(n * 1.0 / total + 1e-12, 6) AS share,
+         |round(CASE $expCase END, 6) AS benford_share,
+         |round(n * 1.0 / total - CASE $expCase END + 1e-12, 6) AS deviation
+         |FROM g CROSS JOIN t
+         |ORDER BY digit NULLS FIRST""".stripMargin
+    },
+
+    "q289_gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+        |  count(*) OVER () AS n
+        |  FROM rev)
+        |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        |round(sum(rev), 2) AS total_rev,
+        |round((2.0 * sum(rn * rev) - (max(n) + 1) * sum(rev))
+        |  / (max(n) * sum(rev)), 6) AS gini,
+        |round(sum(CASE WHEN rn > max_n - max_n // 10 THEN rev ELSE 0.0 END)
+        |  / sum(rev), 6) AS top_decile_share
+        |FROM (SELECT rev, rn, n, max(n) OVER () AS max_n FROM r)""".stripMargin,
+
+    "q290_cvm_two_sample" ->
+      """WITH ev AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(sum(e) AS BIGINT) AS c1v,
+        |  CAST(count(*) AS BIGINT) AS cv
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT v, c1v, cv, cv - c1v AS c2v,
+        |  sum(c1v) OVER (ORDER BY v) AS f1,
+        |  sum(cv - c1v) OVER (ORDER BY v) AS f2
+        |  FROM g),
+        |f AS (
+        |  SELECT CAST(sum(c1v) AS BIGINT) AS n1, CAST(sum(c2v) AS BIGINT) AS n2,
+        |  sum(CAST(cv AS DOUBLE) * CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)) AS a,
+        |  sum(CAST(cv AS DOUBLE) * CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE)) AS b,
+        |  sum(CAST(cv AS DOUBLE) * CAST(f2 AS DOUBLE) * CAST(f2 AS DOUBLE)) AS c2
+        |  FROM c)
+        |SELECT n1, n2,
+        |round((n1 * 1.0 * n2) / ((n1 * 1.0 + n2) * (n1 * 1.0 + n2))
+        |  * (a / (n1 * 1.0 * n1) - 2.0 * b / (n1 * 1.0 * n2)
+        |     + c2 / (n2 * 1.0 * n2)) + 1e-12, 6) AS t_cvm
+        |FROM f""".stripMargin,
+
+    "q291_sprt_sequential" ->
+      """WITH ev AS (
+        |  SELECT event_type AS t, ts, event_id,
+        |  CASE WHEN value > 50.0 THEN 1 ELSE -1 END AS step
+        |  FROM events),
+        |w AS (
+        |  SELECT t,
+        |  sum(step) OVER (PARTITION BY t ORDER BY ts, event_id) AS w,
+        |  row_number() OVER (PARTITION BY t ORDER BY ts, event_id) AS n
+        |  FROM ev),
+        |hit AS (
+        |  SELECT t, n AS n_at_decision, w AS w_at_decision FROM (
+        |    SELECT t, n, w,
+        |    row_number() OVER (PARTITION BY t ORDER BY n) AS rk
+        |    FROM w WHERE abs(w) >= 8)
+        |  WHERE rk = 1),
+        |tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY 1)
+        |SELECT tot.t AS event_type, n_events,
+        |CAST(coalesce(n_at_decision, 0) AS BIGINT) AS n_at_decision,
+        |CAST(coalesce(w_at_decision, 0) AS BIGINT) AS w_at_decision,
+        |CASE WHEN w_at_decision >= 8 THEN 'accept_h1'
+        |     WHEN w_at_decision <= -8 THEN 'accept_h0'
+        |     ELSE 'inconclusive' END AS decision
+        |FROM tot LEFT JOIN hit ON hit.t = tot.t
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q292_brier_calibration" ->
+      """WITH s AS (
+        |  SELECT round(1.0 / (1.0 + exp(-(o_totalprice / 100000.0 - 2.5))), 6)
+        |    AS s6,
+        |  1.0 / (1.0 + exp(-(o_totalprice / 100000.0 - 2.5))) AS sc,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+        |    AS y
+        |  FROM orders)
+        |SELECT least(CAST(floor(s6 * 10) AS BIGINT), 9) AS bin,
+        |CAST(count(*) AS BIGINT) AS n,
+        |round(avg(s6) + 1e-12, 6) AS mean_score,
+        |round(avg(y * 1.0) + 1e-12, 6) AS event_rate,
+        |round(sum((sc - y) * (sc - y)), 6) AS brier_sum
+        |FROM s GROUP BY 1
+        |ORDER BY bin NULLS FIRST""".stripMargin
+  )
+}

@@ -131,6 +131,14 @@ class PlanQualitySpec extends SparkSuite {
     // q231: the exact arm's broadcast side is the 3-row query-document
     // block (q42/q182 anchor class — bounded at any sf)
     "q231_chunk_retrieval",
+    // q282: the q57 serve twin — the broadcast side is the ONE-ROW
+    // query-vector block; centroids are driver literals read from the
+    // k·d state table, members fetched by equi-join on cell id
+    "q282_ivf_serve",
+    // q294: the sketch pair-expansion joins the 20-source domain list
+    // (data-independent, the q240 lang-domain class) to the k=128
+    // sketch rows — ≤ sources·k rows regardless of corpus volume
+    "q294_kmv_source_overlap",
     // q216: the broadcast sides are the ONE-ROW censoring-time,
     // total-count, and max-death-hour folds — provably 1 row each
     "q216_km_survival",
