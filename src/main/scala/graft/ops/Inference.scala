@@ -182,6 +182,188 @@ object Inference {
         .orderBy(col("event_type"))
     }),
 
+    /** Autocorrelation + Ljung-Box over the daily event-count series —
+      * the time-series memory diagnostic behind seasonality and
+      * forecasting choices (q275's seasonal-naive baseline assumes
+      * lag-7 structure; this MEASURES it). The daily series is
+      * calendar-bounded at any corpus volume (100 TB of events still
+      * aggregates to #days rows), so it folds to ONE row whose array
+      * column carries the day-ordered counts; all ten lags derive as
+      * pure sequential HOF folds over that array (identical op order
+      * to the oracle's list_reduce), and the Ljung-Box statistic
+      * accumulates the same folds per prefix. One scan, one
+      * calendar-bounded aggregate, a 10-row explode. */
+    "q297_acf_ljungbox" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val series = daily.agg(expr(
+        "transform(array_sort(collect_list(struct(day, c))), t -> t.c)").as("xs"))
+      // element_at, NOT xs[i]: Spark's bracket indexing is 0-based
+      // while the oracle's DuckDB lists are 1-based
+      val acfOf = (k: String) =>
+        s"""aggregate(transform(sequence(1, size(xs) - $k),
+           |  i -> (element_at(xs, i) - m) * (element_at(xs, i + $k) - m)),
+           |  0D, (a, x) -> a + x) / den""".stripMargin
+      series
+        .select(col("xs"), explode(expr("sequence(1, 10)")).as("lag"))
+        .withColumn("m", expr(
+          "aggregate(xs, 0D, (a, x) -> a + x) / size(xs)"))
+        .withColumn("den", expr(
+          "aggregate(transform(xs, x -> (x - m) * (x - m)), 0D, (a, x) -> a + x)"))
+        .withColumn("acf", expr(acfOf("lag")))
+        .withColumn("lb", expr(
+          s"""cast(size(xs) as double) * (size(xs) + 2) *
+             |aggregate(transform(sequence(1, lag),
+             |  j -> (${acfOf("j")}) * (${acfOf("j")}) / (size(xs) - j)),
+             |  0D, (a, x) -> a + x)""".stripMargin))
+        .select(col("lag").cast("long").as("lag"),
+          graft.r6(col("acf")).as("acf"), graft.r6(col("lb")).as("ljung_box"))
+        .orderBy(col("lag"))
+    }),
+
+    /** k-anonymity / l-diversity audit — the privacy screen a
+      * training-data pipeline runs before releasing joined user data:
+      * under quasi-identifiers (nation, account-balance band), how
+      * many equivalence classes are smaller than k (re-identifiable)
+      * and how many rows they expose, for k ∈ {2, 5, 10}; plus the
+      * l-diversity failure (classes with a single sensitive value —
+      * here market segment — where membership leaks the attribute).
+      * One QI combine bounded by the QI domain, a 3-way literal
+      * explode, integer everything (FloatAudit-clean shares via
+      * nudged rounding). */
+    "q298_kanon_audit" -> ((s: SparkSession, dir: String) => {
+      val groups = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+          col("c_mktsegment").as("seg"))
+        .groupBy(col("nat"), col("band"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("seg")).as("nseg"))
+      groups
+        .select(col("sz"), col("nseg"), explode(expr("array(2, 5, 10)")).as("k"))
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_rows"),
+          count_if(col("sz") < col("k")).as("groups_below_k"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          count_if(col("nseg") === 1).as("groups_l1"),
+          sum(when(col("nseg") === 1, col("sz")).otherwise(0L)).as("rows_l1"))
+        .select(col("k"), col("n_groups"), col("groups_below_k"),
+          col("rows_at_risk"),
+          r6n(col("rows_at_risk").cast("double") / col("n_rows"))
+            .as("risk_share"),
+          col("groups_l1"), col("rows_l1"))
+        .orderBy(col("k"))
+    }),
+
+    /** Per-user action-mix entropy census — the bot/script screen: a
+      * user whose events are one type has H = 0 (scripted), an
+      * organic user mixes. H folds from integer counts by the
+      * order-free identity H = ln(n) − (Σc·ln c)/n (one per-user
+      * combine, no per-user float sum ordering to disagree on), and
+      * the census keys on the INTEGER distinct-type count with mean-H
+      * per class — no float banding boundary anywhere. */
+    "q299_user_entropy" -> ((s: SparkSession, dir: String) => {
+      val ut = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val perUser = ut.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_ev"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clnc"))
+        .select(col("user_id"), col("n_types"), col("n_ev"),
+          (log(col("n_ev").cast("double")) -
+            col("clnc") / col("n_ev").cast("double")).as("h"))
+      perUser.groupBy(col("n_types"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_ev")).as("total_events"),
+          r6(avg(col("h"))).as("mean_entropy"),
+          r6(max(col("h"))).as("max_entropy"))
+        .orderBy(col("n_types"))
+    }),
+
+    /** Inter-arrival burstiness per event type — Poisson-ness of the
+      * arrival process (capacity planning reads assume CV ≈ 1;
+      * CV ≫ 1 means bursts, CV ≪ 1 a scheduler): per-type
+      * microsecond gaps between consecutive events. Per-type
+      * consecutive pairing WITHOUT a per-type window funnel: the
+      * q291 machinery gives each event its within-type index from
+      * ONE global running-sum exchange, and gaps come from the
+      * (type, i) ⋈ (type, i+1) equi-join. Gap moments are integer
+      * micros (mean gap an exact rational, nudged); CV passes
+      * through one sqrt — off-grid, plain r6. */
+    "q300_interarrival_burstiness" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"), lit(1L).as("one"))
+      val c = GlobalRank.withRunningSums(ev,
+        Seq(col("t"), col("ts"), col("event_id")), Seq("one" -> "crn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(length(col("t")), lit(1))).orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = c.groupBy(col("t")).agg(count(lit(1)).as("tn"))
+        .select(col("t"), coalesce(sum(col("tn")).over(w), lit(0L)).as("on"))
+      val idx = c.join(broadcast(offs), "t")
+        .select(col("t"), (col("crn") - col("on")).as("i"), col("us"))
+      val gaps = idx.as("a")
+        .join(idx.as("b"), col("a.t") === col("b.t") &&
+          col("a.i") + 1 === col("b.i"))
+        .select(col("a.t").as("t"), (col("b.us") - col("a.us")).as("g"))
+      gaps.groupBy(col("t"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+          sum(col("g").cast("double") * col("g").cast("double")).as("sg2"))
+        .select(col("t").as("event_type"), col("n_gaps"),
+          // BIGINT micro mean: at 1e10-microsecond magnitudes a 6-dp
+          // double round is below the ulp — integer division is the
+          // engine-proof form (the q202 micro-ratio stance)
+          expr("sg DIV n_gaps").as("mean_gap_us"),
+          r6(sqrt(col("sg2") / col("n_gaps") -
+            (col("sg").cast("double") / col("n_gaps")) *
+            (col("sg").cast("double") / col("n_gaps"))) /
+            (col("sg").cast("double") / col("n_gaps"))).as("cv"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Q-Q decile shift profile between document-corpus halves — the
+      * drift LOCALIZER: KS/PSI say "the length distribution moved";
+      * this says WHERE (per decile boundary, by how many characters).
+      * A DISCRETE rank convention (value at rank ⌊p(n−1)⌋+1) keeps
+      * every output an integer — no interpolation float, no
+      * cross-engine quantile_cont op-order dependency, FloatAudit
+      * clean. Per-half ranks from ONE global range exchange
+      * ([[GlobalRank.withRowNumbers]] over (half, value, id)) with
+      * the 2-row per-half offset/count table joined back (the q291
+      * offset stance, never a per-half WindowExec funnel). */
+    "q301_qq_shift" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(2)).as("h"), col("n_chars"),
+          col("doc_id"))
+      val ranked = GlobalRank.withRowNumbers(d,
+        Seq(col("h"), col("n_chars"), col("doc_id")), "rn")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("h"), lit(1))).orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = ranked.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+        .select(col("h"), col("nh"),
+          coalesce(sum(col("nh")).over(w), lit(0L)).as("oh"))
+      val local = ranked.join(broadcast(offs), "h")
+        .select(col("h"), col("n_chars"), col("nh"),
+          (col("rn") - col("oh")).as("r"))
+      val picks = local
+        .select(col("h"), col("n_chars"),
+          explode(expr("sequence(1, 9)")).as("p"),
+          col("r"), col("nh"))
+        .filter(col("r") ===
+          floor(col("p").cast("double") / 10.0 * (col("nh") - 1)).cast("long") + 1)
+      picks.groupBy((col("p") * 10).cast("long").as("pct"))
+        .agg(max(when(col("h") === 0, col("n_chars"))).as("q_even"),
+          max(when(col("h") === 1, col("n_chars"))).as("q_odd"))
+        .select(col("pct"), col("q_even"), col("q_odd"),
+          (col("q_odd") - col("q_even")).as("shift"))
+        .orderBy(col("pct"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -295,6 +477,113 @@ object Inference {
         |     ELSE 'inconclusive' END AS decision
         |FROM tot LEFT JOIN hit ON hit.t = tot.t
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q297_acf_ljungbox" -> {
+      val acfOf = (k: String) =>
+        s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, n - $k),
+           |    i -> (xs[i] - m) * (xs[i + $k] - m))), (a, x) -> a + x) / den)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS c
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT list(c ORDER BY day) AS xs FROM daily),
+         |l AS (SELECT unnest(generate_series(1, 10)) AS lag),
+         |base AS (
+         |  SELECT lag, xs, len(xs) AS n,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, x) -> a + x)
+         |    / len(xs) AS m
+         |  FROM s CROSS JOIN l),
+         |wden AS (
+         |  SELECT lag, xs, n, m,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(xs, x -> (x - m) * (x - m))), (a, x) -> a + x) AS den
+         |  FROM base)
+         |SELECT CAST(lag AS BIGINT) AS lag,
+         |round(${acfOf("lag")}, 6) AS acf,
+         |round(CAST(n AS DOUBLE) * (n + 2) *
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, lag),
+         |      j -> ${acfOf("j")} * ${acfOf("j")} / (n - j))),
+         |    (a, x) -> a + x), 6) AS ljung_box
+         |FROM wden
+         |ORDER BY lag NULLS FIRST""".stripMargin
+    },
+
+    "q298_kanon_audit" ->
+      """WITH g AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS sz,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nseg
+        |  FROM customer GROUP BY 1, 2),
+        |e AS (SELECT sz, nseg, unnest([2, 5, 10]) AS k FROM g)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |CAST(count(*) AS BIGINT) AS n_groups,
+        |CAST(count(*) FILTER (sz < k) AS BIGINT) AS groups_below_k,
+        |CAST(coalesce(sum(sz) FILTER (sz < k), 0) AS BIGINT) AS rows_at_risk,
+        |round(coalesce(sum(sz) FILTER (sz < k), 0) * 1.0 / sum(sz) + 1e-12, 6)
+        |  AS risk_share,
+        |CAST(count(*) FILTER (nseg = 1) AS BIGINT) AS groups_l1,
+        |CAST(coalesce(sum(sz) FILTER (nseg = 1), 0) AS BIGINT) AS rows_l1
+        |FROM e GROUP BY 1
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q299_user_entropy" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_ev,
+        |  ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+        |  FROM ut GROUP BY 1)
+        |SELECT n_types, CAST(count(*) AS BIGINT) AS n_users,
+        |CAST(sum(n_ev) AS BIGINT) AS total_events,
+        |round(avg(h), 6) AS mean_entropy,
+        |round(max(h), 6) AS max_entropy
+        |FROM pu GROUP BY 1
+        |ORDER BY n_types NULLS FIRST""".stripMargin,
+
+    "q300_interarrival_burstiness" ->
+      """WITH idx AS (
+        |  SELECT event_type AS t, epoch_us(ts) AS us,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |gaps AS (
+        |  SELECT a.t, b.us - a.us AS g
+        |  FROM idx a JOIN idx b ON a.t = b.t AND a.i + 1 = b.i),
+        |m AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(g) AS BIGINT) AS sg,
+        |  sum(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)) AS sg2
+        |  FROM gaps GROUP BY 1)
+        |SELECT t AS event_type, n_gaps,
+        |CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+        |round(sqrt(sg2 / n_gaps - (sg * 1.0 / n_gaps) * (sg * 1.0 / n_gaps))
+        |  / (sg * 1.0 / n_gaps), 6) AS cv
+        |FROM m
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q301_qq_shift" ->
+      """WITH d AS (
+        |  SELECT doc_id % 2 AS h, n_chars, doc_id FROM documents),
+        |r AS (
+        |  SELECT h, n_chars,
+        |  row_number() OVER (PARTITION BY h ORDER BY n_chars, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY h) AS nh
+        |  FROM d),
+        |picks AS (
+        |  SELECT h, n_chars, p
+        |  FROM r, unnest(generate_series(1, 9)) AS t(p)
+        |  WHERE r = CAST(floor(p / 10.0 * (nh - 1)) AS BIGINT) + 1)
+        |SELECT CAST(p * 10 AS BIGINT) AS pct,
+        |CAST(max(CASE WHEN h = 0 THEN n_chars END) AS BIGINT) AS q_even,
+        |CAST(max(CASE WHEN h = 1 THEN n_chars END) AS BIGINT) AS q_odd,
+        |CAST(max(CASE WHEN h = 1 THEN n_chars END)
+        |  - max(CASE WHEN h = 0 THEN n_chars END) AS BIGINT) AS shift
+        |FROM picks GROUP BY 1
+        |ORDER BY pct NULLS FIRST""".stripMargin,
 
     "q292_brier_calibration" ->
       """WITH s AS (
