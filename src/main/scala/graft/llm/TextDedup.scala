@@ -280,10 +280,14 @@ object TextDedup {
         .orderBy(col("canonical_id"))
     }),
 
-    /** Ground-truth near-dup pairs: 3-shingle Jaccard ≥ 0.5 via
-      * inverted-index join (no cross join anywhere), stop-shingles
-      * df-capped out of the universe (cap mirrored in the oracle —
-      * see [[cappedIndex]]); q35 is the banded linear-cost path. */
+    /** Ground-truth near-dup pairs: 3-shingle Jaccard ≥ 0.5 over the
+      * df-capped universe (cap mirrored in the oracle — see
+      * [[cappedIndex]]); q35 is the banded linear-cost path. Round 9:
+      * SERVED from the persisted pair-graph store ([[PairGraph]] —
+      * the inverted-index join runs once per corpus at seed time, and
+      * the division on the stored integers reproduces the in-plan
+      * doubles bit-for-bit; the from-first-principles oracle now
+      * doubles as the store's staleness guard). */
     "q34_dedup_jaccard" -> ((s: SparkSession, dir: String) => {
       PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2"), r4n(col("jac")).as("jaccard"))
@@ -295,13 +299,14 @@ object TextDedup {
       * |A∩B| / min(|A|,|B|) ≥ 0.9. Jaccard misses the asymmetric
       * case this exists for: a short document wholly embedded in a
       * long one (boilerplate wrapping, quote inflation) scores
-      * jac = |A|/|B| ≈ 0 but containment ≈ 1. Same df-capped
-      * inverted-index machinery as q34 (candidates only from shared
-      * non-stop shingles, never all pairs — the cap matters MORE here
-      * than for jaccard, because a short boilerplate-heavy doc is
-      * exactly the thing containment flags); both directional
-      * containments are reported so the consumer can tell sub-document
-      * from near-identical. q131 is the banded linear-cost path. */
+      * jac = |A|/|B| ≈ 0 but containment ≈ 1. Served from the
+      * persisted pair-graph store (round 9, [[PairGraph]]): the
+      * stored (inter, n1, n2) integers reproduce both directional
+      * containments exactly, so the production containment read is a
+      * store scan + filter (0.45 s vs 2.25 s in-plan at sf0.1 —
+      * BASELINE.md), which the measured probe-vs-exact table says is
+      * also the right answer at scale (q131's sampled-membership
+      * probe lost at every measured size). */
     "q127_containment" -> ((s: SparkSession, dir: String) => {
       PairGraph.pairStats(s, dir)
         .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
@@ -955,12 +960,12 @@ object TextDedup {
       * thousands of otherwise-distinct docs never crosses q34's
       * pairwise Jaccard threshold and is invisible to q161's copy
       * matrix, but it is exactly the memorization mass this census
-      * weighs. Linear at any scale: shuffles carry the 8-byte shingle
-      * hash (map-side-combined df counts, one shuffle-hash join
-      * back), per-doc and per-source fractions derive from INTEGER
-      * TOTALS (q202 stance), and the heavy-doc flag compares the
-      * NUDGED r6 ratio in both engines (q238 flag stance) so the
-      * boundary is grid-stable. */
+      * weighs. Round 9: the per-doc (n_all, n_dup) integers are read
+      * from the pair-graph store's docStats table ([[PairGraph]] —
+      * the uncapped df join runs once at seed time); per-doc and
+      * per-source fractions derive from INTEGER TOTALS (q202 stance),
+      * and the heavy-doc flag compares the NUDGED r6 ratio in both
+      * engines (q238 flag stance) so the boundary is grid-stable. */
     "q245_dup_ngram_mass" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
       val perDoc = PairGraph.docStats(s, dir)
@@ -1051,10 +1056,11 @@ object TextDedup {
       * that agree only on stock phrases score low — the pair set
       * plain q34 structurally cannot produce (its count-based measure
       * values "of the quarter" and a verbatim rare paragraph
-      * equally). Same linear machinery as q34 — the df count is
-      * computed ONCE and rides the inverted index as the weight, the
-      * pair join stays on the df-capped 8-byte hash universe — so the
-      * rarity weighting is free at any scale. The weighted measure is
+      * equally). Served from the pair-graph store (round 9): the
+      * rarity weights (1/df) were folded into the seed derivation as
+      * the `wint`/`wsz` columns, so the weighted measure reads the
+      * same store rows every other dedup diagnostic reads — the
+      * weighting is free at any scale. The weighted measure is
       * a fold of small-denominator rationals: the threshold compares
       * the NUDGED ROUNDED value in both engines (q238 flag stance) so
       * the pair-set boundary cannot flip on summation order. */

@@ -218,7 +218,7 @@ object Inference {
              |  j -> (${acfOf("j")}) * (${acfOf("j")}) / (size(xs) - j)),
              |  0D, (a, x) -> a + x)""".stripMargin))
         .select(col("lag").cast("long").as("lag"),
-          graft.r6(col("acf")).as("acf"), graft.r6(col("lb")).as("ljung_box"))
+          r6n(col("acf")).as("acf"), r6n(col("lb")).as("ljung_box"))
         .orderBy(col("lag"))
     }),
 
@@ -318,7 +318,7 @@ object Inference {
           // double round is below the ulp — integer division is the
           // engine-proof form (the q202 micro-ratio stance)
           expr("sg DIV n_gaps").as("mean_gap_us"),
-          r6(sqrt(col("sg2") / col("n_gaps") -
+          r6n(sqrt(col("sg2") / col("n_gaps") -
             (col("sg").cast("double") / col("n_gaps")) *
             (col("sg").cast("double") / col("n_gaps"))) /
             (col("sg").cast("double") / col("n_gaps"))).as("cv"))
@@ -499,12 +499,12 @@ object Inference {
          |    list_transform(xs, x -> (x - m) * (x - m))), (a, x) -> a + x) AS den
          |  FROM base)
          |SELECT CAST(lag AS BIGINT) AS lag,
-         |round(${acfOf("lag")}, 6) AS acf,
+         |round(${acfOf("lag")} + 1e-12, 6) AS acf,
          |round(CAST(n AS DOUBLE) * (n + 2) *
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list_transform(generate_series(1, lag),
          |      j -> ${acfOf("j")} * ${acfOf("j")} / (n - j))),
-         |    (a, x) -> a + x), 6) AS ljung_box
+         |    (a, x) -> a + x) + 1e-12, 6) AS ljung_box
          |FROM wden
          |ORDER BY lag NULLS FIRST""".stripMargin
     },
@@ -561,7 +561,7 @@ object Inference {
         |SELECT t AS event_type, n_gaps,
         |CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
         |round(sqrt(sg2 / n_gaps - (sg * 1.0 / n_gaps) * (sg * 1.0 / n_gaps))
-        |  / (sg * 1.0 / n_gaps), 6) AS cv
+        |  / (sg * 1.0 / n_gaps) + 1e-12, 6) AS cv
         |FROM m
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 

@@ -17,6 +17,9 @@ final case class QuantileEstimate(event_type: String, n: Long,
   p25: Double, p50: Double, p75: Double)
 final case class RollState(ts: Array[Long], vs: Array[Double], cumN: Long, cumA: Long)
 final case class AnomalyCount(event_type: String, n_events: Long, n_anomalies: Long)
+final case class SprtState(w: Long, n: Long, decN: Long, decW: Long)
+final case class SprtSummary(event_type: String, n_events: Long,
+  n_at_decision: Long, w_at_decision: Long, decision: String)
 
 /** Sketch mechanics for [[EventStreams.quantileSketch]] — top-level so
   * the flatMapGroupsWithState closure references a serializable module
@@ -519,6 +522,48 @@ object EventStreams {
           }
           state.update(RollState(buf.map(_._1).toArray, buf.map(_._2).toArray, cumN, cumA))
           Iterator.single(AnomalyCount(etype, cumN, cumA))
+      }
+  }
+
+  /** LIVE Wald SPRT — the streaming twin of batch q291, and the form
+    * the sequential test is actually MEANT to run in: the
+    * log-likelihood walk updates as events arrive and the decision
+    * fires at the earliest crossing, not after a batch scan. The
+    * whole test is the integer walk W = 2S − n with decision at the
+    * first |W| ≥ bound (ln19/ln1.5 ⇒ 8 — see q291), so state per
+    * type is FOUR longs: walk value, count, and the frozen
+    * first-crossing (n, W). Within a micro-batch rows apply in
+    * (ts, event_id) order — the feed-order contract of the other
+    * order-sensitive twins; each emission is the refreshed summary
+    * per type, n_events monotone, so the converged row equals batch
+    * q291 (StreamingSpec pins it across a time-split boundary). */
+  def sprtDecisions(spark: SparkSession, events: DataFrame,
+      bound: Long = 8L): Dataset[SprtSummary] = {
+    import spark.implicits._
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SprtState, SprtSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[SprtState]) =>
+          var s = state.getOption.getOrElse(SprtState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (tsUs(e), e.event_id)).foreach { e =>
+            val step = if (e.value > 50.0) 1L else -1L
+            val w = s.w + step
+            val n = s.n + 1
+            val (dn, dw) =
+              if (s.decN == 0L && math.abs(w) >= bound) (n, w)
+              else (s.decN, s.decW)
+            s = SprtState(w, n, dn, dw)
+          }
+          state.update(s)
+          val decision =
+            if (s.decW >= bound) "accept_h1"
+            else if (s.decW <= -bound) "accept_h0"
+            else "inconclusive"
+          Iterator.single(SprtSummary(etype, s.n, s.decN, s.decW, decision))
       }
   }
 

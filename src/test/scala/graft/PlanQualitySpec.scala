@@ -283,6 +283,19 @@ class PlanQualitySpec extends SparkSuite {
       ("same as ci_lo: order-statistic selection of a nudged-rounded " +
         "value; the sort key is the rounded value itself with replica " +
         "tie-break, so selection is engine-stable too"),
+    "q292_brier_calibration.mean_score" ->
+      ("avg over r6-GRID scores with a NUDGED round as the final step; " +
+        "the inner round is the bin-semantics key (scores are binned on " +
+        "their rounded value), so the mean's operand grid is identical " +
+        "in both engines and the final r6n seals it"),
+    "q296_knn_outlier.dk" ->
+      ("order-statistic SELECTION (max of the rn<=5 rows) of r6-rounded " +
+        "distances — the round defines the neighbor ranking key and the " +
+        "max emits one grid value verbatim, no arithmetic above it"),
+    "q296_knn_outlier.outlier_ratio" ->
+      ("ratio of an r6-grid distance to its cell average of grid values " +
+        "with a NUDGED round as the final step — the inner round is the " +
+        "ranking key (selection), not a value perturbation"),
     "q233_cusum_shift.max_cusum" ->
       ("the emitted value IS round(fold.mx + 1e-12, 6) — a nudged round " +
         "as the final step; the classifier cannot project into the " +

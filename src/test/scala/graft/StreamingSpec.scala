@@ -553,6 +553,52 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming SPRT converges to the batch q291 decisions across a time-split boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sprt_src")
+    val e = Tables(spark, sf, "events")
+    val cut = e.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    e.filter(col("ts").cast("long") < cut).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("ts").cast("long") >= cut).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    move("p0", "f0.parquet", t0 - 60000); move("p1", "f1.parquet", t0)
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    runToMemory(EventStreams.sprtDecisions(spark, normalized).toDF(), "sprt")
+    val streamed = spark.table("sprt").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.maxBy(_.getAs[Long]("n_events")) }
+    val batch = SparkEntry.queries("q291_sprt_sequential")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"type sets differ: stream=${streamed.keySet} batch=${batch.keySet}")
+    streamed.foreach { case (t, r) =>
+      val b = batch(t)
+      assert(r.getAs[Long]("n_events") == b.getAs[Long]("n_events"),
+        s"n_events mismatch at $t")
+      assert(r.getAs[Long]("n_at_decision") == b.getAs[Long]("n_at_decision"),
+        s"n_at_decision mismatch at $t: ${r.getAs[Long]("n_at_decision")} vs " +
+          s"${b.getAs[Long]("n_at_decision")}")
+      assert(r.getAs[Long]("w_at_decision") == b.getAs[Long]("w_at_decision"),
+        s"w_at_decision mismatch at $t")
+      assert(r.getAs[String]("decision") == b.getAs[String]("decision"),
+        s"decision mismatch at $t")
+    }
+  }
+
   test("streaming CUSUM monitor converges to the batch q233 rows across a time-split boundary") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cusum_src")
     val e = Tables(spark, sf, "events")
