@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
     ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
     ops.Forensics.queries ++ ops.Inference.queries ++ ops.Sketches.queries ++
+    ops.GraphAudits.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
     llm.PipelineOps.queries ++ llm.CorpusOps.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
     ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
     ops.Forensics.oracles ++ ops.Inference.oracles ++ ops.Sketches.oracles ++
+    ops.GraphAudits.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
     llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++

@@ -1162,7 +1162,7 @@ object TextDedup {
   /** `capped = false` reproduces the FULL-universe jaccard (the q35
     * minhash contract verifies against uncapped jaccard — its banded
     * candidate generation has no df hot key to cap). */
-  private[llm] def duckJaccard(threshold: String, capped: Boolean = true) = {
+  private[graft] def duckJaccard(threshold: String, capped: Boolean = true) = {
     val shCte = if (capped) duckCappedShingles(DfCap) else s"sh AS ($duckShingles)"
     s"""WITH $shCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

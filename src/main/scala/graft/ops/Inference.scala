@@ -364,6 +364,45 @@ object Inference {
         .orderBy(col("pct"))
     }),
 
+    /** Mann-Kendall trend test per event type — the significance
+      * sibling of the suite's Theil-Sen slope (a slope without a
+      * significance statement cannot gate an alert): S = Σ_{i<j}
+      * sign(x_j − x_i) over the daily count series, tie-corrected
+      * variance, z with the ±1 continuity correction. The pair grid
+      * is span-bounded (the q256 Pettitt stance — O(span²) per type
+      * regardless of corpus volume), S and the variance are EXACT
+      * INTEGERS (var carried as its ×18 numerator), and the trend
+      * flag compares the ROUNDED z in both engines. */
+    "q305_mann_kendall" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")).cache()
+      val sTab = daily.as("a")
+        .join(daily.as("b"),
+          col("a.t") === col("b.t") && col("a.day") < col("b.day"))
+        .groupBy(col("a.t").as("t"))
+        .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+      val ties = daily.groupBy(col("t"), col("c")).agg(count(lit(1)).as("tc"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("nv"), sum(col("tc")).as("n"),
+          sum(col("tc") * (col("tc") - 1) * (col("tc") * 2 + 5)).as("tieterm"))
+      val z = {
+        val varD = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+          col("tieterm")).cast("double") / 18.0
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varD))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varD))
+          .otherwise(lit(0.0))
+      }
+      sTab.join(ties, "t")
+        .select(col("t").as("event_type"), col("n").as("n_days"),
+          col("s_stat"),
+          (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tieterm"))
+            .as("var18"),
+          graft.r6(z).as("z"),
+          (abs(graft.r6(z)) > 1.96).cast("long").as("trend"))
+        .orderBy(col("event_type"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -584,6 +623,36 @@ object Inference {
         |  - max(CASE WHEN h = 0 THEN n_chars END) AS BIGINT) AS shift
         |FROM picks GROUP BY 1
         |ORDER BY pct NULLS FIRST""".stripMargin,
+
+    "q305_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT a.t, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT t, CAST(sum(tc) AS BIGINT) AS n,
+        |  CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tieterm
+        |  FROM (SELECT t, c, count(*) AS tc FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT st.t, s_stat, n,
+        |  n * (n - 1) * (2 * n + 5) - tieterm AS var18
+        |  FROM st JOIN ties ON ties.t = st.t)
+        |SELECT t AS event_type, n AS n_days, s_stat,
+        |CAST(var18 AS BIGINT) AS var18,
+        |round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+        |           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+        |           ELSE 0.0 END, 6) AS z,
+        |CAST(CASE WHEN abs(round(CASE WHEN s_stat > 0
+        |        THEN (s_stat - 1) / sqrt(var18 / 18.0)
+        |      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+        |      ELSE 0.0 END, 6)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS trend
+        |FROM j
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q292_brier_calibration" ->
       """WITH s AS (
