@@ -398,8 +398,8 @@ object Inference {
           col("s_stat"),
           (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tieterm"))
             .as("var18"),
-          graft.r6(z).as("z"),
-          (abs(graft.r6(z)) > 1.96).cast("long").as("trend"))
+          r6n(z).as("z"),
+          (abs(r6n(z)) > 1.96).cast("long").as("trend"))
         .orderBy(col("event_type"))
     }),
 
@@ -646,11 +646,11 @@ object Inference {
         |CAST(var18 AS BIGINT) AS var18,
         |round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
         |           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
-        |           ELSE 0.0 END, 6) AS z,
+        |           ELSE 0.0 END + 1e-12, 6) AS z,
         |CAST(CASE WHEN abs(round(CASE WHEN s_stat > 0
         |        THEN (s_stat - 1) / sqrt(var18 / 18.0)
         |      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
-        |      ELSE 0.0 END, 6)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS trend
+        |      ELSE 0.0 END + 1e-12, 6)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS trend
         |FROM j
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 
