@@ -417,6 +417,38 @@ object Similarity {
       * (cross-cell pairs are unseen — SemDeDup's documented
       * trade-off); the oracle unrolls the identical training + cell
       * assignment, so the check is exact. */
+    /** Inter-label centroid separation matrix — the geometric
+      * complement of q260's kNN accuracy and q279's balance sheet:
+      * classes whose centroids are cosine-close will confuse any
+      * cosine-based classifier or retrieval filter, and the matrix
+      * says WHICH pairs. Fully in-plan and bounded: one posexplode
+      * pass to per-(label, pos) means (post-shuffle labels×64 rows),
+      * centroid dot/norm folds via a pos-keyed self-join of that tiny
+      * grid, all labels² pairs emitted with their centroid cosine.
+      * Means are avg() folds (same engine-sum caveat as every
+      * centroid query — r6 off-grid in practice); ordering on integer
+      * label pairs. */
+    "q306_label_separation" -> ((s: SparkSession, dir: String) => {
+      val g = Tables(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .cache()
+      val dots = g.as("a").join(g.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+        .agg(sum(col("a.m") * col("b.m")).as("dot"))
+      val norms = g.groupBy(col("label"))
+        .agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+      dots
+        .join(norms.select(col("label").as("l1"), col("nrm").as("n1")), "l1")
+        .join(norms.select(col("label").as("l2"), col("nrm").as("n2")), "l2")
+        .select(col("l1"), col("l2"),
+          r6(col("dot") / (col("n1") * col("n2"))).as("centroid_cos"))
+        .orderBy(col("l1"), col("l2"))
+    }),
+
     /** k-NN-density outlier screen over the embedding cloud — the
       * "weird vectors" audit (mojibake docs, truncated inputs, wrong
       * modality) run before any cosine-based curation: a vector whose
@@ -1619,6 +1651,25 @@ object Similarity {
          |GROUP BY 1
          |ORDER BY e.q_id NULLS FIRST""".stripMargin
     },
+
+    // per-(label, pos) means, pos-keyed dot folds, norm folds — the
+    // same aggregation tree as the Spark plan
+    "q306_label_separation" ->
+      """WITH g AS (
+        |  SELECT CAST(label AS BIGINT) AS label, pos,
+        |  avg(CAST(embedding[pos] AS DOUBLE)) AS m
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(pos)
+        |  GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.label AS l1, b.label AS l2, sum(a.m * b.m) AS dot
+        |  FROM g a JOIN g b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM g GROUP BY 1)
+        |SELECT l1, l2, round(dot / (x.nrm * y.nrm), 6) AS centroid_cos
+        |FROM dots
+        |JOIN norms x ON x.label = l1
+        |JOIN norms y ON y.label = l2
+        |ORDER BY l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin,
 
     // same 2-iteration k=16 Lloyd unroll as q86, within-cell rounded
     // distances, 5th-neighbor rank, cell average, rounded-ratio rank

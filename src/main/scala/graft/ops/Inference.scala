@@ -403,6 +403,31 @@ object Inference {
         .orderBy(col("event_type"))
     }),
 
+    /** Join-key skew pre-flight — the shuffle-planning audit every
+      * big join should run before it OOMs one reducer at 3 a.m.: for
+      * each candidate lineitem join key, the group-size profile (max,
+      * top-1 share, skew factor max/mean) that decides between a
+      * plain hash join, AQE skew splitting, and salting. One
+      * map-side-combined count per key + a bounded second-level fold,
+      * tagged rows unioned — integers until the nudged ratios. */
+    "q309_join_key_skew" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      def profile(key: String) =
+        li.groupBy(col(key).as("k")).agg(count(lit(1)).as("g"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("g")).as("n_rows"),
+            max(col("g")).as("max_group"))
+          .select(lit(key).as("join_key"), col("n_keys"), col("n_rows"),
+            col("max_group"),
+            r6n(col("max_group").cast("double") / col("n_rows"))
+              .as("top1_share"),
+            r6n(col("max_group").cast("double") *
+              col("n_keys").cast("double") / col("n_rows").cast("double"))
+              .as("skew_factor"))
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(profile)
+        .reduce(_ unionAll _)
+        .orderBy(col("join_key"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -653,6 +678,21 @@ object Inference {
         |      ELSE 0.0 END + 1e-12, 6)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS trend
         |FROM j
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q309_join_key_skew" -> {
+      def prof(key: String) =
+        s"""SELECT '$key' AS join_key, CAST(count(*) AS BIGINT) AS n_keys,
+           |CAST(sum(g) AS BIGINT) AS n_rows, CAST(max(g) AS BIGINT) AS max_group,
+           |round(max(g) * 1.0 / sum(g) + 1e-12, 6) AS top1_share,
+           |round(max(g) * 1.0 * count(*) / sum(g) + 1e-12, 6) AS skew_factor
+           |FROM (SELECT $key, count(*) AS g FROM lineitem GROUP BY 1)""".stripMargin
+      s"""${prof("l_orderkey")}
+         |UNION ALL
+         |${prof("l_partkey")}
+         |UNION ALL
+         |${prof("l_suppkey")}
+         |ORDER BY join_key NULLS FIRST""".stripMargin
+    },
 
     "q292_brier_calibration" ->
       """WITH s AS (

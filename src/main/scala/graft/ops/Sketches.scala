@@ -130,6 +130,71 @@ object Sketches {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    /** Zipf rank-frequency fit over the head-1000 vocabulary — the
+      * distributional companion to the Heaps'-law growth fit: a
+      * log-log OLS of frequency on rank estimates the Zipf exponent
+      * (natural text ≈ 1; a flat head means templated/synthetic text,
+      * a steep head a degenerate vocabulary), and r² says whether the
+      * power law holds at all. Ranking the 1000-row head uses a
+      * non-foldable-key window (bounded input — the q101 stance,
+      * never a corpus-wide funnel); the fit is one regr_* codegen
+      * fold, identical in both engines. */
+    "q307_zipf_fit" -> ((s: SparkSession, dir: String) => {
+      val counts = tokens(s, dir).groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val top = counts.orderBy(desc("c"), asc("tok")).limit(1000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(length(col("tok")), lit(1)))
+        .orderBy(desc("c"), asc("tok"))
+      val ranked = top.withColumn("r", row_number().over(w))
+        .select(log(col("r").cast("double")).as("lr"),
+          log(col("c").cast("double")).as("lc"))
+      ranked.agg(count(lit(1)).as("n_tokens"),
+          expr("regr_slope(lc, lr)").as("sl"),
+          expr("regr_intercept(lc, lr)").as("ic"),
+          expr("regr_r2(lc, lr)").as("r2"))
+        .select(col("n_tokens"), r6(-col("sl")).as("zipf_exponent"),
+          r6(col("ic")).as("intercept"), r6(col("r2")).as("r_squared"))
+    }),
+
+    /** Precision-recall threshold sweep for the stopword-ratio
+      * English detector — the OPERATING-CURVE view q148's single-point
+      * kappa cannot give: five candidate thresholds, each with its
+      * confusion counts and P/R/F1, so the curator picks the knee
+      * instead of inheriting q41's hardcoded 0.04. One scan; the
+      * (doc × threshold) explode is a 5× literal generator; the ratio
+      * compare is the same exact integer-division double in both
+      * engines (the q41 precedent). Integer confusion counts; P/R/F1
+      * nudged integer rationals. */
+    "q308_threshold_sweep" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select((col("lang") === "en").as("is_en"),
+          (size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+            .cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("sr"))
+      d.select(col("is_en"), col("sr"),
+          explode(expr("array(0.02D, 0.04D, 0.06D, 0.08D, 0.10D)")).as("t"))
+        .groupBy(col("t"))
+        .agg(count_if(col("sr") >= col("t") && col("is_en")).as("tp"),
+          count_if(col("sr") >= col("t") && !col("is_en")).as("fp"),
+          count_if(col("sr") < col("t") && col("is_en")).as("fn"),
+          count_if(col("sr") < col("t") && !col("is_en")).as("tn"))
+        .select(col("t").as("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          // nullif guards: an empty predicted-positive set at the
+          // strictest threshold must yield NULL, not a zero-division
+          r6n(col("tp").cast("double") /
+            nullif((col("tp") + col("fp")).cast("double"), lit(0.0)))
+            .as("precision"),
+          r6n(col("tp").cast("double") /
+            nullif((col("tp") + col("fn")).cast("double"), lit(0.0)))
+            .as("recall"),
+          r6n(lit(2.0) * col("tp") /
+            nullif(lit(2.0) * col("tp") + col("fp") + col("fn"), lit(0.0)))
+            .as("f1"))
+        .orderBy(col("threshold"))
+    }),
+
     /** PMI token co-occurrence over the top-200 vocabulary — the
       * collocation/phrase-mining primitive behind tokenizer-merge and
       * stop-phrase decisions: PMI = ln(N·c₁₂/(c₁·c₂)) scores how much
@@ -257,6 +322,44 @@ object Sketches {
          |JOIN sizes z2 ON z2.source = est.s2
          |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin
     },
+
+    "q307_zipf_fit" ->
+      s"""WITH toks AS ($duckTokens),
+         |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1000),
+         |ranked AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+         |    AS lr,
+         |  ln(CAST(c AS DOUBLE)) AS lc
+         |  FROM top)
+         |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |round(-regr_slope(lc, lr), 6) AS zipf_exponent,
+         |round(regr_intercept(lc, lr), 6) AS intercept,
+         |round(regr_r2(lc, lr), 6) AS r_squared
+         |FROM ranked""".stripMargin,
+
+    "q308_threshold_sweep" ->
+      """WITH d AS (
+        |  SELECT lang = 'en' AS is_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+        |    / len(string_split(text, ' ')) AS sr
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT is_en, sr, unnest([0.02, 0.04, 0.06, 0.08, 0.10]) AS t FROM d)
+        |SELECT CAST(t AS DOUBLE) AS threshold,
+        |CAST(count(*) FILTER (sr >= t AND is_en) AS BIGINT) AS tp,
+        |CAST(count(*) FILTER (sr >= t AND NOT is_en) AS BIGINT) AS fp,
+        |CAST(count(*) FILTER (sr < t AND is_en) AS BIGINT) AS fn,
+        |CAST(count(*) FILTER (sr < t AND NOT is_en) AS BIGINT) AS tn,
+        |round(count(*) FILTER (sr >= t AND is_en) * 1.0
+        |  / nullif(count(*) FILTER (sr >= t), 0) + 1e-12, 6) AS precision,
+        |round(count(*) FILTER (sr >= t AND is_en) * 1.0
+        |  / nullif(count(*) FILTER (is_en), 0) + 1e-12, 6) AS recall,
+        |round(2.0 * count(*) FILTER (sr >= t AND is_en)
+        |  / nullif(2.0 * count(*) FILTER (sr >= t AND is_en)
+        |    + count(*) FILTER (sr >= t AND NOT is_en)
+        |    + count(*) FILTER (sr < t AND is_en), 0) + 1e-12, 6) AS f1
+        |FROM e GROUP BY 1
+        |ORDER BY threshold NULLS FIRST""".stripMargin,
 
     "q295_pmi_cooccurrence" ->
       s"""WITH toks AS ($duckTokens),
