@@ -608,6 +608,46 @@ object CorpusOps {
         .orderBy(col("click_hour"))
     }),
 
+    /** Position-based (U-shaped) attribution next to linear — the
+      * third standard credit model: 40% to the FIRST touch (discovery)
+      * and 40% to the LAST (closer), the middle clicks sharing 20%.
+      * Comparing its hourly credit against q273's linear column shows
+      * where the two models actually disagree (single-click purchases
+      * agree by construction; long paths move credit to the
+      * endpoints). Same bounded interval join; first/last picked
+      * integer-lexicographically on (µs, click_id); credit weights
+      * are small-denominator rationals → nudged r6 sums. */
+    "q310_position_attribution" -> ((s: SparkSession, dir: String) => {
+      val pairs = graft.streaming.EventStreams
+        .purchaseClickAttributionBatch(Tables(s, dir, "events"))
+        .select(col("purchase_id"), col("click_id"), col("c_ts"))
+        .cache()
+      val k = pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("k"),
+          min(struct(unix_micros(col("c_ts")).as("us"),
+            col("click_id").as("cid"))).as("firstc"),
+          max(struct(unix_micros(col("c_ts")).as("us"),
+            col("click_id").as("cid"))).as("lastc"))
+      val credited = pairs.join(k, "purchase_id")
+        .select(hour(col("c_ts")).cast("long").as("click_hour"),
+          (unix_micros(col("c_ts")) === col("firstc.us") &&
+            col("click_id") === col("firstc.cid")).as("isf"),
+          (unix_micros(col("c_ts")) === col("lastc.us") &&
+            col("click_id") === col("lastc.cid")).as("isl"),
+          col("k"))
+        .select(col("click_hour"),
+          when(col("k") === 1, lit(1.0))
+            .when(col("k") === 2, when(col("isf") || col("isl"), lit(0.5))
+              .otherwise(lit(0.0)))
+            .otherwise(when(col("isf") || col("isl"), lit(0.4))
+              .otherwise(lit(0.2) / (col("k") - 2).cast("double")))
+            .as("credit"))
+      credited.groupBy(col("click_hour"))
+        .agg(count(lit(1)).as("n_clicks"),
+          graft.r6n(sum(col("credit"))).as("position_credit"))
+        .orderBy(col("click_hour"))
+    }),
+
     /** Token-budget waterfilling — the allocation step behind every
       * "sample B tokens from m sources without letting the big crawls
       * drown the small ones" decision (q177's temperature weights are
@@ -1085,6 +1125,36 @@ object CorpusOps {
         |SELECT click_hour, CAST(count(*) AS BIGINT) AS n_clicks,
         |round(sum(credit) + 1e-12, 6) AS linear_credit,
         |CAST(sum(is_last) AS BIGINT) AS last_touch_count
+        |FROM credited GROUP BY 1
+        |ORDER BY click_hour NULLS FIRST""".stripMargin,
+
+    "q310_position_attribution" ->
+      """WITH pairs AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  c.ts AS c_ts
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+        |k AS (
+        |  SELECT purchase_id, count(*) AS k,
+        |  min(struct_pack(us := epoch_us(c_ts), cid := click_id)) AS firstc,
+        |  max(struct_pack(us := epoch_us(c_ts), cid := click_id)) AS lastc
+        |  FROM pairs GROUP BY 1),
+        |credited AS (
+        |  SELECT CAST(hour(p.c_ts) AS BIGINT) AS click_hour,
+        |  CASE WHEN k.k = 1 THEN 1.0
+        |       WHEN k.k = 2 THEN CASE WHEN
+        |         (epoch_us(p.c_ts) = k.firstc['us'] AND p.click_id = k.firstc['cid'])
+        |         OR (epoch_us(p.c_ts) = k.lastc['us'] AND p.click_id = k.lastc['cid'])
+        |         THEN 0.5 ELSE 0.0 END
+        |       ELSE CASE WHEN
+        |         (epoch_us(p.c_ts) = k.firstc['us'] AND p.click_id = k.firstc['cid'])
+        |         OR (epoch_us(p.c_ts) = k.lastc['us'] AND p.click_id = k.lastc['cid'])
+        |         THEN 0.4 ELSE 0.2 / (k.k - 2) END END AS credit
+        |  FROM pairs p JOIN k ON k.purchase_id = p.purchase_id)
+        |SELECT click_hour, CAST(count(*) AS BIGINT) AS n_clicks,
+        |round(sum(credit) + 1e-12, 6) AS position_credit
         |FROM credited GROUP BY 1
         |ORDER BY click_hour NULLS FIRST""".stripMargin,
 

@@ -428,6 +428,56 @@ object Inference {
         .orderBy(col("join_key"))
     }),
 
+    /** Correlation-structure drift between corpus halves — the
+      * STRUCTURAL drift signal value-level tests never see: two
+      * snapshots can hold every marginal fixed while the
+      * relationship BETWEEN signals rewires (a new boilerplate
+      * injector makes length stop tracking token count). Pearson r
+      * for the three pairs of per-doc integer signals (chars,
+      * tokens, distinct tokens), per half, from ONE aggregate
+      * grouped by half (moment folds, doubles before products — the
+      * ANSI overflow stance), then a 2-row pivot join and the per-pair
+      * delta. Nudged integer rationals throughout. */
+    "q311_correlation_drift" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(2)).as("h"),
+          col("n_chars").cast("double").as("x1"),
+          size(split(col("text"), " ")).cast("double").as("x2"),
+          size(array_distinct(split(col("text"), " "))).cast("double").as("x3"))
+      def corrOf(a: String, b: String) = {
+        val (n, sa, sb, sab, sa2, sb2) = (col("n"), col(s"s$a"), col(s"s$b"),
+          col(s"s$a$b"), col(s"s$a$a"), col(s"s$b$b"))
+        (n * sab - sa * sb) /
+          nullif(sqrt((n * sa2 - sa * sa) * (n * sb2 - sb * sb)), lit(0.0))
+      }
+      val m = d.groupBy(col("h"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+          sum(col("x3")).as("sx3"),
+          sum(col("x1") * col("x1")).as("sx1x1"),
+          sum(col("x2") * col("x2")).as("sx2x2"),
+          sum(col("x3") * col("x3")).as("sx3x3"),
+          sum(col("x1") * col("x2")).as("sx1x2"),
+          sum(col("x1") * col("x3")).as("sx1x3"),
+          sum(col("x2") * col("x3")).as("sx2x3"))
+        .select(col("h"),
+          corrOf("x1", "x2").as("r12"), corrOf("x1", "x3").as("r13"),
+          corrOf("x2", "x3").as("r23"))
+      val rows = m.select(col("h"), explode(array(
+          struct(lit("chars_tokens").as("pair"), col("r12").as("r")),
+          struct(lit("chars_types").as("pair"), col("r13").as("r")),
+          struct(lit("tokens_types").as("pair"), col("r23").as("r")))).as("t"))
+        .select(col("h"), col("t.pair").as("pair"), col("t.r").as("r"))
+      rows.groupBy(col("pair"))
+        .agg(max(when(col("h") === 0, col("r"))).as("re"),
+          max(when(col("h") === 1, col("r"))).as("ro"))
+        .select(col("pair"), r6n(col("re")).as("r_even"),
+          r6n(col("ro")).as("r_odd"),
+          r6n(abs(col("re") - col("ro"))).as("abs_delta"))
+        .orderBy(col("pair"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -692,6 +742,40 @@ object Inference {
          |UNION ALL
          |${prof("l_suppkey")}
          |ORDER BY join_key NULLS FIRST""".stripMargin
+    },
+
+    "q311_correlation_drift" -> {
+      def corr(a: String, b: String) =
+        s"""(n * s$a$b - s$a * s$b)
+           | / nullif(sqrt((n * s$a$a - s$a * s$a) * (n * s$b$b - s$b * s$b)), 0.0)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH d AS (
+         |  SELECT doc_id % 2 AS h,
+         |  CAST(n_chars AS DOUBLE) AS x1,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS x3
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (
+         |  SELECT h, CAST(count(*) AS DOUBLE) AS n,
+         |  sum(x1) AS sx1, sum(x2) AS sx2, sum(x3) AS sx3,
+         |  sum(x1 * x1) AS sx1x1, sum(x2 * x2) AS sx2x2, sum(x3 * x3) AS sx3x3,
+         |  sum(x1 * x2) AS sx1x2, sum(x1 * x3) AS sx1x3, sum(x2 * x3) AS sx2x3
+         |  FROM d GROUP BY 1),
+         |c AS (
+         |  SELECT h, ${corr("x1", "x2")} AS r12, ${corr("x1", "x3")} AS r13,
+         |  ${corr("x2", "x3")} AS r23
+         |  FROM m),
+         |rows_ AS (
+         |  SELECT h, 'chars_tokens' AS pair, r12 AS r FROM c
+         |  UNION ALL SELECT h, 'chars_types', r13 FROM c
+         |  UNION ALL SELECT h, 'tokens_types', r23 FROM c)
+         |SELECT pair,
+         |round(max(CASE WHEN h = 0 THEN r END) + 1e-12, 6) AS r_even,
+         |round(max(CASE WHEN h = 1 THEN r END) + 1e-12, 6) AS r_odd,
+         |round(abs(max(CASE WHEN h = 0 THEN r END)
+         |  - max(CASE WHEN h = 1 THEN r END)) + 1e-12, 6) AS abs_delta
+         |FROM rows_ GROUP BY 1
+         |ORDER BY pair NULLS FIRST""".stripMargin
     },
 
     "q292_brier_calibration" ->
