@@ -87,6 +87,10 @@ object GraphAudits {
       * community-keyed aggregate (m = Σd_c/2 — every endpoint is in
       * exactly one community, so no separate edge count, no 1-row
       * broadcast). Integer counts until the nudged Q. */
+    /** See [[dedupSavings]]. */
+    "q314_dedup_savings" -> ((s: SparkSession, dir: String) =>
+      dedupSavings(s, dir)),
+
     "q304_modularity" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val pairs = PairGraph.jaccard(s, dir, 0.5)
@@ -119,6 +123,40 @@ object GraphAudits {
   // MATERIALIZED at every level: a plain CTE chain referencing its
   // predecessor twice re-EVALUATES it per reference in DuckDB — 2^8
   // scans of the base join by round 8, observed as fd exhaustion
+  /** Dedup-savings forecast across thresholds (q314) — the curation
+    * economics table behind choosing a Jaccard cutoff: at each
+    * candidate threshold, keep-one dedup over the connected
+    * components would remove HOW MANY documents and HOW MANY TOKENS?
+    * Three CC runs over store-served pair sets (cheap — the pair
+    * graph is read, not re-derived); corpus token total is one
+    * driver-side scalar (control-plane, the q295 stance). */
+  private def dedupSavings(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("nt")).cache()
+    val total = toks.agg(sum(col("nt"))).head.getLong(0)
+    Seq(0.5, 0.7, 0.9).map { t =>
+      val labels = ConnectedComponents.labels(
+        PairGraph.jaccard(s, dir, t).select(col("d1"), col("d2"))
+          .as[(Long, Long)].rdd)
+        .toDF("doc_id", "cid")
+      val removed = labels
+        .join(labels.groupBy(col("cid")).agg(min(col("doc_id")).as("keep")), "cid")
+        .filter(col("doc_id") =!= col("keep"))
+        .join(toks, "doc_id")
+      removed.agg(coalesce(countDistinct(col("cid")), lit(0L)).as("n_clusters"),
+          count(lit(1)).as("n_docs_removed"),
+          coalesce(sum(col("nt")), lit(0L)).as("tokens_removed"))
+        .select(lit(t).as("threshold"), col("n_clusters"),
+          col("n_docs_removed"), col("tokens_removed"),
+          r6n(col("tokens_removed").cast("double") / lit(total.toDouble))
+            .as("token_share"))
+    }.reduce(_ unionAll _).orderBy(col("threshold"))
+  }
+
   private def duckPeel(prev: String, nodes: String, out: String): String =
     s"""$nodes AS MATERIALIZED (
        |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= $CoreK),
@@ -167,6 +205,84 @@ object GraphAudits {
          |  / nullif(sqrt((m * sx2 - sx * sx) * (m * sy2 - sy * sy)), 0.0)
          |  + 1e-12, 6) AS assortativity
          |FROM f""".stripMargin,
+
+    "q314_dedup_savings" ->
+      s"""WITH RECURSIVE
+         |tk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+         |    AS BIGINT) AS nt
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (SELECT sum(nt) AS t FROM tk),
+         |pa AS MATERIALIZED (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.5")})),
+         |edgesa(u, v) AS (SELECT d1, d2 FROM pa UNION ALL SELECT d2, d1 FROM pa),
+         |walka(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edgesa)
+         |  UNION
+         |  SELECT w.node, e.v FROM walka w JOIN edgesa e ON e.u = w.reach),
+         |laba AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cid
+         |  FROM walka GROUP BY node),
+         |rema AS (
+         |  SELECT l.cid, l.doc_id FROM laba l
+         |  JOIN (SELECT cid, min(doc_id) AS keep FROM laba GROUP BY 1) k
+         |    ON k.cid = l.cid
+         |  WHERE l.doc_id <> k.keep),
+         |rowa AS (
+         |  SELECT CAST(0.5 AS DOUBLE) AS threshold,
+         |  CAST(count(DISTINCT r.cid) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs_removed,
+         |  CAST(coalesce(sum(tk.nt), 0) AS BIGINT) AS tokens_removed,
+         |  round(coalesce(sum(tk.nt), 0) * 1.0 / (SELECT t FROM tot) + 1e-12, 6)
+         |    AS token_share
+         |  FROM rema r JOIN tk ON tk.doc_id = r.doc_id),
+         |pb AS MATERIALIZED (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.7")})),
+         |edgesb(u, v) AS (SELECT d1, d2 FROM pb UNION ALL SELECT d2, d1 FROM pb),
+         |walkb(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edgesb)
+         |  UNION
+         |  SELECT w.node, e.v FROM walkb w JOIN edgesb e ON e.u = w.reach),
+         |labb AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cid
+         |  FROM walkb GROUP BY node),
+         |remb AS (
+         |  SELECT l.cid, l.doc_id FROM labb l
+         |  JOIN (SELECT cid, min(doc_id) AS keep FROM labb GROUP BY 1) k
+         |    ON k.cid = l.cid
+         |  WHERE l.doc_id <> k.keep),
+         |rowb AS (
+         |  SELECT CAST(0.7 AS DOUBLE) AS threshold,
+         |  CAST(count(DISTINCT r.cid) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs_removed,
+         |  CAST(coalesce(sum(tk.nt), 0) AS BIGINT) AS tokens_removed,
+         |  round(coalesce(sum(tk.nt), 0) * 1.0 / (SELECT t FROM tot) + 1e-12, 6)
+         |    AS token_share
+         |  FROM remb r JOIN tk ON tk.doc_id = r.doc_id),
+         |pc AS MATERIALIZED (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.9")})),
+         |edgesc(u, v) AS (SELECT d1, d2 FROM pc UNION ALL SELECT d2, d1 FROM pc),
+         |walkc(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edgesc)
+         |  UNION
+         |  SELECT w.node, e.v FROM walkc w JOIN edgesc e ON e.u = w.reach),
+         |labc AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cid
+         |  FROM walkc GROUP BY node),
+         |remc AS (
+         |  SELECT l.cid, l.doc_id FROM labc l
+         |  JOIN (SELECT cid, min(doc_id) AS keep FROM labc GROUP BY 1) k
+         |    ON k.cid = l.cid
+         |  WHERE l.doc_id <> k.keep),
+         |rowc AS (
+         |  SELECT CAST(0.9 AS DOUBLE) AS threshold,
+         |  CAST(count(DISTINCT r.cid) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs_removed,
+         |  CAST(coalesce(sum(tk.nt), 0) AS BIGINT) AS tokens_removed,
+         |  round(coalesce(sum(tk.nt), 0) * 1.0 / (SELECT t FROM tot) + 1e-12, 6)
+         |    AS token_share
+         |  FROM remc r JOIN tk ON tk.doc_id = r.doc_id)
+         |SELECT * FROM rowa UNION ALL SELECT * FROM rowb
+         |UNION ALL SELECT * FROM rowc
+         |ORDER BY threshold NULLS FIRST""".stripMargin,
 
     "q304_modularity" ->
       s"""WITH RECURSIVE

@@ -478,6 +478,107 @@ object Inference {
         .orderBy(col("pair"))
     }),
 
+    /** Wilcoxon signed-rank test on paired per-user activity — the
+      * PAIRED member of the rank-test family (MW-U compares two
+      * groups; this asks whether the SAME users shifted between their
+      * own early and late halves, immune to between-user volume
+      * skew). Each user's span midpoint comes from a user-keyed
+      * aggregate (equi-join back — no global-scalar broadcast); zero
+      * diffs drop per the classic procedure; |d| midranks ride ONE
+      * GlobalRank exchange DOUBLED so every rank sum is an exact
+      * LONG (the q234 stance); the tie-corrected variance is carried
+      * as its ×48 integer numerator. */
+    "q312_wilcoxon_signed" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mids = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(col("user_id"), expr("(mn + mx) DIV 2").as("mid"))
+      val pairs = ev.join(mids, "user_id")
+        .groupBy(col("user_id"))
+        .agg(count_if(col("us") <= col("mid")).as("x"),
+          count_if(col("us") > col("mid")).as("y"))
+        .select(col("user_id"), (col("y") - col("x")).as("d"))
+      val nz = pairs.filter(col("d") =!= 0)
+        .select(abs(col("d")).as("ad"), signum(col("d")).cast("long").as("sg"))
+      val g = nz.groupBy(col("ad"))
+        .agg(count(lit(1)).as("nv"), count_if(col("sg") === 1).as("np"))
+      val c = GlobalRank.withRunningSum(g, Seq(col("ad")), "nv", "cnv")
+      // doubled midrank: 2r = 2·cnv − 2·nv + nv + 1 = 2cnv − nv + 1
+      val mid2 = col("cnv") * 2 - col("nv") + 1
+      c.agg(sum(col("nv")).as("n"),
+          sum(col("np") * mid2).as("w2"),
+          // tie fold in doubles BEFORE the cubes (ANSI long-overflow
+          // stance; exact to 2^53, mirrored in the oracle)
+          sum(col("nv").cast("double") * col("nv").cast("double") *
+            col("nv").cast("double") - col("nv").cast("double")).as("tie3"))
+        .select(col("n").as("n_pairs"),
+          (col("w2").cast("double") / 2.0).as("w_plus_raw"),
+          col("w2"), col("tie3"))
+        .select(col("n_pairs"), r6n(col("w_plus_raw")).as("w_plus"),
+          r6n((col("w2") - col("n_pairs") * (col("n_pairs") + 1)).cast("double") /
+            (lit(2.0) * sqrt(
+              (col("n_pairs").cast("double") * (col("n_pairs") + 1) *
+                (col("n_pairs") * 2 + 1) * 2.0 - col("tie3")) /
+                48.0))).as("z"))
+    }),
+
+    /** McNemar's test between two detector variants on the SAME
+      * documents — the paired-binary comparison an unpaired
+      * proportion test gets wrong (shared docs correlate the
+      * errors): only the DISAGREEMENT cells matter, χ² with
+      * continuity correction = (|b−c|−1)²/(b+c). Here: the q41
+      * stop-ratio English detector at thresholds 0.04 vs 0.06. One
+      * fused confusion aggregate; integer cells; nullif guards the
+      * never-disagree degeneracy. */
+    "q313_mcnemar" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select((col("lang") === "en").as("en"),
+          (size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+            .cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("sr"))
+        .select(((col("sr") >= 0.04) === col("en")).as("aok"),
+          ((col("sr") >= 0.06) === col("en")).as("bok"))
+      d.agg(count(lit(1)).as("n"),
+          count_if(col("aok") && !col("bok")).as("b"),
+          count_if(!col("aok") && col("bok")).as("c"))
+        .select(col("n"), col("b"), col("c"),
+          r6n((abs(col("b") - col("c")) - 1).cast("double") *
+            (abs(col("b") - col("c")) - 1).cast("double") /
+            nullif((col("b") + col("c")).cast("double"), lit(0.0)))
+            .as("chi2_cc"))
+    }),
+
+    /** Stratification design effect — does sampling documents
+      * proportionally BY SOURCE beat simple random sampling for
+      * estimating mean length? DEFF = Σ W_h·S_h² / S² < 1 exactly
+      * when sources differ in mean (between-source variance is
+      * removed by the design) — the number that justifies (or
+      * retires) a stratified q96-style sampler. One per-source
+      * moment pass; the global terms fold from the SAME per-source
+      * sums (no second scan, no broadcast); sample variances via
+      * n/(n−1) corrections, single-doc strata contribute zero. */
+    "q315_design_effect" -> ((s: SparkSession, dir: String) => {
+      val per = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"), sum(col("n_chars").cast("double")).as("sh"),
+          sum(col("n_chars").cast("double") * col("n_chars").cast("double"))
+            .as("sh2"))
+      per.agg(sum(col("nh")).as("n"), count(lit(1)).as("n_strata"),
+          sum(col("sh")).as("sx"), sum(col("sh2")).as("sx2"),
+          sum(when(col("nh") > 1,
+            (col("sh2") - col("sh") * col("sh") / col("nh")) / (col("nh") - 1) *
+              col("nh")).otherwise(lit(0.0))).as("wvar"))
+        .select(col("n").as("n_docs"), col("n_strata"),
+          r6n((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("s2_overall"),
+          r6n(col("wvar") / col("n")).as("s2_within"),
+          r6n(col("wvar") / col("n") /
+            nullif((col("sx2") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1), lit(0.0))).as("deff"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -777,6 +878,76 @@ object Inference {
          |FROM rows_ GROUP BY 1
          |ORDER BY pair NULLS FIRST""".stripMargin
     },
+
+    "q312_wilcoxon_signed" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mids AS (
+        |  SELECT user_id, (min(us) + max(us)) // 2 AS mid
+        |  FROM ev GROUP BY 1),
+        |pairs AS (
+        |  SELECT e.user_id,
+        |  CAST(count(*) FILTER (us > mid) AS BIGINT)
+        |    - CAST(count(*) FILTER (us <= mid) AS BIGINT) AS d
+        |  FROM ev e JOIN mids m ON m.user_id = e.user_id
+        |  GROUP BY 1),
+        |nz AS (SELECT abs(d) AS ad, sign(d) AS sg FROM pairs WHERE d <> 0),
+        |g AS (
+        |  SELECT ad, CAST(count(*) AS BIGINT) AS nv,
+        |  CAST(count(*) FILTER (sg = 1) AS BIGINT) AS np
+        |  FROM nz GROUP BY 1),
+        |c AS (
+        |  SELECT ad, nv, np, sum(nv) OVER (ORDER BY ad) AS cnv FROM g),
+        |f AS (
+        |  SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |  CAST(sum(np * (cnv * 2 - nv + 1)) AS BIGINT) AS w2,
+        |  sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)
+        |    - CAST(nv AS DOUBLE)) AS tie3
+        |  FROM c)
+        |SELECT n AS n_pairs,
+        |round(w2 / 2.0 + 1e-12, 6) AS w_plus,
+        |round((w2 - n * (n + 1)) * 1.0
+        |  / (2.0 * sqrt((CAST(n AS DOUBLE) * (n + 1) * (n * 2 + 1) * 2.0 - tie3)
+        |      / 48.0)) + 1e-12, 6) AS z
+        |FROM f""".stripMargin,
+
+    "q313_mcnemar" ->
+      """WITH d AS (
+        |  SELECT (lang = 'en') AS en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+        |    / len(string_split(text, ' ')) AS sr
+        |  FROM documents WHERE text IS NOT NULL),
+        |cells AS (
+        |  SELECT ((sr >= 0.04) = en) AS aok, ((sr >= 0.06) = en) AS bok FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |CAST(count(*) FILTER (aok AND NOT bok) AS BIGINT) AS b,
+        |CAST(count(*) FILTER (NOT aok AND bok) AS BIGINT) AS c,
+        |round((abs(count(*) FILTER (aok AND NOT bok)
+        |    - count(*) FILTER (NOT aok AND bok)) - 1) * 1.0
+        |  * (abs(count(*) FILTER (aok AND NOT bok)
+        |    - count(*) FILTER (NOT aok AND bok)) - 1)
+        |  / nullif(count(*) FILTER (aok AND NOT bok)
+        |    + count(*) FILTER (NOT aok AND bok), 0) + 1e-12, 6) AS chi2_cc
+        |FROM cells""".stripMargin,
+
+    "q315_design_effect" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nh,
+        |  sum(CAST(n_chars AS DOUBLE)) AS sh,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sh2
+        |  FROM documents GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(sum(nh) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  sum(sh) AS sx, sum(sh2) AS sx2,
+        |  sum(CASE WHEN nh > 1
+        |    THEN (sh2 - sh * sh / nh) / (nh - 1) * nh ELSE 0.0 END) AS wvar
+        |  FROM per)
+        |SELECT n AS n_docs, n_strata,
+        |round((sx2 - sx * sx / n) / (n - 1) + 1e-12, 6) AS s2_overall,
+        |round(wvar / n + 1e-12, 6) AS s2_within,
+        |round(wvar / n / nullif((sx2 - sx * sx / n) / (n - 1), 0.0) + 1e-12, 6)
+        |  AS deff
+        |FROM f""".stripMargin,
 
     "q292_brier_calibration" ->
       """WITH s AS (
