@@ -127,8 +127,9 @@ object PairGraph {
   private[graft] val IvmCap = 4
 
   /** Signed pair-graph deltas for generation `gen`, derived from the
-    * STATE TABLES ALONE (postings + df increments — the spec pins
-    * that no document text is scanned here):
+    * POSTINGS STATE ALONE (cumulative df is a count over the per-doc-
+    * distinct postings — the spec pins that no document text is
+    * scanned here):
     *
     *  - CREDITS: +1 per (pair, shingle) whose later endpoint arrives
     *    in `gen`, provided the shingle's cumulative df (after this
@@ -144,9 +145,11 @@ object PairGraph {
   private[graft] def ivmDeltas(s: SparkSession, statePath: String,
       gen: Int, cap: Int): DataFrame = {
     val post = s.read.parquet(s"$statePath/postings")
-    val dfs = s.read.parquet(s"$statePath/df")
-    val dfAfter = dfs.filter(col("gen") <= gen)
-      .groupBy(col("sh")).agg(sum(col("c")).as("dfA"))
+    // cumulative df derives from the postings state itself (postings
+    // are per-doc-distinct, so count ≡ df) — a separate df-increment
+    // table was redundant state and three extra write jobs per run
+    val dfAfter = post.filter(col("gen") <= gen)
+      .groupBy(col("sh")).agg(count(lit(1)).as("dfA"))
     val live = dfAfter.filter(col("dfA") <= cap).select(col("sh"))
     val pg = post.filter(col("gen") === gen)
       .join(live.hint("shuffle_hash"), Seq("sh"), "left_semi")
@@ -158,8 +161,8 @@ object PairGraph {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
         lit(1L).as("delta"))
-    val dfBefore = dfs.filter(col("gen") < gen)
-      .groupBy(col("sh")).agg(sum(col("c")).as("dfB"))
+    val dfBefore = post.filter(col("gen") < gen)
+      .groupBy(col("sh")).agg(count(lit(1)).as("dfB"))
     val crossers = dfBefore.join(dfAfter, "sh")
       .filter(col("dfB") >= 2 && col("dfB") <= cap && col("dfA") > cap)
       .select(col("sh"))
@@ -187,9 +190,6 @@ object PairGraph {
     val mode = if (gen == 0) "overwrite" else "append"
     pg.withColumn("gen", lit(gen)).coalesce(1)
       .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings")
-    pg.groupBy(col("sh")).agg(count(lit(1)).as("c")).withColumn("gen", lit(gen))
-      .coalesce(1)
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/df")
     // no coalesce here: it would collapse the delta JOIN's reduce
     // stage to one task; AQE already right-sizes the output files
     ivmDeltas(s, statePath, gen, cap).withColumn("gen", lit(gen))
