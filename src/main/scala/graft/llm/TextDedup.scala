@@ -906,6 +906,40 @@ object TextDedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    /** Blocking-key precision audit (q187's quality bill): entity
+      * resolution lives or dies on its blocking key, and this
+      * measures both failure directions of the 8-char-prefix choice —
+      * block-size census (oversized blocks = quadratic DP cost) and
+      * in-block PRECISION (candidate pairs that actually pass the
+      * edit-distance test; near-zero precision means the key
+      * over-groups and burns DP budget on junk). Same guarded block
+      * join as q187; integer census, nudged precision. */
+    "q316_blocking_precision" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 8)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 40).as("pfx"))
+      val sizes = docs.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      val pairs = docs.as("a")
+        .join(docs.as("b").hint("shuffle_hash"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.blk").as("blk"),
+          (levenshtein(col("a.pfx"), col("b.pfx")) <= 5).as("hit"))
+      val pairStats = pairs.groupBy(col("blk"))
+        .agg(count(lit(1)).as("cand"), count_if(col("hit")).as("hits"))
+      sizes.join(pairStats, Seq("blk"), "left")
+        .agg(count(lit(1)).as("n_blocks"),
+          count_if(col("bn") >= 2).as("n_multi_blocks"),
+          max(col("bn")).as("max_block"),
+          coalesce(sum(col("cand")), lit(0L)).as("cand_pairs"),
+          coalesce(sum(col("hits")), lit(0L)).as("matched_pairs"))
+        .select(col("n_blocks"), col("n_multi_blocks"), col("max_block"),
+          col("cand_pairs"), col("matched_pairs"),
+          r6n(col("matched_pairs").cast("double") /
+            nullif(col("cand_pairs").cast("double"), lit(0.0)))
+            .as("block_precision"))
+    }),
+
     /** Document fingerprint (winnowing-style sketch): the minimum
       * SHA-256 over a doc's 3-shingles — equal fingerprints flag
       * near-identical prefixes/content with a single tiny value per
@@ -1595,6 +1629,27 @@ object TextDedup {
          |CAST(count(*) AS BIGINT) AS n_members
          |FROM j GROUP BY cluster_id
          |ORDER BY cluster_id NULLS FIRST""".stripMargin,
+
+    "q316_blocking_precision" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS pfx
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 8),
+        |sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS bn FROM d GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.blk, (levenshtein(a.pfx, b.pfx) <= 5) AS hit
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |ps AS (
+        |  SELECT blk, CAST(count(*) AS BIGINT) AS cand,
+        |  CAST(count(*) FILTER (hit) AS BIGINT) AS hits
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |CAST(count(*) FILTER (bn >= 2) AS BIGINT) AS n_multi_blocks,
+        |CAST(max(bn) AS BIGINT) AS max_block,
+        |CAST(coalesce(sum(cand), 0) AS BIGINT) AS cand_pairs,
+        |CAST(coalesce(sum(hits), 0) AS BIGINT) AS matched_pairs,
+        |round(coalesce(sum(hits), 0) * 1.0
+        |  / nullif(coalesce(sum(cand), 0), 0) + 1e-12, 6) AS block_precision
+        |FROM sizes LEFT JOIN ps USING (blk)""".stripMargin,
 
     "q37_doc_fingerprint" ->
       s"""WITH sh AS ($duckShingles)

@@ -579,6 +579,42 @@ object Inference {
               (col("n") - 1), lit(0.0))).as("deff"))
     }),
 
+    /** Data-contract proposal — the profiling-to-governance bridge
+      * the reference's healing loop closes by hand (its agent RELAXES
+      * a violated contract; this PROPOSES one from the data, so the
+      * first contract is evidence-based instead of guessed): per
+      * numeric column, null fraction, discrete-rank p01/p99 (value at
+      * rank ⌊p(n−1)⌋+1 — picked verbatim, no interpolation float),
+      * and suggested bounds with a 10% span margin. Ranks ride one
+      * GlobalRank range exchange per column; two columns union. */
+    "q318_contract_proposal" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      def propose(name: String, c: org.apache.spark.sql.Column) = {
+        val vals = ev.select(c.cast("double").as("v"))
+        val stats = vals.agg(count(lit(1)).as("n_rows"),
+          count_if(col("v").isNull).as("n_null"))
+        val nn = vals.filter(col("v").isNotNull)
+        val ranked = GlobalRank.withRowNumbers(nn, Seq(col("v")), "rn", Some("nn"))
+        val picks = ranked
+          .select(col("v"), col("rn"),
+            explode(expr("array(1, 99)")).as("p"), col("nn"))
+          .filter(col("rn") ===
+            floor(col("p").cast("double") / 100.0 * (col("nn") - 1)).cast("long") + 1)
+          .agg(max(when(col("p") === 1, col("v"))).as("p01"),
+            max(when(col("p") === 99, col("v"))).as("p99"))
+        stats.crossJoin(picks)
+          .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+            r6n(col("n_null").cast("double") / col("n_rows")).as("null_frac"),
+            r6n(col("p01")).as("p01"), r6n(col("p99")).as("p99"),
+            r6n(col("p01") - (col("p99") - col("p01")) * 0.1).as("sug_lo"),
+            r6n(col("p99") + (col("p99") - col("p01")) * 0.1).as("sug_hi"),
+            expr("n_rows DIV 2").as("sug_row_min"))
+      }
+      propose("value", col("value"))
+        .unionAll(propose("user_id", col("user_id")))
+        .orderBy(col("column"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -948,6 +984,37 @@ object Inference {
         |round(wvar / n / nullif((sx2 - sx * sx / n) / (n - 1), 0.0) + 1e-12, 6)
         |  AS deff
         |FROM f""".stripMargin,
+
+    "q318_contract_proposal" -> {
+      def prop(name: String, c: String) =
+        s"""SELECT '$name' AS "column", n_rows, n_null,
+           |round(n_null * 1.0 / n_rows + 1e-12, 6) AS null_frac,
+           |round(p01 + 1e-12, 6) AS p01, round(p99 + 1e-12, 6) AS p99,
+           |round(p01 - (p99 - p01) * 0.1 + 1e-12, 6) AS sug_lo,
+           |round(p99 + (p99 - p01) * 0.1 + 1e-12, 6) AS sug_hi,
+           |CAST(n_rows // 2 AS BIGINT) AS sug_row_min
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_null
+           |  FROM events) s
+           |CROSS JOIN (
+           |  SELECT max(CASE WHEN p = 1 THEN v END) AS p01,
+           |  max(CASE WHEN p = 99 THEN v END) AS p99
+           |  FROM (
+           |    SELECT v, rn, nn, p
+           |    FROM (
+           |      SELECT CAST($c AS DOUBLE) AS v,
+           |      row_number() OVER (ORDER BY CAST($c AS DOUBLE)) AS rn,
+           |      count(*) OVER () AS nn
+           |      FROM events WHERE $c IS NOT NULL) r,
+           |    unnest([1, 99]) AS t(p)
+           |    WHERE rn = CAST(floor(p / 100.0 * (nn - 1)) AS BIGINT) + 1)) q"""
+          .stripMargin
+      s"""${prop("value", "value")}
+         |UNION ALL
+         |${prop("user_id", "user_id")}
+         |ORDER BY "column" NULLS FIRST""".stripMargin
+    },
 
     "q292_brier_calibration" ->
       """WITH s AS (

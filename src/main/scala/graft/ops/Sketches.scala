@@ -157,6 +157,30 @@ object Sketches {
           r6(col("ic")).as("intercept"), r6(col("r2")).as("r_squared"))
     }),
 
+    /** Per-source Zipf exponents — q307 localized: WHICH crawls are
+      * templated? Each source's head-200 rank-frequency fit in one
+      * grouped pass; the per-source rank windows partition on the
+      * source key with a WindowGroupLimit rank cut (the q209 head-set
+      * stance — source cardinality is a domain property, not a
+      * volume), and all 20 fits fold as grouped regr_* aggregates.
+      * A flat exponent or low r² singles out machine-generated
+      * sources before any dedup pass sees them. */
+    "q317_source_zipf" -> ((s: SparkSession, dir: String) => {
+      val counts = tokens(s, dir).groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(desc("c"), asc("tok"))
+      counts.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 200)
+        .select(col("source"), log(col("r").cast("double")).as("lr"),
+          log(col("c").cast("double")).as("lc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r6(-expr("regr_slope(lc, lr)")).as("zipf_exponent"),
+          r6(expr("regr_r2(lc, lr)")).as("r_squared"))
+        .orderBy(col("source"))
+    }),
+
     /** Precision-recall threshold sweep for the stopword-ratio
       * English detector — the OPERATING-CURVE view q148's single-point
       * kappa cannot give: five candidate thresholds, each with its
@@ -337,6 +361,24 @@ object Sketches {
          |round(regr_intercept(lc, lr), 6) AS intercept,
          |round(regr_r2(lc, lr), 6) AS r_squared
          |FROM ranked""".stripMargin,
+
+    "q317_source_zipf" ->
+      s"""WITH toks AS ($duckTokens),
+         |counts AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT source, ln(CAST(r AS DOUBLE)) AS lr, ln(CAST(c AS DOUBLE)) AS lc
+         |  FROM (
+         |    SELECT source, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+         |    FROM counts)
+         |  WHERE r <= 200)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |round(-regr_slope(lc, lr), 6) AS zipf_exponent,
+         |round(regr_r2(lc, lr), 6) AS r_squared
+         |FROM ranked GROUP BY 1
+         |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q308_threshold_sweep" ->
       """WITH d AS (

@@ -135,6 +135,9 @@ class PlanQualitySpec extends SparkSuite {
     // query-vector block; centroids are driver literals read from the
     // k·d state table, members fetched by equi-join on cell id
     "q282_ivf_serve",
+    // q318: the combine is a ONE-ROW stats fold crossed with a
+    // ONE-ROW quantile-pick fold — both provably 1 row at any sf
+    "q318_contract_proposal",
     // q294: the sketch pair-expansion joins the 20-source domain list
     // (data-independent, the q240 lang-domain class) to the k=128
     // sketch rows — ≤ sources·k rows regardless of corpus volume
