@@ -906,6 +906,48 @@ object TextDedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    /** Shared-span localization for high-similarity pairs — WHERE is
+      * the copied text? Set measures say "these two documents are
+      * 85% similar"; the curator deciding between near-dup deletion
+      * and boilerplate stripping needs the longest CONTIGUOUS shared
+      * run. Positional (not distinct) shingles for the ≥ 0.8 pairs
+      * only (store-served pair list bounds the work); matches align
+      * on the offset DIAGONAL j − i, and the longest run per pair is
+      * a per-(pair, diagonal) consecutive-index streak — the i −
+      * row_number grouping trick, windows partitioned on the
+      * high-cardinality (pair, diagonal) key. Integer-only output. */
+    "q319_shared_spans" -> ((s: SparkSession, dir: String) => {
+      val pairs = PairGraph.jaccard(s, dir, 0.8)
+        .select(col("d1"), col("d2"))
+      val pos = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          """posexplode(transform(sequence(1, size(toks) - 2),
+            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+            .stripMargin).as(Seq("i", "sh")))
+      val m = pairs
+        .join(pos.select(col("doc_id").as("d1"), col("i").as("i1"),
+          col("sh")), "d1")
+        .join(pos.select(col("doc_id").as("d2"), col("i").as("i2"),
+          col("sh")).hint("shuffle_hash"), Seq("d2", "sh"))
+        .select(col("d1"), col("d2"), col("i1"), (col("i2") - col("i1")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("i1"))
+      m.withColumn("rk", row_number().over(w))
+        .groupBy(col("d1"), col("d2"), col("diag"),
+          (col("i1") - col("rk")).as("run_key"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(max(col("run")).as("longest_run_shingles"),
+          count(lit(1)).as("n_runs"))
+        .select(col("d1"), col("d2"), col("longest_run_shingles"),
+          (col("longest_run_shingles") + 2).as("longest_run_tokens"),
+          col("n_runs"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     /** Blocking-key precision audit (q187's quality bill): entity
       * resolution lives or dies on its blocking key, and this
       * measures both failure directions of the 8-char-prefix choice —
@@ -1629,6 +1671,35 @@ object TextDedup {
          |CAST(count(*) AS BIGINT) AS n_members
          |FROM j GROUP BY cluster_id
          |ORDER BY cluster_id NULLS FIRST""".stripMargin,
+
+    "q319_shared_spans" ->
+      s"""WITH pr AS (SELECT d1, d2 FROM (${duckJaccard("0.8")})),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         |  unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |m AS (
+         |  SELECT pr.d1, pr.d2, a.i AS i1, b.i - a.i AS diag
+         |  FROM pr
+         |  JOIN pos a ON a.doc_id = pr.d1
+         |  JOIN pos b ON b.doc_id = pr.d2 AND b.sh = a.sh),
+         |runs AS (
+         |  SELECT d1, d2, diag,
+         |  i1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY i1)
+         |    AS run_key
+         |  FROM m),
+         |rl AS (
+         |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS run
+         |  FROM runs GROUP BY d1, d2, diag, run_key)
+         |SELECT d1, d2,
+         |CAST(max(run) AS BIGINT) AS longest_run_shingles,
+         |CAST(max(run) + 2 AS BIGINT) AS longest_run_tokens,
+         |CAST(count(*) AS BIGINT) AS n_runs
+         |FROM rl GROUP BY d1, d2
+         |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin,
 
     "q316_blocking_precision" ->
       """WITH d AS (

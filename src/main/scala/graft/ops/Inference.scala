@@ -615,6 +615,32 @@ object Inference {
         .orderBy(col("column"))
     }),
 
+    /** Per-source sample-size planner — "how many documents must a QA
+      * reviewer sample from each source to estimate mean length
+      * within ±1% at 95%?": the CLT requirement n* = (1.96·CV/0.01)²
+      * from the same one-pass moments as the design-effect audit,
+      * next to the source's actual size — coverage < 1 flags sources
+      * too small to certify at that precision at all. One grouped
+      * moment pass; n* ceiling on an off-grid float; ratios nudged. */
+    "q320_sample_size_plan" -> ((s: SparkSession, dir: String) => {
+      val per = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("double")).as("sx"),
+          sum(col("n_chars").cast("double") * col("n_chars").cast("double"))
+            .as("sx2"))
+        .filter(col("n") > 1)
+      val mean = col("sx") / col("n")
+      val sd = sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1))
+      val nReq = ceil(pow(lit(1.96) * sd / mean / lit(0.01), 2.0)).cast("long")
+      per.select(col("source"), col("n").as("n_docs"),
+          r6n(mean).as("mean_chars"), r6n(sd / mean).as("cv"),
+          nReq.as("n_required"),
+          r6n(col("n").cast("double") / nReq.cast("double")).as("coverage"))
+        .orderBy(col("source"))
+    }),
+
     /** Score calibration audit — reliability bins + Brier components
       * for a deterministic logistic score of order value predicting
       * high priority: the "is this model's 0.7 actually 70%?" read
@@ -1015,6 +1041,23 @@ object Inference {
          |${prop("user_id", "user_id")}
          |ORDER BY "column" NULLS FIRST""".stripMargin
     },
+
+    "q320_sample_size_plan" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(n_chars AS DOUBLE)) AS sx,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sx2
+        |  FROM documents GROUP BY 1
+        |  HAVING count(*) > 1)
+        |SELECT source, n AS n_docs,
+        |round(sx / n + 1e-12, 6) AS mean_chars,
+        |round(sqrt((sx2 - sx * sx / n) / (n - 1)) / (sx / n) + 1e-12, 6) AS cv,
+        |CAST(ceil(pow(1.96 * sqrt((sx2 - sx * sx / n) / (n - 1))
+        |  / (sx / n) / 0.01, 2.0)) AS BIGINT) AS n_required,
+        |round(n * 1.0 / CAST(ceil(pow(1.96 * sqrt((sx2 - sx * sx / n) / (n - 1))
+        |  / (sx / n) / 0.01, 2.0)) AS BIGINT) + 1e-12, 6) AS coverage
+        |FROM per
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q292_brier_calibration" ->
       """WITH s AS (
