@@ -181,14 +181,16 @@ object PairGraph {
     * from the SNAPSHOT alone), then derive and append its signed
     * deltas (derived from STATE alone). Generation 0 overwrites,
     * truncating any stale state — the whole 3-step sequence is
-    * idempotent across reruns, the q229 stance. Single-file state
-    * writes: increments are generation-sized and read back whole, so
-    * a wide layout's win never materializes while its task/commit
-    * overhead does (the SERVE store keeps the parallel layout). */
+    * idempotent across reruns, the q229 stance. NO coalesce on either
+    * write: a generation's postings at production cadence are
+    * snapshot-sized, and funneling them through one task is a
+    * scale-killer in the one code path whose purpose is the 100 TB
+    * maintenance story (round-9 verdict #1); AQE right-sizes the
+    * output files on both writes. */
   private[llm] def ivmStep(s: SparkSession, pg: DataFrame,
       statePath: String, gen: Int, cap: Int): Unit = {
     val mode = if (gen == 0) "overwrite" else "append"
-    pg.withColumn("gen", lit(gen)).coalesce(1)
+    pg.withColumn("gen", lit(gen))
       .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings")
     // no coalesce here: it would collapse the delta JOIN's reduce
     // stage to one task; AQE already right-sizes the output files

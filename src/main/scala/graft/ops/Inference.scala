@@ -34,6 +34,44 @@ object Inference {
   private def firstDigitSpark(x: String): String =
     s"CAST(substring(CAST(CAST(floor($x) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
 
+  /** Wilcoxon signed-rank kernel over a long column `d` of paired
+    * differences: zero diffs drop per the classic procedure; |d|
+    * midranks ride ONE GlobalRank exchange DOUBLED so every rank sum
+    * is an exact LONG (the q234 stance); the tie-corrected variance
+    * is carried as its ×48 integer numerator. Returns one row
+    * (n_pairs, w_plus, z) with z = (W+ − n(n+1)/4)/σ — with
+    * w2 = 2·W+ that is (2·w2 − n(n+1))/(4σ); the null MEAN of w2 is
+    * n(n+1)/2, subtracted ONCE (round-9 shipped it subtracted twice,
+    * mirrored in the oracle so the gate stayed green while the
+    * statistic was biased by −n(n+1)/(4σ); WilcoxonSpec now pins the
+    * sign on known samples). Factored out of q312 so the kernel is
+    * unit-testable on constructed diffs. */
+  def wilcoxonSignedRank(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nz = pairs.filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"), signum(col("d")).cast("long").as("sg"))
+    val g = nz.groupBy(col("ad"))
+      .agg(count(lit(1)).as("nv"), count_if(col("sg") === 1).as("np"))
+    val c = GlobalRank.withRunningSum(g, Seq(col("ad")), "nv", "cnv")
+    // doubled midrank: 2r = 2·cnv − 2·nv + nv + 1 = 2cnv − nv + 1
+    val mid2 = col("cnv") * 2 - col("nv") + 1
+    c.agg(sum(col("nv")).as("n"),
+        sum(col("np") * mid2).as("w2"),
+        // tie fold in doubles BEFORE the cubes (ANSI long-overflow
+        // stance; exact to 2^53, mirrored in the oracle)
+        sum(col("nv").cast("double") * col("nv").cast("double") *
+          col("nv").cast("double") - col("nv").cast("double")).as("tie3"))
+      .select(col("n").as("n_pairs"),
+        (col("w2").cast("double") / 2.0).as("w_plus_raw"),
+        col("w2"), col("tie3"))
+      .select(col("n_pairs"), r6n(col("w_plus_raw")).as("w_plus"),
+        r6n((col("w2") * 2 - col("n_pairs") * (col("n_pairs") + 1)).cast("double") /
+          (lit(4.0) * sqrt(
+            (col("n_pairs").cast("double") * (col("n_pairs") + 1) *
+              (col("n_pairs") * 2 + 1) * 2.0 - col("tie3")) /
+              48.0))).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     /** Benford first-digit audit of order totals — the classic
@@ -499,28 +537,7 @@ object Inference {
         .agg(count_if(col("us") <= col("mid")).as("x"),
           count_if(col("us") > col("mid")).as("y"))
         .select(col("user_id"), (col("y") - col("x")).as("d"))
-      val nz = pairs.filter(col("d") =!= 0)
-        .select(abs(col("d")).as("ad"), signum(col("d")).cast("long").as("sg"))
-      val g = nz.groupBy(col("ad"))
-        .agg(count(lit(1)).as("nv"), count_if(col("sg") === 1).as("np"))
-      val c = GlobalRank.withRunningSum(g, Seq(col("ad")), "nv", "cnv")
-      // doubled midrank: 2r = 2·cnv − 2·nv + nv + 1 = 2cnv − nv + 1
-      val mid2 = col("cnv") * 2 - col("nv") + 1
-      c.agg(sum(col("nv")).as("n"),
-          sum(col("np") * mid2).as("w2"),
-          // tie fold in doubles BEFORE the cubes (ANSI long-overflow
-          // stance; exact to 2^53, mirrored in the oracle)
-          sum(col("nv").cast("double") * col("nv").cast("double") *
-            col("nv").cast("double") - col("nv").cast("double")).as("tie3"))
-        .select(col("n").as("n_pairs"),
-          (col("w2").cast("double") / 2.0).as("w_plus_raw"),
-          col("w2"), col("tie3"))
-        .select(col("n_pairs"), r6n(col("w_plus_raw")).as("w_plus"),
-          r6n((col("w2") - col("n_pairs") * (col("n_pairs") + 1)).cast("double") /
-            (lit(2.0) * sqrt(
-              (col("n_pairs").cast("double") * (col("n_pairs") + 1) *
-                (col("n_pairs") * 2 + 1) * 2.0 - col("tie3")) /
-                48.0))).as("z"))
+      wilcoxonSignedRank(pairs)
     }),
 
     /** McNemar's test between two detector variants on the SAME
@@ -967,8 +984,8 @@ object Inference {
         |  FROM c)
         |SELECT n AS n_pairs,
         |round(w2 / 2.0 + 1e-12, 6) AS w_plus,
-        |round((w2 - n * (n + 1)) * 1.0
-        |  / (2.0 * sqrt((CAST(n AS DOUBLE) * (n + 1) * (n * 2 + 1) * 2.0 - tie3)
+        |round((w2 * 2 - n * (n + 1)) * 1.0
+        |  / (4.0 * sqrt((CAST(n AS DOUBLE) * (n + 1) * (n * 2 + 1) * 2.0 - tie3)
         |      / 48.0)) + 1e-12, 6) AS z
         |FROM f""".stripMargin,
 
