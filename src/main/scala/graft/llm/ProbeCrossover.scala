@@ -46,10 +46,16 @@ object ProbeCrossover {
     val base = graft.Tables(s, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
 
-    def time(f: => Long): (Double, Long) = {
+    // clearCache evicts BOTH the measured path's intermediates and the
+    // pinned variant — re-cache and re-count `d` after each clear so
+    // the text synthesis stays excluded from every timed rep (round-9
+    // advice: the old form re-ran the synthesis inside the timing,
+    // compressing the recorded crossover ratios toward 1)
+    def time(d: DataFrame)(f: => Long): (Double, Long) = {
       var best = Double.MaxValue; var n = 0L
       (1 to reps).foreach { _ =>
         s.catalog.clearCache()
+        d.cache(); d.count()
         val t0 = System.nanoTime()
         n = f
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -67,8 +73,8 @@ object ProbeCrossover {
     println(f"[xover] ${"variant"}%-36s ${"exact_s"}%8s ${"probe_s"}%8s  pairs")
     variants.foreach { case (name, docs) =>
       val d = docs.cache(); d.count() // pin the variant so text synthesis is not timed
-      val (te, ne) = time(TextDedup.exactContainment(d).count())
-      val (tp, np) = time(TextDedup.probeContainment(d).count())
+      val (te, ne) = time(d)(TextDedup.exactContainment(d).count())
+      val (tp, np) = time(d)(TextDedup.probeContainment(d).count())
       require(ne == np, s"$name: probe row count $np != exact $ne")
       println(f"[xover] $name%-36s $te%8.2f $tp%8.2f  $ne")
       d.unpersist()

@@ -51,10 +51,24 @@ object StateStores {
     * semantics change). */
   private[graft] def servePath(dir: String, name: String, table: String): String = {
     val p = java.nio.file.Paths.get(dir, table + ".parquet")
-    val sig = try {
-      val a = java.nio.file.Files.readAttributes(p,
+    // CONTENT-derived signature: when the fixture is a directory its
+    // own size attribute is an inode constant and a metadata-
+    // preserving refresh (rsync -a, cp -p) keeps the top-level mtime —
+    // fold the names+sizes+mtimes of the files INSIDE instead, so any
+    // regeneration lands on a fresh path (round-9 advice).
+    def attrSig(f: java.nio.file.Path): String = {
+      val a = java.nio.file.Files.readAttributes(f,
         classOf[java.nio.file.attribute.BasicFileAttributes])
-      s"$dir|${a.size}|${a.lastModifiedTime.toMillis}"
+      s"${f.getFileName}|${a.size}|${a.lastModifiedTime.toMillis}"
+    }
+    val sig = try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(p)
+        val parts = try st.iterator().asScala.toSeq.sortBy(_.toString)
+          .map(attrSig).mkString(";") finally st.close()
+        s"$dir|$parts"
+      } else s"$dir|${attrSig(p)}"
     } catch { case _: java.io.IOException => dir }
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sig))
@@ -62,13 +76,31 @@ object StateStores {
   }
 
   /** Run `write` only when `path` has no completed parquet commit yet
-    * (seed-if-absent). JVM-global lock: parallel test suites in one
-    * JVM must not double-seed; the seed content is deterministic, so
-    * a re-seed after a torn write converges to the same bytes. */
+    * (seed-if-absent). Two layers of exclusion: a JVM-global monitor
+    * (parallel test suites in one JVM must not double-seed) and an
+    * OS-level FileChannel lock on a sidecar .lock file, so two
+    * PROCESSES (e.g. bench and verify over the same fixture) cannot
+    * interleave a seed with a consumer's read of a half-written store
+    * (round-9 advice); the late arrival blocks, re-probes _SUCCESS
+    * under the lock, and skips. The seed content is deterministic, so
+    * a re-seed after a crash converges to the same bytes. */
   private[graft] def seedOnce(path: String)(write: => Unit): Unit =
     StateStores.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-        write
+      val success = java.nio.file.Paths.get(path, "_SUCCESS")
+      if (!java.nio.file.Files.exists(success)) {
+        val lockPath = java.nio.file.Paths.get(path + ".lock")
+        Option(lockPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // blocks on a concurrent process's seed
+          try {
+            if (!java.nio.file.Files.exists(success)) write
+          } finally lock.release()
+        } finally ch.close()
+      }
     }
 
   private val NHashes = 48
