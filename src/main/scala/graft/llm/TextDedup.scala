@@ -357,22 +357,19 @@ object TextDedup {
       * ratio-independent at fixed k and hands the rest to exact
       * verification, which touches candidates only.
       *
-      * MEASURED VERDICT (round 9, graft.llm.ProbeCrossover — the
-      * crossover table in BASELINE.md): the probe path loses to the
-      * exact join at EVERY measured size, ~2.2-2.5×, INCLUDING
-      * synthetic df-saturated variants (near-cap boilerplate shingles
-      * at df ≈ 417-500, corpora to 15k docs) — the regime its
-      * avoided-volume argument targeted. The reason is structural:
-      * the candidate-DOC-restricted verify below re-joins the
-      * candidate slice on the shingle key, and one probe of a
-      * near-cap shingle makes all ~df of its holders candidates, so
-      * the verify re-derives the C(df,2) pair volume the probe join
-      * avoided. Candidates are sparse exactly when the exact join is
-      * cheap anyway. The production containment path is therefore
-      * q127 served from the PairGraph store; this query is retained
-      * as the sampled-membership demonstration (ratio-independent
-      * recall is real; the cost advantage is not), with BASELINE.md
-      * carrying its honest price tag. */
+      * MEASURED VERDICT (rounds 9-10, graft.llm.ProbeCrossover — the
+      * crossover tables in BASELINE.md): round 9's candidate-DOC-
+      * restricted verify lost to the exact join ~2.2-2.5× at every
+      * size, structurally — it re-joined the candidate slice on the
+      * shingle key, so one probe of a near-cap shingle re-derived the
+      * C(df,2) volume the probe had avoided. Round 10 replaced it
+      * with the PAIR-restricted verify below (each candidate pair
+      * intersects its two capped shingle arrays locally; cost
+      * Σ_pairs(|A|+|B|), no shingle-key re-join) and re-measured.
+      * The production containment path remains q127 served from the
+      * PairGraph store (a store scan beats any recomputation); this
+      * query is the scale path for a COLD corpus, and its crossover
+      * economics are recorded in BASELINE.md. */
     "q131_containment_probe" -> ((s: SparkSession, dir: String) =>
       probeContainment(Tables(s, dir, "documents"))),
   )
@@ -412,32 +409,30 @@ object TextDedup {
           col("p.sh") === col("x.sh") && col("p.doc_id") =!= col("x.doc_id"))
         .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
           greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
-        .cache() // read by the id restriction AND the final pair filter
-        // no pre-distinct: both consumers (the id explode+distinct and
-        // the left_semi pair filter) dedup inherently — a distinct here
-        // would spend an exchange on the probe-hit stream for nothing
-      // verification touches candidates only, and touches the FULL
-      // index exactly once: semi-restrict the index to candidate DOCS
-      // (the one full-index exchange this phase pays), then self-join
-      // that candidate-sized slice on the shingle key — each candidate
-      // doc's shingles cross the wire once, never once PER PAIR (the
-      // former cand⋈index⋈index shape replicated a doc's shingles by
-      // its pair multiplicity and paid a second full-index exchange on
-      // (doc_id, sh)) — and keep only the probed pairs with a semi-join
-      val candIds = cand
-        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-      val shC = sh
-        .join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-        .cache() // both sides of the verify self-join read this slice
-      val inter = shC.as("a")
-        .join(shC.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(cand, Seq("d1", "d2"), "left_semi")
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .distinct()
+      // PAIR-restricted verification (round 10 — the round-9 measured
+      // loss was structural to the candidate-DOC-restricted verify,
+      // which re-joined the candidate slice on the shingle key: one
+      // probe of a near-cap shingle made all ~df holders candidates
+      // and the self-join re-derived the C(df,2) volume the probe
+      // avoided. Here each candidate PAIR fetches its two capped
+      // shingle arrays and intersects LOCALLY, so verification cost is
+      // Σ_pairs (|A|+|B|) — proportional to the candidate list the
+      // probe join already paid for, with no shingle-key re-join to
+      // blow up. The capped arrays are rebuilt once from the capped
+      // index (one doc-keyed exchange, the same class as the sizes
+      // aggregate it replaces); n1/n2 read off the array sizes.
+      val arrC = sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("cshs"))
+      cand
+        .hint("shuffle_hash") // build on the pair side, not the corpus
+        .join(arrC.select(col("doc_id").as("d1"), col("cshs").as("s1")), "d1")
+        .hint("shuffle_hash")
+        .join(arrC.select(col("doc_id").as("d2"), col("cshs").as("s2")), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+          size(col("s1")).cast("long").as("n1"),
+          size(col("s2")).cast("long").as("n2"))
         .filter(col("inter") / least(col("n1"), col("n2")) >= 0.9)
         .select(col("d1"), col("d2"),
           r4n(col("inter") / col("n1")).as("cont_d1"),
