@@ -113,6 +113,14 @@ object Similarity {
   }
 
   // ---- product quantization (q158): m subspaces × ks codes ----
+  /** q296's per-cell block bound: within-cell k-NN candidate sets are
+    * capped at ~this many members so the density screen stays linear
+    * at any corpus size (fixed-count cells otherwise make within-cell
+    * all-pairs quadratic — measured exponent 2.28 before the split,
+    * SCALING.json round 10). 64 keeps the blocked path EXERCISED at
+    * sf0.1 (~125-member cells → 2 blocks) under the DuckDB oracle. */
+  private[llm] val KnnBlock = 64
+
   private[llm] val PqM = 8 // subspaces
   private[llm] val PqSub = 8 // dims per subspace (m · sub = 64)
   private[llm] val PqKs = 4 // codes per subspace codebook
@@ -454,21 +462,45 @@ object Similarity {
       * modality) run before any cosine-based curation: a vector whose
       * 5th-nearest-neighbor distance is far above its cell's average
       * sits in locally sparse space. Scale shape: train-once cells
-      * (the q86 assignment), distances only WITHIN cells — O(Σk_i²)
-      * never O(n²) — the k-th distance by a per-vector rank window
-      * (n-vector partitions, never a funnel), one bounded per-cell
-      * average, top-10 by the r6n-ROUNDED ratio with id tiebreak
-      * (cross-engine ranking rule). Distances are rounded BEFORE
-      * ranking so a last-ulp cosine difference cannot reorder
-      * neighbors. Cells with < 6 members produce no 5th neighbor and
-      * drop out on both engines. */
+      * (the q86 assignment), then — because FIXED-count cells grow
+      * linearly with the corpus, making within-cell all-pairs
+      * quadratic (measured: wall-time exponent 2.28 at 10×/30×,
+      * SCALING.json round 10) — each cell is SUB-SPLIT into blocks of
+      * ≤ ~[[KnnBlock]] members (blk = vec_id mod ceil(cellsize/B), a
+      * deterministic engine-mirrorable hash split) and distances are
+      * computed only WITHIN a block: per-vector candidate work is
+      * bounded by B, total pair volume O(n·B) — linear. The 5th-NN
+      * distance within a random B-block is a SAMPLED k-NN density
+      * estimate — biased upward, but identically so for every vector
+      * in the cell, and the screen ranks the RATIO to the cell
+      * average, which cancels the bias to first order. At the verify
+      * SFs the largest cell is ~125 members, so sf0.1 exercises the
+      * blocked path (2 blocks/cell) under the oracle while sf0.01
+      * (nblk = 1) pins block-off equivalence. The k-th distance comes
+      * from a per-vector rank window (n-vector partitions, never a
+      * funnel), one bounded per-cell average, top-10 by the
+      * r6n-ROUNDED ratio with id tiebreak (cross-engine ranking
+      * rule). Distances are rounded BEFORE ranking so a last-ulp
+      * cosine difference cannot reorder neighbors. Blocks with < 6
+      * members produce no 5th neighbor and drop out on both
+      * engines. */
     "q296_knn_outlier" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val (cents, _) = trainKmeans(e, k = 16, iters = 2)
-      val assigned = assignCells(e, cents).cache()
+      val assigned0 = assignCells(e, cents)
+      // 16-row cell-size table (bounded by the constant k) broadcast
+      // back to derive the per-cell block count
+      val cellN = assigned0.groupBy(col("cent_id")).agg(count(lit(1)).as("cnt"))
+      val assigned = assigned0
+        .join(broadcast(cellN), "cent_id")
+        .withColumn("blk",
+          pmod(col("vec_id"), expr(s"(cnt + ${KnnBlock - 1}) div $KnnBlock")))
+        .drop("cnt").cache()
       val dists = assigned.as("a").join(assigned.as("b"),
-          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") =!= col("b.vec_id"))
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.cent_id").as("cent_id"), col("a.vec_id").as("vec_id"),
           col("b.vec_id").as("nb"),
           r6(lit(1.0) - expr("cosine_sim(a.embedding, b.embedding)")).as("d6"))
@@ -1671,8 +1703,9 @@ object Similarity {
         |JOIN norms y ON y.label = l2
         |ORDER BY l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin,
 
-    // same 2-iteration k=16 Lloyd unroll as q86, within-cell rounded
-    // distances, 5th-neighbor rank, cell average, rounded-ratio rank
+    // same 2-iteration k=16 Lloyd unroll as q86, the same bounded
+    // block split (blk = vec_id mod ceil(cellsize/64)), within-block
+    // rounded distances, 5th-neighbor rank, cell average, ratio rank
     "q296_knn_outlier" ->
       s"""WITH c16 AS (
          |  SELECT vec_id AS cent_id,
@@ -1680,12 +1713,18 @@ object Similarity {
          |  FROM embeddings WHERE vec_id < 16),
          |${duckKmeansIter("c16", "os1", "oa1", Some("oc1"))},
          |${duckKmeansIter("oc1", "os2", "oa2", Some("oc2"))},
-         |${duckKmeansIter("oc2", "os3", "assigned", None)},
+         |${duckKmeansIter("oc2", "os3", "assigned0", None)},
+         |cn AS (SELECT cent_id, count(*) AS cnt FROM assigned0 GROUP BY 1),
+         |assigned AS (
+         |  SELECT a.*, a.vec_id % ((cn.cnt + ${KnnBlock - 1}) // ${KnnBlock})
+         |    AS blk
+         |  FROM assigned0 a JOIN cn USING (cent_id)),
          |dists AS (
          |  SELECT a.cent_id, a.vec_id, b.vec_id AS nb,
          |  round(1.0 - ${duckCos("a.embedding", "b.embedding")}, 6) AS d6
          |  FROM assigned a JOIN assigned b
-         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |    ON a.cent_id = b.cent_id AND a.blk = b.blk
+         |    AND a.vec_id <> b.vec_id),
          |dk AS (
          |  SELECT cent_id, vec_id, d6 AS dk FROM (
          |    SELECT cent_id, vec_id, d6,

@@ -103,6 +103,35 @@ object StateStores {
       }
     }
 
+  /** Rewrite a parquet state dir through a temp dir + swap — the
+    * COMPACT primitive (round-10, the store lifecycle beyond append):
+    * the read job streams the O(generations)-fragment dir once and AQE
+    * right-sizes the compacted output; the swap is two local renames,
+    * so a crash mid-compact leaves either the intact original or the
+    * intact compacted dir, never a torn mix (the half-written temp is
+    * simply overwritten by the retry). Writers hold the store's
+    * process lock ([[seedOnce]]'s stance) in the demo flows, so no
+    * reader observes the swap window. */
+  private[llm] def rewriteSwap(df: DataFrame, path: String,
+      partitionCol: Option[String] = None): Unit = {
+    val tmp = path + ".compact"
+    val w = df.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val st = java.nio.file.Files.list(p)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.foreach(rm)
+        } finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val dst = java.nio.file.Paths.get(path)
+    rm(dst)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+  }
+
   private val NHashes = 48
   private val Bands = 16
 
@@ -126,6 +155,14 @@ object StateStores {
     bandIndexRows(s, gen(0)).write.mode("overwrite").parquet(path)
     bandIndexRows(s, gen(1)).write.mode("append").parquet(path)
     bandIndexRows(s, gen(2)).write.mode("append").parquet(path)
+    bandContract(s, docs, path)
+  }
+
+  /** Maintained-vs-rebuilt multiset contract over a band-index state
+    * dir — the q229 tail, factored so the compaction flow (q322)
+    * emits the identical falsifiable summary. */
+  private[llm] def bandContract(s: SparkSession, docs: DataFrame,
+      path: String): DataFrame = {
     val maintained = s.read.parquet(path)
       .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cm"))
     val rebuilt = bandIndexRows(s, docs)
@@ -287,6 +324,27 @@ object StateStores {
       * zero by the oracle. */
     "q229_band_index_store" -> ((s: SparkSession, dir: String) =>
       bandIndexMaintain(s, dir)),
+
+    /** Band-store COMPACTION — q229's appends accumulate one file set
+      * per generation forever; here the store is compacted mid-
+      * lifecycle (one streaming read of the fragmented dir, AQE-sized
+      * rewrite, temp-dir swap) and a FURTHER generation appends onto
+      * the compacted store. The output is the same maintained-vs-
+      * rebuilt multiset contract as q229 — a compaction that loses,
+      * duplicates, or mangles index rows goes red against the
+      * documents-only oracle — and StateCompactionSpec additionally
+      * pins that the compacted dir holds fewer part files than the
+      * fragment sum it replaced. */
+    "q322_band_store_compact" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val path = statePath(dir, "band_index_c")
+      def gen(g: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+      bandIndexRows(s, gen(0)).write.mode("overwrite").parquet(path)
+      bandIndexRows(s, gen(1)).write.mode("append").parquet(path)
+      rewriteSwap(s.read.parquet(path), path)
+      bandIndexRows(s, gen(2)).write.mode("append").parquet(path)
+      bandContract(s, docs, path)
+    }),
 
     /** Band-index SERVE path — the round-8 gap closed: q151's exact
       * output (snapshot docs with no ≥ 0.8-Jaccard corpus near-dup),
@@ -550,6 +608,17 @@ object StateStores {
     // The schema invariant: every ≥3-token doc emits exactly 16 band
     // keys, and maintained ≡ rebuilt means zero mismatches — all three
     // columns derive from the documents table alone.
+    // identical contract: compaction must be invisible to the data
+    "q322_band_store_compact" ->
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS gen,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(*) * 16 AS BIGINT) AS n_index_rows,
+        |CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents
+        |WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+        |GROUP BY 1
+        |ORDER BY gen NULLS FIRST""".stripMargin,
+
     "q229_band_index_store" ->
       """SELECT CAST(doc_id % 3 AS BIGINT) AS gen,
         |CAST(count(*) AS BIGINT) AS n_docs,
