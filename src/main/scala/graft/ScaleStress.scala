@@ -205,7 +205,14 @@ object ScaleStress {
   // ---------------------------------------------------------------
 
   def main(args: Array[String]): Unit = {
-    val s = GraftSession.local("graft-scale-stress")
+    // reducer counts must SCALE with data (what a cluster deployment
+    // does): AQE starts shuffles at 512 partitions and coalesces down
+    // to the advisory size, so x1 runs stay 32-ish while x30 runs get
+    // data-proportional reducers instead of 30x-fat fixed partitions
+    // (fixed 32 at x30 measured spill-driven super-linearity that the
+    // plans themselves don't have)
+    val s = GraftSession.local("graft-scale-stress", extraConfigs = Map(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512"))
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val selected: Seq[Probe] =
       if (args.length > 1) {
@@ -252,9 +259,12 @@ object ScaleStress {
     }.mkString(",")
     val out = s"""{"base":"$baseDir","scales":[${Scales.mkString(",")}],""" +
       s""""queries":{$json}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+    // subset runs (probe re-measurement after a fix) must not clobber
+    // the full board — they land in SCALING.partial.json for a merge
+    val file = if (args.length > 1) "SCALING.partial.json" else "SCALING.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(file),
       out.getBytes("UTF-8"))
-    println(s"[scale] wrote SCALING.json (${results.size} probes)")
+    println(s"[scale] wrote $file (${results.size} probes)")
     s.stop()
   }
 }

@@ -9,7 +9,8 @@ import graft.{GraftSession, Tables}
   *
   *   1. quality filter   — percentile length band + repetition ratio
   *   2. exact dedup      — one survivor per sha-256 content hash
-  *   3. near-dup dedup   — MinHash+LSH pairs (verified ≥ 0.8 Jaccard),
+  *   3. near-dup dedup   — exact Jaccard ≥ 0.8 pairs READ from the
+  *                         persisted pair-graph store ([[PairGraph]]),
   *                         greedy keep-lowest-doc_id
   *   4. decontamination  — drop docs sharing any 4-gram with the
   *                         held-out eval slice (doc_id % 50 == 0)
@@ -24,6 +25,13 @@ object CurationMain {
 
   final case class Funnel(input: Long, afterQuality: Long, afterExact: Long,
     afterNearDup: Long, afterDecontam: Long, train: Long, `val`: Long, test: Long)
+
+  /** Near-dup drop set (the higher doc_id of every exact-Jaccard ≥ 0.8
+    * pair), served from the persisted pair graph — factored so the
+    * spec can assert the plan reads the state table. */
+  private[graft] def nearDupDrops(spark: SparkSession, sfDir: String): DataFrame =
+    PairGraph.jaccard(spark, sfDir, 0.8)
+      .select(col("d2").as("doc_id")).distinct()
 
   /** The whole recipe as a function (spec-testable without the sink). */
   def curate(spark: SparkSession, sfDir: String): (DataFrame, Funnel) = {
@@ -51,10 +59,16 @@ object CurationMain {
       .select(col("doc_id"))
     val exact = qual.join(canonical, Seq("doc_id"), "left_semi").cache()
 
-    // 3. near-dup: verified MinHash pairs at 0.8, drop the higher id
-    val nearDrops = TextDedup.queries("q35_dedup_minhash")(spark, sfDir)
-      .select(col("d2").as("doc_id")).distinct()
-    val near = exact.join(broadcast(nearDrops), Seq("doc_id"), "left_anti").cache()
+    // 3. near-dup: exact Jaccard ≥ 0.8 pairs read from the PERSISTED
+    // pair graph (round 10 — the warm path the fifteen diagnostics
+    // already ride): the funnel no longer re-derives the corpus
+    // self-join per run, and the near-dup stage touches no document
+    // text at all (CurationSpec pins the plan: a state-table scan,
+    // zero documents-parquet scans). Semantics ⊇ the previous
+    // LSH-banded q35 path — the store holds EXACT pairs, so the rare
+    // banding miss (P ≈ 1e-5/pair) is gone rather than tolerated.
+    val near = exact.join(broadcast(nearDupDrops(spark, sfDir)),
+      Seq("doc_id"), "left_anti").cache()
 
     // 4. decontamination: no 4-gram overlap with the eval slice
     def grams(d: DataFrame) = d

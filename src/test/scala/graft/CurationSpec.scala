@@ -47,6 +47,26 @@ class CurationSpec extends SparkSuite {
       "eval-slice docs themselves must not be in the training corpus")
   }
 
+  test("near-dup stage serves from the persisted pair graph, not document text") {
+    val drops = CurationMain.nearDupDrops(spark, sf)
+    drops.count() // force the serve-store seed before reading the plan
+    val plan = drops.queryExecution.executedPlan.toString
+    assert(plan.contains("/tmp/graft_state/"),
+      "near-dup drop plan must scan the persisted pair-graph store")
+    assert(!plan.contains("documents.parquet"),
+      "near-dup drop plan must not rescan document text")
+    // funnel-unchanged pin: the store-served exact ≥ 0.8 drop set must
+    // equal the LSH-banded verified path's (recall 1 - 1e-5 per pair,
+    // and the store is exact — any divergence is a store bug)
+    val lsh = llm.TextDedup.queries("q35_dedup_minhash")(spark, sf)
+      .select(col("d2").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val served = drops.collect().map(_.getLong(0)).toSet
+    assert(served == lsh,
+      s"store-served drops diverge from the verified LSH path: " +
+        s"only-served=${(served -- lsh).take(5)} only-lsh=${(lsh -- served).take(5)}")
+  }
+
   test("split is deterministic and train-dominant") {
     val again = CurationMain.curate(spark, sf)._1
       .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
