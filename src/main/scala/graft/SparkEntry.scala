@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Profiling.queries ++ ops.Extended.queries ++
     ops.Advanced.queries ++ ops.Statistics.queries ++ ops.Layout.queries ++
-    ops.Forensics.queries ++ ops.Inference.queries ++ ops.Sketches.queries ++
+    ops.Forensics.queries ++ ops.ForensicsGen.queries ++
+    ops.Inference.queries ++ ops.Sketches.queries ++
     ops.GraphAudits.queries ++
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
@@ -32,7 +33,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Profiling.oracles ++ ops.Extended.oracles ++
     ops.Advanced.oracles ++ ops.Statistics.oracles ++ ops.Layout.oracles ++
-    ops.Forensics.oracles ++ ops.Inference.oracles ++ ops.Sketches.oracles ++
+    ops.Forensics.oracles ++ ops.ForensicsGen.oracles ++
+    ops.Inference.oracles ++ ops.Sketches.oracles ++
     ops.GraphAudits.oracles ++
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++

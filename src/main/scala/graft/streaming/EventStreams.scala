@@ -642,6 +642,30 @@ object EventStreams {
       }
   }
 
+  /** LIVE band-index SERVE — the streaming counterpart of q281
+    * (round-10: [[nearDupPairs]] holds its LSH buckets in executor
+    * state and sees only the feed; THIS is the serve path against a
+    * standing corpus): each micro-batch of arriving documents probes
+    * the PERSISTED corpus band index at `idxPath` — the same parquet
+    * state table the batch serve reads — and writes its survivors
+    * (docs with no ≥ `threshold`-Jaccard corpus near-dup). Per-doc
+    * verdicts depend only on the corpus, so the union of per-batch
+    * outputs equals the one-shot batch serve over the same snapshot,
+    * which StateServeSpec pins ACROSS a micro-batch boundary.
+    *
+    * Idempotent against foreachBatch's at-least-once replays the
+    * [[graft.llm.StateStores.bandIndexAppendSink]] way: each batch overwrites its own
+    * `batch=<id>` subdir; readers drop the synthetic partition
+    * column. */
+  def bandServeSink(docs: DataFrame, corpus: DataFrame, idxPath: String,
+      outPath: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.StateStores
+        .bandServe(batch.sparkSession, batch, corpus, idxPath, threshold)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }.start()
+
   /** LIVE Welch drift screen — batch q166's conditional aggregate run
     * in Complete output mode over the event feed: all six partial
     * aggregates (n, Σ, M2 per sample) are sum-mergeable, so Spark

@@ -46,6 +46,37 @@ class StateServeSpec extends SparkSuite {
       s"serve side must derive band keys for the snapshot only (saw $sites):\n$plan")
   }
 
+  test("live band serve ≡ batch serve across a micro-batch boundary") {
+    // stage the snapshot as TWO files + maxFilesPerTrigger=1, so the
+    // two halves arrive in different micro-batches; each batch probes
+    // the SAME persisted index the batch serve reads
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve_src")
+    snap.filter(col("doc_id") % 20 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    snap.filter(col("doc_id") % 20 =!= 0).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    move("p0", "f0.parquet"); move("p1", "f1.parquet")
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_serve_out").toString
+    val sq = streaming.EventStreams.bandServeSink(stream, corpus, bandPath, out)
+    sq.processAllAvailable(); sq.stop()
+    val batches = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(_.getFileName.toString.startsWith("batch=")).count()
+    assert(batches >= 2, s"expected >= 2 micro-batches, saw $batches")
+    val live = spark.read.parquet(out).drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StateStores.bandServe(spark, snap, corpus, bandPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == batch,
+      s"live-serve union diverges from the one-shot batch serve: " +
+        s"only-live=${(live -- batch).take(5)} only-batch=${(batch -- live).take(5)}")
+  }
+
   test("seedOnce: a completed seed is never re-written") {
     val p = java.nio.file.Files.createTempDirectory("graft_seed").resolve("s").toString
     var writes = 0
