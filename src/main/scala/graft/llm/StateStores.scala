@@ -112,10 +112,14 @@ object StateStores {
     * simply overwritten by the retry). Writers hold the store's
     * process lock ([[seedOnce]]'s stance) in the demo flows, so no
     * reader observes the swap window. */
-  private[llm] def rewriteSwap(df: DataFrame, path: String,
+  private[graft] def rewriteSwap(df: DataFrame, path: String,
       partitionCol: Option[String] = None): Unit = {
     val tmp = path + ".compact"
-    val w = df.write.mode("overwrite")
+    // rebalance: a narrow read→write preserves the INPUT fragment
+    // layout (the fragmentation compaction exists to remove); the
+    // rebalance exchange lets AQE emit advisory-size output files —
+    // one per generation at fixture scale, target-sized at any scale
+    val w = df.hint("rebalance").write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
     def rm(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p,
