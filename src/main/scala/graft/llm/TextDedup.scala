@@ -363,15 +363,17 @@ object TextDedup {
       * size, structurally — it re-joined the candidate slice on the
       * shingle key, so one probe of a near-cap shingle re-derived the
       * C(df,2) volume the probe had avoided. Round 10 replaced it
-      * with the PAIR-restricted verify below (each candidate pair
-      * intersects its two capped shingle arrays locally; cost
-      * Σ_pairs(|A|+|B|), no shingle-key re-join) and re-measured.
-      * The production containment path remains q127 served from the
-      * PairGraph store (a store scan beats any recomputation); this
-      * query is the scale path for a COLD corpus, and its crossover
-      * economics are recorded in BASELINE.md. */
-    "q131_containment_probe" -> ((s: SparkSession, dir: String) =>
-      probeContainment(Tables(s, dir, "documents"))),
+      * with the PAIR-restricted verify in [[probeContainment]] (each
+      * candidate pair intersects its two capped shingle arrays
+      * locally; cost Σ_pairs(|A|+|B|), no shingle-key re-join) and
+      * re-measured: 35-57% cheaper, STILL loses at every size — the
+      * remaining cost is the probe join's own (k/|A|)·Σdf² candidate
+      * stream. Claim retired with both verify shapes measured;
+      * q131 is DEMOTED from the driver registry (round-9 verdict #8):
+      * DedupSkewSpec pins probe ≡ exact as the spec-level
+      * demonstration, BASELINE.md carries the price tag, and the
+      * production containment path is q127 served from the PairGraph
+      * store. (The doc comment stays on the implementation below.) */
   )
 
   /** The exact containment join (the pre-store q127 body), kept as the
@@ -1282,10 +1284,6 @@ object TextDedup {
         |ORDER BY canonical_id NULLS FIRST""".stripMargin,
 
     "q34_dedup_jaccard" -> duckJaccard("0.5"),
-
-    // probe-sampled candidates + exact verification ≡ the full
-    // inverted-index containment join (miss prob ≤ 1e-8 per pair)
-    "q131_containment_probe" -> duckContainment,
 
     "q127_containment" -> duckContainment,
 

@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
-import graft.SparkSuite
+import graft.{SparkSuite, Tables}
 
 /** The df-cap contract on the shingle inverted-index joins: a
   * stop-shingle shared by every document must NOT generate the
@@ -53,10 +53,11 @@ class DedupSkewSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("q131 probe-sampled containment equals q127's full inverted-index join") {
+  test("probe-sampled containment equals q127's full inverted-index join " +
+      "(spec-level demonstration — q131 demoted from the registry, round 10)") {
     val full = TextDedup.queries("q127_containment")(spark, sf)
       .collect().map(_.toSeq).toSet
-    val probed = TextDedup.queries("q131_containment_probe")(spark, sf)
+    val probed = TextDedup.probeContainment(Tables(spark, sf, "documents"))
       .collect().map(_.toSeq).toSet
     assert(full.nonEmpty, "fixture should contain containment pairs")
     assert(probed == full,
