@@ -205,14 +205,16 @@ object ScaleStress {
   // ---------------------------------------------------------------
 
   def main(args: Array[String]): Unit = {
-    // reducer counts must SCALE with data (what a cluster deployment
-    // does): AQE starts shuffles at 512 partitions and coalesces down
-    // to the advisory size, so x1 runs stay 32-ish while x30 runs get
-    // data-proportional reducers instead of 30x-fat fixed partitions
-    // (fixed 32 at x30 measured spill-driven super-linearity that the
-    // plans themselves don't have)
-    val s = GraftSession.local("graft-scale-stress", extraConfigs = Map(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512"))
+    // measure at the PRODUCTION session config (local[32], 32 shuffle
+    // partitions via SPARK_GRAFT_CPUS=32, large heap). Two configs
+    // were tried and rejected: local[4]/-Xmx8g measured exponent ~2 on
+    // provably-linear queries (4 fat reducers + spill — an environment
+    // artifact), and initialPartitionNum=512 on local[32] added a
+    // near-constant multi-second scheduling floor per query (512 tasks
+    // per stage, 32 running at a time) that compressed every exponent
+    // toward 0. Fixed 32 partitions with a no-spill heap measures the
+    // PLAN's scaling, which is what the record is for.
+    val s = GraftSession.local("graft-scale-stress")
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val selected: Seq[Probe] =
       if (args.length > 1) {
