@@ -684,6 +684,73 @@ object Inference {
           r6n(avg(col("y").cast("double"))).as("event_rate"),
           r6(sum(col("sq"))).as("brier_sum"))
         .orderBy(col("bin"))
+    }),
+
+    /** Yuen's trimmed-mean two-sample test (20% trim) on doc length
+      * between two sources — the ROBUST location comparison the
+      * existing arsenal lacks: Welch (q166) is wrecked by the heavy
+      * length tail, Mann-Whitney (q200) answers a stochastic-
+      * dominance question, not "how far apart are the typical
+      * lengths". Trimming is by RANK over a (value, doc_id) total
+      * order — deterministic under ties — and ranks come from ONE
+      * GlobalRank range exchange with per-group offsets (the q198
+      * midrank stance; a window partitioned on the handful of
+      * sources would funnel each group through one task). The
+      * winsorized variance folds as Σw/Σw² over CLAMPED INTEGER
+      * lengths, so every input to the t and df formulas is an
+      * integer-derived IEEE-exact double: the only float work is the
+      * final division/sqrt chain, mirrored op-for-op in the oracle.
+      * d_j = s²w·(n−1)/(h(h−1)) simplifies to (Σw²−(Σw)²/n)/(h(h−1))
+      * — the shorter form both engines compute. */
+    "q338_yuen_trimmed" -> ((s: SparkSession, dir: String) => {
+      val d0 = Tables(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source").as("g"), col("n_chars").as("v"), col("doc_id"))
+        .withColumn("one", lit(1L))
+      val ranked = GlobalRank.withRunningSum(d0,
+        Seq(col("g"), col("v"), col("doc_id")), "one", "ccum")
+      // per-group offset and size from the SAME ranked table — rank
+      // within g = global running count minus the group's start
+      val offs = ranked.groupBy(col("g"))
+        .agg(min(col("ccum")).as("cmin"), count(lit(1)).as("n"))
+        .select(col("g"), (col("cmin") - lit(1L)).as("off"), col("n"),
+          floor(col("n") / lit(5)).cast("long").as("k"))
+      val r = ranked.join(broadcast(offs), "g")
+        .select(col("g"), col("v"), (col("ccum") - col("off")).as("r"),
+          col("n"), col("k"))
+      // clamp boundaries: the order statistics at rank k+1 and n-k
+      val lo = r.filter(col("r") === col("k") + lit(1L))
+        .select(col("g"), col("v").as("lov"))
+      val hi = r.filter(col("r") === col("n") - col("k"))
+        .select(col("g"), col("v").as("hiv"))
+      val w = r.join(broadcast(lo), "g").join(broadcast(hi), "g")
+        .select(col("g"), col("n"), col("k"),
+          greatest(least(col("v"), col("hiv")), col("lov")).as("wv"),
+          when(col("r") > col("k") && col("r") <= col("n") - col("k"),
+            col("v")).as("tv"))
+      val gstats = w.groupBy(col("g"))
+        .agg(max(col("n")).as("n"), sum(col("tv")).as("ts"),
+          count(col("tv")).as("h"),
+          sum(col("wv")).as("sw"), sum(col("wv") * col("wv")).as("sw2"))
+        .select(col("g"), col("n"), col("h"),
+          (col("ts").cast("double") / col("h")).as("tm"),
+          ((col("sw2").cast("double") - col("sw").cast("double") * col("sw") /
+            col("n")) / (col("h") * (col("h") - lit(1L)))).as("d"))
+      val a = gstats.filter(col("g") === "src0")
+        .select(col("n").as("n_a"), col("h").as("h_a"),
+          col("tm").as("tm_a"), col("d").as("d_a"))
+      val b = gstats.filter(col("g") === "src1")
+        .select(col("n").as("n_b"), col("h").as("h_b"),
+          col("tm").as("tm_b"), col("d").as("d_b"))
+      val se2 = col("d_a") + col("d_b")
+      a.crossJoin(broadcast(b))
+        .select(lit("src0").as("src_a"), lit("src1").as("src_b"),
+          col("n_a"), col("h_a"), r6n(col("tm_a")).as("trimmed_mean_a"),
+          col("n_b"), col("h_b"), r6n(col("tm_b")).as("trimmed_mean_b"),
+          r6n((col("tm_a") - col("tm_b")) / sqrt(se2)).as("yuen_t"),
+          r6n(se2 * se2 /
+            (col("d_a") * col("d_a") / (col("h_a") - lit(1L)) +
+             col("d_b") * col("d_b") / (col("h_b") - lit(1L)))).as("df_welch"))
     })
   )
 
@@ -1090,6 +1157,46 @@ object Inference {
         |round(avg(y * 1.0) + 1e-12, 6) AS event_rate,
         |round(sum((sc - y) * (sc - y)), 6) AS brier_sum
         |FROM s GROUP BY 1
-        |ORDER BY bin NULLS FIRST""".stripMargin
+        |ORDER BY bin NULLS FIRST""".stripMargin,
+
+    // same rank-trim construction: row_number over (v, doc_id) per
+    // group, clamp at the k+1 / n-k order statistics, integer Σw/Σw²
+    // winsorized fold, then the identical t/df division-sqrt chain
+    "q338_yuen_trimmed" ->
+      """WITH d AS (
+        |  SELECT source AS g, n_chars AS v, doc_id
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |r AS (
+        |  SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |k AS (SELECT g, v, r, n, n // 5 AS k FROM r),
+        |lo AS (SELECT g, v AS lov FROM k WHERE r = k + 1),
+        |hi AS (SELECT g, v AS hiv FROM k WHERE r = n - k),
+        |w AS (
+        |  SELECT k.g, k.n,
+        |  greatest(least(k.v, hi.hiv), lo.lov) AS wv,
+        |  CASE WHEN k.r > k.k AND k.r <= k.n - k.k THEN k.v END AS tv
+        |  FROM k JOIN lo ON lo.g = k.g JOIN hi ON hi.g = k.g),
+        |g1 AS (
+        |  SELECT g, max(n) AS n, sum(tv) AS ts, count(tv) AS h,
+        |  sum(wv) AS sw, sum(wv * wv) AS sw2
+        |  FROM w GROUP BY 1),
+        |s AS (
+        |  SELECT g, n, h, CAST(ts AS DOUBLE) / h AS tm,
+        |  (CAST(sw2 AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n) / (h * (h - 1))
+        |    AS d
+        |  FROM g1)
+        |SELECT 'src0' AS src_a, 'src1' AS src_b,
+        |CAST(a.n AS BIGINT) AS n_a, CAST(a.h AS BIGINT) AS h_a,
+        |round(a.tm + 1e-12, 6) AS trimmed_mean_a,
+        |CAST(b.n AS BIGINT) AS n_b, CAST(b.h AS BIGINT) AS h_b,
+        |round(b.tm + 1e-12, 6) AS trimmed_mean_b,
+        |round((a.tm - b.tm) / sqrt(a.d + b.d) + 1e-12, 6) AS yuen_t,
+        |round((a.d + b.d) * (a.d + b.d)
+        |  / (a.d * a.d / (a.h - 1) + b.d * b.d / (b.h - 1)) + 1e-12, 6)
+        |  AS df_welch
+        |FROM s a, s b WHERE a.g = 'src0' AND b.g = 'src1'""".stripMargin
   )
 }

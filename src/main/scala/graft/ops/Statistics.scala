@@ -2320,6 +2320,60 @@ object Statistics {
           col("r.crit_136"),
           (col("r.d_stat") > col("r.crit_136")).cast("long").as("flagged"))
         .orderBy(col("source"))
+    }),
+
+    /** Holt linear-trend smoothing (double exponential, α=0.5 β=0.25)
+      * of daily event volume per type — the TREND-aware forecaster
+      * the naive baselines (q224 last-value, q275 seasonal-naive)
+      * deliberately are not, and the level+slope state the EWMA chart
+      * (q201) cannot carry: a steadily growing feed has every EWMA
+      * emission lagging below the data, while Holt's trend term
+      * absorbs the slope. The recursion runs as the q233 fold stance:
+      * daily counts collapse to a per-type (day → count) map bounded
+      * by span-in-days (a domain property, not data volume), and
+      * level/trend/SSE fold once over the DENSE day sequence in a
+      * single aggregate HOF — no window, no driver loop; the oracle
+      * replays the identical fold with a struct-state list_reduce.
+      * Dyadic smoothing constants (0.5, 0.25, 0.75) multiply exactly
+      * in both engines; init l₀=y₀, b₀=0 documented. Holt's one-step
+      * SSE is compared against the naive carry-forward SSE — an
+      * integer (Σ of squared integer deltas), emitted as BIGINT. */
+    "q339_holt_trend" -> ((s: SparkSession, dir: String) => {
+      val dayUs = 86400000000L
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          map_from_entries(array_sort(collect_list(struct(col("day"), col("c")))))
+            .as("mp"))
+        .withColumn("n_days", col("d1") - col("d0") + 1)
+        .filter(col("n_days") >= 2) // the recursion needs a second point
+      g.withColumn("fold", expr("""
+          aggregate(
+            transform(sequence(d0 + 1, d1),
+              dd -> CAST(coalesce(try_element_at(mp, dd), 0L) AS DOUBLE)),
+            named_struct(
+              'l', CAST(try_element_at(mp, d0) AS DOUBLE),
+              'b', CAST(0.0 AS DOUBLE),
+              'sse', CAST(0.0 AS DOUBLE),
+              'prev', CAST(try_element_at(mp, d0) AS DOUBLE),
+              'sn', CAST(0.0 AS DOUBLE)),
+            (acc, y) -> named_struct(
+              'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+              'b', 0.25D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
+                     + 0.75D * acc.b,
+              'sse', acc.sse + (y - acc.l - acc.b) * (y - acc.l - acc.b),
+              'prev', y,
+              'sn', acc.sn + (y - acc.prev) * (y - acc.prev)))"""))
+        .select(col("event_type"), col("n_days"),
+          r6n(col("fold.l")).as("level"),
+          r6n(col("fold.b")).as("trend"),
+          r6n(col("fold.l") + lit(3.0) * col("fold.b")).as("forecast_h3"),
+          r6n(col("fold.sse")).as("sse_holt"),
+          col("fold.sn").cast("long").as("sse_naive"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3758,7 +3812,56 @@ object Statistics {
         |    (tot.n * n_docs)) + 1e-12, 6)
         |  THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM d, tot
-        |ORDER BY source NULLS FIRST""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // the identical left fold as a per-type RECURSIVE CTE over the
+    // indexed dense-day series — one step per day, each step's
+    // arithmetic textually mirroring Spark's aggregate HOF merge.
+    // (A struct-state list_reduce was tried and REVERTED: DuckDB
+    // 1.0's reduce mutates the struct accumulator in place field by
+    // field, so from the second step on, later fields read already-
+    // updated earlier fields — measured b/sse divergence.)
+    "q339_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.d1 - g.d0 + 1 AS n_days,
+        |  unnest(generate_series(g.d0, g.d1)) AS day
+        |  FROM g WHERE g.d1 - g.d0 + 1 >= 2),
+        |dense AS (
+        |  SELECT gr.event_type, gr.n_days,
+        |  row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day)
+        |    AS idx,
+        |  CAST(coalesce(d.c, 0) AS DOUBLE) AS y
+        |  FROM grid gr LEFT JOIN daily d
+        |    ON d.event_type = gr.event_type AND d.day = gr.day),
+        |f(event_type, i, l, b, sse, prev, sn) AS (
+        |  SELECT event_type, 1, y, CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), y, CAST(0.0 AS DOUBLE)
+        |  FROM dense WHERE idx = 1
+        |  UNION ALL
+        |  SELECT f.event_type, f.i + 1,
+        |  0.5 * d.y + 0.5 * (f.l + f.b),
+        |  0.25 * (0.5 * d.y + 0.5 * (f.l + f.b) - f.l) + 0.75 * f.b,
+        |  f.sse + (d.y - f.l - f.b) * (d.y - f.l - f.b),
+        |  d.y,
+        |  f.sn + (d.y - f.prev) * (d.y - f.prev)
+        |  FROM f JOIN dense d
+        |    ON d.event_type = f.event_type AND d.idx = f.i + 1)
+        |SELECT f.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+        |round(f.l + 1e-12, 6) AS level,
+        |round(f.b + 1e-12, 6) AS trend,
+        |round(f.l + 3.0 * f.b + 1e-12, 6) AS forecast_h3,
+        |round(f.sse + 1e-12, 6) AS sse_holt,
+        |CAST(f.sn AS BIGINT) AS sse_naive
+        |FROM f JOIN (SELECT event_type, max(n_days) AS n_days
+        |             FROM dense GROUP BY 1) n
+        |  ON n.event_type = f.event_type AND f.i = n.n_days
+        |ORDER BY f.event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

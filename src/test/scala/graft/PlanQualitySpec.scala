@@ -184,7 +184,10 @@ class PlanQualitySpec extends SparkSuite {
     // q264: the broadcast sides are the ONE-ROW BM25 corpus-stats
     // fold (q133 class) and the ONE-ROW query-vector block (q42/q57
     // class) — provably 1 row each at any sf
-    "q264_rrf_fusion")
+    "q264_rrf_fusion",
+    // q338: the final combine crosses the ONE-ROW src0 stats fold
+    // with the ONE-ROW src1 stats fold — both provably 1 row
+    "q338_yuen_trimmed")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
