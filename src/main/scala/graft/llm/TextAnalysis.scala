@@ -996,6 +996,138 @@ object TextAnalysis {
             .when(col("rank_b").isNull, "dropped")
             .otherwise("stable").as("status"))
         .orderBy(col("token"))
+    }),
+
+    /** Krippendorff's alpha (nominal, binary, complete data) across
+      * THREE quality screens treated as independent raters — the
+      * multi-rater agreement read Cohen's kappa (q148, two raters)
+      * cannot give: when the stopword screen, the length screen, and
+      * the digit screen are re-implemented or re-tuned, alpha is the
+      * one scalar that says whether they still rate the same docs the
+      * same way. Rater verdicts are INTEGER comparisons only (ratio
+      * thresholds cross-multiplied: 25·n_stop ≥ n_tok ⟺ ratio ≥
+      * 0.04), so both engines agree on every rating bit-for-bit; for
+      * complete binary data alpha reduces to 1 − Do/De with
+      * Do = Σ_u 2·n₁(m−n₁)/(N·(m−1)) = s_dis/N and
+      * De = 2·N₁·N₀/(N·(N−1)) — all integer rationals, nudged. One
+      * scan, one fused aggregate; the digit count is a translate()
+      * length difference, not a regex (the q56/q285 engine-proof
+      * stance). */
+    "q337_krippendorff_alpha" -> ((s: SparkSession, dir: String) => {
+      val nStop = size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long")
+      val digits = (length(col("text")) -
+        length(translate(col("text"), "0123456789", ""))).cast("long")
+      val n1 = ((lit(25L) * nStop >= nTokens).cast("long") +
+        (col("n_chars") >= 300L).cast("long") +
+        (lit(20L) * digits <= length(col("text")).cast("long")).cast("long"))
+      withToks(Tables(s, dir, "documents").filter(col("text").isNotNull))
+        .select(n1.as("n1"))
+        .agg(count(lit(1)).as("n_units"),
+          sum(col("n1")).as("n1s"),
+          sum(col("n1") * (lit(3L) - col("n1"))).as("dis"))
+        .select(col("n_units"), (col("n_units") * 3L).as("n_ratings"),
+          col("n1s").as("n_pass"), col("dis"),
+          r6n(col("dis").cast("double") / (col("n_units") * 3L)).as("d_o"),
+          r6n(lit(2.0) * col("n1s") * (col("n_units") * 3L - col("n1s")) /
+            ((col("n_units") * 3L).cast("double") * (col("n_units") * 3L - 1L)))
+            .as("d_e"),
+          r6n(lit(1.0) -
+            (col("dis").cast("double") / (col("n_units") * 3L)) /
+            nullif(lit(2.0) * col("n1s") * (col("n_units") * 3L - col("n1s")) /
+              ((col("n_units") * 3L).cast("double") * (col("n_units") * 3L - 1L)),
+              lit(0.0))).as("alpha"))
+    }),
+
+    /** DSIR-style importance weights (Xie et al. 2023, "Data
+      * Selection for Language Models via Importance Resampling"):
+      * hashed-unigram bag features in 1024 buckets, target = the
+      * 'en'-labeled slice, raw = the whole corpus; each doc scores
+      * Σ_tok ln(P_target(bucket)/P_raw(bucket)) under Laplace-
+      * smoothed bucket probabilities — the standard cheap proxy for
+      * "does this doc look like the target distribution", here read
+      * per source as an upsampling signal. Engineering: the bucket
+      * table is 1024 rows (broadcast — a model table, not data); the
+      * log-ratio is ONE ln per bucket of a cross-multiplied rational
+      * (counts cast double BEFORE the product — the 2^63 ANSI
+      * overflow stance); the per-doc sum is a SORTED sequential fold
+      * over the doc's (bucket, contrib) pairs (the q174 order-pinning
+      * stance), so every per-doc weight is bit-identical across
+      * engines and the pos-share count needs no rounding guard. The
+      * per-token sha-256 bucket is the q231 token-hash family. */
+    "q340_dsir_weights" -> ((s: SparkSession, dir: String) => {
+      val tb = withToks(Tables(s, dir, "documents").filter(col("text").isNotNull))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(col("toks")).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), col("source"), col("lang"),
+          pmod(conv(substring(sha2(col("t"), 256), 1, 15), 16, 10)
+            .cast("long"), lit(1024L)).as("b"))
+        .cache() // target counts, raw counts, and per-doc bags share it
+      val raw = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = tb.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tots = raw.agg(sum(col("cr")).as("nr")).crossJoin(
+        tgt.agg(sum(col("ct")).as("nt")))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("b"),
+          log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+              (col("nr") + 1024L).cast("double") /
+              ((col("cr") + 1L).cast("double") *
+               (col("nt") + 1024L).cast("double"))).as("lr"))
+      val dw = tb.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(lr), "b")
+        .select(col("doc_id"), col("source"),
+          (col("cnt").cast("double") * col("lr")).as("contrib"), col("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("""aggregate(
+            transform(array_sort(collect_list(struct(b, contrib))),
+              s -> s.contrib),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""").as("w"))
+      dw.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          r6n(avg(col("w"))).as("mean_logw"),
+          count_if(col("w") > 0.0).as("n_targetlike"))
+        .orderBy(col("source"))
+    }),
+
+    /** Jarque-Bera normality test of LOG doc length per source — the
+      * distribution-shape audit behind every "lengths are roughly
+      * lognormal" modeling assumption (q320's sample-size plan, the
+      * q81 length bands): JB = n/6·(S² + (K−3)²/4) with POPULATION
+      * skewness/kurtosis from explicit power sums (NOT the builtin
+      * sample-corrected aggregates — the formula is mirrored
+      * term-for-term in the oracle), and the χ²₂ tail is the exact
+      * closed form p = exp(−JB/2) — no incomplete-gamma, no libm
+      * beyond ln/exp, both r6n-rounded. The reject flag compares the
+      * ROUNDED p (cross-engine boundary stance). One grouped moment
+      * pass. */
+    "q342_jarque_bera" -> ((s: SparkSession, dir: String) => {
+      val g = Tables(s, dir, "documents")
+        .filter(col("n_chars") > 0L)
+        .select(col("source"), log(col("n_chars").cast("double")).as("x"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val nD = col("n").cast("double")
+      val m = col("s1") / nD
+      val v = col("s2") / nD - m * m
+      val sk = (col("s3") / nD - lit(3.0) * m * col("s2") / nD +
+        lit(2.0) * m * m * m) / pow(v, 1.5)
+      val ku = (col("s4") / nD - lit(4.0) * m * col("s3") / nD +
+        lit(6.0) * m * m * col("s2") / nD - lit(3.0) * m * m * m * m) / (v * v)
+      val jb = nD / lit(6.0) *
+        (sk * sk + (ku - lit(3.0)) * (ku - lit(3.0)) / lit(4.0))
+      val p = exp(-jb / lit(2.0))
+      g.select(col("source"), col("n").as("n_docs"),
+          r6n(m).as("mean_log"), r6n(sk).as("skew_pop"),
+          r6n(ku).as("kurt_pop"), r6n(jb).as("jb_stat"),
+          r6n(p).as("p_normal"),
+          (r6n(p) < lit(0.05)).cast("long").as("reject_05"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1580,6 +1712,124 @@ object TextAnalysis {
          |     ELSE 'stable' END AS status
          |FROM a FULL OUTER JOIN b USING (w)
          |ORDER BY token NULLS FIRST""".stripMargin
-    }
+    },
+
+    // same integer rater bits (cross-multiplied thresholds, translate
+    // digit count), same Do/De rationals
+    "q337_krippendorff_alpha" ->
+      """WITH d AS (
+        |  SELECT
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+        |    AS nstop,
+        |  len(string_split(text, ' ')) AS ntok,
+        |  n_chars, length(text) AS lt,
+        |  length(text) - length(translate(text, '0123456789', '')) AS digits
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT (CASE WHEN 25 * nstop >= ntok THEN 1 ELSE 0 END
+        |        + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |        + CASE WHEN 20 * digits <= lt THEN 1 ELSE 0 END) AS n1
+        |  FROM d),
+        |a AS (
+        |  SELECT count(*) AS n_units, sum(n1) AS n1s,
+        |  sum(n1 * (3 - n1)) AS dis FROM u)
+        |SELECT CAST(n_units AS BIGINT) AS n_units,
+        |CAST(n_units * 3 AS BIGINT) AS n_ratings,
+        |CAST(n1s AS BIGINT) AS n_pass, CAST(dis AS BIGINT) AS dis,
+        |round(CAST(dis AS DOUBLE) / (n_units * 3) + 1e-12, 6) AS d_o,
+        |round(2.0 * n1s * (n_units * 3 - n1s)
+        |  / (CAST(n_units * 3 AS DOUBLE) * (n_units * 3 - 1)) + 1e-12, 6)
+        |  AS d_e,
+        |round(1.0 - (CAST(dis AS DOUBLE) / (n_units * 3))
+        |  / nullif(2.0 * n1s * (n_units * 3 - n1s)
+        |    / (CAST(n_units * 3 AS DOUBLE) * (n_units * 3 - 1)), 0.0)
+        |  + 1e-12, 6) AS alpha
+        |FROM a""".stripMargin,
+
+    // same sha-bucket hash (q134's hex fold), same Laplace log-ratio
+    // with counts cast double before the product, same b-ordered
+    // sequential per-doc fold
+    "q340_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, lang, t FROM (
+        |    SELECT doc_id, source, lang,
+        |    unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |tb AS (
+        |  SELECT doc_id, source, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(sha256(t), 1, 15), ''),
+        |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+        |                ELSE ord(c) - 87 END AS BIGINT))),
+        |    (acc, x) -> acc * 16 + x) % 1024 AS b
+        |  FROM tk),
+        |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en'
+        |        GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+        |                (SELECT sum(ct) FROM tgt) AS nt),
+        |lr AS (
+        |  SELECT raw.b,
+        |  ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)
+        |     * CAST(nr + 1024 AS DOUBLE)
+        |     / (CAST(raw.cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)))
+        |    AS lr
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tots),
+        |db AS (
+        |  SELECT doc_id, source, b, count(*) AS cnt
+        |  FROM tb GROUP BY 1, 2, 3),
+        |dw AS (
+        |  SELECT doc_id, source,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(cnt AS DOUBLE) * lr.lr ORDER BY db.b)),
+        |    (acc, x) -> acc + x) AS w
+        |  FROM db JOIN lr ON lr.b = db.b
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |round(avg(w) + 1e-12, 6) AS mean_logw,
+        |CAST(count(*) FILTER (w > 0.0) AS BIGINT) AS n_targetlike
+        |FROM dw GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // same explicit power sums and population-moment chain,
+    // term-for-term; exact chi2(2) tail exp(-JB/2)
+    "q342_jarque_bera" ->
+      """WITH g AS (
+        |  SELECT source, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2,
+        |  sum(x * x * x) AS s3, sum(x * x * x * x) AS s4 FROM (
+        |    SELECT source, ln(CAST(n_chars AS DOUBLE)) AS x
+        |    FROM documents WHERE n_chars > 0)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT source, n,
+        |  s1 / CAST(n AS DOUBLE) AS m,
+        |  s2 / CAST(n AS DOUBLE)
+        |    - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS v,
+        |  s2, s3, s4
+        |  FROM g),
+        |k AS (
+        |  SELECT source, n, m, v,
+        |  (s3 / CAST(n AS DOUBLE) - 3.0 * m * s2 / CAST(n AS DOUBLE)
+        |    + 2.0 * m * m * m) / pow(v, 1.5) AS sk,
+        |  (s4 / CAST(n AS DOUBLE) - 4.0 * m * s3 / CAST(n AS DOUBLE)
+        |    + 6.0 * m * m * s2 / CAST(n AS DOUBLE) - 3.0 * m * m * m * m)
+        |    / (v * v) AS ku
+        |  FROM t),
+        |j AS (
+        |  SELECT source, n, m, sk, ku,
+        |  CAST(n AS DOUBLE) / 6.0
+        |    * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0) AS jb
+        |  FROM k)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |round(m + 1e-12, 6) AS mean_log,
+        |round(sk + 1e-12, 6) AS skew_pop,
+        |round(ku + 1e-12, 6) AS kurt_pop,
+        |round(jb + 1e-12, 6) AS jb_stat,
+        |round(exp(-jb / 2.0) + 1e-12, 6) AS p_normal,
+        |CAST(CASE WHEN round(exp(-jb / 2.0) + 1e-12, 6) < 0.05
+        |  THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+        |FROM j
+        |ORDER BY source NULLS FIRST""".stripMargin
   )
 }
