@@ -350,6 +350,125 @@ object PairGraph {
       basePairs.unionByName(logGens).unionByName(gen3Retracts)
         .unionByName(finalPairs).unionByName(mismatch)
         .orderBy(col("metric"))
+    }),
+
+    /** MinHash-LSH parameter planner — the operating-characteristic
+      * table behind the q35 band choice, computed from the PERSISTED
+      * pair graph instead of a hand-picked (b, r): for each config on
+      * the 128-hash budget (r ∈ {4, 8, 16, 32}), the S-curve
+      * candidate probability 1−(1−s^r)^b is evaluated at every
+      * OBSERVED pair similarity ≥ 0.5, giving the expected recall
+      * over true ≥ 0.8 duplicates and the expected candidate load
+      * from the 0.5–0.8 near-miss band — pick the smallest r meeting
+      * the recall target instead of inheriting a default. Honest
+      * caveat (docstring contract): sub-0.5 mass is not in the store,
+      * so the near-miss load is a LOWER bound; the r ≥ 4 grid keeps
+      * that truncation small (at r = 4, P(cand | s = 0.45) already
+      * decays steeply vs r ≤ 2 configs, which the grid excludes).
+      * Pure arithmetic over the served store — no text scan, no
+      * join; the 4× explode is a literal generator. */
+    "q336_lsh_planner" -> ((s: SparkSession, dir: String) => {
+      val pairs = pairStats(s, dir)
+        .select((col("inter") / (col("n1") + col("n2") - col("inter")))
+          .as("jac"))
+        .filter(col("jac") >= 0.5)
+      pairs
+        .select(col("jac"), explode(expr(
+          """array(named_struct('b', 32, 'r', 4),
+                   named_struct('b', 16, 'r', 8),
+                   named_struct('b', 8, 'r', 16),
+                   named_struct('b', 4, 'r', 32))""")).as("cfg"))
+        .select(col("cfg.b").cast("long").as("b"),
+          col("cfg.r").cast("long").as("r"), col("jac"),
+          (lit(1.0) - pow(lit(1.0) - pow(col("jac"),
+            col("cfg.r").cast("double")), col("cfg.b").cast("double")))
+            .as("p"))
+        .groupBy(col("b"), col("r"))
+        .agg(count_if(col("jac") >= 0.8).as("n_dup"),
+          r6n(sum(when(col("jac") >= 0.8, col("p"))) /
+            count_if(col("jac") >= 0.8)).as("exp_recall"),
+          count_if(col("jac") < 0.8).as("n_nearmiss"),
+          r6n(coalesce(sum(when(col("jac") < 0.8, col("p"))), lit(0.0)))
+            .as("exp_nearmiss_cands"))
+        .orderBy(col("r"))
+    }),
+
+    /** Train/test near-dup LEAKAGE audit — the contamination check a
+      * split assignment (q79) needs before anyone trains on it: a
+      * ≥ 0.8-Jaccard pair straddling train and test means the test
+      * member is effectively memorizable, and a hash split assigns
+      * near-duplicate docs to DIFFERENT splits with probability
+      * 2·p·(1−p) (independent ids). Pairs come from the persisted
+      * store (no text scan); each endpoint gets q79's exact sha-256
+      * first-hex-char split rule; output is per split-pair label:
+      * pair volume and distinct docs involved — the 'train-test' and
+      * 'test-val' rows are the leak; same-split rows are the benign
+      * mass dedup-before-split would also remove. */
+    "q343_split_leakage" -> ((s: SparkSession, dir: String) => {
+      def splitOf(id: org.apache.spark.sql.Column) = {
+        val h1 = substring(sha2(id.cast("string"), 256), 1, 1)
+        when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test")
+      }
+      val lab = jaccard(s, dir, 0.8)
+        .select(col("d1"), col("d2"),
+          splitOf(col("d1")).as("s1"), splitOf(col("d2")).as("s2"))
+        .select(concat(least(col("s1"), col("s2")), lit("-"),
+          greatest(col("s1"), col("s2"))).as("split_pair"),
+          col("d1"), col("d2"))
+        .cache() // pair counts and distinct-doc counts both read it
+      val np = lab.groupBy(col("split_pair"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = lab
+        .select(col("split_pair"),
+          explode(array(col("d1"), col("d2"))).as("doc"))
+        .groupBy(col("split_pair"))
+        .agg(countDistinct(col("doc")).as("n_docs"))
+      np.join(nd, "split_pair").orderBy(col("split_pair"))
+    }),
+
+    /** Source Pareto SKYLINE — multi-objective dominance over
+      * (volume = total chars ↑, en share ↑, near-dup doc rate ↓):
+      * a source is skyline iff no other source is at least as good
+      * on all three axes and strictly better on one — the
+      * multi-criteria "which sources earn their storage" read that
+      * single-metric rankings (q221's scorecard) flatten away. The
+      * dup rate consumes the persisted pair store; the dominance
+      * self-join is over the SOURCE table (schema-bounded domain,
+      * ~20 rows at any corpus size — the q70 dim-cross class), so
+      * the theta-join is a bounded BNLJ by construction. Dominance
+      * compares RAW integer rationals (exact in both engines);
+      * rounding happens only in the output projection. */
+    "q344_source_skyline" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count_if(col("lang") === "en").as("n_en"))
+      val dupDocs = jaccard(s, dir, 0.8)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+      val m = base.join(dupDocs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          (col("n_en").cast("double") / col("n_docs")).as("en_share"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"))
+            .as("dup_rate"))
+        .cache() // both sides of the dominance join and the output
+      val dominated = m.as("x").join(m.as("y"),
+          col("y.total_chars") >= col("x.total_chars") &&
+          col("y.en_share") >= col("x.en_share") &&
+          col("y.dup_rate") <= col("x.dup_rate") &&
+          (col("y.total_chars") > col("x.total_chars") ||
+           col("y.en_share") > col("x.en_share") ||
+           col("y.dup_rate") < col("x.dup_rate")), "left_semi")
+        .select(col("source")).withColumn("dom", lit(1L))
+      m.join(dominated, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          r6n(col("en_share")).as("en_share"),
+          r6n(col("dup_rate")).as("dup_rate"),
+          (col("dom").isNull).cast("long").as("is_skyline"))
+        .orderBy(col("source"))
     })
   )
 
@@ -438,6 +557,119 @@ object PairGraph {
          |  UNION ALL SELECT 'gen3_retracts', (SELECT v FROM r3)
          |  UNION ALL SELECT 'log_gens', CAST(2 AS BIGINT)
          |  UNION ALL SELECT 'mismatch', CAST(0 AS BIGINT))
-         |ORDER BY metric NULLS FIRST""".stripMargin
+         |ORDER BY metric NULLS FIRST""".stripMargin,
+
+    // from-first-principles capped pair jaccards (the store's ≥ 0.5
+    // slice), then the identical S-curve arithmetic per config
+    "q336_lsh_planner" ->
+      s"""WITH ${TextDedup.duckCappedShingles(TextDedup.DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+         |  FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5),
+         |g AS (SELECT unnest([
+         |  struct_pack(b := 32, r := 4), struct_pack(b := 16, r := 8),
+         |  struct_pack(b := 8, r := 16), struct_pack(b := 4, r := 32)])
+         |  AS cfg),
+         |e AS (
+         |  SELECT CAST(cfg.b AS BIGINT) AS b, CAST(cfg.r AS BIGINT) AS r,
+         |  jac,
+         |  1.0 - pow(1.0 - pow(jac, CAST(cfg.r AS DOUBLE)),
+         |    CAST(cfg.b AS DOUBLE)) AS p
+         |  FROM j, g)
+         |SELECT b, r,
+         |CAST(count(*) FILTER (jac >= 0.8) AS BIGINT) AS n_dup,
+         |round(sum(p) FILTER (jac >= 0.8)
+         |  / count(*) FILTER (jac >= 0.8) + 1e-12, 6) AS exp_recall,
+         |CAST(count(*) FILTER (jac < 0.8) AS BIGINT) AS n_nearmiss,
+         |round(coalesce(sum(p) FILTER (jac < 0.8), 0.0) + 1e-12, 6)
+         |  AS exp_nearmiss_cands
+         |FROM e GROUP BY 1, 2
+         |ORDER BY r NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 pairs from first principles + q79's exact split rule
+    "q343_split_leakage" -> {
+      def spl(c: String) =
+        s"""CASE WHEN substr(sha256(CAST($c AS VARCHAR)), 1, 1) < 'c'
+           |  THEN 'train'
+           |  WHEN substr(sha256(CAST($c AS VARCHAR)), 1, 1) < 'e'
+           |  THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH ${TextDedup.duckCappedShingles(TextDedup.DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+         |sp AS (
+         |  SELECT d1, d2, ${spl("d1")} AS s1, ${spl("d2")} AS s2 FROM j),
+         |l AS (
+         |  SELECT least(s1, s2) || '-' || greatest(s1, s2) AS split_pair,
+         |  d1, d2 FROM sp),
+         |np AS (
+         |  SELECT split_pair, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM l GROUP BY 1),
+         |nd AS (
+         |  SELECT split_pair, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |  FROM (SELECT split_pair, unnest([d1, d2]) AS doc FROM l)
+         |  GROUP BY 1)
+         |SELECT np.split_pair, n_pairs, n_docs
+         |FROM np JOIN nd ON nd.split_pair = np.split_pair
+         |ORDER BY np.split_pair NULLS FIRST""".stripMargin
+    },
+
+    // ≥ 0.8 dup docs from first principles + the same three-axis
+    // dominance over raw integer rationals
+    "q344_source_skyline" ->
+      s"""WITH ${TextDedup.duckCappedShingles(TextDedup.DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d1, d2 FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+         |dup AS (SELECT DISTINCT doc
+         |  FROM (SELECT unnest([d1, d2]) AS doc FROM j)),
+         |dps AS (
+         |  SELECT d.source, count(*) AS n_dup
+         |  FROM dup JOIN documents d ON d.doc_id = dup.doc GROUP BY 1),
+         |base AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(*) FILTER (lang = 'en') AS n_en
+         |  FROM documents GROUP BY 1),
+         |m AS (
+         |  SELECT b.source, b.n_docs, b.total_chars,
+         |  CAST(b.n_en AS DOUBLE) / b.n_docs AS en_share,
+         |  CAST(coalesce(dps.n_dup, 0) AS DOUBLE) / b.n_docs AS dup_rate
+         |  FROM base b LEFT JOIN dps ON dps.source = b.source),
+         |dom AS (
+         |  SELECT DISTINCT x.source FROM m x JOIN m y ON
+         |  y.total_chars >= x.total_chars AND y.en_share >= x.en_share
+         |  AND y.dup_rate <= x.dup_rate
+         |  AND (y.total_chars > x.total_chars OR y.en_share > x.en_share
+         |       OR y.dup_rate < x.dup_rate))
+         |SELECT m.source, m.n_docs, m.total_chars,
+         |round(m.en_share + 1e-12, 6) AS en_share,
+         |round(m.dup_rate + 1e-12, 6) AS dup_rate,
+         |CAST(CASE WHEN dom.source IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |  AS is_skyline
+         |FROM m LEFT JOIN dom ON dom.source = m.source
+         |ORDER BY m.source NULLS FIRST""".stripMargin
   )
 }

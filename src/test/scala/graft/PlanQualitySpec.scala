@@ -187,7 +187,11 @@ class PlanQualitySpec extends SparkSuite {
     "q264_rrf_fusion",
     // q338: the final combine crosses the ONE-ROW src0 stats fold
     // with the ONE-ROW src1 stats fold — both provably 1 row
-    "q338_yuen_trimmed")
+    "q338_yuen_trimmed",
+    // q344: the dominance theta-join is over the per-SOURCE metrics
+    // table — schema-bounded domain (~20 rows at any corpus size,
+    // the q70 dim-cross class)
+    "q344_source_skyline")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
