@@ -1078,6 +1078,59 @@ object Similarity {
             .as("imbalance_ratio"),
           r6(exp(log(col("n_vecs").cast("double")) -
             col("clnc") / col("n_vecs"))).as("effective_classes"))
+    }),
+
+    /** Hopkins clusterability statistic — the "is there ANY cluster
+      * structure worth finding" gate that should run BEFORE paying
+      * for k-means (q122) or IVF training (q57): H compares
+      * nearest-neighbor distances from m=50 real points (w) against
+      * m synthetic points uniform in the per-dim bounding box (u);
+      * H = Σu/(Σu+Σw) ≈ 0.5 for a Poisson cloud, → 1 when the data
+      * clumps. Everything is deterministic and mirrored: real probes
+      * are the 50 lowest sha-hash ids (the q134 sampling stance),
+      * synthetic coordinates derive from sha-256 of ('hop', s, d) —
+      * no RNG — and each NN distance is a dim-ordered zip_with fold.
+      * The probe block is 100 rows broadcast against one corpus scan
+      * (the q42 anchor class; at any corpus size the scan stays
+      * linear and the probe side constant). */
+    "q341_hopkins" -> ((s: SparkSession, dir: String) => {
+      val m = 50
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .cache() // bounds fold, real-probe pick, and the NN scan
+      val bounds = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val real = e
+        .withColumn("hk", substring(sha2(col("vec_id").cast("string"), 256), 1, 15))
+        .orderBy(col("hk"), col("vec_id")).limit(m)
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+      val hv = conv(substring(sha2(concat(lit("hop"),
+        col("sid").cast("string"), lit("_"), col("pos").cast("string")),
+        256), 1, 15), 16, 10).cast("long")
+      val synth = bounds
+        .select(col("pos"), col("mn"), col("mx"),
+          explode(expr(s"sequence(1L, ${m}L)")).as("sid"))
+        .select(col("sid"), col("pos"),
+          (col("mn") + (col("mx") - col("mn")) *
+            (hv.cast("double") / lit(1152921504606846976.0))).as("coord"))
+        .groupBy(col("sid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, coord))), t -> t.coord)")
+          .as("pv"))
+        .select((-col("sid")).as("pid"), col("pv"))
+      val probes = real.unionByName(synth)
+      val nn = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"),
+          expr("""aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+            CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)""").as("d2"))
+        .groupBy(col("pid")).agg(min(col("d2")).as("nn2"))
+      nn.agg(
+          sum(when(col("pid") < 0L, sqrt(col("nn2")))).as("su"),
+          sum(when(col("pid") >= 0L, sqrt(col("nn2")))).as("sw"))
+        .select(lit(m.toLong).as("m"),
+          r6n(col("su")).as("sum_u"), r6n(col("sw")).as("sum_w"),
+          r6n(col("su") / (col("su") + col("sw"))).as("hopkins_h"))
     })
   )
 
@@ -1888,6 +1941,55 @@ object Similarity {
          |round(f.hits * 1.0 / f.n_exact + 1e-12, 4) AS recall_at_10
          |FROM folded f JOIN cc ON cc.q_id = f.q_id
          |ORDER BY f.q_id NULLS FIRST""".stripMargin
-    }
+    },
+
+    // same sha-picked real probes, sha-derived synthetic coordinates
+    // (q134's hex fold), and dim-ordered NN distance folds
+    "q341_hopkins" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |bounds AS (
+        |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM c, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1),
+        |rp AS (
+        |  SELECT vec_id AS pid, v AS pv FROM (
+        |    SELECT vec_id, v,
+        |    substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hk
+        |    FROM c ORDER BY hk, vec_id LIMIT 50)),
+        |sgrid AS (SELECT unnest(generate_series(1, 50)) AS sid),
+        |syn0 AS (
+        |  SELECT g.sid, b.i,
+        |  b.mn + (b.mx - b.mn) *
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(sha256(
+        |        'hop' || CAST(g.sid AS VARCHAR) || '_'
+        |          || CAST(b.i - 1 AS VARCHAR)), 1, 15), ''),
+        |        c2 -> CAST(CASE WHEN c2 BETWEEN '0' AND '9'
+        |          THEN ord(c2) - 48 ELSE ord(c2) - 87 END AS BIGINT))),
+        |      (acc, x) -> acc * 16 + x) AS DOUBLE)
+        |      / 1152921504606846976.0) AS coord
+        |  FROM bounds b, sgrid g),
+        |syn AS (
+        |  SELECT -sid AS pid, list(coord ORDER BY i) AS pv
+        |  FROM syn0 GROUP BY 1),
+        |probes AS (
+        |  SELECT pid, pv FROM rp UNION ALL SELECT pid, pv FROM syn),
+        |nn AS (
+        |  SELECT p.pid,
+        |  min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(generate_series(1, 64),
+        |      i -> (c.v[i] - p.pv[i]) * (c.v[i] - p.pv[i]))),
+        |    (acc, d) -> acc + d)) AS nn2
+        |  FROM probes p JOIN c ON c.vec_id <> p.pid
+        |  GROUP BY 1)
+        |SELECT CAST(50 AS BIGINT) AS m,
+        |round(sum(sqrt(nn2)) FILTER (pid < 0) + 1e-12, 6) AS sum_u,
+        |round(sum(sqrt(nn2)) FILTER (pid >= 0) + 1e-12, 6) AS sum_w,
+        |round(sum(sqrt(nn2)) FILTER (pid < 0)
+        |  / (sum(sqrt(nn2)) FILTER (pid < 0)
+        |     + sum(sqrt(nn2)) FILTER (pid >= 0)) + 1e-12, 6) AS hopkins_h
+        |FROM nn""".stripMargin
   )
 }

@@ -191,7 +191,11 @@ class PlanQualitySpec extends SparkSuite {
     // q344: the dominance theta-join is over the per-SOURCE metrics
     // table — schema-bounded domain (~20 rows at any corpus size,
     // the q70 dim-cross class)
-    "q344_source_skyline")
+    "q344_source_skyline",
+    // q341: the broadcast side is the 100-row probe block (50 sha-
+    // picked real + 50 synthetic — constant at any corpus size, the
+    // q42/q43 anchor class)
+    "q341_hopkins")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
