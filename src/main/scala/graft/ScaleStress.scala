@@ -181,6 +181,9 @@ object ScaleStress {
     q("q156_waiting_blame"), q("q268_triple_itemsets"),
     q("q208_conversion_latency"), q("q296_knn_outlier"),
     q("q259_stop_shingle_audit"), q("q210_novelty"),
+    // round-10 wave: token-hash bucket features (explode + 1024-row
+    // broadcast join) and the constant-probe NN scan
+    q("q340_dsir_weights"), q("q341_hopkins"),
     // family representatives
     q("q122_kmeans"), // IVF/kmeans training
     Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed

@@ -195,7 +195,11 @@ class PlanQualitySpec extends SparkSuite {
     // q341: the broadcast side is the 100-row probe block (50 sha-
     // picked real + 50 synthetic — constant at any corpus size, the
     // q42/q43 anchor class)
-    "q341_hopkins")
+    "q341_hopkins",
+    // q340: the broadcast side is the ONE-ROW (Nt, Nr) token-totals
+    // fold crossed into the 1024-row bucket model table (q133/q136
+    // class) — provably 1 row at any corpus size
+    "q340_dsir_weights")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
