@@ -1131,8 +1131,58 @@ object Similarity {
         .select(lit(m.toLong).as("m"),
           r6n(col("su")).as("sum_u"), r6n(col("sw")).as("sum_w"),
           r6n(col("su") / (col("su") + col("sw"))).as("hopkins_h"))
+    }),
+
+    /** Random-feature MMD² between two embedding populations (labels
+      * 0-4 vs 5-9) — the DISTRIBUTION-level two-sample test the
+      * centroid comparisons (q211 drift, q80 norms) cannot give: two
+      * clouds can share a centroid and differ everywhere else; MMD
+      * with a cosine feature map z_f(x) = cos(w_f·x + b_f) compares
+      * the full feature-mean embedding, MMD² = (2/D)·Σ_f(μ₁f−μ₂f)².
+      * The 32 projection vectors and phases are driver-side
+      * splitmix-mixed LITERALS (the q44 hyperplane stance — no RNG,
+      * no cross-engine hash), each feature is a fused dot product off
+      * one scan, and the combine is a 2-row group-means fold — one
+      * scan, map-side combine, O(D) state. The final 1×1-row cross is
+      * the q136 bounded-BNLJ class. */
+    "q345_mmd_embedding" -> ((s: SparkSession, dir: String) => {
+      val D = 32
+      val feats = (0 until D).map { f =>
+        val planeSql = (0 until 64).map(d => s"${mmdCoef(f, d)}D")
+          .mkString("array(", ", ", ")")
+        val phase = math.Pi * (mmdCoef(f, 64) + 1.0)
+        cos(expr(s"aggregate(zip_with(embedding, $planeSql, " +
+          "(x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)") +
+          lit(phase)).as(s"z$f")
+      }
+      val z = Tables(s, dir, "embeddings")
+        .select((col("label") < 5).as("ga") +: feats: _*)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until D).map(f => avg(col(s"z$f")).as(s"m$f"))
+      val m = z.groupBy(col("ga")).agg(aggs.head, aggs.tail: _*)
+      val a = m.filter(col("ga")).select(col("n").as("n_a") +:
+        (0 until D).map(f => col(s"m$f").as(s"a$f")): _*)
+      val b = m.filter(!col("ga")).select(col("n").as("n_b") +:
+        (0 until D).map(f => col(s"m$f").as(s"b$f")): _*)
+      val sq = (0 until D).map(f =>
+        (col(s"a$f") - col(s"b$f")) * (col(s"a$f") - col(s"b$f")))
+        .reduce(_ + _)
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"), lit(D.toLong).as("d_features"),
+          r6n(lit(2.0) / D * sq).as("mmd2"))
     })
   )
+
+  /** MMD random-feature coefficient (f = feature, d = dimension; d=64
+    * is the phase draw): the srpCoef splitmix family under a distinct
+    * salt — deterministic pseudo-random in [-1, 1], 1/1000
+    * granularity, computed once on the driver and embedded as
+    * literals in BOTH engines. */
+  private def mmdCoef(f: Int, d: Int): Double = {
+    var h = (0x51AB1EL + f * 65 + d + 1) * 0x9E3779B97F4A7C15L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (java.lang.Math.floorMod(h, 2001L) - 1000L) / 1000.0
+  }
 
   /** Sign-random-projection ANN: 8 deterministic hyperplanes → 8-bit
     * bucket; candidates = query bucket + 8 hamming-1 probes; top-k by
@@ -1990,6 +2040,33 @@ object Similarity {
         |round(sum(sqrt(nn2)) FILTER (pid < 0)
         |  / (sum(sqrt(nn2)) FILTER (pid < 0)
         |     + sum(sqrt(nn2)) FILTER (pid >= 0)) + 1e-12, 6) AS hopkins_h
-        |FROM nn""".stripMargin
+        |FROM nn""".stripMargin,
+
+    // the same driver-literal projections/phases, dim-ordered dot
+    // folds, and the identical (2/D)·Σ squared-mean-gap combine
+    "q345_mmd_embedding" -> {
+      val D = 32
+      val zs = (0 until D).map { f =>
+        val arr = (0 until 64).map(d => s"${mmdCoef(f, d)}")
+          .mkString("[", ", ", "]::DOUBLE[]")
+        val phase = math.Pi * (mmdCoef(f, 64) + 1.0)
+        s"""cos(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(generate_series(1, 64),
+           |      i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])),
+           |    (acc, v) -> acc + v) + $phase) AS z$f""".stripMargin
+      }.mkString(",\n")
+      val ms = (0 until D).map(f => s"avg(z$f) AS m$f").mkString(", ")
+      val sq = (0 until D).map(f => s"(a.m$f - b.m$f) * (a.m$f - b.m$f)")
+        .mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT label < 5 AS ga,
+         |$zs
+         |  FROM embeddings),
+         |m AS (SELECT ga, count(*) AS n, $ms FROM z GROUP BY 1)
+         |SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |CAST(32 AS BIGINT) AS d_features,
+         |round(2.0 / 32 * ($sq) + 1e-12, 6) AS mmd2
+         |FROM m a, m b WHERE a.ga AND NOT b.ga""".stripMargin
+    }
   )
 }

@@ -751,6 +751,50 @@ object Inference {
           r6n(se2 * se2 /
             (col("d_a") * col("d_a") / (col("h_a") - lit(1L)) +
              col("d_b") * col("d_b") / (col("h_b") - lit(1L)))).as("df_welch"))
+    }),
+
+    /** Exact 1-D Wasserstein-1 (earth-mover) distance between two
+      * sources' doc-length distributions — the MAGNITUDE companion to
+      * the KS screen (q136/q277 report the largest CDF gap; W1 =
+      * ∫|F₁−F₂| reports how much mass must move how far, the number
+      * a rebalancing decision actually needs). Construction: distinct
+      * lengths with per-source counts, BOTH cumulative sums AND the
+      * row index from ONE GlobalRank exchange (withRunningSums), the
+      * successor value by an rn-keyed equi-join (no lead() window —
+      * a global lead funnels everything through one task), and every
+      * summand (value gap × |ca·N_b − cb·N_a|) an INTEGER-valued
+      * double — the fold is order-independent-exact below 2^53
+      * (gap·N₁·N₂ per term; at larger scales the same identity holds
+      * in the oracle, so the gate would catch an overflow). KS rides
+      * along from the same terms for one-query contrast. The totals
+      * fold is the q136 1-row bounded-BNLJ class. */
+    "q346_wasserstein_lengths" -> ((s: SparkSession, dir: String) => {
+      val g = Tables(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(count_if(col("source") === "src0").as("na"),
+          count_if(col("source") === "src1").as("nb"))
+        .withColumn("one", lit(1L))
+      val c = GlobalRank.withRunningSums(g, Seq(col("v")),
+        Seq("na" -> "ca", "nb" -> "cb", "one" -> "rn"))
+      val nxt = c.select(col("v").as("vn"), (col("rn") - lit(1L)).as("rn"))
+      val tot = g.agg(sum(col("na")).as("tna"), sum(col("nb")).as("tnb"))
+      val dint = abs(col("ca").cast("double") * col("tnb") -
+        col("cb").cast("double") * col("tna"))
+      val terms = c.select(col("v"), col("ca"), col("cb"), col("rn"))
+        .join(nxt, "rn") // the max value has no successor row; its
+        // |F1-F2| is identically 0, so dropping it changes nothing
+        .crossJoin(broadcast(tot))
+        .select(((col("vn") - col("v")).cast("double") * dint).as("term"),
+          dint.as("dint"), col("tna"), col("tnb"))
+      terms.agg(max(col("tna")).as("tna"), max(col("tnb")).as("tnb"),
+          count(lit(1)).as("n_steps"), sum(col("term")).as("st"),
+          max(col("dint")).as("mx"))
+        .select(col("tna").as("n_a"), col("tnb").as("n_b"), col("n_steps"),
+          r6n(col("st") / (col("tna").cast("double") * col("tnb")))
+            .as("w1_distance"),
+          r6n(col("mx") / (col("tna").cast("double") * col("tnb")))
+            .as("ks_d"))
     })
   )
 
@@ -1197,6 +1241,37 @@ object Inference {
         |round((a.d + b.d) * (a.d + b.d)
         |  / (a.d * a.d / (a.h - 1) + b.d * b.d / (b.h - 1)) + 1e-12, 6)
         |  AS df_welch
-        |FROM s a, s b WHERE a.g = 'src0' AND b.g = 'src1'""".stripMargin
+        |FROM s a, s b WHERE a.g = 'src0' AND b.g = 'src1'""".stripMargin,
+
+    // same distinct-value grid, cumulative counts, successor gap, and
+    // integer-valued |ca·Nb − cb·Na| summands
+    "q346_wasserstein_lengths" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, source FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |g AS (
+        |  SELECT v, count(*) FILTER (source = 'src0') AS na,
+        |  count(*) FILTER (source = 'src1') AS nb
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+        |  sum(nb) OVER (ORDER BY v) AS cb,
+        |  lead(v) OVER (ORDER BY v) AS vn
+        |  FROM g),
+        |tot AS (SELECT sum(na) AS tna, sum(nb) AS tnb FROM g),
+        |t AS (
+        |  SELECT (vn - v) * abs(CAST(ca AS DOUBLE) * tnb
+        |    - CAST(cb AS DOUBLE) * tna) AS term,
+        |  abs(CAST(ca AS DOUBLE) * tnb - CAST(cb AS DOUBLE) * tna) AS dint,
+        |  tna, tnb
+        |  FROM c, tot WHERE vn IS NOT NULL)
+        |SELECT CAST(max(tna) AS BIGINT) AS n_a,
+        |CAST(max(tnb) AS BIGINT) AS n_b,
+        |CAST(count(*) AS BIGINT) AS n_steps,
+        |round(sum(term) / (CAST(max(tna) AS DOUBLE) * max(tnb)) + 1e-12, 6)
+        |  AS w1_distance,
+        |round(max(dint) / (CAST(max(tna) AS DOUBLE) * max(tnb)) + 1e-12, 6)
+        |  AS ks_d
+        |FROM t""".stripMargin
   )
 }

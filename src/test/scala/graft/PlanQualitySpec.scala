@@ -199,7 +199,13 @@ class PlanQualitySpec extends SparkSuite {
     // q340: the broadcast side is the ONE-ROW (Nt, Nr) token-totals
     // fold crossed into the 1024-row bucket model table (q133/q136
     // class) — provably 1 row at any corpus size
-    "q340_dsir_weights")
+    "q340_dsir_weights",
+    // q345: the final combine crosses the ONE-ROW group-a feature
+    // means with the ONE-ROW group-b means (q338 class)
+    "q345_mmd_embedding",
+    // q346: the broadcast side is the ONE-ROW (N_a, N_b) totals fold
+    // (q136 KS class) — provably 1 row at any corpus size
+    "q346_wasserstein_lengths")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
