@@ -758,6 +758,71 @@ object EventStreams {
       }
   }
 
+  final case class HoltSummary(event_type: String, n_events: Long,
+    n_days: Long, level: Double, trend: Double, forecast_h3: Double,
+    sse_holt: Double, sse_naive: Long)
+
+  /** LIVE Holt linear-trend smoother — the streaming twin of batch
+    * q339: each micro-batch merges its day counts into the per-type
+    * state (the [[cusumShift]] day-count map — same O(types ·
+    * span-in-days) bound, independent of feed volume) and re-emits
+    * the level/trend/forecast summary over the feed so far, so a
+    * steadily growing stream carries a live slope estimate instead of
+    * waiting for the batch job. Append-mode at-least-once
+    * re-emission: `n_events` grows monotonically, consumers and the
+    * twin spec keep the max-n_events row. Arithmetic mirrors the
+    * batch fold operation-for-operation — dense zero-padded day
+    * grid, init (l = y₀, b = 0), dyadic α/β, one-step SSE, integer
+    * naive SSE — so the converged row equals batch q339 (spec-pinned
+    * across a micro-batch boundary). */
+  def holtTrend(spark: SparkSession, events: DataFrame): Dataset[HoltSummary] = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    def tsUs(e: Event): Long = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+    def r6h(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, HoltSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val add = rows.toSeq.groupBy(e => tsUs(e) / dayUs)
+            .map { case (d, es) => d -> es.size.toLong }
+          val s0 = state.getOption.getOrElse(
+            CusumState(Array.empty, Array.empty))
+          val counts = scala.collection.mutable.Map(s0.days.zip(s0.cnts).toSeq: _*)
+          add.foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val arr = counts.toArray.sortBy(_._1)
+            state.update(CusumState(arr.map(_._1), arr.map(_._2)))
+            val d0 = arr.head._1
+            val d1 = arr.last._1
+            if (d1 - d0 + 1 < 2) Iterator.empty
+            else {
+              val y0 = counts.getOrElse(d0, 0L).toDouble
+              var l = y0; var b = 0.0; var sse = 0.0
+              var prev = y0; var sn = 0.0
+              var dd = d0 + 1
+              while (dd <= d1) {
+                val y = counts.getOrElse(dd, 0L).toDouble
+                val e = y - l - b; sse += e * e
+                val nl = 0.5 * y + 0.5 * (l + b)
+                b = 0.25 * (nl - l) + 0.75 * b
+                l = nl
+                sn += (y - prev) * (y - prev); prev = y
+                dd += 1
+              }
+              Iterator.single(HoltSummary(etype, arr.map(_._2).sum,
+                d1 - d0 + 1, r6h(l + 1e-12), r6h(b + 1e-12),
+                r6h(l + 3.0 * b + 1e-12), r6h(sse + 1e-12), sn.toLong))
+            }
+          }
+      }
+  }
+
   final case class EwmaState(h0: Long, maxHr: Long, hrs: Array[Long],
     cnts: Array[Long])
   final case class EwmaPoint(event_type: String, hr: Long, c: Long,

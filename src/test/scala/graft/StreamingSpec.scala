@@ -649,6 +649,52 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming Holt trend smoother converges to the batch q339 rows across a time-split boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt_src")
+    val e = Tables(spark, sf, "events")
+    val cut = e.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    e.filter(col("ts").cast("long") < cut).coalesce(1).write.parquet(s"$dir/p0")
+    e.filter(col("ts").cast("long") >= cut).coalesce(1).write.parquet(s"$dir/p1")
+    def move(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    move("p0", "f0.parquet", t0 - 60000); move("p1", "f1.parquet", t0)
+    val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val normalized =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    runToMemory(EventStreams.holtTrend(spark, normalized).toDF(), "holt")
+    // n_events grows monotonically — keep the post-final-batch row
+    val streamed = spark.table("holt").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.maxBy(_.getAs[Long]("n_events")) }
+    val batch = SparkEntry.queries("q339_holt_trend")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"type sets differ: stream=${streamed.keySet} batch=${batch.keySet}")
+    streamed.foreach { case (t, r) =>
+      val b = batch(t)
+      assert(r.getAs[Long]("n_days") == b.getAs[Long]("n_days"),
+        s"n_days mismatch at $t")
+      Seq("level", "trend", "forecast_h3", "sse_holt").foreach { c =>
+        assert(math.abs(r.getAs[Double](c) - b.getAs[Double](c)) < 1e-6,
+          s"$c mismatch at $t: ${r.getAs[Double](c)} vs ${b.getAs[Double](c)}")
+      }
+      assert(r.getAs[Long]("sse_naive") == b.getAs[Long]("sse_naive"),
+        s"sse_naive mismatch at $t")
+    }
+  }
+
   test("streaming Welch drift screen (Complete mode) converges to the batch q166 row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_welch_src")
     val e = Tables(spark, sf, "events")
