@@ -1128,6 +1128,49 @@ object TextAnalysis {
           r6n(p).as("p_normal"),
           (r6n(p) < lit(0.05)).cast("long").as("reject_05"))
         .orderBy(col("source"))
+    }),
+
+    /** Vocabulary-pruning what-if — the tokenizer-budget curve behind
+      * "is merge k worth its vocab slot": corpus token volume and
+      * chars-per-token at every merge-table PREFIX (0..3 merges of
+      * the q132 trainer), i.e. what encoding efficiency is LOST if
+      * the table is truncated — the datasheet a vocab-size decision
+      * reads, not a single end-state number (q139 reports only the
+      * full table). Each stage re-applies the merge prefix to the
+      * vocab-BOUNDED word table (cached once; 4 projection chains
+      * over it, never over the corpus), token counts are
+      * frequency-weighted symbol counts — all integers; the only
+      * double is the final chars-per-token rational. The oracle
+      * replays the identical w0..w3 chain via the shared q132 CTE
+      * builder (same 3-round assumption as q132's contract). */
+    "q347_vocab_pruning" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val (merges, _) = bpeTrain(s, docs, 3)
+      val words = docs.filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .select(col("w"),
+          regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"), col("f"))
+        .cache()
+      (0 to merges.length).map { k =>
+        val sk = merges.take(k).foldLeft(words) { case (d, (_, l, r, _)) =>
+          d.select(col("w"), call_function("replace", col("s"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")).as("s"),
+            col("f"))
+        }
+        sk.select(col("f"), col("w"),
+            size(expr(s"filter(split(s, '$Sep'), x -> x <> '')"))
+              .cast("long").as("nt"))
+          .agg(sum(col("f") * col("nt")).as("total_tokens"),
+            sum(col("f") * length(col("w")).cast("long")).as("total_chars"))
+          .select(lit(k.toLong).as("vocab_added"),
+            col("total_tokens"), col("total_chars"))
+      }.reduce(_ unionByName _)
+        .select(col("vocab_added"), col("total_tokens"), col("total_chars"),
+          r6n(col("total_chars").cast("double") / col("total_tokens"))
+            .as("chars_per_token"))
+        .orderBy(col("vocab_added"))
     })
   )
 
@@ -1830,6 +1873,28 @@ object TextAnalysis {
         |CAST(CASE WHEN round(exp(-jb / 2.0) + 1e-12, 6) < 0.05
         |  THEN 1 ELSE 0 END AS BIGINT) AS reject_05
         |FROM j
-        |ORDER BY source NULLS FIRST""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // the identical w0..w3 merge chain (shared q132 CTE builder) with
+    // frequency-weighted symbol counts per stage
+    "q347_vocab_pruning" -> {
+      def stage(k: Int, tbl: String) =
+        s"""SELECT CAST($k AS BIGINT) AS vocab_added,
+           |CAST(sum(f * len(list_filter(string_split(s, chr(31)),
+           |  x -> x <> ''))) AS BIGINT) AS total_tokens,
+           |CAST(sum(f * length(w)) AS BIGINT) AS total_chars
+           |FROM $tbl""".stripMargin
+      s"""WITH $duckBpeCtes,
+         |stages AS (
+         |  ${stage(0, "w0")}
+         |  UNION ALL ${stage(1, "w1")}
+         |  UNION ALL ${stage(2, "w2")}
+         |  UNION ALL ${stage(3, "w3")})
+         |SELECT vocab_added, total_tokens, total_chars,
+         |round(CAST(total_chars AS DOUBLE) / total_tokens + 1e-12, 6)
+         |  AS chars_per_token
+         |FROM stages
+         |ORDER BY vocab_added NULLS FIRST""".stripMargin
+    }
   )
 }
