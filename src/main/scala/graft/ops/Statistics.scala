@@ -2374,6 +2374,34 @@ object Statistics {
           r6n(col("fold.sse")).as("sse_holt"),
           col("fold.sn").cast("long").as("sse_naive"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Simpson's-paradox audit on the value-over-time trend — the
+      * confounding check that decides whether q180's per-type slopes
+      * or a pooled slope is the honest headline: when the pooled
+      * regression's sign disagrees with a type's own slope, the
+      * aggregate trend is a composition artifact (types with
+      * different base rates entering/leaving the window), not a real
+      * drift. Per type: its own slope; pooled: one extra grouped fold
+      * over the SAME scan shape; the flag compares r6-ROUNDED slopes
+      * (cross-engine boundary stance). The pooled row is the q136
+      * 1-row bounded-BNLJ class. */
+    "q348_simpson_audit" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          col("value").cast("double").as("v"),
+          (unix_micros(col("ts")).cast("double") / 3600.0e6).as("x"))
+      val per = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("regr_slope(v, x)")).as("group_slope"))
+      val pooled = base.agg(r6(expr("regr_slope(v, x)")).as("pooled_slope"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("event_type"), col("n"), col("group_slope"),
+          col("pooled_slope"),
+          (col("group_slope") * col("pooled_slope") < 0.0).cast("long")
+            .as("sign_flip"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3861,7 +3889,25 @@ object Statistics {
         |FROM f JOIN (SELECT event_type, max(n_days) AS n_days
         |             FROM dense GROUP BY 1) n
         |  ON n.event_type = f.event_type AND f.i = n.n_days
-        |ORDER BY f.event_type NULLS FIRST""".stripMargin
+        |ORDER BY f.event_type NULLS FIRST""".stripMargin,
+
+    // same q180-family regr_slope folds; the flag compares the
+    // rounded slopes on both engines
+    "q348_simpson_audit" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 3600.0e6 AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(regr_slope(v, x), 6) AS group_slope
+        |  FROM s GROUP BY 1),
+        |pooled AS (SELECT round(regr_slope(v, x), 6) AS pooled_slope FROM s)
+        |SELECT event_type, n, group_slope, pooled_slope,
+        |CAST(CASE WHEN group_slope * pooled_slope < 0.0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+        |FROM per, pooled
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

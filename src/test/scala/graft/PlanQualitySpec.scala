@@ -205,7 +205,10 @@ class PlanQualitySpec extends SparkSuite {
     "q345_mmd_embedding",
     // q346: the broadcast side is the ONE-ROW (N_a, N_b) totals fold
     // (q136 KS class) — provably 1 row at any corpus size
-    "q346_wasserstein_lengths")
+    "q346_wasserstein_lengths",
+    // q348: the broadcast side is the ONE-ROW pooled-slope fold
+    // (q136 class) — provably 1 row at any corpus size
+    "q348_simpson_audit")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
