@@ -1159,7 +1159,10 @@ object Similarity {
         .select((col("label") < 5).as("ga") +: feats: _*)
       val aggs = count(lit(1)).as("n") +:
         (0 until D).map(f => avg(col(s"z$f")).as(s"m$f"))
-      val m = z.groupBy(col("ga")).agg(aggs.head, aggs.tail: _*)
+      // cached: without this the a/b filters push BELOW the aggregate
+      // and the corpus is scanned twice (once per group) — the cache
+      // holds exactly 2 rows and pins one scan
+      val m = z.groupBy(col("ga")).agg(aggs.head, aggs.tail: _*).cache()
       val a = m.filter(col("ga")).select(col("n").as("n_a") +:
         (0 until D).map(f => col(s"m$f").as(s"a$f")): _*)
       val b = m.filter(!col("ga")).select(col("n").as("n_b") +:
