@@ -780,6 +780,47 @@ object CorpusOps {
           sum(col("was_clipped")).as("n_clipped"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Context-length WHAT-IF curve — the packing-policy economics
+      * q94 (which implements one policy at one length) leaves open:
+      * for each candidate context length L, the padding-waste share
+      * under pad-per-document packing (every doc padded up to a
+      * multiple of L) versus the document-fragmentation cost under
+      * concat-and-chunk (docs crossing chunk boundaries lose
+      * attention locality). The expensive part — the global running
+      * token count in doc_id order — is L-INDEPENDENT and computed
+      * ONCE via [[graft.ops.GlobalRank.withRunningSum]] (one range
+      * exchange, never an unpartitioned Window); the 4-length grid
+      * is a literal explode over that single pass, and every metric
+      * is integer div/compare arithmetic, so the two shares are the
+      * only doubles (exact integer rationals, nudged-rounded). */
+    "q349_packing_whatif" -> ((s: SparkSession, dir: String) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val c = graft.ops.GlobalRank
+        .withRunningSum(toks, Seq(col("doc_id")), "n_tok", "running")
+        .select(col("n_tok"), col("running"),
+          explode(expr("array(256L, 512L, 1024L, 2048L)")).as("l_ctx"))
+      c.select(col("l_ctx"), col("n_tok"),
+          expr("(n_tok + l_ctx - 1) div l_ctx").as("pad_seqs"),
+          expr("(running - 1) div l_ctx - (running - n_tok) div l_ctx")
+            .as("crossings"))
+        .groupBy(col("l_ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("pad_seqs")).as("pad_seqs"),
+          sum((col("crossings") > 0).cast("long")).as("frag_docs"),
+          sum(col("crossings")).as("crossings"))
+        .select(col("l_ctx"), col("n_docs"), col("total_tokens"),
+          col("pad_seqs"), col("frag_docs"), col("crossings"),
+          r6n((col("pad_seqs") * col("l_ctx") - col("total_tokens"))
+            .cast("double") / (col("pad_seqs") * col("l_ctx")))
+            .as("pad_waste_share"),
+          r6n(col("frag_docs").cast("double") / col("n_docs"))
+            .as("frag_doc_share"))
+        .orderBy(col("l_ctx"))
     })
   )
 
@@ -816,6 +857,36 @@ object CorpusOps {
          |CAST((running - 1) // $ctx - (running - n_tok) // $ctx + 1 AS BIGINT)
          |  AS n_chunks
          |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q349_packing_whatif" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (ORDER BY doc_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running
+        |  FROM t),
+        |g AS (
+        |  SELECT l_ctx, n_tok,
+        |  (n_tok + l_ctx - 1) // l_ctx AS pad_seqs,
+        |  (running - 1) // l_ctx - (running - n_tok) // l_ctx AS crossings
+        |  FROM c CROSS JOIN (
+        |    SELECT unnest([256, 512, 1024, 2048]) AS l_ctx)),
+        |a AS (
+        |  SELECT CAST(l_ctx AS BIGINT) AS l_ctx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(pad_seqs) AS BIGINT) AS pad_seqs,
+        |  CAST(count_if(crossings > 0) AS BIGINT) AS frag_docs,
+        |  CAST(sum(crossings) AS BIGINT) AS crossings
+        |  FROM g GROUP BY 1)
+        |SELECT l_ctx, n_docs, total_tokens, pad_seqs, frag_docs, crossings,
+        |round((pad_seqs * l_ctx - total_tokens) * 1.0 / (pad_seqs * l_ctx)
+        |  + 1e-12, 6) AS pad_waste_share,
+        |round(frag_docs * 1.0 / n_docs + 1e-12, 6) AS frag_doc_share
+        |FROM a ORDER BY l_ctx NULLS FIRST""".stripMargin,
 
     "q95_pii_redact" ->
       """WITH a AS (

@@ -1173,6 +1173,60 @@ object Similarity {
       a.crossJoin(broadcast(b))
         .select(col("n_a"), col("n_b"), lit(D.toLong).as("d_features"),
           r6n(lit(2.0) / D * sq).as("mmd2"))
+    }),
+
+    /** Effective rank (participation ratio) of the embedding
+      * covariance — the INTRINSIC-DIMENSIONALITY audit behind every
+      * ANN/IVF design choice in the suite: tr(C)²/‖C‖²_F equals d for
+      * isotropic clouds and ≈1 when one direction carries all the
+      * variance, and it needs NO eigendecomposition — both norms are
+      * closed forms over the moment matrix. One corpus scan: each row
+      * explodes to its d(d+1)/2 upper-triangle products plus d
+      * first-moment entries (a literal generator, linear in n with a
+      * d²-bounded constant), map-side combine collapses them to 2144
+      * groups before the shuffle, and the 64-row mean table joins
+      * back broadcast. Off-diagonal cells weight ×2 so the full
+      * Frobenius mass is counted without materializing the lower
+      * triangle. Product/divide order mirrors the oracle exactly;
+      * the three emitted doubles are nudged-rounded data-volume
+      * folds. */
+    "q350_effective_rank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // flat PRIMITIVE double array per row (no per-cell struct
+      // boxing — measured 2x the query's cost), decoded back to
+      // (i, j) AFTER aggregation via a 2144-row broadcast map
+      val t = Tables(s, dir, "embeddings").select(posexplode(expr(
+        """concat(
+          |  flatten(transform(sequence(1, 64), i ->
+          |    transform(sequence(i, 64), j ->
+          |      cast(element_at(embedding, i) AS double) *
+          |      cast(element_at(embedding, j) AS double)))),
+          |  transform(sequence(1, 64), i ->
+          |    cast(element_at(embedding, i) AS double)))"""
+          .stripMargin))).toDF("pos", "p")
+      val posMap = ((for { i <- 1 to 64; j <- i to 64 } yield (i, j)) ++
+        (1 to 64).map(i => (i, 0))).zipWithIndex
+        .map { case ((i, j), pos) => (pos, i, j) }
+        .toDF("pos", "i", "j")
+      val mom = t.groupBy(col("pos"))
+        .agg(sum(col("p")).as("sp"), count(lit(1)).as("nn"))
+        .join(broadcast(posMap), "pos").cache()
+      val mu = mom.filter(col("j") === 0)
+        .select(col("i").as("mi"), col("sp").as("s1"))
+      val cj = mom.filter(col("j") > 0)
+        .join(broadcast(mu.select(col("mi").as("i"), col("s1").as("s1a"))), "i")
+        .join(broadcast(mu.select(col("mi").as("j"), col("s1").as("s1b"))), "j")
+        .select(col("i"), col("j"), col("nn"),
+          (col("sp") / col("nn") -
+            (col("s1a") / col("nn")) * (col("s1b") / col("nn"))).as("cij"),
+          when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0)).as("w"))
+      cj.agg(max(col("nn")).as("nv"),
+          sum(when(col("i") === col("j"), col("cij"))).as("tr"),
+          sum(col("w") * col("cij") * col("cij")).as("f2"))
+        .select(col("nv").as("n_vectors"), lit(64L).as("dim"),
+          r6n(col("tr")).as("cov_trace"),
+          r6n(col("f2")).as("cov_fro2"),
+          r6n(col("tr") * col("tr") / col("f2")).as("effective_rank"))
     })
   )
 
@@ -2070,6 +2124,34 @@ object Similarity {
          |CAST(32 AS BIGINT) AS d_features,
          |round(2.0 / 32 * ($sq) + 1e-12, 6) AS mmd2
          |FROM m a, m b WHERE a.ga AND NOT b.ga""".stripMargin
-    }
+    },
+
+    // same upper-triangle moment grid, identical sp/n − (s1/n)(s1/n)
+    // cell order and ×2 off-diagonal Frobenius weights
+    "q350_effective_rank" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |mu AS (
+        |  SELECT i, sum(CAST(embedding[i] AS DOUBLE)) AS s1
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |mom AS (
+        |  SELECT g1.i AS i, g2.j AS j,
+        |  sum(CAST(embedding[g1.i] AS DOUBLE)
+        |    * CAST(embedding[g2.j] AS DOUBLE)) AS sp
+        |  FROM embeddings
+        |  CROSS JOIN range(1, 65) g1(i) CROSS JOIN range(1, 65) g2(j)
+        |  WHERE g2.j >= g1.i GROUP BY 1, 2),
+        |c AS (
+        |  SELECT m.i, m.j,
+        |  m.sp / n.n - (a.s1 / n.n) * (b.s1 / n.n) AS cij,
+        |  CASE WHEN m.i = m.j THEN 1.0 ELSE 2.0 END AS w
+        |  FROM mom m, n, mu a, mu b WHERE a.i = m.i AND b.i = m.j)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_vectors,
+        |CAST(64 AS BIGINT) AS dim,
+        |round(sum(CASE WHEN i = j THEN cij END) + 1e-12, 6) AS cov_trace,
+        |round(sum(w * cij * cij) + 1e-12, 6) AS cov_fro2,
+        |round(sum(CASE WHEN i = j THEN cij END)
+        |  * sum(CASE WHEN i = j THEN cij END)
+        |  / sum(w * cij * cij) + 1e-12, 6) AS effective_rank
+        |FROM c""".stripMargin
   )
 }
