@@ -1175,6 +1175,50 @@ object TextDedup {
         .select(col("sz"), col("n_clusters"), col("edges"), col("possible"),
           r6n(col("edges").cast("double") / col("possible")).as("density"))
         .orderBy(col("sz"))
+    }),
+
+    /** Greedy max-coverage document selection — the SUBMODULAR data-
+      * selection primitive (facility location over shingle coverage):
+      * pick k=5 documents, each maximizing the count of corpus
+      * shingles not yet covered by earlier picks. The (1 − 1/e)
+      * guarantee makes greedy the standard seed-set/coreset chooser,
+      * and the marginal-gain trace is the diminishing-returns curve a
+      * budget decision reads. Execution: the shingle index derives
+      * ONCE and stays cached; each of the 5 rounds is one broadcast
+      * ANTI-join against the covered-hash set (driver-bounded at
+      * k·max-doc-shingles — the q42/q57 k·d model-table class, NOT a
+      * data-volume collect) + one map-side-combined count + a global
+      * top-1 (TakeOrdered, no sort of the full table). Gain ties
+      * break on doc_id, so the pick sequence is a total order. All
+      * outputs integers. */
+    "q352_coverage_greedy" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val arr = shingleArrays(Tables(s, dir, "documents")).cache()
+      val sh = explodeShingles(arr)
+      var covered = Array.empty[Long]
+      val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= 5 && !exhausted) {
+        val marg = sh
+          .join(broadcast(covered.toSeq.toDF("sh")), Seq("sh"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(desc("gain"), col("doc_id")).limit(1).collect()
+        if (marg.isEmpty) exhausted = true
+        else {
+          val (docId, gain) = (marg(0).getLong(0), marg(0).getLong(1))
+          val won = arr.filter(col("doc_id") === docId)
+            .select(explode(col("shs")).as("sh"))
+            .join(broadcast(covered.toSeq.toDF("sh")), Seq("sh"), "left_anti")
+            .as[Long].collect()
+          covered = covered ++ won
+          picks += ((step.toLong, docId, gain, covered.length.toLong))
+          step += 1
+        }
+      }
+      arr.unpersist()
+      picks.result().toDF("step", "doc_id", "marginal_gain", "covered_total")
+        .orderBy(col("step"))
     })
   )
 
@@ -1820,6 +1864,34 @@ object TextDedup {
          |  sum(sz.sz * (sz.sz - 1) // 2) + 1e-12, 6) AS density
          |FROM sz JOIN ec USING (cluster_id)
          |GROUP BY 1
-         |ORDER BY sz NULLS FIRST""".stripMargin
+         |ORDER BY sz NULLS FIRST""".stripMargin,
+
+    // 5 chained greedy steps over the same per-doc-distinct shingle
+    // universe (string shingles — count-equivalent to the hash
+    // universe under the suite-wide xxhash64 injectivity stance);
+    // identical (gain DESC, doc_id) tie order
+    "q352_coverage_greedy" -> {
+      val steps = (1 to 5).map { k =>
+        if (k == 1)
+          """p1 AS (SELECT doc_id, count(*) AS gain FROM sh GROUP BY 1
+            |  ORDER BY gain DESC, doc_id LIMIT 1),
+            |c1 AS (SELECT DISTINCT sh FROM sh
+            |  WHERE doc_id = (SELECT doc_id FROM p1))""".stripMargin
+        else
+          s"""p$k AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE sh NOT IN (SELECT sh FROM c${k - 1}) GROUP BY 1
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c$k AS (SELECT sh FROM c${k - 1} UNION
+             |  SELECT sh FROM sh WHERE doc_id = (SELECT doc_id FROM p$k))"""
+            .stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, doc_id,
+           |CAST(gain AS BIGINT) AS marginal_gain,
+           |(SELECT CAST(count(*) AS BIGINT) FROM c$k) AS covered_total
+           |FROM p$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH sh AS ($duckShingles),\n$steps\n$sel\nORDER BY step NULLS FIRST"
+    }
   )
 }

@@ -795,6 +795,50 @@ object Inference {
             .as("w1_distance"),
           r6n(col("mx") / (col("tna").cast("double") * col("tnb")))
             .as("ks_d"))
+    }),
+
+    /** Expected calibration error of a scoring model — the audit a
+      * quality-classifier gate needs BEFORE its scores can be read as
+      * probabilities (q308's operating curve ranks thresholds; ECE
+      * asks whether score 0.8 actually means 80%): a deterministic
+      * logistic score (standardized o_totalprice) is binned into ten
+      * confidence deciles and each bin compares mean confidence
+      * against observed label frequency, ECE = Σ (n_b/N)·|acc−conf|.
+      * One scan + a 10-row reliability table: the score needs the
+      * ONE-ROW (μ, σ) fold (q136 bounded-BNLJ class), the ECE fold
+      * crosses back as a second 1-row broadcast over the 10-row bin
+      * table. Accuracy is an exact integer rational; mean confidence
+      * and ECE are nudged-rounded libm folds. The label (order
+      * fulfilled) is independent of the demo score's construction —
+      * miscalibration here is EXPECTED and the point: the table is
+      * the evidence a recalibration (Platt/isotonic) decision reads. */
+    "q351_ece_calibration" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      val stats = o.agg(avg(col("o_totalprice")).as("mu"),
+        stddev_samp(col("o_totalprice")).as("sd"))
+      val scored = o.select(
+          (col("o_orderstatus") === "F").cast("long").as("y"),
+          col("o_totalprice"))
+        .crossJoin(broadcast(stats))
+        .select(col("y"), (lit(1.0) /
+          (lit(1.0) + exp(-(col("o_totalprice") - col("mu")) / col("sd"))))
+          .as("conf"))
+      val bins = scored
+        .groupBy(least(floor(col("conf") * 10), lit(9L)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          avg(col("conf")).as("mconf"),
+          avg(col("y").cast("double")).as("acc"))
+        .cache()
+      val ece = bins.agg((sum(col("n_orders") * abs(col("acc") - col("mconf")))
+        / sum(col("n_orders"))).as("e"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_orders"),
+          r6n(col("mconf")).as("mean_conf"),
+          r6n(col("acc")).as("accuracy"),
+          r6n(abs(col("acc") - col("mconf"))).as("gap"),
+          r6n(col("e")).as("ece"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -1272,6 +1316,31 @@ object Inference {
         |  AS w1_distance,
         |round(max(dint) / (CAST(max(tna) AS DOUBLE) * max(tnb)) + 1e-12, 6)
         |  AS ks_d
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // identical standardized-logistic score, decile binning, and
+    // count-weighted |acc − conf| fold
+    "q351_ece_calibration" ->
+      """WITH s AS (
+        |  SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+        |  FROM orders),
+        |sc AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |  1.0 / (1.0 + exp(-(o_totalprice - mu) / sd)) AS conf
+        |  FROM orders, s),
+        |b AS (
+        |  SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  avg(conf) AS mconf, avg(CAST(y AS DOUBLE)) AS acc
+        |  FROM sc GROUP BY 1),
+        |e AS (
+        |  SELECT sum(n_orders * abs(acc - mconf)) / sum(n_orders) AS ece
+        |  FROM b)
+        |SELECT bin, n_orders,
+        |round(mconf + 1e-12, 6) AS mean_conf,
+        |round(acc + 1e-12, 6) AS accuracy,
+        |round(abs(acc - mconf) + 1e-12, 6) AS gap,
+        |round(ece + 1e-12, 6) AS ece
+        |FROM b, e ORDER BY bin NULLS FIRST""".stripMargin
   )
 }

@@ -208,7 +208,11 @@ class PlanQualitySpec extends SparkSuite {
     "q346_wasserstein_lengths",
     // q348: the broadcast side is the ONE-ROW pooled-slope fold
     // (q136 class) — provably 1 row at any corpus size
-    "q348_simpson_audit")
+    "q348_simpson_audit",
+    // q351: the broadcast sides are the ONE-ROW (μ, σ) score fold
+    // (q136 class) and the ONE-ROW ECE fold over the ≤10-row bin
+    // table — provably 1 row each at any corpus size
+    "q351_ece_calibration")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
