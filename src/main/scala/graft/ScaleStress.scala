@@ -184,6 +184,11 @@ object ScaleStress {
     // round-10 wave: token-hash bucket features (explode + 1024-row
     // broadcast join) and the constant-probe NN scan
     q("q340_dsir_weights"), q("q341_hopkins"),
+    // store LIFECYCLE at scale: the full checkpoint/compact contracts
+    // (seed + generation appends + compact + post-compact append +
+    // rebuild compare) — the two most expensive bench queries, and the
+    // code paths whose entire purpose is the 100 TB maintenance story
+    q("q321_pair_store_compact"), q("q322_band_store_compact"),
     // family representatives
     q("q122_kmeans"), // IVF/kmeans training
     Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed

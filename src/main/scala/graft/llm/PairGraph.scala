@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables, r6n}
 
@@ -469,6 +469,50 @@ object PairGraph {
           r6n(col("dup_rate")).as("dup_rate"),
           (col("dom").isNull).cast("long").as("is_skyline"))
         .orderBy(col("source"))
+    }),
+
+    /** Leakage-SAFE splitter — the FIX for what q343 measures: split
+      * assignment keyed on the near-dup CLUSTER representative (the
+      * connected-component min-id over the ≥ 0.8 pair graph; singleton
+      * docs represent themselves), so every member of a dup family
+      * lands in the same split BY CONSTRUCTION and the q343 leak
+      * cannot exist. Same sha-256 split rule as q343/q79, applied to
+      * the representative id. Output: the per-(source, split) census a
+      * mixture check reads, plus the CONTRACT column — the count of
+      * pair-graph edges crossing splits, which the Spark side derives
+      * from DATA (join edges to their endpoints' assigned splits) and
+      * the oracle re-derives from first principles; break the
+      * rep-inheritance and the column goes nonzero on one side. Edges
+      * come from the persisted pair store; CC is the q93/q179 RDD
+      * fixpoint; the 1-row edge-contract fold crosses back broadcast
+      * (q136 bounded-BNLJ class). */
+    "q354_leakage_safe_split" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = jaccard(s, dir, 0.8)
+        .select(col("d1"), col("d2")).cache()
+      val labels = graft.ops.ConnectedComponents
+        .labels(pairs.as[(Long, Long)].rdd)
+        .toDF("doc_id", "rep")
+      def splitOf(id: Column) = {
+        val h1 = substring(sha2(id.cast("string"), 256), 1, 1)
+        when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test")
+      }
+      val assigned = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          splitOf(coalesce(col("rep"), col("doc_id"))).as("split"))
+        .cache()
+      val cross = pairs
+        .join(assigned.select(col("doc_id").as("d1"),
+          col("split").as("sp1")), "d1")
+        .join(assigned.select(col("doc_id").as("d2"),
+          col("split").as("sp2")), "d2")
+        .agg(count_if(col("sp1") =!= col("sp2")).as("cross_split_edges"))
+      assigned.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("source"), col("split"))
     })
   )
 
@@ -627,6 +671,41 @@ object PairGraph {
          |SELECT np.split_pair, n_pairs, n_docs
          |FROM np JOIN nd ON nd.split_pair = np.split_pair
          |ORDER BY np.split_pair NULLS FIRST""".stripMargin
+    },
+
+    // ≥ 0.8 pairs + recursive-CTE components from first principles
+    // (the q278 walk), the q343 split rule applied to min-id reps,
+    // and the cross-split edge contract recomputed independently
+    "q354_leakage_safe_split" -> {
+      def spl(c: String) =
+        s"""CASE WHEN substr(sha256(CAST($c AS VARCHAR)), 1, 1) < 'c'
+           |  THEN 'train'
+           |  WHEN substr(sha256(CAST($c AS VARCHAR)), 1, 1) < 'e'
+           |  THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |edges2(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges2 e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS rep
+         |  FROM walk GROUP BY node),
+         |a AS (
+         |  SELECT d.doc_id, d.source,
+         |  ${spl("coalesce(l.rep, d.doc_id)")} AS split
+         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |x AS (
+         |  SELECT CAST(count_if(a1.split <> a2.split) AS BIGINT)
+         |    AS cross_split_edges
+         |  FROM p
+         |  JOIN a a1 ON a1.doc_id = p.d1
+         |  JOIN a a2 ON a2.doc_id = p.d2)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |(SELECT cross_split_edges FROM x) AS cross_split_edges
+         |FROM a GROUP BY 1, 2
+         |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin
     },
 
     // ≥ 0.8 dup docs from first principles + the same three-axis

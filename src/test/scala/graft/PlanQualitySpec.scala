@@ -212,7 +212,10 @@ class PlanQualitySpec extends SparkSuite {
     // q351: the broadcast sides are the ONE-ROW (μ, σ) score fold
     // (q136 class) and the ONE-ROW ECE fold over the ≤10-row bin
     // table — provably 1 row each at any corpus size
-    "q351_ece_calibration")
+    "q351_ece_calibration",
+    // q354: the broadcast side is the ONE-ROW cross-split edge
+    // contract fold (q136 class) — provably 1 row at any corpus size
+    "q354_leakage_safe_split")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
