@@ -839,6 +839,162 @@ object Inference {
           r6n(abs(col("acc") - col("mconf"))).as("gap"),
           r6n(col("e")).as("ece"))
         .orderBy(col("bin"))
+    }),
+
+    /** Isotonic recalibration of the q351 reliability table — the
+      * FIX the ECE audit motivates, WITHOUT an iterative PAV solver:
+      * over the ≤10 occupied confidence bins, the isotonic fit has
+      * the closed minimax form fit(b) = max_{i≤b} min_{j≥b}
+      * avg(y over bins i..j), so the whole regression is two nested
+      * folds over the bin grid. Everything after binning is EXACT
+      * integer arithmetic: per-bin label sums and counts fold to
+      * prefix arrays via the q177 collect-explode stance (the bin
+      * table is domain-bounded at 10 rows — no window, no BNLJ), and
+      * every candidate average is one IEEE division of exact longs,
+      * so min/max comparisons are bit-identical cross-engine. Output:
+      * per occupied bin, raw accuracy vs the (monotone by
+      * construction) calibrated probability. */
+    "q355_isotonic_calibration" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      val stats = o.agg(avg(col("o_totalprice")).as("mu"),
+        stddev_samp(col("o_totalprice")).as("sd"))
+      val scored = o.select(
+          (col("o_orderstatus") === "F").cast("long").as("y"),
+          col("o_totalprice"))
+        .crossJoin(broadcast(stats))
+        .select(col("y"), (lit(1.0) /
+          (lit(1.0) + exp(-(col("o_totalprice") - col("mu")) / col("sd"))))
+          .as("conf"))
+      val bins = scored
+        .groupBy(least(floor(col("conf") * 10), lit(9L)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      bins
+        .agg(sort_array(collect_list(struct(col("bin"), col("n"),
+          col("sy")))).as("g"))
+        .select(explode(expr(
+          """transform(sequence(1, size(g)), b -> named_struct(
+            |  'bin', g[b-1].bin, 'n_orders', g[b-1].n, 'sy', g[b-1].sy,
+            |  'cal', array_max(transform(sequence(1, b), i ->
+            |    array_min(transform(sequence(b, size(g)), j ->
+            |      cast(aggregate(slice(g, i, j - i + 1), 0L,
+            |             (a, x) -> a + x.sy) AS double) /
+            |      cast(aggregate(slice(g, i, j - i + 1), 0L,
+            |             (a, x) -> a + x.n) AS double)))))))"""
+            .stripMargin)).as("t"))
+        .select(col("t.bin").as("bin"), col("t.n_orders").as("n_orders"),
+          r6n(col("t.sy").cast("double") / col("t.n_orders"))
+            .as("accuracy"),
+          r6n(col("t.cal")).as("calibrated"))
+        .orderBy(col("bin"))
+    }),
+
+    /** Split-conformal prediction intervals with a coverage audit —
+      * the DISTRIBUTION-FREE uncertainty contract (finite-sample
+      * ≥ 90% coverage guarantee, no normality assumption — the
+      * honest alternative when q201/q257's parametric bands are in
+      * doubt): a per-type location model fits on one event slice,
+      * the calibration slice's absolute residuals give q̂ = the
+      * ⌈0.9·(n+1)⌉-th smallest score, and the held-out slice reports
+      * empirical coverage of |v − m| ≤ q̂. The order statistic is
+      * EXACT at scale: residuals round to the r6 grid (the
+      * cross-engine float-ranking stance — everything after is
+      * integer counting), the distinct-score grid gets ONE global
+      * running sum over the (type, score) range order
+      * ([[graft.ops.GlobalRank]]), per-type ranks subtract the q145
+      * min(cum − cnt) base — no per-type WindowExec funnel, no
+      * O(distinct)-per-group percentile buffer. The conformal rank
+      * ⌈0.9(n+1)⌉ is pure integer arithmetic in both engines. */
+    "q356_conformal_coverage" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val m = e.filter(pmod(col("event_id"), lit(5)).isin(1, 2, 3))
+        .groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mfit"), count(lit(1)).as("n_fit"))
+      val cal = e.filter(pmod(col("event_id"), lit(5)) === 4)
+        .join(m, "event_type")
+        .select(col("event_type"), r6n(abs(col("value") - col("mfit")))
+          .as("sc"))
+      val g = cal.groupBy(col("event_type"), col("sc"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.ops.GlobalRank.withRunningSum(
+        g, Seq(col("event_type"), col("sc")), "cnt", "cum")
+      val base = cum.groupBy(col("event_type"))
+        .agg(min(col("cum") - col("cnt")).as("base"),
+          sum(col("cnt")).as("n_cal"))
+      val qhat = cum.join(base, "event_type")
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+        .filter(col("cum") - col("base") >= col("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("sc")).as("qhat"), max(col("n_cal")).as("n_cal"),
+          max(col("k")).as("k_rank"))
+      e.filter(pmod(col("event_id"), lit(5)) === 0)
+        .join(m, "event_type")
+        .select(col("event_type"), col("n_fit"),
+          r6n(abs(col("value") - col("mfit"))).as("st"))
+        .join(qhat, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_fit")).as("n_fit"), max(col("n_cal")).as("n_cal"),
+          max(col("k_rank")).as("k_rank"), max(col("qhat")).as("qhat"),
+          count(lit(1)).as("n_test"),
+          count_if(col("st") <= col("qhat")).as("n_covered"))
+        .select(col("event_type"), col("n_fit"), col("n_cal"),
+          col("k_rank"), col("qhat"), col("n_test"), col("n_covered"),
+          r6n(col("n_covered").cast("double") / col("n_test"))
+            .as("coverage"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Empirical-Bayes (James-Stein) shrinkage of per-source means —
+      * the partial-pooling estimate a mixture decision should read
+      * instead of raw per-source averages (a 50-doc source's mean is
+      * mostly noise; shrinkage pulls it toward the grand mean in
+      * proportion to its noise share): one-way random-effects method
+      * of moments, σ² from within-source scatter, τ² from the
+      * between-source mean square over the unbalanced-design n₀,
+      * weight w_s = τ²/(τ² + σ²/n_s). ONE corpus scan folds to
+      * per-source (n, Σy, Σy²); every scalar after that derives from
+      * the SOURCE-DOMAIN-bounded table via the q177 collect-explode
+      * stance (sorted array, deterministic fold order — no 1-row
+      * BNLJ, no window). Sums cast to double BEFORE the fold (the
+      * round-8 2^53 stance); outputs are nudged-rounded folds. */
+    "q357_james_stein" -> ((s: SparkSession, dir: String) => {
+      val per = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("double").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      val w = col("tau2") / (col("tau2") + col("sig2") / col("x.n"))
+      per
+        .agg(sort_array(collect_list(struct(col("source"), col("n"),
+          col("sy"), col("syy")))).as("g"))
+        .select(col("g"),
+          expr("aggregate(g, 0L, (a, x) -> a + x.n)").as("nn"),
+          size(col("g")).cast("long").as("m"),
+          expr("aggregate(g, 0D, (a, x) -> a + x.sy)").as("yy"),
+          expr("aggregate(g, 0D, (a, x) -> a + (x.syy - x.sy * x.sy / x.n))")
+            .as("ssw"),
+          expr("aggregate(g, 0D, (a, x) -> a + x.sy * x.sy / x.n)").as("sb1"),
+          expr("aggregate(g, 0D, (a, x) -> a + cast(x.n AS double) * x.n)")
+            .as("sn2"))
+        .select(col("g"),
+          (col("yy") / col("nn")).as("grand"),
+          (col("ssw") / (col("nn") - col("m"))).as("sig2"),
+          (col("sb1") - col("yy") * col("yy") / col("nn")).as("ssb"),
+          col("m"),
+          ((col("nn") - col("sn2") / col("nn")) / (col("m") - lit(1L)))
+            .as("n0"))
+        .withColumn("tau2", greatest(lit(0.0),
+          (col("ssb") / (col("m") - lit(1L)) - col("sig2")) / col("n0")))
+        .select(explode(col("g")).as("x"), col("grand"), col("sig2"),
+          col("tau2"))
+        .select(col("x.source").as("source"), col("x.n").as("n"),
+          r6n(col("x.sy") / col("x.n")).as("raw_mean"),
+          r6n(w).as("shrink_weight"),
+          r6n(w * (col("x.sy") / col("x.n")) +
+            (lit(1.0) - w) * col("grand")).as("shrunk_mean"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1341,6 +1497,109 @@ object Inference {
         |round(acc + 1e-12, 6) AS accuracy,
         |round(abs(acc - mconf) + 1e-12, 6) AS gap,
         |round(ece + 1e-12, 6) AS ece
-        |FROM b, e ORDER BY bin NULLS FIRST""".stripMargin
+        |FROM b, e ORDER BY bin NULLS FIRST""".stripMargin,
+
+    // same binning, dense bin index, and the identical minimax
+    // fit(b) = max_{i<=b} min_{j>=b} avg(i..j) over exact long sums
+    "q355_isotonic_calibration" ->
+      """WITH s AS (
+        |  SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+        |  FROM orders),
+        |sc AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |  1.0 / (1.0 + exp(-(o_totalprice - mu) / sd)) AS conf
+        |  FROM orders, s),
+        |b0 AS (
+        |  SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM sc GROUP BY 1),
+        |b AS (
+        |  SELECT bin, n, sy, row_number() OVER (ORDER BY bin) AS idx
+        |  FROM b0),
+        |seg AS (
+        |  SELECT i.idx AS i, j.idx AS j,
+        |  CAST(sum(k.sy) AS DOUBLE) / CAST(sum(k.n) AS DOUBLE) AS a
+        |  FROM b i JOIN b j ON j.idx >= i.idx
+        |  JOIN b k ON k.idx BETWEEN i.idx AND j.idx
+        |  GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT bb.idx AS bidx, seg.i AS i, min(seg.a) AS mnv
+        |  FROM b bb JOIN seg ON seg.i <= bb.idx AND seg.j >= bb.idx
+        |  GROUP BY 1, 2),
+        |cal AS (SELECT bidx, max(mnv) AS cal FROM mn GROUP BY 1)
+        |SELECT b.bin, b.n AS n_orders,
+        |round(CAST(b.sy AS DOUBLE) / b.n + 1e-12, 6) AS accuracy,
+        |round(cal.cal + 1e-12, 6) AS calibrated
+        |FROM b JOIN cal ON cal.bidx = b.idx
+        |ORDER BY bin NULLS FIRST""".stripMargin,
+
+    // same slice rule, r6-rounded residual grid, per-type rank via
+    // the window cumsum, and the integer ⌈0.9(n+1)⌉ conformal rank
+    "q356_conformal_coverage" ->
+      """WITH m AS (
+        |  SELECT event_type, avg(value) AS mfit,
+        |  CAST(count(*) AS BIGINT) AS n_fit
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id % 5 IN (1, 2, 3)
+        |  GROUP BY 1),
+        |cal AS (
+        |  SELECT e.event_type, round(abs(value - mfit) + 1e-12, 6) AS sc
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE value IS NOT NULL AND event_id % 5 = 4),
+        |g AS (SELECT event_type, sc, count(*) AS cnt FROM cal GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, sc, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY sc) AS rk
+        |  FROM g),
+        |b AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_cal,
+        |  CAST((9 * (sum(cnt) + 1) + 9) // 10 AS BIGINT) AS k
+        |  FROM g GROUP BY 1),
+        |q AS (
+        |  SELECT c.event_type, min(sc) AS qhat, max(b.n_cal) AS n_cal,
+        |  max(b.k) AS k_rank
+        |  FROM c JOIN b USING (event_type)
+        |  WHERE c.rk >= b.k GROUP BY 1),
+        |t AS (
+        |  SELECT e.event_type, round(abs(value - mfit) + 1e-12, 6) AS st
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE value IS NOT NULL AND event_id % 5 = 0)
+        |SELECT q.event_type, m.n_fit, q.n_cal, q.k_rank, q.qhat AS qhat,
+        |CAST(count(*) AS BIGINT) AS n_test,
+        |CAST(count_if(st <= qhat) AS BIGINT) AS n_covered,
+        |round(count_if(st <= qhat) * 1.0 / count(*) + 1e-12, 6) AS coverage
+        |FROM t
+        |JOIN q USING (event_type) JOIN m USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY q.event_type NULLS FIRST""".stripMargin,
+
+    // same per-source (n, Σy, Σy²) fold, the same method-of-moments
+    // σ²/τ²/n₀ scalars, and the identical w·raw + (1−w)·grand combine
+    "q357_james_stein" ->
+      """WITH p AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(n_chars AS DOUBLE)) AS sy,
+        |  sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS syy
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS m, sum(sy) AS yy,
+        |  sum(syy - sy * sy / n) AS ssw,
+        |  sum(sy * sy / n) AS sb1,
+        |  sum(CAST(n AS DOUBLE) * n) AS sn2 FROM p),
+        |sc AS (
+        |  SELECT nn, m, yy / nn AS grand, ssw / (nn - m) AS sig2,
+        |  sb1 - yy * yy / nn AS ssb,
+        |  (nn - sn2 / nn) / (m - 1) AS n0 FROM t),
+        |sc2 AS (
+        |  SELECT *, greatest(0, (ssb / (m - 1) - sig2) / n0) AS tau2
+        |  FROM sc)
+        |SELECT p.source, p.n,
+        |round(p.sy / p.n + 1e-12, 6) AS raw_mean,
+        |round(tau2 / (tau2 + sig2 / p.n) + 1e-12, 6) AS shrink_weight,
+        |round(tau2 / (tau2 + sig2 / p.n) * (p.sy / p.n)
+        |  + (1 - tau2 / (tau2 + sig2 / p.n)) * grand + 1e-12, 6)
+        |  AS shrunk_mean
+        |FROM p, sc2 ORDER BY p.source NULLS FIRST""".stripMargin
   )
 }

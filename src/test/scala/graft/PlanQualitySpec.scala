@@ -215,7 +215,10 @@ class PlanQualitySpec extends SparkSuite {
     "q351_ece_calibration",
     // q354: the broadcast side is the ONE-ROW cross-split edge
     // contract fold (q136 class) — provably 1 row at any corpus size
-    "q354_leakage_safe_split")
+    "q354_leakage_safe_split",
+    // q355: the broadcast side is the ONE-ROW (μ, σ) score fold
+    // (q351/q136 class) — provably 1 row at any corpus size
+    "q355_isotonic_calibration")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
