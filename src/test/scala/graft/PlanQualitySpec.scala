@@ -337,7 +337,13 @@ class PlanQualitySpec extends SparkSuite {
       ("the emitted value IS round(fold.mx + 1e-12, 6) — a nudged round " +
         "as the final step; the classifier cannot project into the " +
         "aggregate-HOF struct and trips on the SIBLING field's inner " +
-        "round (the alarm-threshold comparison, which is not emitted raw)"))
+        "round (the alarm-threshold comparison, which is not emitted raw)"),
+    "q356_conformal_coverage.coverage" ->
+      ("ratio of two INTEGER counts with a NUDGED round as the final " +
+        "step; the inner rounds the classifier trips on sit inside the " +
+        "count_if COMPARISON (st <= qhat) — they are the cross-engine " +
+        "ranking grid (both residual and cutoff live on the identical " +
+        "r6 grid, the q292 bin-key stance), never a value input"))
 
   test("suite-wide: every emitted double column is cross-engine portable") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
