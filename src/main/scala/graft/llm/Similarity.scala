@@ -1227,6 +1227,58 @@ object Similarity {
           r6n(col("tr")).as("cov_trace"),
           r6n(col("f2")).as("cov_fro2"),
           r6n(col("tr") * col("tr") / col("f2")).as("effective_rank"))
+    }),
+
+    /** MMR (maximal marginal relevance) diversity rerank — the
+      * retrieval-side dedup the pure top-k (q42) lacks: a result list
+      * of 20 near-identical chunks wastes a RAG context window, so
+      * the final k=5 picks greedily maximize λ·rel(c) −
+      * (1−λ)·max_{s∈picked} sim(c, s) at λ = 0.7. Scale shape: the
+      * DISTRIBUTED part is the corpus-wide top-20 relevance scan
+      * (q42's broadcast-query class, rounded-cosine + id ranking so
+      * the candidate cut cannot flip cross-engine); the rerank then
+      * runs over the 20-row candidate block — every round is a
+      * bounded 20 × ≤5 similarity cross (q42/q182 anchor class) + one
+      * top-1, and all similarities live on the r6 grid, so the
+      * greedy argmax sequence is engine-exact. Emitted mmr_score is
+      * IEEE arithmetic over grid-pinned inputs (identical in both
+      * engines), nudged-rounded. */
+    "q360_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          r6(cosine("embedding", "qe")).as("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(20).cache()
+      var sel = Vector.empty[Long]
+      val picks = Seq.newBuilder[(Long, Long, Double, Double)]
+      (1 to 5).foreach { rank =>
+        val rem = cand.filter(!col("vec_id").isin(sel: _*))
+        val scored =
+          if (sel.isEmpty)
+            rem.select(col("vec_id"), col("rel"),
+              r6n(lit(0.7) * col("rel")).as("sc"))
+          else {
+            val selEmb = cand.filter(col("vec_id").isin(sel: _*))
+              .select(col("embedding").as("se"))
+            rem.crossJoin(broadcast(selEmb))
+              .select(col("vec_id"), col("rel"),
+                r6(cosine("embedding", "se")).as("sim"))
+              .groupBy(col("vec_id"), col("rel"))
+              .agg(max(col("sim")).as("ms"))
+              .select(col("vec_id"), col("rel"),
+                r6n(lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("sc"))
+          }
+        val row = scored.orderBy(desc("sc"), asc("vec_id")).limit(1)
+          .collect()(0)
+        sel = sel :+ row.getLong(0)
+        picks += ((rank.toLong, row.getLong(0), row.getDouble(1),
+          row.getDouble(2)))
+      }
+      import s.implicits._
+      picks.result().toDF("rank", "vec_id", "relevance", "mmr_score")
+        .orderBy(col("rank"))
     })
   )
 
@@ -2152,6 +2204,43 @@ object Similarity {
         |round(sum(CASE WHEN i = j THEN cij END)
         |  * sum(CASE WHEN i = j THEN cij END)
         |  / sum(w * cij * cij) + 1e-12, 6) AS effective_rank
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // same rounded-cosine top-20 candidate cut, then the identical
+    // greedy λ·rel − (1−λ)·max-sim rounds over the r6 grid
+    "q360_mmr_rerank" -> {
+      val rounds = (2 to 5).map { k =>
+        s"""m$k AS (
+           |  SELECT c.vec_id, c.embedding, c.rel,
+           |  max(round(${duckCos("c.embedding", "s.embedding")}, 6)) AS ms
+           |  FROM cand c, sel${k - 1} s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+           |  GROUP BY 1, 2, 3),
+           |p$k AS (
+           |  SELECT vec_id, embedding, rel,
+           |  round(0.7 * rel - 0.3 * ms + 1e-12, 6) AS sc
+           |  FROM m$k ORDER BY sc DESC, vec_id LIMIT 1),
+           |sel$k AS (SELECT vec_id, embedding FROM sel${k - 1}
+           |  UNION ALL SELECT vec_id, embedding FROM p$k)""".stripMargin
+      }.mkString(",\n")
+      val sels = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, vec_id,
+           |rel AS relevance, sc AS mmr_score FROM p$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, embedding,
+         |  round(${duckCos("embedding", "qe")}, 6) AS rel
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |p1 AS (
+         |  SELECT vec_id, embedding, rel,
+         |  round(0.7 * rel + 1e-12, 6) AS sc
+         |  FROM cand ORDER BY sc DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, embedding FROM p1),
+         |$rounds
+         |$sels
+         |ORDER BY rank NULLS FIRST""".stripMargin
+    }
   )
 }

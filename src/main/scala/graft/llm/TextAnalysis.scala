@@ -1171,6 +1171,66 @@ object TextAnalysis {
           r6n(col("total_chars").cast("double") / col("total_tokens"))
             .as("chars_per_token"))
         .orderBy(col("vocab_added"))
+    }),
+
+    /** Heaps-law EXTRAPOLATION — the "what vocabulary will the
+      * tokenizer face at 1000× this corpus" number the 100 TB plan
+      * actually needs (q253 fits the law on per-doc points; this fits
+      * the CORPUS GROWTH CURVE and extrapolates it): cumulative
+      * (tokens, distinct vocabulary) at ten checkpoints along the
+      * doc_id order, ln-ln regression, predicted vocab at 10×/100×/
+      * 1000× today's token count. Distributed cumulative-distinct
+      * without any distinct-so-far state: a word's FIRST occurrence
+      * is one groupBy-min over the exploded tokens, its checkpoint
+      * decile one join against the [[graft.ops.GlobalRank]] doc-rank
+      * table (one range exchange, no unpartitioned window), and both
+      * cumulations collapse to exact-long prefix folds over the
+      * 10-row checkpoint table (q177 collect-explode stance). The
+      * regression inputs are ln's of exact longs; slope/intercept/r²
+      * and the three libm predictions are nudged-rounded (q253
+      * stance; predictions at 2 decimals — they are large values). */
+    "q358_heaps_extrapolation" -> ((s: SparkSession, dir: String) => {
+      val d = withToks(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
+        .select(col("doc_id"),
+          expr("filter(toks, w -> length(w) > 0)").as("tk"))
+        .cache()
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+        d.select(col("doc_id"), size(col("tk")).cast("long").as("ntok")),
+        Seq(col("doc_id")), "rn", Some("total"))
+      val dd = ranked.select(col("doc_id"), col("ntok"),
+        expr("(rn - 1) * 10 div total + 1").as("dec")).cache()
+      val tok = dd.groupBy(col("dec")).agg(sum(col("ntok")).as("t"))
+      val nv = d.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fdoc"))
+        .join(dd.select(col("doc_id").as("fdoc"), col("dec")), "fdoc")
+        .groupBy(col("dec")).agg(count(lit(1)).as("v"))
+      val pts = tok.join(nv, Seq("dec"), "left")
+        .select(col("dec"), col("t"), coalesce(col("v"), lit(0L)).as("v"))
+        .agg(sort_array(collect_list(struct(col("dec"), col("t"),
+          col("v")))).as("g"))
+        .select(explode(expr(
+          """transform(sequence(1, size(g)), i -> named_struct(
+            |  'cumt', aggregate(slice(g, 1, i), 0L, (a, x) -> a + x.t),
+            |  'cumv', aggregate(slice(g, 1, i), 0L, (a, x) -> a + x.v)))"""
+            .stripMargin)).as("p"))
+        .select(log(col("p.cumt").cast("double")).as("lnt"),
+          log(col("p.cumv").cast("double")).as("lnv"),
+          col("p.cumt").as("cumt"), col("p.cumv").as("cumv"))
+      pts.agg(count(lit(1)).as("n_points"),
+          expr("regr_slope(lnv, lnt)").as("beta"),
+          expr("regr_intercept(lnv, lnt)").as("lnk"),
+          expr("regr_r2(lnv, lnt)").as("rr"),
+          max(col("cumt")).as("tn"), max(col("cumv")).as("vn"))
+        .select(col("n_points"), r6n(col("beta")).as("beta"),
+          r6n(col("lnk")).as("ln_k"), r6n(col("rr")).as("r2"),
+          col("tn").as("tokens_now"), col("vn").as("vocab_now"),
+          r2n(exp(col("lnk")) * pow(col("tn") * lit(10.0), col("beta")))
+            .as("pred_vocab_x10"),
+          r2n(exp(col("lnk")) * pow(col("tn") * lit(100.0), col("beta")))
+            .as("pred_vocab_x100"),
+          r2n(exp(col("lnk")) * pow(col("tn") * lit(1000.0), col("beta")))
+            .as("pred_vocab_x1000"))
     })
   )
 
@@ -1895,6 +1955,53 @@ object TextAnalysis {
          |  AS chars_per_token
          |FROM stages
          |ORDER BY vocab_added NULLS FIRST""".stripMargin
-    }
+    },
+
+    // same doc-rank deciles, first-occurrence joins, exact-long
+    // prefix cumulations, and the identical exp(lnk)·(cN)^β combine
+    "q358_heaps_extrapolation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+        |  row_number() OVER (ORDER BY doc_id) AS rn,
+        |  count(*) OVER () AS total FROM d),
+        |dd AS (
+        |  SELECT doc_id, ntok, (rn - 1) * 10 // total + 1 AS dec FROM r),
+        |fo AS (
+        |  SELECT w, min(doc_id) AS fdoc
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM d) GROUP BY w),
+        |nv AS (
+        |  SELECT dd.dec, count(*) AS v
+        |  FROM fo JOIN dd ON dd.doc_id = fo.fdoc GROUP BY 1),
+        |tok AS (SELECT dec, sum(ntok) AS t FROM dd GROUP BY 1),
+        |pts AS (
+        |  SELECT t1.dec,
+        |  (SELECT sum(t) FROM tok t2 WHERE t2.dec <= t1.dec) AS cumt,
+        |  (SELECT coalesce(sum(v), 0) FROM nv n2 WHERE n2.dec <= t1.dec)
+        |    AS cumv
+        |  FROM tok t1),
+        |f AS (
+        |  SELECT count(*) AS np,
+        |  regr_slope(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
+        |    AS beta,
+        |  regr_intercept(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
+        |    AS lnk,
+        |  regr_r2(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE))) AS rr,
+        |  max(cumt) AS tn, max(cumv) AS vn FROM pts)
+        |SELECT CAST(np AS BIGINT) AS n_points,
+        |round(beta + 1e-12, 6) AS beta,
+        |round(lnk + 1e-12, 6) AS ln_k,
+        |round(rr + 1e-12, 6) AS r2,
+        |CAST(tn AS BIGINT) AS tokens_now, CAST(vn AS BIGINT) AS vocab_now,
+        |round(exp(lnk) * pow(tn * 10.0, beta) + 1e-12, 2)
+        |  AS pred_vocab_x10,
+        |round(exp(lnk) * pow(tn * 100.0, beta) + 1e-12, 2)
+        |  AS pred_vocab_x100,
+        |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
+        |  AS pred_vocab_x1000
+        |FROM f""".stripMargin
   )
 }

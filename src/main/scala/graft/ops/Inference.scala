@@ -995,6 +995,50 @@ object Inference {
           r6n(w * (col("x.sy") / col("x.n")) +
             (lit(1.0) - w) * col("grand")).as("shrunk_mean"))
         .orderBy(col("source"))
+    }),
+
+    /** Neyman-optimal stratified sampling allocation — the labeling-
+      * budget counterpart of q315 (which scores a DESIGN after the
+      * fact) and q320 (which sizes a TOTAL): how to SPLIT a 1000-label
+      * budget across sources, n_s ∝ N_s·σ_s, so the stratified mean's
+      * variance is minimized — high-variance strata earn labels,
+      * uniform boilerplate sources don't, and the boost-vs-
+      * proportional column is the decision delta. One scan folds to
+      * per-source (n, Σy, Σy²); σ_s uses the explicit moment formula
+      * (NOT the builtin stddev — mirrored op order beats engine
+      * aggregate internals), and the Σ N_t·σ_t normalizer folds over
+      * the sorted SOURCE-DOMAIN-bounded array (q177 stance — no
+      * 1-row BNLJ). Integer allocations via floor(x + 0.5) (the
+      * cross-engine rounding stance). */
+    "q359_neyman_allocation" -> ((s: SparkSession, dir: String) => {
+      val B = 1000.0
+      val per = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("double").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("source"), col("n"),
+          sqrt((col("syy") - col("sy") * col("sy") / col("n")) /
+            (col("n") - lit(1L))).as("sd"))
+      val ns = col("x.n").cast("double") * col("x.sd")
+      per
+        .agg(sort_array(collect_list(struct(col("source"), col("n"),
+          col("sd")))).as("g"))
+        .select(col("g"),
+          expr("aggregate(g, 0L, (a, x) -> a + x.n)").as("nn"),
+          expr("aggregate(g, 0D, (a, x) -> a + cast(x.n AS double) * x.sd)")
+            .as("z"))
+        .select(explode(col("g")).as("x"), col("nn"), col("z"))
+        .select(col("x.source").as("source"), col("x.n").as("n_docs"),
+          r6n(col("x.sd")).as("sd"),
+          r6n(ns / col("z")).as("neyman_share"),
+          floor(lit(B) * (ns / col("z")) + lit(0.5)).cast("long")
+            .as("alloc_neyman"),
+          floor(lit(B) * col("x.n") / col("nn") + lit(0.5)).cast("long")
+            .as("alloc_prop"),
+          r6n((ns / col("z")) /
+            (col("x.n").cast("double") / col("nn"))).as("boost"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1600,6 +1644,28 @@ object Inference {
         |round(tau2 / (tau2 + sig2 / p.n) * (p.sy / p.n)
         |  + (1 - tau2 / (tau2 + sig2 / p.n)) * grand + 1e-12, 6)
         |  AS shrunk_mean
-        |FROM p, sc2 ORDER BY p.source NULLS FIRST""".stripMargin
+        |FROM p, sc2 ORDER BY p.source NULLS FIRST""".stripMargin,
+
+    // identical explicit-moment σ, N·σ normalizer, and floor(x + 0.5)
+    // integer allocations
+    "q359_neyman_allocation" ->
+      """WITH p AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  sqrt((sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+        |    - sum(CAST(n_chars AS DOUBLE)) * sum(CAST(n_chars AS DOUBLE))
+        |      / count(*)) / (count(*) - 1)) AS sd
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  sum(CAST(n AS DOUBLE) * sd) AS z FROM p)
+        |SELECT p.source, p.n AS n_docs,
+        |round(sd + 1e-12, 6) AS sd,
+        |round(CAST(p.n AS DOUBLE) * sd / z + 1e-12, 6) AS neyman_share,
+        |CAST(floor(1000.0 * (CAST(p.n AS DOUBLE) * sd / z) + 0.5)
+        |  AS BIGINT) AS alloc_neyman,
+        |CAST(floor(1000.0 * p.n / nn + 0.5) AS BIGINT) AS alloc_prop,
+        |round((CAST(p.n AS DOUBLE) * sd / z)
+        |  / (CAST(p.n AS DOUBLE) / nn) + 1e-12, 6) AS boost
+        |FROM p, t ORDER BY p.source NULLS FIRST""".stripMargin
   )
 }

@@ -218,7 +218,11 @@ class PlanQualitySpec extends SparkSuite {
     "q354_leakage_safe_split",
     // q355: the broadcast side is the ONE-ROW (μ, σ) score fold
     // (q351/q136 class) — provably 1 row at any corpus size
-    "q355_isotonic_calibration")
+    "q355_isotonic_calibration",
+    // q360: the broadcast sides are the ONE-ROW query vector and the
+    // ≤5-row picked block crossed with the 20-row candidate block —
+    // all driver-bounded at any corpus size (q42/q182 anchor class)
+    "q360_mmr_rerank")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
