@@ -1173,36 +1173,42 @@ object TextAnalysis {
         .orderBy(col("vocab_added"))
     }),
 
-    /** Heaps-law EXTRAPOLATION — the "what vocabulary will the
-      * tokenizer face at 1000× this corpus" number the 100 TB plan
-      * actually needs (q253 fits the law on per-doc points; this fits
-      * the CORPUS GROWTH CURVE and extrapolates it): cumulative
-      * (tokens, distinct vocabulary) at ten checkpoints along the
-      * doc_id order, ln-ln regression, predicted vocab at 10×/100×/
-      * 1000× today's token count. Distributed cumulative-distinct
-      * without any distinct-so-far state: a word's FIRST occurrence
-      * is one groupBy-min over the exploded tokens, its checkpoint
-      * decile one join against the [[graft.ops.GlobalRank]] doc-rank
-      * table (one range exchange, no unpartitioned window), and both
+    /** Heaps-law EXTRAPOLATION of the SHINGLE vocabulary — the "how
+      * big will the dedup inverted index be at 1000× this corpus"
+      * number the 100 TB plan actually needs (q253 fits the law on
+      * per-doc WORD points; the fixture's word vocab is a closed
+      * ~31-token synthetic set that saturates instantly, while the
+      * 3-gram shingle universe — the thing the pair-graph store and
+      * every LSH band table actually scale with — genuinely grows):
+      * cumulative (tokens, distinct shingles) at ten checkpoints
+      * along the doc_id order, ln-ln regression, predicted distinct
+      * shingles at 10×/100×/1000× today's token count. Distributed
+      * cumulative-distinct without any distinct-so-far state: a
+      * shingle's FIRST occurrence is one groupBy-min over the
+      * (per-doc-distinct) inverted-index rows, its checkpoint decile
+      * one join against the [[graft.ops.GlobalRank]] doc-rank table
+      * (one range exchange, no unpartitioned window), and both
       * cumulations collapse to exact-long prefix folds over the
       * 10-row checkpoint table (q177 collect-explode stance). The
       * regression inputs are ln's of exact longs; slope/intercept/r²
       * and the three libm predictions are nudged-rounded (q253
-      * stance; predictions at 2 decimals — they are large values). */
+      * stance; predictions at 2 decimals — they are large values).
+      * Shingles are the suite's xxhash64 universe; the oracle counts
+      * the string universe (count-equivalent under the suite-wide
+      * injectivity stance). */
     "q358_heaps_extrapolation" -> ((s: SparkSession, dir: String) => {
-      val d = withToks(Tables(s, dir, "documents")
-          .filter(col("text").isNotNull))
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = withToks(docs)
         .select(col("doc_id"),
           expr("filter(toks, w -> length(w) > 0)").as("tk"))
-        .cache()
       val ranked = graft.ops.GlobalRank.withRowNumbers(
         d.select(col("doc_id"), size(col("tk")).cast("long").as("ntok")),
         Seq(col("doc_id")), "rn", Some("total"))
       val dd = ranked.select(col("doc_id"), col("ntok"),
         expr("(rn - 1) * 10 div total + 1").as("dec")).cache()
       val tok = dd.groupBy(col("dec")).agg(sum(col("ntok")).as("t"))
-      val nv = d.select(col("doc_id"), explode(col("tk")).as("w"))
-        .groupBy(col("w")).agg(min(col("doc_id")).as("fdoc"))
+      val nv = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
         .join(dd.select(col("doc_id").as("fdoc"), col("dec")), "fdoc")
         .groupBy(col("dec")).agg(count(lit(1)).as("v"))
       val pts = tok.join(nv, Seq("dec"), "left")
@@ -1224,13 +1230,13 @@ object TextAnalysis {
           max(col("cumt")).as("tn"), max(col("cumv")).as("vn"))
         .select(col("n_points"), r6n(col("beta")).as("beta"),
           r6n(col("lnk")).as("ln_k"), r6n(col("rr")).as("r2"),
-          col("tn").as("tokens_now"), col("vn").as("vocab_now"),
+          col("tn").as("tokens_now"), col("vn").as("shingles_now"),
           r2n(exp(col("lnk")) * pow(col("tn") * lit(10.0), col("beta")))
-            .as("pred_vocab_x10"),
+            .as("pred_shingles_x10"),
           r2n(exp(col("lnk")) * pow(col("tn") * lit(100.0), col("beta")))
-            .as("pred_vocab_x100"),
+            .as("pred_shingles_x100"),
           r2n(exp(col("lnk")) * pow(col("tn") * lit(1000.0), col("beta")))
-            .as("pred_vocab_x1000"))
+            .as("pred_shingles_x1000"))
     })
   )
 
@@ -1957,51 +1963,51 @@ object TextAnalysis {
          |ORDER BY vocab_added NULLS FIRST""".stripMargin
     },
 
-    // same doc-rank deciles, first-occurrence joins, exact-long
-    // prefix cumulations, and the identical exp(lnk)·(cN)^β combine
+    // same doc-rank deciles, shingle first-occurrence joins over the
+    // string universe, exact-long prefix cumulations, and the
+    // identical exp(lnk)·(cN)^β combine
     "q358_heaps_extrapolation" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |r AS (
-        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntok,
-        |  row_number() OVER (ORDER BY doc_id) AS rn,
-        |  count(*) OVER () AS total FROM d),
-        |dd AS (
-        |  SELECT doc_id, ntok, (rn - 1) * 10 // total + 1 AS dec FROM r),
-        |fo AS (
-        |  SELECT w, min(doc_id) AS fdoc
-        |  FROM (SELECT doc_id, unnest(tk) AS w FROM d) GROUP BY w),
-        |nv AS (
-        |  SELECT dd.dec, count(*) AS v
-        |  FROM fo JOIN dd ON dd.doc_id = fo.fdoc GROUP BY 1),
-        |tok AS (SELECT dec, sum(ntok) AS t FROM dd GROUP BY 1),
-        |pts AS (
-        |  SELECT t1.dec,
-        |  (SELECT sum(t) FROM tok t2 WHERE t2.dec <= t1.dec) AS cumt,
-        |  (SELECT coalesce(sum(v), 0) FROM nv n2 WHERE n2.dec <= t1.dec)
-        |    AS cumv
-        |  FROM tok t1),
-        |f AS (
-        |  SELECT count(*) AS np,
-        |  regr_slope(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
-        |    AS beta,
-        |  regr_intercept(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
-        |    AS lnk,
-        |  regr_r2(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE))) AS rr,
-        |  max(cumt) AS tn, max(cumv) AS vn FROM pts)
-        |SELECT CAST(np AS BIGINT) AS n_points,
-        |round(beta + 1e-12, 6) AS beta,
-        |round(lnk + 1e-12, 6) AS ln_k,
-        |round(rr + 1e-12, 6) AS r2,
-        |CAST(tn AS BIGINT) AS tokens_now, CAST(vn AS BIGINT) AS vocab_now,
-        |round(exp(lnk) * pow(tn * 10.0, beta) + 1e-12, 2)
-        |  AS pred_vocab_x10,
-        |round(exp(lnk) * pow(tn * 100.0, beta) + 1e-12, 2)
-        |  AS pred_vocab_x100,
-        |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
-        |  AS pred_vocab_x1000
-        |FROM f""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+         |  row_number() OVER (ORDER BY doc_id) AS rn,
+         |  count(*) OVER () AS total FROM d),
+         |dd AS (
+         |  SELECT doc_id, ntok, (rn - 1) * 10 // total + 1 AS dec FROM r),
+         |shr AS (${TextDedup.duckShingles}),
+         |fo AS (SELECT sh, min(doc_id) AS fdoc FROM shr GROUP BY sh),
+         |nv AS (
+         |  SELECT dd.dec, count(*) AS v
+         |  FROM fo JOIN dd ON dd.doc_id = fo.fdoc GROUP BY 1),
+         |tok AS (SELECT dec, sum(ntok) AS t FROM dd GROUP BY 1),
+         |pts AS (
+         |  SELECT t1.dec,
+         |  (SELECT sum(t) FROM tok t2 WHERE t2.dec <= t1.dec) AS cumt,
+         |  (SELECT coalesce(sum(v), 0) FROM nv n2 WHERE n2.dec <= t1.dec)
+         |    AS cumv
+         |  FROM tok t1),
+         |f AS (
+         |  SELECT count(*) AS np,
+         |  regr_slope(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
+         |    AS beta,
+         |  regr_intercept(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE)))
+         |    AS lnk,
+         |  regr_r2(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE))) AS rr,
+         |  max(cumt) AS tn, max(cumv) AS vn FROM pts)
+         |SELECT CAST(np AS BIGINT) AS n_points,
+         |round(beta + 1e-12, 6) AS beta,
+         |round(lnk + 1e-12, 6) AS ln_k,
+         |round(rr + 1e-12, 6) AS r2,
+         |CAST(tn AS BIGINT) AS tokens_now, CAST(vn AS BIGINT) AS shingles_now,
+         |round(exp(lnk) * pow(tn * 10.0, beta) + 1e-12, 2)
+         |  AS pred_shingles_x10,
+         |round(exp(lnk) * pow(tn * 100.0, beta) + 1e-12, 2)
+         |  AS pred_shingles_x100,
+         |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
+         |  AS pred_shingles_x1000
+         |FROM f""".stripMargin
   )
 }
