@@ -909,31 +909,11 @@ object Inference {
       val e = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"), col("value"))
-      val m = e.filter(pmod(col("event_id"), lit(5)).isin(1, 2, 3))
-        .groupBy(col("event_type"))
-        .agg(avg(col("value")).as("mfit"), count(lit(1)).as("n_fit"))
-      val cal = e.filter(pmod(col("event_id"), lit(5)) === 4)
-        .join(m, "event_type")
-        .select(col("event_type"), r6n(abs(col("value") - col("mfit")))
-          .as("sc"))
-      val g = cal.groupBy(col("event_type"), col("sc"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = graft.ops.GlobalRank.withRunningSum(
-        g, Seq(col("event_type"), col("sc")), "cnt", "cum")
-      val base = cum.groupBy(col("event_type"))
-        .agg(min(col("cum") - col("cnt")).as("base"),
-          sum(col("cnt")).as("n_cal"))
-      val qhat = cum.join(base, "event_type")
-        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
-        .filter(col("cum") - col("base") >= col("k"))
-        .groupBy(col("event_type"))
-        .agg(min(col("sc")).as("qhat"), max(col("n_cal")).as("n_cal"),
-          max(col("k")).as("k_rank"))
       e.filter(pmod(col("event_id"), lit(5)) === 0)
-        .join(m, "event_type")
-        .select(col("event_type"), col("n_fit"),
+        .join(conformalModel(s, dir), "event_type")
+        .select(col("event_type"), col("n_fit"), col("n_cal"),
+          col("k_rank"), col("qhat"),
           r6n(abs(col("value") - col("mfit"))).as("st"))
-        .join(qhat, "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("n_fit")).as("n_fit"), max(col("n_cal")).as("n_cal"),
           max(col("k_rank")).as("k_rank"), max(col("qhat")).as("qhat"),
@@ -1041,6 +1021,43 @@ object Inference {
         .orderBy(col("source"))
     })
   )
+
+  /** The split-conformal MODEL table (event_type, n_fit, mfit, n_cal,
+    * k_rank, q̂) — the batch-calibrated artifact q356 evaluates and
+    * [[graft.streaming.EventStreams.conformalCoverage]] serves live:
+    * per-type location fit on the fit slice, the ⌈0.9(n+1)⌉-th
+    * smallest r6-rounded calibration residual via ONE GlobalRank
+    * running sum over the (type, score) grid (the q145 base
+    * subtraction — no per-type window funnel). */
+  private[graft] def conformalModel(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val m = e.filter(pmod(col("event_id"), lit(5)).isin(1, 2, 3))
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mfit"), count(lit(1)).as("n_fit"))
+    val cal = e.filter(pmod(col("event_id"), lit(5)) === 4)
+      .join(m, "event_type")
+      .select(col("event_type"), r6n(abs(col("value") - col("mfit")))
+        .as("sc"))
+    val g = cal.groupBy(col("event_type"), col("sc"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.ops.GlobalRank.withRunningSum(
+      g, Seq(col("event_type"), col("sc")), "cnt", "cum")
+    val base = cum.groupBy(col("event_type"))
+      .agg(min(col("cum") - col("cnt")).as("base"),
+        sum(col("cnt")).as("n_cal"))
+    val qhat = cum.join(base, "event_type")
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      .filter(col("cum") - col("base") >= col("k"))
+      .groupBy(col("event_type"))
+      .agg(min(col("sc")).as("qhat"), max(col("n_cal")).as("n_cal"),
+        max(col("k")).as("k_rank"))
+    m.join(qhat, "event_type")
+      .select(col("event_type"), col("n_fit"), col("mfit"),
+        col("n_cal"), col("k_rank"), col("qhat"))
+  }
 
   val oracles: Map[String, String] = Map(
 

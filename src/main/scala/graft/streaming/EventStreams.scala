@@ -676,6 +676,31 @@ object EventStreams {
   def welchDrift(spark: SparkSession, events: DataFrame): DataFrame =
     graft.ops.Statistics.welchSummary(events)
 
+  /** LIVE conformal coverage monitor — the streaming SERVE path of
+    * batch q356: the per-type location model and distribution-free
+    * cutoff q̂ are BATCH-calibrated (a static model table, the
+    * q281/q282 serve stance applied to a statistical artifact), the
+    * stream applies them to the held-out slice and maintains the
+    * running (n_test, n_covered) per type — an anomaly band with a
+    * finite-sample guarantee evaluated ON the feed, zero training in
+    * the stream. The stream-static broadcast join re-reads only the
+    * type-bounded model; state is two sum-mergeable longs per type
+    * (Complete mode re-emits the running totals each micro-batch).
+    * Residuals round to the same r6 grid as the batch cutoff, so the
+    * covered/uncovered decision is bit-identical to q356's. */
+  def conformalCoverage(spark: SparkSession, events: DataFrame,
+      model: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull &&
+        pmod(col("event_id"), lit(5)) === 0)
+      .join(broadcast(model.select(col("event_type"), col("mfit"),
+        col("qhat"))), "event_type")
+      .select(col("event_type"),
+        (round(abs(col("value") - col("mfit")) + lit(1e-12), 6) <=
+          col("qhat")).cast("long").as("cov"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_covered"))
+
   final case class CusumState(days: Array[Long], cnts: Array[Long])
   final case class CusumSummary(event_type: String, n_events: Long,
     n_days: Long, max_cusum: Double, n_alarms: Long,

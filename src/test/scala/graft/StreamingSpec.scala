@@ -843,4 +843,24 @@ class StreamingSpec extends SparkSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("streaming conformal coverage converges to the batch q356 counts") {
+    // batch-calibrated model (the serve artifact), pinned before the
+    // stream starts — the static join side must not re-derive per batch
+    val model = ops.Inference.conformalModel(spark, sf).cache()
+    assert(model.count() > 0, "conformal model must calibrate on the fixture")
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.conformalCoverage(spark, stream, model),
+      "conf_cov", "complete")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_test"), r.getAs[Long]("n_covered")))).toMap
+    val streamed = toMap(spark.table("conf_cov").collect())
+    val batch = toMap(
+      SparkEntry.queries("q356_conformal_coverage")(spark, sf).collect())
+    assert(streamed == batch,
+      s"live conformal counts $streamed diverge from batch $batch")
+    model.unpersist()
+    spark.catalog.clearCache()
+  }
 }
