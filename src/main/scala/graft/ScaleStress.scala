@@ -88,9 +88,23 @@ object ScaleStress {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    // ids must stay below the replica offset or replicas collide
-    val maxId = read("lineitem").agg(max(col("l_orderkey"))).head.getLong(0)
-    require(maxId < Off, s"fixture keys exceed replica offset: $maxId")
+    // EVERY offset-shifted key space must stay below the replica
+    // offset or replicas silently collide and corrupt the scaling
+    // record (round-10 advice: only l_orderkey was asserted)
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+      "events" -> "event_id", "events" -> "user_id",
+      "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+      "lineitem" -> "l_suppkey", "orders" -> "o_orderkey",
+      "orders" -> "o_custkey", "customer" -> "c_custkey",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey")
+      .groupBy(_._1).foreach { case (t, cols) =>
+        val aggs = cols.map { case (_, c) => max(col(c)).cast("long").as(c) }
+        val row = read(t).agg(aggs.head, aggs.tail: _*).head
+        cols.map(_._2).zipWithIndex.foreach { case (c, i) =>
+          require(!row.isNullAt(i) && row.getLong(i) < Off,
+            s"fixture key $t.$c exceeds replica offset: ${row.get(i)}")
+        }
+      }
 
     write(replicated(read("documents"), scale) { (d, i) =>
       d.select((col("doc_id") + lit(i * Off)).as("doc_id"),

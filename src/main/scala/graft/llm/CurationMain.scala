@@ -64,9 +64,17 @@ object CurationMain {
     // already ride): the funnel no longer re-derives the corpus
     // self-join per run, and the near-dup stage touches no document
     // text at all (CurationSpec pins the plan: a state-table scan,
-    // zero documents-parquet scans). Semantics ⊇ the previous
-    // LSH-banded q35 path — the store holds EXACT pairs, so the rare
-    // banding miss (P ≈ 1e-5/pair) is gone rather than tolerated.
+    // zero documents-parquet scans). SEMANTICS NOTE (round-10 advice):
+    // the store's Jaccard is over the DfCap=512-CAPPED shingle
+    // universe (stop-shingles with df > cap excluded from both
+    // numerator and denominator) while the replaced q35 LSH path
+    // verified UNCAPPED Jaccard — the two drop sets can diverge in
+    // either direction on docs dominated by boilerplate shingles.
+    // The capped metric is the one this engine treats as canonical
+    // (q34's definition; boilerplate co-occurrence is noise, not
+    // similarity), and it removes the LSH path's banding miss
+    // (P ≈ 1e-5/pair) as a side effect. CurationSpec pins equality
+    // of the two drop sets on the current fixture.
     val near = exact.join(broadcast(nearDupDrops(spark, sfDir)),
       Seq("doc_id"), "left_anti").cache()
 

@@ -222,6 +222,15 @@ object PairGraph {
     * crash mid-compact leaves the original state intact. */
   private[llm] def compact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
+    // guard against latent API misuse (round-10 advice): the rewrite
+    // keeps only gen <= watermark rows, so a watermark below the
+    // newest generation would silently DESTROY all later generations —
+    // require the caller to compact the whole log or nothing
+    val maxGen = s.read.parquet(s"$statePath/deltas")
+      .agg(max(col("gen"))).head.getInt(0)
+    require(watermark >= maxGen,
+      s"compact(watermark=$watermark) below newest generation $maxGen " +
+        "would drop maintained deltas; compact at the log head")
     val folded = s.read.parquet(s"$statePath/deltas")
       .filter(col("gen") <= watermark)
       .groupBy(col("d1"), col("d2"))

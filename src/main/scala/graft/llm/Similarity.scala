@@ -1194,8 +1194,12 @@ object Similarity {
       import s.implicits._
       // flat PRIMITIVE double array per row (no per-cell struct
       // boxing — measured 2x the query's cost), decoded back to
-      // (i, j) AFTER aggregation via a 2144-row broadcast map
-      val t = Tables(s, dir, "embeddings").select(posexplode(expr(
+      // (i, j) AFTER aggregation via a 2144-row broadcast map.
+      // embedding IS NOT NULL on BOTH sides (round-10 advice): the
+      // per-pos exploded count excludes null-embedding rows, so the
+      // oracle's normalizer must be defined over the same population
+      val t = Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull).select(posexplode(expr(
         """concat(
           |  flatten(transform(sequence(1, 64), i ->
           |    transform(sequence(i, 64), j ->
@@ -2181,15 +2185,17 @@ object Similarity {
     // same upper-triangle moment grid, identical sp/n − (s1/n)(s1/n)
     // cell order and ×2 off-diagonal Frobenius weights
     "q350_effective_rank" ->
-      """WITH n AS (SELECT count(*) AS n FROM embeddings),
+      """WITH e AS (SELECT embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM e),
         |mu AS (
         |  SELECT i, sum(CAST(embedding[i] AS DOUBLE)) AS s1
-        |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY i),
         |mom AS (
         |  SELECT g1.i AS i, g2.j AS j,
         |  sum(CAST(embedding[g1.i] AS DOUBLE)
         |    * CAST(embedding[g2.j] AS DOUBLE)) AS sp
-        |  FROM embeddings
+        |  FROM e
         |  CROSS JOIN range(1, 65) g1(i) CROSS JOIN range(1, 65) g2(j)
         |  WHERE g2.j >= g1.i GROUP BY 1, 2),
         |c AS (

@@ -87,31 +87,54 @@ object StateStores {
   private[graft] def seedOnce(path: String)(write: => Unit): Unit =
     StateStores.synchronized {
       val success = java.nio.file.Paths.get(path, "_SUCCESS")
-      if (!java.nio.file.Files.exists(success)) {
-        val lockPath = java.nio.file.Paths.get(path + ".lock")
-        Option(lockPath.getParent)
-          .foreach(java.nio.file.Files.createDirectories(_))
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock() // blocks on a concurrent process's seed
-          try {
-            if (!java.nio.file.Files.exists(success)) write
-          } finally lock.release()
-        } finally ch.close()
-      }
+      if (!java.nio.file.Files.exists(success))
+        withStoreLock(path) { // blocks on a concurrent process's seed
+          if (!java.nio.file.Files.exists(success)) write
+        }
     }
+
+  /** Delete a file tree (best-effort, bottom-up). */
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val st = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach(rmTree)
+      } finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Run `body` holding the OS-level FileChannel lock on `path`'s
+    * sidecar .lock file — the same lock [[seedOnce]] takes, factored
+    * so COMPACTION writers exclude concurrent seeders/compactors too
+    * (round-10 advice: compact took no cross-process lock, so the
+    * seed lock did not cover a reader racing the swap window). */
+  private[graft] def withStoreLock[T](path: String)(body: => T): T = {
+    val lockPath = java.nio.file.Paths.get(path + ".lock")
+    Option(lockPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
 
   /** Rewrite a parquet state dir through a temp dir + swap — the
     * COMPACT primitive (round-10, the store lifecycle beyond append):
     * the read job streams the O(generations)-fragment dir once and AQE
-    * right-sizes the compacted output; the swap is two local renames,
-    * so a crash mid-compact leaves either the intact original or the
-    * intact compacted dir, never a torn mix (the half-written temp is
-    * simply overwritten by the retry). Writers hold the store's
-    * process lock ([[seedOnce]]'s stance) in the demo flows, so no
-    * reader observes the swap window. */
+    * right-sizes the compacted output. The swap sequence is
+    * crash-ordered (round-10 advice — the old delete-then-move left a
+    * window with NO dir at `path`): rename dst → dst.old, move the
+    * temp in, THEN delete dst.old — a crash at any point leaves a
+    * readable dir at either `path` (new) or `path`.old (original),
+    * never nothing; a leftover .old is reclaimed by the next rewrite.
+    * The whole sequence runs under the store's OS-level .lock
+    * ([[withStoreLock]]), so a concurrent seeder or reader holding the
+    * lock cannot observe the rename window. */
   private[graft] def rewriteSwap(df: DataFrame, path: String,
       partitionCol: Option[String] = None): Unit = {
     val tmp = path + ".compact"
@@ -121,19 +144,15 @@ object StateStores {
     // one per generation at fixture scale, target-sized at any scale
     val w = df.hint("rebalance").write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val st = java.nio.file.Files.list(p)
-        try { import scala.jdk.CollectionConverters._
-          st.iterator().asScala.foreach(rm)
-        } finally st.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
+    withStoreLock(path) {
+      val dst = java.nio.file.Paths.get(path)
+      val old = java.nio.file.Paths.get(path + ".old")
+      rmTree(old) // reclaim a previous crash's leftover
+      if (java.nio.file.Files.exists(dst))
+        java.nio.file.Files.move(dst, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+      rmTree(old)
     }
-    val dst = java.nio.file.Paths.get(path)
-    rm(dst)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
   }
 
   private val NHashes = 48
