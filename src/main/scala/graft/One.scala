@@ -15,6 +15,28 @@ object One {
     val outDir = if (args.length > 2) Some(args(2)) else None
     val reps = if (args.length > 3) args(3).toInt else 2
     val spark = GraftSession.local("graft-one")
+    // GRAFT_JOBLOG=1: print per-job wall times (job id, seconds, first
+    // line of the call site) — the orchestration-cost profiler for
+    // multi-job lifecycle queries (q321-class), where the flat cost is
+    // job COUNT, not data volume.
+    if (sys.env.get("GRAFT_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(j.properties)
+              .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), site))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+              println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
+            }
+          }
+        })
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { i =>

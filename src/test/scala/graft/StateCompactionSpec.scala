@@ -27,11 +27,11 @@ class StateCompactionSpec extends SparkSuite {
   test("q321: the compacted pair store holds O(base) generations, not O(appends)") {
     SparkEntry.queries("q321_pair_store_compact")(spark, sf).collect()
     val path = StateStores.statePath(sf, "pair_ivm_c")
-    // three generations were seeded/appended, compacted at watermark 2,
-    // then one more appended: exactly {gen=2, gen=3} must remain
-    assert(genDirs(s"$path/deltas") == Set("gen=2", "gen=3"),
+    // two generations were seeded/appended, compacted at watermark 1,
+    // then one more appended: exactly {gen=1, gen=2} must remain
+    assert(genDirs(s"$path/deltas") == Set("gen=1", "gen=2"),
       s"delta log after compact+append: ${genDirs(s"$path/deltas")}")
-    assert(genDirs(s"$path/postings") == Set("gen=2", "gen=3"),
+    assert(genDirs(s"$path/postings") == Set("gen=1", "gen=2"),
       s"postings after compact+append: ${genDirs(s"$path/postings")}")
   }
 
