@@ -274,12 +274,18 @@ object StateStores {
     * logical index rows should `.drop("batch")` (StateStoreSpec does);
     * the column is kept deliberately — it is the provenance key that
     * makes replay-idempotence auditable from the data alone. */
-  def bandIndexAppendSink(docs: DataFrame, path: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+  def bandIndexAppendSink(docs: DataFrame, path: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       bandIndexRows(batch.sparkSession, batch)
         .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-    }.start()
+    }
+    // checkpointed form: restart-from-checkpoint replays any batch
+    // whose sink write landed but whose commit marker did not — the
+    // crash window StreamingRecoverySpec drives end-to-end
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Maintained-centroid update frame, factored for the spec: given
     * the PERSISTED state (cent_id, pos, coord, n — full-precision
