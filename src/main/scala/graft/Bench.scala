@@ -123,7 +123,16 @@ object Bench {
     // a min-over-runs composite must never present as a single run;
     // "interleaved" says the N reps come from separate full passes
     val sentJson = sentinels.map(f3).mkString("[", ",", "]")
-    val meta = s""""runs":$benchRuns,"policy":"min","interleaved":true,"sentinels_s":$sentJson"""
+    // CONTAMINATION GATE (round-10 verdict: the driver's 283 s record
+    // carried a 2.0 s closing sentinel — 25x its opening — and was
+    // published anyway): a record whose later sentinels exceed 3x the
+    // opening one was taken under host load and is NOT CERTIFIABLE —
+    // the flag rides both the stdout line ("sent_ok") and
+    // bench_detail.json ("certifiable"), and BenchDriftSpec refuses to
+    // gate against, or accept, a dirty record
+    val sentOk = sentinels.tail.forall(_ <= 3.0 * sentinels.head)
+    val meta = s""""runs":$benchRuns,"policy":"min","interleaved":true,""" +
+      s""""sentinels_s":$sentJson,"certifiable":$sentOk"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$detail,"sf":"$sfDir"}""")
@@ -133,7 +142,7 @@ object Bench {
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"qx_omitted":$omitted,"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"sent_ok":${if (sentOk) 1 else 0},"qx_omitted":$omitted,"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
     System.out.flush()
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench-record DRIFT gate (round-10 verdict Missing #1: the record
+  * drifted +19% round-over-round and nothing would catch a real
+  * suite-wide regression hiding inside host noise). Two rules:
+  *
+  *  - a record whose later sentinels exceed 3x the opening one was
+  *    taken under host load and is NOT certifiable — Bench stamps
+  *    `certifiable` into bench_detail.json and this spec refuses to
+  *    treat a dirty record as either side of the comparison;
+  *  - the COMMON-query per-query-minima sum of the current record may
+  *    not exceed 1.15x the previous round's committed record
+  *    (bench_history/ holds one snapshot per certified round) — a
+  *    code-level suite-wide regression fails here loudly, while
+  *    per-query noise stays inside the band.
+  *
+  * The gate CANCELS (does not fail) when there is nothing sound to
+  * compare: no current record, no history, or a contaminated record —
+  * certification discipline (BASELINE.md) is what forbids publishing
+  * those; this spec's job is the drift arithmetic.
+  */
+class BenchDriftSpec extends AnyFunSuite {
+
+  private def parse(path: java.nio.file.Path): Option[(Boolean, Map[String, Double])] = {
+    if (!java.nio.file.Files.exists(path)) return None
+    val txt = java.nio.file.Files.readString(path)
+    // minimal extraction (no JSON lib on the offline classpath):
+    // the queries map is flat {"name":seconds,...}; certifiable is a
+    // top-level boolean (absent in pre-round-11 records = assume the
+    // sentinels were vetted by hand, as r10's cert was)
+    val qm = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(return None)
+    val qs = """"([^"]+)":([-0-9.Ee]+)""".r.findAllMatchIn(qm)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // pre-round-11 records carry no certifiable flag — re-derive it
+    // from their recorded sentinels with the same 3x-opening rule
+    val cert =
+      if (txt.contains("\"certifiable\":")) !txt.contains("\"certifiable\":false")
+      else """"sentinels_s":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').map(_.trim.toDouble).toSeq)
+        .forall(s => s.isEmpty || s.tail.forall(_ <= 3.0 * s.head))
+    Some((cert, qs))
+  }
+
+  test("certified bench record stays within 1.15x of the previous round on common queries") {
+    val cur = parse(java.nio.file.Paths.get("bench_detail.json"))
+    assume(cur.isDefined, "no bench_detail.json — nothing to gate")
+    val (curOk, curQ) = cur.get
+    assume(curOk, "current record is sentinel-contaminated — not a " +
+      "certifiable record; re-run Bench on a quiet host")
+    val histDir = java.nio.file.Paths.get("bench_history")
+    assume(java.nio.file.Files.isDirectory(histDir), "no bench_history/")
+    val hist = {
+      val st = java.nio.file.Files.list(histDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally st.close()
+    }
+    assume(hist.nonEmpty, "empty bench_history/")
+    val prev = parse(hist.last)
+    assume(prev.isDefined && prev.get._1,
+      s"previous record ${hist.last} unreadable or contaminated")
+    val prevQ = prev.get._2
+    val common = curQ.keySet intersect prevQ.keySet
+    assume(common.nonEmpty, "no common queries between the records")
+    // failed queries carry -1.0 — a regression to FAILURE must not
+    // make the sum smaller; treat them as absent on both sides
+    val ok = common.filter(k => curQ(k) >= 0 && prevQ(k) >= 0)
+    val (sumCur, sumPrev) = (ok.toSeq.map(curQ).sum, ok.toSeq.map(prevQ).sum)
+    val ratio = sumCur / sumPrev
+    info(f"common ${ok.size} queries: current $sumCur%.1f s vs previous " +
+      f"$sumPrev%.1f s (${ratio}%.3fx)")
+    assert(ratio <= 1.15,
+      f"common-subset bench sum regressed ${ratio}%.3fx vs the previous " +
+        f"round's committed record ($sumCur%.1f s vs $sumPrev%.1f s) — " +
+        "find the regressing queries or re-certify on a quiet host " +
+        "before publishing")
+  }
+}
