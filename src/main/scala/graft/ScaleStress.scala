@@ -54,6 +54,9 @@ object ScaleStress {
 
   val Scales: Seq[Int] = Seq(1, 10, 30)
 
+  /** Extended board for the store-lifecycle probes — one more decade. */
+  val LifecycleScales: Seq[Int] = Seq(1, 10, 30, 100)
+
   // ---------------------------------------------------------------
   // synthesis
   // ---------------------------------------------------------------
@@ -175,11 +178,17 @@ object ScaleStress {
   /** A named measurement: `run` executes the workload against a
     * (possibly scaled) fixture dir and returns a row count. Most
     * probes are SparkEntry queries; the `rep_` entries cover operator
-    * families whose heaviest member is not itself a registry query. */
-  final case class Probe(name: String, run: (SparkSession, String) => Long)
+    * families whose heaviest member is not itself a registry query.
+    * `scales` defaults to the standard board; the store-lifecycle
+    * probes extend to 100× (round-10 verdict #7 — the compaction
+    * story is the 100 TB centerpiece and its sub-linear exponent is
+    * cheap to pin over two orders of magnitude). The exponent always
+    * fits the probe's two LARGEST scales. */
+  final case class Probe(name: String, run: (SparkSession, String) => Long,
+    scales: Seq[Int] = Scales)
 
-  private def q(name: String): Probe =
-    Probe(name, (s, dir) => SparkEntry.queries(name)(s, dir).count())
+  private def q(name: String, scales: Seq[Int] = Scales): Probe =
+    Probe(name, (s, dir) => SparkEntry.queries(name)(s, dir).count(), scales)
 
   private var streamSeq = 0
 
@@ -198,11 +207,19 @@ object ScaleStress {
     // round-10 wave: token-hash bucket features (explode + 1024-row
     // broadcast join) and the constant-probe NN scan
     q("q340_dsir_weights"), q("q341_hopkins"),
+    // round-10 wave, second tranche (round-10 verdict Missing #2 —
+    // the new expensive queries had no measured exponents): the
+    // flat-array moment grid, the driver-greedy selection loop, the
+    // conformal calibrate+apply pass, the min(doc_id) first-occurrence
+    // attribution
+    q("q350_effective_rank"), q("q352_coverage_greedy"),
+    q("q356_conformal_coverage"), q("q358_heaps_extrapolation"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
-    // rebuild compare) — the two most expensive bench queries, and the
-    // code paths whose entire purpose is the 100 TB maintenance story
-    q("q321_pair_store_compact"), q("q322_band_store_compact"),
+    // rebuild compare) — the code paths whose entire purpose is the
+    // 100 TB maintenance story, pinned over TWO decades (x10→x100)
+    q("q321_pair_store_compact", LifecycleScales),
+    q("q322_band_store_compact", LifecycleScales),
     // family representatives
     q("q122_kmeans"), // IVF/kmeans training
     Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed
@@ -217,6 +234,35 @@ object ScaleStress {
       val src = streaming.EventStreams.readEvents(s, s"$dir/events.parquet")
       val sq = streaming.EventStreams.tumblingCounts(src)
         .writeStream.outputMode("append").format("memory").queryName(tbl)
+        .start()
+      sq.processAllAvailable(); sq.stop()
+      s.table(tbl).count()
+    }),
+    // round-10 streaming serve twins (verdict Missing #2): the Holt
+    // smoother's per-type dense day-grid state and the conformal
+    // monitor's calibrate-batch + apply-on-stream pass — the state
+    // bound claims ("O(types · days)", "two longs per type") get
+    // measured exponents instead of docstring arguments. The
+    // conformal probe times calibration + stream TOGETHER — that is
+    // the serve story's real per-deploy cost.
+    Probe("rep_streaming_holt", (s, dir) => {
+      streamSeq += 1
+      val tbl = s"scale_holt_$streamSeq"
+      val src = streaming.EventStreams.readEvents(s, s"$dir/events.parquet")
+      val sq = streaming.EventStreams.holtTrend(s, src).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(tbl)
+        .start()
+      sq.processAllAvailable(); sq.stop()
+      s.table(tbl).count()
+    }),
+    Probe("rep_streaming_conformal", (s, dir) => {
+      streamSeq += 1
+      val tbl = s"scale_conf_$streamSeq"
+      val model = ops.Inference.conformalModel(s, dir).cache()
+      model.count()
+      val src = streaming.EventStreams.readEvents(s, s"$dir/events.parquet")
+      val sq = streaming.EventStreams.conformalCoverage(s, src, model)
+        .writeStream.outputMode("complete").format("memory").queryName(tbl)
         .start()
       sq.processAllAvailable(); sq.stop()
       s.table(tbl).count()
@@ -243,23 +289,27 @@ object ScaleStress {
         val want = args(1).split(",").toSet
         probes.filter(p => want.contains(p.name))
       } else probes
+    val allScales = selected.flatMap(_.scales).distinct.sorted
     val dirs: Map[Int, String] =
-      Scales.map(sc => sc -> synthesize(s, baseDir, sc)).toMap
-    Scales.foreach(sc => println(s"[scale] x$sc dir ${dirs(sc)}"))
+      allScales.map(sc => sc -> synthesize(s, baseDir, sc)).toMap
+    allScales.foreach(sc => println(s"[scale] x$sc dir ${dirs(sc)}"))
 
+    // min-of-2 at EVERY scale (round-10 lesson: the single x30 rep of
+    // rep_pair_seed absorbed a host-contention window and published
+    // exponent 1.21 for a measured-linear plan; one rep is never a
+    // record)
     def reps(scale: Int): Int =
-      sys.env.get("GRAFT_SCALE_REPS").map(_.toInt)
-        .getOrElse(if (scale >= 30) 1 else 2)
+      sys.env.get("GRAFT_SCALE_REPS").map(_.toInt).getOrElse(2)
 
     // one untimed warm-up at x1 so the first timed probe does not
     // absorb codegen/JIT for the whole suite's expression shapes
     selected.headOption.foreach { p =>
-      try p.run(s, dirs(Scales.head)) catch { case _: Throwable => () }
+      try p.run(s, dirs(p.scales.head)) catch { case _: Throwable => () }
       s.catalog.clearCache()
     }
 
     val results = selected.map { p =>
-      val times = Scales.map { sc =>
+      val times = p.scales.map { sc =>
         val t = (1 to reps(sc)).map { _ =>
           s.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -281,7 +331,7 @@ object ScaleStress {
       val tj = ts.map { case (sc, t) => s""""$sc":${f"$t%.3f"}""" }.mkString(",")
       s""""$n":{"t":{$tj},"exp":${f"$e%.3f"}}"""
     }.mkString(",")
-    val out = s"""{"base":"$baseDir","scales":[${Scales.mkString(",")}],""" +
+    val out = s"""{"base":"$baseDir","scales":[${allScales.mkString(",")}],""" +
       s""""queries":{$json}}"""
     // subset runs (probe re-measurement after a fix) must not clobber
     // the full board — they land in SCALING.partial.json for a merge
