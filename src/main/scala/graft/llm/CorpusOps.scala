@@ -821,10 +821,66 @@ object CorpusOps {
           r6n(col("frag_docs").cast("double") / col("n_docs"))
             .as("frag_doc_share"))
         .orderBy(col("l_ctx"))
+    }),
+
+    /** CHUNK-granularity exact dedup census — doc-level dedup (q32)
+      * misses the dominant web pattern: distinct documents sharing
+      * large repeated SPANS (templates, quoted threads, syndicated
+      * paragraphs). Split every doc into non-overlapping 32-token
+      * chunks, hash each (the exchange carries 32-byte digests, never
+      * text — the q97 exact-dedup stance at sub-document grain), and
+      * report per source: chunk volume, chunks whose content appears
+      * ≥ 2 times corpus-wide, the docs carrying such a chunk, and the
+      * duplicated-chunk share — the number that says whether a source
+      * needs span-level dedup (RETRO-style) after doc-level passes
+      * keep everything. One map-side-combined chunk-df count + one
+      * hash join back; linear in corpus tokens at any scale. */
+    "q364_chunk_dedup" -> ((s: SparkSession, dir: String) => {
+      val chunks = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, (size(toks) - 1) DIV 32),
+            |  i -> sha2(concat_ws(' ', slice(toks, i * 32 + 1, 32)), 256))"""
+            .stripMargin)).as("h"))
+        .cache() // the df count and the join-back both read it
+      val cdf = chunks.groupBy(col("h")).agg(count(lit(1)).as("cdf"))
+      chunks.join(cdf.hint("shuffle_hash"), "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_if(col("cdf") >= 2).as("n_dup_chunks"),
+          countDistinct(when(col("cdf") >= 2, col("doc_id")))
+            .as("n_docs_with_dup"),
+          r6n(count_if(col("cdf") >= 2).cast("double") / count(lit(1)))
+            .as("dup_chunk_share"))
+        .orderBy(col("source"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    // same 32-token non-overlapping chunk grid (DuckDB list slices are
+    // 1-based inclusive and clamp at the tail exactly like slice()),
+    // same sha-256 content hash, same ≥2 corpus-wide df rule
+    "q364_chunk_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |  unnest(list_transform(
+        |    generate_series(0, (len(string_split(text, ' ')) - 1) // 32),
+        |    i -> sha256(array_to_string(
+        |      string_split(text, ' ')[i * 32 + 1 : i * 32 + 32], ' '))))
+        |    AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT h, count(*) AS cdf FROM c GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |CAST(count(*) FILTER (cdf >= 2) AS BIGINT) AS n_dup_chunks,
+        |CAST(count(DISTINCT CASE WHEN cdf >= 2 THEN doc_id END) AS BIGINT)
+        |  AS n_docs_with_dup,
+        |round(count(*) FILTER (cdf >= 2) * 1.0 / count(*) + 1e-12, 6)
+        |  AS dup_chunk_share
+        |FROM c JOIN d USING (h)
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q145_quantile_normalize" ->
       """WITH g AS (

@@ -436,6 +436,42 @@ object PairGraph {
         .orderBy(col("r"))
     }),
 
+    /** Dedup-threshold SENSITIVITY curve — the operating table behind
+      * the suite's 0.8 Jaccard convention: per candidate threshold
+      * t ∈ {0.5 … 0.9}, the surviving pair volume, the docs the
+      * keep-lowest-id policy would drop (distinct higher endpoints —
+      * exactly CurationMain's drop rule), and the character mass those
+      * docs carry — the curve a curation owner reads before moving
+      * the threshold, instead of re-running the funnel five times.
+      * Pure arithmetic over the PERSISTED pair store (its ≥ 0.5 floor
+      * is the curve's domain by construction — no text scan, no
+      * self-join); the 5× explode is a literal generator and the
+      * corpus totals cross back as a 1-row broadcast (bounded-BNLJ
+      * class). */
+    "q361_dedup_threshold_curve" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = pairStats(s, dir)
+        .select(col("d2"),
+          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("d2"), col("jac"),
+          explode(expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")).as("t"))
+        .filter(col("jac") >= col("t"))
+        .cache() // pair counts and the drop set both read it
+      val np = pairs.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val drops = pairs.select(col("t"), col("d2")).distinct()
+        .join(docs.select(col("doc_id").as("d2"), col("n_chars")), "d2")
+        .groupBy(col("t")).agg(count(lit(1)).as("n_docs_dropped"),
+          sum(col("n_chars")).as("chars_dropped"))
+      val tot = docs.agg(sum(col("n_chars")).as("chars_total"))
+      np.join(drops, "t").crossJoin(broadcast(tot))
+        .select(col("t").as("threshold"), col("n_pairs"),
+          col("n_docs_dropped"), col("chars_dropped"),
+          r6n(col("chars_dropped").cast("double") / col("chars_total"))
+            .as("drop_share"))
+        .orderBy(col("threshold"))
+    }),
+
     /** Train/test near-dup LEAKAGE audit — the contamination check a
       * split assignment (q79) needs before anyone trains on it: a
       * ≥ 0.8-Jaccard pair straddling train and test means the test
@@ -682,6 +718,38 @@ object PairGraph {
          |  AS exp_nearmiss_cands
          |FROM e GROUP BY 1, 2
          |ORDER BY r NULLS FIRST""".stripMargin,
+
+    // from-first-principles capped pair jaccards, the same 5-threshold
+    // literal grid, identical keep-lowest drop rule and corpus totals
+    "q361_dedup_threshold_curve" ->
+      s"""WITH ${TextDedup.duckCappedShingles(TextDedup.DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+         |  FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5),
+         |g AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS t),
+         |e AS (SELECT j.d2, j.jac, g.t FROM j, g WHERE j.jac >= g.t),
+         |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM e GROUP BY 1),
+         |dr AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS n_docs_dropped,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_dropped
+         |  FROM (SELECT DISTINCT t, d2 FROM e)
+         |  JOIN documents ON doc_id = d2
+         |  GROUP BY 1),
+         |tot AS (SELECT sum(n_chars) AS chars_total FROM documents)
+         |SELECT np.t AS threshold, np.n_pairs, dr.n_docs_dropped,
+         |dr.chars_dropped,
+         |round(dr.chars_dropped * 1.0 / tot.chars_total + 1e-12, 6)
+         |  AS drop_share
+         |FROM np JOIN dr ON dr.t = np.t CROSS JOIN tot
+         |ORDER BY threshold NULLS FIRST""".stripMargin,
 
     // ≥ 0.8 pairs from first principles + q79's exact split rule
     "q343_split_leakage" -> {

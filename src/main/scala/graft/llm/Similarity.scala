@@ -1233,6 +1233,67 @@ object Similarity {
           r6n(col("tr") * col("tr") / col("f2")).as("effective_rank"))
     }),
 
+    /** IVF nprobe OPERATING CURVE — the planner q336 is for LSH,
+      * applied to the IVF index: q57/q282 probe a HAND-PICKED 2 of 8
+      * cells; this emits, per candidate nprobe ∈ {1, 2, 4, 8}, the
+      * candidate-set size (the scan cost) and recall@10 against the
+      * exact top-10 — pick the smallest nprobe meeting the recall
+      * target instead of inheriting a default. Uses the identity
+      * |retrieved@10 ∩ exact@10| = |exact@10 ∩ candidates| (the
+      * candidate scorer IS the exact scorer, so any exact-top-10
+      * member among the candidates survives the candidate top-10
+      * cut) — recall needs NO per-nprobe re-ranking, just one join
+      * of the 10-row exact set against cell ranks. Scale shape: one
+      * assignment projection (zero shuffle), one corpus scan for the
+      * exact baseline (already the q42 cost), a k-bounded cell-rank
+      * table broadcast back, and 4× literal-generator explodes on
+      * integer ranks. Cell order and top-10 both rank on the r6
+      * cosine grid with id tiebreaks (cross-engine ranking stance). */
+    "q362_ivf_nprobe_curve" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val (cents, _) = trainKmeans(corpus, k = 8, iters = 2,
+        initPred = Some(col("vec_id").between(1, 8)))
+      val assigned = assignCells(corpus, cents)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      // probe order over the k cells: rounded query→centroid cosine,
+      // cent_id tiebreak; ranks 1..k via a k-bounded collect (the
+      // q122 control-plane class)
+      val rankDf = e.filter(col("vec_id") === 0)
+        .select(explode(array(cents.map { case (cid, c) =>
+          struct(r6(cosLit(col("embedding"), c)).as("csim"),
+            lit(cid).as("cent_id"))
+        }: _*)).as("sc"))
+        .select(col("sc.cent_id"), col("sc.csim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (cid, cs) => (-cs, cid) }
+        .zipWithIndex.map { case ((cid, _), i) => (cid, (i + 1).toLong) }
+        .toSeq.toDF("cent_id", "cell_rank")
+      val scored = assigned.select(col("vec_id"), col("embedding"), col("cent_id"))
+        .crossJoin(broadcast(qv))
+        .join(broadcast(rankDf), "cent_id")
+        .select(col("vec_id"), col("cell_rank"),
+          r6(cosine("embedding", "q_emb")).as("cs"))
+        .cache()
+      val exact10 = scored
+        .orderBy(desc_nulls_last("cs"), asc_nulls_first("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val scanned = scored
+        .select(col("cell_rank"), explode(expr("array(1L, 2L, 4L, 8L)")).as("nprobe"))
+        .groupBy(col("nprobe"))
+        .agg(count_if(col("cell_rank") <= col("nprobe")).as("n_scanned"))
+      val recall = scored.join(exact10, "vec_id")
+        .select(col("cell_rank"), explode(expr("array(1L, 2L, 4L, 8L)")).as("nprobe"))
+        .groupBy(col("nprobe"))
+        .agg(count_if(col("cell_rank") <= col("nprobe")).as("n_hits10"))
+      scanned.join(recall, "nprobe")
+        .select(col("nprobe"), col("n_scanned"), col("n_hits10"),
+          r6n(col("n_hits10").cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("nprobe"))
+    }),
+
     /** MMR (maximal marginal relevance) diversity rerank — the
       * retrieval-side dedup the pure top-k (q42) lacks: a result list
       * of 20 near-identical chunks wastes a RAG context window, so
@@ -2211,6 +2272,49 @@ object Similarity {
         |  * sum(CASE WHEN i = j THEN cij END)
         |  / sum(w * cij * cij) + 1e-12, 6) AS effective_rank
         |FROM c""".stripMargin,
+
+    // corpus-only retraining (the q282 CTE chain), then the identical
+    // r6-grid cell ranking, exact-top-10 cut, and per-nprobe folds
+    "q362_ivf_nprobe_curve" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM corpus WHERE vec_id BETWEEN 1 AND 8),
+         |${duckKmeansIter("c0", "s1", "a1", Some("c1"), "corpus")},
+         |${duckKmeansIter("c1", "s2", "a2", Some("c2"), "corpus")},
+         |${duckKmeansIter("c2", "s3", "a3", None, "corpus")},
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |cr AS (
+         |  SELECT c.cent_id,
+         |  round(${duckCos("q.q_emb", "c.cent")}, 6) AS csim
+         |  FROM c2 c CROSS JOIN q),
+         |ranks AS (
+         |  SELECT cent_id, CAST(row_number() OVER (
+         |    ORDER BY csim DESC NULLS LAST, cent_id NULLS FIRST) AS BIGINT)
+         |    AS cell_rank
+         |  FROM cr),
+         |sc AS (
+         |  SELECT a.vec_id, r.cell_rank,
+         |  round(${duckCos("a.embedding", "q.q_emb")}, 6) AS cs
+         |  FROM a3 a JOIN ranks r USING (cent_id) CROSS JOIN q),
+         |e10 AS (
+         |  SELECT vec_id FROM sc
+         |  ORDER BY cs DESC NULLS LAST, vec_id NULLS FIRST LIMIT 10),
+         |nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+         |scanned AS (
+         |  SELECT nprobe,
+         |  CAST(count(*) FILTER (cell_rank <= nprobe) AS BIGINT) AS n_scanned
+         |  FROM sc, nps GROUP BY 1),
+         |hits AS (
+         |  SELECT nprobe,
+         |  CAST(count(*) FILTER (cell_rank <= nprobe) AS BIGINT) AS n_hits10
+         |  FROM sc JOIN e10 USING (vec_id), nps GROUP BY 1)
+         |SELECT s.nprobe, s.n_scanned, h.n_hits10,
+         |round(h.n_hits10 / 10.0 + 1e-12, 6) AS recall_at_10
+         |FROM scanned s JOIN hits h ON h.nprobe = s.nprobe
+         |ORDER BY s.nprobe NULLS FIRST""".stripMargin,
 
     // same rounded-cosine top-20 candidate cut, then the identical
     // greedy λ·rel − (1−λ)·max-sim rounds over the r6 grid

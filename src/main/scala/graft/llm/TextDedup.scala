@@ -1083,6 +1083,32 @@ object TextDedup {
         .orderBy(col("bucket"))
     }),
 
+    /** DfCap PLANNER — the q336 operating-table stance applied to the
+      * EXACT inverted-index join: per candidate stop-shingle cap
+      * c ∈ {64, 128, 256, 512}, the shingle/posting mass kept and the
+      * pair-join volume Σ C(df, 2) over kept shingles — the single
+      * number that decides whether the exact self-join is affordable
+      * at a given corpus size (the per-key unit of work the cap
+      * exists to bound). One map-side-combined df histogram (8-byte
+      * hash keys), then a 4× literal-generator explode over integer
+      * df — no joins, no text rescans, and the planner costs the same
+      * whether the corpus is 60k rows or 100 TB's shingle table.
+      * All-integer output. */
+    "q363_dfcap_planner" -> ((s: SparkSession, dir: String) => {
+      explodeShingles(shingleArrays(Tables(s, dir, "documents")))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .select(col("df"),
+          explode(expr("array(64L, 128L, 256L, 512L)")).as("cap"))
+        .groupBy(col("cap"))
+        .agg(count_if(col("df") <= col("cap")).as("n_shingles_kept"),
+          count_if(col("df") > col("cap")).as("n_stop_shingles"),
+          sum(when(col("df") <= col("cap"), col("df")).otherwise(0L))
+            .as("postings_kept"),
+          sum(when(col("df") <= col("cap"), expr("df * (df - 1) DIV 2"))
+            .otherwise(0L)).as("pair_join_volume"))
+        .orderBy(col("cap"))
+    }),
+
     /** Positional boilerplate census — header vs footer attribution
       * for cross-doc duplication: the fraction of each source's docs
       * whose FIRST-16-token prefix (resp. LAST-16 suffix) appears in
@@ -1793,6 +1819,23 @@ object TextDedup {
          |  AS capped_postings
          |FROM b GROUP BY 1
          |ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    // identical df histogram + the same 4-cap literal grid; empty
+    // conditional sums coalesce to 0 (Spark's when/otherwise sums
+    // literal zeros, never NULL)
+    "q363_dfcap_planner" ->
+      s"""WITH sh AS ($duckShingles),
+         |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |caps AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS cap)
+         |SELECT cap,
+         |CAST(count(*) FILTER (df <= cap) AS BIGINT) AS n_shingles_kept,
+         |CAST(count(*) FILTER (df > cap) AS BIGINT) AS n_stop_shingles,
+         |CAST(coalesce(sum(df) FILTER (df <= cap), 0) AS BIGINT)
+         |  AS postings_kept,
+         |CAST(coalesce(sum(df * (df - 1) // 2) FILTER (df <= cap), 0)
+         |  AS BIGINT) AS pair_join_volume
+         |FROM dfs, caps GROUP BY 1
+         |ORDER BY cap NULLS FIRST""".stripMargin,
 
     "q263_boilerplate_position" ->
       """WITH base AS (

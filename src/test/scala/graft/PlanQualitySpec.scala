@@ -222,7 +222,18 @@ class PlanQualitySpec extends SparkSuite {
     // q360: the broadcast sides are the ONE-ROW query vector and the
     // ≤5-row picked block crossed with the 20-row candidate block —
     // all driver-bounded at any corpus size (q42/q182 anchor class)
-    "q360_mmr_rerank")
+    "q360_mmr_rerank",
+    // q321 (round-11 form): the final combine crosses the ONE-ROW
+    // delta-log metrics fold with the ONE-ROW compare-join fold
+    // before the 5-row stack unpivot — both provably 1 row
+    "q321_pair_store_compact",
+    // q361: the broadcast side is the ONE-ROW corpus-chars total
+    // (q136 class) — provably 1 row at any corpus size
+    "q361_dedup_threshold_curve",
+    // q362: the broadcast sides are the ONE-ROW query-vector block
+    // (q282 class) and the k=8-row cell-rank table (q122 control-
+    // plane class) — both driver-bounded at any corpus size
+    "q362_ivf_nprobe_curve")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
