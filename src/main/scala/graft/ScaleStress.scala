@@ -273,15 +273,22 @@ object ScaleStress {
   // ---------------------------------------------------------------
 
   def main(args: Array[String]): Unit = {
-    // measure at the PRODUCTION session config (local[32], 32 shuffle
-    // partitions via SPARK_GRAFT_CPUS=32, large heap). Two configs
-    // were tried and rejected: local[4]/-Xmx8g measured exponent ~2 on
-    // provably-linear queries (4 fat reducers + spill — an environment
-    // artifact), and initialPartitionNum=512 on local[32] added a
-    // near-constant multi-second scheduling floor per query (512 tasks
-    // per stage, 32 running at a time) that compressed every exponent
-    // toward 0. Fixed 32 partitions with a no-spill heap measures the
-    // PLAN's scaling, which is what the record is for.
+    // measure at the RECORD config: local[4], 4 shuffle partitions
+    // (GraftSession's default when SPARK_GRAFT_CPUS is unset),
+    // SPARK_DRIVER_MEM=48g — CPU-saturated so wall time tracks plan
+    // WORK, heap-sized so nothing spills at x100. Three configs were
+    // tried and rejected across rounds 10-11: local[4]/-Xmx8g measured
+    // exponent ~2 on provably-linear queries (spill artifact);
+    // local[32]+initialPartitionNum=512 added a near-constant
+    // scheduling floor that compressed every exponent toward 0; and
+    // plain local[32] (round-11 first pass) DISTORTS BOTH WAYS — small
+    // scales go overhead-bound (32 cores idle on x1 work, deflating
+    // the fit's base) while x30 saturates the fixed 32 shuffle
+    // partitions (q257 measured e = 1.65 at local[32] vs 0.8-0.9 at
+    // local[4], same code, same host, back-to-back). A 1000-executor
+    // cluster is per-core CPU-saturated at 100 TB, so the
+    // core-saturated local config is the one whose exponents
+    // extrapolate.
     val s = GraftSession.local("graft-scale-stress")
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val selected: Seq[Probe] =

@@ -854,6 +854,97 @@ object CorpusOps {
           r6n(count_if(col("cdf") >= 2).cast("double") / count(lit(1)))
             .as("dup_chunk_share"))
         .orderBy(col("source"))
+    }),
+
+    /** Token-BUDGET quality selection — the doc-level decision q276's
+      * waterfill allocates for: each source gets a 30% token quota
+      * (integer arithmetic, `tot*3 DIV 10`) and fills it greedily by
+      * the q39 composite quality score (ties to the lowest doc_id).
+      * The per-source cumulative token sum is the q145/q94 segmented
+      * scan — ONE [[graft.ops.GlobalRank.withRunningSum]] over the
+      * (source, quality desc, doc_id) range order minus each source's
+      * earlier-sources prefix — NEVER a `Window.partitionBy(source)`
+      * (a handful of schema-bounded partitions funnels the corpus
+      * through a handful of tasks; WindowAudit rejects the shape
+      * suite-wide). The prefix itself is a theta-join over the
+      * per-SOURCE totals table (schema-bounded domain, q344 class).
+      * Output per source: quota, docs/tokens kept, fill rate. */
+    "q365_quota_select" -> ((s: SparkSession, dir: String) => {
+      val sp = split(col("text"), " ")
+      val ntD = size(sp).cast("double")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(sp).cast("long").as("nt"),
+          (lit(0.5) * (size(array_distinct(sp)) / ntD) +
+            lit(0.3) * (lit(1.0) -
+              size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")) / ntD) +
+            lit(0.2) * least(ntD / 100.0, lit(1.0))).as("q"))
+      val cum = graft.ops.GlobalRank.withRunningSum(
+        d, Seq(col("source"), col("q").desc, col("doc_id")), "nt", "cum")
+      val t = d.groupBy(col("source"))
+        .agg(sum(col("nt")).as("tot"))
+        .withColumn("quota", expr("tot * 3 DIV 10"))
+        .cache() // both sides of the prefix theta-join read it
+      val prefix = t
+        .join(t.select(col("source").as("s2"), col("tot").as("t2")),
+          col("s2") < col("source"), "left")
+        .groupBy(col("source"), col("quota"))
+        .agg(coalesce(sum(col("t2")), lit(0L)).as("prefix"))
+      cum.join(prefix, "source")
+        .groupBy(col("source"), col("quota"))
+        .agg(count_if(col("cum") - col("prefix") <= col("quota"))
+            .as("n_docs_kept"),
+          coalesce(sum(when(col("cum") - col("prefix") <= col("quota"),
+            col("nt"))), lit(0L)).as("tokens_kept"))
+        .select(col("source"), col("quota").as("quota_tokens"),
+          col("n_docs_kept"), col("tokens_kept"),
+          r6n(col("tokens_kept").cast("double") / col("quota")).as("fill_rate"))
+        .orderBy(col("source"))
+    }),
+
+    /** Shard-BOUNDARY stitch audit — CONSECUTIVE docs of a source (in
+      * doc_id order, the shard writer's order) whose texts overlap at
+      * the join point (the previous doc's last k tokens = the next
+      * doc's first k, k ≤ 8): the signature of one upstream record
+      * split across two rows, which doc-level dedup can never see
+      * (the halves are not similar, they are CONTIGUOUS). Per-source
+      * sequencing NEVER uses a `Window.partitionBy(source)` (the
+      * schema-bounded funnel WindowAudit rejects): one
+      * [[graft.ops.GlobalRank.withRowNumbers]] pass over the
+      * (source, doc_id) range order minus the per-source prefix (the
+      * q365 theta-join over the bounded totals table) yields each
+      * doc's in-source position; adjacency is then an equi-join on
+      * (source, position+1). The overlap probe is a per-pair 8-step
+      * literal generator over array slices. Per source: pair volume,
+      * stitched pairs (overlap ≥ 4), mean/max overlap. */
+    "q369_boundary_stitch" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      val rn = graft.ops.GlobalRank.withRowNumbers(
+        d, Seq(col("source"), col("doc_id")), "rn")
+      val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("nsrc"))
+        .cache() // both sides of the prefix theta-join read it
+      val prefix = cnt
+        .join(cnt.select(col("source").as("s2"), col("nsrc").as("n2")),
+          col("s2") < col("source"), "left")
+        .groupBy(col("source")).agg(coalesce(sum(col("n2")), lit(0L)).as("prefix"))
+      val rk = rn.join(prefix, "source")
+        .select(col("source"), col("toks"), (col("rn") - col("prefix")).as("rk"))
+      val pairs = rk.select(col("source"), (col("rk") + 1).as("rk"),
+          col("toks").as("ptoks"))
+        .join(rk, Seq("source", "rk"))
+      pairs
+        .select(col("source"),
+          expr("""aggregate(sequence(1, 8), 0L, (acc, k) ->
+            |  IF(size(ptoks) >= k AND size(toks) >= k AND
+            |     slice(ptoks, -k, k) = slice(toks, 1, k),
+            |     CAST(k AS BIGINT), acc))""".stripMargin).as("overlap"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_adjacent"),
+          count_if(col("overlap") >= 4).as("n_stitched"),
+          r6n(avg(col("overlap"))).as("avg_overlap"),
+          max(col("overlap")).as("max_overlap"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1375,6 +1466,61 @@ object CorpusOps {
         |count(*) AS n
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type
-        |ORDER BY e.event_type NULLS FIRST""".stripMargin
+        |ORDER BY e.event_type NULLS FIRST""".stripMargin,
+
+    // the same q39 quality composite (identical op order), per-source
+    // window cumsum in quality-desc/doc_id order, integer 30% quota
+    "q365_quota_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |         / len(string_split(text, ' ')))
+        |  + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+        |                     t -> t IN ('the', 'a'))) * 1.0
+        |                 / len(string_split(text, ' ')))
+        |  + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS q
+        |  FROM documents),
+        |t AS (SELECT source, (sum(nt) * 3) // 10 AS quota
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT source, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT c.source, CAST(t.quota AS BIGINT) AS quota_tokens,
+        |CAST(count(*) FILTER (c.cum <= t.quota) AS BIGINT) AS n_docs_kept,
+        |CAST(coalesce(sum(c.nt) FILTER (c.cum <= t.quota), 0) AS BIGINT)
+        |  AS tokens_kept,
+        |round(coalesce(sum(c.nt) FILTER (c.cum <= t.quota), 0) * 1.0
+        |  / t.quota + 1e-12, 6) AS fill_rate
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source, t.quota
+        |ORDER BY c.source NULLS FIRST""".stripMargin,
+
+    // consecutive docs per source in doc_id order (lag window — the
+    // oracle may window freely), the same 8-step slice probe,
+    // largest matching k per pair
+    "q369_boundary_stitch" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |pr AS (
+        |  SELECT source, ptoks, toks FROM (
+        |    SELECT source,
+        |    lag(toks) OVER (PARTITION BY source ORDER BY doc_id) AS ptoks,
+        |    toks FROM d)
+        |  WHERE ptoks IS NOT NULL),
+        |ov AS (
+        |  SELECT source,
+        |  coalesce((SELECT max(g.k) FROM generate_series(1, 8) AS g(k)
+        |    WHERE len(ptoks) >= g.k AND len(toks) >= g.k
+        |      AND ptoks[len(ptoks) - g.k + 1 : len(ptoks)] = toks[1 : g.k]),
+        |    0) AS overlap
+        |  FROM pr)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_adjacent,
+        |CAST(count(*) FILTER (overlap >= 4) AS BIGINT) AS n_stitched,
+        |round(avg(overlap) + 1e-12, 6) AS avg_overlap,
+        |CAST(max(overlap) AS BIGINT) AS max_overlap
+        |FROM ov GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin
   )
 }

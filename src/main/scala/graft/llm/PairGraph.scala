@@ -592,6 +592,90 @@ object PairGraph {
         .agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(cross))
         .orderBy(col("source"), col("split"))
+    }),
+
+    /** Dedup-induced MIX-SHIFT audit — what the ≥ 0.8 keep-lowest-id
+      * drop (q361's 0.8 row, CurationMain's rule) does to the source
+      * mixture: per source, the doc/char mass before and after the
+      * drop and the char-share delta. Dedup is not mixture-neutral —
+      * template-heavy sources (status feeds, boilerplate-rich crawls)
+      * lose disproportionally, and a mixture tuned pre-dedup silently
+      * shifts; this is the one-line-per-source receipt. Drop set from
+      * the PERSISTED pair store (no text scan); shares are integer
+      * rationals over the two 1-row corpus totals crossing back
+      * broadcast (q361 bounded-BNLJ class). */
+    "q366_dedup_mix_shift" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val pre = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_pre"),
+          sum(col("n_chars")).as("chars_pre"))
+      val drops = jaccard(s, dir, 0.8)
+        .select(col("d2").as("doc_id")).distinct()
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_drop"), sum(col("n_chars")).as("chars_drop"))
+      val per = pre.join(drops, Seq("source"), "left")
+        .select(col("source"), col("n_docs_pre"), col("chars_pre"),
+          coalesce(col("n_drop"), lit(0L)).as("n_drop"),
+          coalesce(col("chars_drop"), lit(0L)).as("chars_drop"))
+        .cache() // per-source rows and the corpus totals both read it
+      val tot = per.agg(sum(col("chars_pre")).as("tot_pre"),
+        (sum(col("chars_pre")) - sum(col("chars_drop"))).as("tot_post"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs_pre"),
+          (col("n_docs_pre") - col("n_drop")).as("n_docs_post"),
+          col("chars_pre"),
+          (col("chars_pre") - col("chars_drop")).as("chars_post"),
+          r6n(col("chars_pre").cast("double") / col("tot_pre")).as("share_pre"),
+          r6n((col("chars_pre") - col("chars_drop")).cast("double") /
+            col("tot_post")).as("share_post"),
+          r6n((col("chars_pre") - col("chars_drop")).cast("double") /
+            col("tot_post") -
+            col("chars_pre").cast("double") / col("tot_pre"))
+            .as("share_delta"))
+        .orderBy(col("source"))
+    }),
+
+    /** Near-dup graph TRANSITIVITY audit — how valid is the connected-
+      * component dedup convention (q93: anything reachable at ≥ 0.8 is
+      * "the same document")? Jaccard ≥ t is not transitive; every open
+      * wedge (A~B, A~C, B≁C) is a pair that CC merges without direct
+      * evidence. Per hub-degree band (pow-2 buckets of the wedge
+      * center's degree): wedge count, closed-triangle count, closure
+      * rate. High closure → clusters are genuine cliques and CC is
+      * safe; low closure in the big-hub bands → chaining, and the
+      * threshold (q361's curve) or the policy (q147's rep choice)
+      * needs another look. Adjacency is CAPPED at 64 lowest-id
+      * neighbors per node (the q296 bounded-block stance — an
+      * exact-dup family of size f otherwise contributes f·C(f−1,2)
+      * wedges, quadratic BY CONSTRUCTION), cap mirrored in the
+      * oracle; all joins are equi-joins on the pair store. */
+    "q367_transitivity_audit" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = jaccard(s, dir, 0.8).select(col("d1"), col("d2")).cache()
+      val adj = p.select(col("d1").as("a"), col("d2").as("nbr"))
+        .unionAll(p.select(col("d2").as("a"), col("d1").as("nbr")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("nbr"))))
+        .filter(col("rk") <= 64)
+        .cache() // both wedge arms and the degree read it
+      val deg = adj.groupBy(col("a")).agg(max(col("rk")).as("deg"))
+      val wedges = adj.select(col("a"), col("nbr").as("b"))
+        .join(adj.select(col("a"), col("nbr").as("c")), "a")
+        .filter(col("b") < col("c"))
+      val closed = wedges
+        .join(p.select(col("d1").as("b"), col("d2").as("c"),
+          lit(1L).as("cl")), Seq("b", "c"), "left")
+      closed.join(deg, "a")
+        .select(pow(lit(2.0), floor(log2(col("deg")))).cast("long")
+          .as("deg_band"), col("cl"))
+        .groupBy(col("deg_band"))
+        .agg(count(lit(1)).as("n_wedges"),
+          count(col("cl")).as("n_closed"),
+          r6n(count(col("cl")).cast("double") / count(lit(1)))
+            .as("closure_rate"))
+        .orderBy(col("deg_band"))
     })
   )
 
@@ -862,6 +946,68 @@ object PairGraph {
          |CAST(CASE WHEN dom.source IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |  AS is_skyline
          |FROM m LEFT JOIN dom ON dom.source = m.source
-         |ORDER BY m.source NULLS FIRST""".stripMargin
+         |ORDER BY m.source NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 pairs from first principles, the same keep-lowest drop
+    // rule, per-source pre/post masses and integer-rational shares
+    "q366_dedup_mix_shift" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |dr AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_drop,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS chars_drop
+         |  FROM (SELECT DISTINCT d2 FROM p) x
+         |  JOIN documents d ON d.doc_id = x.d2 GROUP BY 1),
+         |pre AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_pre,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_pre
+         |  FROM documents GROUP BY 1),
+         |per AS (
+         |  SELECT pre.source, pre.n_docs_pre, pre.chars_pre,
+         |  coalesce(dr.n_drop, 0) AS n_drop,
+         |  coalesce(dr.chars_drop, 0) AS chars_drop
+         |  FROM pre LEFT JOIN dr ON dr.source = pre.source),
+         |tot AS (
+         |  SELECT sum(chars_pre) AS tot_pre,
+         |  sum(chars_pre) - sum(chars_drop) AS tot_post FROM per)
+         |SELECT per.source, per.n_docs_pre,
+         |per.n_docs_pre - per.n_drop AS n_docs_post,
+         |per.chars_pre, per.chars_pre - per.chars_drop AS chars_post,
+         |round(CAST(per.chars_pre AS DOUBLE) / tot.tot_pre + 1e-12, 6)
+         |  AS share_pre,
+         |round(CAST(per.chars_pre - per.chars_drop AS DOUBLE) / tot.tot_post
+         |  + 1e-12, 6) AS share_post,
+         |round(CAST(per.chars_pre - per.chars_drop AS DOUBLE) / tot.tot_post
+         |  - CAST(per.chars_pre AS DOUBLE) / tot.tot_pre + 1e-12, 6)
+         |  AS share_delta
+         |FROM per CROSS JOIN tot
+         |ORDER BY per.source NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 pairs from first principles, the same 64-neighbor cap
+    // (lowest-id rank), wedge enumeration + closure probe
+    "q367_transitivity_audit" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |adj0 AS (
+         |  SELECT d1 AS a, d2 AS nbr FROM p
+         |  UNION ALL SELECT d2 AS a, d1 AS nbr FROM p),
+         |adj AS (
+         |  SELECT a, nbr, rk FROM (
+         |    SELECT a, nbr,
+         |    row_number() OVER (PARTITION BY a ORDER BY nbr) AS rk
+         |    FROM adj0) WHERE rk <= 64),
+         |deg AS (SELECT a, max(rk) AS deg FROM adj GROUP BY a),
+         |w AS (
+         |  SELECT x.a, x.nbr AS b, y.nbr AS c
+         |  FROM adj x JOIN adj y ON y.a = x.a AND x.nbr < y.nbr),
+         |cl AS (
+         |  SELECT w.a, CASE WHEN p.d1 IS NULL THEN NULL ELSE 1 END AS cl
+         |  FROM w LEFT JOIN p ON p.d1 = w.b AND p.d2 = w.c)
+         |SELECT CAST(pow(2.0, floor(log2(deg.deg))) AS BIGINT) AS deg_band,
+         |CAST(count(*) AS BIGINT) AS n_wedges,
+         |CAST(count(cl.cl) AS BIGINT) AS n_closed,
+         |round(CAST(count(cl.cl) AS DOUBLE) / count(*) + 1e-12, 6)
+         |  AS closure_rate
+         |FROM cl JOIN deg ON deg.a = cl.a
+         |GROUP BY 1
+         |ORDER BY deg_band NULLS FIRST""".stripMargin
   )
 }

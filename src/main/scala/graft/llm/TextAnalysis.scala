@@ -1237,6 +1237,71 @@ object TextAnalysis {
             .as("pred_shingles_x100"),
           r2n(exp(col("lnk")) * pow(col("tn") * lit(1000.0), col("beta")))
             .as("pred_shingles_x1000"))
+    }),
+
+    /** Naive-Bayes SOURCE classifier eval — the held-out check behind
+      * every "this source is distinctive" claim (q240's chargram
+      * profiles, q161's copy matrix): train add-1-smoothed unigram
+      * log-odds on even doc_ids, classify odd doc_ids, report the
+      * confusion matrix. The model is the SPARSE (token, source)
+      * count table plus one bounded per-source stats row — the dense
+      * smoothed term factors out: score(d,s) = ln P(s) − m_d·ln(T_s+V)
+      * + Σ_tok ln(c_st+1), where absent c_st contributes ln(1) = 0,
+      * so classification is one equi-join on tokens + one bounded
+      * source-grid cross (schema-bounded, q340/q344 class) — no dense
+      * vocab×source materialization at any corpus size. Scores round
+      * to the shared r6 grid (nudged) before the argmax so the
+      * selection key is engine-portable; ties break to the lexically
+      * smallest source. Vocabulary = train tokens with count ≥ 2
+      * (deterministic, no ranked cutoff). Output: integer confusion
+      * counts only. */
+    "q368_source_classifier" -> ((s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        .cache() // vocab, model, and the test side all read it
+      val train = tok.filter(col("doc_id") % 2 === 0)
+      val vocab = train.groupBy(col("t"))
+        .agg(count(lit(1)).as("ct")).filter(col("ct") >= 2)
+        .select(col("t")).cache()
+      val model = train.join(vocab.hint("shuffle_hash"), "t")
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .cache() // srcStats folds it, the test join probes it
+      val nV = vocab.agg(count(lit(1)).as("v"))
+      val priors = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val srcStats = model.groupBy(col("source"))
+        .agg(sum(col("c")).as("ts"))
+        .join(priors, "source")
+        .crossJoin(broadcast(nV))
+        .crossJoin(broadcast(priors.agg(sum(col("nd")).as("ndall"))))
+        .select(col("source").as("cand"),
+          (log(col("nd").cast("double")) - log(col("ndall").cast("double")))
+            .as("prior"),
+          log((col("ts") + col("v")).cast("double")).as("lnden"))
+      val test = tok.filter(col("doc_id") % 2 =!= 0)
+        .join(vocab.hint("shuffle_hash"), "t")
+        .cache() // per-doc token mass and the sparse score share it
+      val md = test.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("m"))
+      val sparse = test
+        .join(model.select(col("t"), col("source").as("cand"), col("c")), "t")
+        .groupBy(col("doc_id"), col("cand"))
+        .agg(sum(log(col("c").cast("double") + 1.0)).as("s1"))
+      val scored = md.crossJoin(broadcast(srcStats))
+        .join(sparse, Seq("doc_id", "cand"), "left")
+        .select(col("doc_id"), col("source"), col("cand"),
+          r6n(col("prior") - col("m") * col("lnden") +
+            coalesce(col("s1"), lit(0.0))).as("score"))
+      scored.groupBy(col("doc_id"), col("source"))
+        .agg(min(struct((-col("score")).as("ns"), col("cand").as("src")))
+          .as("b"))
+        .groupBy(col("source").as("true_source"),
+          col("b.src").as("pred_source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_source"), col("pred_source"))
     })
   )
 
@@ -2008,6 +2073,50 @@ object TextAnalysis {
          |  AS pred_shingles_x100,
          |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
          |  AS pred_shingles_x1000
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // the same even/odd split, count>=2 vocabulary, sparse add-1
+    // log-odds factorization, r6-grid argmax with lexical tie-break
+    "q368_source_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |vocab AS (SELECT t FROM tr GROUP BY t HAVING count(*) >= 2),
+        |model AS (
+        |  SELECT source, t, count(*) AS c
+        |  FROM tr JOIN vocab USING (t) GROUP BY 1, 2),
+        |nv AS (SELECT count(*) AS v FROM vocab),
+        |priors AS (
+        |  SELECT source, count(*) AS nd FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |st AS (
+        |  SELECT m.source AS cand,
+        |  ln(p.nd * 1.0) - ln((SELECT sum(nd) FROM priors) * 1.0) AS prior,
+        |  ln((sum(m.c) + nv.v) * 1.0) AS lnden
+        |  FROM model m JOIN priors p ON p.source = m.source CROSS JOIN nv
+        |  GROUP BY m.source, p.nd, nv.v),
+        |te AS (
+        |  SELECT tok.doc_id, tok.source, tok.t
+        |  FROM tok JOIN vocab USING (t) WHERE doc_id % 2 = 1),
+        |md AS (SELECT doc_id, source, count(*) AS m FROM te GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT te.doc_id, mo.source AS cand,
+        |  sum(ln(mo.c * 1.0 + 1.0)) AS s1
+        |  FROM te JOIN model mo USING (t) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT md.doc_id, md.source, st.cand,
+        |  round(st.prior - md.m * st.lnden + coalesce(sp.s1, 0.0) + 1e-12, 6)
+        |    AS score
+        |  FROM md CROSS JOIN st
+        |  LEFT JOIN sp ON sp.doc_id = md.doc_id AND sp.cand = st.cand),
+        |pred AS (
+        |  SELECT doc_id, source,
+        |  min(struct_pack(ns := -score, src := cand))['src'] AS pred
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT source AS true_source, pred AS pred_source,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2
+        |ORDER BY true_source NULLS FIRST, pred_source NULLS FIRST""".stripMargin
   )
 }

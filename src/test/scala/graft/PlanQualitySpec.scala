@@ -233,7 +233,22 @@ class PlanQualitySpec extends SparkSuite {
     // q362: the broadcast sides are the ONE-ROW query-vector block
     // (q282 class) and the k=8-row cell-rank table (q122 control-
     // plane class) — both driver-bounded at any corpus size
-    "q362_ivf_nprobe_curve")
+    "q362_ivf_nprobe_curve",
+    // q365: the prefix theta-join is over the per-SOURCE totals table
+    // (schema-bounded domain, ~20 rows at any corpus size — the
+    // q344 dim-cross class)
+    "q365_quota_select",
+    // q366: the broadcast side is the ONE-ROW corpus pre/post totals
+    // fold (q361/q136 class) — provably 1 row at any corpus size
+    "q366_dedup_mix_shift",
+    // q368: the broadcast sides are the per-SOURCE stats grid
+    // (schema-bounded, q344 class) and the ONE-ROW vocab-size and
+    // train-doc-count folds (q136 class) — all bounded at any
+    // corpus size
+    "q368_source_classifier",
+    // q369: the prefix theta-join is over the per-SOURCE counts table
+    // (schema-bounded domain — the q365/q344 dim-cross class)
+    "q369_boundary_stitch")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic property pins for the round-11 second wave — the
+  * invariants each operator exists to provide, beyond the value-level
+  * oracle gate:
+  *
+  *  - q365: every source's kept token mass respects its quota, the
+  *    quota IS the integer 30% of the source's token total, and the
+  *    fill is MAXIMAL (greedy by quality — adding the best rejected
+  *    doc would overflow; checked via fill bound + doc-level replay
+  *    on the spec fixture).
+  *  - q366: post-dedup masses never exceed pre, the post shares sum
+  *    to 1, and the delta column is exactly post − pre.
+  *  - q367: closures never exceed wedges, rates live in [0, 1], and
+  *    bands are powers of two ≤ 64.
+  *  - q368: the confusion matrix partitions exactly the classified
+  *    test docs (odd ids with ≥ 1 in-vocab token), and predictions
+  *    stay inside the source domain.
+  *  - q369: overlaps are bounded by the 8-token probe, stitched
+  *    pairs never exceed adjacent pairs.
+  */
+class Round11WaveSpec extends SparkSuite {
+
+  // sf0.01: the sf0.001 pair graph is tiny enough to make q366/q367
+  // degenerate (no drops / no wedges)
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q365: quota arithmetic, budget respected, greedy fill maximal") {
+    val rows = SparkEntry.queries("q365_quota_select")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent per-source token totals (the q40 whitespace count)
+    val tots = Tables(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("tot"))
+      .toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val quota = r.getAs[Long]("quota_tokens")
+      val kept = r.getAs[Long]("tokens_kept")
+      assert(quota == tots(src) * 3 / 10, s"$src quota != 30% of ${tots(src)}")
+      assert(kept <= quota, s"$src kept $kept over quota $quota")
+      assert(r.getAs[Long]("n_docs_kept") > 0, s"$src kept no docs")
+    }
+    // maximality: replay the greedy order for one source and check the
+    // kept set is exactly the maximal quality-ordered prefix
+    val src0 = rows.head.getAs[String]("source")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("source") === src0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"),
+        (lit(0.5) * (size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " ")).cast("double")) +
+          lit(0.3) * (lit(1.0) -
+            size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")) /
+              size(split(col("text"), " ")).cast("double")) +
+          lit(0.2) * least(size(split(col("text"), " ")).cast("double") / 100.0,
+            lit(1.0))).as("q"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nt"),
+        r.getAs[Double]("q")))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val quota0 = tots(src0) * 3 / 10
+    var cum = 0L; var nKept = 0L; var tKept = 0L
+    docs.foreach { case (_, nt, _) =>
+      cum += nt; if (cum <= quota0) { nKept += 1; tKept += nt } }
+    val row0 = rows.find(_.getAs[String]("source") == src0).get
+    assert(row0.getAs[Long]("n_docs_kept") == nKept &&
+      row0.getAs[Long]("tokens_kept") == tKept,
+      s"greedy replay disagrees for $src0: " +
+        s"(${row0.getAs[Long]("n_docs_kept")}, ${row0.getAs[Long]("tokens_kept")})" +
+        s" vs ($nKept, $tKept)")
+  }
+
+  test("q366: dedup only removes mass and shares stay a distribution") {
+    val rows = SparkEntry.queries("q366_dedup_mix_shift")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_post") <= r.getAs[Long]("n_docs_pre"))
+      assert(r.getAs[Long]("chars_post") <= r.getAs[Long]("chars_pre"))
+      assert(math.abs(r.getAs[Double]("share_delta") -
+        (r.getAs[Double]("share_post") - r.getAs[Double]("share_pre"))) < 2e-6)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share_pre")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("share_post")).sum - 1.0) < 1e-4)
+    // the fixture's pair graph is non-empty, so SOME source lost docs
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_docs_post") < r.getAs[Long]("n_docs_pre")),
+      "no source lost any doc — pair graph unexpectedly empty")
+  }
+
+  test("q367: closure counts are coherent and bands are pow-2 <= 64") {
+    val rows = SparkEntry.queries("q367_transitivity_audit")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty, "no wedges at sf0.01 — fixture degenerate")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_wedges"); val c = r.getAs[Long]("n_closed")
+      val band = r.getAs[Long]("deg_band")
+      assert(c <= w, s"band $band: closed $c > wedges $w")
+      val rate = r.getAs[Double]("closure_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(band >= 1 && band <= 64 && (band & (band - 1)) == 0,
+        s"deg_band $band not a pow-2 in [1, 64]")
+    }
+  }
+
+  test("q368: confusion matrix partitions the classified test docs") {
+    val rows = SparkEntry.queries("q368_source_classifier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcDomain = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().collect()
+      .map(_.getAs[String]("source")).toSet
+    rows.foreach { r =>
+      assert(srcDomain.contains(r.getAs[String]("pred_source")))
+      assert(srcDomain.contains(r.getAs[String]("true_source")))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // total classified = odd-id docs with >= 1 token in the count>=2
+    // train vocabulary — recomputed independently
+    val tok = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("t"))
+    val expected = tok.filter(col("doc_id") % 2 =!= 0)
+      .join(vocab, "t").select(col("doc_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      s"confusion total != $expected classified docs")
+  }
+
+  test("q369: overlap probe bounds hold") {
+    val rows = SparkEntry.queries("q369_boundary_stitch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_overlap") <= 8)
+      assert(r.getAs[Long]("n_stitched") <= r.getAs[Long]("n_adjacent"))
+      assert(r.getAs[Long]("n_adjacent") > 0)
+    }
+  }
+}
