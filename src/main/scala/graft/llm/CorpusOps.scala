@@ -902,6 +902,56 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    /** Budget FILL CURVE — q365's operating table: per token-budget
+      * fraction (10…50% of each source's token mass, integer quota
+      * arithmetic), the corpus-wide docs/tokens the greedy
+      * quality-ordered fill keeps, the realized fill rate, and the
+      * QUALITY FLOOR (minimum q39 composite among kept docs) — the
+      * curve a curation owner reads to pick a budget, instead of
+      * re-running the selection five times. ONE GlobalRank segmented
+      * scan (the q365 shape) carries the per-source cumsum; the
+      * 5-point fraction grid is a literal generator joined per
+      * source; the 5-row quota-denominator fold crosses back via an
+      * equi-join on the grid key. Prefix theta-join over the bounded
+      * per-source totals (q344 class). */
+    "q371_budget_fill_curve" -> ((s: SparkSession, dir: String) => {
+      val sp = split(col("text"), " ")
+      val ntD = size(sp).cast("double")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(sp).cast("long").as("nt"),
+          (lit(0.5) * (size(array_distinct(sp)) / ntD) +
+            lit(0.3) * (lit(1.0) -
+              size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")) / ntD) +
+            lit(0.2) * least(ntD / 100.0, lit(1.0))).as("q"))
+      val cum = graft.ops.GlobalRank.withRunningSum(
+        d, Seq(col("source"), col("q").desc, col("doc_id")), "nt", "cum")
+      val t = d.groupBy(col("source")).agg(sum(col("nt")).as("tot"))
+        .cache() // both sides of the prefix theta-join and the grid read it
+      val prefix = t
+        .join(t.select(col("source").as("s2"), col("tot").as("t2")),
+          col("s2") < col("source"), "left")
+        .groupBy(col("source")).agg(coalesce(sum(col("t2")), lit(0L)).as("prefix"))
+      val grid = t.select(col("source"), col("tot"),
+          explode(expr("sequence(1L, 5L)")).as("k"))
+        .select(col("source"), col("k"), expr("tot * k DIV 10").as("quota"))
+        .cache() // per-doc keep flags and the denominator fold read it
+      val qsum = grid.groupBy(col("k")).agg(sum(col("quota")).as("qsum"))
+      cum.join(prefix, "source").join(grid, "source")
+        .select(col("k"), col("nt"), col("q"),
+          (col("cum") - col("prefix") <= col("quota")).as("keep"))
+        .groupBy(col("k"))
+        .agg(count_if(col("keep")).as("n_docs_kept"),
+          coalesce(sum(when(col("keep"), col("nt"))), lit(0L)).as("tokens_kept"),
+          min(when(col("keep"), col("q"))).as("minq"))
+        .join(qsum, "k")
+        .select((col("k") * 10).as("budget_pct"), col("n_docs_kept"),
+          col("tokens_kept"),
+          r6n(col("tokens_kept").cast("double") / col("qsum")).as("fill_rate"),
+          r6n(col("minq")).as("min_quality_kept"))
+        .orderBy(col("budget_pct"))
+    }),
+
     /** Shard-BOUNDARY stitch audit — CONSECUTIVE docs of a source (in
       * doc_id order, the shard writer's order) whose texts overlap at
       * the join point (the previous doc's last k tokens = the next
@@ -1495,6 +1545,44 @@ object CorpusOps {
         |FROM c JOIN t USING (source)
         |GROUP BY c.source, t.quota
         |ORDER BY c.source NULLS FIRST""".stripMargin,
+
+    // the q365 cumsum shape with a 5-point fraction grid, identical
+    // integer quota arithmetic and r6 fill/floor rounding
+    "q371_budget_fill_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |         / len(string_split(text, ' ')))
+        |  + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+        |                     t -> t IN ('the', 'a'))) * 1.0
+        |                 / len(string_split(text, ' ')))
+        |  + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS q
+        |  FROM documents),
+        |t AS (SELECT source, sum(nt) AS tot FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT source, k, (tot * k) // 10 AS quota
+        |  FROM t, generate_series(1, 5) AS s(k)),
+        |qs AS (SELECT k, sum(quota) AS qsum FROM g GROUP BY 1),
+        |c AS (SELECT source, nt, q,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |kept AS (
+        |  SELECT g.k, c.nt, c.q, (c.cum <= g.quota) AS keep
+        |  FROM c JOIN g USING (source)),
+        |a AS (
+        |  SELECT k,
+        |  count(*) FILTER (keep) AS n_docs_kept,
+        |  coalesce(sum(nt) FILTER (keep), 0) AS tokens_kept,
+        |  min(q) FILTER (keep) AS minq
+        |  FROM kept GROUP BY 1)
+        |SELECT CAST(a.k * 10 AS BIGINT) AS budget_pct,
+        |CAST(a.n_docs_kept AS BIGINT) AS n_docs_kept,
+        |CAST(a.tokens_kept AS BIGINT) AS tokens_kept,
+        |round(a.tokens_kept * 1.0 / qs.qsum + 1e-12, 6) AS fill_rate,
+        |round(a.minq + 1e-12, 6) AS min_quality_kept
+        |FROM a JOIN qs USING (k)
+        |ORDER BY budget_pct NULLS FIRST""".stripMargin,
 
     // consecutive docs per source in doc_id order (lag window — the
     // oracle may window freely), the same 8-step slice probe,

@@ -1239,6 +1239,55 @@ object TextAnalysis {
             .as("pred_shingles_x1000"))
     }),
 
+    /** Curation-drop ATTRIBUTION — which filter actually does the
+      * cutting: q140's funnel counts stage-wise retention in CHAIN
+      * order, which hides how much each filter would drop on its own
+      * and how much is redundant with the others (a filter whose
+      * drops are all shared can be removed for free; one with a big
+      * UNIQUE drop set is load-bearing). Each of the four funnel
+      * predicates (length floor, language, hash sample, exact-dup
+      * loser) is evaluated INDEPENDENTLY per nonnull doc; the report
+      * is one fused aggregate unpivoted to a row per filter: total
+      * fails, fails unique to that filter, and the unique share. The
+      * dup flag is the keep-lowest-id rule over sha-256 groups (the
+      * exchange carries 64-hex digests, never text); everything else
+      * is per-row predicates on one scan. */
+    "q370_drop_attribution" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          sha2(col("text"), 256).as("h"))
+      val keepers = docs.groupBy(col("h")).agg(min(col("doc_id")).as("mn"))
+      val flagged = docs.join(keepers, "h")
+        .select((col("n_chars") < 100).as("f_len"),
+          (col("lang") =!= "en").as("f_lang"),
+          (substring(col("h"), 1, 1) >= "8").as("f_samp"),
+          (col("doc_id") =!= col("mn")).as("f_dup"))
+      val a = flagged.agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("f_len")).as("fl"),
+        count_if(col("f_len") && !col("f_lang") && !col("f_samp") && !col("f_dup")).as("flu"),
+        count_if(col("f_lang")).as("fg"),
+        count_if(col("f_lang") && !col("f_len") && !col("f_samp") && !col("f_dup")).as("fgu"),
+        count_if(col("f_samp")).as("fs"),
+        count_if(col("f_samp") && !col("f_len") && !col("f_lang") && !col("f_dup")).as("fsu"),
+        count_if(col("f_dup")).as("fd"),
+        count_if(col("f_dup") && !col("f_len") && !col("f_lang") && !col("f_samp")).as("fdu"),
+        count_if(!col("f_len") && !col("f_lang") && !col("f_samp") && !col("f_dup")).as("pass"))
+      a.select(col("n_docs"), col("pass").as("n_pass_all"), expr(
+          """stack(4,
+            |  'min_length_100', fl, flu,
+            |  'lang_en', fg, fgu,
+            |  'hash_sample_50', fs, fsu,
+            |  'exact_dup', fd, fdu) AS (filter, n_fail, n_unique_fail)"""
+            .stripMargin))
+        .select(col("filter"), col("n_fail"), col("n_unique_fail"),
+          r6n(when(col("n_fail") > 0,
+            col("n_unique_fail").cast("double") / col("n_fail"))
+            .otherwise(lit(0.0))).as("unique_share"),
+          col("n_docs"), col("n_pass_all"))
+        .orderBy(col("filter"))
+    }),
+
     /** Naive-Bayes SOURCE classifier eval — the held-out check behind
       * every "this source is distinctive" claim (q240's chargram
       * profiles, q161's copy matrix): train add-1-smoothed unigram
@@ -2074,6 +2123,46 @@ object TextAnalysis {
          |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
          |  AS pred_shingles_x1000
          |FROM f""".stripMargin,
+
+    // the same four independent predicates over one agg CTE, unpivoted
+    // via UNION ALL; dup flag = keep-lowest-id over sha groups
+    "q370_drop_attribution" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, lang, sha256(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT h, min(doc_id) AS mn FROM d GROUP BY h),
+        |f AS (
+        |  SELECT (d.n_chars < 100) AS f_len,
+        |  (d.lang <> 'en') AS f_lang,
+        |  (substr(d.h, 1, 1) >= '8') AS f_samp,
+        |  (d.doc_id <> k.mn) AS f_dup
+        |  FROM d JOIN k USING (h)),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |  count(*) FILTER (f_len) AS fl,
+        |  count(*) FILTER (f_len AND NOT f_lang AND NOT f_samp AND NOT f_dup) AS flu,
+        |  count(*) FILTER (f_lang) AS fg,
+        |  count(*) FILTER (f_lang AND NOT f_len AND NOT f_samp AND NOT f_dup) AS fgu,
+        |  count(*) FILTER (f_samp) AS fs,
+        |  count(*) FILTER (f_samp AND NOT f_len AND NOT f_lang AND NOT f_dup) AS fsu,
+        |  count(*) FILTER (f_dup) AS fd,
+        |  count(*) FILTER (f_dup AND NOT f_len AND NOT f_lang AND NOT f_samp) AS fdu,
+        |  count(*) FILTER (NOT f_len AND NOT f_lang AND NOT f_samp AND NOT f_dup) AS pass
+        |  FROM f),
+        |u AS (
+        |  SELECT 'min_length_100' AS filter, fl AS n_fail, flu AS n_unique_fail,
+        |    n_docs, pass FROM a
+        |  UNION ALL SELECT 'lang_en', fg, fgu, n_docs, pass FROM a
+        |  UNION ALL SELECT 'hash_sample_50', fs, fsu, n_docs, pass FROM a
+        |  UNION ALL SELECT 'exact_dup', fd, fdu, n_docs, pass FROM a)
+        |SELECT filter, CAST(n_fail AS BIGINT) AS n_fail,
+        |CAST(n_unique_fail AS BIGINT) AS n_unique_fail,
+        |round(CASE WHEN n_fail > 0
+        |  THEN n_unique_fail * 1.0 / n_fail ELSE 0.0 END + 1e-12, 6)
+        |  AS unique_share,
+        |CAST(n_docs AS BIGINT) AS n_docs, CAST(pass AS BIGINT) AS n_pass_all
+        |FROM u
+        |ORDER BY filter NULLS FIRST""".stripMargin,
 
     // the same even/odd split, count>=2 vocabulary, sparse add-1
     // log-odds factorization, r6-grid argmax with lexical tie-break

@@ -129,6 +129,45 @@ object Profiling {
         .unionByName(audit("lineitem", "l_partkey", "l_suppkey"))
         .unionByName(audit("lineitem", "l_orderkey", "l_returnflag"))
         .orderBy(col("table_name"), col("lhs"), col("rhs"))
+    }),
+
+    /** Watermark PLANNER — the lateness census behind every
+      * `withWatermark` threshold (EventStreams): per event type, how
+      * many events arrive behind their user's event-time
+      * high-watermark, and by how much — too tight a watermark drops
+      * them, too loose bloats every stateful operator. The fixture
+      * ships no arrival column (its ts is ingest-monotone, lateness
+      * identically 0), so arrival order is REPLAYED under a
+      * deterministic content-hash permutation (sha-256 of event_id —
+      * the q95 synthetic-input stance): a worst-case full reorder
+      * both engines reconstruct bit-identically. The high-watermark
+      * is a per-USER running max (data-cardinality partition, the
+      * q31 sessionize class); delays are exact integer microseconds
+      * until the two nudged output ratios. */
+    "q373_watermark_planner" -> ((s: SparkSession, dir: String) => {
+      val arrival = Window.partitionBy(col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          sha2(col("event_id").cast("string"), 256).as("arr"))
+        .withColumn("hw", max(col("us")).over(arrival))
+        .select(col("event_type"),
+          (col("hw").isNotNull && col("us") < col("hw")).as("late"),
+          when(col("hw").isNotNull && col("us") < col("hw"),
+            col("hw") - col("us")).otherwise(lit(0L)).as("delay_us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("late")).as("n_late"),
+          r6n(count_if(col("late")).cast("double") / count(lit(1)))
+            .as("late_share"),
+          r6n(when(count_if(col("late")) > 0,
+            sum(col("delay_us")).cast("double") /
+              (count_if(col("late")).cast("double") * 1e6))
+            .otherwise(lit(0.0))).as("avg_late_delay_s"),
+          max(col("delay_us")).as("max_delay_us"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -201,6 +240,36 @@ object Profiling {
         one("lineitem", "l_orderkey", "l_returnflag"))
         .mkString("", "\nUNION ALL ",
           "\nORDER BY table_name NULLS FIRST, lhs NULLS FIRST, rhs NULLS FIRST")
-    }
+    },
+
+    // the same sha-256 arrival permutation, per-user running max in
+    // exact integer microseconds, identical nudged output ratios
+    "q373_watermark_planner" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+        |  sha256(CAST(event_id AS VARCHAR)) AS arr
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, us,
+        |  max(us) OVER (PARTITION BY user_id
+        |    ORDER BY arr NULLS FIRST, event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        |  FROM e),
+        |l AS (
+        |  SELECT event_type,
+        |  (hw IS NOT NULL AND us < hw) AS late,
+        |  CASE WHEN hw IS NOT NULL AND us < hw THEN hw - us ELSE 0 END
+        |    AS delay_us
+        |  FROM w)
+        |SELECT event_type, count(*) AS n_events,
+        |CAST(count(*) FILTER (late) AS BIGINT) AS n_late,
+        |round(count(*) FILTER (late) * 1.0 / count(*) + 1e-12, 6)
+        |  AS late_share,
+        |round(CASE WHEN count(*) FILTER (late) > 0
+        |  THEN sum(delay_us) * 1.0 / (count(*) FILTER (late) * 1000000.0)
+        |  ELSE 0.0 END + 1e-12, 6) AS avg_late_delay_s,
+        |CAST(max(delay_us) AS BIGINT) AS max_delay_us
+        |FROM l GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

@@ -248,7 +248,10 @@ class PlanQualitySpec extends SparkSuite {
     "q368_source_classifier",
     // q369: the prefix theta-join is over the per-SOURCE counts table
     // (schema-bounded domain — the q365/q344 dim-cross class)
-    "q369_boundary_stitch")
+    "q369_boundary_stitch",
+    // q371: the prefix theta-join is over the per-SOURCE totals table
+    // (q365 class — schema-bounded domain at any corpus size)
+    "q371_budget_fill_curve")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

@@ -137,4 +137,92 @@ class Round11WaveSpec extends SparkSuite {
       assert(r.getAs[Long]("n_adjacent") > 0)
     }
   }
+
+  test("q370: unique fails bounded by fails; pass count coherent") {
+    val rows = SparkEntry.queries("q370_drop_attribution")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    val pass = rows.head.getAs[Long]("n_pass_all")
+    assert(pass <= nDocs)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("n_fail"); val u = r.getAs[Long]("n_unique_fail")
+      assert(u <= f && f <= nDocs,
+        s"${r.getAs[String]("filter")}: unique $u > fail $f or fail > $nDocs")
+      // a doc failing ONLY this filter is not in pass_all, and every
+      // filter's unique drops are disjoint from every other's
+      assert(pass + u <= nDocs)
+    }
+    assert(pass + rows.map(_.getAs[Long]("n_unique_fail")).sum <= nDocs)
+  }
+
+  test("q371: fill curve is monotone in budget") {
+    val rows = SparkEntry.queries("q371_budget_fill_curve")(spark, sf)
+      .orderBy(col("budget_pct")).collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs_kept") >= a.getAs[Long]("n_docs_kept"))
+        assert(b.getAs[Long]("tokens_kept") >= a.getAs[Long]("tokens_kept"))
+        // a larger budget reaches DEEPER into the quality ranking
+        assert(b.getAs[Double]("min_quality_kept") <=
+          a.getAs[Double]("min_quality_kept") + 1e-9)
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val fr = r.getAs[Double]("fill_rate")
+      assert(fr >= 0.0 && fr <= 1.0 + 1e-9, s"fill_rate $fr out of [0,1]")
+    }
+  }
+
+  test("q372: partition plan scales with data and stays >= 1") {
+    val rows = SparkEntry.queries("q372_partition_planner")(spark, sf).collect()
+    assert(rows.length == 12) // 4 tables x {1,100,1000}
+    rows.foreach { r =>
+      assert(r.getAs[Long]("parts_256mb") >= 1)
+      assert(r.getAs[Long]("est_bytes") > 0)
+    }
+    rows.groupBy(_.getAs[String]("table_name")).foreach { case (t, rs) =>
+      val byScale = rs.sortBy(_.getAs[Long]("scale"))
+        .map(_.getAs[Long]("parts_256mb"))
+      assert(byScale.sliding(2).forall { case Array(a, b) => b >= a
+      case _ => true }, s"$t partitions not monotone in scale")
+    }
+  }
+
+  test("q373: lateness census coherent under the replay permutation") {
+    val rows = SparkEntry.queries("q373_watermark_planner")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
+      val share = r.getAs[Double]("late_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("avg_late_delay_s") * 1e6 <=
+        r.getAs[Long]("max_delay_us") + 1.0)
+    }
+    // the content-hash permutation reorders aggressively — lateness
+    // must actually appear or the planner demonstrates nothing
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0,
+      "no late events under the replay permutation")
+  }
+
+  test("q374: broadcast decisions flip monotonically with scale") {
+    val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
+    assert(rows.length == 15) // 5 dims x {1,100,1000}
+    rows.groupBy(_.getAs[String]("table_name")).foreach { case (t, rs) =>
+      val byScale = rs.sortBy(_.getAs[Long]("scale"))
+      // once a dim stops being broadcastable it never comes back
+      val strat = byScale.map(_.getAs[String]("strategy"))
+      assert(!strat.sliding(2).exists {
+        case Array("shuffle", "broadcast") => true; case _ => false },
+        s"$t strategy flipped back to broadcast at a larger scale")
+      assert(byScale.map(_.getAs[Long]("scaled_bytes")).sliding(2).forall {
+        case Array(a, b) => b >= a; case _ => true })
+    }
+    // region and nation stay broadcastable at every scale
+    Seq("region", "nation").foreach { t =>
+      assert(rows.filter(_.getAs[String]("table_name") == t)
+        .forall(_.getAs[String]("strategy") == "broadcast"),
+        s"$t should broadcast at every scale")
+    }
+  }
 }
