@@ -214,6 +214,14 @@ object ScaleStress {
     // attribution
     q("q350_effective_rank"), q("q352_coverage_greedy"),
     q("q356_conformal_coverage"), q("q358_heaps_extrapolation"),
+    // round-11 waves (same stance as the round-10 tranche: new
+    // expensive queries get measured exponents the round they land):
+    // the two GlobalRank segmented-scan selections, the token-keyed
+    // classifier joins, the position-join adjacency probe, and the
+    // capped wedge enumeration
+    q("q365_quota_select"), q("q368_source_classifier"),
+    q("q369_boundary_stitch"), q("q371_budget_fill_curve"),
+    q("q367_transitivity_audit"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the

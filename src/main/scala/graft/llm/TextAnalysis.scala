@@ -1239,6 +1239,36 @@ object TextAnalysis {
             .as("pred_shingles_x1000"))
     }),
 
+    /** Vocabulary GROWTH curve — the empirical companion to q358's
+      * Heaps extrapolation: per corpus decile (doc_id ranges — the
+      * ingest order), the token occurrences it contributes and the
+      * NEW types it introduces (types whose corpus-wide first
+      * occurrence lands there), plus the novelty rate. Flat novelty
+      * across deciles means the corpus keeps teaching the tokenizer;
+      * an early collapse means the tail is re-paste. First
+      * occurrences are one min(doc_id)-per-type aggregate; the
+      * decile key is exact integer arithmetic against the 1-row
+      * max-id fold crossing back broadcast (q136 class). */
+    "q376_vocab_growth_curve" -> ((s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .cache() // occurrence census and first-occurrence agg share it
+      val mx = Tables(s, dir, "documents").agg(max(col("doc_id")).as("mx"))
+      val occ = tok.crossJoin(broadcast(mx))
+        .select(expr("doc_id * 10 DIV (mx + 1)").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_token_occs"))
+      val news = tok.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(expr("fd * 10 DIV (mx + 1)").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_types"))
+      occ.join(news, Seq("decile"), "left")
+        .select(col("decile"), col("n_token_occs"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+          r6n(coalesce(col("n_new_types"), lit(0L)).cast("double") /
+            col("n_token_occs")).as("novelty_rate"))
+        .orderBy(col("decile"))
+    }),
+
     /** Curation-drop ATTRIBUTION — which filter actually does the
       * cutting: q140's funnel counts stage-wise retention in CHAIN
       * order, which hides how much each filter would drop on its own
@@ -2123,6 +2153,30 @@ object TextAnalysis {
          |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
          |  AS pred_shingles_x1000
          |FROM f""".stripMargin,
+
+    // the same decile arithmetic against the corpus max id, first
+    // occurrences via min(doc_id) per type
+    "q376_vocab_growth_curve" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT (doc_id * 10) // (m.mx + 1) AS decile,
+        |  count(*) AS n_token_occs
+        |  FROM tok, m GROUP BY 1),
+        |fo AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |nw AS (
+        |  SELECT (fd * 10) // (m.mx + 1) AS decile,
+        |  count(*) AS n_new_types
+        |  FROM fo, m GROUP BY 1)
+        |SELECT CAST(occ.decile AS BIGINT) AS decile,
+        |CAST(occ.n_token_occs AS BIGINT) AS n_token_occs,
+        |CAST(coalesce(nw.n_new_types, 0) AS BIGINT) AS n_new_types,
+        |round(coalesce(nw.n_new_types, 0) * 1.0 / occ.n_token_occs + 1e-12, 6)
+        |  AS novelty_rate
+        |FROM occ LEFT JOIN nw ON nw.decile = occ.decile
+        |ORDER BY decile NULLS FIRST""".stripMargin,
 
     // the same four independent predicates over one agg CTE, unpivoted
     // via UNION ALL; dup flag = keep-lowest-id over sha groups

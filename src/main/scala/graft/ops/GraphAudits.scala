@@ -117,6 +117,59 @@ object GraphAudits {
           r6n(col("se").cast("double") / (col("sd").cast("double") / 2.0) -
             col("sd2") / (col("sd").cast("double") * col("sd").cast("double")))
             .as("modularity"))
+    }),
+
+    /** Cluster DIAMETER census of the ≥ 0.8 dedup graph — the direct
+      * measure of the chaining q367 infers from wedge closure: per
+      * cluster, the BFS eccentricity from the min-id representative
+      * (0-hop = the rep alone, 1 = a star, ≥ 2 = chains a pairwise
+      * threshold never endorsed), histogrammed as (ecc, clusters,
+      * docs). Distributed BFS in the [[KCore]]/[[ConnectedComponents]]
+      * style — keyed-RDD frontier rounds with per-round
+      * materialization, never a growing DataFrame lineage — with a
+      * 16-hop budget mirrored by the oracle's depth-bounded recursive
+      * CTE, so a deeper graph fails loud on both sides rather than
+      * silently disagreeing. Reads the persisted pair store. */
+    "q375_cluster_diameter" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val MaxHops = 16L
+      val pairs = PairGraph.jaccard(s, dir, 0.8)
+        .select(col("d1"), col("d2")).as[(Long, Long)].rdd
+      val sym = pairs.flatMap(p => Iterator(p, p.swap))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      val lab = ConnectedComponents.labels(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lab.count()
+      var dist = lab.filter { case (doc, cid) => doc == cid }
+        .map { case (doc, _) => (doc, 0L) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dist.count()
+      var frontier = dist
+      var depth = 0L
+      var growing = true
+      while (growing && depth < MaxHops) {
+        val nxt = frontier.join(sym)
+          .map { case (_, (_, v)) => (v, depth + 1) }
+          .reduceByKey((a, _) => a)
+          .subtractByKey(dist)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (nxt.count() == 0) { nxt.unpersist(false); growing = false }
+        else {
+          val nd = dist.union(nxt)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          nd.count()
+          dist.unpersist(false)
+          dist = nd; frontier = nxt; depth += 1
+        }
+      }
+      dist.toDF("doc_id", "dist")
+        .join(lab.toDF("doc_id", "cid"), "doc_id")
+        .groupBy(col("cid"))
+        .agg(max(col("dist")).as("ecc"), count(lit(1)).as("sz"))
+        .groupBy(col("ecc"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .orderBy(col("ecc"))
     })
   )
 
@@ -176,6 +229,35 @@ object GraphAudits {
        |  FROM walk GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // ≥ 0.8 pairs + min-label closure for reps, then a depth-bounded
+    // (16, mirroring the Spark hop budget) BFS recursive CTE; min
+    // depth per node, max per cluster, histogram
+    "q375_cluster_diameter" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |e(u, v) AS (SELECT d1, d2 FROM p UNION ALL SELECT d2, d1 FROM p),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.reach),
+         |labels AS (
+         |  SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cid
+         |  FROM walk GROUP BY node),
+         |bfs(node, depth) AS (
+         |  SELECT DISTINCT cid, CAST(0 AS BIGINT) FROM labels
+         |  UNION
+         |  SELECT e.v, b.depth + 1 FROM bfs b JOIN e ON e.u = b.node
+         |  WHERE b.depth < 16),
+         |d AS (SELECT node, min(depth) AS dist FROM bfs GROUP BY node),
+         |pc AS (
+         |  SELECT l.cid, max(d.dist) AS ecc, count(*) AS sz
+         |  FROM d JOIN labels l ON l.doc_id = d.node GROUP BY l.cid)
+         |SELECT CAST(ecc AS BIGINT) AS ecc,
+         |CAST(count(*) AS BIGINT) AS n_clusters,
+         |CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM pc GROUP BY ecc
+         |ORDER BY ecc NULLS FIRST""".stripMargin,
 
     "q302_kcore" -> {
       val peels = (1 to CoreRounds)

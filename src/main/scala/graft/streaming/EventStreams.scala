@@ -132,6 +132,18 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Tumbling per-type counts at a CALLER-CHOSEN watermark delay —
+    * the lateness-tolerance knob the q373 watermark planner sizes.
+    * StreamingLatenessSpec drives the contract end to end: a delay at
+    * least the measured worst-case lateness loses nothing vs the
+    * batch twin; a too-tight delay visibly drops
+    * (numRowsDroppedByWatermark > 0). */
+  def tumblingCountsDelay(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
   /** Sliding 2h/1h windowed counts — twin of batch q27_sliding_window. */
   def slidingCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

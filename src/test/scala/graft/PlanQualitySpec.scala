@@ -251,7 +251,10 @@ class PlanQualitySpec extends SparkSuite {
     "q369_boundary_stitch",
     // q371: the prefix theta-join is over the per-SOURCE totals table
     // (q365 class — schema-bounded domain at any corpus size)
-    "q371_budget_fill_curve")
+    "q371_budget_fill_curve",
+    // q376: the broadcast side is the ONE-ROW corpus max-id fold
+    // (q136 class) — provably 1 row at any corpus size
+    "q376_vocab_growth_curve")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

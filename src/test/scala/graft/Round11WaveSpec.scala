@@ -205,6 +205,42 @@ class Round11WaveSpec extends SparkSuite {
       "no late events under the replay permutation")
   }
 
+  test("q375: eccentricities cover every clustered doc, ecc >= 1") {
+    val rows = SparkEntry.queries("q375_cluster_diameter")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty, "no near-dup clusters at sf0.01")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ecc") >= 1,
+        "a multi-doc cluster cannot have eccentricity 0")
+      assert(r.getAs[Long]("n_docs") >= 2 * r.getAs[Long]("n_clusters"),
+        "every cluster has at least 2 members")
+    }
+    // every doc that appears in a >= 0.8 pair is in exactly one cluster
+    val clustered = graft.llm.PairGraph.jaccard(spark, sf01, 0.8)
+      .select(explode(array(col("d1"), col("d2"))).as("d"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clustered,
+      "eccentricity census lost or double-counted clustered docs")
+  }
+
+  test("q376: novelty decays and types total the vocabulary") {
+    val rows = SparkEntry.queries("q376_vocab_growth_curve")(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(rows.length == 10, s"expected 10 deciles, got ${rows.length}")
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new_types")).sum == vocab)
+    // the first decile introduces the most types (everything is new)
+    val news = rows.map(_.getAs[Long]("n_new_types"))
+    assert(news.head == news.max,
+      "decile 0 must introduce at least as many new types as any other")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
