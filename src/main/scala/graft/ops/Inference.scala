@@ -1019,6 +1019,114 @@ object Inference {
           r6n((ns / col("z")) /
             (col("x.n").cast("double") / col("nn"))).as("boost"))
         .orderBy(col("source"))
+    }),
+
+    /** Huber M-estimator of location — the robust mean between q207's
+      * MAD (discards everything past the fence) and the raw average
+      * (lets one outlier own the estimate): three unrolled IRLS
+      * rounds of w = min(1, c/|x − μ|), c = 1.345·σ (the classic 95%-
+      * efficiency constant), each round one grouped aggregate + one
+      * broadcast join of the per-type scalar table back onto the
+      * scan. The weight function is CONTINUOUS in μ, so the last-ulp
+      * float-fold differences between engines cannot flip any
+      * branch; the fixed 3-round budget is mirrored in the oracle's
+      * unrolled CTEs. Output per type: n, raw mean, Huber location,
+      * shift, final pseudo-weight mass. */
+    "q377_huber_location" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value")).cache()
+      val base = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mu0"),
+          (stddev_pop(col("value")) * 1.345).as("c"))
+      // min(1, c/|d|) written branch-first so |d| = 0 never divides
+      // (DuckDB double/0 is NaN, Spark's differs — neither is wanted);
+      // at the |d| = c boundary both branches emit ~1, so a last-ulp
+      // disagreement in c cannot move the estimate
+      def w(mu: org.apache.spark.sql.Column) =
+        when(abs(col("value") - mu) <= col("c"), lit(1.0))
+          .otherwise(col("c") / abs(col("value") - mu))
+      val it = (1 to 3).foldLeft(
+          base.select(col("event_type"), col("c"), col("mu0").as("mu"))) {
+        (cur, _) =>
+          ev.join(broadcast(cur), "event_type")
+            .groupBy(col("event_type"), col("c"))
+            .agg((sum(w(col("mu")) * col("value")) / sum(w(col("mu"))))
+              .as("mu"))
+            .select(col("event_type"), col("c"), col("mu"))
+      }
+      base.join(it.select(col("event_type"), col("mu")), "event_type")
+        .select(col("event_type"), col("n"),
+          r6n(col("mu0")).as("mean_raw"),
+          r6n(col("mu")).as("huber_mu"),
+          r6n(col("mu") - col("mu0")).as("shift"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** CUPED variance reduction — the A/B-test power lever: per user,
+      * the metric over the LATER half of the global time span is
+      * adjusted by its own EARLIER-half covariate, and the closed
+      * form var_adj = var_post·(1 − ρ²) reads off ONE user-level
+      * moment fold (θ, both variances, and the reduction share from
+      * the same six sums — no second scan, no residual pass). The
+      * time midpoint is exact integer microseconds from the 1-row
+      * span fold (q136 bounded-BNLJ class). Missing-period users
+      * carry an exact 0 (standard CUPED: the covariate is defined
+      * for everyone). */
+    "q378_cuped" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val perUser = ev.crossJoin(broadcast(span))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("us") < col("mid"), col("value"))),
+            lit(0.0)).as("pre"),
+          coalesce(sum(when(col("us") >= col("mid"), col("value"))),
+            lit(0.0)).as("post"))
+      perUser.agg(count(lit(1)).as("nu"),
+          avg(col("pre")).as("mp"), avg(col("post")).as("mq"),
+          covar_pop(col("pre"), col("post")).as("cv"),
+          var_pop(col("pre")).as("vp"), var_pop(col("post")).as("vq"))
+        .select(col("nu").as("n_users"),
+          r6n(col("cv") / col("vp")).as("theta"),
+          r6n(col("vq")).as("var_raw"),
+          r6n(col("vq") - col("cv") * col("cv") / col("vp")).as("var_adj"),
+          r6n(col("cv") * col("cv") / (col("vp") * col("vq")))
+            .as("var_reduction"))
+    }),
+
+    /** Difference-in-differences — the quasi-experimental estimate a
+      * rollout readout needs when treatment was not randomized over
+      * time: deterministic treatment (user_id parity), pre/post by
+      * the same global midpoint as q378, cell means from ONE fused
+      * conditional aggregate, DiD = (T₂−T₁) − (C₂−C₁). Everything is
+      * a single scan + the 1-row span fold. */
+    "q379_diff_in_diff" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("treat"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      def cell(t: Boolean, post: Boolean) = {
+        val p = if (post) col("us") >= col("mid") else col("us") < col("mid")
+        val f = (if (t) col("treat") else !col("treat")) && p
+        (avg(when(f, col("value"))), count_if(f))
+      }
+      val ((tPost, nTPost), (tPre, nTPre)) = (cell(t = true, post = true),
+        cell(t = true, post = false))
+      val ((cPost, nCPost), (cPre, nCPre)) = (cell(t = false, post = true),
+        cell(t = false, post = false))
+      ev.crossJoin(broadcast(span))
+        .agg(tPre.as("t_pre"), tPost.as("t_post"),
+          cPre.as("c_pre"), cPost.as("c_post"),
+          nTPre.as("n_t_pre"), nTPost.as("n_t_post"),
+          nCPre.as("n_c_pre"), nCPost.as("n_c_post"))
+        .select(r6n(col("t_pre")).as("t_pre"), r6n(col("t_post")).as("t_post"),
+          r6n(col("c_pre")).as("c_pre"), r6n(col("c_post")).as("c_post"),
+          col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+          r6n((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+            .as("did"))
     })
   )
 
@@ -1683,6 +1791,89 @@ object Inference {
         |CAST(floor(1000.0 * p.n / nn + 0.5) AS BIGINT) AS alloc_prop,
         |round((CAST(p.n AS DOUBLE) * sd / z)
         |  / (CAST(p.n AS DOUBLE) / nn) + 1e-12, 6) AS boost
-        |FROM p, t ORDER BY p.source NULLS FIRST""".stripMargin
+        |FROM p, t ORDER BY p.source NULLS FIRST""".stripMargin,
+
+    // the same c = 1.345*sigma, the same branch-first weight (no
+    // division at |d| = 0), three unrolled IRLS rounds
+    "q377_huber_location" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.event_type, b.c,
+           |  sum(CASE WHEN abs(e.value - $prev.mu) <= b.c THEN 1.0
+           |      ELSE b.c / abs(e.value - $prev.mu) END * e.value)
+           |  / sum(CASE WHEN abs(e.value - $prev.mu) <= b.c THEN 1.0
+           |      ELSE b.c / abs(e.value - $prev.mu) END) AS mu
+           |  FROM e
+           |  JOIN b ON b.event_type = e.event_type
+           |  JOIN $prev ON $prev.event_type = e.event_type
+           |  GROUP BY e.event_type, b.c)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_type, count(*) AS n, avg(value) AS mu0,
+         |  stddev_pop(value) * 1.345 AS c FROM e GROUP BY 1),
+         |i0 AS (SELECT event_type, c, mu0 AS mu FROM b),
+         |${round("i0", "i1")},
+         |${round("i1", "i2")},
+         |${round("i2", "i3")}
+         |SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+         |round(b.mu0 + 1e-12, 6) AS mean_raw,
+         |round(i3.mu + 1e-12, 6) AS huber_mu,
+         |round(i3.mu - b.mu0 + 1e-12, 6) AS shift
+         |FROM b JOIN i3 ON i3.event_type = b.event_type
+         |ORDER BY b.event_type NULLS FIRST""".stripMargin
+    },
+
+    // the same integer-microsecond midpoint, per-user pre/post sums
+    // with exact zeros, the one-fold closed form
+    "q378_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |  coalesce(sum(value) FILTER (us < m.mid), 0.0) AS pre,
+        |  coalesce(sum(value) FILTER (us >= m.mid), 0.0) AS post
+        |  FROM e, m GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS nu,
+        |  covar_pop(pre, post) AS cv,
+        |  var_pop(pre) AS vp, var_pop(post) AS vq
+        |  FROM u)
+        |SELECT CAST(nu AS BIGINT) AS n_users,
+        |round(cv / vp + 1e-12, 6) AS theta,
+        |round(vq + 1e-12, 6) AS var_raw,
+        |round(vq - cv * cv / vp + 1e-12, 6) AS var_adj,
+        |round(cv * cv / (vp * vq) + 1e-12, 6) AS var_reduction
+        |FROM a""".stripMargin,
+
+    // the same parity treatment, the same midpoint, one fused
+    // conditional aggregate
+    "q379_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT (user_id % 2 = 0) AS treat, value, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |a AS (
+        |  SELECT
+        |  avg(value) FILTER (treat AND us < m.mid) AS t_pre,
+        |  avg(value) FILTER (treat AND us >= m.mid) AS t_post,
+        |  avg(value) FILTER (NOT treat AND us < m.mid) AS c_pre,
+        |  avg(value) FILTER (NOT treat AND us >= m.mid) AS c_post,
+        |  count(*) FILTER (treat AND us < m.mid) AS n_t_pre,
+        |  count(*) FILTER (treat AND us >= m.mid) AS n_t_post,
+        |  count(*) FILTER (NOT treat AND us < m.mid) AS n_c_pre,
+        |  count(*) FILTER (NOT treat AND us >= m.mid) AS n_c_post
+        |  FROM e, m)
+        |SELECT round(t_pre + 1e-12, 6) AS t_pre,
+        |round(t_post + 1e-12, 6) AS t_post,
+        |round(c_pre + 1e-12, 6) AS c_pre,
+        |round(c_post + 1e-12, 6) AS c_post,
+        |CAST(n_t_pre AS BIGINT) AS n_t_pre,
+        |CAST(n_t_post AS BIGINT) AS n_t_post,
+        |CAST(n_c_pre AS BIGINT) AS n_c_pre,
+        |CAST(n_c_post AS BIGINT) AS n_c_post,
+        |round((t_post - t_pre) - (c_post - c_pre) + 1e-12, 6) AS did
+        |FROM a""".stripMargin
   )
 }

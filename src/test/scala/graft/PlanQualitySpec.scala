@@ -254,7 +254,10 @@ class PlanQualitySpec extends SparkSuite {
     "q371_budget_fill_curve",
     // q376: the broadcast side is the ONE-ROW corpus max-id fold
     // (q136 class) — provably 1 row at any corpus size
-    "q376_vocab_growth_curve")
+    "q376_vocab_growth_curve",
+    // q378/q379: the broadcast side is the ONE-ROW time-span midpoint
+    // fold (q136 class) — provably 1 row at any corpus size
+    "q378_cuped", "q379_diff_in_diff")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

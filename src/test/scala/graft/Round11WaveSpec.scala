@@ -241,6 +241,46 @@ class Round11WaveSpec extends SparkSuite {
     }
   }
 
+  test("q377: Huber location lands inside the data range, weights work") {
+    val rows = SparkEntry.queries("q377_huber_location")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = Tables(spark, sf, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("event_type"))
+      val mu = r.getAs[Double]("huber_mu")
+      assert(mu >= lo - 1e-6 && mu <= hi + 1e-6,
+        s"huber_mu $mu outside data range [$lo, $hi]")
+      // the robust estimate moved off the raw mean by a bounded step
+      assert(math.abs(r.getAs[Double]("shift")) <= (hi - lo),
+        "IRLS shift exceeds the data range — weights are broken")
+    }
+  }
+
+  test("q378: CUPED never increases variance; reduction is rho^2") {
+    val r = SparkEntry.queries("q378_cuped")(spark, sf).collect().head
+    val (raw, adj, red) = (r.getAs[Double]("var_raw"),
+      r.getAs[Double]("var_adj"), r.getAs[Double]("var_reduction"))
+    assert(adj <= raw + 1e-6, s"CUPED increased variance: $raw -> $adj")
+    assert(red >= 0.0 && red <= 1.0)
+    assert(math.abs(adj - raw * (1.0 - red)) <= 1e-3 * math.max(raw, 1.0),
+      "var_adj != var_raw * (1 - reduction) — the closed form broke")
+  }
+
+  test("q379: DiD is exactly the cell-mean contrast; cells partition events") {
+    val r = SparkEntry.queries("q379_diff_in_diff")(spark, sf).collect().head
+    val did = (r.getAs[Double]("t_post") - r.getAs[Double]("t_pre")) -
+      (r.getAs[Double]("c_post") - r.getAs[Double]("c_pre"))
+    assert(math.abs(r.getAs[Double]("did") - did) <= 2e-6)
+    val nCells = Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .map(r.getAs[Long]).sum
+    assert(nCells == Tables(spark, sf, "events").count(),
+      "the four DiD cells must partition every event")
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
