@@ -1288,6 +1288,40 @@ object Extended {
         .join(dominant, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    /** Price-index panel — Laspeyres / Paasche / Fisher per ship
+      * year against the 1996 base basket: the econ-style deflator a
+      * revenue dashboard needs before comparing years (raw revenue
+      * mixes price moves with volume moves; the index isolates
+      * price). Unit price per (year, part) is the value-weighted
+      * Σext/Σqty; only parts present in BOTH the base and the target
+      * year enter (the matched-basket convention). Two grouped
+      * aggregates + one part-keyed equi-join — shuffles keyed on
+      * partkey, scales as the dimension does; fisher = √(L·P) is
+      * IEEE-exact sqrt over already-folded terms. */
+    "q380_price_index" -> ((s: SparkSession, dir: String) => {
+      val py = Tables(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).cast("long").as("yr"),
+          col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+        .groupBy(col("yr"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("ext"),
+          sum(col("l_quantity")).as("qty"))
+        .select(col("yr"), col("l_partkey"),
+          (col("ext") / col("qty")).as("p"), col("qty").as("q"))
+        .cache() // base-year slice and the panel join both read it
+      val base = py.filter(col("yr") === 1996)
+        .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+      py.join(base, "l_partkey")
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("p") * col("q0")) / sum(col("p0") * col("q0"))).as("lasp"),
+          (sum(col("p") * col("q")) / sum(col("p0") * col("q"))).as("paas"))
+        .select(col("yr").as("year"), col("n_parts"),
+          r6n(col("lasp")).as("laspeyres"),
+          r6n(col("paas")).as("paasche"),
+          r6n(sqrt(col("lasp") * col("paas"))).as("fisher"))
+        .orderBy(col("year"))
     })
   )
 
@@ -1985,6 +2019,26 @@ object Extended {
         |JOIN nation ON n_nationkey = s_nationkey
         |JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
-        |ORDER BY s_suppkey NULLS FIRST""".stripMargin
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    // the same value-weighted unit prices, 1996 matched basket,
+    // identical fold order in all three index ratios
+    "q380_price_index" ->
+      """WITH py AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey,
+        |  sum(l_extendedprice) / sum(l_quantity) AS p,
+        |  sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l_partkey, p AS p0, q AS q0 FROM py WHERE yr = 1996)
+        |SELECT py.yr AS year, CAST(count(*) AS BIGINT) AS n_parts,
+        |round(sum(py.p * b.q0) / sum(b.p0 * b.q0) + 1e-12, 6) AS laspeyres,
+        |round(sum(py.p * py.q) / sum(b.p0 * py.q) + 1e-12, 6) AS paasche,
+        |round(sqrt((sum(py.p * b.q0) / sum(b.p0 * b.q0)) *
+        |           (sum(py.p * py.q) / sum(b.p0 * py.q))) + 1e-12, 6)
+        |  AS fisher
+        |FROM py JOIN b ON b.l_partkey = py.l_partkey
+        |GROUP BY py.yr
+        |ORDER BY year NULLS FIRST""".stripMargin
   )
 }

@@ -281,6 +281,22 @@ class Round11WaveSpec extends SparkSuite {
       "the four DiD cells must partition every event")
   }
 
+  test("q380: base year indexes to 1; Fisher sits between L and P") {
+    val rows = SparkEntry.queries("q380_price_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = rows.find(_.getAs[Long]("year") == 1996L).get
+    Seq("laspeyres", "paasche", "fisher").foreach { c =>
+      assert(math.abs(base.getAs[Double](c) - 1.0) < 1e-6,
+        s"base-year $c != 1")
+    }
+    rows.foreach { r =>
+      val (l, p, f) = (r.getAs[Double]("laspeyres"),
+        r.getAs[Double]("paasche"), r.getAs[Double]("fisher"))
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"fisher $f outside [$l, $p]")
+    }
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
