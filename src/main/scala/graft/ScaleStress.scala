@@ -221,7 +221,8 @@ object ScaleStress {
     // capped wedge enumeration
     q("q365_quota_select"), q("q368_source_classifier"),
     q("q369_boundary_stitch"), q("q371_budget_fill_curve"),
-    q("q367_transitivity_audit"),
+    q("q367_transitivity_audit"), q("q377_huber_location"),
+    q("q380_price_index"), q("q370_drop_attribution"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
