@@ -27,6 +27,60 @@ class Round11WaveSpec extends SparkSuite {
   // degenerate (no drops / no wedges)
   private val sf01 = "/root/testdata/sf0.01"
 
+  test("q361: pair volume and drop mass shrink as the threshold rises") {
+    val rows = SparkEntry.queries("q361_dedup_threshold_curve")(spark, sf01)
+      .orderBy(col("threshold")).collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_pairs") <= a.getAs[Long]("n_pairs"))
+        assert(b.getAs[Long]("n_docs_dropped") <= a.getAs[Long]("n_docs_dropped"))
+        assert(b.getAs[Long]("chars_dropped") <= a.getAs[Long]("chars_dropped"))
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getAs[Double]("drop_share") >= 0.0 &&
+      r.getAs[Double]("drop_share") <= 1.0))
+  }
+
+  test("q362: candidate set grows with nprobe and recall never falls") {
+    val rows = SparkEntry.queries("q362_ivf_nprobe_curve")(spark, sf01)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_scanned") >= a.getAs[Long]("n_scanned"),
+          "candidate set shrank as nprobe grew")
+        assert(b.getAs[Double]("recall_at_10") >=
+          a.getAs[Double]("recall_at_10") - 1e-9,
+          "recall fell as nprobe grew — candidate nesting broke")
+      case _ => ()
+    }
+  }
+
+  test("q363: posting mass and pair volume grow with the cap") {
+    val rows = SparkEntry.queries("q363_dfcap_planner")(spark, sf01)
+      .orderBy(col("cap")).collect()
+    assert(rows.length >= 3)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("postings_kept") >= a.getAs[Long]("postings_kept"))
+        assert(b.getAs[Long]("pair_join_volume") >=
+          a.getAs[Long]("pair_join_volume"))
+      case _ => ()
+    }
+  }
+
+  test("q364: chunk-dup shares are rates; dup chunks bounded by chunks") {
+    val rows = SparkEntry.queries("q364_chunk_dedup")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"))
+      val s = r.getAs[Double]("dup_chunk_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("n_docs_with_dup") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
   test("q365: quota arithmetic, budget respected, greedy fill maximal") {
     val rows = SparkEntry.queries("q365_quota_select")(spark, sf).collect()
     assert(rows.nonEmpty)
