@@ -44,6 +44,56 @@ object TextDedup {
           |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin).as("sh"))
       .distinct()
 
+  /** Per-doc 60-bit SimHash fingerprints — the q36 derivation shared
+    * with the q381 calibration table. Whole fingerprint with NO
+    * token-level exchange (the q34/q35 shingle-rewrite move): token
+    * hashes from one transform over the split array (first 15 hex
+    * chars of sha-256 — engine-portable, the DuckDB oracle rebuilds
+    * the value with a hex fold; transform keeps duplicates exactly as
+    * explode did, preserving multiset votes), then the 60 bit-vote
+    * folds + reassembly run as ONE native codegen'd kernel
+    * ([[graft.functions.SimHashFingerprint]] — the former 60
+    * aggregate() HOFs each re-walked the array, interpreted).
+    * Null-text docs are dropped EXPLICITLY: votes over a null array
+    * would fold every null-text doc to fp=0 and band-join them all
+    * into one bogus near-dup cluster. */
+  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        """transform(split(text, ' '),
+          |  t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"""
+          .stripMargin).as("hs"))
+    graft.functions.SimHashFingerprint.register(s)
+    hs.select(col("doc_id"), expr("simhash_fp(hs, 60)").as("fp"))
+  }
+
+  /** The q36 fingerprint/vote derivation as DuckDB CTE text (`h`,
+    * `votes`, `fp`) — interpolated by the q36 and q381 oracles so the
+    * two cannot drift. */
+  private[llm] def duckSimhashFp: String = {
+    val voteCols = (0 until 60).map(i =>
+      s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n  ")
+    val fpExpr = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(substr(sha256(t), 1, 15), ''),
+       |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
+       |                ELSE ord(c) - 87 END AS BIGINT))),
+       |    (acc, x) -> acc * 16 + x) AS hv
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |  $voteCols
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM votes)"""
+      .stripMargin
+  }
+
   /** (d1, d2, jac) from per-pair intersection counts + per-doc set
     * sizes, filtered to `threshold` — shared by the exact inverted-
     * index path and the minhash candidate-verification path. */
@@ -527,30 +577,7 @@ object TextDedup {
       * sha-256 (engine-portable — the DuckDB oracle rebuilds it with a
       * hex fold), so the whole operator IS oracle-checked. */
     "q36_dedup_simhash" -> ((s: SparkSession, dir: String) => {
-      val bits = 60
-      val docs = Tables(s, dir, "documents")
-      // Whole fingerprint with NO token-level exchange (same move as
-      // the q34/q35 shingle rewrite): token hashes from one transform
-      // over the split array, then the whole 60-bit vote + reassembly
-      // in ONE projection — only the tiny per-doc (id, fp) rows reach
-      // the banding self-join (the original explode → 60-column
-      // groupBy exchanged every TOKEN row). Token multiset semantics
-      // preserved: transform keeps duplicates exactly as explode did.
-      // null-text docs are dropped EXPLICITLY: aggregate-style votes
-      // over a null array would fold every null-text doc to fp=0 —
-      // silently band-joining them all into one bogus near-dup cluster
-      val hs = docs.filter(col("text").isNotNull)
-        .select(col("doc_id"), expr(
-        """transform(split(text, ' '),
-          |  t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"""
-          .stripMargin).as("hs"))
-      // the 60 bit-vote folds + reassembly run as ONE native codegen'd
-      // kernel ([[graft.functions.SimHashFingerprint]]): the former 60
-      // aggregate() HOF folds each re-walked the token-hash array and
-      // ran interpreted (HOF lambdas have no codegen). All-integer
-      // math, so the swap is bit-identical (SimHashFingerprintSpec).
-      graft.functions.SimHashFingerprint.register(s)
-      val fp = hs.select(col("doc_id"), expr(s"simhash_fp(hs, $bits)").as("fp"))
+      val fp = simhashFps(s, dir)
       // cached: the pair self-join reads both sides — without it the
       // 60-bit-vote aggregation over all tokens runs twice
       val banded = fp.select(col("doc_id"), col("fp"), explode(array(
@@ -567,6 +594,33 @@ object TextDedup {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    /** SimHash↔Jaccard CALIBRATION table — the measured answer to
+      * "what does hamming ≤ 3 actually mean in Jaccard terms on THIS
+      * corpus": every stored ≥ 0.5-Jaccard pair gets both endpoints'
+      * 60-bit fingerprints ([[simhashFps]] — the exact q36 kernel),
+      * and the report per 5-bit hamming band is pair volume, the
+      * Jaccard range it spans, and the ≥ 0.8 true-dup share. This is
+      * how the q36 hamming convention and the q361 threshold curve
+      * get joined into one operating picture. Pairs come from the
+      * persisted store; the fingerprint join is two doc-keyed equi
+      * joins — nothing quadratic anywhere. */
+    "q381_simhash_calibration" -> ((s: SparkSession, dir: String) => {
+      val fp = simhashFps(s, dir).cache() // both pair endpoints read it
+      PairGraph.jaccard(s, dir, 0.5)
+        .join(fp.select(col("doc_id").as("d1"), col("fp").as("f1")), "d1")
+        .join(fp.select(col("doc_id").as("d2"), col("fp").as("f2")), "d2")
+        .select(col("jac"),
+          bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("h"))
+        .groupBy(((col("h") / 5).cast("long") * 5).as("ham_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          r6n(avg(col("jac"))).as("mean_jac"),
+          r6n(min(col("jac"))).as("min_jac"),
+          r6n(max(col("jac"))).as("max_jac"),
+          r6n(count_if(col("jac") >= 0.8).cast("double") / count(lit(1)))
+            .as("dup_share"))
+        .orderBy(col("ham_band"))
     }),
 
     /** Near-dup CLUSTERS: connected components over the ≥0.8-Jaccard
@@ -1360,25 +1414,41 @@ object TextDedup {
     // the 60 per-bit vote sums and the fingerprint reassembly are
     // program-generated; the token hash is the same sha-256 hex prefix
     // the engine uses, rebuilt with a BIGINT hex fold
+    // store-raw jaccards (unrounded division, the q361 stance) joined
+    // to both endpoints' from-first-principles fingerprints
+    "q381_simhash_calibration" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d1, d2,
+         |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+         |  FROM prs
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5),
+         |$duckSimhashFp,
+         |band AS (
+         |  SELECT (hm // 5) * 5 AS ham_band, jac FROM (
+         |    SELECT j.jac, bit_count(xor(f1.fp, f2.fp)) AS hm
+         |    FROM j
+         |    JOIN fp f1 ON f1.doc_id = j.d1
+         |    JOIN fp f2 ON f2.doc_id = j.d2))
+         |SELECT CAST(ham_band AS BIGINT) AS ham_band,
+         |CAST(count(*) AS BIGINT) AS n_pairs,
+         |round(avg(jac) + 1e-12, 6) AS mean_jac,
+         |round(min(jac) + 1e-12, 6) AS min_jac,
+         |round(max(jac) + 1e-12, 6) AS max_jac,
+         |round(count(*) FILTER (jac >= 0.8) * 1.0 / count(*) + 1e-12, 6)
+         |  AS dup_share
+         |FROM band GROUP BY 1
+         |ORDER BY ham_band NULLS FIRST""".stripMargin,
+
     "q36_dedup_simhash" -> {
-      val voteCols = (0 until 60).map(i =>
-        s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
-      val fpExpr = (0 until 60).map(i =>
-        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |h AS (
-         |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(substr(sha256(t), 1, 15), ''),
-         |      c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ord(c) - 48
-         |                ELSE ord(c) - 87 END AS BIGINT))),
-         |    (acc, x) -> acc * 16 + x) AS hv
-         |  FROM tok),
-         |votes AS (
-         |  SELECT doc_id,
-         |  $voteCols
-         |  FROM h GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM votes),
+      s"""WITH $duckSimhashFp,
          |banded AS (
          |  SELECT doc_id, fp, k AS band, (fp >> (15 * k)) & 32767 AS key
          |  FROM fp, unnest([0, 1, 2, 3]) AS u(k))

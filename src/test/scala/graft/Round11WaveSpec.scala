@@ -351,6 +351,23 @@ class Round11WaveSpec extends SparkSuite {
     }
   }
 
+  test("q381: calibration bands are coherent and cover the pair store") {
+    val rows = SparkEntry.queries("q381_simhash_calibration")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Double]("min_jac"),
+        r.getAs[Double]("mean_jac"), r.getAs[Double]("max_jac"))
+      assert(lo <= mid + 1e-9 && mid <= hi + 1e-9, s"band stats disordered")
+      val s = r.getAs[Double]("dup_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("ham_band") % 5 == 0)
+    }
+    // every stored >= 0.5 pair lands in exactly one band
+    val stored = graft.llm.PairGraph.jaccard(spark, sf01, 0.5).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == stored)
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
