@@ -637,6 +637,62 @@ object PairGraph {
         .orderBy(col("source"))
     }),
 
+    /** Cross-LINGUAL near-dup census — ≥ 0.8 pairs whose endpoints
+      * carry DIFFERENT lang labels: on a real corpus these are
+      * translations, templated boilerplate, or lang-ID errors — each
+      * a different curation action (keep both, drop both, fix the
+      * label), so the per-(lang-pair) volume is the triage table.
+      * Pairs from the persisted store; labels join by doc key; the
+      * lang-pair key is canonicalized least/greatest (q343's
+      * split-pair move). */
+    "q382_crosslingual_dup" -> ((s: SparkSession, dir: String) => {
+      val lang = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+      jaccard(s, dir, 0.8)
+        .join(lang.select(col("doc_id").as("d1"), col("lang").as("g1")), "d1")
+        .join(lang.select(col("doc_id").as("d2"), col("lang").as("g2")), "d2")
+        .select(concat(least(col("g1"), col("g2")), lit("-"),
+          greatest(col("g1"), col("g2"))).as("lang_pair"),
+          (col("g1") =!= col("g2")).as("cross"))
+        .groupBy(col("lang_pair"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_if(col("cross")).as("n_cross"))
+        .orderBy(col("lang_pair"))
+    }),
+
+    /** Dup-vs-QUALITY interaction — "are the near-duplicated docs the
+      * bad ones?": per source, the mean q39 composite of docs that
+      * sit in ≥ 1 stored ≥ 0.8 pair vs the rest, and the gap. A
+      * negative gap (dups score lower) means doc-level quality
+      * filters already remove much of what dedup would; a positive
+      * gap means dedup is deleting GOOD text and the keep-policy
+      * (q147) matters. One doc-keyed semi-join flag + one grouped
+      * aggregate; the quality expression is the exact q39 arithmetic
+      * so the numbers line up with every other quality table. */
+    "q383_dup_quality_gap" -> ((s: SparkSession, dir: String) => {
+      val sp = split(col("text"), " ")
+      val ntD = size(sp).cast("double")
+      val q = lit(0.5) * (size(array_distinct(sp)) / ntD) +
+        lit(0.3) * (lit(1.0) -
+          size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")) / ntD) +
+        lit(0.2) * least(ntD / 100.0, lit(1.0))
+      val dupDocs = jaccard(s, dir, 0.8)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), q.as("q"))
+        .join(dupDocs.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count_if(col("dup").isNotNull).as("n_dup_docs"),
+          count_if(col("dup").isNull).as("n_clean_docs"),
+          avg(when(col("dup").isNotNull, col("q"))).as("mq_dup"),
+          avg(when(col("dup").isNull, col("q"))).as("mq_clean"))
+        .select(col("source"), col("n_dup_docs"), col("n_clean_docs"),
+          r6n(col("mq_dup")).as("mean_quality_dup"),
+          r6n(col("mq_clean")).as("mean_quality_clean"),
+          r6n(col("mq_dup") - col("mq_clean")).as("quality_gap"))
+        .orderBy(col("source"))
+    }),
+
     /** Near-dup graph TRANSITIVITY audit — how valid is the connected-
       * component dedup convention (q93: anything reachable at ≥ 0.8 is
       * "the same document")? Jaccard ≥ t is not transitive; every open
@@ -981,6 +1037,49 @@ object PairGraph {
          |  AS share_delta
          |FROM per CROSS JOIN tot
          |ORDER BY per.source NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 pairs from first principles, canonical least/greatest
+    // lang-pair keys
+    "q382_crosslingual_dup" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |l AS (
+         |  SELECT least(a.lang, b.lang) || '-' || greatest(a.lang, b.lang)
+         |    AS lang_pair,
+         |  (a.lang <> b.lang) AS cross_l
+         |  FROM p
+         |  JOIN documents a ON a.doc_id = p.d1
+         |  JOIN documents b ON b.doc_id = p.d2)
+         |SELECT lang_pair, CAST(count(*) AS BIGINT) AS n_pairs,
+         |CAST(count(*) FILTER (cross_l) AS BIGINT) AS n_cross
+         |FROM l GROUP BY 1
+         |ORDER BY lang_pair NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 endpoint set + the exact q39 quality arithmetic, two
+    // conditional means per source
+    "q383_dup_quality_gap" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |dup AS (
+         |  SELECT DISTINCT doc FROM (
+         |    SELECT unnest([d1, d2]) AS doc FROM p)),
+         |d AS (
+         |  SELECT doc_id, source,
+         |  0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+         |         / len(string_split(text, ' ')))
+         |  + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+         |                     t -> t IN ('the', 'a'))) * 1.0
+         |                 / len(string_split(text, ' ')))
+         |  + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS q,
+         |  (dup.doc IS NOT NULL) AS is_dup
+         |  FROM documents LEFT JOIN dup ON dup.doc = documents.doc_id)
+         |SELECT source,
+         |CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_dup_docs,
+         |CAST(count(*) FILTER (NOT is_dup) AS BIGINT) AS n_clean_docs,
+         |round(avg(q) FILTER (is_dup) + 1e-12, 6) AS mean_quality_dup,
+         |round(avg(q) FILTER (NOT is_dup) + 1e-12, 6) AS mean_quality_clean,
+         |round(avg(q) FILTER (is_dup) - avg(q) FILTER (NOT is_dup)
+         |  + 1e-12, 6) AS quality_gap
+         |FROM d GROUP BY source
+         |ORDER BY source NULLS FIRST""".stripMargin,
 
     // ≥ 0.8 pairs from first principles, the same 64-neighbor cap
     // (lowest-id rank), wedge enumeration + closure probe

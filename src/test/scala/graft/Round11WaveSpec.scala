@@ -368,6 +368,28 @@ class Round11WaveSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == stored)
   }
 
+  test("q382/q383: lang-pair and dup/clean censuses partition the store") {
+    val pairRows = SparkEntry.queries("q382_crosslingual_dup")(spark, sf01)
+      .collect()
+    assert(pairRows.nonEmpty)
+    val stored = graft.llm.PairGraph.jaccard(spark, sf01, 0.8).count()
+    assert(pairRows.map(_.getAs[Long]("n_pairs")).sum == stored,
+      "lang-pair census lost or double-counted stored pairs")
+    pairRows.foreach { r =>
+      val same = r.getAs[String]("lang_pair").split("-") match {
+        case Array(a, b) => a == b; case _ => false }
+      assert(r.getAs[Long]("n_cross") ==
+        (if (same) 0L else r.getAs[Long]("n_pairs")),
+        "cross flag disagrees with the canonical lang-pair key")
+    }
+    val gapRows = SparkEntry.queries("q383_dup_quality_gap")(spark, sf01)
+      .collect()
+    val nDocs = Tables(spark, sf01, "documents").count()
+    assert(gapRows.map(r => r.getAs[Long]("n_dup_docs") +
+      r.getAs[Long]("n_clean_docs")).sum == nDocs,
+      "dup/clean split must partition the corpus")
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
