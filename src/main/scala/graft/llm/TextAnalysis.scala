@@ -1239,6 +1239,29 @@ object TextAnalysis {
             .as("pred_shingles_x1000"))
     }),
 
+    /** Vocabulary RICHNESS estimators — how much vocabulary the
+      * corpus has NOT shown yet, from the frequency-of-frequencies:
+      * bias-corrected Chao1 richness S_obs + n1(n1−1)/(2(n2+1))
+      * (defined even at n2 = 0) and the Good-Turing unseen mass
+      * P0 = n1/N with its complement coverage — the numbers behind
+      * "is more crawling worth it" and the sampling-coverage check a
+      * tokenizer freeze needs. One token-count aggregate + one 1-row
+      * fold; everything integer until the three rounded estimates. */
+    "q385_vocab_richness" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("s_obs"), sum(col("c")).as("n_tokens"),
+          count_if(col("c") === 1).as("n1"),
+          count_if(col("c") === 2).as("n2"))
+        .select(col("s_obs"), col("n_tokens"), col("n1"), col("n2"),
+          r2n(col("s_obs") + col("n1").cast("double") * (col("n1") - 1) /
+            (lit(2.0) * (col("n2") + 1))).as("chao1"),
+          r6n(col("n1").cast("double") / col("n_tokens")).as("unseen_mass"),
+          r6n(lit(1.0) - col("n1").cast("double") / col("n_tokens"))
+            .as("coverage"))
+    }),
+
     /** Vocabulary GROWTH curve — the empirical companion to q358's
       * Heaps extrapolation: per corpus decile (doc_id ranges — the
       * ingest order), the token occurrences it contributes and the
@@ -2153,6 +2176,26 @@ object TextAnalysis {
          |round(exp(lnk) * pow(tn * 1000.0, beta) + 1e-12, 2)
          |  AS pred_shingles_x1000
          |FROM f""".stripMargin,
+
+    // the same frequency-of-frequencies fold, bias-corrected Chao1,
+    // Good-Turing n1/N
+    "q385_vocab_richness" ->
+      """WITH f AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t),
+        |a AS (
+        |  SELECT count(*) AS s_obs, sum(c) AS n_tokens,
+        |  count(*) FILTER (c = 1) AS n1, count(*) FILTER (c = 2) AS n2
+        |  FROM f)
+        |SELECT CAST(s_obs AS BIGINT) AS s_obs,
+        |CAST(n_tokens AS BIGINT) AS n_tokens,
+        |CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |round(s_obs + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1))
+        |  + 1e-12, 2) AS chao1,
+        |round(CAST(n1 AS DOUBLE) / n_tokens + 1e-12, 6) AS unseen_mass,
+        |round(1.0 - CAST(n1 AS DOUBLE) / n_tokens + 1e-12, 6) AS coverage
+        |FROM a""".stripMargin,
 
     // the same decile arithmetic against the corpus max id, first
     // occurrences via min(doc_id) per type

@@ -2402,6 +2402,66 @@ object Statistics {
           (col("group_slope") * col("pooled_slope") < 0.0).cast("long")
             .as("sign_flip"))
         .orderBy(col("event_type"))
+    }),
+
+    /** Capture-recapture POPULATION estimate — "how many users exist
+      * that we have never seen": two disjoint observation windows
+      * (the first and last quarter of the event span) are the two
+      * captures, and the Lincoln-Petersen / Chapman estimators read
+      * the total population off the overlap. The estimator the
+      * dedup-universe and audience-size questions share. Per-user
+      * membership flags fold from ONE user-keyed aggregate against
+      * the 1-row span fold (q136 bounded-BNLJ class); everything
+      * integer until the two nudged estimates. */
+    "q384_capture_recapture" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(col("lo"), ((col("hi") - col("lo")) / 4).cast("long").as("qs"),
+          col("hi"))
+      val flags = ev.crossJoin(broadcast(span))
+        .groupBy(col("user_id"))
+        .agg(max((col("us") < col("lo") + col("qs")).cast("long")).as("c1"),
+          max((col("us") >= col("hi") - col("qs")).cast("long")).as("c2"))
+      flags.agg(count(lit(1)).as("true_distinct"),
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(col("c1") * col("c2")).as("m"))
+        .select(col("n1"), col("n2"), col("m"), col("true_distinct"),
+          r2n(col("n1").cast("double") * col("n2") / col("m"))
+            .as("lincoln_petersen"),
+          r2n((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("m") + 1) - 1.0).as("chapman"))
+    }),
+
+    /** Delete-one-GROUP jackknife — the resampling variance q257's
+      * bootstrap cannot give when the resampling unit must be a
+      * whole SOURCE (documents within a crawl are correlated, so
+      * doc-level replicas understate the variance of any per-corpus
+      * mean): leave each source out once, re-read the mean doc
+      * length in closed form from (total − group) integer sums, and
+      * fold the g pseudo-replicas into the jackknife SE. One grouped
+      * aggregate + the 1-row totals fold; g is the schema-bounded
+      * source count. */
+    "q386_jackknife_sources" -> ((s: SparkSession, dir: String) => {
+      val per = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("ns"), sum(col("n_chars")).as("ts"))
+      val tot = per.agg(sum(col("ns")).as("n"), sum(col("ts")).as("t"),
+        count(lit(1)).as("g"))
+      val loo = per.crossJoin(broadcast(tot))
+        .select(col("g"), col("n"), col("t"),
+          ((col("t") - col("ts")).cast("double") /
+            (col("n") - col("ns")).cast("double")).as("theta_i"))
+      loo.groupBy(col("g"), col("n"), col("t"))
+        .agg(avg(col("theta_i")).as("tb"),
+          sum(col("theta_i") * col("theta_i")).as("s2"),
+          count(lit(1)).as("gi"))
+        .select(col("g").as("n_sources"),
+          r6n(col("t").cast("double") / col("n")).as("theta"),
+          r6n((col("g") - 1).cast("double") / col("g") *
+            (col("s2") - col("g") * col("tb") * col("tb"))).as("jack_var"),
+          r6n(sqrt((col("g") - 1).cast("double") / col("g") *
+            (col("s2") - col("g") * col("tb") * col("tb")))).as("jack_se"))
     })
   )
 
@@ -3907,7 +3967,53 @@ object Statistics {
         |CAST(CASE WHEN group_slope * pooled_slope < 0.0
         |  THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
         |FROM per, pooled
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // the same quarter-span capture windows, per-user membership
+    // flags, Lincoln-Petersen + Chapman arithmetic
+    "q384_capture_recapture" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |sp AS (
+        |  SELECT min(us) AS lo, (max(us) - min(us)) // 4 AS qs,
+        |  max(us) AS hi FROM e),
+        |fl AS (
+        |  SELECT user_id,
+        |  max(CASE WHEN us < sp.lo + sp.qs THEN 1 ELSE 0 END) AS c1,
+        |  max(CASE WHEN us >= sp.hi - sp.qs THEN 1 ELSE 0 END) AS c2
+        |  FROM e, sp GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS true_distinct, sum(c1) AS n1, sum(c2) AS n2,
+        |  sum(c1 * c2) AS m FROM fl)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |CAST(m AS BIGINT) AS m,
+        |CAST(true_distinct AS BIGINT) AS true_distinct,
+        |round(CAST(n1 AS DOUBLE) * n2 / m + 1e-12, 2) AS lincoln_petersen,
+        |round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0 + 1e-12, 2)
+        |  AS chapman
+        |FROM a""".stripMargin,
+
+    // the same leave-one-source-out closed form over integer sums
+    "q386_jackknife_sources" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS ns, sum(n_chars) AS ts
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(ns) AS n, sum(ts) AS t, count(*) AS g FROM per),
+        |loo AS (
+        |  SELECT tot.g, tot.n, tot.t,
+        |  CAST(tot.t - per.ts AS DOUBLE) / CAST(tot.n - per.ns AS DOUBLE)
+        |    AS theta_i
+        |  FROM per, tot),
+        |a AS (
+        |  SELECT g, n, t, avg(theta_i) AS tb,
+        |  sum(theta_i * theta_i) AS s2, count(*) AS gi
+        |  FROM loo GROUP BY g, n, t)
+        |SELECT CAST(g AS BIGINT) AS n_sources,
+        |round(CAST(t AS DOUBLE) / n + 1e-12, 6) AS theta,
+        |round(CAST(g - 1 AS DOUBLE) / g * (s2 - g * tb * tb) + 1e-12, 6)
+        |  AS jack_var,
+        |round(sqrt(CAST(g - 1 AS DOUBLE) / g * (s2 - g * tb * tb))
+        |  + 1e-12, 6) AS jack_se
+        |FROM a""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

@@ -257,7 +257,10 @@ class PlanQualitySpec extends SparkSuite {
     "q376_vocab_growth_curve",
     // q378/q379: the broadcast side is the ONE-ROW time-span midpoint
     // fold (q136 class) — provably 1 row at any corpus size
-    "q378_cuped", "q379_diff_in_diff")
+    "q378_cuped", "q379_diff_in_diff",
+    // q384/q386: the broadcast sides are the ONE-ROW span fold and
+    // the ONE-ROW totals fold (q136 class) — provably 1 row each
+    "q384_capture_recapture", "q386_jackknife_sources")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

@@ -390,6 +390,45 @@ class Round11WaveSpec extends SparkSuite {
       "dup/clean split must partition the corpus")
   }
 
+  test("q384: estimators bracket sanely around the true population") {
+    val r = SparkEntry.queries("q384_capture_recapture")(spark, sf)
+      .collect().head
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m"))
+    val truth = r.getAs[Long]("true_distinct")
+    assert(m <= math.min(n1, n2) && m > 0)
+    val lp = r.getAs[Double]("lincoln_petersen")
+    val ch = r.getAs[Double]("chapman")
+    // both estimators are at least the larger capture and within a
+    // loose factor of the truth on a population everyone revisits
+    assert(lp >= math.max(n1, n2) - 1e-6 && ch >= math.max(n1, n2) * 0.5)
+    assert(lp <= truth * 10.0 && ch <= truth * 10.0,
+      s"estimates ($lp, $ch) implausibly far above truth $truth")
+  }
+
+  test("q385: richness estimators are coherent with the vocabulary") {
+    val r = SparkEntry.queries("q385_vocab_richness")(spark, sf)
+      .collect().head
+    val sObs = r.getAs[Long]("s_obs")
+    assert(r.getAs[Double]("chao1") >= sObs - 1e-6,
+      "Chao1 must not fall below the observed richness")
+    val p0 = r.getAs[Double]("unseen_mass")
+    assert(p0 >= 0.0 && p0 <= 1.0)
+    assert(math.abs(p0 + r.getAs[Double]("coverage") - 1.0) < 2e-6)
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") <= sObs)
+  }
+
+  test("q386: jackknife variance is nonnegative; theta matches the mean") {
+    val r = SparkEntry.queries("q386_jackknife_sources")(spark, sf)
+      .collect().head
+    assert(r.getAs[Double]("jack_var") >= -1e-9)
+    assert(math.abs(r.getAs[Double]("jack_se") -
+      math.sqrt(math.max(0.0, r.getAs[Double]("jack_var")))) < 1e-3)
+    val mean = Tables(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(math.abs(r.getAs[Double]("theta") - mean) < 1e-4)
+  }
+
   test("q374: broadcast decisions flip monotonically with scale") {
     val rows = SparkEntry.queries("q374_broadcast_planner")(spark, sf).collect()
     assert(rows.length == 15) // 5 dims x {1,100,1000}
