@@ -223,6 +223,7 @@ object ScaleStress {
     q("q369_boundary_stitch"), q("q371_budget_fill_curve"),
     q("q367_transitivity_audit"), q("q377_huber_location"),
     q("q380_price_index"), q("q370_drop_attribution"),
+    q("q381_simhash_calibration"), q("q385_vocab_richness"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
