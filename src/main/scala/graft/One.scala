@@ -38,7 +38,22 @@ object One {
         })
     }
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, {
+        // a typo'd name should cost seconds, not a round-trip: rank all
+        // registered queries by edit distance and print the 5 nearest
+        def dist(a: String, b: String): Int = {
+          val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+              d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          d(a.length)(b.length)
+        }
+        val near = SparkEntry.queries.keys.toSeq
+          .sortBy(k => (dist(name, k), k)).take(5)
+        spark.stop()
+        sys.error(s"unknown query '$name'; did you mean: ${near.mkString(", ")}?")
+      })
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

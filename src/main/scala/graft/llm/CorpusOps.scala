@@ -873,6 +873,7 @@ object CorpusOps {
       val sp = split(col("text"), " ")
       val ntD = size(sp).cast("double")
       val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull) // codebase convention (q36/q370): a null text must not reach size() — the segmented scan would raise
         .select(col("doc_id"), col("source"),
           size(sp).cast("long").as("nt"),
           (lit(0.5) * (size(array_distinct(sp)) / ntD) +
@@ -898,7 +899,11 @@ object CorpusOps {
             col("nt"))), lit(0L)).as("tokens_kept"))
         .select(col("source"), col("quota").as("quota_tokens"),
           col("n_docs_kept"), col("tokens_kept"),
-          r6n(col("tokens_kept").cast("double") / col("quota")).as("fill_rate"))
+          // a source with < 4 tokens has quota 0 (tot*3 DIV 10); an
+          // unguarded division yields NaN where the oracle's CASE is 0
+          when(col("quota") > 0,
+            r6n(col("tokens_kept").cast("double") / col("quota")))
+            .otherwise(lit(0.0)).as("fill_rate"))
         .orderBy(col("source"))
     }),
 
@@ -918,6 +923,7 @@ object CorpusOps {
       val sp = split(col("text"), " ")
       val ntD = size(sp).cast("double")
       val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull) // same guard as q365
         .select(col("doc_id"), col("source"),
           size(sp).cast("long").as("nt"),
           (lit(0.5) * (size(array_distinct(sp)) / ntD) +
@@ -947,7 +953,9 @@ object CorpusOps {
         .join(qsum, "k")
         .select((col("k") * 10).as("budget_pct"), col("n_docs_kept"),
           col("tokens_kept"),
-          r6n(col("tokens_kept").cast("double") / col("qsum")).as("fill_rate"),
+          when(col("qsum") > 0,
+            r6n(col("tokens_kept").cast("double") / col("qsum")))
+            .otherwise(lit(0.0)).as("fill_rate"),
           r6n(col("minq")).as("min_quality_kept"))
         .orderBy(col("budget_pct"))
     }),
@@ -1530,7 +1538,7 @@ object CorpusOps {
         |                     t -> t IN ('the', 'a'))) * 1.0
         |                 / len(string_split(text, ' ')))
         |  + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS q
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |t AS (SELECT source, (sum(nt) * 3) // 10 AS quota
         |      FROM d GROUP BY 1),
         |c AS (SELECT source, nt,
@@ -1540,8 +1548,9 @@ object CorpusOps {
         |CAST(count(*) FILTER (c.cum <= t.quota) AS BIGINT) AS n_docs_kept,
         |CAST(coalesce(sum(c.nt) FILTER (c.cum <= t.quota), 0) AS BIGINT)
         |  AS tokens_kept,
-        |round(coalesce(sum(c.nt) FILTER (c.cum <= t.quota), 0) * 1.0
-        |  / t.quota + 1e-12, 6) AS fill_rate
+        |CASE WHEN t.quota > 0 THEN
+        |  round(coalesce(sum(c.nt) FILTER (c.cum <= t.quota), 0) * 1.0
+        |    / t.quota + 1e-12, 6) ELSE 0.0 END AS fill_rate
         |FROM c JOIN t USING (source)
         |GROUP BY c.source, t.quota
         |ORDER BY c.source NULLS FIRST""".stripMargin,
@@ -1558,7 +1567,7 @@ object CorpusOps {
         |                     t -> t IN ('the', 'a'))) * 1.0
         |                 / len(string_split(text, ' ')))
         |  + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0) AS q
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |t AS (SELECT source, sum(nt) AS tot FROM d GROUP BY 1),
         |g AS (
         |  SELECT source, k, (tot * k) // 10 AS quota
@@ -1579,7 +1588,9 @@ object CorpusOps {
         |SELECT CAST(a.k * 10 AS BIGINT) AS budget_pct,
         |CAST(a.n_docs_kept AS BIGINT) AS n_docs_kept,
         |CAST(a.tokens_kept AS BIGINT) AS tokens_kept,
-        |round(a.tokens_kept * 1.0 / qs.qsum + 1e-12, 6) AS fill_rate,
+        |CASE WHEN qs.qsum > 0 THEN
+        |  round(a.tokens_kept * 1.0 / qs.qsum + 1e-12, 6)
+        |  ELSE 0.0 END AS fill_rate,
         |round(a.minq + 1e-12, 6) AS min_quality_kept
         |FROM a JOIN qs USING (k)
         |ORDER BY budget_pct NULLS FIRST""".stripMargin,

@@ -128,8 +128,12 @@ object GraphAudits {
       * style — keyed-RDD frontier rounds with per-round
       * materialization, never a growing DataFrame lineage — with a
       * 16-hop budget mirrored by the oracle's depth-bounded recursive
-      * CTE, so a deeper graph fails loud on both sides rather than
-      * silently disagreeing. Reads the persisted pair store. */
+      * CTE. The oracle side can only truncate silently (unreached
+      * nodes drop out of its dist join), so the loud guard lives
+      * in-plan HERE: if the frontier would still grow past MaxHops,
+      * the Spark side raises instead of returning an under-counted
+      * census the two engines would silently agree on. Reads the
+      * persisted pair store. */
     "q375_cluster_diameter" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val MaxHops = 16L
@@ -162,6 +166,19 @@ object GraphAudits {
           dist.unpersist(false)
           dist = nd; frontier = nxt; depth += 1
         }
+      }
+      if (growing) {
+        // budget exhausted with a live frontier: probe one more hop and
+        // refuse to emit a truncated census (the oracle CANNOT raise —
+        // its recursive CTE truncates silently — so the guard is here)
+        val leftover = frontier.join(sym)
+          .map { case (_, (_, v)) => (v, depth + 1) }
+          .reduceByKey((a, _) => a)
+          .subtractByKey(dist)
+          .count()
+        require(leftover == 0L,
+          s"q375: $MaxHops-hop BFS budget exhausted with $leftover nodes " +
+            "unreached; raise MaxHops AND the oracle CTE depth in lockstep")
       }
       dist.toDF("doc_id", "dist")
         .join(lab.toDF("doc_id", "cid"), "doc_id")

@@ -1024,21 +1024,37 @@ object Inference {
     /** Huber M-estimator of location — the robust mean between q207's
       * MAD (discards everything past the fence) and the raw average
       * (lets one outlier own the estimate): three unrolled IRLS
-      * rounds of w = min(1, c/|x − μ|), c = 1.345·σ (the classic 95%-
-      * efficiency constant), each round one grouped aggregate + one
-      * broadcast join of the per-type scalar table back onto the
-      * scan. The weight function is CONTINUOUS in μ, so the last-ulp
-      * float-fold differences between engines cannot flip any
-      * branch; the fixed 3-round budget is mirrored in the oracle's
-      * unrolled CTEs. Output per type: n, raw mean, Huber location,
-      * shift, final pseudo-weight mass. */
+      * rounds of w = min(1, c/|x − μ|), c = 1.345·(MAD/0.6745). The
+      * 1.345 95%-efficiency constant is defined against a ROBUST
+      * scale estimate — a classical stddev is itself inflated by the
+      * outliers being downweighted, weakening the estimator exactly
+      * under contamination — so the scale rides q207's MAD machinery
+      * (two exact-quantile passes over the cached scan), falling back
+      * to 1.345·σ only for degenerate types where MAD = 0 (> half the
+      * values identical — the Huber ψ is flat there anyway). Each IRLS
+      * round is one grouped aggregate + one broadcast join of the
+      * per-type scalar table back onto the scan. The weight function
+      * is CONTINUOUS in μ, so the last-ulp float-fold differences
+      * between engines cannot flip any branch; the fixed 3-round
+      * budget is mirrored in the oracle's unrolled CTEs. Output per
+      * type: n, raw mean, Huber location, shift. */
     "q377_huber_location" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value")).cache()
+      val med = Quantiles.exactQuantiles(ev, Seq("event_type"), "value",
+        Seq("med" -> 0.5))
+      val mad = Quantiles.exactQuantiles(
+        ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("value") - col("med")).as("adev")),
+        Seq("event_type"), "adev", Seq("mad" -> 0.5))
       val base = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), avg(col("value")).as("mu0"),
-          (stddev_pop(col("value")) * 1.345).as("c"))
+          stddev_pop(col("value")).as("sd"))
+        .join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("n"), col("mu0"),
+          when(col("mad") > 0, lit(1.345) * col("mad") / lit(0.6745))
+            .otherwise(col("sd") * lit(1.345)).as("c"))
       // min(1, c/|d|) written branch-first so |d| = 0 never divides
       // (DuckDB double/0 is NaN, Spark's differs — neither is wanted);
       // at the |d| = c boundary both branches emit ~1, so a last-ulp
@@ -1809,9 +1825,17 @@ object Inference {
            |  GROUP BY e.event_type, b.c)""".stripMargin
       s"""WITH e AS (
          |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |md AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM e GROUP BY 1),
+         |ma AS (
+         |  SELECT e.event_type, quantile_cont(abs(e.value - md.med), 0.5) AS mad
+         |  FROM e JOIN md ON md.event_type = e.event_type GROUP BY 1),
          |b AS (
-         |  SELECT event_type, count(*) AS n, avg(value) AS mu0,
-         |  stddev_pop(value) * 1.345 AS c FROM e GROUP BY 1),
+         |  SELECT e.event_type, count(*) AS n, avg(e.value) AS mu0,
+         |  CASE WHEN max(ma.mad) > 0 THEN 1.345 * max(ma.mad) / 0.6745
+         |       ELSE stddev_pop(e.value) * 1.345 END AS c
+         |  FROM e JOIN ma ON ma.event_type = e.event_type GROUP BY 1),
          |i0 AS (SELECT event_type, c, mu0 AS mu FROM b),
          |${round("i0", "i1")},
          |${round("i1", "i2")},

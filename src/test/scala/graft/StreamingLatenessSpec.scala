@@ -41,7 +41,14 @@ class StreamingLatenessSpec extends SparkSuite {
       .foreach { case ((lo, hi), i) =>
         ev.filter(col("arr").between(lo, hi)).drop("arr")
           .coalesce(1).write.parquet(s"$srcDir/g$i")
-        Thread.sleep(120) // distinct mtimes fix the file-source order
+        // EXPLICIT spaced mtimes fix the file-source batch order: on a
+        // 1-second-granularity filesystem a sleep can still leave two
+        // quartiles sharing a timestamp, coalescing/reordering batches
+        val ft = java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + i * 10000L)
+        val walk = Files.walk(java.nio.file.Paths.get(s"$srcDir/g$i"))
+        try walk.forEach(p => Files.setLastModifiedTime(p, ft))
+        finally walk.close()
       }
     val tbl = s"late_counts_$seq"
     val src = spark.readStream
