@@ -197,12 +197,17 @@ object ScaleStress {
     // one per distinct plan shape; q131 excluded (demoted this round)
     q("q257_bootstrap_ci"), q("q283_pair_graph_ivm"),
     q("q231_chunk_retrieval"), q("q295_pmi_cooccurrence"),
-    q("q198_spearman"), q("q255_doc_keywords"), q("q244_adamic_adar"),
+    q("q198_spearman"), q("q255_doc_keywords"),
+    // the four worst exponents on the round-11 board (1.13-1.24) get a
+    // x100 point (round-11 verdict Missing #2): one more decade either
+    // confirms the "residual is runtime constant-factor" reading or
+    // exposes a real super-linear term while it is still cheap to see
+    q("q244_adamic_adar", LifecycleScales),
     q("q184_basket_lift"), q("q274_degree_census"), q("q207_mad_outliers"),
     q("q120_weighted_quantiles"), q("q240_chargram_profile"),
     q("q154_image_neardup"), q("q218_ship_latency"),
-    q("q156_waiting_blame"), q("q268_triple_itemsets"),
-    q("q208_conversion_latency"), q("q296_knn_outlier"),
+    q("q156_waiting_blame"), q("q268_triple_itemsets", LifecycleScales),
+    q("q208_conversion_latency"), q("q296_knn_outlier", LifecycleScales),
     q("q259_stop_shingle_audit"), q("q210_novelty"),
     // round-10 wave: token-hash bucket features (explode + 1024-row
     // broadcast join) and the constant-probe NN scan
@@ -233,7 +238,8 @@ object ScaleStress {
     // family representatives
     q("q122_kmeans"), // IVF/kmeans training
     Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed
-      llm.PairGraph.seedPairsForMeasure(Tables(s, dir, "documents")).count()),
+      llm.PairGraph.seedPairsForMeasure(Tables(s, dir, "documents")).count(),
+      LifecycleScales), // worst-exponent board: x100 point (see q244)
     Probe("rep_global_rank", (s, dir) => // one-exchange global order
       ops.GlobalRank.withRowNumbers(
         Tables(s, dir, "events").select(col("event_id"), col("value")),

@@ -1185,9 +1185,14 @@ object TextAnalysis {
       * shingles at 10×/100×/1000× today's token count. Distributed
       * cumulative-distinct without any distinct-so-far state: a
       * shingle's FIRST occurrence is one groupBy-min over the
-      * (per-doc-distinct) inverted-index rows, its checkpoint decile
-      * one join against the [[graft.ops.GlobalRank]] doc-rank table
-      * (one range exchange, no unpartitioned window), and both
+      * (per-doc-distinct) inverted-index rows; its checkpoint decile
+      * is a CASE over the ten decile-boundary doc_ids (collected from
+      * the [[graft.ops.GlobalRank]] doc-rank table — bounded driver
+      * state, the q352 stance), applied BEFORE the min so the shuffle
+      * carries (sh, dec) and the former vocab-by-corpus decile JOIN
+      * disappears (round-12: that join was most of the 2.6 s bench
+      * price the shingle-universe re-base introduced; dec(min(doc)) =
+      * min(dec(doc)) because the decile is monotone in doc_id). Both
       * cumulations collapse to exact-long prefix folds over the
       * 10-row checkpoint table (q177 collect-explode stance). The
       * regression inputs are ln's of exact longs; slope/intercept/r²
@@ -1207,9 +1212,16 @@ object TextAnalysis {
       val dd = ranked.select(col("doc_id"), col("ntok"),
         expr("(rn - 1) * 10 div total + 1").as("dec")).cache()
       val tok = dd.groupBy(col("dec")).agg(sum(col("ntok")).as("t"))
+      // ≤ 10 (dec, max doc_id) boundary rows — bounded driver state
+      val hi = dd.groupBy(col("dec")).agg(max(col("doc_id")).as("hi"))
+        .orderBy(col("dec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val decOf = hi.init.foldRight(lit(hi.last._1): org.apache.spark.sql.Column) {
+        case ((dc, h), acc) => when(col("doc_id") <= h, lit(dc)).otherwise(acc)
+      }
       val nv = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
-        .groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
-        .join(dd.select(col("doc_id").as("fdoc"), col("dec")), "fdoc")
+        .select(col("sh"), decOf.as("dec"))
+        .groupBy(col("sh")).agg(min(col("dec")).as("dec"))
         .groupBy(col("dec")).agg(count(lit(1)).as("v"))
       val pts = tok.join(nv, Seq("dec"), "left")
         .select(col("dec"), col("t"), coalesce(col("v"), lit(0L)).as("v"))

@@ -61,9 +61,20 @@ class BenchDriftSpec extends AnyFunSuite {
       } finally st.close()
     }
     assume(hist.nonEmpty, "empty bench_history/")
-    val prev = parse(hist.last)
+    // Bench now snapshots the CURRENT round's record into bench_history
+    // in the same pass that writes bench_detail.json (CertCustodySpec's
+    // custody contract) — when the newest snapshot IS the current
+    // record, gate against the one before it (the previous round), so
+    // the cross-round drift comparison is never a self-comparison
+    val curTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_detail.json"))
+    val gateAgainst =
+      if (java.nio.file.Files.readString(hist.last) == curTxt && hist.size >= 2)
+        hist(hist.size - 2)
+      else hist.last
+    val prev = parse(gateAgainst)
     assume(prev.isDefined && prev.get._1,
-      s"previous record ${hist.last} unreadable or contaminated")
+      s"previous record $gateAgainst unreadable or contaminated")
     val prevQ = prev.get._2
     val common = curQ.keySet intersect prevQ.keySet
     assume(common.nonEmpty, "no common queries between the records")
