@@ -1003,6 +1003,122 @@ object CorpusOps {
           r6n(avg(col("overlap"))).as("avg_overlap"),
           max(col("overlap")).as("max_overlap"))
         .orderBy(col("source"))
+    }),
+
+    /** Boilerplate CATALOG — the top-20 most-duplicated 32-token
+      * chunks as an ACTIONABLE table (q364 censuses dup-chunk volume
+      * per source; this names the actual strings to strip): per
+      * chunk, occurrence count, distinct docs, distinct sources, and
+      * the total character mass it owns. Hashes cross the wire, never
+      * text (the q364 stance); the chunk STRINGS are fetched
+      * candidate-restricted at the end — re-chunk only the ≤ 20
+      * representative docs (min doc_id per chunk) and join back on
+      * the hash. Top-20 cut on (count desc, sha hex) so the boundary
+      * is engine-portable. */
+    "q388_boilerplate_catalog" -> ((s: SparkSession, dir: String) => {
+      val chunkTxt = expr(
+        """transform(sequence(0, (size(toks) - 1) DIV 32),
+          |  i -> concat_ws(' ', slice(toks, i * 32 + 1, 32)))""".stripMargin)
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val chunks = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), explode(chunkTxt).as("txt"))
+        .select(col("doc_id"), col("source"), sha2(col("txt"), 256).as("h"),
+          length(col("txt")).cast("long").as("len"))
+      val top = chunks.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("rep"), max(col("len")).as("len"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy(desc("n_occurrences"), col("h"))
+        .limit(20)
+        .cache() // the text fetch-back and the output both read it
+      val repChunks = docs
+        .join(broadcast(top.select(col("rep").as("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(chunkTxt).as("txt"))
+        .select(sha2(col("txt"), 256).as("h"), col("txt"))
+        .distinct()
+      top.join(broadcast(repChunks), "h")
+        .select(col("txt").as("chunk_text"), col("n_occurrences"),
+          col("n_docs"), col("n_sources"),
+          (col("n_occurrences") * col("len")).as("char_mass"))
+        .orderBy(desc("n_occurrences"), col("chunk_text"))
+    }),
+
+    /** Deterministic stratified-SAMPLE representativeness audit — the
+      * QA table behind every "we eyeballed a sample" claim: per
+      * source, the bottom-50 docs by sha-256(doc_id) (a deterministic,
+      * engine-portable uniform draw — the q79 split-rule family) next
+      * to the stratum: sample size, mean chars sample vs all, the
+      * absolute gap. A gap far off zero means the cheap eyeball
+      * sample misrepresents the stratum and per-source decisions made
+      * from it inherit the bias. Per-source ranking NEVER uses a
+      * Window.partitionBy(source) funnel: one
+      * [[graft.ops.GlobalRank.withRowNumbers]] range order over
+      * (source, hash, doc_id) minus the bounded prefix theta-join
+      * (the q369 shape). */
+    "q391_sample_audit" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          sha2(col("doc_id").cast("string"), 256).as("h"))
+      val rn = graft.ops.GlobalRank.withRowNumbers(
+        d, Seq(col("source"), col("h"), col("doc_id")), "rn")
+      val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("nsrc"))
+        .cache() // both sides of the prefix theta-join read it
+      val prefix = cnt
+        .join(cnt.select(col("source").as("s2"), col("nsrc").as("n2")),
+          col("s2") < col("source"), "left")
+        .groupBy(col("source")).agg(coalesce(sum(col("n2")), lit(0L)).as("prefix"))
+      rn.join(prefix, "source")
+        .select(col("source"), col("n_chars"),
+          (col("rn") - col("prefix") <= 50).as("samp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("samp")).as("n_sample"),
+          r6n(avg(col("n_chars"))).as("mean_chars_all"),
+          r6n(avg(when(col("samp"), col("n_chars")))).as("mean_chars_sample"),
+          r6n(abs(avg(when(col("samp"), col("n_chars"))) - avg(col("n_chars"))))
+            .as("abs_gap"))
+        .orderBy(col("source"))
+    }),
+
+    /** Vocabulary RANK-BIASED OVERLAP matrix — which crawls speak the
+      * same language, measured on their top-50 token RANKINGS (RBO,
+      * p = 0.9, truncated at depth 50): value-distribution drift
+      * tests (PSI/KS) see the marginals, q240's chargram distance
+      * sees characters; RBO sees the head-vocabulary ORDER — the
+      * thing templated/recrawled sources share even when volumes
+      * differ. Per-source top-50 via a rank ≤ 50 cut on the bounded
+      * source-domain window (WindowGroupLimit prunes map-side — the
+      * q317 stance); the pairwise grid is the schema-bounded source
+      * domain (q344 class); the RBO itself is a 50-step sequential
+      * literal fold, mirrored op-for-op in the oracle. */
+    "q392_vocab_rbo" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source")).orderBy(desc("c"), col("t"))
+      val lists = tok.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .groupBy(col("source"))
+        .agg(expr("transform(array_sort(collect_list(struct(rk, t))), x -> x.t)")
+          .as("l"))
+        .cache() // both sides of the bounded pair grid read it
+      lists.join(
+          lists.select(col("source").as("s2"), col("l").as("l2")),
+          col("source") < col("s2"))
+        .select(col("source").as("s1"), col("s2"),
+          r6n(expr(
+            """aggregate(sequence(1, 50), 0D, (acc, d) ->
+              |  acc + pow(0.9D, d - 1) *
+              |    size(array_intersect(slice(l, 1, d), slice(l2, 1, d)))
+              |    / cast(d AS double)) * 0.1D""".stripMargin)).as("rbo"))
+        .orderBy(col("s1"), col("s2"))
     })
   )
 
@@ -1620,6 +1736,80 @@ object CorpusOps {
         |round(avg(overlap) + 1e-12, 6) AS avg_overlap,
         |CAST(max(overlap) AS BIGINT) AS max_overlap
         |FROM ov GROUP BY source
-        |ORDER BY source NULLS FIRST""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // the q364 chunk recipe with the chunk TEXT carried (the oracle
+    // side has no hash-only constraint), the same (count desc, sha)
+    // top-20 cut, the same final (count desc, text) order
+    "q388_boilerplate_catalog" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |  unnest(list_transform(
+        |    generate_series(0, (len(string_split(text, ' ')) - 1) // 32),
+        |    i -> array_to_string(
+        |      string_split(text, ' ')[i * 32 + 1 : i * 32 + 32], ' ')))
+        |    AS txt
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT sha256(txt) AS h, min(txt) AS txt,
+        |  count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  max(len(txt)) AS l
+        |  FROM c GROUP BY 1),
+        |top AS (
+        |  SELECT * FROM g WHERE n_occurrences >= 2
+        |  ORDER BY n_occurrences DESC, h LIMIT 20)
+        |SELECT txt AS chunk_text,
+        |CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |CAST(n_docs AS BIGINT) AS n_docs,
+        |CAST(n_sources AS BIGINT) AS n_sources,
+        |CAST(n_occurrences * l AS BIGINT) AS char_mass
+        |FROM top
+        |ORDER BY n_occurrences DESC, chunk_text NULLS FIRST""".stripMargin,
+
+    // the same sha-256(doc_id) draw; the oracle may window freely
+    "q391_sample_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |  sha256(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(*) FILTER (rk <= 50) AS BIGINT) AS n_sample,
+        |round(avg(n_chars) + 1e-12, 6) AS mean_chars_all,
+        |round(avg(n_chars) FILTER (rk <= 50) + 1e-12, 6) AS mean_chars_sample,
+        |round(abs(avg(n_chars) FILTER (rk <= 50) - avg(n_chars)) + 1e-12, 6)
+        |  AS abs_gap
+        |FROM r GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // the same top-50 rank cut (count desc, token), the same 50-step
+    // sequential RBO fold — list_reduce pins the accumulation order
+    "q392_vocab_rbo" ->
+      """WITH tk AS (
+        |  SELECT source, t, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, t,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rk
+        |  FROM tk),
+        |l AS (
+        |  SELECT source, list(t ORDER BY rk) AS l
+        |  FROM r WHERE rk <= 50 GROUP BY 1)
+        |SELECT a.source AS s1, b.source AS s2,
+        |round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, 50),
+        |      d -> pow(0.9, d - 1)
+        |        * len(list_intersect(a.l[1:d], b.l[1:d]))
+        |        / CAST(d AS DOUBLE))),
+        |  (acc, x) -> acc + x) * 0.1 + 1e-12, 6) AS rbo
+        |FROM l a JOIN l b ON a.source < b.source
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
   )
 }

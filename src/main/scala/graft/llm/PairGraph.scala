@@ -790,6 +790,65 @@ object PairGraph {
           r6n(count(col("cl")).cast("double") / count(lit(1)))
             .as("closure_rate"))
         .orderBy(col("deg_band"))
+    }),
+
+    /** Near-dup rate along the CRAWL ORDER — q366 shows what dedup
+      * does to the source mixture; this shows whether duplication is
+      * GROWING as the crawl progresses (doc_id deciles as the arrival
+      * proxy, the q376 integer decile arithmetic): per decile, docs,
+      * docs in ≥ 1 stored ≥ 0.8 pair, and the rate. A rising tail
+      * means recrawl overlap is compounding and the dedup budget
+      * should be re-planned before the next ingest, not after. Drop
+      * set from the PERSISTED pair store (no text scan); the 1-row
+      * max-id fold crosses back broadcast (q136 class). */
+    "q390_dup_decile_trend" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val dup = jaccard(s, dir, 0.8)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+      docs.select(col("doc_id"))
+        .join(dup.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(expr("doc_id * 10 DIV (mx + 1)").as("decile"), col("dup"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("dup").isNotNull).as("n_dup_docs"),
+          r6n(count_if(col("dup").isNotNull).cast("double") / count(lit(1)))
+            .as("dup_rate"))
+        .orderBy(col("decile"))
+    }),
+
+    /** Filter-vs-dedup ORDERING decision table — "run the quality
+      * funnel before or after near-dup dedup?" answered from data:
+      * over the stored ≥ 0.8 pairs, how many die when either endpoint
+      * fails the q370 quality filters (length floor, lang, hash
+      * sample), how many survive both-pass, and how much of the
+      * keep-lowest drop work filtering-first saves. One doc-keyed
+      * flag projection + two equi-joins onto the persisted store +
+      * one fused aggregate — no text ever crosses the wire except
+      * inside the per-row sha/flag projection. */
+    "q393_filter_dedup_order" -> ((s: SparkSession, dir: String) => {
+      val flags = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (col("n_chars") >= 100 && col("lang") === "en" &&
+            substring(sha2(col("text"), 256), 1, 1) < "8").as("pass"))
+      jaccard(s, dir, 0.8)
+        .join(flags.select(col("doc_id").as("d1"), col("pass").as("p1")), "d1")
+        .join(flags.select(col("doc_id").as("d2"), col("pass").as("p2")), "d2")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_if(col("p1") && col("p2")).as("n_pairs_both_pass"),
+          count_if(!col("p1") || !col("p2")).as("n_pairs_filter_killed"),
+          countDistinct(col("d2")).as("drops_dedup_first"),
+          countDistinct(when(col("p1") && col("p2"), col("d2")))
+            .as("drops_filter_first"))
+        .select(col("n_pairs"), col("n_pairs_both_pass"),
+          col("n_pairs_filter_killed"), col("drops_dedup_first"),
+          col("drops_filter_first"),
+          when(col("drops_dedup_first") > 0,
+            r6n(lit(1.0) - col("drops_filter_first").cast("double") /
+              col("drops_dedup_first"))).otherwise(lit(0.0))
+            .as("dedup_work_saved"))
     })
   )
 
@@ -1165,6 +1224,47 @@ object PairGraph {
          |  AS closure_rate
          |FROM cl JOIN deg ON deg.a = cl.a
          |GROUP BY 1
-         |ORDER BY deg_band NULLS FIRST""".stripMargin
+         |ORDER BY deg_band NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 dup endpoints from first principles, the q376 integer
+    // decile arithmetic against the 1-row max-id fold
+    "q390_dup_decile_trend" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |dup AS (SELECT DISTINCT doc
+         |  FROM (SELECT unnest([d1, d2]) AS doc FROM p)),
+         |m AS (SELECT max(doc_id) AS mx FROM documents)
+         |SELECT CAST((d.doc_id * 10) // (m.mx + 1) AS BIGINT) AS decile,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(count(dup.doc) AS BIGINT) AS n_dup_docs,
+         |round(count(dup.doc) * 1.0 / count(*) + 1e-12, 6) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id CROSS JOIN m
+         |GROUP BY 1
+         |ORDER BY decile NULLS FIRST""".stripMargin,
+
+    // ≥ 0.8 pairs from first principles + the q370 pass predicate
+    // (length floor, lang, sha-hex sample) on both endpoints
+    "q393_filter_dedup_order" ->
+      s"""WITH p0 AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |f AS (
+         |  SELECT doc_id, (n_chars >= 100 AND lang = 'en'
+         |    AND substr(sha256(text), 1, 1) < '8') AS pass
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (
+         |  SELECT p0.d1, p0.d2, f1.pass AS p1, f2.pass AS p2
+         |  FROM p0
+         |  JOIN f f1 ON f1.doc_id = p0.d1
+         |  JOIN f f2 ON f2.doc_id = p0.d2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |CAST(count(*) FILTER (p1 AND p2) AS BIGINT) AS n_pairs_both_pass,
+         |CAST(count(*) FILTER (NOT p1 OR NOT p2) AS BIGINT)
+         |  AS n_pairs_filter_killed,
+         |CAST(count(DISTINCT d2) AS BIGINT) AS drops_dedup_first,
+         |CAST(count(DISTINCT CASE WHEN p1 AND p2 THEN d2 END) AS BIGINT)
+         |  AS drops_filter_first,
+         |CASE WHEN count(DISTINCT d2) > 0 THEN
+         |  round(1.0 - count(DISTINCT CASE WHEN p1 AND p2 THEN d2 END) * 1.0
+         |    / count(DISTINCT d2) + 1e-12, 6)
+         |  ELSE 0.0 END AS dedup_work_saved
+         |FROM p""".stripMargin
   )
 }

@@ -524,6 +524,92 @@ object Similarity {
         .limit(10)
     }),
 
+    /** HUBNESS audit — the k-occurrence distribution (how many other
+      * vectors' top-10 neighbor lists each vector appears in): the
+      * classic ANN pathology metric. In a healthy space k-occurrence
+      * concentrates near k; a heavy tail (hub vectors appearing in
+      * hundreds of lists) degrades every kNN-based screen (q43/q86/
+      * q296) and is invisible to recall audits, which only look from
+      * the query side. Same bounded machinery as q296 — trained Lloyd
+      * cells sub-split into ~64-member blocks, within-block distances
+      * only (O(n·B) at any corpus size), rn ≤ 10 so WindowGroupLimit
+      * prunes map-side — then one count per NEIGHBOR and a histogram;
+      * zero-occurrence vectors are censused via the left join. */
+    "q387_hubness" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val assigned0 = assignCells(e, cents)
+      val cellN = assigned0.groupBy(col("cent_id")).agg(count(lit(1)).as("cnt"))
+      val assigned = assigned0
+        .join(broadcast(cellN), "cent_id")
+        .withColumn("blk",
+          pmod(col("vec_id"), expr(s"(cnt + ${KnnBlock - 1}) div $KnnBlock")))
+        .drop("cnt").cache()
+      val dists = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+          r6(lit(1.0) - expr("cosine_sim(a.embedding, b.embedding)")).as("d6"))
+      val wV = Window.partitionBy(col("vec_id")).orderBy(col("d6"), col("nb"))
+      val occ = dists.withColumn("rn", row_number().over(wV))
+        .filter(col("rn") <= 10)
+        .groupBy(col("nb")).agg(count(lit(1)).as("occ"))
+      e.select(col("vec_id"))
+        .join(occ, col("vec_id") === col("nb"), "left")
+        .select(coalesce(col("occ"), lit(0L)).as("k_occurrence"))
+        .groupBy(col("k_occurrence")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("k_occurrence"))
+    }),
+
+    /** SRP↔cosine CALIBRATION curve — the q381 move (SimHash↔Jaccard)
+      * applied to the embedding side: per hamming distance of 16-bit
+      * sign-random-projection signatures, the pair volume and the
+      * cosine range/mean plus the ≥ 0.3 share — the measured meaning
+      * of "h bits differ" for THIS corpus, which is what turns q44's
+      * multi-probe radius from a default into a decision. Pair domain
+      * is the q296 bounded block grid (O(n·B), mirrored in the
+      * oracle); signatures are pure projections against the same
+      * srpCoef hyperplane family as q44 (planes 8-15 extend the
+      * family — same splitmix stream, distinct indices); comparisons
+      * against the 0.3 literal use the r6-ROUNDED cosine (the q292
+      * bin-key stance). */
+    "q389_srp_calibration" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val sigCol = (0 until 16).map { p =>
+        val planeSql = (0 until 64).map(d => s"${srpCoef(p, d)}D")
+          .mkString("array(", ", ", ")")
+        val proj = expr(s"aggregate(zip_with(embedding, $planeSql, " +
+          "(x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cellN = assignCells(e, cents).groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val assigned = assignCells(e, cents)
+        .join(broadcast(cellN), "cent_id")
+        .withColumn("blk",
+          pmod(col("vec_id"), expr(s"(cnt + ${KnnBlock - 1}) div $KnnBlock")))
+        .withColumn("sig", sigCol)
+        .drop("cnt").cache()
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"),
+          r6(expr("cosine_sim(a.embedding, b.embedding)")).as("cs6"))
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("cs6")).as("cos_min"),
+          r6n(avg(col("cs6"))).as("cos_mean"),
+          max(col("cs6")).as("cos_max"),
+          r6n(count_if(col("cs6") >= 0.3).cast("double") / count(lit(1)))
+            .as("ge03_share"))
+        .orderBy(col("hamming"))
+    }),
+
     "q86_semdedup" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -2015,6 +2101,85 @@ object Similarity {
          |FROM dk JOIN ca ON ca.cent_id = dk.cent_id
          |ORDER BY outlier_ratio DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 10""".stripMargin,
+
+    // the q296 cell/block chain with rn <= 10, one count per NEIGHBOR,
+    // zero-occurrence vectors censused via the left join
+    "q387_hubness" ->
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "hs1", "ha1", Some("hc1"))},
+         |${duckKmeansIter("hc1", "hs2", "ha2", Some("hc2"))},
+         |${duckKmeansIter("hc2", "hs3", "assigned0", None)},
+         |cn AS (SELECT cent_id, count(*) AS cnt FROM assigned0 GROUP BY 1),
+         |assigned AS (
+         |  SELECT a.*, a.vec_id % ((cn.cnt + ${KnnBlock - 1}) // ${KnnBlock})
+         |    AS blk
+         |  FROM assigned0 a JOIN cn USING (cent_id)),
+         |dists AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |  round(1.0 - ${duckCos("a.embedding", "b.embedding")}, 6) AS d6
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.blk = b.blk
+         |    AND a.vec_id <> b.vec_id),
+         |t AS (
+         |  SELECT nb FROM (
+         |    SELECT nb,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d6, nb) AS rn
+         |    FROM dists)
+         |  WHERE rn <= 10),
+         |o AS (SELECT nb, count(*) AS occ FROM t GROUP BY 1)
+         |SELECT CAST(coalesce(o.occ, 0) AS BIGINT) AS k_occurrence,
+         |CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM embeddings e LEFT JOIN o ON o.nb = e.vec_id
+         |GROUP BY 1
+         |ORDER BY k_occurrence NULLS FIRST""".stripMargin,
+
+    // the same cell/block pair domain; signatures from the same
+    // srpCoef hyperplane literals and the same sequential dot fold, so
+    // every sign bit — and therefore every hamming value — agrees
+    "q389_srp_calibration" -> {
+      def proj(p: Int, v: String) = {
+        val plane = (0 until 64).map(d => s"${srpCoef(p, d)}").mkString("[", ", ", "]")
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |    i -> cast($v[i] AS DOUBLE) * ($plane::DOUBLE[])[i])""".stripMargin)
+      }
+      val sig = (0 until 16).map(p =>
+        s"(CASE WHEN ${proj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "gs1", "ga1", Some("gc1"))},
+         |${duckKmeansIter("gc1", "gs2", "ga2", Some("gc2"))},
+         |${duckKmeansIter("gc2", "gs3", "assigned0", None)},
+         |cn AS (SELECT cent_id, count(*) AS cnt FROM assigned0 GROUP BY 1),
+         |assigned AS (
+         |  SELECT a.*, a.vec_id % ((cn.cnt + ${KnnBlock - 1}) // ${KnnBlock})
+         |    AS blk
+         |  FROM assigned0 a JOIN cn USING (cent_id)),
+         |sg AS (
+         |  SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings),
+         |pairs AS (
+         |  SELECT bit_count(xor(x.sig, y.sig)) AS hamming,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cs6
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.blk = b.blk
+         |    AND a.vec_id < b.vec_id
+         |  JOIN sg x ON x.vec_id = a.vec_id
+         |  JOIN sg y ON y.vec_id = b.vec_id)
+         |SELECT CAST(hamming AS BIGINT) AS hamming,
+         |CAST(count(*) AS BIGINT) AS n_pairs,
+         |min(cs6) AS cos_min,
+         |round(avg(cs6) + 1e-12, 6) AS cos_mean,
+         |max(cs6) AS cos_max,
+         |round(count(*) FILTER (cs6 >= 0.3) * 1.0 / count(*) + 1e-12, 6)
+         |  AS ge03_share
+         |FROM pairs GROUP BY 1
+         |ORDER BY hamming NULLS FIRST""".stripMargin
+    },
 
     // trained cells: the same 2-iteration k=16 Lloyd unroll as q122's
     // oracle, plus a third assignment pass over the trained centroids

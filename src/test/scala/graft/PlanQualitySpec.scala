@@ -260,7 +260,17 @@ class PlanQualitySpec extends SparkSuite {
     "q378_cuped", "q379_diff_in_diff",
     // q384/q386: the broadcast sides are the ONE-ROW span fold and
     // the ONE-ROW totals fold (q136 class) — provably 1 row each
-    "q384_capture_recapture", "q386_jackknife_sources")
+    "q384_capture_recapture", "q386_jackknife_sources",
+    // q390: the broadcast side is the ONE-ROW corpus max-id fold
+    // (q136/q376 class) — provably 1 row at any corpus size
+    "q390_dup_decile_trend",
+    // q391: the prefix theta-join is over the per-SOURCE counts table
+    // (schema-bounded domain — the q365/q369 dim-cross class)
+    "q391_sample_audit",
+    // q392: the RBO pair grid is the SOURCE x SOURCE domain cross
+    // (schema-bounded, q344 class — ~20x20 at any corpus size, each
+    // side carrying one 50-token array)
+    "q392_vocab_rbo")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
@@ -380,6 +390,23 @@ class PlanQualitySpec extends SparkSuite {
         "as the final step; the classifier cannot project into the " +
         "aggregate-HOF struct and trips on the SIBLING field's inner " +
         "round (the alarm-threshold comparison, which is not emitted raw)"),
+    "q389_srp_calibration.cos_min" ->
+      ("order-statistic SELECTION (min) of r6-rounded cosines — the " +
+        "q296.dk stance: the round defines the grid and min emits one " +
+        "grid value verbatim, no arithmetic above it"),
+    "q389_srp_calibration.cos_max" ->
+      ("order-statistic SELECTION (max) of r6-rounded cosines — same " +
+        "q296.dk selection-above-a-round class"),
+    "q389_srp_calibration.cos_mean" ->
+      ("avg over r6-GRID cosines with a NUDGED round as the final step " +
+        "— the q292.mean_score stance: the inner round is the band " +
+        "grid both engines share, so the mean's operand set is " +
+        "identical and the final r6n seals it"),
+    "q389_srp_calibration.ge03_share" ->
+      ("ratio of two INTEGER counts with a NUDGED round as the final " +
+        "step; the inner round sits inside the count_if COMPARISON " +
+        "(cs6 >= 0.3) — the cross-engine ranking grid (the q292 " +
+        "bin-key / q356.coverage stance), never a value input"),
     "q356_conformal_coverage.coverage" ->
       ("ratio of two INTEGER counts with a NUDGED round as the final " +
         "step; the inner rounds the classifier trips on sit inside the " +
