@@ -301,7 +301,7 @@ object PairGraph {
     * parquet partition per generation forever — the round-9 verdict's
     * Missing #2. Both rewrites go through a temp dir + swap so a
     * crash mid-compact leaves the original state intact. */
-  private[llm] def compact(s: SparkSession, statePath: String,
+  private[graft] def compact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
     // guard against latent API misuse (round-10 advice): the rewrite
     // keeps only gen <= watermark rows, so a watermark below the

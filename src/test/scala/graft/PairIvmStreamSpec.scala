@@ -137,6 +137,48 @@ class PairIvmStreamSpec extends SparkSuite {
       s"expected generations 0..2 after recovery, saw ${gens.mkString(",")}")
   }
 
+  test("mid-stream compaction composes with live maintenance") {
+    // the q321 lifecycle driven from a STREAM: two micro-batches land,
+    // the store is compacted at the log head while the stream is down
+    // (the maintenance-window shape), then a third batch arrives on the
+    // compacted state — its cap-crossing retractions must debit pairs
+    // whose credits now live only in the folded base generation, and
+    // maintained must still equal the from-scratch rebuild.
+    val srcDir = Files.createTempDirectory("graft_pivm_cmp_src").toString
+    val statePath = Files.createTempDirectory("graft_pivm_cmp_state")
+      .resolve("state").toString
+    val ckpt = Files.createTempDirectory("graft_pivm_cmp_ckpt").toString
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    def gen(g: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+    def putGen(g: Int): Unit = {
+      gen(g).coalesce(1).write.parquet(s"$srcDir/gen$g")
+      val ft = java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + g * 10000L)
+      val walk = Files.walk(Paths.get(s"$srcDir/gen$g"))
+      try walk.forEach(p => Files.setLastModifiedTime(p, ft))
+      finally walk.close()
+    }
+    (0 until 2).foreach(putGen)
+    def start() = streaming.EventStreams.pairGraphIvmSink(
+      src(srcDir), statePath, PairGraph.IvmCap, checkpoint = Some(ckpt))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    PairGraph.compact(spark, statePath, watermark = 1)
+    val gensAfterCompact = spark.read.parquet(s"$statePath/deltas")
+      .select(col("gen").cast("long")).distinct().count()
+    assert(gensAfterCompact == 1L, "compaction must fold the log to one base")
+    putGen(2)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val (bad, retracts) = contract(statePath, PairGraph.IvmCap)
+    assert(bad == 0L,
+      s"post-compaction live maintenance diverged on $bad pairs — the " +
+        "stream is not reading the folded base correctly")
+    assert(retracts > 0L,
+      "the post-compaction batch fired no retractions — the " +
+        "cross-boundary debit path went untested")
+  }
+
   test("live threshold-curve serve equals the batch q361 output") {
     val srcDir = Files.createTempDirectory("graft_pivm361_src").toString
     val statePath = Files.createTempDirectory("graft_pivm361_state")
