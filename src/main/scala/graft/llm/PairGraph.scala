@@ -849,6 +849,29 @@ object PairGraph {
             r6n(lit(1.0) - col("drops_filter_first").cast("double") /
               col("drops_dedup_first"))).otherwise(lit(0.0))
             .as("dedup_work_saved"))
+    }),
+
+    /** LENGTH-stratified near-dup rate — are the near-dups mostly
+      * short boilerplate (a minimum-length floor would remove them
+      * for free) or long templated bodies (only dedup catches them)?
+      * Per pow-2 char-length band (the q367 banding move): docs, docs
+      * in ≥ 1 stored ≥ 0.8 pair, rate. Reads the persisted pair
+      * store; one doc-keyed left join + one grouped aggregate. */
+    "q397_length_dup_rate" -> ((s: SparkSession, dir: String) => {
+      val dup = jaccard(s, dir, 0.8)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          pow(lit(2.0), floor(log2(greatest(col("n_chars"), lit(1L)))))
+            .cast("long").as("len_band"))
+        .join(dup.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("len_band"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("dup").isNotNull).as("n_dup_docs"),
+          r6n(count_if(col("dup").isNotNull).cast("double") / count(lit(1)))
+            .as("dup_rate"))
+        .orderBy(col("len_band"))
     })
   )
 
@@ -1265,6 +1288,21 @@ object PairGraph {
          |  round(1.0 - count(DISTINCT CASE WHEN p1 AND p2 THEN d2 END) * 1.0
          |    / count(DISTINCT d2) + 1e-12, 6)
          |  ELSE 0.0 END AS dedup_work_saved
-         |FROM p""".stripMargin
+         |FROM p""".stripMargin,
+
+    // ≥ 0.8 dup endpoints from first principles, the same pow-2
+    // length banding (floor-log2 of the char count, floored at 1)
+    "q397_length_dup_rate" ->
+      s"""WITH p AS (SELECT d1, d2 FROM (${TextDedup.duckJaccard("0.8")})),
+         |dup AS (SELECT DISTINCT doc
+         |  FROM (SELECT unnest([d1, d2]) AS doc FROM p))
+         |SELECT CAST(pow(2.0, floor(log2(greatest(d.n_chars, 1)))) AS BIGINT)
+         |  AS len_band,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(count(dup.doc) AS BIGINT) AS n_dup_docs,
+         |round(count(dup.doc) * 1.0 / count(*) + 1e-12, 6) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
+         |GROUP BY 1
+         |ORDER BY len_band NULLS FIRST""".stripMargin
   )
 }

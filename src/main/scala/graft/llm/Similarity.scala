@@ -563,6 +563,37 @@ object Similarity {
         .orderBy(col("k_occurrence"))
     }),
 
+    /** Embedding NORM health census — the quantity cosine similarity
+      * normalizes away but dot-product retrieval, PQ quantization
+      * (q158's L2 cells), and every "multiply by a projection" step
+      * depend on: per label, the norm envelope (min/mean/max) and the
+      * count of vectors below HALF the corpus mean norm — dead or
+      * truncated embeddings (a zeroed tail halves the norm long
+      * before it moves a cosine). The norm is the same sequential
+      * ×²-fold as the cosine denominators (bitwise-mirrored in the
+      * oracle); all comparisons and envelope stats run on the
+      * r6-ROUNDED norm (the q292 grid stance); the corpus mean is a
+      * 1-row broadcast fold (q136 class). */
+    "q394_norm_census" -> ((s: SparkSession, dir: String) => {
+      val nrm = graft.r6(expr(
+        """sqrt(aggregate(embedding, 0D,
+          |  (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"""
+          .stripMargin))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), nrm.as("n6"))
+      // NUDGED round: the threshold scalar must be bit-agreed across
+      // engines before the integer count compares against it
+      val gm = e.agg(r6n(avg(col("n6"))).as("gmean"))
+      e.crossJoin(broadcast(gm))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("n6")).as("norm_min"),
+          r6n(avg(col("n6"))).as("norm_mean"),
+          max(col("n6")).as("norm_max"),
+          count_if(col("n6") < col("gmean") / 2).as("n_below_half_mean"))
+        .orderBy(col("label"))
+    }),
+
     /** SRP↔cosine CALIBRATION curve — the q381 move (SimHash↔Jaccard)
       * applied to the embedding side: per hamming distance of 16-bit
       * sign-random-projection signatures, the pair volume and the
@@ -2101,6 +2132,29 @@ object Similarity {
          |FROM dk JOIN ca ON ca.cent_id = dk.cent_id
          |ORDER BY outlier_ratio DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 10""".stripMargin,
+
+    // the same sequential x2-fold (bitwise-mirrored), the same r6 grid
+    // for every stat, the same nudged 1-row mean threshold
+    "q394_norm_census" -> {
+      val fold = duckFoldSum(
+        """list_transform(generate_series(1, 64),
+          |    i -> cast(embedding[i] AS DOUBLE) * cast(embedding[i] AS DOUBLE))"""
+          .stripMargin)
+      s"""WITH e AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |  round(sqrt($fold), 6) AS n6
+         |  FROM embeddings),
+         |g AS (SELECT round(avg(n6) + 1e-12, 6) AS gmean FROM e)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |min(n6) AS norm_min,
+         |round(avg(n6) + 1e-12, 6) AS norm_mean,
+         |max(n6) AS norm_max,
+         |CAST(count(*) FILTER (n6 < g.gmean / 2) AS BIGINT)
+         |  AS n_below_half_mean
+         |FROM e CROSS JOIN g
+         |GROUP BY label
+         |ORDER BY label NULLS FIRST""".stripMargin
+    },
 
     // the q296 cell/block chain with rn <= 10, one count per NEIGHBOR,
     // zero-occurrence vectors censused via the left join

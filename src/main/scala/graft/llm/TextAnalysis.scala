@@ -1304,6 +1304,79 @@ object TextAnalysis {
         .orderBy(col("decile"))
     }),
 
+    /** Source↔language MUTUAL INFORMATION — "does knowing the source
+      * determine the language?" in one number: I(source; lang) from
+      * the bounded (source, lang) contingency cells, H(lang), the
+      * residual H(lang | source) = H(lang) − I, and the normalized
+      * I/H(lang) (1 = source pins language exactly — per-source lang
+      * filters are redundant; 0 = independent — every source needs
+      * its own lang screen). Cells and marginals are three integer
+      * aggregates over the schema-bounded domain; the entropy folds
+      * sum ~hundreds of ln terms (engine sum-order differences sit at
+      * 1e-16 and the nudged round seals them — the suite-wide stance
+      * for small-grid float sums). */
+    "q395_source_lang_mi" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), col("lang"))
+      val cell = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c")).cache()
+      val ns = cell.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val nl = cell.groupBy(col("lang")).agg(sum(col("c")).as("n_l")).cache()
+      val tot = cell.agg(sum(col("c")).as("n")).cache()
+      val mi = cell.join(ns, "source").join(nl, "lang")
+        .crossJoin(broadcast(tot))
+        .agg(sum((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") * col("n") /
+            (col("n_s").cast("double") * col("n_l")))).as("mi"))
+      val hl = nl.crossJoin(broadcast(tot))
+        .agg(sum((col("n_l").cast("double") / col("n")) *
+          -log(col("n_l").cast("double") / col("n"))).as("h_lang"))
+      tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+        .select(col("n").as("n_docs"), r6n(col("mi")).as("mi"),
+          r6n(col("h_lang")).as("h_lang"),
+          r6n(col("h_lang") - col("mi")).as("h_lang_given_source"),
+          when(col("h_lang") > 0, r6n(col("mi") / col("h_lang")))
+            .otherwise(lit(0.0)).as("mi_normalized"))
+    }),
+
+    /** Token-level drift ATTRIBUTION — q164/q311 say THAT the corpus
+      * drifted; this says WHICH head tokens drove it: corpus halves
+      * by the doc_id midpoint (max-id DIV 2, 1-row broadcast), the
+      * global top-50 tokens by total count (TakeOrderedAndProject on
+      * the (count desc, token) total order), and per token the
+      * half-shares, their delta, and the two-proportion z-score
+      * (pooled-p form). Ordered by token so the output order never
+      * depends on a float. */
+    "q396_token_drift" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val tok = docs.crossJoin(broadcast(mx))
+        .select((col("doc_id") <= col("mx") / 2).as("h1"),
+          explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("t"))
+        .agg(count_if(col("h1")).as("c1"), count_if(!col("h1")).as("c2"))
+        .cache() // totals fold and the top-50 cut both read it
+      val tots = tok.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      tok
+        .orderBy((col("c1") + col("c2")).desc, col("t")).limit(50)
+        .crossJoin(broadcast(tots))
+        .select(col("t").as("token"), col("c1"), col("c2"),
+          r6n(col("c1").cast("double") / col("t1")).as("share_1"),
+          r6n(col("c2").cast("double") / col("t2")).as("share_2"),
+          r6n(col("c2").cast("double") / col("t2") -
+            col("c1").cast("double") / col("t1")).as("share_delta"),
+          r6n((col("c2").cast("double") / col("t2") -
+            col("c1").cast("double") / col("t1")) /
+            sqrt(((col("c1") + col("c2")).cast("double") /
+              (col("t1") + col("t2"))) *
+              (lit(1.0) - (col("c1") + col("c2")).cast("double") /
+                (col("t1") + col("t2"))) *
+              (lit(1.0) / col("t1") + lit(1.0) / col("t2")))).as("z"))
+        .orderBy(col("token"))
+    }),
+
     /** Curation-drop ATTRIBUTION — which filter actually does the
       * cutting: q140's funnel counts stage-wise retention in CHAIN
       * order, which hides how much each filter would drop on its own
@@ -2232,6 +2305,59 @@ object TextAnalysis {
         |  AS novelty_rate
         |FROM occ LEFT JOIN nw ON nw.decile = occ.decile
         |ORDER BY decile NULLS FIRST""".stripMargin,
+
+    // cells and marginals from the same integer aggregates, the same
+    // per-cell ln terms, nudged rounds on the four entropy outputs
+    "q395_source_lang_mi" ->
+      """WITH d AS (
+        |  SELECT source, lang FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cell AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c) AS n_s FROM cell GROUP BY 1),
+        |nl AS (SELECT lang, sum(c) AS n_l FROM cell GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM cell),
+        |mi AS (
+        |  SELECT sum((cell.c * 1.0 / t.n) *
+        |    ln(cell.c * 1.0 * t.n / (ns.n_s * 1.0 * nl.n_l))) AS mi
+        |  FROM cell
+        |  JOIN ns USING (source) JOIN nl USING (lang) CROSS JOIN t),
+        |hl AS (
+        |  SELECT sum((n_l * 1.0 / t.n) * -ln(n_l * 1.0 / t.n)) AS h_lang
+        |  FROM nl CROSS JOIN t)
+        |SELECT CAST(t.n AS BIGINT) AS n_docs,
+        |round(mi.mi + 1e-12, 6) AS mi,
+        |round(hl.h_lang + 1e-12, 6) AS h_lang,
+        |round(hl.h_lang - mi.mi + 1e-12, 6) AS h_lang_given_source,
+        |CASE WHEN hl.h_lang > 0
+        |  THEN round(mi.mi / hl.h_lang + 1e-12, 6) ELSE 0.0 END
+        |  AS mi_normalized
+        |FROM t CROSS JOIN mi CROSS JOIN hl""".stripMargin,
+
+    // the same midpoint half-split, the same (count desc, token)
+    // top-50 cut, the same pooled-p z arithmetic
+    "q396_token_drift" ->
+      """WITH m AS (
+        |  SELECT max(doc_id) AS mx FROM documents WHERE text IS NOT NULL),
+        |tk AS (
+        |  SELECT (doc_id <= m.mx / 2) AS h1,
+        |  unnest(string_split(text, ' ')) AS t
+        |  FROM documents, m WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT t, count(*) FILTER (h1) AS c1,
+        |  count(*) FILTER (NOT h1) AS c2
+        |  FROM tk WHERE len(t) > 0 GROUP BY 1),
+        |tt AS (SELECT sum(c1) AS t1, sum(c2) AS t2 FROM g),
+        |top AS (SELECT * FROM g ORDER BY (c1 + c2) DESC, t LIMIT 50)
+        |SELECT t AS token, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |round(c1 * 1.0 / t1 + 1e-12, 6) AS share_1,
+        |round(c2 * 1.0 / t2 + 1e-12, 6) AS share_2,
+        |round(c2 * 1.0 / t2 - c1 * 1.0 / t1 + 1e-12, 6) AS share_delta,
+        |round((c2 * 1.0 / t2 - c1 * 1.0 / t1) /
+        |  sqrt(((c1 + c2) * 1.0 / (t1 + t2))
+        |    * (1.0 - (c1 + c2) * 1.0 / (t1 + t2))
+        |    * (1.0 / t1 + 1.0 / t2)) + 1e-12, 6) AS z
+        |FROM top CROSS JOIN tt
+        |ORDER BY token NULLS FIRST""".stripMargin,
 
     // the same four independent predicates over one agg CTE, unpivoted
     // via UNION ALL; dup flag = keep-lowest-id over sha groups

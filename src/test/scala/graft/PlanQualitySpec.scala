@@ -270,7 +270,17 @@ class PlanQualitySpec extends SparkSuite {
     // q392: the RBO pair grid is the SOURCE x SOURCE domain cross
     // (schema-bounded, q344 class — ~20x20 at any corpus size, each
     // side carrying one 50-token array)
-    "q392_vocab_rbo")
+    "q392_vocab_rbo",
+    // q394: the broadcast side is the ONE-ROW corpus mean-norm fold
+    // (q136 class) — provably 1 row at any corpus size
+    "q394_norm_census",
+    // q395: the broadcast sides are the ONE-ROW doc total and the two
+    // ONE-ROW entropy folds (q136 class); the cell/marginal joins are
+    // equi-joins over the schema-bounded (source, lang) grid
+    "q395_source_lang_mi",
+    // q396: the broadcast sides are the ONE-ROW max-id fold and the
+    // ONE-ROW half-totals fold (q136 class)
+    "q396_token_drift")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test
@@ -390,6 +400,17 @@ class PlanQualitySpec extends SparkSuite {
         "as the final step; the classifier cannot project into the " +
         "aggregate-HOF struct and trips on the SIBLING field's inner " +
         "round (the alarm-threshold comparison, which is not emitted raw)"),
+    "q394_norm_census.norm_min" ->
+      ("order-statistic SELECTION (min) of r6-rounded norms — the " +
+        "q296.dk / q389.cos_min stance: the round defines the grid and " +
+        "min emits one grid value verbatim, no arithmetic above it"),
+    "q394_norm_census.norm_max" ->
+      ("order-statistic SELECTION (max) of r6-rounded norms — same " +
+        "selection-above-a-round class"),
+    "q394_norm_census.norm_mean" ->
+      ("avg over r6-GRID norms with a NUDGED round as the final step — " +
+        "the q292.mean_score / q389.cos_mean stance: the inner round is " +
+        "the shared grid, the final r6n seals the mean"),
     "q389_srp_calibration.cos_min" ->
       ("order-statistic SELECTION (min) of r6-rounded cosines — the " +
         "q296.dk stance: the round defines the grid and min emits one " +

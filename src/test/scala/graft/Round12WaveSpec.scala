@@ -113,6 +113,52 @@ class Round12WaveSpec extends SparkSuite {
     }
   }
 
+  test("q394: norm envelope ordered, census complete") {
+    val rows = SparkEntry.queries("q394_norm_census")(spark, sf01).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables(spark, sf01, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("norm_min") <= r.getAs[Double]("norm_mean") + 1e-9)
+      assert(r.getAs[Double]("norm_mean") <= r.getAs[Double]("norm_max") + 1e-9)
+      assert(r.getAs[Long]("n_below_half_mean") <= r.getAs[Long]("n_vectors"))
+    }
+  }
+
+  test("q395: information identities hold") {
+    val r = SparkEntry.queries("q395_source_lang_mi")(spark, sf01).head()
+    val (mi, hl) = (r.getAs[Double]("mi"), r.getAs[Double]("h_lang"))
+    assert(mi >= -1e-9, "mutual information cannot be negative")
+    assert(mi <= hl + 1e-9, "I(source; lang) cannot exceed H(lang)")
+    assert(math.abs(r.getAs[Double]("h_lang_given_source") - (hl - mi)) < 2e-6)
+    val nm = r.getAs[Double]("mi_normalized")
+    assert(nm >= -1e-9 && nm <= 1.0 + 1e-9)
+  }
+
+  test("q396: shares bounded, delta consistent, z signed with delta") {
+    val rows = SparkEntry.queries("q396_token_drift")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (s1, s2) = (r.getAs[Double]("share_1"), r.getAs[Double]("share_2"))
+      assert(s1 >= 0 && s1 <= 1 && s2 >= 0 && s2 <= 1)
+      val d = r.getAs[Double]("share_delta")
+      assert(math.abs(d - (s2 - s1)) < 2e-6)
+      if (math.abs(d) > 1e-6)
+        assert(d * r.getAs[Double]("z") > 0, "z must carry the delta's sign")
+    }
+  }
+
+  test("q397: length bands are powers of two and census the corpus") {
+    val rows = SparkEntry.queries("q397_length_dup_rate")(spark, sf01).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf01, "documents").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("len_band")
+      assert(b > 0 && (b & (b - 1)) == 0L, s"band $b is not a power of two")
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q393: pass/killed partition the pairs; filtering first shrinks dedup work") {
     val r = SparkEntry.queries("q393_filter_dedup_order")(spark, sf01).head()
     assert(r.getAs[Long]("n_pairs_both_pass") +
