@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables, r6, r2n, r4n, r6n}
@@ -21,6 +21,51 @@ import graft.{Q, Tables, r6, r2n, r4n, r6n}
   * reproduce the same shards bit-for-bit.
   */
 object CorpusOps {
+
+  private val chunkTxtExpr = expr(
+    """transform(sequence(0, (size(toks) - 1) DIV 32),
+      |  i -> concat_ws(' ', slice(toks, i * 32 + 1, 32)))""".stripMargin)
+
+  /** The 32-token chunk index rows (doc_id, source, h, len) for
+    * `docs` — the q364/q388 derivation, factored so the STREAMING
+    * chunk-index sink appends exactly what the batch queries compute
+    * (hashes and lengths cross the wire, never chunk text). Derived
+    * from `docs` alone (the q229 append-path stance). */
+  private[graft] def chunkRows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), col("source"), explode(chunkTxtExpr).as("txt"))
+    .select(col("doc_id"), col("source"), sha2(col("txt"), 256).as("h"),
+      length(col("txt")).cast("long").as("len"))
+
+  /** The q388 catalog body over chunk-index rows — factored so the
+    * batch query (in-plan derivation) and the streaming serve path
+    * (store-read rows) share one definition. `corpus` supplies the
+    * candidate-restricted chunk-text fetch (≤ 20 representative
+    * docs). */
+  private[graft] def boilerplateCatalog(chunks: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val top = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("rep"), max(col("len")).as("len"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(desc("n_occurrences"), col("h"))
+      .limit(20)
+      .cache() // the text fetch-back and the output both read it
+    val repChunks = corpus
+      .join(broadcast(top.select(col("rep").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(chunkTxtExpr).as("txt"))
+      .select(sha2(col("txt"), 256).as("h"), col("txt"))
+      .distinct()
+    top.join(broadcast(repChunks), "h")
+      .select(col("txt").as("chunk_text"), col("n_occurrences"),
+        col("n_docs"), col("n_sources"),
+        (col("n_occurrences") * col("len")).as("char_mass"))
+      .orderBy(desc("n_occurrences"), col("chunk_text"))
+  }
 
   private val ctx = 512L // tokens per packed training sequence
 
@@ -1016,36 +1061,8 @@ object CorpusOps {
       * the hash. Top-20 cut on (count desc, sha hex) so the boundary
       * is engine-portable. */
     "q388_boilerplate_catalog" -> ((s: SparkSession, dir: String) => {
-      val chunkTxt = expr(
-        """transform(sequence(0, (size(toks) - 1) DIV 32),
-          |  i -> concat_ws(' ', slice(toks, i * 32 + 1, 32)))""".stripMargin)
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val chunks = docs
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("source"), explode(chunkTxt).as("txt"))
-        .select(col("doc_id"), col("source"), sha2(col("txt"), 256).as("h"),
-          length(col("txt")).cast("long").as("len"))
-      val top = chunks.groupBy(col("h"))
-        .agg(count(lit(1)).as("n_occurrences"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"),
-          min(col("doc_id")).as("rep"), max(col("len")).as("len"))
-        .filter(col("n_occurrences") >= 2)
-        .orderBy(desc("n_occurrences"), col("h"))
-        .limit(20)
-        .cache() // the text fetch-back and the output both read it
-      val repChunks = docs
-        .join(broadcast(top.select(col("rep").as("doc_id"))),
-          Seq("doc_id"), "left_semi")
-        .select(split(col("text"), " ").as("toks"))
-        .select(explode(chunkTxt).as("txt"))
-        .select(sha2(col("txt"), 256).as("h"), col("txt"))
-        .distinct()
-      top.join(broadcast(repChunks), "h")
-        .select(col("txt").as("chunk_text"), col("n_occurrences"),
-          col("n_docs"), col("n_sources"),
-          (col("n_occurrences") * col("len")).as("char_mass"))
-        .orderBy(desc("n_occurrences"), col("chunk_text"))
+      boilerplateCatalog(chunkRows(docs), docs)
     }),
 
     /** Deterministic stratified-SAMPLE representativeness audit — the

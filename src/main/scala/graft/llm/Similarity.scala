@@ -563,6 +563,25 @@ object Similarity {
         .orderBy(col("k_occurrence"))
     }),
 
+    /** IVF cell-BALANCE audit — the serving-cost skew behind every
+      * nprobe number (q362's recall curve assumes probing a cell
+      * costs ~n/k; a 10× hot cell makes the worst-case probe 10× the
+      * plan): per trained Lloyd cell census folded to one row —
+      * cells, vectors, min/max cell size, and the imbalance factor
+      * max/mean. Training is the q122/q296 loop; the census is one
+      * k-bounded aggregate. A missing cell (n_cells < 16) means an
+      * EMPTY cell — dead capacity the re-train cadence should see. */
+    "q399_ivf_balance" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      assignCells(e, cents)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vectors"),
+          min(col("n")).as("cell_min"), max(col("n")).as("cell_max"),
+          r6n(max(col("n")).cast("double") * count(lit(1)) / sum(col("n")))
+            .as("imbalance"))
+    }),
+
     /** Embedding NORM health census — the quantity cosine similarity
       * normalizes away but dot-product retrieval, PQ quantization
       * (q158's L2 cells), and every "multiply by a projection" step
@@ -2132,6 +2151,24 @@ object Similarity {
          |FROM dk JOIN ca ON ca.cent_id = dk.cent_id
          |ORDER BY outlier_ratio DESC NULLS LAST, vec_id NULLS FIRST
          |LIMIT 10""".stripMargin,
+
+    // the same 2-iteration k=16 Lloyd unroll, the same k-bounded
+    // census fold; imbalance = max * cells / vectors, left-assoc
+    "q399_ivf_balance" ->
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "bs1", "ba1", Some("bc1"))},
+         |${duckKmeansIter("bc1", "bs2", "ba2", Some("bc2"))},
+         |${duckKmeansIter("bc2", "bs3", "assigned", None)},
+         |cs AS (SELECT cent_id, count(*) AS n FROM assigned GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |CAST(sum(n) AS BIGINT) AS n_vectors,
+         |CAST(min(n) AS BIGINT) AS cell_min,
+         |CAST(max(n) AS BIGINT) AS cell_max,
+         |round(max(n) * 1.0 * count(*) / sum(n) + 1e-12, 6) AS imbalance
+         |FROM cs""".stripMargin,
 
     // the same sequential x2-fold (bitwise-mirrored), the same r6 grid
     // for every stat, the same nudged 1-row mean threshold

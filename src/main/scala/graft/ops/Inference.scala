@@ -1143,6 +1143,41 @@ object Inference {
           col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
           r6n((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
             .as("did"))
+    }),
+
+    /** Frequent event-type TRIGRAMS over per-user journeys — the
+      * sequence-mining read behind "what do users actually DO in
+      * order" (q226's Markov transitions are memoryless pairs; a
+      * trigram separates browse→click→purchase from
+      * click→browse→purchase): per user, the (ts, event_id)-ordered
+      * action sequence folds to its consecutive type triples; output
+      * is the top-20 by occurrence with distinct-user support.
+      * Per-user sequence state is bounded by the per-user history
+      * length (constant under the corpus-growth model — user
+      * population scales, histories don't; the q128/sessionize
+      * stance); the trigram key is a '>'-joined string so the
+      * (count desc, trigram) cut is engine-portable. */
+    "q398_event_trigrams" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val seqs = ev.groupBy(col("user_id"))
+        .agg(expr(
+          """transform(array_sort(collect_list(
+            |  struct(us, event_id, event_type))), x -> x.event_type)"""
+            .stripMargin).as("sq"))
+      seqs.filter(size(col("sq")) >= 3)
+        .select(col("user_id"), explode(expr(
+          """transform(sequence(1, size(sq) - 2),
+            |  i -> concat_ws('>', element_at(sq, i),
+            |    element_at(sq, i + 1), element_at(sq, i + 2)))"""
+            .stripMargin)).as("tri"))
+        .groupBy(col("tri"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(desc("n_occurrences"), col("tri"))
+        .limit(20)
     })
   )
 
@@ -1898,6 +1933,23 @@ object Inference {
         |CAST(n_c_pre AS BIGINT) AS n_c_pre,
         |CAST(n_c_post AS BIGINT) AS n_c_post,
         |round((t_post - t_pre) - (c_post - c_pre) + 1e-12, 6) AS did
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // the same (ts, event_id)-ordered per-user sequences, the same
+    // '>'-joined trigram keys, the same (count desc, trigram) cut
+    "q398_event_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |  list(event_type ORDER BY epoch_us(ts), event_id) AS sq
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT user_id,
+        |  unnest(list_transform(generate_series(1, len(sq) - 2),
+        |    i -> sq[i] || '>' || sq[i + 1] || '>' || sq[i + 2])) AS tri
+        |  FROM s WHERE len(sq) >= 3)
+        |SELECT tri, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM t GROUP BY 1
+        |ORDER BY n_occurrences DESC, tri LIMIT 20""".stripMargin
   )
 }

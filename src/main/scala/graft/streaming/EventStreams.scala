@@ -705,6 +705,26 @@ object EventStreams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** LIVE chunk-index maintenance — the streaming side of the round-12
+    * chunk-dup family (q364 census, q388 catalog): each micro-batch of
+    * arriving documents appends ITS OWN 32-token chunk rows
+    * (doc_id, source, sha-256, len — hashes cross the wire, never
+    * text) to the state table, batch=<id>-Overwrite replay-idempotent
+    * like [[graft.llm.StateStores.bandIndexAppendSink]]. The
+    * boilerplate catalog then SERVES from the store
+    * ([[graft.llm.CorpusOps.boilerplateCatalog]] over the store rows —
+    * the identical batch code path), which ChunkStoreStreamSpec pins
+    * equal to the one-shot q388 output. */
+  def chunkIndexAppendSink(docs: DataFrame, statePath: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.CorpusOps.chunkRows(batch.filter(col("text").isNotNull))
+        .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** LIVE Welch drift screen — batch q166's conditional aggregate run
     * in Complete output mode over the event feed: all six partial
     * aggregates (n, Σ, M2 per sample) are sum-mergeable, so Spark

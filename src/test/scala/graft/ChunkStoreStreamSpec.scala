@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.CorpusOps
+
+/** Live twin for the round-12 chunk-dup family (q364/q388): documents
+  * streamed in three micro-batches maintain a chunk-index store
+  * (batch=<id>-Overwrite, replay-idempotent), and the boilerplate
+  * catalog SERVED from that store must equal the one-shot batch q388
+  * output row-for-row — the rounds-7-12 invariant that every
+  * operator family with a standing-state cost has a live maintenance
+  * path whose serve read is pinned to the batch query.
+  */
+class ChunkStoreStreamSpec extends SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("streamed chunk store serves the exact q388 catalog") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_chunk_src").toString
+    val statePath = Files.createTempDirectory("graft_chunk_state")
+      .resolve("state").toString
+    val docs = Tables(spark, sf01, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    (0 until 3).foreach { g =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === g)
+        .coalesce(1).write.parquet(s"$srcDir/gen$g")
+      val ft = java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + g * 10000L)
+      val walk = Files.walk(Paths.get(s"$srcDir/gen$g"))
+      try walk.forEach(p => Files.setLastModifiedTime(p, ft))
+      finally walk.close()
+    }
+    val q = streaming.EventStreams.chunkIndexAppendSink(
+      spark.readStream
+        .schema("doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/gen*"),
+      statePath)
+    q.processAllAvailable(); q.stop()
+    val stored = spark.read.parquet(statePath).drop("batch")
+    // the store IS the batch derivation, as a multiset
+    val rebuilt = CorpusOps.chunkRows(docs.filter(col("text").isNotNull))
+    val bad = stored.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cm"))
+      .join(rebuilt.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cr")), Seq("doc_id", "h"), "full_outer")
+      .filter(coalesce(col("cm"), lit(0L)) =!= coalesce(col("cr"), lit(0L)))
+      .count()
+    assert(bad == 0L, s"streamed chunk store diverged on $bad (doc, hash) groups")
+    // the serve read equals the one-shot batch catalog row-for-row
+    val live = CorpusOps.boilerplateCatalog(stored,
+      docs.filter(col("text").isNotNull)).collect()
+    val batch = SparkEntry.queries("q388_boilerplate_catalog")(spark, sf01)
+      .collect()
+    assert(live.length == batch.length,
+      s"live catalog ${live.length} rows vs batch ${batch.length}")
+    assert(live.nonEmpty, "sf0.01 must produce a non-empty catalog")
+    live.zip(batch).foreach { case (l, b) =>
+      assert(l == b, s"live catalog row $l != batch row $b")
+    }
+  }
+}

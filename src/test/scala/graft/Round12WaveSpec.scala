@@ -159,6 +159,25 @@ class Round12WaveSpec extends SparkSuite {
     }
   }
 
+  test("q398: trigram support never exceeds occurrences; cut bounded") {
+    val rows = SparkEntry.queries("q398_event_trigrams")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_occurrences"))
+      assert(r.getAs[String]("tri").count(_ == '>') == 2,
+        "trigram key must join exactly three types")
+    }
+  }
+
+  test("q399: cell census is k-bounded and imbalance >= 1") {
+    val r = SparkEntry.queries("q399_ivf_balance")(spark, sf01).head()
+    assert(r.getAs[Long]("n_cells") <= 16L)
+    assert(r.getAs[Long]("cell_min") <= r.getAs[Long]("cell_max"))
+    assert(r.getAs[Long]("n_vectors") ==
+      Tables(spark, sf01, "embeddings").count())
+    assert(r.getAs[Double]("imbalance") >= 1.0 - 1e-9)
+  }
+
   test("q393: pass/killed partition the pairs; filtering first shrinks dedup work") {
     val r = SparkEntry.queries("q393_filter_dedup_order")(spark, sf01).head()
     assert(r.getAs[Long]("n_pairs_both_pass") +
