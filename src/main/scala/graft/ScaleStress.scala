@@ -229,6 +229,12 @@ object ScaleStress {
     q("q367_transitivity_audit"), q("q377_huber_location"),
     q("q380_price_index"), q("q370_drop_attribution"),
     q("q381_simhash_calibration"), q("q385_vocab_richness"),
+    // round-12 waves: the blocked-pair ANN diagnostics, the chunk
+    // catalog with its candidate-restricted fetch-back, the segmented
+    // sample scan, the bounded RBO grid, the per-user sequence fold
+    q("q387_hubness"), q("q388_boilerplate_catalog"),
+    q("q389_srp_calibration"), q("q391_sample_audit"),
+    q("q392_vocab_rbo"), q("q398_event_trigrams"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
