@@ -169,13 +169,20 @@ object Bench {
       }
       val snap = java.nio.file.Paths.get(
         f"bench_history/bench_detail_r$roundN%02d.json")
-      val prevTotal =
-        if (java.nio.file.Files.exists(snap))
-          """"value":([-0-9.Ee]+)""".r
-            .findFirstMatchIn(java.nio.file.Files.readString(snap))
+      // "round's best" compares totals ONLY between runs over the SAME
+      // query board — a grown board's total can never beat the smaller
+      // record's, so a board-size change always replaces (the record
+      // must cover the current registry)
+      val prev =
+        if (java.nio.file.Files.exists(snap)) {
+          val txt = java.nio.file.Files.readString(snap)
+          val pt = """"value":([-0-9.Ee]+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toDouble)
-        else None
-      if (prevTotal.forall(total < _)) {
+          val pn = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1).count(_ == ':'))
+          pt.zip(pn)
+        } else None
+      if (prev.forall { case (pt, pn) => pn != results.size || total < pt }) {
         java.nio.file.Files.createDirectories(snap.getParent)
         java.nio.file.Files.writeString(snap, detailJson)
         java.nio.file.Files.writeString(
