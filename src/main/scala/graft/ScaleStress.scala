@@ -235,6 +235,7 @@ object ScaleStress {
     q("q387_hubness"), q("q388_boilerplate_catalog"),
     q("q389_srp_calibration"), q("q391_sample_audit"),
     q("q392_vocab_rbo"), q("q398_event_trigrams"),
+    q("q400_outlier_screen_agreement"), q("q401_fk_orphans"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the

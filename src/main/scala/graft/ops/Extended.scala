@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables, r2, r4, r6, r2n, r4n, r6n}
@@ -1322,6 +1322,45 @@ object Extended {
           r6n(col("paas")).as("paasche"),
           r6n(sqrt(col("lasp") * col("paas"))).as("fisher"))
         .orderBy(col("year"))
+    }),
+
+    /** Referential-integrity ORPHAN census — the DQ rule family the
+      * reference's per-table checks (data_quality_checks.py) cannot
+      * express: per foreign-key edge of the schema, child rows whose
+      * key finds no parent (NULL keys count as orphans on both
+      * engines: anti-join null keys never match, NOT EXISTS likewise).
+      * Seven edges, each one anti-join + 1-row fold, unioned — at
+      * 100 TB each edge is one shuffled (or dim-broadcast) anti-join,
+      * the exact plan an FK validation job runs. */
+    "q401_fk_orphans" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"),
+            r6n(col("n_orphan").cast("double") / col("n_child"))
+              .as("orphan_rate"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val p = Tables(s, dir, "part")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      Seq(
+        edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
+        edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier.nationkey->nation", sup, "s_nationkey", n, "n_nationkey"),
+        edge("nation.regionkey->region", n, "n_regionkey", r, "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk_edge"))
     })
   )
 
@@ -2039,6 +2078,38 @@ object Extended {
         |  AS fisher
         |FROM py JOIN b ON b.l_partkey = py.l_partkey
         |GROUP BY py.yr
-        |ORDER BY year NULLS FIRST""".stripMargin
+        |ORDER BY year NULLS FIRST""".stripMargin,
+
+    // the same seven edges; NOT EXISTS is null-safe like the anti-join
+    "q401_fk_orphans" -> {
+      def edge(name: String, child: String, ck: String,
+          parent: String, pk: String) =
+        s"""SELECT '$name' AS fk_edge,
+           |CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+           |CAST((SELECT count(*) FROM $child c
+           |  WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |    WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphan,
+           |round((SELECT count(*) FROM $child c
+           |  WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |    WHERE p.$pk = c.$ck)) * 1.0
+           |  / (SELECT count(*) FROM $child) + 1e-12, 6) AS orphan_rate"""
+          .stripMargin
+      Seq(
+        edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("supplier.nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        edge("nation.regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge NULLS FIRST")
+    }
   )
 }

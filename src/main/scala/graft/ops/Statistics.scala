@@ -2462,6 +2462,61 @@ object Statistics {
             (col("s2") - col("g") * col("tb") * col("tb"))).as("jack_var"),
           r6n(sqrt((col("g") - 1).cast("double") / col("g") *
             (col("s2") - col("g") * col("tb") * col("tb")))).as("jack_se"))
+    }),
+
+    /** Outlier-screen AGREEMENT matrix — the meta-audit over the
+      * suite's three per-type value screens (the z band, the IQR
+      * fence, the MAD robust z): per screen pair, how many events
+      * both flag, either flags, and the Jaccard of the flag sets.
+      * High agreement = the screens are redundant (drop the expensive
+      * one); low agreement = they see DIFFERENT pathologies and a
+      * production pipeline needs the union. Q1/median/Q3 come from
+      * ONE exact-quantile pass (three quantiles share one range
+      * exchange), MAD from one more over the deviations; all flag
+      * boundaries compare on the nudged/r6 grid both engines share
+      * (the q207/q292 stance). */
+    "q400_outlier_screen_agreement" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+        .cache()
+      val qs = Quantiles.exactQuantiles(ev, Seq("event_type"), "v",
+        Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
+      val ms = ev.groupBy(col("event_type"))
+        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+      val dev = ev.join(broadcast(qs), "event_type")
+        .select(col("event_type"), col("v"), col("q1"), col("q3"), col("med"),
+          abs(col("v") - col("med")).as("adev"))
+      val mad = Quantiles.exactQuantiles(dev, Seq("event_type"), "adev",
+        Seq("mad" -> 0.5))
+      val zr = round(abs(col("v") - col("mu")) / col("sd") + lit(1e-12), 6)
+      val rz = round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)
+      val flags = dev
+        .join(broadcast(ms), "event_type")
+        .join(broadcast(mad), "event_type")
+        .select(
+          (col("sd") > 0 && zr > 3.0).as("f_z"),
+          (col("v") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+            col("v") > col("q3") + (col("q3") - col("q1")) * 1.5).as("f_iqr"),
+          (col("mad") > 0 && abs(rz) > 3.5).as("f_mad"))
+      val a = flags.agg(
+        count_if(col("f_z")).as("nz"), count_if(col("f_iqr")).as("ni"),
+        count_if(col("f_mad")).as("nm"),
+        count_if(col("f_z") && col("f_iqr")).as("bzi"),
+        count_if(col("f_z") && col("f_mad")).as("bzm"),
+        count_if(col("f_iqr") && col("f_mad")).as("bim"))
+      a.selectExpr(
+          """stack(3,
+            |  'iqr-mad', ni, nm, bim,
+            |  'z-iqr', nz, ni, bzi,
+            |  'z-mad', nz, nm, bzm) AS (screen_pair, n_a, n_b, n_both)"""
+            .stripMargin)
+        .select(col("screen_pair"), col("n_a"), col("n_b"), col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            r6n(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both"))))
+            .otherwise(lit(0.0)).as("jaccard"))
+        .orderBy(col("screen_pair"))
     })
   )
 
@@ -4013,7 +4068,59 @@ object Statistics {
         |  AS jack_var,
         |round(sqrt(CAST(g - 1 AS DOUBLE) / g * (s2 - g * tb * tb))
         |  + 1e-12, 6) AS jack_se
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // the same three screens with the same grid boundaries (nudged z
+    // round, raw IQR fence arithmetic in the identical op order, the
+    // q207 rounded robust z), one fused fold, unpivoted
+    "q400_outlier_screen_agreement" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |qs AS (
+        |  SELECT event_type, quantile_cont(v, 0.25) AS q1,
+        |  quantile_cont(v, 0.5) AS med, quantile_cont(v, 0.75) AS q3
+        |  FROM ev GROUP BY 1),
+        |ms AS (
+        |  SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sd
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, ev.v, qs.q1, qs.q3, qs.med,
+        |  abs(ev.v - qs.med) AS adev
+        |  FROM ev JOIN qs USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |  (ms.sd > 0 AND round(abs(d.v - ms.mu) / ms.sd + 1e-12, 6) > 3.0)
+        |    AS f_z,
+        |  (d.v < d.q1 - (d.q3 - d.q1) * 1.5
+        |   OR d.v > d.q3 + (d.q3 - d.q1) * 1.5) AS f_iqr,
+        |  (mad.mad > 0
+        |   AND abs(round(0.6745 * (d.v - d.med) / mad.mad, 6)) > 3.5)
+        |    AS f_mad
+        |  FROM dev d JOIN ms USING (event_type) JOIN mad USING (event_type)),
+        |a AS (
+        |  SELECT count(*) FILTER (f_z) AS nz,
+        |  count(*) FILTER (f_iqr) AS ni,
+        |  count(*) FILTER (f_mad) AS nm,
+        |  count(*) FILTER (f_z AND f_iqr) AS bzi,
+        |  count(*) FILTER (f_z AND f_mad) AS bzm,
+        |  count(*) FILTER (f_iqr AND f_mad) AS bim
+        |  FROM f),
+        |u AS (
+        |  SELECT 'iqr-mad' AS screen_pair, ni AS n_a, nm AS n_b, bim AS n_both
+        |    FROM a
+        |  UNION ALL SELECT 'z-iqr', nz, ni, bzi FROM a
+        |  UNION ALL SELECT 'z-mad', nz, nm, bzm FROM a)
+        |SELECT screen_pair, CAST(n_a AS BIGINT) AS n_a,
+        |CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+        |CASE WHEN n_a + n_b - n_both > 0
+        |  THEN round(n_both * 1.0 / (n_a + n_b - n_both) + 1e-12, 6)
+        |  ELSE 0.0 END AS jaccard
+        |FROM u
+        |ORDER BY screen_pair NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

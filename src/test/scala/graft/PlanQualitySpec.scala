@@ -280,7 +280,11 @@ class PlanQualitySpec extends SparkSuite {
     "q395_source_lang_mi",
     // q396: the broadcast sides are the ONE-ROW max-id fold and the
     // ONE-ROW half-totals fold (q136 class)
-    "q396_token_drift")
+    "q396_token_drift",
+    // q401: each edge combines its ONE-ROW child-count fold with its
+    // ONE-ROW orphan-count fold (the q172 1-row x 1-row class); the
+    // orphan anti-joins themselves are equi-joins
+    "q401_fk_orphans")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

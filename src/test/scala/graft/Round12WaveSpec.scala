@@ -178,6 +178,29 @@ class Round12WaveSpec extends SparkSuite {
     assert(r.getAs[Double]("imbalance") >= 1.0 - 1e-9)
   }
 
+  test("q400: agreement counts are set-consistent") {
+    val rows = SparkEntry.queries("q400_outlier_screen_agreement")(spark, sf01)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q401: the TPC-H fixture is referentially intact on all seven edges") {
+    val rows = SparkEntry.queries("q401_fk_orphans")(spark, sf01).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("n_orphan") == 0L,
+        s"fixture FK edge ${r.getAs[String]("fk_edge")} has orphans — " +
+          "either the generator broke or the edge definition is wrong")
+    }
+  }
+
   test("q393: pass/killed partition the pairs; filtering first shrinks dedup work") {
     val r = SparkEntry.queries("q393_filter_dedup_order")(spark, sf01).head()
     assert(r.getAs[Long]("n_pairs_both_pass") +
