@@ -362,6 +362,17 @@ object StateStores {
     * update in ONE snapshot-sized aggregation. The standing corpus is
     * NEVER rescanned. */
   private[graft] def centroidUpdate(s: SparkSession, state: DataFrame,
+      snap: DataFrame): DataFrame =
+    centroidUpdateRaw(s, state, snap)
+      .select(col("cent_id"), col("pos"), r6n(col("coord_raw")).as("coord_new"),
+        col("n_before"), col("n_added"))
+      .orderBy(col("cent_id"), col("pos"))
+
+  /** The running-mean fold at FULL precision — factored from
+    * [[centroidUpdate]] (which rounds for the q230 report) so the
+    * STREAMING maintenance path can write unrounded state back
+    * without accumulating a rounding drift per micro-batch. */
+  private[graft] def centroidUpdateRaw(s: SparkSession, state: DataFrame,
       snap: DataFrame): DataFrame = {
     val cents = state.select(col("cent_id"), col("pos"), col("coord"))
       .collect()
@@ -375,11 +386,28 @@ object StateStores {
       .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("m"))
     state.join(upd, Seq("cent_id", "pos"), "left")
       .select(col("cent_id"), col("pos"),
-        r6n(when(col("m").isNull, col("coord"))
+        when(col("m").isNull, col("coord"))
           .otherwise((col("n").cast("double") * col("coord") + col("sx")) /
-            (col("n") + col("m")).cast("double"))).as("coord_new"),
+            (col("n") + col("m")).cast("double")).as("coord_raw"),
         col("n").as("n_before"), coalesce(col("m"), lit(0L)).as("n_added"))
-      .orderBy(col("cent_id"), col("pos"))
+  }
+
+  /** Latest committed state VERSION strictly below `id` under `path`
+    * (dirs named `v=<n>`, the seed at `v=-1`) — the read side of the
+    * versioned-fold idempotence pattern: a replayed micro-batch reads
+    * its PREDECESSOR's snapshot, never its own crashed output. */
+  private[graft] def latestVersionBelow(path: String, id: Long): Long = {
+    val p = java.nio.file.Paths.get(path)
+    val st = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      val vs = st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .filter(_ < id).toSeq
+      require(vs.nonEmpty,
+        s"no state version below $id under $path — seed v=-1 missing")
+      vs.max
+    } finally st.close()
   }
 
   /** The SERVE side of the q229 story — the probe plan that reads the

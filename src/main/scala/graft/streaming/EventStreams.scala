@@ -705,6 +705,35 @@ object EventStreams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** LIVE centroid maintenance — the streaming twin of q230's
+    * running-mean update, closing the last maintained store without a
+    * live path. Unlike the band/chunk/pair sinks (LOG state — per-batch
+    * subdirs make replays idempotent), centroid state is a FOLD: a
+    * replayed batch naively re-folded would double-count. The fix is
+    * VERSIONED model snapshots: each micro-batch reads the newest state
+    * version STRICTLY BELOW its own batchId (`v=<id>` dirs, seed at
+    * `v=-1`) and Overwrites its own version — a replay recomputes from
+    * the intact predecessor and lands identical bytes. Affordable
+    * because the state is a k·d model table (control-plane-sized at
+    * any corpus scale); readers serve from the max version.
+    * CentroidStreamSpec pins streamed ≡ sequential batch folds AND
+    * replay idempotence across a commit-window kill/restart. */
+  def centroidUpdateSink(vecs: DataFrame, statePath: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val prev = graft.llm.StateStores.latestVersionBelow(statePath, batchId)
+      val st = s.read.parquet(s"$statePath/v=$prev")
+      graft.llm.StateStores.centroidUpdateRaw(s, st, batch)
+        .select(col("cent_id"), col("pos"), col("coord_raw").as("coord"),
+          (col("n_before") + col("n_added")).as("n"))
+        .coalesce(1) // k·d model rows — one file per version
+        .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** LIVE chunk-index maintenance — the streaming side of the round-12
     * chunk-dup family (q364 census, q388 catalog): each micro-batch of
     * arriving documents appends ITS OWN 32-token chunk rows
