@@ -60,4 +60,61 @@ class ChunkStoreStreamSpec extends SparkSuite {
       assert(l == b, s"live catalog row $l != batch row $b")
     }
   }
+
+  test("mid-lifecycle compaction composes with further streamed appends") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_chunk_cmp_src").toString
+    val statePath = Files.createTempDirectory("graft_chunk_cmp_state")
+      .resolve("state").toString
+    val ckpt = Files.createTempDirectory("graft_chunk_cmp_ckpt").toString
+    val docs = Tables(spark, sf01, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    def putGen(g: Int): Unit = {
+      docs.filter(pmod(col("doc_id"), lit(3)) === g)
+        .coalesce(1).write.parquet(s"$srcDir/gen$g")
+      val ft = java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + g * 10000L)
+      val walk = Files.walk(Paths.get(s"$srcDir/gen$g"))
+      try walk.forEach(p => Files.setLastModifiedTime(p, ft))
+      finally walk.close()
+    }
+    (0 until 2).foreach(putGen)
+    def start() = streaming.EventStreams.chunkIndexAppendSink(
+      spark.readStream
+        .schema("doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/gen*"),
+      statePath, checkpoint = Some(ckpt))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // compact at the committed log head (stream stopped)
+    llm.CorpusOps.chunkStoreCompact(spark, statePath)
+    def batchDirs = {
+      val st = Files.list(Paths.get(statePath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch=")).toSet
+      } finally st.close()
+    }
+    assert(batchDirs == Set("batch=1"),
+      s"compaction must fold to the head partition, saw $batchDirs")
+    // a further generation arrives on the compacted store
+    putGen(2)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(batchDirs == Set("batch=1", "batch=2"),
+      s"post-compaction append layout broke: $batchDirs")
+    // the serve read over the compacted-then-appended store still
+    // equals the one-shot batch catalog
+    val live = llm.CorpusOps.boilerplateCatalog(
+      spark.read.parquet(statePath).drop("batch"),
+      docs.filter(col("text").isNotNull)).collect()
+    val batch = SparkEntry.queries("q388_boilerplate_catalog")(spark, sf01)
+      .collect()
+    assert(live.length == batch.length && live.nonEmpty)
+    live.zip(batch).foreach { case (l, b) =>
+      assert(l == b, s"post-compaction live catalog row $l != batch row $b")
+    }
+  }
 }
