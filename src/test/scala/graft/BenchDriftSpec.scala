@@ -56,8 +56,11 @@ class BenchDriftSpec extends AnyFunSuite {
       val st = java.nio.file.Files.list(histDir)
       try {
         import scala.jdk.CollectionConverters._
-        st.iterator().asScala.filter(_.toString.endsWith(".json"))
-          .toSeq.sortBy(_.getFileName.toString)
+        // NUMERIC round sort (round-12 ADVICE): lexicographic filename
+        // order misplaces r100 relative to r99
+        st.iterator().asScala
+          .flatMap(p => BenchCustody.roundOf(p.getFileName.toString).map(_ -> p))
+          .toSeq.sortBy(_._1).map(_._2)
       } finally st.close()
     }
     assume(hist.nonEmpty, "empty bench_history/")

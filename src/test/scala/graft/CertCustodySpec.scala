@@ -39,9 +39,11 @@ class CertCustodySpec extends AnyFunSuite {
       val st = java.nio.file.Files.list(histDir)
       try {
         import scala.jdk.CollectionConverters._
+        // NUMERIC round sort (round-12 ADVICE): a lexicographic filename
+        // sort puts r100 before r99 once the %02d pad overflows
         st.iterator().asScala
-          .filter(_.getFileName.toString.matches("bench_detail_r\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString).lastOption
+          .flatMap(p => BenchCustody.roundOf(p.getFileName.toString).map(_ -> p))
+          .toSeq.sortBy(_._1).lastOption.map(_._2)
       } finally st.close()
     }
     assert(newest.isDefined, "no bench_detail_r*.json snapshot in bench_history/")
@@ -52,6 +54,48 @@ class CertCustodySpec extends AnyFunSuite {
     assert(!read(detail).contains("\"certifiable\":false"),
       "the tree's bench record is sentinel-contaminated — a dirty run " +
         "must live in bench_detail_last.json, never as the record")
+  }
+
+  test("a slower same-board run cannot displace the standing record across a round boundary") {
+    // Round-12 custody defect, pinned: the 267.3 s post-close run
+    // inferred "round 13", found no r13 snapshot, and displaced the
+    // 231.2 s round-12 record. The decision now keys on the board.
+    val names = Seq("q01_a", "q02_b", "q03_c")
+    val board = BenchCustody.boardHash(names)
+    val standing = Seq(12 -> BenchCustody.Record(231.2, 3, board, certifiable = true))
+    // slower run over the SAME board, inferred round 13: must keep
+    assert(BenchCustody.decide(standing, 13, 267.3, board).isEmpty)
+    // equal total ties to the standing record
+    assert(BenchCustody.decide(standing, 13, 231.2, board).isEmpty)
+    // faster same-board run becomes round 13's record
+    assert(BenchCustody.decide(standing, 13, 219.0, board).contains(13))
+    // faster same-board run still inside round 12 overwrites r12
+    assert(BenchCustody.decide(standing, 12, 219.0, board).contains(12))
+    // board change (query added): always writes the inferred round,
+    // even when the grown board's total is necessarily larger
+    val grown = BenchCustody.boardHash(names :+ "q04_d")
+    assert(BenchCustody.decide(standing, 13, 300.0, grown).contains(13))
+    // no history at all: first record writes
+    assert(BenchCustody.decide(Nil, 1, 100.0, board).contains(1))
+  }
+
+  test("custody parser round-trips the explicit fields and derives them for legacy records") {
+    val names = Seq("q01_a", "q02_b")
+    val board = BenchCustody.boardHash(names)
+    val modern = s"""{"metric":"total","value":12.5,"unit":"sec","runs":2,""" +
+      s""""n_queries":2,"board":"$board","certifiable":true,""" +
+      s""""queries":{"q01_a":7.0,"q02_b":5.5},"sf":"x"}"""
+    assert(BenchCustody.parse(modern).contains(
+      BenchCustody.Record(12.5, 2, board, certifiable = true)))
+    // legacy record (pre-round-13): no n_queries/board — derived from
+    // the queries-map keys, so same board hashes equal
+    val legacy = """{"metric":"total","value":13.0,"unit":"sec","certifiable":true,""" +
+      """"queries":{"q01_a":8.0,"q02_b":5.0},"sf":"x"}"""
+    val p = BenchCustody.parse(legacy).get
+    assert(p.board == board && p.nQueries == 2 && p.total == 13.0)
+    assert(BenchCustody.roundOf("bench_detail_r100.json").contains(100))
+    assert(BenchCustody.roundOf("bench_detail_r09.json").contains(9))
+    assert(BenchCustody.roundOf("notes.json").isEmpty)
   }
 
   test("cert artifacts are committed, not working-tree-only") {
