@@ -203,8 +203,12 @@ object ScaleStress {
     // confirms the "residual is runtime constant-factor" reading or
     // exposes a real super-linear term while it is still cheap to see
     q("q244_adamic_adar", LifecycleScales),
-    q("q184_basket_lift"), q("q274_degree_census"), q("q207_mad_outliers"),
-    q("q120_weighted_quantiles"), q("q240_chargram_profile"),
+    // round-12 verdict Next #7: the three ≥ 1.0 exponents from the
+    // round-12 board get their x100 point the round after they land —
+    // the same one-more-decade discipline the round-11 worst four got
+    q("q184_basket_lift"), q("q274_degree_census", LifecycleScales),
+    q("q207_mad_outliers"),
+    q("q120_weighted_quantiles"), q("q240_chargram_profile", LifecycleScales),
     q("q154_image_neardup"), q("q218_ship_latency"),
     q("q156_waiting_blame"), q("q268_triple_itemsets", LifecycleScales),
     q("q208_conversion_latency"), q("q296_knn_outlier", LifecycleScales),
@@ -235,7 +239,7 @@ object ScaleStress {
     q("q387_hubness"), q("q388_boilerplate_catalog"),
     q("q389_srp_calibration"), q("q391_sample_audit"),
     q("q392_vocab_rbo"), q("q398_event_trigrams"),
-    q("q400_outlier_screen_agreement"), q("q401_fk_orphans"),
+    q("q400_outlier_screen_agreement"), q("q401_fk_orphans", LifecycleScales),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the

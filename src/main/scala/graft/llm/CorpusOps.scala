@@ -65,6 +65,20 @@ object CorpusOps {
       path, Some("batch"))
   }
 
+  /** The q388 serve read over a LIVE chunk store, routed through
+    * [[StateStores.readCommitted]] (round-12 ADVICE: naked
+    * read.parquet serve reads race the sink's auto-compaction swap).
+    * Consume-inside-the-call holds honestly: the catalog is ≤ 20 rows
+    * by construction, so it collects inside the protected window and
+    * returns as a local relation. */
+  private[graft] def boilerplateCatalogFromStore(s: SparkSession,
+      storePath: String, corpus: DataFrame): DataFrame =
+    StateStores.readCommitted(s, storePath) { stored =>
+      val cat = boilerplateCatalog(stored.drop("batch"), corpus)
+      s.createDataFrame(
+        java.util.Arrays.asList(cat.collect(): _*), cat.schema)
+    }
+
   /** The q388 catalog body over chunk-index rows — factored so the
     * batch query (in-plan derivation) and the streaming serve path
     * (store-read rows) share one definition. `corpus` supplies the

@@ -121,13 +121,13 @@ object Similarity {
     * sf0.1 (~125-member cells → 2 blocks) under the DuckDB oracle. */
   private[llm] val KnnBlock = 64
 
-  private[llm] val PqM = 8 // subspaces
-  private[llm] val PqSub = 8 // dims per subspace (m · sub = 64)
-  private[llm] val PqKs = 4 // codes per subspace codebook
+  private[graft] val PqM = 8 // subspaces
+  private[graft] val PqSub = 8 // dims per subspace (m · sub = 64)
+  private[graft] val PqKs = 4 // codes per subspace codebook
   private val PqIters = 2
 
   /** Subspace j of the embedding as a double array (pure projection). */
-  private[llm] def pqSubCol(j: Int): Column = expr(
+  private[graft] def pqSubCol(j: Int): Column = expr(
     s"transform(slice(embedding, ${j * PqSub + 1}, $PqSub), x -> cast(x AS double))")
 
   /** Squared L2 to a DRIVER-LITERAL sub-centroid — sequential fold in
@@ -139,7 +139,7 @@ object Similarity {
   /** Nearest-code assignment for subspace j as a projection: `least`
     * over (dist, code) structs — ties to the LOWEST code, matching
     * `ORDER BY dist, code` in the oracle. */
-  private[llm] def pqCode(j: Int, book: Seq[(Int, Array[Double])]): Column =
+  private[graft] def pqCode(j: Int, book: Seq[(Int, Array[Double])]): Column =
     least(book.map { case (code, c) =>
       struct(pqDist(pqSubCol(j), c).as("d"), lit(code).as("c"))
     }: _*).getField("c")
@@ -182,6 +182,41 @@ object Similarity {
       }
     }
     books
+  }
+
+  /** The k=16 coarse quantizer as a PERSISTED SERVED ARTIFACT
+    * (round-12 verdict What's-wrong #3: q387/q399 retrained k-means
+    * inside the query body while the serve-store discipline says
+    * trained models are read, not retrained). Seed-if-absent under
+    * servePath (content-tagged — fixture regeneration orphans stale
+    * state); every consumer of the k=16/iters=2 full-table model —
+    * the screens q57/q86/q296 and the audits q387/q389/q399 — reads
+    * THIS store, so the audits audit exactly the binning the screens
+    * serve. The store holds what [[trainKmeans]] deterministically
+    * produces, so each consumer's from-first-principles oracle doubles
+    * as the staleness guard (the q281/q282 stance: a stale or torn
+    * store goes red against the retraining oracle). Doubles
+    * round-trip parquet exactly, so store-served centroids are
+    * BIT-IDENTICAL to direct training (spec-pinned). */
+  private[graft] def servedCentroids(s: SparkSession, dir: String)
+      : Seq[(Long, Array[Double])] = {
+    val path = StateStores.servePath(dir, "audit_cents_v1", "embeddings")
+    StateStores.seedOnce(path) {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      import s.implicits._
+      cents.flatMap { case (cid, c) =>
+          c.iterator.zipWithIndex.map { case (v, i) => (cid, i.toLong, v) } }
+        .toSeq.toDF("cent_id", "pos", "coord")
+        .coalesce(1) // k·d model rows
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+      .toSeq.sortBy(_._1)
   }
 
   /** Top-`nprobe` trained cells for the probe vector `queryId` — a
@@ -402,7 +437,7 @@ object Similarity {
     "q57_ann_ivf" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       val assigned = assignCells(e, cents)
       val qCells = probeCells(e, cents, queryId = 0L, nprobe = 2)
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -487,7 +522,7 @@ object Similarity {
     "q296_knn_outlier" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       val assigned0 = assignCells(e, cents)
       // 16-row cell-size table (bounded by the constant k) broadcast
       // back to derive the per-cell block count
@@ -530,7 +565,10 @@ object Similarity {
       * concentrates near k; a heavy tail (hub vectors appearing in
       * hundreds of lists) degrades every kNN-based screen (q43/q86/
       * q296) and is invisible to recall audits, which only look from
-      * the query side. Same bounded machinery as q296 — trained Lloyd
+      * the query side. The cells come from the PERSISTED quantizer
+      * store ([[servedCentroids]]) — the audit audits the same binning
+      * the screens serve, and trains nothing itself (round-12
+      * What's-wrong #3). Same bounded machinery as q296 — Lloyd
       * cells sub-split into ~64-member blocks, within-block distances
       * only (O(n·B) at any corpus size), rn ≤ 10 so WindowGroupLimit
       * prunes map-side — then one count per NEIGHBOR and a histogram;
@@ -538,7 +576,7 @@ object Similarity {
     "q387_hubness" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       val assigned0 = assignCells(e, cents)
       val cellN = assigned0.groupBy(col("cent_id")).agg(count(lit(1)).as("cnt"))
       val assigned = assigned0
@@ -568,12 +606,14 @@ object Similarity {
       * costs ~n/k; a 10× hot cell makes the worst-case probe 10× the
       * plan): per trained Lloyd cell census folded to one row —
       * cells, vectors, min/max cell size, and the imbalance factor
-      * max/mean. Training is the q122/q296 loop; the census is one
-      * k-bounded aggregate. A missing cell (n_cells < 16) means an
-      * EMPTY cell — dead capacity the re-train cadence should see. */
+      * max/mean. The cells are read from the PERSISTED quantizer
+      * store ([[servedCentroids]] — the audit censuses the SERVING
+      * model, training nothing); the census is one k-bounded
+      * aggregate. A missing cell (n_cells < 16) means an EMPTY cell —
+      * dead capacity the re-train cadence should see. */
     "q399_ivf_balance" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       assignCells(e, cents)
         .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vectors"),
@@ -635,7 +675,7 @@ object Similarity {
           "(x, c) -> cast(x AS double) * c), 0D, (acc, v) -> acc + v)")
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       val cellN = assignCells(e, cents).groupBy(col("cent_id"))
         .agg(count(lit(1)).as("cnt"))
       val assigned = assignCells(e, cents)
@@ -663,7 +703,7 @@ object Similarity {
     "q86_semdedup" -> ((s: SparkSession, dir: String) => {
       withCosine(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (cents, _) = trainKmeans(e, k = 16, iters = 2)
+      val cents = servedCentroids(s, dir)
       // cached: both sides of the within-cell pair join read this
       val assigned = assignCells(e, cents).cache()
       assigned.as("a")

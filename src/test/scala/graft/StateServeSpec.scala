@@ -23,6 +23,23 @@ class StateServeSpec extends SparkSuite {
     p
   }
 
+  test("servedCentroids read back bit-identical to direct training") {
+    // the round-12 What's-wrong #3 fix: q57/q86/q296/q387/q389/q399
+    // all read the persisted k=16 quantizer instead of retraining —
+    // sound only if parquet round-trips the model exactly
+    import org.apache.spark.sql.functions.col
+    val direct = llm.Similarity.trainKmeans(
+      Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding")),
+      k = 16, iters = 2)._1
+    val served = llm.Similarity.servedCentroids(spark, sf)
+    assert(served.map(_._1) == direct.map(_._1),
+      "store-served centroid ids differ from direct training")
+    served.zip(direct).foreach { case ((ci, ca), (_, da)) =>
+      assert(ca.sameElements(da),
+        s"centroid $ci coords differ between store and direct training")
+    }
+  }
+
   test("q281: serve path ≡ in-plan rebuild (q151), row for row") {
     val served = StateStores.bandServe(spark, snap, corpus, bandPath).collect()
     val rebuilt = TextDedup.incrementalNearDup(spark, snap, corpus).collect()
