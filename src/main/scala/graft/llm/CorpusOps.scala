@@ -1178,6 +1178,49 @@ object CorpusOps {
               |    size(array_intersect(slice(l, 1, d), slice(l2, 1, d)))
               |    / cast(d AS double)) * 0.1D""".stripMargin)).as("rbo"))
         .orderBy(col("s1"), col("s2"))
+    }),
+
+    /** Shuffle-MIXING audit — does the deterministic hash shuffle that
+      * orders training shards (the q78/q79 split convention: order by
+      * a cryptographic hash of the id) actually interleave sources?
+      * A training run over a poorly mixed stream sees source-correlated
+      * batches — gradient noise that looks like loss spikes. Per
+      * source: the count of ADJACENT same-source pairs in the
+      * md5(doc_id) order vs the expectation under a uniform random
+      * permutation (n_s·(n_s−1)/n — the birthday-adjacency count), and
+      * their ratio (≈1 healthy, >>1 means the hash key accidentally
+      * correlates with the source, e.g. id ranges assigned per crawl).
+      * Scale shape: the total order is [[graft.ops.GlobalRank]]'s ONE
+      * range exchange (never a single-partition window), adjacency is
+      * an equi self-join on rn+1 (shuffle on the rank, AQE-planned),
+      * and everything after is a 20-row source aggregate. Sources with
+      * n_docs ≤ 1 have no expectation — ratio NULL on both engines. */
+    "q402_shuffle_mixing_audit" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val ranked = graft.ops.GlobalRank.withRowNumbers(
+          docs, Seq(asc_nulls_first("h"), asc_nulls_first("doc_id")), "rn")
+        .select(col("rn"), col("source"))
+        .cache() // both sides of the rn+1 self-join read it
+      val adj = ranked.as("x").join(ranked.as("y"),
+          col("y.rn") === col("x.rn") + 1)
+        .select(col("x.source").as("s1"), col("y.source").as("s2"))
+      val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = cnt.agg(sum(col("n_docs")).as("n"))
+      val obs = adj.filter(col("s1") === col("s2"))
+        .groupBy(col("s1").as("source")).agg(count(lit(1)).as("adj_same"))
+      cnt.join(obs, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          coalesce(col("adj_same"), lit(0L)).as("adj_same"),
+          r6n(col("n_docs").cast("double") * (col("n_docs") - 1) / col("n"))
+            .as("expected_adj"),
+          when(col("n_docs") > 1,
+            r6n(coalesce(col("adj_same"), lit(0L)).cast("double") * col("n") /
+              (col("n_docs").cast("double") * (col("n_docs") - 1))))
+            .as("mixing_ratio"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1869,6 +1912,31 @@ object CorpusOps {
         |        / CAST(d AS DOUBLE))),
         |  (acc, x) -> acc + x) * 0.1 + 1e-12, 6) AS rbo
         |FROM l a JOIN l b ON a.source < b.source
-        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin,
+
+    // same md5-of-id total order (both engines emit lowercase hex of
+    // the decimal id string), same integer-exact expectation terms
+    "q402_shuffle_mixing_audit" ->
+      """WITH r AS (
+        |  SELECT source, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |adj AS (
+        |  SELECT x.source AS s1, y.source AS s2
+        |  FROM r x JOIN r y ON y.rn = x.rn + 1),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |obs AS (SELECT s1 AS source, count(*) AS adj_same
+        |        FROM adj WHERE s1 = s2 GROUP BY 1)
+        |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+        |CAST(coalesce(o.adj_same, 0) AS BIGINT) AS adj_same,
+        |round(CAST(c.n_docs AS DOUBLE) * (c.n_docs - 1) / t.n + 1e-12, 6)
+        |  AS expected_adj,
+        |CASE WHEN c.n_docs > 1 THEN
+        |  round(CAST(coalesce(o.adj_same, 0) AS DOUBLE) * t.n /
+        |    (CAST(c.n_docs AS DOUBLE) * (c.n_docs - 1)) + 1e-12, 6)
+        |END AS mixing_ratio
+        |FROM cnt c LEFT JOIN obs o ON o.source = c.source CROSS JOIN tot t
+        |ORDER BY c.source NULLS FIRST""".stripMargin
   )
 }

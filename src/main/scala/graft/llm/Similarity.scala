@@ -1520,6 +1520,115 @@ object Similarity {
       import s.implicits._
       picks.result().toDF("rank", "vec_id", "relevance", "mmr_score")
         .orderBy(col("rank"))
+    }),
+
+    /** DOT-vs-COSINE ranking bias audit — retrieval stacks that score
+      * with a raw inner product (the cheap path: no norm divide, and
+      * most ANN indexes natively rank by dot) silently prefer
+      * HIGH-NORM vectors; if embedding norm correlates with document
+      * length or source, "relevance" becomes a popularity artifact.
+      * For each of the 3 probe vectors (the q42/q231 bounded query
+      * block): top-20 by raw dot and top-20 by cosine, their overlap,
+      * and the mean norm of each winner set — a norm gap is the bias,
+      * measured directly. Scale shape: ONE corpus scan against the
+      * 3-row broadcast block (never a corpus×corpus join), both
+      * rankings are rn ≤ 20 rank filters over per-query partitions
+      * (WindowGroupLimit prunes map-side), and the winner sets meet in
+      * a ≤120-row full outer join. Dot/cosine/norm all ride the
+      * sequential zip_with+aggregate fold (oracle-identical bits);
+      * scores are r6-rounded BEFORE ranking with id tie-break so the
+      * cut is engine-stable. On the fixture corpus the verdict is the
+      * HEALTHY one — embeddings are unit-norm, so overlap is 20/20
+      * and the norm gap is zero: the certification that dot-ranking
+      * is safe HERE, which is exactly what the audit exists to
+      * establish (or refute) before an index is built with the cheap
+      * scorer. */
+    "q403_dot_cosine_rank_bias" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      def dotF(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (p, q) -> cast(p AS double) * cast(q AS double)), 0D, (acc, v) -> acc + v)")
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          r6(dotF("embedding", "q_emb")).as("dot6"),
+          r6(cosine("embedding", "q_emb")).as("cs6"),
+          // RAW norm — it is never a ranking key, only averaged, so
+          // the one r6n at the very end is the final step (FloatAudit)
+          sqrt(dotF("embedding", "embedding")).as("norm"))
+        .cache() // both ranking branches read it
+      val wD = Window.partitionBy(col("q_id"))
+        .orderBy(desc("dot6"), asc("vec_id"))
+      val wC = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cs6"), asc("vec_id"))
+      val topD = scored.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") <= 20)
+        .select(col("q_id"), col("vec_id"), col("norm").as("norm_d"))
+      val topC = scored.withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 20)
+        .select(col("q_id"), col("vec_id"), col("norm").as("norm_c"))
+      topD.join(topC, Seq("q_id", "vec_id"), "full_outer")
+        .groupBy(col("q_id"))
+        .agg(
+          count(when(col("norm_d").isNotNull && col("norm_c").isNotNull, 1))
+            .as("n_overlap"),
+          r6n(avg(col("norm_d"))).as("mean_norm_dot"),
+          r6n(avg(col("norm_c"))).as("mean_norm_cos"))
+        .orderBy(col("q_id"))
+    }),
+
+    /** Mutual-kNN rate — the reciprocity audit next to q387's hubness
+      * (the same pathology seen from the edge side): in a healthy
+      * embedding space most top-10 edges are reciprocated; a low
+      * mutual rate in a cell means its neighborhoods are dominated by
+      * hubs (A's neighbor lists all point at B, B's list has no room
+      * for them back), which degrades every mutual-kNN-based
+      * clustering and the kNN label audit (q260). Cells come from the
+      * PERSISTED quantizer ([[servedCentroids]] — the audit audits the
+      * binning the screens serve, training nothing); same bounded
+      * cell/block machinery as q296/q387 (≤64-member blocks, O(n·B)
+      * pair volume, rn ≤ 10 pruned map-side by WindowGroupLimit); the
+      * reciprocity probe is ONE self equi-join of the ≤10n edge list
+      * on the reversed key, hinted shuffle_hash (the edge list's
+      * static estimate reads "small"; a broadcast plan could not
+      * exist at 100 TB). */
+    "q404_mutual_knn_rate" -> ((s: SparkSession, dir: String) => {
+      withCosine(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = servedCentroids(s, dir)
+      val assigned0 = assignCells(e, cents)
+      val cellN = assigned0.groupBy(col("cent_id")).agg(count(lit(1)).as("cnt"))
+      val assigned = assigned0
+        .join(broadcast(cellN), "cent_id")
+        .withColumn("blk",
+          pmod(col("vec_id"), expr(s"(cnt + ${KnnBlock - 1}) div $KnnBlock")))
+        .drop("cnt").cache()
+      val dists = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.cent_id").as("cent_id"),
+          col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+          r6(lit(1.0) - expr("cosine_sim(a.embedding, b.embedding)")).as("d6"))
+      val wV = Window.partitionBy(col("vec_id")).orderBy(col("d6"), col("nb"))
+      val t = dists.withColumn("rn", row_number().over(wV))
+        .filter(col("rn") <= 10)
+        .select(col("cent_id"), col("vec_id"), col("nb"))
+        .cache() // the base census and both sides of the reverse probe
+      val mut = t.as("x").join(t.as("y").hint("shuffle_hash"),
+          col("x.vec_id") === col("y.nb") && col("x.nb") === col("y.vec_id"))
+        .groupBy(col("x.cent_id").as("cent_id"))
+        .agg(count(lit(1)).as("nm"))
+      t.groupBy(col("cent_id"))
+        .agg(countDistinct(col("vec_id")).as("n_vectors"),
+          count(lit(1)).as("n_edges"))
+        .join(mut, Seq("cent_id"), "left")
+        .select(col("cent_id"), col("n_vectors"), col("n_edges"),
+          coalesce(col("nm"), lit(0L)).as("n_mutual_directed"),
+          r6n(coalesce(col("nm"), lit(0L)).cast("double") / col("n_edges"))
+            .as("mutual_rate"))
+        .orderBy(col("cent_id"))
     })
   )
 
@@ -2647,6 +2756,86 @@ object Similarity {
          |$rounds
          |$sels
          |ORDER BY rank NULLS FIRST""".stripMargin
-    }
+    },
+
+    // same sequential dot/cosine/norm folds (bit-compatible), same
+    // r6-before-rank discipline, same id tie-breaks
+    "q403_dot_cosine_rank_bias" -> {
+      def dotFold(a: String, b: String) =
+        duckFoldSum(s"""list_transform(generate_series(1, 64),
+           |  i -> cast($a[i] AS DOUBLE) * cast($b[i] AS DOUBLE))""".stripMargin)
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |  round(${dotFold("e.embedding", "q.q_emb")}, 6) AS dot6,
+         |  round(${duckCos("e.embedding", "q.q_emb")}, 6) AS cs6,
+         |  sqrt(${dotFold("e.embedding", "e.embedding")}) AS norm
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |topd AS (
+         |  SELECT q_id, vec_id, norm AS norm_d FROM (
+         |    SELECT q_id, vec_id, norm, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY dot6 DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |topc AS (
+         |  SELECT q_id, vec_id, norm AS norm_c FROM (
+         |    SELECT q_id, vec_id, norm, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cs6 DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |j AS (
+         |  SELECT coalesce(d.q_id, c.q_id) AS q_id, d.norm_d, c.norm_c
+         |  FROM topd d FULL OUTER JOIN topc c
+         |    ON d.q_id = c.q_id AND d.vec_id = c.vec_id)
+         |SELECT q_id,
+         |CAST(count(CASE WHEN norm_d IS NOT NULL AND norm_c IS NOT NULL
+         |  THEN 1 END) AS BIGINT) AS n_overlap,
+         |round(avg(norm_d) + 1e-12, 6) AS mean_norm_dot,
+         |round(avg(norm_c) + 1e-12, 6) AS mean_norm_cos
+         |FROM j GROUP BY 1
+         |ORDER BY q_id NULLS FIRST""".stripMargin
+    },
+
+    // the q387 scaffolding (same trained cells from first principles,
+    // same blocks, same rounded distances) plus the reversed-key probe
+    "q404_mutual_knn_rate" ->
+      s"""WITH c16 AS (
+         |  SELECT vec_id AS cent_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < 16),
+         |${duckKmeansIter("c16", "ms1", "ma1", Some("mc1"))},
+         |${duckKmeansIter("mc1", "ms2", "ma2", Some("mc2"))},
+         |${duckKmeansIter("mc2", "ms3", "assigned0", None)},
+         |cn AS (SELECT cent_id, count(*) AS cnt FROM assigned0 GROUP BY 1),
+         |assigned AS (
+         |  SELECT a.*, a.vec_id % ((cn.cnt + ${KnnBlock - 1}) // ${KnnBlock})
+         |    AS blk
+         |  FROM assigned0 a JOIN cn USING (cent_id)),
+         |dists AS (
+         |  SELECT a.cent_id, a.vec_id, b.vec_id AS nb,
+         |  round(1.0 - ${duckCos("a.embedding", "b.embedding")}, 6) AS d6
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.blk = b.blk
+         |    AND a.vec_id <> b.vec_id),
+         |t AS (
+         |  SELECT cent_id, vec_id, nb FROM (
+         |    SELECT cent_id, vec_id, nb,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d6, nb) AS rn
+         |    FROM dists)
+         |  WHERE rn <= 10),
+         |mut AS (
+         |  SELECT x.cent_id, count(*) AS nm
+         |  FROM t x JOIN t y ON x.vec_id = y.nb AND x.nb = y.vec_id
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT cent_id, count(DISTINCT vec_id) AS nv, count(*) AS ne
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(b.cent_id AS BIGINT) AS cent_id,
+         |CAST(nv AS BIGINT) AS n_vectors, CAST(ne AS BIGINT) AS n_edges,
+         |CAST(coalesce(m.nm, 0) AS BIGINT) AS n_mutual_directed,
+         |round(coalesce(m.nm, 0) / CAST(ne AS DOUBLE) + 1e-12, 6)
+         |  AS mutual_rate
+         |FROM base b LEFT JOIN mut m ON m.cent_id = b.cent_id
+         |ORDER BY cent_id NULLS FIRST""".stripMargin
   )
 }

@@ -442,6 +442,42 @@ object StateStores {
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
   }
 
+  /** Version-store GC — retention for the versioned-snapshot stores:
+    * [[writeVersion]] accumulates one `v=<id>` dir per micro-batch
+    * FOREVER (at a batch a minute that is half a million dirs a year,
+    * and every [[latestVersionBelow]] pays the full listing), so the
+    * live sinks prune to the newest `keep` COMMITTED versions
+    * (`_SUCCESS` present) after each publish, under the store lock.
+    * `keep >= 2` is load-bearing for the replay contract: a restart
+    * replays only the LAST checkpointed batch, whose fold reads
+    * latestVersionBelow(id) — the immediate committed predecessor,
+    * always within the newest 2. Readers serve from the max committed
+    * version, which GC never touches. Version dirs WITHOUT `_SUCCESS`
+    * outside the retained range are crash leftovers (writeVersion
+    * publishes by rename, so an in-flight write is never visible as a
+    * `v=` dir) and are reclaimed too. Returns the number of dirs
+    * removed. */
+  private[graft] def pruneVersions(path: String, keep: Int): Long = {
+    require(keep >= 2, s"pruneVersions keep=$keep would break last-batch replay")
+    withStoreLock(path) {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(p)
+        val all = try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toVector
+          finally st.close()
+        val committed = all.filter(v => java.nio.file.Files.exists(
+          p.resolve(s"v=$v").resolve("_SUCCESS")))
+        val keepSet = committed.sorted.takeRight(keep).toSet
+        val victims = all.filterNot(keepSet.contains)
+        victims.foreach(v => rmTree(p.resolve(s"v=$v")))
+        victims.size.toLong
+      }
+    }
+  }
+
   /** Running-mean fold of a snapshot into the persisted PQ CODEBOOK
     * state (sub, code, pos, coord, n) — [[centroidUpdateRaw]]'s shape
     * applied per subspace (round-12 verdict Missing #2: the codebooks

@@ -1489,6 +1489,44 @@ object TextAnalysis {
           col("b.src").as("pred_source"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("true_source"), col("pred_source"))
+    }),
+
+    /** RARE-token mass screen — the cross-document complement of q83's
+      * per-doc type/token ratio: the fraction of each source's token
+      * OCCURRENCES that are exclusive to a single document (corpus
+      * document-frequency = 1). High exclusive mass marks OCR noise,
+      * random identifiers, and binary-in-text junk — tokens no other
+      * document will ever attest — which per-doc diversity metrics
+      * cannot see (a junk doc's TTR looks like rich vocabulary).
+      * Per source: totals, exclusive-token mass, and the count of
+      * docs where exclusive occurrences exceed half the doc (the
+      * drop-list screen; the compare is 2·nh > nt, integer-exact on
+      * both engines). Scale shape: one explode, one token-keyed df
+      * aggregate, one token-keyed equi-join (hinted shuffle_hash —
+      * the vocabulary's static estimate reads "small" but grows with
+      * the corpus; a broadcast plan could not exist at 100 TB), then
+      * doc- and source-level folds with map-side combine. */
+    "q405_rare_token_mass" -> ((s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .cache() // the df aggregate and the mass join both read it
+      val dfTab = tok.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val perDoc = tok.join(dfTab.hint("shuffle_hash"), "w")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("nt"),
+          count_if(col("df") === 1).as("nh"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("nh")).as("exclusive_tokens"),
+          r6n(sum(col("nh")).cast("double") / sum(col("nt")))
+            .as("exclusive_mass"),
+          count_if(col("nh") * 2 > col("nt")).as("n_flagged"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2441,6 +2479,27 @@ object TextAnalysis {
         |SELECT source AS true_source, pred AS pred_source,
         |CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY 1, 2
-        |ORDER BY true_source NULLS FIRST, pred_source NULLS FIRST""".stripMargin
+        |ORDER BY true_source NULLS FIRST, pred_source NULLS FIRST""".stripMargin,
+
+    // same space-split tokens, same df = distinct-doc count, same
+    // integer flag compare (2·nh > nt)
+    "q405_rare_token_mass" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, w FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(w) > 0),
+        |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, source, count(*) AS nt,
+        |  count(CASE WHEN df = 1 THEN 1 END) AS nh
+        |  FROM tok JOIN dfq USING (w) GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |CAST(sum(nh) AS BIGINT) AS exclusive_tokens,
+        |round(CAST(sum(nh) AS DOUBLE) / sum(nt) + 1e-12, 6) AS exclusive_mass,
+        |CAST(count(CASE WHEN nh * 2 > nt THEN 1 END) AS BIGINT) AS n_flagged
+        |FROM pd GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin
   )
 }

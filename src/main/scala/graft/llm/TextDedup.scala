@@ -1299,6 +1299,81 @@ object TextDedup {
       arr.unpersist()
       picks.result().toDF("step", "doc_id", "marginal_gain", "covered_total")
         .orderBy(col("step"))
+    }),
+
+    /** Dedup threshold REGRET — what q361's survivor curve hides: at
+      * each Jaccard cut, WHOSE tokens get removed. A threshold that
+      * mostly drops low-diversity boilerplate is cheap; one that eats
+      * into the high-diversity band is destroying signal, and the two
+      * cases can have identical survivor counts. Per (threshold ∈
+      * {0.3, 0.5, 0.7, 0.9}, type/token-ratio band): removed docs,
+      * removed token mass, and the share of the band's total mass —
+      * the curation owner's regret table. Victims follow the pairwise
+      * keep-smaller-id policy (q87's keep-first); bands cut at TTR
+      * 1/2 and 3/4 by INTEGER cross-multiplication (2·nd ≤ nt,
+      * 4·nd ≤ 3·nt — no float boundary can disagree cross-engine).
+      * Scale shape: pair scores SERVE from the persisted pair-graph
+      * store ([[PairGraph.pairStats]] — the inverted-index join ran
+      * once at seed time); the grid is a 4-row broadcast; band stats
+      * are per-row expression arithmetic (array_distinct size) with
+      * no token explode anywhere. */
+    "q406_dedup_threshold_regret" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docsQ = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("nt"),
+          size(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))"))
+            .cast("long").as("nd"))
+        .filter(col("nt") > 0)
+        .withColumn("band",
+          when(col("nd") * 2 <= col("nt"), lit("low"))
+            .when(col("nd") * 4 <= col("nt") * 3, lit("mid"))
+            .otherwise(lit("high")))
+        .cache() // band totals and the victim join both read it
+      val bandTot = docsQ.groupBy(col("band"))
+        .agg(count(lit(1)).as("band_docs"), sum(col("nt")).as("band_tokens"))
+      val th = Seq(0.3, 0.5, 0.7, 0.9).toDF("threshold")
+      val pairs = PairGraph.pairStats(s, dir)
+        .select(col("d2"),
+          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      val victims = pairs.crossJoin(broadcast(th))
+        .filter(col("jac") >= col("threshold"))
+        .select(col("threshold"), col("d2")).distinct()
+      victims.join(docsQ, victims("d2") === docsQ("doc_id"))
+        .groupBy(col("threshold"), col("band"))
+        .agg(count(lit(1)).as("n_removed"), sum(col("nt")).as("tokens_removed"))
+        .join(broadcast(bandTot), "band")
+        .select(col("threshold"), col("band"), col("n_removed"),
+          col("tokens_removed"), col("band_docs"), col("band_tokens"),
+          r6n(col("tokens_removed").cast("double") / col("band_tokens"))
+            .as("band_mass_share"))
+        .orderBy(col("threshold"), col("band"))
+    }),
+
+    /** Duplicate-pair DISTANCE profile — near-dup pairs (Jaccard ≥
+      * 0.5, served from the pair-graph store) bucketed by log₂ of
+      * their doc_id gap. In an ingest-ordered corpus the id gap is a
+      * time gap: mass in the low buckets means duplicates arrive in
+      * BURSTS (a crawler re-fetching, a batch loaded twice — fixable
+      * upstream, and catchable by a small dedup window); mass in the
+      * high buckets means long-range recurrence that only full-corpus
+      * dedup can see. The bucket index is length(bin(gap)) − 1 —
+      * exact floor(log₂), the q259/q274 integer stance — and the
+      * whole query after the store scan is one ≤64-row aggregate. */
+    "q407_dup_distance_profile" -> ((s: SparkSession, dir: String) => {
+      val p = PairGraph.jaccard(s, dir, 0.5)
+        .select((col("d2") - col("d1")).as("gap"), col("jac"))
+      val tot = p.agg(count(lit(1)).as("n_total"))
+      p.select(expr("CAST(length(bin(gap)) - 1 AS BIGINT)").as("gap_bucket"),
+          col("jac"))
+        .groupBy(col("gap_bucket"))
+        .agg(count(lit(1)).as("n_pairs"), r6n(avg(col("jac"))).as("mean_jaccard"))
+        .crossJoin(broadcast(tot))
+        .select(col("gap_bucket"), col("n_pairs"), col("mean_jaccard"),
+          r6n(col("n_pairs").cast("double") / col("n_total")).as("pair_share"))
+        .orderBy(col("gap_bucket"))
     })
   )
 
@@ -2005,6 +2080,77 @@ object TextDedup {
            |FROM p$k""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH sh AS ($duckShingles),\n$steps\n$sel\nORDER BY step NULLS FIRST"
-    }
+    },
+
+    // from-first-principles pair scores over the same capped shingle
+    // universe (doubles as the pair-store staleness guard, the q34
+    // stance); same integer band cross-multiplications
+    "q406_dedup_threshold_regret" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pj AS (
+         |  SELECT d2, inter * 1.0 / (s1.n + s2.n - inter) AS jac
+         |  FROM pr JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2),
+         |grid AS (SELECT CAST(v AS DOUBLE) AS threshold
+         |  FROM (VALUES (0.3), (0.5), (0.7), (0.9)) g(v)),
+         |vict AS (
+         |  SELECT DISTINCT g.threshold, pj.d2 FROM pj, grid g
+         |  WHERE pj.jac >= g.threshold),
+         |dq AS (
+         |  SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS BIGINT) AS nt,
+         |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |    x -> x <> ''))) AS BIGINT) AS nd
+         |  FROM documents WHERE text IS NOT NULL),
+         |db AS (
+         |  SELECT doc_id, nt,
+         |  CASE WHEN nd * 2 <= nt THEN 'low'
+         |       WHEN nd * 4 <= nt * 3 THEN 'mid' ELSE 'high' END AS band
+         |  FROM dq WHERE nt > 0),
+         |bt AS (SELECT band, count(*) AS band_docs, sum(nt) AS band_tokens
+         |       FROM db GROUP BY 1),
+         |rm AS (
+         |  SELECT threshold, band, count(*) AS n_removed,
+         |  sum(nt) AS tokens_removed
+         |  FROM vict v JOIN db ON db.doc_id = v.d2 GROUP BY 1, 2)
+         |SELECT rm.threshold, rm.band,
+         |CAST(n_removed AS BIGINT) AS n_removed,
+         |CAST(tokens_removed AS BIGINT) AS tokens_removed,
+         |CAST(bt.band_docs AS BIGINT) AS band_docs,
+         |CAST(bt.band_tokens AS BIGINT) AS band_tokens,
+         |round(CAST(tokens_removed AS DOUBLE) / bt.band_tokens + 1e-12, 6)
+         |  AS band_mass_share
+         |FROM rm JOIN bt USING (band)
+         |ORDER BY threshold NULLS FIRST, band NULLS FIRST""".stripMargin,
+
+    // same capped universe, same division, same floor-log2 bucket
+    "q407_dup_distance_profile" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pj AS (
+         |  SELECT d1, d2, inter * 1.0 / (s1.n + s2.n - inter) AS jac
+         |  FROM pr JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |b AS (
+         |  SELECT CAST(length(bin(d2 - d1)) - 1 AS BIGINT) AS gap_bucket, jac
+         |  FROM pj),
+         |tot AS (SELECT count(*) AS n_total FROM b)
+         |SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |round(avg(jac) + 1e-12, 6) AS mean_jaccard,
+         |round(count(*) / CAST(t.n_total AS DOUBLE) + 1e-12, 6) AS pair_share
+         |FROM b CROSS JOIN tot t
+         |GROUP BY gap_bucket, t.n_total
+         |ORDER BY gap_bucket NULLS FIRST""".stripMargin
   )
 }

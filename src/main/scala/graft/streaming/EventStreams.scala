@@ -731,9 +731,15 @@ object EventStreams {
     * because the state is a k·d model table (control-plane-sized at
     * any corpus scale); readers serve from the max version.
     * CentroidStreamSpec pins streamed ≡ sequential batch folds AND
-    * replay idempotence across a commit-window kill/restart. */
+    * replay idempotence across a commit-window kill/restart. Version
+    * RETENTION (round 13): after each publish the sink prunes to the
+    * newest `retainVersions` committed snapshots
+    * ([[graft.llm.StateStores.pruneVersions]]) — an unbounded version
+    * log is its own serve-amplification bug, and keep ≥ 2 preserves
+    * the replay-from-predecessor contract. */
   def centroidUpdateSink(vecs: DataFrame, statePath: String,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      retainVersions: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
@@ -748,6 +754,8 @@ object EventStreams {
           .select(col("cent_id"), col("pos"), col("coord_raw").as("coord"),
             (col("n_before") + col("n_added")).as("n")),
         statePath, batchId)
+      graft.llm.StateStores.pruneVersions(statePath, retainVersions)
+      ()
     }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
@@ -764,9 +772,11 @@ object EventStreams {
     * version atomically. A replayed batch recomputes from the intact
     * predecessor and swaps in identical bytes; readers serve from the
     * max `_SUCCESS`-marked version. PqBookStreamSpec pins streamed ≡
-    * sequential batch folds and kill/restart idempotence. */
+    * sequential batch folds and kill/restart idempotence. Version
+    * retention as in [[centroidUpdateSink]]. */
   def pqCodebookSink(vecs: DataFrame, statePath: String,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      retainVersions: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
@@ -778,6 +788,8 @@ object EventStreams {
             col("coord_raw").as("coord"),
             (col("n_before") + col("n_added")).as("n")),
         statePath, batchId)
+      graft.llm.StateStores.pruneVersions(statePath, retainVersions)
+      ()
     }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -122,4 +122,46 @@ class CentroidStreamSpec extends SparkSuite {
         "— the versioned-snapshot idempotence is broken")
     }
   }
+
+  test("version GC bounds the snapshot log and survives the replay window") {
+    val srcDir = Files.createTempDirectory("graft_cent_gc_src").toString
+    val statePath = Files.createTempDirectory("graft_cent_gc_state")
+      .resolve("state").toString
+    val ckpt = Files.createTempDirectory("graft_cent_gc_ckpt").toString
+    seedState(statePath)
+    stageSnap(srcDir)
+    val want = expectedState(statePath, srcDir)
+    def versionDirs() = {
+      val st = Files.list(Paths.get(statePath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v=")).toVector.sorted
+      } finally st.close()
+    }
+    // retention 2 (the minimum): after both batches only the newest
+    // two committed versions may remain — the seed and batch 0 must
+    // be GONE, and the served state is still the exact batch fold
+    def start() = streaming.EventStreams.centroidUpdateSink(
+      src(srcDir), statePath, checkpoint = Some(ckpt), retainVersions = 2)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(versionDirs() == Vector("v=0", "v=1"),
+      s"GC left ${versionDirs()} — retention 2 must keep exactly the newest 2")
+    val got = finalState(statePath)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"GC'd state cell $g != sequential batch fold $w")
+    }
+    // replay across the GC'd log: drop batch 1's commit and restart —
+    // the fold reads latestVersionBelow(1) = v=0, which retention 2
+    // preserved by construction
+    Files.delete(Paths.get(s"$ckpt/commits/1"))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(versionDirs() == Vector("v=0", "v=1"))
+    finalState(statePath).zip(want).foreach { case (g, w) =>
+      assert(g == w, s"post-GC replayed cell $g != batch fold $w")
+    }
+  }
 }

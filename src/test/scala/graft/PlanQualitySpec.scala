@@ -284,7 +284,20 @@ class PlanQualitySpec extends SparkSuite {
     // q401: each edge combines its ONE-ROW child-count fold with its
     // ONE-ROW orphan-count fold (the q172 1-row x 1-row class); the
     // orphan anti-joins themselves are equi-joins
-    "q401_fk_orphans")
+    "q401_fk_orphans",
+    // q402: the broadcast side is the ONE-ROW corpus total fold
+    // (q136 class); the rank adjacency itself is an equi-join on rn
+    "q402_shuffle_mixing_audit",
+    // q403: the broadcast side is the 3-ROW probe query block (the
+    // q42/q231 bounded anchor class) — the corpus scans once against
+    // it, never corpus x corpus
+    "q403_dot_cosine_rank_bias",
+    // q406: the broadcast side is the 4-ROW threshold grid (a literal
+    // domain, data-independent); the victim/band joins are equi-joins
+    "q406_dedup_threshold_regret",
+    // q407: the broadcast side is the ONE-ROW pair-total fold
+    // (q136 class)
+    "q407_dup_distance_profile")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

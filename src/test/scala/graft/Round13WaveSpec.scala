@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic property pins for the round-13 wave — the invariants each
+  * operator exists to provide, beyond the value-level oracle gate:
+  *
+  *  - q402: the per-source rows CENSUS the corpus (Σ n_docs = corpus),
+  *    the observed adjacency cannot exceed the corpus's n−1 adjacent
+  *    slots, and every fixture source is populous enough to carry a
+  *    defined mixing ratio;
+  *  - q403: both winner sets are exactly top-20 (overlap ≤ 20), norms
+  *    are strictly positive, and a raw-dot ranking can only prefer
+  *    equal-or-higher-norm winners on average (the bias the audit
+  *    measures — ties allowed);
+  *  - q404: reciprocated directed edges come in pairs WITHIN a cell
+  *    (even counts), never exceed the out-edge count, and the edge
+  *    census respects the rn ≤ 10 cap;
+  *  - q405: exclusive mass is a sub-mass (bounded by totals) and the
+  *    source rows census every non-empty document;
+  *  - q406: raising the threshold can only SHRINK each band's removal
+  *    set, and no band loses more tokens than it has;
+  *  - q407: the bucket histogram partitions the ≥ 0.5 pair set (shares
+  *    sum to 1, counts sum to the store-served pair count) and every
+  *    bucket mean sits in [0.5, 1].
+  */
+class Round13WaveSpec extends SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q402: source rows census the corpus and ratios are defined") {
+    val rows = SparkEntry.queries("q402_shuffle_mixing_audit")(spark, sf01)
+      .collect()
+    val total = Tables(spark, sf01, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "per-source doc counts must census the corpus")
+    assert(rows.map(_.getAs[Long]("adj_same")).sum <= total - 1,
+      "observed same-source adjacencies exceed the corpus's adjacent slots")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("expected_adj") > 0.0)
+      assert(!r.isNullAt(r.fieldIndex("mixing_ratio")),
+        s"fixture source ${r.getAs[String]("source")} has n_docs > 1 — " +
+          "ratio must be defined")
+      assert(r.getAs[Double]("mixing_ratio") >= 0.0)
+    }
+  }
+
+  test("q403: top-20 winner sets, positive norms, bias direction bounded") {
+    val rows = SparkEntry.queries("q403_dot_cosine_rank_bias")(spark, sf01)
+      .collect()
+    assert(rows.length == 3, "one row per probe vector")
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 20L, s"overlap $ov outside [0, 20]")
+      assert(r.getAs[Double]("mean_norm_dot") > 0.0)
+      assert(r.getAs[Double]("mean_norm_cos") > 0.0)
+      // the audited bias direction: a raw-dot ranking prefers norm, so
+      // its winner set's mean norm is >= the cosine set's up to the
+      // rounding grid (1e-6); a violation means the rankings swapped
+      assert(r.getAs[Double]("mean_norm_dot") >=
+        r.getAs[Double]("mean_norm_cos") - 1e-6,
+        "dot-ranked winners must not have LOWER mean norm than " +
+          "cosine-ranked winners")
+    }
+  }
+
+  test("q404: reciprocated edges are even, capped, and rate-bounded") {
+    val rows = SparkEntry.queries("q404_mutual_knn_rate")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("n_mutual_directed")
+      val ne = r.getAs[Long]("n_edges")
+      val nv = r.getAs[Long]("n_vectors")
+      assert(nm % 2 == 0,
+        "a reciprocated within-cell edge contributes BOTH directions")
+      assert(nm <= ne)
+      assert(ne <= 10L * nv, "rn <= 10 cap violated")
+      val rate = r.getAs[Double]("mutual_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val census = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(census <= Tables(spark, sf01, "embeddings").count())
+  }
+
+  test("q405: exclusive mass is a bounded sub-mass over a full census") {
+    val rows = SparkEntry.queries("q405_rare_token_mass")(spark, sf01)
+      .collect()
+    val nonEmpty = Tables(spark, sf01, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nonEmpty,
+      "source rows must census every non-empty document")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exclusive_tokens") <= r.getAs[Long]("total_tokens"))
+      val m = r.getAs[Double]("exclusive_mass")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q406: a higher threshold only shrinks each band's removal set") {
+    val rows = SparkEntry.queries("q406_dedup_threshold_regret")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("band_tokens"))
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("band_docs"))
+      val s = r.getAs[Double]("band_mass_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    rows.groupBy(_.getAs[String]("band")).foreach { case (_, rs) =>
+      rs.sortBy(_.getAs[Double]("threshold")).map(_.getAs[Long]("n_removed"))
+        .toSeq.sliding(2).foreach {
+          case Seq(lo, hi) => assert(hi <= lo,
+            "raising the Jaccard cut must not GROW a band's removals")
+          case _ => ()
+        }
+    }
+  }
+
+  test("q407: buckets partition the pair set and means sit in [0.5, 1]") {
+    val rows = SparkEntry.queries("q407_dup_distance_profile")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    val served = llm.PairGraph.jaccard(spark, sf01, 0.5).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == served,
+      "bucket counts must partition the store-served >= 0.5 pair set")
+    val shareSum = rows.map(_.getAs[Double]("pair_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3,
+      s"pair shares sum to $shareSum, expected ~1")
+    rows.foreach { r =>
+      val mj = r.getAs[Double]("mean_jaccard")
+      assert(mj >= 0.5 - 1e-9 && mj <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("gap_bucket") >= 0L)
+    }
+  }
+}
