@@ -252,6 +252,12 @@ object ScaleStress {
     q("q389_srp_calibration"), q("q391_sample_audit"),
     q("q392_vocab_rbo"), q("q398_event_trigrams"),
     q("q400_outlier_screen_agreement"), q("q401_fk_orphans", LifecycleScales),
+    // round-13 wave (same stance: new non-trivial plan shapes get
+    // measured exponents the round they land): the GlobalRank-order
+    // rn+1 adjacency join, the cell-block reciprocity probe, the
+    // token-df join, and the pair-store grid scan
+    q("q402_shuffle_mixing_audit"), q("q404_mutual_knn_rate"),
+    q("q405_rare_token_mass"), q("q406_dedup_threshold_regret"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
