@@ -258,6 +258,9 @@ object ScaleStress {
     // token-df join, and the pair-store grid scan
     q("q402_shuffle_mixing_audit"), q("q404_mutual_knn_rate"),
     q("q405_rare_token_mass"), q("q406_dedup_threshold_regret"),
+    // round-13 wave 2: the 2x2-contingency bigram scorer and the
+    // doubly-joined interpolated LM scoring pass
+    q("q408_llr_collocations"), q("q409_interpolated_ppl"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the

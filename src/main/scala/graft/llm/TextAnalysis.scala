@@ -1527,6 +1527,105 @@ object TextAnalysis {
             .as("exclusive_mass"),
           count_if(col("nh") * 2 > col("nt")).as("n_flagged"))
         .orderBy(col("source"))
+    }),
+
+    /** Dunning log-likelihood-ratio collocations — the statistically
+      * calibrated replacement for raw PMI (q115/q295): PMI explodes
+      * for rare pairs (two hapaxes co-occurring once score maximal),
+      * while G² = 2·Σ k·ln(k·N/(row·col)) over the 2×2 contingency
+      * table weighs the EVIDENCE, so high-count genuine collocations
+      * rank above coincidences (Dunning 1993 — the standard phrase
+      * extraction score). Support ≥ 5 screens the table's zero/tiny
+      * cells. Shapes: one bigram explode (map-side combined), two
+      * marginal aggregates joined back on their own keys, N as a
+      * 1-row broadcast (q136 class); all four G² terms are ln over
+      * exact-integer ratios, the top-20 ranks on the r6-ROUNDED score
+      * with (w1, w2) tie-break (cross-engine ranking rule). 0-count
+      * cells (k12/k21/k22 can be 0 when a word only ever precedes the
+      * other) contribute 0 via the k > 0 guard — both engines. */
+    "q408_llr_collocations" -> ((s: SparkSession, dir: String) => {
+      val bi = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+        .cache() // both marginals and the scored join read it
+      val r1 = c12.groupBy(col("w1")).agg(sum(col("k11")).as("row1"))
+      val c1 = c12.groupBy(col("w2")).agg(sum(col("k11")).as("col1"))
+      val nTot = c12.agg(sum(col("k11")).as("nn"))
+      def term(k: Column, row: Column, colC: Column) =
+        when(k > 0, k.cast("double") *
+          log(k.cast("double") * col("nn") / (row.cast("double") * colC)))
+          .otherwise(lit(0.0))
+      c12.filter(col("k11") >= 5)
+        .join(r1, "w1").join(c1, "w2")
+        .crossJoin(broadcast(nTot))
+        .select(col("w1"), col("w2"), col("k11"),
+          (col("row1") - col("k11")).as("k12"),
+          (col("col1") - col("k11")).as("k21"),
+          (col("nn") - col("row1") - col("col1") + col("k11")).as("k22"),
+          col("row1"), col("col1"), col("nn"))
+        .select(col("w1"), col("w2"), col("k11"),
+          r6n(lit(2.0) * (
+            term(col("k11"), col("row1"), col("col1").cast("double")) +
+            term(col("k12"), col("row1"), (col("nn") - col("col1")).cast("double")) +
+            term(col("k21"), col("nn") - col("row1"), col("col1").cast("double")) +
+            term(col("k22"), col("nn") - col("row1"), (col("nn") - col("col1")).cast("double"))))
+            .as("llr"))
+        .orderBy(desc("llr"), col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    /** Jelinek-Mercer interpolated bigram perplexity per SOURCE — the
+      * LM-eval refinement over q137's add-one bigram: λ·p(w2|w1) +
+      * (1−λ)·p(w2) at λ = 0.7, the classical interpolation that keeps
+      * rare continuations from collapsing to the smoothing floor. The
+      * per-source gain over the unigram-only model (ppl_uni/ppl_jm)
+      * is the "does word order in this source carry information"
+      * signal — boilerplate sources gain hugely, shuffled-token noise
+      * gains nothing. Same shapes as q137: one bigram explode, model
+      * tables joined back on w1/w2, token totals as a 1-row broadcast;
+      * observed bigrams always have c12 ≥ 1 so the interpolated mass
+      * is strictly positive on both engines. */
+    "q409_interpolated_ppl" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val bi = docs
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache() // model counts AND the scoring join read it
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val uni = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+        .cache() // the w2 join and the total fold read it
+      val nu = uni.agg(sum(col("cu")).as("nu"))
+      val pBi = col("c12").cast("double") / col("c1")
+      val pUni = col("cu").cast("double") / col("nu")
+      val scored = c12.join(c1, Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("cu")), Seq("w2"))
+        .crossJoin(broadcast(nu))
+        .select(col("w1"), col("w2"),
+          log(lit(0.7) * pBi + lit(0.3) * pUni).as("lp_jm"),
+          log(pUni).as("lp_uni"))
+      bi.join(scored, Seq("w1", "w2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(exp(-avg(col("lp_jm")))).as("ppl_jm"),
+          r6(exp(-avg(col("lp_uni")))).as("ppl_uni"),
+          r6n(exp(-avg(col("lp_uni"))) / exp(-avg(col("lp_jm"))))
+            .as("order_gain"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2500,6 +2599,70 @@ object TextAnalysis {
         |round(CAST(sum(nh) AS DOUBLE) / sum(nt) + 1e-12, 6) AS exclusive_mass,
         |CAST(count(CASE WHEN nh * 2 > nt THEN 1 END) AS BIGINT) AS n_flagged
         |FROM pd GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // same 2x2 contingency terms in the same op order (k*1.0 * N /
+    // (row*1.0 * col)), same k > 0 guards, rank on the rounded score
+    "q408_llr_collocations" ->
+      """WITH bi AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS toks FROM documents
+        |    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |  unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS k11 FROM bi GROUP BY 1, 2),
+        |r1 AS (SELECT w1, sum(k11) AS row1 FROM c12 GROUP BY 1),
+        |c1 AS (SELECT w2, sum(k11) AS col1 FROM c12 GROUP BY 1),
+        |nt AS (SELECT sum(k11) AS nn FROM c12),
+        |cells AS (
+        |  SELECT c12.w1, c12.w2, k11,
+        |  row1 - k11 AS k12, col1 - k11 AS k21,
+        |  nn - row1 - col1 + k11 AS k22, row1, col1, nn
+        |  FROM c12 JOIN r1 USING (w1) JOIN c1 USING (w2) CROSS JOIN nt
+        |  WHERE k11 >= 5)
+        |SELECT w1, w2, CAST(k11 AS BIGINT) AS k11,
+        |round(2.0 * (
+        |  (CASE WHEN k11 > 0 THEN (k11*1.0) *
+        |    ln((k11*1.0) * nn / ((row1*1.0) * (col1*1.0))) ELSE 0.0 END) +
+        |  (CASE WHEN k12 > 0 THEN (k12*1.0) *
+        |    ln((k12*1.0) * nn / ((row1*1.0) * ((nn - col1)*1.0))) ELSE 0.0 END) +
+        |  (CASE WHEN k21 > 0 THEN (k21*1.0) *
+        |    ln((k21*1.0) * nn / (((nn - row1)*1.0) * (col1*1.0))) ELSE 0.0 END) +
+        |  (CASE WHEN k22 > 0 THEN (k22*1.0) *
+        |    ln((k22*1.0) * nn / (((nn - row1)*1.0) * ((nn - col1)*1.0)))
+        |    ELSE 0.0 END)) + 1e-12, 6) AS llr
+        |FROM cells
+        |ORDER BY llr DESC NULLS LAST, w1 NULLS FIRST, w2 NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    // same MLE components (c12/c1, cu/NU), same 0.7/0.3 mix inside one
+    // ln, per-source averages of identical doubles
+    "q409_interpolated_ppl" ->
+      """WITH bi AS (
+        |  SELECT source, toks[i] AS w1, toks[i+1] AS w2 FROM (
+        |    SELECT source, string_split(text, ' ') AS toks FROM documents
+        |    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |  unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |uni AS (
+        |  SELECT t, count(*) AS cu FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY 1),
+        |nu AS (SELECT sum(cu) AS nu FROM uni),
+        |scored AS (
+        |  SELECT w1, w2,
+        |  ln(0.7 * (CAST(c12 AS DOUBLE) / c1) +
+        |     0.3 * (CAST(cu AS DOUBLE) / nu)) AS lp_jm,
+        |  ln(CAST(cu AS DOUBLE) / nu) AS lp_uni
+        |  FROM c12 JOIN c1 USING (w1)
+        |  JOIN uni ON uni.t = c12.w2 CROSS JOIN nu)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |round(exp(-avg(lp_jm)), 6) AS ppl_jm,
+        |round(exp(-avg(lp_uni)), 6) AS ppl_uni,
+        |round(exp(-avg(lp_uni)) / exp(-avg(lp_jm)) + 1e-12, 6) AS order_gain
+        |FROM bi JOIN scored USING (w1, w2)
+        |GROUP BY 1
         |ORDER BY source NULLS FIRST""".stripMargin
   )
 }

@@ -1376,6 +1376,48 @@ object Extended {
         edge("nation.regionkey->region", n, "n_regionkey", r, "r_regionkey"))
         .reduce(_ unionByName _)
         .orderBy(col("fk_edge"))
+    }),
+
+    /** FK fan-out PROFILE — the distribution complement of q185's
+      * scalar skew summaries (HHI/top1/entropy) and q401's orphan
+      * census: per FK edge, the histogram of CHILDREN PER PARENT in
+      * log₂ buckets (the q274 integer stance), INCLUDING the
+      * zero-children parents (bucket −1 — customers who never
+      * ordered, parts never sold: the dimension-side dead weight an
+      * inner-join plan silently drops). This is the shape that sizes
+      * join fan-out at 100 TB: AQE's skew handling keys on exactly
+      * this tail, and a bucket whose child mass grows faster than
+      * the corpus is the early warning q274 gives for the co-purchase
+      * graph, here for the schema's own joins. One aggregate per
+      * edge (child side, map-side combined) + one left join from the
+      * parent table; output is ≤ edges × ~20 bucket rows. */
+    "q410_fk_fanout_profile" -> ((s: SparkSession, dir: String) => {
+      def profile(parent: DataFrame, pk: String, child: DataFrame,
+          ck: String, label: String): DataFrame = {
+        val cnt = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("c"))
+        parent.select(col(pk).as("k"))
+          .join(cnt, Seq("k"), "left")
+          .select(coalesce(col("c"), lit(0L)).as("c"))
+          .select(when(col("c") === 0, lit(-1L))
+            .otherwise(expr("CAST(length(bin(c)) - 1 AS BIGINT)"))
+            .as("bucket"), col("c"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_parents"), sum(col("c")).as("n_children"))
+          .select(lit(label).as("fk_edge"), col("bucket"),
+            col("n_parents"), col("n_children"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      Seq(
+        profile(Tables(s, dir, "customer"), "c_custkey",
+          Tables(s, dir, "orders"), "o_custkey", "orders_per_customer"),
+        profile(Tables(s, dir, "orders"), "o_orderkey",
+          li, "l_orderkey", "lineitems_per_order"),
+        profile(Tables(s, dir, "part"), "p_partkey",
+          li, "l_partkey", "lineitems_per_part"),
+        profile(Tables(s, dir, "supplier"), "s_suppkey",
+          li, "l_suppkey", "lineitems_per_supplier"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk_edge"), col("bucket"))
     })
   )
 
@@ -1661,6 +1703,33 @@ object Extended {
         |round(n_orphans / CAST(n_rows AS DOUBLE) + 1e-12, 6) AS orphan_rate
         |FROM u
         |ORDER BY relation NULLS FIRST""".stripMargin,
+
+    "q410_fk_fanout_profile" -> {
+      def prof(parent: String, pk: String, child: String, ck: String,
+          label: String) =
+        s"""SELECT '$label' AS fk_edge,
+           |CASE WHEN c = 0 THEN -1
+           |  ELSE CAST(length(bin(c)) - 1 AS BIGINT) END AS bucket,
+           |CAST(count(*) AS BIGINT) AS n_parents,
+           |CAST(sum(c) AS BIGINT) AS n_children
+           |FROM (
+           |  SELECT coalesce(cnt.c, 0) AS c
+           |  FROM $parent p LEFT JOIN (
+           |    SELECT $ck AS k, count(*) AS c FROM $child GROUP BY 1) cnt
+           |    ON cnt.k = p.$pk)
+           |GROUP BY 1, 2""".stripMargin
+      Seq(
+        prof("customer", "c_custkey", "orders", "o_custkey",
+          "orders_per_customer"),
+        prof("orders", "o_orderkey", "lineitem", "l_orderkey",
+          "lineitems_per_order"),
+        prof("part", "p_partkey", "lineitem", "l_partkey",
+          "lineitems_per_part"),
+        prof("supplier", "s_suppkey", "lineitem", "l_suppkey",
+          "lineitems_per_supplier"))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY fk_edge NULLS FIRST, bucket NULLS FIRST")
+    },
 
     "q184_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -2517,6 +2517,85 @@ object Statistics {
               (col("n_a") + col("n_b") - col("n_both"))))
             .otherwise(lit(0.0)).as("jaccard"))
         .orderBy(col("screen_pair"))
+    }),
+
+    /** Stationary distribution of q171's session Markov chain — the
+      * steady state the per-step transition matrix only implies:
+      * where user sessions SPEND their time, the weighting that turns
+      * "click→view is likely" into "views are 40% of the long-run
+      * stream" (the demand forecast for per-event-type capacity).
+      * The transition counts are q171's exact shape (per-user lead
+      * over the (ts, event_id) total order); the chain itself is a
+      * TYPE×TYPE model table (schema-bounded, ≤ ~25 rows), so the
+      * power iteration runs on the DRIVER over collected counts (the
+      * q122-centroid control-plane stance) — 8 fixed iterations from
+      * the uniform start, each matvec folding in SORTED from-type
+      * order so the oracle's ORDER BY-pinned list_reduce replays the
+      * identical float fold. No convergence test: both engines run
+      * the same 8 steps, so the output is bit-comparable whether or
+      * not the chain has mixed. */
+    "q411_markov_stationary" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val fromTotals = trans.groupBy(_._1).map { case (f, rs) =>
+        (f, rs.map(_._3).sum) }
+      val states = trans.map(_._1).distinct.sorted
+      val k = states.length
+      // P(from)(to) = n * 1.0 / n_from — the exact division both
+      // engines perform on the same integers
+      val p: Map[(String, String), Double] = trans.map { case (f, t, n) =>
+        ((f, t), n * 1.0 / fromTotals(f)) }.toMap
+      var pi: Map[String, Double] = states.map(_ -> 1.0 / k).toMap
+      (1 to 8).foreach { _ =>
+        pi = states.map { to =>
+          // fold in sorted from-type order (the oracle's pinned order)
+          to -> states.foldLeft(0.0) { (acc, f) =>
+            p.get((f, to)).fold(acc)(pr => acc + pi(f) * pr) }
+        }.toMap
+      }
+      import s.implicits._
+      states.map { st =>
+        (st, fromTotals.getOrElse(st, 0L), pi(st)) }.toSeq
+        .toDF("event_type", "n_transitions_out", "pi_raw")
+        .select(col("event_type"), col("n_transitions_out"),
+          r6n(col("pi_raw")).as("stationary_p"))
+        .orderBy(col("event_type"))
+    }),
+
+    /** Exact audience-overlap matrix between event types — the
+      * small-domain ground truth q294's KMV sketches approximate for
+      * source pairs: pairwise Jaccard of the distinct USER sets, the
+      * "do the same people click and purchase" signal behind funnel
+      * and mixture decisions. The (type, user) distinct table is one
+      * aggregate; the pair meet is ONE user-keyed equi self-join over
+      * the schema-bounded type domain (never a user×user product),
+      * set sizes arrive by broadcast of the ≤ |types| size table. */
+    "q412_event_audience_overlap" -> ((s: SparkSession, dir: String) => {
+      val tu = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct().cache()
+      val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("sz"))
+      val inter = tu.as("a")
+        .join(tu.as("b").hint("shuffle_hash"),
+          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("t1"), col("sz").as("s1"))), "t1")
+        .join(broadcast(sizes.select(col("t").as("t2"), col("sz").as("s2"))), "t2")
+        .select(col("t1"), col("t2"), col("n_inter"), col("s1"), col("s2"),
+          r6n(col("n_inter").cast("double") /
+            (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
     })
   )
 
@@ -4120,7 +4199,64 @@ object Statistics {
         |  THEN round(n_both * 1.0 / (n_a + n_b - n_both) + 1e-12, 6)
         |  ELSE 0.0 END AS jaccard
         |FROM u
-        |ORDER BY screen_pair NULLS FIRST""".stripMargin
+        |ORDER BY screen_pair NULLS FIRST""".stripMargin,
+
+    // same q171 transition counts, same n*1.0/n_from division, and the
+    // 8 power-iteration matvecs unrolled as CTEs — each fold pinned to
+    // the sorted from-type order (list_reduce over ORDER BY from_type),
+    // matching the driver loop's sorted foldLeft bit-for-bit
+    "q411_markov_stationary" -> {
+      val iters = (1 to 8).map { i =>
+        s"""p$i AS (
+           |  SELECT t.to_type AS type,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list(pi.pr * t.p ORDER BY t.from_type)), (a, x) -> a + x)
+           |    AS pr
+           |  FROM p${i - 1} pi JOIN trans t ON t.from_type = pi.type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts), event_id) AS to_type
+         |  FROM events),
+         |cnt AS (
+         |  SELECT event_type AS from_type, to_type, count(*) AS n
+         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, sum(n) AS n_from FROM cnt GROUP BY 1),
+         |trans AS (
+         |  SELECT cnt.from_type, cnt.to_type, n * 1.0 / n_from AS p
+         |  FROM cnt JOIN tot USING (from_type)),
+         |states AS (SELECT DISTINCT from_type AS type FROM cnt),
+         |p0 AS (
+         |  SELECT type, 1.0 / (SELECT count(*) FROM states) AS pr
+         |  FROM states),
+         |$iters
+         |SELECT s.type AS event_type,
+         |CAST(t.n_from AS BIGINT) AS n_transitions_out,
+         |round(coalesce(p8.pr, 0.0) + 1e-12, 6) AS stationary_p
+         |FROM states s
+         |JOIN tot t ON t.from_type = s.type
+         |LEFT JOIN p8 ON p8.type = s.type
+         |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+
+    "q412_event_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sizes AS (SELECT t, count(*) AS sz FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT a.t AS t1, b.t AS t2, count(*) AS n_inter
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_inter AS BIGINT) AS n_inter,
+        |CAST(s1.sz AS BIGINT) AS s1, CAST(s2.sz AS BIGINT) AS s2,
+        |round(CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) + 1e-12, 6)
+        |  AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.t = t1
+        |JOIN sizes s2 ON s2.t = t2
+        |ORDER BY t1 NULLS FIRST, t2 NULLS FIRST""".stripMargin
   )
 
   /** q201's EWMA frame as shared oracle CTEs ending in

@@ -297,7 +297,10 @@ class PlanQualitySpec extends SparkSuite {
     "q406_dedup_threshold_regret",
     // q407: the broadcast side is the ONE-ROW pair-total fold
     // (q136 class)
-    "q407_dup_distance_profile")
+    "q407_dup_distance_profile",
+    // q408/q409: the broadcast sides are the ONE-ROW bigram-total and
+    // token-total folds (the q133/q137 corpus-stats class)
+    "q408_llr_collocations", "q409_interpolated_ppl")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

@@ -118,6 +118,73 @@ class Round13WaveSpec extends SparkSuite {
     }
   }
 
+  test("q408: G-squared scores are non-negative, supported, descending") {
+    val rows = SparkEntry.queries("q408_llr_collocations")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k11") >= 5L, "support floor violated")
+      assert(r.getAs[Double]("llr") >= 0.0,
+        "G-squared against MLE marginals cannot be negative")
+    }
+    rows.map(_.getAs[Double]("llr")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "top-20 must be score-descending")
+      case _ => ()
+    }
+  }
+
+  test("q409: interpolated perplexities are positive over every source") {
+    val rows = SparkEntry.queries("q409_interpolated_ppl")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+      assert(r.getAs[Double]("ppl_jm") > 0.0)
+      assert(r.getAs[Double]("ppl_uni") > 0.0)
+      assert(r.getAs[Double]("order_gain") > 0.0)
+    }
+  }
+
+  test("q410: fan-out buckets census parents and children exactly") {
+    val rows = SparkEntry.queries("q410_fk_fanout_profile")(spark, sf01)
+      .collect()
+    val perOrder = rows.filter(_.getAs[String]("fk_edge") == "lineitems_per_order")
+    assert(perOrder.map(_.getAs[Long]("n_parents")).sum ==
+      Tables(spark, sf01, "orders").count(),
+      "buckets must census every order")
+    assert(perOrder.map(_.getAs[Long]("n_children")).sum ==
+      Tables(spark, sf01, "lineitem").count(),
+      "bucket child mass must sum to the lineitem table")
+    rows.filter(_.getAs[Long]("bucket") == -1L).foreach { r =>
+      assert(r.getAs[Long]("n_children") == 0L,
+        "the -1 bucket is the zero-children census")
+    }
+  }
+
+  test("q411: the stationary vector is a probability distribution") {
+    val rows = SparkEntry.queries("q411_markov_stationary")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Double]("stationary_p")).sum
+    assert(math.abs(mass - 1.0) < 1e-3,
+      s"stationary mass $mass must be ~1 (every to-type is a from-type " +
+        "on this fixture)")
+    rows.foreach(r => assert(r.getAs[Double]("stationary_p") >= 0.0))
+  }
+
+  test("q412: overlaps are bounded by the smaller audience") {
+    val rows = SparkEntry.queries("q412_event_audience_overlap")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ni, s1, s2) = (r.getAs[Long]("n_inter"),
+        r.getAs[Long]("s1"), r.getAs[Long]("s2"))
+      assert(ni <= math.min(s1, s2))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q407: buckets partition the pair set and means sit in [0.5, 1]") {
     val rows = SparkEntry.queries("q407_dup_distance_profile")(spark, sf01)
       .collect()
