@@ -52,6 +52,44 @@ object ServeAmp {
     report("fragmented")
     llm.StateStores.rewriteSwap(s.read.parquet(path), path)
     report("compacted")
+
+    // ---- version-store GC ROI (round 13): what pruneVersions buys a
+    // reader. A long-lived centroid/codebook sink accumulates one
+    // v=<id> model snapshot per micro-batch; the serve path pays a
+    // full directory listing (latestVersionBelow) plus parquet
+    // footer/discovery work that grows with the version count even
+    // though it reads ONE version. 120 simulated micro-batches, then
+    // retention 4 — the read is timed against the same max version.
+    val vpath = "/tmp/graft_serveamp/cent_versions"
+    llm.StateStores.rmTree(java.nio.file.Paths.get(vpath))
+    val model = s.range(0, 16).selectExpr("id AS cent_id")
+      .crossJoin(s.range(0, 64).selectExpr("id AS pos"))
+      .selectExpr("cent_id", "pos",
+        "cast(cent_id * 64 + pos AS double) / 1024 AS coord",
+        "cast(100 AS long) AS n")
+    (0 until 120).foreach(v => llm.StateStores.writeVersion(model, vpath, v))
+    def timeMs(f: => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }.min
+    def reportV(tag: String): Unit = {
+      val nv = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(vpath))
+        try st.filter(_.getFileName.toString.startsWith("v=")).count()
+        finally st.close()
+      }
+      val pick = timeMs {
+        llm.StateStores.latestVersionBelow(vpath, Long.MaxValue); ()
+      }
+      val read = timeMs {
+        val v = llm.StateStores.latestVersionBelow(vpath, Long.MaxValue)
+        s.read.parquet(s"$vpath/v=$v").count(); ()
+      }
+      println(f"[serveamp] $tag%-10s versions=$nv%4d pick=$pick%7.1f ms " +
+        f"pick+read=$read%7.1f ms")
+    }
+    reportV("unpruned")
+    llm.StateStores.pruneVersions(vpath, keep = 4)
+    reportV("pruned")
     s.stop()
   }
 }

@@ -156,4 +156,29 @@ class PqBookStreamSpec extends SparkSuite {
         "— the versioned-snapshot idempotence is broken")
     }
   }
+
+  test("version GC bounds the codebook snapshot log without changing state") {
+    val srcDir = Files.createTempDirectory("graft_pqb_gc_src").toString
+    val statePath = Files.createTempDirectory("graft_pqb_gc_state")
+      .resolve("state").toString
+    seedState(statePath)
+    stageSnap(srcDir)
+    val want = expectedState(statePath, srcDir)
+    val q = streaming.EventStreams.pqCodebookSink(src(srcDir), statePath,
+      retainVersions = 2)
+    q.processAllAvailable(); q.stop()
+    val dirs = {
+      val st = Files.list(Paths.get(statePath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v=")).toVector.sorted
+      } finally st.close()
+    }
+    assert(dirs == Vector("v=0", "v=1"),
+      s"retention 2 must keep exactly the newest 2 versions, got $dirs")
+    finalState(statePath).zip(want).foreach { case (g, w) =>
+      assert(g == w, s"GC'd codebook cell $g != sequential batch fold $w")
+    }
+  }
 }
