@@ -11,7 +11,13 @@ package graft
   * fallback protect it.
   *
   * Protocol (file-based, no stdout parsing races):
-  *   args = (storePath, ctlDir, expectedRowCount)
+  *   args = (storePath, ctlDir, expectedRowCount [, mode])
+  *   - mode "committed" (default) polls [[graft.llm.StateStores
+  *     .readCommitted]] across the parent's rewriteSwap windows;
+  *     mode "versioned" polls [[graft.llm.StateStores
+  *     .readLatestVersion]] across the parent's writeVersion +
+  *     pruneVersions(keep = 2) cycles — the GC race, where the max
+  *     version a reader just picked can be reclaimed under it;
   *   - after the FIRST successful read, touch ctlDir/started — the
   *     parent begins compacting only once the reader is live;
   *   - poll until ctlDir/done appears; every read must return the
@@ -23,6 +29,7 @@ package graft
 object StorePollMain {
   def main(args: Array[String]): Unit = {
     val Array(storePath, ctlDir, expected) = args.take(3)
+    val versioned = args.lift(3).contains("versioned")
     val want = expected.toLong
     val spark = GraftSession.local("graft-store-poll", cpus = "2")
     val ctl = java.nio.file.Paths.get(ctlDir)
@@ -34,7 +41,11 @@ object StorePollMain {
       while (!failed &&
           !java.nio.file.Files.exists(ctl.resolve("done"))) {
         try {
-          val n = graft.llm.StateStores.readCommitted(spark, storePath)(_.count())
+          val n =
+            if (versioned)
+              graft.llm.StateStores.readLatestVersion(spark, storePath)(_.count())
+            else
+              graft.llm.StateStores.readCommitted(spark, storePath)(_.count())
           polls += 1
           if (n != want) {
             touch("failed", s"poll $polls read $n rows, expected $want")

@@ -478,6 +478,34 @@ object StateStores {
     }
   }
 
+  /** Serve read of a versioned store's NEWEST committed snapshot,
+    * hardened against the cross-process GC race: a reader lists the
+    * versions, picks the max, and a concurrent [[pruneVersions]] in
+    * the WRITER's process could reclaim that very version if `keep`
+    * newer snapshots landed between the listing and the read (the
+    * in-JVM store lock does not span processes). The window needs a
+    * reader slower than `keep` micro-batch intervals — but "almost
+    * never" is not a contract, so on a read failure the helper
+    * RE-LISTS (a newer committed version necessarily exists by then —
+    * GC only deletes versions older than the `keep` newest) and
+    * retries, bounded. `use` must consume the frame inside the call
+    * (the [[readCommitted]] contract). */
+  private[graft] def readLatestVersion[T](s: SparkSession, path: String)
+      (use: DataFrame => T): T = {
+    var attempt = 0
+    while (true) {
+      val v = latestVersionBelow(path, Long.MaxValue)
+      try return use(s.read.parquet(s"$path/v=$v"))
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > 6) throw e
+          Thread.sleep(25L << attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Running-mean fold of a snapshot into the persisted PQ CODEBOOK
     * state (sub, code, pos, coord, n) — [[centroidUpdateRaw]]'s shape
     * applied per subspace (round-12 verdict Missing #2: the codebooks

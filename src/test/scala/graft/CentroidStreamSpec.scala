@@ -74,8 +74,9 @@ class CentroidStreamSpec extends SparkSuite {
   }
 
   private def finalState(statePath: String): Array[(Long, Long, Double, Long)] = {
-    val v = StateStores.latestVersionBelow(statePath, Long.MaxValue)
-    spark.read.parquet(s"$statePath/v=$v").collect()
+    // the GC-race-hardened serve read — specs exercise the exact
+    // helper a cross-process reader uses
+    StateStores.readLatestVersion(spark, statePath)(_.collect())
       .map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("pos"),
         r.getAs[Double]("coord"), r.getAs[Long]("n")))
       .sortBy(t => (t._1, t._2))

@@ -94,8 +94,8 @@ class PqBookStreamSpec extends SparkSuite {
   }
 
   private def finalState(statePath: String): Array[(Int, Int, Long, Double, Long)] = {
-    val v = StateStores.latestVersionBelow(statePath, Long.MaxValue)
-    spark.read.parquet(s"$statePath/v=$v").collect()
+    // the GC-race-hardened serve read (StateStores.readLatestVersion)
+    StateStores.readLatestVersion(spark, statePath)(_.collect())
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
         r.getAs[Long]("pos"), r.getAs[Double]("coord"), r.getAs[Long]("n")))
       .sortBy(t => (t._1, t._2, t._3))

@@ -265,4 +265,68 @@ class StateStoreSpec extends SparkSuite {
     assert(polls > 0L, "child reported zero polls — nothing was exercised")
     info(s"child JVM completed $polls consistent polls across 6 swaps")
   }
+
+  test("a SECOND JVM polling readLatestVersion survives cross-process version GC") {
+    // the round-13 GC race: a reader picks the max committed version;
+    // a writer in ANOTHER process publishes newer snapshots and prunes
+    // to retention 2 — the picked version can vanish between the
+    // listing and the read. The in-JVM store lock does not span
+    // processes; only readLatestVersion's re-list-and-retry protects
+    // the reader. 25 publish+prune cycles under a live child poller.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_xproc_gc").toString
+    val path = s"$base/state"
+    val ctl = s"$base/ctl"
+    Files.createDirectories(Paths.get(ctl))
+    val model = (0L until 1024L).toDF("id")
+      .selectExpr("id DIV 64 AS cent_id", "id % 64 AS pos",
+        "cast(id AS double) / 1024 AS coord", "cast(100 AS long) AS n")
+    StateStores.writeVersion(model, path, 0L)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx3g",
+      "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.StorePollMain", path, ctl, "1024", "versioned")
+    val childLog = new java.io.File(s"$base/child.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(childLog))
+      .start()
+    def ctlHas(n: String) = Files.exists(Paths.get(s"$ctl/$n"))
+    try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!ctlHas("started") && !ctlHas("failed") && proc.isAlive &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(ctlHas("started"),
+        s"child poller never came up; child log tail:\n" +
+          scala.util.Try(Files.readString(childLog.toPath).takeRight(2000))
+            .getOrElse("<unreadable>"))
+      (1 to 25).foreach { v =>
+        StateStores.writeVersion(model, path, v.toLong)
+        StateStores.pruneVersions(path, keep = 2)
+        Thread.sleep(150)
+      }
+    } finally {
+      Files.writeString(Paths.get(s"$ctl/done"), "")
+      proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+    if (ctlHas("failed"))
+      fail("cross-process reader lost its version to GC: " +
+        Files.readString(Paths.get(s"$ctl/failed")))
+    assert(proc.exitValue() == 0, s"child exited ${proc.exitValue()}")
+    val polls = Files.readString(Paths.get(s"$ctl/polls")).trim.toLong
+    assert(polls > 0L, "child reported zero polls — nothing was exercised")
+    info(s"child JVM completed $polls consistent reads across 25 GC cycles")
+  }
 }
