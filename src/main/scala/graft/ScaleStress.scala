@@ -259,8 +259,12 @@ object ScaleStress {
     q("q402_shuffle_mixing_audit"), q("q404_mutual_knn_rate"),
     q("q405_rare_token_mass"), q("q406_dedup_threshold_regret"),
     // round-13 wave 2: the 2x2-contingency bigram scorer and the
-    // doubly-joined interpolated LM scoring pass
-    q("q408_llr_collocations"), q("q409_interpolated_ppl"),
+    // doubly-joined interpolated LM scoring pass; q409's 10→30
+    // exponent (0.98) is the board's closest-to-linear new entry, so
+    // it gets its x100 point PROACTIVELY (the one-more-decade
+    // discipline, applied the round it lands instead of the round
+    // after)
+    q("q408_llr_collocations"), q("q409_interpolated_ppl", LifecycleScales),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
