@@ -197,7 +197,12 @@ object ScaleStress {
   def probes: Seq[Probe] = Seq(
     // top-expensive bench queries (round-9 bench_detail minima),
     // one per distinct plan shape; q131 excluded (demoted this round)
-    q("q257_bootstrap_ci"), q("q283_pair_graph_ivm"),
+    q("q257_bootstrap_ci"),
+    // round-13 verdict Next #3: the four highest sub-1.0 exponents on
+    // the x30 board get their x100 point (the one-more-decade
+    // discipline the q240/q274 precedent set: >= 0.9 at x30 deserves
+    // the second decade before being called linear)
+    q("q283_pair_graph_ivm", LifecycleScales),
     q("q231_chunk_retrieval"), q("q295_pmi_cooccurrence"),
     q("q198_spearman"), q("q255_doc_keywords"),
     // HEAP-PER-CORE protocol probe (round-13, closing the round-12
@@ -221,7 +226,7 @@ object ScaleStress {
     q("q184_basket_lift"), q("q274_degree_census", LifecycleScales),
     q("q207_mad_outliers"),
     q("q120_weighted_quantiles"), q("q240_chargram_profile", LifecycleScales),
-    q("q154_image_neardup"), q("q218_ship_latency"),
+    q("q154_image_neardup"), q("q218_ship_latency", LifecycleScales),
     q("q156_waiting_blame"), q("q268_triple_itemsets", LifecycleScales),
     q("q208_conversion_latency"), q("q296_knn_outlier", LifecycleScales),
     q("q259_stop_shingle_audit"), q("q210_novelty"),
@@ -233,8 +238,8 @@ object ScaleStress {
     // flat-array moment grid, the driver-greedy selection loop, the
     // conformal calibrate+apply pass, the min(doc_id) first-occurrence
     // attribution
-    q("q350_effective_rank"), q("q352_coverage_greedy"),
-    q("q356_conformal_coverage"), q("q358_heaps_extrapolation"),
+    q("q350_effective_rank", LifecycleScales), q("q352_coverage_greedy"),
+    q("q356_conformal_coverage", LifecycleScales), q("q358_heaps_extrapolation"),
     // round-11 waves (same stance as the round-10 tranche: new
     // expensive queries get measured exponents the round they land):
     // the two GlobalRank segmented-scan selections, the token-keyed
@@ -265,6 +270,10 @@ object ScaleStress {
     // discipline, applied the round it lands instead of the round
     // after)
     q("q408_llr_collocations"), q("q409_interpolated_ppl", LifecycleScales),
+    // round-14 wave: the duplicated-run extraction (new plan shape —
+    // positional-site semi-join + per-doc streak window + fetch-back)
+    // gets its exponent the round it lands
+    q("q413_dup_run_extraction"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
@@ -323,6 +332,24 @@ object ScaleStress {
   // ---------------------------------------------------------------
   // measurement
   // ---------------------------------------------------------------
+
+  /** Rows from a prior SCALING.json to carry forward verbatim into a
+    * new record: every row whose probe is still on the board but was
+    * NOT measured this run (skipped by the protocol-heap gate, or
+    * outside a subset re-measurement). Pure so ScaleStressSpec can pin
+    * that a sub-protocol full-board run cannot delete the committed
+    * 96g q244 row (round-13 ADVICE, medium). Returns (name, jsonRow). */
+  private[graft] def carryForward(priorTxt: String, measuredNames: Set[String],
+      boardNames: Set[String]): Seq[(String, String)] =
+    // each probe row is `"name":{"t":{...},"exp":...}` — exactly one
+    // nested brace level, which the pattern requires, so the outer
+    // `"queries":{...}` wrapper (two levels deep at its start) and the
+    // flat `"t"` inner map (zero levels) can never match
+    """"([A-Za-z0-9_]+)":(\{[^{}]*\{[^{}]*\}[^{}]*\})""".r
+      .findAllMatchIn(priorTxt)
+      .map(m => m.group(1) -> s""""${m.group(1)}":${m.group(2)}""")
+      .filter(kv => boardNames.contains(kv._1) && !measuredNames.contains(kv._1))
+      .toSeq
 
   def main(args: Array[String]): Unit = {
     // measure at the RECORD config: local[4], 4 shuffle partitions
@@ -398,22 +425,46 @@ object ScaleStress {
       (p, times, e)
     }
 
-    val json = results.map { case (p, ts, e) =>
+    val measured: Seq[(String, String)] = results.map { case (p, ts, e) =>
       val tj = ts.map { case (sc, t) => s""""$sc":${f"$t%.3f"}""" }.mkString(",")
-      // protocol probes stamp their heap so the record is self-
-      // describing (and the custody spec can refuse a non-protocol
-      // displacement)
-      val mem = if (p.minHeapG > 0) s""","mem_gb":${p.minHeapG}""" else ""
-      s""""${p.name}":{"t":{$tj},"exp":${f"$e%.3f"}$mem}"""
-    }.mkString(",")
-    val out = s"""{"base":"$baseDir","scales":[${allScales.mkString(",")}],""" +
+      // protocol probes stamp BOTH the protocol heap (mem_gb — what the
+      // record requires) and the MEASURED JVM heap (heap_gb, rounded —
+      // what this run actually had; round-13 ADVICE: the 0.85 tolerance
+      // meant an ~82g run could stamp itself as the 96g protocol row
+      // with nothing in the record saying so)
+      val mem = if (p.minHeapG > 0)
+        s""","mem_gb":${p.minHeapG},"heap_gb":${math.round(heapG)}""" else ""
+      p.name -> s""""${p.name}":{"t":{$tj},"exp":${f"$e%.3f"}$mem}"""
+    }
+    // MERGE, never clobber (round-13 ADVICE, medium): a full-board run
+    // that SKIPPED protocol probes (sub-protocol heap) used to
+    // overwrite SCALING.json wholesale, deleting the committed 96g
+    // protocol row rather than merely not displacing it. Rows for
+    // probes this run did not measure are carried forward VERBATIM
+    // from the existing SCALING.json — for skipped-probe full-board
+    // runs and for subset re-measurement runs alike (the old
+    // SCALING.partial.json side-file needed a manual merge that the
+    // full-board overwrite then destroyed). Probes REMOVED from the
+    // board drop out: only rows for currently-registered probe names
+    // are carried.
+    val priorTxt = {
+      val p = java.nio.file.Paths.get("SCALING.json")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      else ""
+    }
+    val carried = carryForward(priorTxt, measured.map(_._1).toSet,
+      probes.map(_.name).toSet)
+    carried.foreach(kv => println(s"[scale] carry-forward ${kv._1} (not measured this run)"))
+    val json = (measured ++ carried).map(_._2).mkString(",")
+    val scalesOut = (allScales ++
+      (if (carried.nonEmpty) LifecycleScales else Nil)).distinct.sorted
+    val out = s"""{"base":"$baseDir","scales":[${scalesOut.mkString(",")}],""" +
       s""""queries":{$json}}"""
-    // subset runs (probe re-measurement after a fix) must not clobber
-    // the full board — they land in SCALING.partial.json for a merge
-    val file = if (args.length > 1) "SCALING.partial.json" else "SCALING.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       out.getBytes("UTF-8"))
-    println(s"[scale] wrote $file (${results.size} probes)")
+    println(s"[scale] wrote SCALING.json (${measured.size} measured, " +
+      s"${carried.size} carried forward)")
     s.stop()
   }
 }

@@ -494,9 +494,15 @@ object StateStores {
       (use: DataFrame => T): T = {
     var attempt = 0
     while (true) {
-      val v = latestVersionBelow(path, Long.MaxValue)
-      try return use(s.read.parquet(s"$path/v=$v"))
-      catch {
+      // the LISTING itself is inside the retry (round-13 ADVICE): a
+      // concurrent prune can also fail the Files.list / _SUCCESS probe
+      // or leave zero committed versions visible for an instant, and a
+      // listing-time exception must get the same re-list-and-retry
+      // treatment as a read-time one
+      try return use {
+        val v = latestVersionBelow(path, Long.MaxValue)
+        s.read.parquet(s"$path/v=$v")
+      } catch {
         case e: Exception =>
           attempt += 1
           if (attempt > 6) throw e

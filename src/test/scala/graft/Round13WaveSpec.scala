@@ -49,6 +49,24 @@ class Round13WaveSpec extends SparkSuite {
     val rows = SparkEntry.queries("q403_dot_cosine_rank_bias")(spark, sf01)
       .collect()
     assert(rows.length == 3, "one row per probe vector")
+    // GUARD (round-13 ADVICE): mean_norm_dot >= mean_norm_cos is only a
+    // theorem when every winner-set cosine is positive (the norm =
+    // dot/cos decomposition flips sign otherwise). The winner sets hold
+    // the HIGHEST cosines, so "each probe has >= 20 positive-cosine
+    // neighbors" is exactly the precondition — verify it on the fixture
+    // instead of assuming it.
+    val dotE = "aggregate(zip_with(embedding, q_emb, (p, q) -> " +
+      "cast(p AS double) * cast(q AS double)), 0D, (acc, v) -> acc + v)"
+    val e = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val posPerProbe = e.join(
+        org.apache.spark.sql.functions.broadcast(e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("q_id"))
+      .filter(expr(dotE) > 0)
+      .groupBy(col("q_id")).count().collect()
+    val guarded = posPerProbe.length == 3 &&
+      posPerProbe.forall(_.getAs[Long]("count") >= 20L)
     rows.foreach { r =>
       val ov = r.getAs[Long]("n_overlap")
       assert(ov >= 0L && ov <= 20L, s"overlap $ov outside [0, 20]")
@@ -57,10 +75,59 @@ class Round13WaveSpec extends SparkSuite {
       // the audited bias direction: a raw-dot ranking prefers norm, so
       // its winner set's mean norm is >= the cosine set's up to the
       // rounding grid (1e-6); a violation means the rankings swapped
-      assert(r.getAs[Double]("mean_norm_dot") >=
-        r.getAs[Double]("mean_norm_cos") - 1e-6,
-        "dot-ranked winners must not have LOWER mean norm than " +
-          "cosine-ranked winners")
+      if (guarded)
+        assert(r.getAs[Double]("mean_norm_dot") >=
+          r.getAs[Double]("mean_norm_cos") - 1e-6,
+          "dot-ranked winners must not have LOWER mean norm than " +
+            "cosine-ranked winners")
+    }
+  }
+
+  test("q403: a norm-skewed corpus makes the audit report the divergence") {
+    // Round-13 verdict What's-wrong #2: on the fixture the embeddings
+    // are unit-norm, so dot-top-20 == cos-top-20 and the audit's
+    // DISCRIMINATING half was demonstrated nowhere. Synthetic corpus:
+    // per probe axis, 25 well-aligned unit vectors (cos ~0.995, dot
+    // ~0.995) and 25 mis-aligned vectors at norm 3 (cos ~0.8, dot
+    // ~2.4) — a raw-dot ranking MUST prefer the high-norm losers, so
+    // the audit must report a small overlap and a strictly positive
+    // norm gap. If the audit read "healthy" here, this test fails.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q403_skew")
+      .toString
+    val rows = Seq.newBuilder[(Long, Array[Float], String)]
+    // probes: the three axes (unit)
+    (0 until 3).foreach { q =>
+      val v = Array.fill(4)(0f); v(q) = 1f
+      rows += ((q.toLong, v, "probe"))
+    }
+    var id = 3L
+    (0 until 3).foreach { q =>
+      (0 until 25).foreach { i =>
+        // aligned, unit norm: axis + tiny orthogonal jitter
+        val v = Array.fill(4)(0f); v(q) = 1f; v((q + 1) % 4) = 0.1f * (i % 3)
+        val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+        rows += ((id, v.map(_ / n), s"aligned_$q")); id += 1
+      }
+      (0 until 25).foreach { i =>
+        // mis-aligned (cos ~0.8) but norm 3: dot beats every aligned one
+        val v = Array.fill(4)(0f); v(q) = 0.8f; v((q + 2) % 4) = 0.6f + 0.001f * (i % 5)
+        val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+        rows += ((id, v.map(x => 3f * x / n), s"skewed_$q")); id += 1
+      }
+    }
+    import spark.implicits._
+    rows.result().toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val audit = SparkEntry.queries("q403_dot_cosine_rank_bias")(spark, dir)
+      .collect()
+    assert(audit.length == 3)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") < 20L,
+        "the audit must NOT report full overlap on a norm-skewed corpus")
+      assert(r.getAs[Double]("mean_norm_dot") >
+        r.getAs[Double]("mean_norm_cos") + 0.1,
+        "the audit must report a strictly positive norm gap on a " +
+          "norm-skewed corpus")
     }
   }
 
@@ -86,8 +153,12 @@ class Round13WaveSpec extends SparkSuite {
   test("q405: exclusive mass is a bounded sub-mass over a full census") {
     val rows = SparkEntry.queries("q405_rare_token_mass")(spark, sf01)
       .collect()
+    // the query's census is docs with >= 1 NON-EMPTY token after the
+    // whitespace split (round-13 ADVICE: a whitespace-only doc has
+    // length(text) > 0 but zero tokens, and must not be expected here)
     val nonEmpty = Tables(spark, sf01, "documents")
-      .filter(col("text").isNotNull && length(col("text")) > 0).count()
+      .filter(col("text").isNotNull &&
+        expr("size(filter(split(text, ' '), x -> x <> ''))") > 0).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nonEmpty,
       "source rows must census every non-empty document")
     rows.foreach { r =>

@@ -74,6 +74,34 @@ class ScaleStressSpec extends AnyFunSuite {
       }
   }
 
+  test("unmeasured probe rows are carried forward, never deleted") {
+    // Round-13 ADVICE (medium): a full-board run at a sub-protocol
+    // heap SKIPS q244 via the minHeapG gate but used to overwrite
+    // SCALING.json wholesale, deleting the committed 96g protocol row.
+    // carryForward returns the prior rows for every still-on-board
+    // probe the run did not measure — and drops rows for probes
+    // retired from the board.
+    val prior = """{"base":"/x","scales":[1,10,30,100],"queries":{""" +
+      """"q244_adamic_adar":{"t":{"1":9.0,"100":900.0},"exp":1.163,"mem_gb":96},""" +
+      """"q257_bootstrap_ci":{"t":{"1":3.5,"30":16.8},"exp":0.882},""" +
+      """"q_retired_probe":{"t":{"1":1.0},"exp":0.5}}}"""
+    val board = Set("q244_adamic_adar", "q257_bootstrap_ci")
+    // q257 measured this run, q244 skipped: only q244 carries forward
+    val carried = ScaleStress.carryForward(prior, Set("q257_bootstrap_ci"), board)
+    assert(carried.map(_._1) == Seq("q244_adamic_adar"))
+    assert(carried.head._2.contains("\"mem_gb\":96"),
+      "the carried row must be byte-preserved, protocol stamp included")
+    assert(carried.head._2.contains("\"exp\":1.163"))
+    // nothing measured (pure carry): both board rows survive, the
+    // retired probe's row drops
+    val all = ScaleStress.carryForward(prior, Set.empty, board)
+    assert(all.map(_._1).toSet == board)
+    // everything measured: nothing to carry
+    assert(ScaleStress.carryForward(prior, board, board).isEmpty)
+    // no prior record: nothing to carry
+    assert(ScaleStress.carryForward("", Set.empty, board).isEmpty)
+  }
+
   test("q244's committed record is the heap-per-core protocol run") {
     // protocol custody: the row must be self-describingly the 96g run
     // (ScaleStress stamps mem_gb from Probe.minHeapG); a fixed-48g
