@@ -1,34 +1,53 @@
 package graft
 
-/** Bench-record custody: the board-keyed round's-best policy.
+/** Bench-record custody: the board-keyed round's-best policy, plus the
+  * round-14 coupling/drift hardening.
   *
   * Round-12 verdict What's-wrong #1: custody's round-inference let a
   * SLOWER same-board run displace the round's best record — the 23:01
-  * 267.3 s run inferred "round 13" from the driver-written
-  * BENCH_r12.json, found no r13 snapshot, and unconditionally replaced
-  * bench_detail.json while the 231.2 s record sat in bench_history.
-  * The fix: the keep/replace decision keys on the QUERY BOARD (the set
-  * of query names), not the inferred round number — a run over the
-  * same board as an existing snapshot must beat that snapshot's total
-  * to become the standing record, regardless of which round either
-  * belongs to. A board change (queries added/retired) always writes:
-  * the record must cover the current registry.
+  * 267.3 s run inferred "round 13", found no r13 snapshot, and
+  * unconditionally replaced bench_detail.json while the 231.2 s record
+  * sat in bench_history. The fix: the keep/replace decision keys on
+  * the QUERY BOARD (the set of query names), not the inferred round
+  * number — a run over the same board as an existing snapshot must
+  * beat that snapshot's total to become the standing record,
+  * regardless of which round either belongs to.
   *
-  * Round-12 ADVICE (low): the old comparison parsed the prior record
-  * with a first-'"value":'-match and a count of ':' characters — the
-  * record now carries explicit `n_queries` and `board` top-level
-  * fields, and this parser prefers them (falling back to deriving the
-  * board from the queries-map keys for pre-round-13 snapshots, whose
-  * keys are full query names matching `[a-z0-9_]+`).
+  * Round-13 verdict hardening (all three pinned by CertCustodySpec):
   *
-  * Kept free of Spark/file-system state so CertCustodySpec can pin the
-  * displacement rule directly.
+  *  - What's-wrong #1 (coupling noise): per-query record entries were
+  *    not independent of board neighbors — q385 swung 0.09↔1.67 s on
+  *    UNTOUCHED code purely from in-sweep cache/warm-up coupling, and
+  *    the 1.15× drift gate was nearly binding on that noise.
+  *    [[triageSet]] names the queries whose in-sweep minima exceed
+  *    1.5× the gate reference; Bench re-times exactly those standalone
+  *    (the graft.One stance, decoupled from sweep neighbors) before
+  *    stamping `certifiable`, and records which entries carry a
+  *    standalone re-time.
+  *  - What's-wrong #3 (board growth resets the bar): a grown-board run
+  *    used to seed the round's record unconditionally because no
+  *    same-board snapshot existed — the first 410-board record was a
+  *    visibly contended 373.5 s run. [[decide]] now gates a
+  *    strict-SUPERSET board against the newest snapshot's
+  *    common-subset total before the grown run can seed.
+  *  - Next #8 (host decay eats gate headroom): [[driftGate]] widens
+  *    the 1.15× bound by the records' mid-sentinel ratio (capped), so
+  *    a same-code run on a measurably slower host still passes while a
+  *    genuine code regression on a clean host still fails.
+  *
+  * Kept free of Spark/file-system state so CertCustodySpec can pin
+  * every rule directly.
   */
 object BenchCustody {
 
-  /** The custody-relevant slice of a bench_detail record. */
+  /** The custody-relevant slice of a bench_detail record. `times` maps
+    * full query names to per-query seconds (−1.0 = failed); `midMin`
+    * is the minimum of the record's mid-weight sentinel readings — the
+    * host-speed proxy [[driftGate]] normalizes by. */
   final case class Record(total: Double, nQueries: Int, board: String,
-                          certifiable: Boolean)
+                          certifiable: Boolean,
+                          times: Map[String, Double] = Map.empty,
+                          midMin: Option[Double] = None)
 
   /** Stable fingerprint of a query board: MD5/48-bit over the sorted
     * name list. Collisions across ~20 rounds of boards are negligible;
@@ -46,16 +65,21 @@ object BenchCustody {
   def parse(txt: String): Option[Record] = {
     val total = """"value":([-0-9.Ee]+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toDouble).getOrElse(return None)
-    val keys: Seq[String] =
+    val times: Map[String, Double] =
       """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)) match {
-        case Some(qm) => """"([^"]+)":""".r.findAllMatchIn(qm).map(_.group(1)).toSeq
+        case Some(qm) => """"([^"]+)":([-0-9.Ee]+)""".r.findAllMatchIn(qm)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
         case None => return None
       }
     val board = """"board":"([0-9a-f]+)"""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse(boardHash(keys))
+      .map(_.group(1)).getOrElse(boardHash(times.keys.toSeq))
     val n = """"n_queries":(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(keys.size)
-    Some(Record(total, n, board, !txt.contains("\"certifiable\":false")))
+      .map(_.group(1).toInt).getOrElse(times.size)
+    val midMin = """"mid_sentinels_s":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(',').map(_.trim.toDouble))
+      .filter(_.nonEmpty).map(_.min)
+    Some(Record(total, n, board, !txt.contains("\"certifiable\":false"),
+      times, midMin))
   }
 
   /** Extract the round number from a snapshot file name, for NUMERIC
@@ -65,24 +89,89 @@ object BenchCustody {
     """bench_detail_r(\d+)\.json""".r.findFirstMatchIn(fileName)
       .map(_.group(1).toInt)
 
+  /** The cross-round drift bound on common-subset totals. */
+  val DriftBound = 1.15
+
+  /** Standalone re-time TRIAGE (round-13 verdict What's-wrong #1): the
+    * common-subset queries whose in-sweep minima exceed `threshold`×
+    * the gate reference's entry — coupling-noise suspects that must be
+    * re-timed standalone before the run certifies. Reference entries
+    * under `floorSec` are excluded (a 0.02 s entry tripling is grid
+    * noise, not coupling); the set is capped at `cap` worst ratios so
+    * triage cost stays bounded, worst-first so a cap bites the least
+    * suspicious entries. Failed queries (−1) never triage. */
+  def triageSet(cur: Map[String, Double], ref: Map[String, Double],
+      threshold: Double = 1.5, floorSec: Double = 0.05,
+      cap: Int = 20): Seq[String] =
+    cur.keySet.intersect(ref.keySet).toSeq
+      .filter(k => cur(k) >= 0 && ref(k) >= floorSec &&
+        cur(k) > threshold * ref(k))
+      .sortBy(k => -cur(k) / ref(k))
+      .take(cap)
+
+  /** Drift-gate arithmetic (shared by BenchDriftSpec and [[decide]]'s
+    * superset guard): the common-subset total ratio and the bound it
+    * must stay under. The bound is [[DriftBound]] widened by the
+    * records' mid-sentinel ratio — the measured host-speed factor —
+    * capped at `normCap` (a run whose mid-sentinel drifted beyond
+    * 1.5× is contamination, which the certifiability gate owns; the
+    * normalization must never launder it). The factor only ever
+    * WIDENS (max with 1): a faster current host does not tighten the
+    * gate, it just leaves more headroom. Returns (ratio, bound);
+    * ratio is NaN when no common queries exist. */
+  def driftGate(curQ: Map[String, Double], prevQ: Map[String, Double],
+      curMid: Option[Double], prevMid: Option[Double],
+      normCap: Double = 1.5): (Double, Double) = {
+    val common = curQ.keySet.intersect(prevQ.keySet).toSeq
+      .filter(k => curQ(k) >= 0 && prevQ(k) >= 0)
+    val ratio =
+      if (common.isEmpty) Double.NaN
+      else common.map(curQ).sum / common.map(prevQ).sum
+    val host = (curMid, prevMid) match {
+      case (Some(c), Some(p)) if p > 0 => math.min(math.max(1.0, c / p), normCap)
+      case _ => 1.0
+    }
+    (ratio, DriftBound * host)
+  }
+
   /** The keep/replace decision. `snapshots` is (round, record) for every
     * history snapshot; `inferredRound` is the current round (env or
-    * artifact inference — advisory only). Returns Some(roundToWrite)
-    * when the current run becomes the standing record, None when the
-    * standing record keeps.
+    * artifact inference — advisory only); `cur` is the current run's
+    * custody record (its `times`/`midMin` feed the superset guard).
+    * Returns Some(roundToWrite) when the current run becomes the
+    * standing record, None when the standing record keeps.
     *
     *  - same board as the newest same-board snapshot and NOT faster:
     *    keep, whatever round either run claims to be (the round-12 bug);
     *  - same board and faster: write at max(that snapshot's round,
     *    inferredRound) — the round's best, never regressing the
     *    snapshot numbering;
-    *  - no same-board snapshot (board grew/shrank): write at
+    *  - no same-board snapshot and the current board STRICTLY CONTAINS
+    *    the newest snapshot's: the common-subset total must pass
+    *    [[driftGate]] against that snapshot, or the grown-board run is
+    *    refused (round-13 What's-wrong #3: board growth must not let a
+    *    contended run seed the round's record — wait for a clean run);
+    *  - otherwise (board shrank / first record): write at
     *    inferredRound — the record must cover the current registry. */
   def decide(snapshots: Seq[(Int, Record)], inferredRound: Int,
-             total: Double, board: String): Option[Int] =
-    snapshots.filter(_._2.board == board).sortBy(_._1).lastOption match {
-      case Some((_, rec)) if rec.total <= total => None
+             cur: Record): Option[Int] =
+    snapshots.filter(_._2.board == cur.board).sortBy(_._1).lastOption match {
+      case Some((_, rec)) if rec.total <= cur.total => None
       case Some((r, _)) => Some(math.max(r, inferredRound))
-      case None => Some(inferredRound)
+      case None =>
+        val newest = snapshots.sortBy(_._1).lastOption
+        val supersetOk = newest.forall { case (_, snap) =>
+          val snapNames = snap.times.keySet
+          val grown = snapNames.nonEmpty && cur.times.nonEmpty &&
+            snapNames.subsetOf(cur.times.keySet) &&
+            snapNames != cur.times.keySet
+          if (!grown) true
+          else {
+            val (ratio, bound) =
+              driftGate(cur.times, snap.times, cur.midMin, snap.midMin)
+            ratio.isNaN || ratio <= bound
+          }
+        }
+        if (supersetOk) Some(inferredRound) else None
     }
 }

@@ -4,17 +4,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Bench-record DRIFT gate (round-10 verdict Missing #1: the record
   * drifted +19% round-over-round and nothing would catch a real
-  * suite-wide regression hiding inside host noise). Two rules:
+  * suite-wide regression hiding inside host noise). Rules:
   *
   *  - a record whose later sentinels exceed 3x the opening one was
   *    taken under host load and is NOT certifiable — Bench stamps
   *    `certifiable` into bench_detail.json and this spec refuses to
   *    treat a dirty record as either side of the comparison;
   *  - the COMMON-query per-query-minima sum of the current record may
-  *    not exceed 1.15x the previous round's committed record
-  *    (bench_history/ holds one snapshot per certified round) — a
-  *    code-level suite-wide regression fails here loudly, while
-  *    per-query noise stays inside the band.
+  *    not exceed the [[BenchCustody.driftGate]] bound vs the previous
+  *    round's committed record — 1.15× widened by the two records'
+  *    MID-SENTINEL ratio (round-13 verdict Next #8: within-round host
+  *    decay was eating the gate's headroom; the mid-weight sentinel is
+  *    the measured host-speed proxy, so a same-code run on a slower
+  *    host passes while a code regression on a clean host still
+  *    fails). The widening is capped at 1.5× — contamination beyond
+  *    that is the certifiability gate's job, never normalized away.
   *
   * The gate CANCELS (does not fail) when there is nothing sound to
   * compare: no current record, no history, or a contaminated record —
@@ -23,33 +27,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchDriftSpec extends AnyFunSuite {
 
-  private def parse(path: java.nio.file.Path): Option[(Boolean, Map[String, Double])] = {
+  private def parse(path: java.nio.file.Path): Option[BenchCustody.Record] = {
     if (!java.nio.file.Files.exists(path)) return None
     val txt = java.nio.file.Files.readString(path)
-    // minimal extraction (no JSON lib on the offline classpath):
-    // the queries map is flat {"name":seconds,...}; certifiable is a
-    // top-level boolean (absent in pre-round-11 records = assume the
-    // sentinels were vetted by hand, as r10's cert was)
-    val qm = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
-      .getOrElse(return None)
-    val qs = """"([^"]+)":([-0-9.Ee]+)""".r.findAllMatchIn(qm)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    // pre-round-11 records carry no certifiable flag — re-derive it
-    // from their recorded sentinels with the same 3x-opening rule
-    val cert =
-      if (txt.contains("\"certifiable\":")) !txt.contains("\"certifiable\":false")
-      else """"sentinels_s":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(',').map(_.trim.toDouble).toSeq)
-        .forall(s => s.isEmpty || s.tail.forall(_ <= 3.0 * s.head))
-    Some((cert, qs))
+    BenchCustody.parse(txt).map { rec =>
+      // pre-round-11 records carry no certifiable flag — re-derive it
+      // from their recorded sentinels with the same 3x-opening rule
+      val cert =
+        if (txt.contains("\"certifiable\":")) rec.certifiable
+        else """"sentinels_s":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').map(_.trim.toDouble).toSeq)
+          .forall(s => s.isEmpty || s.tail.forall(_ <= 3.0 * s.head))
+      rec.copy(certifiable = cert)
+    }
   }
 
-  test("certified bench record stays within 1.15x of the previous round on common queries") {
+  test("certified bench record stays within the sentinel-normalized drift bound") {
     val cur = parse(java.nio.file.Paths.get("bench_detail.json"))
     assume(cur.isDefined, "no bench_detail.json — nothing to gate")
-    val (curOk, curQ) = cur.get
-    assume(curOk, "current record is sentinel-contaminated — not a " +
-      "certifiable record; re-run Bench on a quiet host")
+    assume(cur.get.certifiable, "current record is sentinel-contaminated — " +
+      "not a certifiable record; re-run Bench on a quiet host")
     val histDir = java.nio.file.Paths.get("bench_history")
     assume(java.nio.file.Files.isDirectory(histDir), "no bench_history/")
     val hist = {
@@ -64,8 +61,8 @@ class BenchDriftSpec extends AnyFunSuite {
       } finally st.close()
     }
     assume(hist.nonEmpty, "empty bench_history/")
-    // Bench now snapshots the CURRENT round's record into bench_history
-    // in the same pass that writes bench_detail.json (CertCustodySpec's
+    // Bench snapshots the CURRENT round's record into bench_history in
+    // the same pass that writes bench_detail.json (CertCustodySpec's
     // custody contract) — when the newest snapshot IS the current
     // record, gate against the one before it (the previous round), so
     // the cross-round drift comparison is never a self-comparison
@@ -90,22 +87,49 @@ class BenchDriftSpec extends AnyFunSuite {
       .map { p => info(s"gating against same-host re-base $p"); p }
       .getOrElse(gateSnapshot)
     val prev = parse(gateAgainst)
-    assume(prev.isDefined && prev.get._1,
+    assume(prev.isDefined && prev.get.certifiable,
       s"previous record $gateAgainst unreadable or contaminated")
-    val prevQ = prev.get._2
-    val common = curQ.keySet intersect prevQ.keySet
-    assume(common.nonEmpty, "no common queries between the records")
-    // failed queries carry -1.0 — a regression to FAILURE must not
-    // make the sum smaller; treat them as absent on both sides
-    val ok = common.filter(k => curQ(k) >= 0 && prevQ(k) >= 0)
-    val (sumCur, sumPrev) = (ok.toSeq.map(curQ).sum, ok.toSeq.map(prevQ).sum)
-    val ratio = sumCur / sumPrev
-    info(f"common ${ok.size} queries: current $sumCur%.1f s vs previous " +
-      f"$sumPrev%.1f s (${ratio}%.3fx)")
-    assert(ratio <= 1.15,
+    val (ratio, bound) = BenchCustody.driftGate(
+      cur.get.times, prev.get.times, cur.get.midMin, prev.get.midMin)
+    assume(!ratio.isNaN, "no common queries between the records")
+    info(f"common-subset ratio $ratio%.3fx vs bound $bound%.3fx " +
+      f"(mid-sentinels cur=${cur.get.midMin.getOrElse(-1.0)}%.2f " +
+      f"prev=${prev.get.midMin.getOrElse(-1.0)}%.2f)")
+    assert(ratio <= bound,
       f"common-subset bench sum regressed ${ratio}%.3fx vs the previous " +
-        f"round's committed record ($sumCur%.1f s vs $sumPrev%.1f s) — " +
+        f"round's committed record (sentinel-normalized bound $bound%.3fx) — " +
         "find the regressing queries or re-certify on a quiet host " +
         "before publishing")
+  }
+
+  test("a 20%-slower host passes; a code regression on a clean host fails") {
+    // the round-13 Next #8 acceptance case, pinned on the pure
+    // arithmetic: same code on a host whose mid-sentinel reads 20%
+    // slower (every query uniformly +20%) stays inside the widened
+    // bound...
+    val prevQ = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    val slowHost = prevQ.view.mapValues(_ * 1.20).toMap
+    val (r1, b1) = BenchCustody.driftGate(slowHost, prevQ,
+      curMid = Some(0.40), prevMid = Some(0.33))
+    assert(r1 > 1.15, "the un-normalized gate would have failed this run")
+    assert(r1 <= b1, f"uniform host slowdown must pass: $r1%.3f vs $b1%.3f")
+    // ...while a 20% CODE regression with CLEAN sentinels still fails
+    val (r2, b2) = BenchCustody.driftGate(slowHost, prevQ,
+      curMid = Some(0.33), prevMid = Some(0.33))
+    assert(r2 > b2, "a code regression on an equal-speed host must fail")
+    // the widening is capped: a 3x mid-sentinel cannot stretch the
+    // bound past 1.15 * 1.5
+    val (_, b3) = BenchCustody.driftGate(slowHost, prevQ,
+      curMid = Some(1.0), prevMid = Some(0.33))
+    assert(math.abs(b3 - 1.15 * 1.5) < 1e-9)
+    // a FASTER host never tightens the gate below 1.15
+    val (_, b4) = BenchCustody.driftGate(slowHost, prevQ,
+      curMid = Some(0.20), prevMid = Some(0.33))
+    assert(math.abs(b4 - 1.15) < 1e-9)
+    // failed queries (-1) are excluded from both sums
+    val (r5, _) = BenchCustody.driftGate(
+      Map("a" -> 1.0, "b" -> -1.0), Map("a" -> 1.0, "b" -> 99.0),
+      None, None)
+    assert(math.abs(r5 - 1.0) < 1e-9)
   }
 }

@@ -62,37 +62,100 @@ class CertCustodySpec extends AnyFunSuite {
     // 231.2 s round-12 record. The decision now keys on the board.
     val names = Seq("q01_a", "q02_b", "q03_c")
     val board = BenchCustody.boardHash(names)
-    val standing = Seq(12 -> BenchCustody.Record(231.2, 3, board, certifiable = true))
+    def run(total: Double, b: String = board) =
+      BenchCustody.Record(total, 3, b, certifiable = true)
+    val standing = Seq(12 -> run(231.2))
     // slower run over the SAME board, inferred round 13: must keep
-    assert(BenchCustody.decide(standing, 13, 267.3, board).isEmpty)
+    assert(BenchCustody.decide(standing, 13, run(267.3)).isEmpty)
     // equal total ties to the standing record
-    assert(BenchCustody.decide(standing, 13, 231.2, board).isEmpty)
+    assert(BenchCustody.decide(standing, 13, run(231.2)).isEmpty)
     // faster same-board run becomes round 13's record
-    assert(BenchCustody.decide(standing, 13, 219.0, board).contains(13))
+    assert(BenchCustody.decide(standing, 13, run(219.0)).contains(13))
     // faster same-board run still inside round 12 overwrites r12
-    assert(BenchCustody.decide(standing, 12, 219.0, board).contains(12))
-    // board change (query added): always writes the inferred round,
-    // even when the grown board's total is necessarily larger
+    assert(BenchCustody.decide(standing, 12, run(219.0)).contains(12))
+    // board change (query added), snapshot lacking per-query times
+    // (legacy): writes the inferred round
     val grown = BenchCustody.boardHash(names :+ "q04_d")
-    assert(BenchCustody.decide(standing, 13, 300.0, grown).contains(13))
+    assert(BenchCustody.decide(standing, 13, run(300.0, grown)).contains(13))
     // no history at all: first record writes
-    assert(BenchCustody.decide(Nil, 1, 100.0, board).contains(1))
+    assert(BenchCustody.decide(Nil, 1, run(100.0)).contains(1))
+  }
+
+  test("a contended grown-board run cannot seed the standing record") {
+    // Round-13 verdict What's-wrong #3: when wave 2 grew the board
+    // 405→410, a visibly contended 373.5 s run became the standing
+    // record unconditionally because no same-board snapshot existed.
+    // A strict-SUPERSET board must now pass the drift gate on the
+    // common subset before it can seed.
+    val snapNames = Seq("q01_a", "q02_b", "q03_c")
+    val snap = BenchCustody.Record(7.0, 3,
+      BenchCustody.boardHash(snapNames), certifiable = true,
+      times = Map("q01_a" -> 1.0, "q02_b" -> 2.0, "q03_c" -> 4.0),
+      midMin = Some(0.33))
+    val standing = Seq(13 -> snap)
+    val grownBoard = BenchCustody.boardHash(snapNames :+ "q04_d")
+    def grownRun(f: Double, mid: Double) = BenchCustody.Record(
+      7.0 * f + 0.5, 4, grownBoard, certifiable = true,
+      times = Map("q01_a" -> 1.0 * f, "q02_b" -> 2.0 * f,
+        "q03_c" -> 4.0 * f, "q04_d" -> 0.5),
+      midMin = Some(mid))
+    // contended grown-board run (+40% on common subset, clean-looking
+    // mid): REFUSED — wait for a clean run
+    assert(BenchCustody.decide(standing, 14, grownRun(1.40, 0.33)).isEmpty)
+    // clean grown-board run: seeds the round's record
+    assert(BenchCustody.decide(standing, 14, grownRun(1.02, 0.33)).contains(14))
+    // +25% common subset but the mid-sentinel shows a measured ~1.2x
+    // slower host: the normalized bound admits it
+    assert(BenchCustody.decide(standing, 14, grownRun(1.25, 0.40)).contains(14))
+    // a SHRUNK board (query retired) writes unconditionally — the
+    // record must cover the current registry
+    val shrunk = BenchCustody.Record(3.0, 2,
+      BenchCustody.boardHash(snapNames.init), certifiable = true,
+      times = Map("q01_a" -> 1.0, "q02_b" -> 2.0))
+    assert(BenchCustody.decide(standing, 14, shrunk).contains(14))
+  }
+
+  test("triage names exactly the over-threshold common-subset entries, worst-first") {
+    // Round-13 verdict What's-wrong #1 (q385 is the canonical case:
+    // record entries swung 0.09↔1.67 s on unchanged code): the
+    // standalone re-time set is every common query whose sweep minimum
+    // exceeds 1.5x the gate reference, floor-filtered and capped.
+    val ref = Map("q385" -> 0.80, "q100" -> 0.21, "q84" -> 0.28,
+      "tiny" -> 0.02, "clean" -> 1.00, "gone" -> 1.00)
+    val cur = Map("q385" -> 1.67, "q100" -> 0.54, "q84" -> 0.30,
+      "tiny" -> 0.30, "clean" -> 1.05, "failed" -> -1.0)
+    val t = BenchCustody.triageSet(cur, ref)
+    // q100 2.57x and q385 2.09x qualify; q84 (1.07x) and clean do
+    // not; tiny is under the 0.05 s reference floor (grid noise);
+    // 'gone'/'failed' are not common
+    assert(t == Seq("q100", "q385"))
+    // the cap keeps the WORST ratios
+    val manyRef = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val manyCur = (1 to 30).map(i => s"q$i" -> (1.6 + i * 0.01)).toMap
+    val capped = BenchCustody.triageSet(manyCur, manyRef)
+    assert(capped.size == 20 && capped.head == "q30" &&
+      !capped.contains("q1"))
   }
 
   test("custody parser round-trips the explicit fields and derives them for legacy records") {
     val names = Seq("q01_a", "q02_b")
     val board = BenchCustody.boardHash(names)
     val modern = s"""{"metric":"total","value":12.5,"unit":"sec","runs":2,""" +
+      s""""mid_sentinels_s":[0.35,0.33,0.34],""" +
       s""""n_queries":2,"board":"$board","certifiable":true,""" +
       s""""queries":{"q01_a":7.0,"q02_b":5.5},"sf":"x"}"""
-    assert(BenchCustody.parse(modern).contains(
-      BenchCustody.Record(12.5, 2, board, certifiable = true)))
-    // legacy record (pre-round-13): no n_queries/board — derived from
-    // the queries-map keys, so same board hashes equal
+    val m = BenchCustody.parse(modern).get
+    assert(m.total == 12.5 && m.nQueries == 2 && m.board == board &&
+      m.certifiable)
+    assert(m.times == Map("q01_a" -> 7.0, "q02_b" -> 5.5))
+    assert(m.midMin.contains(0.33))
+    // legacy record (pre-round-13): no n_queries/board/mid-sentinels —
+    // board derived from the queries-map keys, so same hashes equal
     val legacy = """{"metric":"total","value":13.0,"unit":"sec","certifiable":true,""" +
       """"queries":{"q01_a":8.0,"q02_b":5.0},"sf":"x"}"""
     val p = BenchCustody.parse(legacy).get
     assert(p.board == board && p.nQueries == 2 && p.total == 13.0)
+    assert(p.midMin.isEmpty)
     assert(BenchCustody.roundOf("bench_detail_r100.json").contains(100))
     assert(BenchCustody.roundOf("bench_detail_r09.json").contains(9))
     assert(BenchCustody.roundOf("notes.json").isEmpty)
