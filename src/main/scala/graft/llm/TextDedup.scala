@@ -1374,8 +1374,89 @@ object TextDedup {
         .select(col("gap_bucket"), col("n_pairs"), col("mean_jaccard"),
           r6n(col("n_pairs").cast("double") / col("n_total")).as("pair_share"))
         .orderBy(col("gap_bucket"))
+    }),
+
+    /** Corpus-wide EXACT duplicated-run extraction — the Lee et al.
+      * 2022 ExactSubstr operation (the substring-level dedup mode the
+      * suite measured by MASS in q245 and localized per stored PAIR in
+      * q319 but never extracted globally): the catalog of maximal
+      * verbatim duplicated spans, each identified by its exact
+      * content, with its token length, site count, and document
+      * spread. q364/q152 fingerprint ALIGNED chunks and q319 only
+      * looks inside ≥ 0.8-Jaccard pairs; a 30-token licence footer
+      * copied at arbitrary offsets into thousands of otherwise-unique
+      * docs is invisible to all three and is precisely what this
+      * extracts (DupRunSpec pins that construction).
+      *
+      * Algorithm (the distributed suffix-array surrogate): a token
+      * position is DUPLICATED iff its 3-shingle occurs at ≥ 2 sites
+      * corpus-wide (any doc, including the same one — ExactSubstr's
+      * "occurs twice in the corpus" reading); per-doc maximal streaks
+      * of consecutive duplicated positions (the q319 i − row_number
+      * island trick, partitioned by doc, no diagonal needed) are the
+      * extraction targets — exactly the spans Lee et al. cut. Each
+      * streak ≥ [[DupRunMinTokens]] tokens fetches its covered text
+      * back from the (cached) token arrays by doc_id and is keyed by
+      * sha-256 of the exact span, so the final catalog groups
+      * byte-identical spans: (run_fp, run_tokens, n_sites, n_docs,
+      * first_doc).
+      *
+      * Scale shape — and why this needs NO df cap: there is no
+      * pairwise term anywhere. The df census is one map-side-combined
+      * count on 8-byte xxhash64 keys; the duplicated-site filter is a
+      * left-semi join whose probe volume is the corpus's token count
+      * (hashes on the wire, never shingle strings); the streak window
+      * partitions on doc_id (cardinality = corpus, per-partition work
+      * bounded by doc length); the text fetch-back joins the SMALL
+      * run table against the cached token arrays on doc_id; the
+      * catalog aggregate is bounded by the number of qualifying runs.
+      * A df = 10⁹ boilerplate shingle costs the pair joins C(df, 2)
+      * work — here it costs df flag lookups, so the most-duplicated
+      * text (the entire point of the operation) keeps FULL recall
+      * where every capped pairwise query must drop it. */
+    "q413_dup_run_extraction" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .cache() // read twice: site explode + run-text fetch-back
+      val pos = docs.select(col("doc_id"), expr(
+        """posexplode(transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+          .stripMargin).as(Seq("i", "sh")))
+      val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("sh"))
+      val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+      val runs = dup.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+        .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
+        .filter(col("len_sh") + 2 >= DupRunMinTokens)
+        // posexplode positions are 0-based; token positions 1-based
+        .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
+          (col("len_sh") + 2).as("run_tokens"))
+      // the fetch-back must never BROADCAST the corpus token arrays
+      // (Catalyst's static estimate under-prices the cached relation):
+      // shuffle_hash with the small run table as the build side
+      runs.hint("shuffle_hash").join(docs, "doc_id")
+        .select(col("doc_id"), col("run_tokens"),
+          substring(sha2(expr(
+            "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
+            256), 1, 16).as("run_fp"))
+        .groupBy(col("run_fp"), col("run_tokens"))
+        .agg(count(lit(1)).as("n_sites"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(desc("run_tokens"), col("run_fp"))
     })
   )
+
+  /** Minimum catalogued duplicated-run length, in tokens. At 100 TB
+    * the Lee et al. operating point is ~50 tokens; the fixture docs
+    * top out at 99 tokens, so the committed catalog cut sits at 20 to
+    * exercise the multi-run-per-doc paths under the oracle. */
+  private[llm] val DupRunMinTokens = 20
 
   /** Per-chunk winnowing fingerprints: 64-token windows at stride 48
     * (the q104 chunker), each fingerprinted with the minimum SHA-256
@@ -2151,6 +2232,40 @@ object TextDedup {
          |round(count(*) / CAST(t.n_total AS DOUBLE) + 1e-12, 6) AS pair_share
          |FROM b CROSS JOIN tot t
          |GROUP BY gap_bucket, t.n_total
-         |ORDER BY gap_bucket NULLS FIRST""".stripMargin
+         |ORDER BY gap_bucket NULLS FIRST""".stripMargin,
+
+    // positional (not distinct) shingles; duplication = df >= 2 over
+    // ALL sites; 1-based DuckDB series aligns with Spark's pos + 1;
+    // list slice l[i : i+n-1] is 1-based inclusive ≡ slice(l, i, n)
+    "q413_dup_run_extraction" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+         |dup AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh f ON f.sh = p.sh),
+         |grp AS (
+         |  SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+         |  FROM dup),
+         |runs AS (
+         |  SELECT doc_id, min(i) AS start_tok, count(*) + 2 AS run_tokens
+         |  FROM grp GROUP BY doc_id, rk
+         |  HAVING count(*) + 2 >= $DupRunMinTokens),
+         |wt AS (
+         |  SELECT r.doc_id, r.run_tokens,
+         |  substr(sha256(array_to_string(
+         |    b.toks[r.start_tok : r.start_tok + r.run_tokens - 1], ' ')),
+         |    1, 16) AS run_fp
+         |  FROM runs r JOIN base b ON b.doc_id = r.doc_id)
+         |SELECT run_fp, CAST(run_tokens AS BIGINT) AS run_tokens,
+         |CAST(count(*) AS BIGINT) AS n_sites,
+         |CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM wt GROUP BY 1, 2
+         |ORDER BY run_tokens DESC, run_fp NULLS FIRST""".stripMargin
   )
 }
