@@ -67,12 +67,23 @@ object TextAnalysis {
     * wrapped-symbol form. See the q132 scaladoc for plan shape. */
   private[llm] def bpeTrain(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
       rounds: Int)
-      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    val words = docs
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeTrainFromWordFreqs(s, docs
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f")), rounds)
+
+  /** The BPE training loop over a WORD-FREQUENCY table (w, f) — the
+    * sufficient statistic BPE needs (classic BPE trains on the word
+    * dict, never the raw text), factored out so the LIVE merge-table
+    * sink ([[graft.streaming.EventStreams.bpeMergesSink]]) can retrain
+    * from its maintained word-count fold state without ever persisting
+    * document text. */
+  private[graft] def bpeTrainFromWordFreqs(s: SparkSession,
+      wordFreqs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val words = wordFreqs
       .select(col("w"), regexp_replace(col("w"), "(.)", s"$Sep$$1$Sep").as("s"), col("f"))
       .cache()
     var cur = words
