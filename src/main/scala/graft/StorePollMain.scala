@@ -30,11 +30,39 @@ object StorePollMain {
   def main(args: Array[String]): Unit = {
     val Array(storePath, ctlDir, expected) = args.take(3)
     val versioned = args.lift(3).contains("versioned")
+    val writer = args.lift(3).contains("writer")
     val want = expected.toLong
     val spark = GraftSession.local("graft-store-poll", cpus = "2")
     val ctl = java.nio.file.Paths.get(ctlDir)
     def touch(name: String, msg: String = ""): Unit =
       java.nio.file.Files.writeString(ctl.resolve(name), msg)
+    // mode "writer" (round-13 verdict Next #7, the writer-vs-writer
+    // proof): this JVM APPENDS `want` one-row generations with values
+    // offset+1 .. offset+want to the shared store, compacting every
+    // third append — while the parent process does the same against
+    // the same path. The ONLY coordination is withStoreLock's
+    // FileChannel lock inside appendGeneration/compactGenerations: a
+    // lost generation claim or an append swallowed by the other
+    // process's compact read→swap window shows up as a missing value
+    // in the parent's final multiset check.
+    if (writer) {
+      val offset = args.lift(4).map(_.toLong).getOrElse(0L)
+      import spark.implicits._
+      try {
+        (1L to want).foreach { i =>
+          graft.llm.StateStores.appendGeneration(spark, storePath,
+            Seq(offset + i).toDF("x"))
+          if (i == 1L) touch("started")
+          if (i % 3L == 0L)
+            graft.llm.StateStores.compactGenerations(spark, storePath)
+        }
+        touch("wdone", want.toString)
+      } catch {
+        case t: Throwable => touch("failed", s"writer threw: $t")
+      } finally spark.stop()
+      System.exit(
+        if (java.nio.file.Files.exists(ctl.resolve("failed"))) 1 else 0)
+    }
     var polls = 0L
     var failed = false
     try {

@@ -174,20 +174,36 @@ object StateStores {
     * seed lock did not cover a reader racing the swap window). Also
     * takes the intra-JVM write lock, so [[readCommitted]] readers in
     * the same process serialize against the swap. */
+  /** Paths whose FileChannel lock this JVM currently holds — makes
+    * [[withStoreLock]] REENTRANT per path (round-14: a composite
+    * writer operation — list + read + rewriteSwap as ONE atomic unit,
+    * the cross-process append/compact primitives below — must hold
+    * the lock across a nested rewriteSwap, and a second
+    * FileChannel.lock() from the same JVM throws
+    * OverlappingFileLockException rather than blocking). The intra-JVM
+    * write lock is thread-reentrant, so only the holding thread can
+    * reach the held-check. */
+  private val channelHeld =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def withStoreLock[T](path: String)(body: => T): T = {
     val w = rwLock(path).writeLock()
     w.lock()
     try {
-      val lockPath = java.nio.file.Paths.get(path + ".lock")
-      Option(lockPath.getParent)
-        .foreach(java.nio.file.Files.createDirectories(_))
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
+      if (channelHeld.contains(path)) body // reentrant: already ours
+      else {
+        val lockPath = java.nio.file.Paths.get(path + ".lock")
+        Option(lockPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          channelHeld.add(path)
+          try body finally { channelHeld.remove(path); lock.release() }
+        } finally ch.close()
+      }
     } finally w.unlock()
   }
 
@@ -586,6 +602,67 @@ object StateStores {
       path, Some("batch"))
     true
   }
+
+  /** One atomic generation APPEND under the cross-process store lock
+    * (round-13 verdict Next #7 — the reader-vs-writer race has its
+    * forked-JVM proof; this is the writer-vs-writer primitive): lists
+    * the committed generations, claims gen = max+1, and publishes the
+    * rows as `gen=<n>` by temp-dir + rename — all inside ONE
+    * [[withStoreLock]] acquisition, so two PROCESSES appending to the
+    * same store can neither claim the same generation nor land an
+    * append inside the other's compact window. Returns the claimed
+    * generation. */
+  private[graft] def appendGeneration(s: SparkSession, path: String,
+      df: DataFrame): Long = withStoreLock(path) {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p)
+    val gens = {
+      val st = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+          .toSeq
+      } finally st.close()
+    }
+    val next = if (gens.isEmpty) 0L else gens.max + 1L
+    val tmp = s"$path/.gen_tmp_$next"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      p.resolve(s"gen=$next"))
+    next
+  }
+
+  /** Compact ALL generations of a `gen=` store into the newest one —
+    * the read job runs INSIDE the store lock (withStoreLock is
+    * per-path reentrant, so the nested [[rewriteSwap]] lock is a
+    * no-op): a cross-process [[appendGeneration]] can never land
+    * between the compactor's read and its swap, which is exactly the
+    * lost-append race the unlocked read of a concurrent-writer store
+    * would have. Single-writer sinks keep the cheaper
+    * [[compactLogIfFragmented]] (read outside the lock) — their
+    * foreachBatch serialization already excludes concurrent writers. */
+  private[graft] def compactGenerations(s: SparkSession, path: String): Unit =
+    withStoreLock(path) {
+      val p = java.nio.file.Paths.get(path)
+      val gens = {
+        val st = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+            .toSeq
+        } finally st.close()
+      }
+      if (gens.size >= 2) {
+        val target = gens.max
+        rewriteSwap(
+          s.read.option("basePath", path)
+            .parquet(gens.sorted.map(g => s"$path/gen=$g"): _*)
+            .withColumn("gen", lit(target)),
+          path, Some("gen"))
+      }
+    }
 
   /** The SERVE side of the q229 story — the probe plan that reads the
     * PERSISTED band index instead of rebuilding it (q151 is the

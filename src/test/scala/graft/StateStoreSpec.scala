@@ -329,4 +329,87 @@ class StateStoreSpec extends SparkSuite {
     assert(polls > 0L, "child reported zero polls — nothing was exercised")
     info(s"child JVM completed $polls consistent reads across 25 GC cycles")
   }
+
+  test("TWO PROCESSES appending and compacting the same store lose nothing") {
+    // round-13 verdict Next #7, the writer-vs-writer proof:
+    // StorePollMain covers reader-vs-writer; here a forked JVM APPENDS
+    // generations (values 1001..1012, compacting every third append)
+    // while THIS process appends values 1..12 and compacts the same
+    // store concurrently. The only coordination is withStoreLock's
+    // FileChannel lock held across each append's list→claim→publish
+    // and each compact's read→swap (appendGeneration /
+    // compactGenerations): without it, two writers claim the same
+    // generation (one overwrites the other) or a compactor swaps away
+    // an append that landed after its read. Maintained ≡ rebuilt: the
+    // final store's value multiset must be exactly everything both
+    // processes appended.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_xproc_w").toString
+    val path = s"$base/store"
+    val ctl = s"$base/ctl"
+    Files.createDirectories(Paths.get(ctl))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val nEach = 12L
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx3g",
+      "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.StorePollMain", path, ctl, nEach.toString, "writer", "1000")
+    val childLog = new java.io.File(s"$base/child.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(childLog))
+      .start()
+    def ctlHas(n: String) = Files.exists(Paths.get(s"$ctl/$n"))
+    try {
+      // wait until the child's FIRST append landed so the two writers
+      // genuinely interleave (child Spark startup is the slow part)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!ctlHas("started") && !ctlHas("failed") && proc.isAlive &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(ctlHas("started"),
+        s"child writer never came up; child log tail:\n" +
+          scala.util.Try(Files.readString(childLog.toPath).takeRight(2000))
+            .getOrElse("<unreadable>"))
+      (1L to nEach).foreach { i =>
+        StateStores.appendGeneration(spark, path, Seq(i).toDF("x"))
+        if (i % 3L == 0L) StateStores.compactGenerations(spark, path)
+      }
+    } finally {
+      proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+    if (ctlHas("failed"))
+      fail("child writer failed: " +
+        Files.readString(Paths.get(s"$ctl/failed")))
+    assert(proc.exitValue() == 0, s"child exited ${proc.exitValue()}")
+    assert(ctlHas("wdone"), "child writer never reported completion")
+    val got = spark.read.parquet(path).select(col("x"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = ((1L to nEach) ++ (1001L to (1000L + nEach))).sorted
+    assert(got == want,
+      s"lost/duplicated appends across processes: got $got, want $want")
+    // and the store really was compacted along the way: far fewer
+    // generation dirs than the 24 appends
+    val gens = {
+      val st = Files.list(Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("gen="))
+      } finally st.close()
+    }
+    assert(gens < 24, s"compaction never took effect ($gens generation dirs)")
+    info(s"two concurrent writer JVMs: ${got.size} values intact across " +
+      s"$gens remaining generations")
+  }
 }
