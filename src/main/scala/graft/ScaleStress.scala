@@ -272,8 +272,9 @@ object ScaleStress {
     q("q408_llr_collocations"), q("q409_interpolated_ppl", LifecycleScales),
     // round-14 wave: the duplicated-run extraction (new plan shape —
     // positional-site semi-join + per-doc streak window + fetch-back)
-    // gets its exponent the round it lands
-    q("q413_dup_run_extraction"),
+    // gets its exponent the round it lands; q415 adds the
+    // coverage-explode volume term on top of the same machinery
+    q("q413_dup_run_extraction"), q("q415_dup_removal_census"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the

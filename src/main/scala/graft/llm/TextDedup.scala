@@ -1414,43 +1414,119 @@ object TextDedup {
       * work — here it costs df flag lookups, so the most-duplicated
       * text (the entire point of the operation) keeps FULL recall
       * where every capped pairwise query must drop it. */
-    "q413_dup_run_extraction" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .cache() // read twice: site explode + run-text fetch-back
-      val pos = docs.select(col("doc_id"), expr(
-        """posexplode(transform(sequence(1, size(toks) - 2),
-          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-          .stripMargin).as(Seq("i", "sh")))
-      val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("sh"))
-      val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("i"))
-      val runs = dup.withColumn("rk", row_number().over(w))
-        .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
-        .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
-        .filter(col("len_sh") + 2 >= DupRunMinTokens)
-        // posexplode positions are 0-based; token positions 1-based
-        .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
-          (col("len_sh") + 2).as("run_tokens"))
-      // the fetch-back must never BROADCAST the corpus token arrays
-      // (Catalyst's static estimate under-prices the cached relation):
-      // shuffle_hash with the small run table as the build side
-      runs.hint("shuffle_hash").join(docs, "doc_id")
-        .select(col("doc_id"), col("run_tokens"),
-          substring(sha2(expr(
-            "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
-            256), 1, 16).as("run_fp"))
+    "q413_dup_run_extraction" -> ((s: SparkSession, dir: String) =>
+      dupRunSites(s, dir)
         .groupBy(col("run_fp"), col("run_tokens"))
         .agg(count(lit(1)).as("n_sites"),
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"))
-        .orderBy(desc("run_tokens"), col("run_fp"))
+        .orderBy(desc("run_tokens"), col("run_fp"))),
+
+    /** Cross-source CONTAMINATION screen — q413's catalog read the way
+      * a training pipeline actually needs it: verbatim duplicated runs
+      * SPANNING two sources, per source pair. When one source is a
+      * held-out benchmark and another is crawl, every shared run IS
+      * train-test contamination (the Lee et al. / GPT-3 appendix-C
+      * decontamination operation, measured instead of assumed); when
+      * both are crawls, it is syndication the per-source dedup plans
+      * around. Per (source_a < source_b): distinct shared runs, the
+      * longest, and their token mass. Scale shape: the run-site table
+      * is already small (qualifying ≥ [[DupRunMinTokens]]-token runs
+      * only); the pair expansion is a self equi-join ON run_fp
+      * (shuffle_hash — never all-pairs, bounded by sites-per-run ×
+      * source domain), and the output is bounded by the source-pair
+      * domain. */
+    "q414_cross_source_contamination" -> ((s: SparkSession, dir: String) => {
+      val sites = dupRunSites(s, dir)
+        .select(col("run_fp"), col("run_tokens"), col("source")).cache()
+      sites.as("a").join(sites.as("b").hint("shuffle_hash"),
+          col("a.run_fp") === col("b.run_fp") &&
+            col("a.source") < col("b.source"))
+        .select(col("a.run_fp").as("run_fp"),
+          col("a.run_tokens").as("run_tokens"),
+          col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .distinct()
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_runs"),
+          max(col("run_tokens")).as("max_run_tokens"),
+          sum(col("run_tokens")).as("shared_token_mass"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    /** ExactSubstr REMOVAL-MASS census — what would the Lee et al.
+      * substring cut actually delete, per source: token positions
+      * covered by ≥ [[DupRunMinTokens]]-token duplicated runs, as an
+      * exact DISTINCT-position count (adjacent maximal streaks can
+      * overlap by up to k−1 = 2 tokens, so summing run lengths would
+      * double-count; the census explodes each qualifying run's
+      * positions and counts the union — volume bounded by covered
+      * tokens ≤ corpus tokens). The decision table behind choosing
+      * doc-level (q32/q35), span-level (this), or no dedup per
+      * source: q245 weighs duplicated SHINGLE occurrences, which
+      * includes sub-run noise; this weighs exactly the text an
+      * ExactSubstr pass removes. Totals census every non-null doc on
+      * the RAW whitespace split, so share is position-consistent with
+      * the run extraction by construction. */
+    "q415_dup_removal_census" -> ((s: SparkSession, dir: String) => {
+      val covered = dupRunSites(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "sequence(start_tok, start_tok + cast(run_tokens AS int) - 1)"))
+          .as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      docs.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          coalesce(sum(col("covered")), lit(0L)).as("covered_tokens"),
+          count_if(col("covered").isNotNull).as("n_docs_hit"),
+          r6n(coalesce(sum(col("covered")), lit(0L)).cast("double") /
+            sum(col("nt"))).as("covered_share"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Shared positional duplicated-run machinery (q413/q414/q415): the
+    * per-site maximal-streak extraction documented at q413, returning
+    * one row per qualifying run SITE — (doc_id, source, start_tok,
+    * run_tokens, run_fp). See the q413 scaladoc for the algorithm and
+    * the no-df-cap scale argument. */
+  private def dupRunSites(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .cache() // read twice: site explode + run-text fetch-back
+    val pos = docs.select(col("doc_id"), expr(
+      """posexplode(transform(sequence(1, size(toks) - 2),
+        |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+        .stripMargin).as(Seq("i", "sh")))
+    val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = dup.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
+      .filter(col("len_sh") + 2 >= DupRunMinTokens)
+      // posexplode positions are 0-based; token positions 1-based
+      .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
+        (col("len_sh") + 2).as("run_tokens"))
+    // the fetch-back must never BROADCAST the corpus token arrays
+    // (Catalyst's static estimate under-prices the cached relation):
+    // shuffle_hash with the small run table as the build side
+    runs.hint("shuffle_hash").join(docs, "doc_id")
+      .select(col("doc_id"), col("source"), col("start_tok"),
+        col("run_tokens"),
+        substring(sha2(expr(
+          "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
+          256), 1, 16).as("run_fp"))
+  }
 
   /** Minimum catalogued duplicated-run length, in tokens. At 100 TB
     * the Lee et al. operating point is ~50 tokens; the fixture docs
@@ -1475,6 +1551,38 @@ object TextDedup {
           |    sequence(s, least(s + 63, size(toks)) - 2),
           |    i -> sha2(concat_ws(' ', slice(toks, i, 3)), 256))))"""
           .stripMargin)).as("fp"))
+
+  /** Positional duplicated-run CTE chain — the oracle twin of
+    * [[dupRunSites]] (q413/q414/q415 all build on `wt`): 1-based
+    * DuckDB series aligns with Spark's posexplode pos + 1, and list
+    * slice l[i : i+n-1] is 1-based inclusive ≡ Spark slice(l, i, n).
+    * A `def` (never a val below the oracles map — init-order yields a
+    * null interpolation). */
+  private[llm] def duckDupRuns: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+       |pos AS (
+       |  SELECT doc_id, i,
+       |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+       |  FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+       |dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+       |dup AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh f ON f.sh = p.sh),
+       |grp AS (
+       |  SELECT doc_id, i,
+       |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+       |  FROM dup),
+       |runs AS (
+       |  SELECT doc_id, min(i) AS start_tok, count(*) + 2 AS run_tokens
+       |  FROM grp GROUP BY doc_id, rk
+       |  HAVING count(*) + 2 >= $DupRunMinTokens),
+       |wt AS (
+       |  SELECT r.doc_id, b.source, r.start_tok, r.run_tokens,
+       |  substr(sha256(array_to_string(
+       |    b.toks[r.start_tok : r.start_tok + r.run_tokens - 1], ' ')),
+       |    1, 16) AS run_fp
+       |  FROM runs r JOIN base b ON b.doc_id = r.doc_id)""".stripMargin
 
   private[llm] val duckShingles =
     """SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2238,34 +2346,50 @@ object TextDedup {
     // ALL sites; 1-based DuckDB series aligns with Spark's pos + 1;
     // list slice l[i : i+n-1] is 1-based inclusive ≡ slice(l, i, n)
     "q413_dup_run_extraction" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
-         |pos AS (
-         |  SELECT doc_id, i,
-         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
-         |  FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
-         |dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
-         |dup AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh f ON f.sh = p.sh),
-         |grp AS (
-         |  SELECT doc_id, i,
-         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
-         |  FROM dup),
-         |runs AS (
-         |  SELECT doc_id, min(i) AS start_tok, count(*) + 2 AS run_tokens
-         |  FROM grp GROUP BY doc_id, rk
-         |  HAVING count(*) + 2 >= $DupRunMinTokens),
-         |wt AS (
-         |  SELECT r.doc_id, r.run_tokens,
-         |  substr(sha256(array_to_string(
-         |    b.toks[r.start_tok : r.start_tok + r.run_tokens - 1], ' ')),
-         |    1, 16) AS run_fp
-         |  FROM runs r JOIN base b ON b.doc_id = r.doc_id)
+      s"""$duckDupRuns
          |SELECT run_fp, CAST(run_tokens AS BIGINT) AS run_tokens,
          |CAST(count(*) AS BIGINT) AS n_sites,
          |CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |CAST(min(doc_id) AS BIGINT) AS first_doc
          |FROM wt GROUP BY 1, 2
-         |ORDER BY run_tokens DESC, run_fp NULLS FIRST""".stripMargin
+         |ORDER BY run_tokens DESC, run_fp NULLS FIRST""".stripMargin,
+
+    // the same positional-run CTE chain; the pair expansion mirrors
+    // the Spark self-join + distinct
+    "q414_cross_source_contamination" ->
+      s"""$duckDupRuns,
+         |pr AS (
+         |  SELECT DISTINCT a.run_fp, a.run_tokens,
+         |  a.source AS source_a, b.source AS source_b
+         |  FROM wt a JOIN wt b
+         |  ON a.run_fp = b.run_fp AND a.source < b.source)
+         |SELECT source_a, source_b,
+         |CAST(count(*) AS BIGINT) AS n_shared_runs,
+         |CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+         |CAST(sum(run_tokens) AS BIGINT) AS shared_token_mass
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
+
+    // exact distinct-position coverage; totals on the RAW split (an
+    // empty text splits to one empty token in BOTH engines)
+    "q415_dup_removal_census" ->
+      s"""$duckDupRuns,
+         |cov AS (
+         |  SELECT DISTINCT w.doc_id, t.p
+         |  FROM wt w, unnest(generate_series(w.start_tok,
+         |    w.start_tok + w.run_tokens - 1)) AS t(p)),
+         |perdoc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1),
+         |toks AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(t.nt) AS BIGINT) AS total_tokens,
+         |CAST(coalesce(sum(p.covered), 0) AS BIGINT) AS covered_tokens,
+         |CAST(count(*) FILTER (p.covered IS NOT NULL) AS BIGINT)
+         |  AS n_docs_hit,
+         |round(coalesce(sum(p.covered), 0) * 1.0 / sum(t.nt) + 1e-12, 6)
+         |  AS covered_share
+         |FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+         |GROUP BY 1 ORDER BY t.source NULLS FIRST""".stripMargin
   )
 }

@@ -102,6 +102,47 @@ class DupRunSpec extends SparkSuite {
     }
   }
 
+  test("q414: the shifted span is cross-source contamination when sources differ") {
+    // same two-doc fixture, but the docs in different sources: the
+    // span must surface as exactly one shared run for that source pair
+    val dir = java.nio.file.Files.createTempDirectory("graft_duprun4").toString
+    val tA = lowTriple("va"); val tB = lowTriple("vb"); val tB2 = lowTriple("vc")
+    def uniq(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val doc0 = tA ++ uniq("ha", 5) ++ span ++ uniq("hb", 52)
+    val doc1 = tB ++ uniq("hc", 22) ++ span ++ uniq("hd", 4) ++ tB2 ++
+      uniq("he", 28)
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "crawl"),
+        (1L, doc1.mkString(" "), "en", "benchmark"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q414_cross_source_contamination")(
+      spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("source_a") == "benchmark" &&
+      r.getAs[String]("source_b") == "crawl")
+    assert(r.getAs[Long]("n_shared_runs") == 1L)
+    assert(r.getAs[Long]("max_run_tokens") == 40L &&
+      r.getAs[Long]("shared_token_mass") == 40L)
+  }
+
+  test("q415: coverage counts distinct positions, never double-counting overlaps") {
+    // the two-doc fixture: each doc's covered mass is exactly the
+    // span's 40 tokens out of 100 raw tokens; per-source shares follow
+    val rows = SparkEntry.queries("q415_dup_removal_census")(
+      spark, fixtureDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") == 2L &&
+      r.getAs[Long]("total_tokens") == 200L)
+    assert(r.getAs[Long]("covered_tokens") == 80L,
+      "each doc's covered mass is exactly the 40-token span")
+    assert(r.getAs[Long]("n_docs_hit") == 2L)
+    assert(math.abs(r.getAs[Double]("covered_share") - 0.4) < 1e-6)
+  }
+
   test("within-doc repetition counts as duplication (ExactSubstr reading)") {
     // one doc, one 25-token phrase occurring twice: both sites are
     // duplicated (df >= 2 within a single doc), so the catalog has one
