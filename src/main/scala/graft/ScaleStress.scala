@@ -272,9 +272,12 @@ object ScaleStress {
     q("q408_llr_collocations"), q("q409_interpolated_ppl", LifecycleScales),
     // round-14 wave: the duplicated-run extraction (new plan shape —
     // positional-site semi-join + per-doc streak window + fetch-back)
-    // gets its exponent the round it lands; q415 adds the
+    // gets its exponent the round it lands; its 10→30 reading (0.98)
+    // is the board's closest-to-linear new entry, so it takes the
+    // x100 decade PROACTIVELY (the q409 precedent); q415 adds the
     // coverage-explode volume term on top of the same machinery
-    q("q413_dup_run_extraction"), q("q415_dup_removal_census"),
+    q("q413_dup_run_extraction", LifecycleScales),
+    q("q415_dup_removal_census"),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
