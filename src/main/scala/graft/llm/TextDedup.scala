@@ -1487,6 +1487,106 @@ object TextDedup {
           r6n(coalesce(sum(col("covered")), lit(0L)).cast("double") /
             sum(col("nt"))).as("covered_share"))
         .orderBy(col("source"))
+    }),
+
+    /** MinRun THRESHOLD PLANNER — the q363 operating-table stance
+      * applied to ExactSubstr: per candidate run-length cut
+      * L ∈ {10, 20, 40, 80}, the number of maximal duplicated runs
+      * ≥ L, their summed token mass (the standard extracted-mass
+      * metric; q415 holds the exact distinct-position coverage for
+      * the COMMITTED cut), docs hit, and the corpus share — the
+      * curve that decides where to set the Lee et al. length
+      * threshold before paying for the extraction at scale. One
+      * streak pass with NO length filter (the planner must see the
+      * short-run tail the committed cut drops), a 4-literal cut
+      * explode over the tiny run table, and a 1-row corpus-token
+      * fold. */
+    "q416_dup_run_planner" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val pos = docs.select(col("doc_id"), expr(
+        """posexplode(transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+          .stripMargin).as(Seq("i", "sh")))
+      val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("sh"))
+      val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+      val runs = dup.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+        .agg((count(lit(1)) + 2).as("run_tokens"))
+        .select(col("doc_id"), col("run_tokens"))
+      val tot = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("corpus_tokens"))
+      runs.select(col("doc_id"), col("run_tokens"),
+          explode(expr("array(10L, 20L, 40L, 80L)")).as("cut"))
+        .groupBy(col("cut"))
+        .agg(count_if(col("run_tokens") >= col("cut")).as("n_runs"),
+          sum(when(col("run_tokens") >= col("cut"), col("run_tokens"))
+            .otherwise(0L)).as("run_token_mass"),
+          countDistinct(when(col("run_tokens") >= col("cut"),
+            col("doc_id"))).as("n_docs_hit"))
+        .crossJoin(broadcast(tot))
+        .select(col("cut"), col("n_runs"), col("run_token_mass"),
+          col("n_docs_hit"),
+          r6n(col("run_token_mass").cast("double") / col("corpus_tokens"))
+            .as("mass_share"))
+        .orderBy(col("cut"))
+    }),
+
+    /** COPY-vs-TEMPLATE pair classification — the near-dup store's
+      * pairs split by WHAT KIND of duplication they are: a ≥ 0.5
+      * Jaccard pair whose longest shared positional run is ≥ 20
+      * tokens is a verbatim copy (delete one side); 5-19 tokens is
+      * partial copying (strip the shared span, keep both); ≤ 4 is
+      * template similarity — same vocabulary, no contiguous text,
+      * exactly the pairs ExactSubstr removal would NOT touch and
+      * set-based dedup alone can kill. q319 localizes runs for ≥ 0.8
+      * pairs; this CLASSIFIES the whole ≥ 0.5 store by the same
+      * offset-diagonal streak, store-bounded (positional shingles
+      * join only the served pair list; every pair sharing a distinct
+      * shingle has ≥ 1 positional match, so the inner join drops
+      * nothing). Per class: pairs, mean Jaccard, mean longest run. */
+    "q417_copy_vs_template" -> ((s: SparkSession, dir: String) => {
+      val pairs = PairGraph.jaccard(s, dir, 0.5)
+        .select(col("d1"), col("d2"), col("jac"))
+      val pos = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          """posexplode(transform(sequence(1, size(toks) - 2),
+            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+            .stripMargin).as(Seq("i", "sh")))
+      val m = pairs
+        .join(pos.select(col("doc_id").as("d1"), col("i").as("i1"),
+          col("sh")), "d1")
+        .join(pos.select(col("doc_id").as("d2"), col("i").as("i2"),
+          col("sh")).hint("shuffle_hash"), Seq("d2", "sh"))
+        .select(col("d1"), col("d2"), col("i1"),
+          (col("i2") - col("i1")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("i1"))
+      val longest = m.withColumn("rk", row_number().over(w))
+        .groupBy(col("d1"), col("d2"), col("diag"),
+          (col("i1") - col("rk")).as("run_key"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("d1"), col("d2"))
+        .agg((max(col("run")) + 2).as("longest_run"))
+      pairs.join(longest, Seq("d1", "d2"))
+        .select(col("jac"), col("longest_run"),
+          when(col("longest_run") >= 20, "verbatim")
+            .when(col("longest_run") >= 5, "partial")
+            .otherwise("template").as("dup_class"))
+        .groupBy(col("dup_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          r6n(avg(col("jac"))).as("mean_jaccard"),
+          r6n(avg(col("longest_run").cast("double"))).as("mean_longest_run"))
+        .orderBy(col("dup_class"))
     })
   )
 
@@ -2390,6 +2490,90 @@ object TextDedup {
          |round(coalesce(sum(p.covered), 0) * 1.0 / sum(t.nt) + 1e-12, 6)
          |  AS covered_share
          |FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
-         |GROUP BY 1 ORDER BY t.source NULLS FIRST""".stripMargin
+         |GROUP BY 1 ORDER BY t.source NULLS FIRST""".stripMargin,
+
+    // the same streak chain WITHOUT the committed length cut, a
+    // 4-literal cut grid, and a 1-row corpus-token fold
+    "q416_dup_run_planner" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+         |dup AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh f ON f.sh = p.sh),
+         |grp AS (
+         |  SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+         |  FROM dup),
+         |runs AS (
+         |  SELECT doc_id, count(*) + 2 AS run_tokens
+         |  FROM grp GROUP BY doc_id, rk),
+         |cuts AS (SELECT CAST(unnest([10, 20, 40, 80]) AS BIGINT) AS cut),
+         |tot AS (
+         |  SELECT sum(len(string_split(text, ' '))) AS corpus_tokens
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT cut,
+         |CAST(count(*) FILTER (run_tokens >= cut) AS BIGINT) AS n_runs,
+         |CAST(coalesce(sum(run_tokens) FILTER (run_tokens >= cut), 0)
+         |  AS BIGINT) AS run_token_mass,
+         |CAST(count(DISTINCT doc_id) FILTER (run_tokens >= cut) AS BIGINT)
+         |  AS n_docs_hit,
+         |round(coalesce(sum(run_tokens) FILTER (run_tokens >= cut), 0) * 1.0
+         |  / t.corpus_tokens + 1e-12, 6) AS mass_share
+         |FROM runs, cuts CROSS JOIN tot t
+         |GROUP BY cut, t.corpus_tokens
+         |ORDER BY cut NULLS FIRST""".stripMargin,
+
+    // store-served >= 0.5 pairs + the q319 offset-diagonal streak,
+    // classified by the longest shared positional run
+    // raw (unrounded) jaccard, the q407 stance — the store serves the
+    // raw double and only the final means round
+    "q417_copy_vs_template" ->
+      s"""WITH ${duckCappedShingles(DfCap)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT d1, d2, inter * 1.0 / (s1.n + s2.n - inter) AS jac
+         |  FROM pp JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+         |pos AS (
+         |  SELECT doc_id, i,
+         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         |  unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |m AS (
+         |  SELECT pr.d1, pr.d2, a.i AS i1, b.i - a.i AS diag
+         |  FROM pr
+         |  JOIN pos a ON a.doc_id = pr.d1
+         |  JOIN pos b ON b.doc_id = pr.d2 AND b.sh = a.sh),
+         |rl AS (
+         |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS run FROM (
+         |    SELECT d1, d2, diag,
+         |    i1 - row_number() OVER (PARTITION BY d1, d2, diag
+         |      ORDER BY i1) AS run_key
+         |    FROM m) GROUP BY d1, d2, diag, run_key),
+         |lg AS (
+         |  SELECT d1, d2, max(run) + 2 AS longest_run
+         |  FROM rl GROUP BY d1, d2),
+         |cls AS (
+         |  SELECT pr.jac, lg.longest_run,
+         |  CASE WHEN lg.longest_run >= 20 THEN 'verbatim'
+         |       WHEN lg.longest_run >= 5 THEN 'partial'
+         |       ELSE 'template' END AS dup_class
+         |  FROM pr JOIN lg ON lg.d1 = pr.d1 AND lg.d2 = pr.d2)
+         |SELECT dup_class, CAST(count(*) AS BIGINT) AS n_pairs,
+         |round(avg(jac) + 1e-12, 6) AS mean_jaccard,
+         |round(avg(CAST(longest_run AS DOUBLE)) + 1e-12, 6)
+         |  AS mean_longest_run
+         |FROM cls GROUP BY 1 ORDER BY dup_class NULLS FIRST""".stripMargin
   )
 }

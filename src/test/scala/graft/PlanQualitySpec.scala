@@ -300,7 +300,10 @@ class PlanQualitySpec extends SparkSuite {
     "q407_dup_distance_profile",
     // q408/q409: the broadcast sides are the ONE-ROW bigram-total and
     // token-total folds (the q133/q137 corpus-stats class)
-    "q408_llr_collocations", "q409_interpolated_ppl")
+    "q408_llr_collocations", "q409_interpolated_ppl",
+    // q416: the broadcast side is the ONE-ROW corpus-token fold
+    // (q136 class)
+    "q416_dup_run_planner")
 
   // ONE physical-plan sweep shared by every suite-wide guard below —
   // building 150 plans is the dominant cost, don't pay it per test

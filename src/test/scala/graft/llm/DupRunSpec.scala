@@ -143,6 +143,52 @@ class DupRunSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("covered_share") - 0.4) < 1e-6)
   }
 
+  test("q416: the planner curve is monotone and ties out to the q413 catalog") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q416_dup_run_planner")(spark, sf01)
+      .collect().sortBy(_.getAs[Long]("cut"))
+    assert(rows.map(_.getAs[Long]("cut")).toSeq == Seq(10L, 20L, 40L, 80L))
+    // raising the cut can only shrink every count
+    Seq("n_runs", "run_token_mass", "n_docs_hit").foreach { c =>
+      rows.map(_.getAs[Long](c)).toSeq.sliding(2).foreach {
+        case Seq(lo, hi) => assert(hi <= lo, s"$c must be cut-monotone")
+        case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mass_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // the cut-20 row IS the committed extraction's site census
+    val catalog = SparkEntry.queries("q413_dup_run_extraction")(spark, sf01)
+      .collect()
+    assert(rows(1).getAs[Long]("n_runs") ==
+      catalog.map(_.getAs[Long]("n_sites")).sum,
+      "planner cut=20 must count exactly the q413 catalog's sites")
+  }
+
+  test("q417: classes are well-formed and census the >= 0.5 pair store") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q417_copy_vs_template")(spark, sf01)
+      .collect()
+    assert(rows.nonEmpty)
+    val classes = rows.map(_.getAs[String]("dup_class")).toSet
+    assert(classes.subsetOf(Set("verbatim", "partial", "template")))
+    rows.foreach { r =>
+      val mlr = r.getAs[Double]("mean_longest_run")
+      r.getAs[String]("dup_class") match {
+        case "verbatim" => assert(mlr >= 20.0)
+        case "partial" => assert(mlr >= 5.0 && mlr < 20.0)
+        case _ => assert(mlr >= 3.0 && mlr < 5.0,
+          "any pair sharing a distinct shingle has a >= 3-token run")
+      }
+      assert(r.getAs[Double]("mean_jaccard") >= 0.5 - 1e-9)
+    }
+    val served = PairGraph.jaccard(spark, sf01, 0.5).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == served,
+      "classes must partition the store-served >= 0.5 pair set")
+  }
+
   test("within-doc repetition counts as duplication (ExactSubstr reading)") {
     // one doc, one 25-token phrase occurring twice: both sites are
     // duplicated (df >= 2 within a single doc), so the catalog has one
