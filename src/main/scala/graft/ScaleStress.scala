@@ -197,14 +197,17 @@ object ScaleStress {
   def probes: Seq[Probe] = Seq(
     // top-expensive bench queries (round-9 bench_detail minima),
     // one per distinct plan shape; q131 excluded (demoted this round)
-    q("q257_bootstrap_ci"),
+    q("q257_bootstrap_ci", LifecycleScales),
     // round-13 verdict Next #3: the four highest sub-1.0 exponents on
     // the x30 board get their x100 point (the one-more-decade
     // discipline the q240/q274 precedent set: >= 0.9 at x30 deserves
     // the second decade before being called linear)
     q("q283_pair_graph_ivm", LifecycleScales),
     q("q231_chunk_retrieval"), q("q295_pmi_cooccurrence"),
-    q("q198_spearman"), q("q255_doc_keywords"),
+    // round-14: the next two highest standing sub-1.0 exponents
+    // (0.899 / 0.882 at x30) take the second decade — the same
+    // one-more-decade discipline the q240/q274/q350/q356 points set
+    q("q198_spearman"), q("q255_doc_keywords", LifecycleScales),
     // HEAP-PER-CORE protocol probe (round-13, closing the round-12
     // verdict's one `weak`): q244's data term is EXACTLY linear
     // (graft.VolumeCheck direct counts at x1/10/30/100) but its final
