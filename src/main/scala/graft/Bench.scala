@@ -140,11 +140,18 @@ object Bench {
     // query whose sweep minimum exceeds 1.5× the gate reference's
     // entry is re-timed STANDALONE here (the graft.One stance: same
     // JVM, cold cache, decoupled from sweep neighbors) and its entry
-    // takes the overall minimum. The gate reference is the newest
-    // history snapshot, swapped for its same-host re-base when one
-    // exists (the BenchDriftSpec preference). Re-times only ever
-    // LOWER entries, so triage under fresh contention degrades to a
-    // no-op, never a fake speedup.
+    // is REPLACED by the standalone reading (round-14 ADVICE: the old
+    // min-over-both-protocols merge could only ratchet entries down,
+    // so a same-code run could displace the standing record with no
+    // code speedup and future drift gates compared against a
+    // mixed-protocol bar; the standalone number IS the measurement —
+    // the sweep minimum was flagged as coupling noise precisely
+    // because it exceeded the gate). A standalone re-time taken under
+    // fresh contention can only RAISE the entry, making the record
+    // slower — custody then keeps the standing record, never a fake
+    // speedup. The gate reference is the newest history snapshot,
+    // swapped for its same-host re-base when one exists (the
+    // BenchDriftSpec preference).
     val gateRef: Option[BenchCustody.Record] =
       snapshots.sortBy(_._1).lastOption.map { case (r, rec) =>
         val rebase = histDir.resolve(f"rebase_r$r%02d.json")
@@ -168,7 +175,7 @@ object Bench {
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
     val results = sweepResults.map { case (k, v) =>
-      k -> retimed.get(k).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
+      k -> retimed.get(k).filter(_ >= 0).getOrElse(v)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The harness that captures this output keeps only the LAST 2000

@@ -146,12 +146,15 @@ object BenchCustody {
     *  - same board and faster: write at max(that snapshot's round,
     *    inferredRound) — the round's best, never regressing the
     *    snapshot numbering;
-    *  - no same-board snapshot and the current board STRICTLY CONTAINS
-    *    the newest snapshot's: the common-subset total must pass
-    *    [[driftGate]] against that snapshot, or the grown-board run is
-    *    refused (round-13 What's-wrong #3: board growth must not let a
-    *    contended run seed the round's record — wait for a clean run);
-    *  - otherwise (board shrank / first record): write at
+    *  - no same-board snapshot and the current board SHARES common
+    *    queries with the newest snapshot's (grown, shrunk, or mixed
+    *    add-and-retire — round-14 ADVICE: the strict-superset-only
+    *    guard let a mixed-change contended run seed unconditionally):
+    *    the common-subset total must pass [[driftGate]] against that
+    *    snapshot, or the changed-board run is refused (round-13
+    *    What's-wrong #3: a board change must not let a contended run
+    *    seed the round's record — wait for a clean run);
+    *  - otherwise (no usable common subset / first record): write at
     *    inferredRound — the record must cover the current registry. */
   def decide(snapshots: Seq[(Int, Record)], inferredRound: Int,
              cur: Record): Option[Int] =
@@ -160,18 +163,13 @@ object BenchCustody {
       case Some((r, _)) => Some(math.max(r, inferredRound))
       case None =>
         val newest = snapshots.sortBy(_._1).lastOption
-        val supersetOk = newest.forall { case (_, snap) =>
-          val snapNames = snap.times.keySet
-          val grown = snapNames.nonEmpty && cur.times.nonEmpty &&
-            snapNames.subsetOf(cur.times.keySet) &&
-            snapNames != cur.times.keySet
-          if (!grown) true
-          else {
-            val (ratio, bound) =
-              driftGate(cur.times, snap.times, cur.midMin, snap.midMin)
-            ratio.isNaN || ratio <= bound
-          }
+        val gateOk = newest.forall { case (_, snap) =>
+          val (ratio, bound) =
+            driftGate(cur.times, snap.times, cur.midMin, snap.midMin)
+          // NaN = no usable common subset (legacy snapshot without
+          // per-query times, or disjoint boards): nothing to gate on
+          ratio.isNaN || ratio <= bound
         }
-        if (supersetOk) Some(inferredRound) else None
+        if (gateOk) Some(inferredRound) else None
     }
 }

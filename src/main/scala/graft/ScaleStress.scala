@@ -265,7 +265,12 @@ object ScaleStress {
     // rn+1 adjacency join, the cell-block reciprocity probe, the
     // token-df join, and the pair-store grid scan
     q("q402_shuffle_mixing_audit"), q("q404_mutual_knn_rate"),
-    q("q405_rare_token_mass"), q("q406_dedup_threshold_regret"),
+    // round-15: q405 (0.865 at x30) and rep_global_rank (0.854) were
+    // the two highest sub-1.0 exponents without a second decade — the
+    // q350/q356 precedent (0.98→0.85, 0.93→0.53) says >= 0.85 at x30
+    // deserves the x100 point before being called linear
+    q("q405_rare_token_mass", LifecycleScales),
+    q("q406_dedup_threshold_regret"),
     // round-13 wave 2: the 2x2-contingency bigram scorer and the
     // doubly-joined interpolated LM scoring pass; q409's 10→30
     // exponent (0.98) is the board's closest-to-linear new entry, so
@@ -281,6 +286,12 @@ object ScaleStress {
     // coverage-explode volume term on top of the same machinery
     q("q413_dup_run_extraction", LifecycleScales),
     q("q415_dup_removal_census"),
+    // round-15 wave: the run-catalog IVM lifecycle (seed + 2 appends +
+    // rebuild compare — the maintenance story, measured like q283) and
+    // the ExactSubstr cut (catalog-driven removal + per-doc rebuild);
+    // q419's store read is covered by the q415 store-scan term
+    q("q418_dup_run_store_ivm", LifecycleScales),
+    q("q420_exact_substr_cut", LifecycleScales),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
@@ -295,7 +306,8 @@ object ScaleStress {
     Probe("rep_global_rank", (s, dir) => // one-exchange global order
       ops.GlobalRank.withRowNumbers(
         Tables(s, dir, "events").select(col("event_id"), col("value")),
-        Seq(col("value"), col("event_id")), "rn").count()),
+        Seq(col("value"), col("event_id")), "rn").count(),
+      LifecycleScales), // round-15: x100 point (0.854 at x30, see q405)
     Probe("rep_streaming_tumbling", (s, dir) => { // streaming twin
       streamSeq += 1
       val tbl = s"scale_tumble_$streamSeq"
@@ -464,8 +476,15 @@ object ScaleStress {
       probes.map(_.name).toSet)
     carried.foreach(kv => println(s"[scale] carry-forward ${kv._1} (not measured this run)"))
     val json = (measured ++ carried).map(_._2).mkString(",")
-    val scalesOut = (allScales ++
-      (if (carried.nonEmpty) LifecycleScales else Nil)).distinct.sorted
+    // the record's top-level scales array derives from scales ACTUALLY
+    // present in its rows (round-14 ADVICE: unconditionally appending
+    // LifecycleScales on any carry-forward claimed x100 coverage no
+    // probe row substantiated)
+    val carriedScales = carried.flatMap { case (_, row) =>
+      """"t":\{([^}]*)\}""".r.findFirstMatchIn(row).toSeq.flatMap(m =>
+        """"(\d+)":""".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
+    }
+    val scalesOut = (allScales ++ carriedScales).distinct.sorted
     val out = s"""{"base":"$baseDir","scales":[${scalesOut.mkString(",")}],""" +
       s""""queries":{$json}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),

@@ -26,7 +26,8 @@ object SparkEntry {
     llm.TextDedup.queries ++ llm.TextAnalysis.queries ++
     llm.Similarity.queries ++ llm.Multimodal.queries ++
     llm.PipelineOps.queries ++ llm.CorpusOps.queries ++
-    llm.StateStores.queries ++ llm.PairGraph.queries
+    llm.StateStores.queries ++ llm.PairGraph.queries ++
+    llm.DupRunStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
     llm.TextDedup.oracles ++ llm.TextAnalysis.oracles ++
     llm.Similarity.oracles ++ llm.Multimodal.oracles ++
     llm.PipelineOps.oracles ++ llm.CorpusOps.oracles ++
-    llm.StateStores.oracles ++ llm.PairGraph.oracles
+    llm.StateStores.oracles ++ llm.PairGraph.oracles ++
+    llm.DupRunStore.oracles
 }

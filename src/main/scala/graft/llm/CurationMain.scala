@@ -12,9 +12,20 @@ import graft.{GraftSession, Tables}
   *   3. near-dup dedup   — exact Jaccard ≥ 0.8 pairs READ from the
   *                         persisted pair-graph store ([[PairGraph]]),
   *                         greedy keep-lowest-doc_id
-  *   4. decontamination  — drop docs sharing any 4-gram with the
-  *                         held-out eval slice (doc_id % 50 == 0)
-  *   5. split            — deterministic sha-256 train/val/test
+  *   4. decontamination  — (a) SPAN strip: verbatim ≥ 20-token runs
+  *                         shared with the held-out eval slice
+  *                         (doc_id % 50 == 0) are removed from the
+  *                         TRAIN side only (the q414 contamination
+  *                         screen turned into removal predicates —
+  *                         salvage the doc, cut the leak); then
+  *                         (b) doc drop: docs still sharing any
+  *                         4-gram with the eval slice are dropped —
+  *                         the zero-overlap guarantee
+  *   5. ExactSubstr cut  — within-corpus span dedup (q420): keep each
+  *                         duplicated ≥ 20-token run's first site,
+  *                         strip the rest (Lee et al. 2022 — the
+  *                         substring-level pass doc dedup can't do)
+  *   6. split            — deterministic sha-256 train/val/test
   *
   * Writes the curated corpus partitioned by split and prints one JSON
   * funnel line (doc counts after every stage). Every stage is a lazy
@@ -24,7 +35,8 @@ import graft.{GraftSession, Tables}
 object CurationMain {
 
   final case class Funnel(input: Long, afterQuality: Long, afterExact: Long,
-    afterNearDup: Long, afterDecontam: Long, train: Long, `val`: Long, test: Long)
+    afterNearDup: Long, afterDecontam: Long, train: Long, `val`: Long, test: Long,
+    decontamTokensStripped: Long = 0L, cutTokensRemoved: Long = 0L)
 
   /** Near-dup drop set (the higher doc_id of every exact-Jaccard ≥ 0.8
     * pair), served from the persisted pair graph — factored so the
@@ -78,25 +90,49 @@ object CurationMain {
     val near = exact.join(broadcast(nearDupDrops(spark, sfDir)),
       Seq("doc_id"), "left_anti").cache()
 
-    // 4. decontamination: no 4-gram overlap with the eval slice
+    // 4a. SPAN decontamination (round-14 verdict Next #8 — the q414
+    // screen as removal predicates): verbatim >= 20-token runs shared
+    // with the eval slice are stripped from the TRAIN side only,
+    // salvaging the doc where the 4-gram drop would discard it; the
+    // benchmark text itself is never modified. CurationSpec pins the
+    // one-sidedness on a planted span.
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val stripped = DupRunStore.stripSharedSpans(
+      near.filter(col("doc_id") % 50 =!= 0), bench).cache()
+    def sumLong(d: DataFrame, c: String): Long =
+      Option(d.agg(sum(col(c))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val decontamTok = sumLong(stripped, "n_removed")
+
+    // 4b. doc drop: anything STILL sharing a 4-gram with the eval
+    // slice (shorter-than-span leaks, or spans embedded in longer
+    // train-side runs whose run_fp differs) — the zero-overlap
+    // guarantee stays a drop, computed on the stripped text
     def grams(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, size(toks) - 3),
           |  i -> sha2(concat_ws(' ', slice(toks, i, 4)), 256))""".stripMargin))).as("g"))
-    val benchGrams = grams(docs.filter(col("doc_id") % 50 === 0))
-      .select(col("g")).distinct()
-    val contaminated = grams(near.filter(col("doc_id") % 50 =!= 0))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    val contaminated = grams(stripped)
       .join(broadcast(benchGrams), Seq("g"))
       .select(col("doc_id")).distinct()
-    val clean = near.filter(col("doc_id") % 50 =!= 0)
+    val clean = stripped.drop("n_removed")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .cache()
 
-    // 5. deterministic split
+    // 5. within-corpus ExactSubstr cut (q420's transform, Lee et al.
+    // 2022): keep each duplicated run's first site, strip the rest —
+    // the substring-level pass that catches the partial copying doc
+    // dedup structurally cannot (n_chars recomputed: the text changed)
+    val cut = DupRunStore.exactSubstrCut(clean).cache()
+    val cutTok = sumLong(cut, "n_removed")
+    val cleanCut = cut.drop("n_removed")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // 6. deterministic split
     val h1 = substring(sha2(col("doc_id").cast("string"), 256), 1, 1)
-    val curated = clean.withColumn("split",
+    val curated = cleanCut.withColumn("split",
       when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test"))
 
     val bySplit = curated.groupBy(col("split")).count()
@@ -105,7 +141,8 @@ object CurationMain {
       input = docs.count(), afterQuality = qual.count(), afterExact = exact.count(),
       afterNearDup = near.count(), afterDecontam = clean.count(),
       train = bySplit.getOrElse("train", 0L), `val` = bySplit.getOrElse("val", 0L),
-      test = bySplit.getOrElse("test", 0L))
+      test = bySplit.getOrElse("test", 0L),
+      decontamTokensStripped = decontamTok, cutTokensRemoved = cutTok)
     (curated, funnel)
   }
 
@@ -120,7 +157,8 @@ object CurationMain {
       println(s"""{"curation_funnel":{"input":${f.input},"after_quality":${f.afterQuality},""" +
         s""""after_exact_dedup":${f.afterExact},"after_near_dup":${f.afterNearDup},""" +
         s""""after_decontam":${f.afterDecontam},"train":${f.train},"val":${f.`val`},""" +
-        s""""test":${f.test},"out":"$outDir"}}""")
+        s""""test":${f.test},"decontam_tokens_stripped":${f.decontamTokensStripped},""" +
+        s""""cut_tokens_removed":${f.cutTokensRemoved},"out":"$outDir"}}""")
     } finally spark.stop()
   }
 }

@@ -719,6 +719,27 @@ object EventStreams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** LIVE duplicated-run catalog maintenance — the streaming twin of
+    * q418's batch [[graft.llm.DupRunStore.runIvmStep]] (the round-14
+    * verdict's last store-parity gap): each micro-batch of documents
+    * (doc_id, source, text) lands its doc/posting state and signed
+    * run-catalog deltas replay-idempotently into `gen=<batchId>`
+    * partition dirs. Retroactive run creation — a streamed doc
+    * flipping a shingle's df from 1 to ≥ 2 creates runs in documents
+    * from EARLIER micro-batches — rides the same state-only delta
+    * derivation as batch maintenance (DupRunStreamSpec pins
+    * maintained ≡ rebuilt, the retro path actually firing, and
+    * commit-window replay idempotence). */
+  def dupRunIvmSink(docs: DataFrame, statePath: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.DupRunStore.runIvmStreamStep(
+        batch.sparkSession, batch, statePath, batchId.toInt)
+    }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** LIVE centroid maintenance — the streaming twin of q230's
     * running-mean update, closing the last maintained store without a
     * live path. Unlike the band/chunk/pair sinks (LOG state — per-batch

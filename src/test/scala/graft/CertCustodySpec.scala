@@ -107,12 +107,74 @@ class CertCustodySpec extends AnyFunSuite {
     // +25% common subset but the mid-sentinel shows a measured ~1.2x
     // slower host: the normalized bound admits it
     assert(BenchCustody.decide(standing, 14, grownRun(1.25, 0.40)).contains(14))
-    // a SHRUNK board (query retired) writes unconditionally — the
-    // record must cover the current registry
+    // a SHRUNK board (query retired) still writes when its common
+    // subset is clean — the record must cover the current registry
     val shrunk = BenchCustody.Record(3.0, 2,
       BenchCustody.boardHash(snapNames.init), certifiable = true,
       times = Map("q01_a" -> 1.0, "q02_b" -> 2.0))
     assert(BenchCustody.decide(standing, 14, shrunk).contains(14))
+    // legacy snapshot without per-query times: nothing to gate on,
+    // a changed board writes (the pre-round-13 record shape)
+    val legacySnap = Seq(13 -> BenchCustody.Record(7.0, 3,
+      BenchCustody.boardHash(snapNames), certifiable = true))
+    assert(BenchCustody.decide(legacySnap, 14, grownRun(1.40, 0.33))
+      .contains(14))
+  }
+
+  test("a contended mixed-change board cannot seed the standing record either") {
+    // Round-14 ADVICE (medium): a board that ADDS and RETIRES queries
+    // in the same round is neither a superset nor the same board — the
+    // old strict-superset guard fell through to the unconditional
+    // write, re-opening the round-13 What's-wrong #3 defect for
+    // exactly the change shape this repo produces (q131 was retired
+    // alongside additions). The gate now keys on the common subset
+    // whenever one exists.
+    val snap = BenchCustody.Record(7.0, 3,
+      BenchCustody.boardHash(Seq("q01_a", "q02_b", "q03_c")),
+      certifiable = true,
+      times = Map("q01_a" -> 1.0, "q02_b" -> 2.0, "q03_c" -> 4.0),
+      midMin = Some(0.33))
+    val standing = Seq(14 -> snap)
+    // q03_c retired, q05_e added: common subset = {q01_a, q02_b}
+    def mixed(f: Double, mid: Double) = BenchCustody.Record(
+      3.0 * f + 0.5, 3, BenchCustody.boardHash(Seq("q01_a", "q02_b", "q05_e")),
+      certifiable = true,
+      times = Map("q01_a" -> 1.0 * f, "q02_b" -> 2.0 * f, "q05_e" -> 0.5),
+      midMin = Some(mid))
+    // contended (+40% on the common subset, clean-looking mid): REFUSED
+    assert(BenchCustody.decide(standing, 15, mixed(1.40, 0.33)).isEmpty)
+    // clean mixed-change run: seeds the round's record
+    assert(BenchCustody.decide(standing, 15, mixed(1.02, 0.33)).contains(15))
+    // measured ~1.2x slower host widens the bound (the driftGate rule)
+    assert(BenchCustody.decide(standing, 15, mixed(1.25, 0.40)).contains(15))
+  }
+
+  test("round-15 gate reference: the newest snapshot selection picks r15") {
+    // Round-14 verdict What's-wrong #3: the driver's post-close 320.1 s
+    // run legitimately seeded bench_history/bench_detail_r15.json;
+    // round 15's drift gate and triage must reference THAT snapshot,
+    // not the slower 328.0 s r14 one — otherwise the bar silently
+    // regresses 2.5%. Pin the numeric-max selection on the real dir.
+    val histDir = java.nio.file.Paths.get("bench_history")
+    assume(java.nio.file.Files.isDirectory(histDir), "no bench_history/")
+    val rounds = {
+      val st = java.nio.file.Files.list(histDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .flatMap(p => BenchCustody.roundOf(p.getFileName.toString))
+          .toSeq
+      } finally st.close()
+    }
+    assume(rounds.exists(_ >= 15), "pre-round-15 tree — nothing to pin")
+    val newest = rounds.max
+    assert(newest >= 15,
+      "newest-snapshot selection must resolve to the r15+ record (the " +
+        "driver's post-close 320.1 s seed), never back to the r14 one — " +
+        "Bench.gateRef and BenchDriftSpec both key on this numeric max")
+    assert(java.nio.file.Files.exists(
+      histDir.resolve(f"bench_detail_r$newest%02d.json")),
+      "the selected snapshot must exist as the gate-reference file")
   }
 
   test("triage names exactly the over-threshold common-subset entries, worst-first") {

@@ -67,6 +67,46 @@ class CurationSpec extends SparkSuite {
         s"only-served=${(served -- lsh).take(5)} only-lsh=${(lsh -- served).take(5)}")
   }
 
+  test("a planted benchmark span is stripped from the crawl side only — the doc is salvaged") {
+    // Round-14 verdict Next #8 end-to-end: doc 7 (crawl) shares a
+    // 30-token verbatim span with doc 0 (the eval slice). Without the
+    // span-strip stage the 4-gram drop would DISCARD doc 7 wholesale;
+    // with it, the leak is removed, the doc survives, and the eval
+    // text itself is never modified (it is excluded from train by
+    // construction). Every doc is the same 50 fixed-width tokens so
+    // the percentile length band keeps all of them.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_plant").toString
+    val span = (1 to 30).map(i => f"leak$i%02d")
+    def filler(d: Int, from: Int, n: Int) =
+      (from until from + n).map(i => f"d$d%02dt$i%02d")
+    val rows = (0 until 60).map { d =>
+      val toks =
+        if (d == 0) filler(d, 1, 5) ++ span ++ filler(d, 6, 15)
+        else if (d == 7) filler(d, 1, 10) ++ span ++ filler(d, 11, 10)
+        else filler(d, 1, 50)
+      (d.toLong, toks.mkString(" "), "en", if (d % 50 == 0) "bench" else "crawl")
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (cur, f) = CurationMain.curate(spark, dir)
+    val byId = cur.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.contains(7L),
+      "the contaminated crawl doc must be SALVAGED by the span strip, " +
+        "not dropped by the 4-gram stage")
+    assert(!byId(7L).contains("leak01"),
+      s"the planted span must be stripped from the crawl doc: ${byId(7L)}")
+    assert(byId(7L) == (filler(7, 1, 10) ++ filler(7, 11, 10)).mkString(" "),
+      "the crawl doc's own text must survive intact around the cut")
+    assert(!byId.contains(0L) && !byId.contains(50L),
+      "eval-slice docs never enter the training corpus")
+    assert(f.decontamTokensStripped == 30L,
+      s"exactly the planted span's mass is stripped: ${f.decontamTokensStripped}")
+    assert(f.afterDecontam == 58L, "no whole doc is dropped on this fixture")
+  }
+
   test("split is deterministic and train-dominant") {
     val again = CurationMain.curate(spark, sf)._1
       .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet

@@ -67,6 +67,11 @@ class Round13WaveSpec extends SparkSuite {
       .groupBy(col("q_id")).count().collect()
     val guarded = posPerProbe.length == 3 &&
       posPerProbe.forall(_.getAs[Long]("count") >= 20L)
+    // round-14 ADVICE: a lost precondition must CANCEL visibly, not
+    // silently skip the key assertion inside the row loop
+    assume(guarded, "fixture lost the >= 20-positive-cosine-neighbors " +
+      "precondition — the norm-bias direction is undefined here; " +
+      "regenerate the fixture or re-derive the bound")
     rows.foreach { r =>
       val ov = r.getAs[Long]("n_overlap")
       assert(ov >= 0L && ov <= 20L, s"overlap $ov outside [0, 20]")
@@ -75,11 +80,10 @@ class Round13WaveSpec extends SparkSuite {
       // the audited bias direction: a raw-dot ranking prefers norm, so
       // its winner set's mean norm is >= the cosine set's up to the
       // rounding grid (1e-6); a violation means the rankings swapped
-      if (guarded)
-        assert(r.getAs[Double]("mean_norm_dot") >=
-          r.getAs[Double]("mean_norm_cos") - 1e-6,
-          "dot-ranked winners must not have LOWER mean norm than " +
-            "cosine-ranked winners")
+      assert(r.getAs[Double]("mean_norm_dot") >=
+        r.getAs[Double]("mean_norm_cos") - 1e-6,
+        "dot-ranked winners must not have LOWER mean norm than " +
+          "cosine-ranked winners")
     }
   }
 

@@ -1,0 +1,167 @@
+package graft.llm
+
+import graft.{SparkSuite, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-15 ExactSubstr store + cut pins:
+  *
+  *  1. q418 RETRACTION fixture — the genuinely hard IVM path: a doc
+  *     arriving at gen 1 flips shingles of an OLD doc's flank from
+  *     df 1 to 2, EXTENDING a run that was already catalogued at
+  *     gen 0. The old sites must be debited and the extended run
+  *     credited, or maintained ≠ rebuilt forever (the q283 retraction
+  *     pattern on positional state).
+  *  2. The cut/census arithmetic identity: q415's covered mass ==
+  *     q420's removed tokens + the positions covered ONLY by keep
+  *     sites — each term computed independently.
+  *  3. Keep-one semantics on the DupRunSpec two-doc span fixture: the
+  *     first site survives verbatim, the second is stripped.
+  *  4. The serve path (q419) reads the persisted catalog, never the
+  *     document text.
+  *  5. stripSharedSpans is one-sided: a span planted in both a train
+  *     and a benchmark doc disappears from the train side only
+  *     (round-14 verdict Next #8 — q414 as removal predicates).
+  */
+class DupRunStoreSpec extends SparkSuite {
+
+  /** doc 0 (gen 0): phrase P occurs twice — catalogued at seed time.
+    * doc 1 (gen 1): repeats doc 0's tokens u3..u10 + P[1..12]
+    * verbatim (a 20-token block), making doc 0's u3..u10 flank
+    * duplicated and extending its FIRST P run leftward. */
+  private lazy val retroDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retro").toString
+    val p = (1 to 25).map(j => s"P$j")
+    val u = (1 to 10).map(j => s"u$j")
+    val doc0 = u ++ p ++ (1 to 12).map(j => s"v$j") ++ p ++
+      (1 to 10).map(j => s"w$j")
+    val shared = u.drop(2) ++ p.take(12) // u3..u10 + P1..P12 = 20 tokens
+    val doc1 = (1 to 5).map(j => s"z$j") ++ shared ++ (6 to 15).map(j => s"z$j")
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "web"),
+        (1L, doc1.mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q418: retroactive run extension debits the old sites and credits the grown run") {
+    val rows = SparkEntry.queries("q418_dup_run_store_ivm")(spark, retroDir)
+      .collect().sortBy(_.getAs[Long]("gen"))
+    assert(rows.map(_.getAs[Long]("n_mismatch")).sum == 0L,
+      s"maintained catalog diverged from the rebuild: ${rows.toSeq}")
+    // gen 0: doc 0's two P sites are catalogued (doc 1 not arrived)
+    assert(rows(0).getAs[Long]("n_credit") == 2L &&
+      rows(0).getAs[Long]("n_retract") == 0L)
+    // gen 1: doc 0 is AFFECTED (its u3..u10 flank crossed df 1→2) —
+    // both its prior sites must be debited before the recompute lands
+    assert(rows(1).getAs[Long]("n_retract") == 2L,
+      s"the old doc's catalogued sites must be retracted: ${rows.toSeq}")
+    assert(rows(1).getAs[Long]("n_credit") >= 3L,
+      "recompute must credit doc 0's two runs plus doc 1's shared block")
+    // the extension is real: the netted catalog holds a doc-0 run
+    // LONGER than the 25-token phrase it started as
+    val path = StateStores.statePath(retroDir, "dup_run_ivm")
+    val maintained = spark.read.parquet(s"$path/deltas")
+      .groupBy(col("doc_id"), col("start_tok"), col("run_tokens"))
+      .agg(sum(col("delta")).as("net")).filter(col("net") > 0)
+    val grown = maintained.filter(col("doc_id") === 0L &&
+      col("run_tokens") > 25L).count()
+    assert(grown >= 1L,
+      "doc 0's first run must have grown past its gen-0 extent")
+  }
+
+  test("cut/census identity: covered == removed + keep-only positions") {
+    val census = SparkEntry.queries("q415_dup_removal_census")(spark, sf)
+      .agg(sum(col("covered_tokens"))).head.getLong(0)
+    val removedTotal = SparkEntry.queries("q420_exact_substr_cut")(spark, sf)
+      .agg(sum(col("n_removed"))).head.getLong(0)
+    val sites = DupRunStore.catalogSites(spark, sf)
+    val removedPos = DupRunStore.spanRemovalPositions(sites).cache()
+    assert(removedPos.count() == removedTotal,
+      "q420's per-doc removed counts must sum to the removal-position set")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("run_fp")).orderBy(col("doc_id"), col("start_tok"))
+    val keepPos = sites.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), explode(expr(
+        "sequence(start_tok, start_tok + cast(run_tokens AS int) - 1)"))
+        .as("p")).distinct()
+    val keepOnly = keepPos.join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .count()
+    assert(census == removedTotal + keepOnly,
+      s"census $census != removed $removedTotal + keep-only $keepOnly — " +
+        "the cut and the census disagree about what an ExactSubstr " +
+        "pass touches")
+    assert(removedTotal > 0L, "the fixture must exercise actual removal")
+  }
+
+  test("keep-one semantics: the first site survives verbatim, the second is cut") {
+    // the DupRunSpec two-doc construction: one 40-token span shared at
+    // shifted offsets; doc 0 holds the first site
+    val dir = java.nio.file.Files.createTempDirectory("graft_cutkeep").toString
+    val span = (1 to 40).map(j => s"spantok$j")
+    val doc0 = (1 to 8).map(i => s"fa$i") ++ span ++ (1 to 52).map(i => s"fb$i")
+    val doc1 = (1 to 25).map(i => s"fc$i") ++ span ++ (1 to 35).map(i => s"fd$i")
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "web"),
+        (1L, doc1.mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q420_exact_substr_cut")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_removed") == 0L,
+      "the keep site's doc must be untouched")
+    assert(out(1).getAs[Long]("n_removed") == 40L &&
+      out(1).getAs[Long]("n_after") == 60L,
+      s"the second site must lose exactly the span: ${out.toSeq}")
+    // byte-level: doc 1's cleaned fingerprint is the span-free text
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = sha.digest(((1 to 25).map(i => s"fc$i") ++
+        (1 to 35).map(i => s"fd$i")).mkString(" ").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 16)
+    assert(out(1).getAs[String]("cleaned_fp") == expect)
+  }
+
+  test("q419 serves from the persisted catalog, not document text") {
+    val served = DupRunStore.catalogSites(spark, sf)
+    served.count() // force the seed before reading the plan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("/tmp/graft_state/"),
+      "catalog read must scan the persisted store")
+    assert(!plan.contains("documents.parquet"),
+      "catalog read must not rescan document text")
+    // staleness guard is live: store output ≡ in-plan extraction
+    val fromStore = served.count()
+    val inPlan = TextDedup.dupRunSites(spark, sf).count()
+    assert(fromStore == inPlan)
+  }
+
+  test("stripSharedSpans removes a planted benchmark span from the train side only") {
+    val span = (1 to 30).map(j => s"leak$j")
+    import spark.implicits._
+    val train = Seq(
+      (1L, ((1 to 10).map(i => s"ta$i") ++ span ++
+        (1 to 10).map(i => s"tb$i")).mkString(" ")),
+      (2L, (1 to 40).map(i => s"tc$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, ((1 to 5).map(i => s"ba$i") ++ span ++
+        (1 to 15).map(i => s"bb$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DupRunStore.stripSharedSpans(train, bench)
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.length == 2, "the strip must keep every train doc")
+    val cleaned = out(0).getAs[String]("text")
+    assert(!cleaned.contains("leak1 leak2"),
+      s"the planted span must be gone from the train doc: $cleaned")
+    assert(cleaned.startsWith("ta1") && cleaned.endsWith("tb10"),
+      "the train doc's own text must survive around the cut")
+    assert(out(0).getAs[Long]("n_removed") == 30L)
+    assert(out(1).getAs[Long]("n_removed") == 0L &&
+      out(1).getAs[String]("text") == (1 to 40).map(i => s"tc$i").mkString(" "),
+      "an uncontaminated train doc must be byte-identical")
+  }
+}
