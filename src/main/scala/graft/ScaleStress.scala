@@ -291,7 +291,14 @@ object ScaleStress {
     // the ExactSubstr cut (catalog-driven removal + per-doc rebuild);
     // q419's store read is covered by the q415 store-scan term
     q("q418_dup_run_store_ivm", LifecycleScales),
-    q("q420_exact_substr_cut", LifecycleScales),
+    // the cut probe FORCES the text rebuild: a bare .count() lets
+    // Catalyst prune the cleaned_fp projection (and eliminate the
+    // unique-key left join), timing an empty plan — max() needs the
+    // actual sha values, so the per-doc rebuild lambda runs
+    Probe("q420_exact_substr_cut", (s, dir) => {
+      SparkEntry.queries("q420_exact_substr_cut")(s, dir)
+        .agg(max(col("cleaned_fp")), sum(col("n_removed"))).count()
+    }, LifecycleScales),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +
     // rebuild compare) — the code paths whose entire purpose is the
