@@ -291,6 +291,8 @@ object ScaleStress {
     // the ExactSubstr cut (catalog-driven removal + per-doc rebuild);
     // q419's store read is covered by the q415 store-scan term
     q("q418_dup_run_store_ivm", LifecycleScales),
+    q("q421_dup_run_store_compact", LifecycleScales),
+    q("q422_eval_overlap_runs"),
     // the cut probe FORCES the text rebuild: a bare .count() lets
     // Catalyst prune the cleaned_fp projection (and eliminate the
     // unique-key left join), timing an empty plan — max() needs the

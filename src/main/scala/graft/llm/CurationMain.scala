@@ -12,15 +12,16 @@ import graft.{GraftSession, Tables}
   *   3. near-dup dedup   — exact Jaccard ≥ 0.8 pairs READ from the
   *                         persisted pair-graph store ([[PairGraph]]),
   *                         greedy keep-lowest-doc_id
-  *   4. decontamination  — (a) SPAN strip: verbatim ≥ 20-token runs
-  *                         shared with the held-out eval slice
-  *                         (doc_id % 50 == 0) are removed from the
-  *                         TRAIN side only (the q414 contamination
-  *                         screen turned into removal predicates —
-  *                         salvage the doc, cut the leak); then
-  *                         (b) doc drop: docs still sharing any
-  *                         4-gram with the eval slice are dropped —
-  *                         the zero-overlap guarantee
+  *   4. decontamination  — (a) SPAN strip: maximal ≥ 20-token runs of
+  *                         eval-slice shingles (doc_id % 50 == 0) are
+  *                         removed from the TRAIN side only (the
+  *                         q414/q422 contamination screens turned
+  *                         into removal predicates — salvage the doc,
+  *                         cut the leak; membership streaks, so spans
+  *                         EMBEDDED in longer train-side runs are
+  *                         caught too); then (b) doc drop: docs still
+  *                         sharing any 4-gram with the eval slice are
+  *                         dropped — the zero-overlap guarantee
   *   5. ExactSubstr cut  — within-corpus span dedup (q420): keep each
   *                         duplicated ≥ 20-token run's first site,
   *                         strip the rest (Lee et al. 2022 — the
@@ -104,9 +105,9 @@ object CurationMain {
     val decontamTok = sumLong(stripped, "n_removed")
 
     // 4b. doc drop: anything STILL sharing a 4-gram with the eval
-    // slice (shorter-than-span leaks, or spans embedded in longer
-    // train-side runs whose run_fp differs) — the zero-overlap
-    // guarantee stays a drop, computed on the stripped text
+    // slice (shorter-than-span leaks — the membership streak already
+    // catches embedded spans) — the zero-overlap guarantee stays a
+    // drop, computed on the stripped text
     def grams(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)

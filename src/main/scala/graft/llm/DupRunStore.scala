@@ -208,6 +208,76 @@ object DupRunStore {
       .write.mode("overwrite").parquet(s"$statePath/deltas/gen=$gen")
   }
 
+  /** Compact the run-IVM state at `watermark` (the q321/q322
+    * lifecycle step, run-store flavor): fold every delta generation
+    * ≤ watermark into ONE net base generation (rows with net ≤ 0 drop
+    * — a retracted site costs nothing forever after) and collapse the
+    * postings AND doc-array partitions to a single `gen = watermark`.
+    * Semantics-preserving for every later [[runIvmStep]] by
+    * construction: the delta derivation reads state only through
+    * `gen <= g` / `gen < g` / `gen === g` predicates and compacted
+    * gen = watermark < any future g; df is a plain row count that
+    * re-labeling cannot change; and the affected-doc recompute reads
+    * token arrays by doc_id, not by generation. Same head-only guard
+    * as the pair store: a watermark below the newest generation would
+    * silently destroy later generations. */
+  private[graft] def runStoreCompact(s: SparkSession, statePath: String,
+      watermark: Int): Unit = {
+    val maxGen = {
+      val p = java.nio.file.Paths.get(s"$statePath/deltas")
+      val st = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
+          .foldLeft(-1)(math.max)
+      } finally st.close()
+    }
+    require(maxGen >= 0 && watermark >= maxGen,
+      s"compact(watermark=$watermark) below newest generation $maxGen " +
+        "would drop maintained deltas; compact at the log head")
+    val folded = s.read.parquet(s"$statePath/deltas")
+      .filter(col("gen") <= watermark)
+      .groupBy(RunKey.map(col): _*)
+      .agg(sum(col("delta")).as("delta"))
+      .filter(col("delta") > 0)
+      .withColumn("gen", lit(watermark))
+    StateStores.rewriteSwap(folded, s"$statePath/deltas", Some("gen"))
+    Seq("postings", "docs").foreach { sub =>
+      StateStores.rewriteSwap(
+        s.read.parquet(s"$statePath/$sub")
+          .filter(col("gen") <= watermark)
+          .withColumn("gen", lit(watermark)),
+        s"$statePath/$sub", Some("gen"))
+    }
+  }
+
+  /** Auto-compaction hook for the LIVE sink — the PairGraph
+    * autoCompactIfFragmented rule verbatim: fold at the committed
+    * head (every generation < `currentGen` is streaming-committed),
+    * but only when no generation dir ≥ `currentGen` exists (such a
+    * dir is a crashed uncommitted attempt of this very batch — the
+    * replay is about to Overwrite it, and folding it would read torn
+    * parquet). Skipping is safe: the next clean batch compacts. */
+  private[graft] def autoCompactIfFragmented(s: SparkSession,
+      statePath: String, currentGen: Int, every: Int = 10): Boolean = {
+    def gens(sub: String): Seq[Int] = {
+      val p = java.nio.file.Paths.get(s"$statePath/$sub")
+      if (!java.nio.file.Files.isDirectory(p)) return Nil
+      val st = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
+          .toSeq
+      } finally st.close()
+    }
+    val all = gens("deltas") ++ gens("postings") ++ gens("docs")
+    val committed = all.filter(_ < currentGen).distinct
+    if (committed.size < every || all.exists(_ >= currentGen)) false
+    else { runStoreCompact(s, statePath, committed.max); true }
+  }
+
   // ---------------------------------------------------------------
   // q420: the ExactSubstr cut
   // ---------------------------------------------------------------
@@ -248,32 +318,56 @@ object DupRunStore {
       .drop("toks", "rem")
   }
 
-  /** Cross-set span DECONTAMINATION — q414's screen turned into
-    * removal predicates (round-14 verdict Next #8): every committed-
-    * cut verbatim run occurring in BOTH `train` and `benchmark`
-    * (identical maximal span, the q414 run_fp semantic) is stripped
-    * from the TRAIN side only; the benchmark is never modified.
-    * doc_ids must be disjoint across the two frames (CurationMain's
-    * eval slice is). Spans embedded inside LONGER train-side
-    * duplicated runs hash to a different run_fp and are left to the
-    * n-gram doc-drop stage that follows — the strip is a salvage
-    * pass, the drop stage keeps the zero-overlap guarantee. */
+  /** Maximal BENCHMARK-OVERLAPPING runs inside `train` docs: streaks
+    * of train token positions whose 3-shingle occurs ANYWHERE in
+    * `bench`, ≥ `minTokens` long — the q413 streak machinery with the
+    * duplicated-flag predicate swapped for bench membership. Strictly
+    * stronger than run_fp equality for contamination: a bench span
+    * EMBEDDED inside a longer train-side duplicated run hashes to a
+    * different maximal-run fp (the q414 blind spot), but its positions
+    * still carry bench shingles, so the streak finds exactly the
+    * shared extent. Returns (doc_id, start_tok, run_tokens); maximal
+    * streaks of one predicate are DISJOINT per doc, so run_tokens sums
+    * are exact masses (no q415-style position dedup needed). Scale:
+    * the bench shingle set is eval-set-sized (broadcastable in
+    * practice, shuffle_hash-pinned for the 100 TB posture); the probe
+    * volume is the train corpus's token count, hashes on the wire. */
+  private[graft] def benchOverlapSites(train: DataFrame, bench: DataFrame,
+      minTokens: Int = DupRunMinTokens): DataFrame = {
+    def pos(d: DataFrame) = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """posexplode(transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
+          .stripMargin).as(Seq("i", "sh")))
+    val bsh = pos(bench).select(col("sh")).distinct()
+    val hit = pos(train).join(bsh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    hit.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
+      .filter(col("len_sh") + 2 >= minTokens)
+      .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
+        (col("len_sh") + 2).as("run_tokens"))
+  }
+
+  /** Cross-set span DECONTAMINATION — the q414/q422 screen turned
+    * into removal predicates (round-14 verdict Next #8): every
+    * ≥ [[TextDedup.DupRunMinTokens]]-token maximal run of
+    * benchmark-occurring shingles is stripped from the TRAIN side
+    * only; the benchmark is never modified. Built on
+    * [[benchOverlapSites]], so bench spans EMBEDDED in longer
+    * train-side duplicated runs are caught too (run_fp equality
+    * misses them). Shorter-than-span leaks remain the n-gram
+    * doc-drop stage's job — the strip salvages, the drop guarantees. */
   private[graft] def stripSharedSpans(train: DataFrame, benchmark: DataFrame)
       : DataFrame = {
-    val tagged = train.select(col("doc_id"), col("text"),
-        lit("train").as("source"))
-      .unionByName(benchmark.select(col("doc_id"), col("text"),
-        lit("bench").as("source")))
-    val sites = TextDedup.dupRunSitesOf(tagged, DupRunMinTokens).cache()
-    val sharedFps = sites.groupBy(col("run_fp"))
-      .agg(countDistinct(col("source")).as("ns")).filter(col("ns") === 2)
-      .select(col("run_fp"))
-    val toRemove = sites.filter(col("source") === "train")
-      .join(sharedFps.hint("shuffle_hash"), Seq("run_fp"), "left_semi")
+    val toRemove = benchOverlapSites(train, benchmark)
       .select(col("doc_id"), explode(expr(
         "sequence(start_tok, start_tok + cast(run_tokens AS int) - 1)"))
         .as("p"))
-      .distinct()
     applySpanRemoval(train, toRemove)
   }
 
@@ -379,6 +473,78 @@ object DupRunStore {
               "filter(toks, (t, j) -> NOT array_contains(rem, j + 1))"),
               " ")), 256), 1, 16).as("cleaned_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    /** Run-store CHECKPOINT/COMPACT contract — the lifecycle step
+      * q418 lacks (the q321 pair-store shape applied to positional
+      * state): seed + one append (generations doc_id % 3), COMPACT at
+      * watermark 1 (delta log folded to one net base generation,
+      * postings and doc arrays collapsed, log truncated), then one
+      * MORE append onto the compacted state. The gen-2 retraction
+      * must debit sites whose credits now live only in the folded
+      * base — the cross-boundary case that makes compaction a
+      * semantics question instead of a file-count question. Output:
+      * folded base site count, delta-log generation count after
+      * compact+append (exactly 2 — O(generations) growth is gone),
+      * gen-2 retraction rows (data-derived on both sides), final
+      * maintained site count, and the maintained-vs-rebuilt multiset
+      * mismatch the oracle pins to ZERO. */
+    "q421_dup_run_store_compact" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val path = StateStores.statePath(dir, "dup_run_c")
+      def gen(g: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+      (0 to 1).foreach(g => runIvmStep(s, gen(g), path, g))
+      runStoreCompact(s, path, watermark = 1)
+      val baseSites = s.read.parquet(s"$path/deltas").count()
+      runIvmStep(s, gen(2), path, 2)
+      val deltas = s.read.parquet(s"$path/deltas")
+      val logStats = deltas.agg(
+        countDistinct(col("gen")).as("gens"),
+        count_if(col("gen") === 2 && col("delta") === -1L).as("r2")).head
+      val maintained = deltas.groupBy(RunKey.map(col): _*)
+        .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
+      val rebuilt = TextDedup.dupRunSites(s, dir)
+        .groupBy(RunKey.map(col): _*).agg(count(lit(1)).as("ir"))
+      val cmp = maintained.join(rebuilt, RunKey, "full_outer")
+        .agg(count_if(col("ir").isNotNull).as("fin"),
+          count_if(coalesce(col("im"), lit(0L)) =!=
+            coalesce(col("ir"), lit(0L))).as("bad")).head
+      import s.implicits._
+      Seq(("base_sites", baseSites),
+        ("log_gens_after", logStats.getLong(0)),
+        ("gen2_retracts", logStats.getLong(1)),
+        ("final_sites", cmp.getLong(0)),
+        ("mismatch", cmp.getLong(1)))
+        .toDF("metric", "v").orderBy(col("metric"))
+    }),
+
+    /** EVAL-OVERLAP run extraction — the q414 blind spot closed as a
+      * first-class screen: maximal ≥ 20-token runs of EVAL-SLICE
+      * shingles (doc_id % 50 == 0, the q82 decontamination
+      * convention) inside training docs, per source. run_fp equality
+      * (q414) sees only identically-extented maximal runs; a
+      * benchmark span EMBEDDED in a longer train-side duplicated run
+      * is invisible to it but still carries bench shingles position
+      * by position — the streak over bench MEMBERSHIP finds its
+      * exact extent (DupRunStoreSpec pins the embedded construction).
+      * Maximal single-predicate streaks are disjoint per doc, so the
+      * token-mass sum is exact without a coverage dedup. This is the
+      * measurement twin of the CurationMain span-strip stage — the
+      * mass this reports is what stage 4a removes. */
+    "q422_eval_overlap_runs" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val sites = benchOverlapSites(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+      val src = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"))
+      sites.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_runs"),
+          countDistinct(col("doc_id")).as("n_docs_hit"),
+          sum(col("run_tokens")).as("overlap_token_mass"),
+          max(col("run_tokens")).as("max_run_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -512,6 +678,63 @@ object DupRunStore {
          |FROM alld a
          |LEFT JOIN rcount rc ON rc.doc_id = a.doc_id
          |LEFT JOIN cleaned c ON c.doc_id = a.doc_id
-         |ORDER BY a.doc_id NULLS FIRST""".stripMargin
+         |ORDER BY a.doc_id NULLS FIRST""".stripMargin,
+
+    // bench-membership streaks from first principles: string shingles,
+    // eval slice = doc_id % 50 = 0, streaks over train positions whose
+    // shingle occurs anywhere in the slice
+    "q422_eval_overlap_runs" ->
+      s"""WITH train AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 50 <> 0
+         |  AND len(string_split(text, ' ')) >= 3),
+         |bench AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 50 = 0
+         |  AND len(string_split(text, ' ')) >= 3),
+         |bsh AS (
+         |  SELECT DISTINCT concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM bench, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |tpos AS (
+         |  SELECT doc_id, i,
+         |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+         |  FROM train, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+         |hit AS (SELECT p.doc_id, p.i FROM tpos p JOIN bsh b ON b.sh = p.sh),
+         |grp AS (
+         |  SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+         |  FROM hit),
+         |runs AS (
+         |  SELECT doc_id, count(*) + 2 AS run_tokens
+         |  FROM grp GROUP BY doc_id, rk
+         |  HAVING count(*) + 2 >= ${TextDedup.DupRunMinTokens}),
+         |src AS (
+         |  SELECT doc_id, source FROM documents WHERE text IS NOT NULL)
+         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_runs,
+         |CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_docs_hit,
+         |CAST(sum(r.run_tokens) AS BIGINT) AS overlap_token_mass,
+         |CAST(max(r.run_tokens) AS BIGINT) AS max_run_tokens
+         |FROM runs r JOIN src s ON s.doc_id = r.doc_id
+         |GROUP BY 1 ORDER BY s.source NULLS FIRST""".stripMargin,
+
+    // compaction contract from first principles: the folded base must
+    // equal the snapshot-1 catalog (maintained ≡ rebuilt per doc, by
+    // the q418 induction), the post-compaction log holds exactly 2
+    // generations (structural — the Spark side computes it), gen-2
+    // retractions = snapshot-1 sites of docs affected at G = 2, the
+    // final catalog = the snapshot-2 extraction, mismatch pinned 0
+    "q421_dup_run_store_compact" ->
+      s"""$duckRunIvm
+         |SELECT metric, v FROM (
+         |  SELECT 'base_sites' AS metric, CAST(
+         |    (SELECT count(*) FROM runs WHERE G = 1) AS BIGINT) AS v
+         |  UNION ALL SELECT 'log_gens_after', CAST(2 AS BIGINT)
+         |  UNION ALL SELECT 'gen2_retracts', CAST(coalesce(
+         |    (SELECT count(*) FROM runs r JOIN affected a
+         |     ON a.doc_id = r.doc_id AND a.G = 2 AND r.G = 1), 0) AS BIGINT)
+         |  UNION ALL SELECT 'final_sites', CAST(
+         |    (SELECT count(*) FROM runs WHERE G = 2) AS BIGINT)
+         |  UNION ALL SELECT 'mismatch', CAST(0 AS BIGINT))
+         |ORDER BY metric NULLS FIRST""".stripMargin
   )
 }

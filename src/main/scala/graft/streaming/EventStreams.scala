@@ -731,9 +731,14 @@ object EventStreams {
     * maintained ≡ rebuilt, the retro path actually firing, and
     * commit-window replay idempotence). */
   def dupRunIvmSink(docs: DataFrame, statePath: String,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      autoCompactEvery: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // compaction cadence at the committed head, before this
+      // generation lands (the pairGraphIvmSink replay-safety rule)
+      graft.llm.DupRunStore.autoCompactIfFragmented(
+        batch.sparkSession, statePath, batchId.toInt, autoCompactEvery)
       graft.llm.DupRunStore.runIvmStreamStep(
         batch.sparkSession, batch, statePath, batchId.toInt)
     }

@@ -84,6 +84,39 @@ class DupRunStreamSpec extends SparkSuite {
         "the micro-batch boundary (re-slice the feed)")
   }
 
+  test("live compaction cadence folds the log mid-stream without changing the catalog") {
+    // autoCompactEvery = 2 over three micro-batches: batch 2 opens by
+    // folding the committed gens {0, 1} into one base, then lands its
+    // own generation — doc 2 extends doc 0's SECOND run, so its
+    // retraction debits the freshly folded base (the q421 boundary
+    // case, live). The final catalog must still equal the rebuild.
+    val doc2 = ((1 to 5).map(j => s"x$j") ++ (9 to 12).map(j => s"v$j") ++
+      phrase.take(16) ++ (6 to 15).map(j => s"x$j")).mkString(" ")
+    val srcDir = Files.createTempDirectory("graft_drs_cmp_src").toString
+    val statePath = Files.createTempDirectory("graft_drs_cmp_state")
+      .resolve("state").toString
+    stage(srcDir, Seq(Seq(0L -> doc0), Seq(1L -> doc1), Seq(2L -> doc2)))
+    val q = streaming.EventStreams.dupRunIvmSink(src(srcDir), statePath,
+      autoCompactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val (bad, retracts) = contract(statePath,
+      Seq(0L -> doc0, 1L -> doc1, 2L -> doc2))
+    assert(bad == 0L,
+      s"live-compacted catalog diverged from the rebuild on $bad sites")
+    assert(retracts >= 2L,
+      "the post-compaction batch must debit the folded base")
+    val gens = {
+      val st = Files.list(Paths.get(s"$statePath/deltas"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).toSet
+      } finally st.close()
+    }
+    assert(gens == Set("gen=1", "gen=2"),
+      s"the live fold must truncate the log: $gens")
+  }
+
   test("commit-window kill/restart replays the maintenance batch idempotently") {
     val srcDir = Files.createTempDirectory("graft_drs_crash_src").toString
     val statePath = Files.createTempDirectory("graft_drs_crash_state")

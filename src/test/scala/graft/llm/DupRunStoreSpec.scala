@@ -71,6 +71,61 @@ class DupRunStoreSpec extends SparkSuite {
       "doc 0's first run must have grown past its gen-0 extent")
   }
 
+  test("q421: compaction folds the log and the gen-2 retraction debits the folded base") {
+    // three-generation retro fixture: doc 2 (gen 2) repeats doc 0's
+    // tokens v9..v12 + P[1..16] (positions 44..63 — a 20-token block
+    // ending inside the SECOND P occurrence), so after the watermark-1
+    // compaction the gen-2 maintenance must retract doc 0's sites out
+    // of the FOLDED BASE and credit the leftward-extended second run.
+    val dir = java.nio.file.Files.createTempDirectory("graft_retro3").toString
+    val p = (1 to 25).map(j => s"P$j")
+    val u = (1 to 10).map(j => s"u$j")
+    val v = (1 to 12).map(j => s"v$j")
+    val doc0 = u ++ p ++ v ++ p ++ (1 to 10).map(j => s"w$j")
+    val doc1 = (1 to 5).map(j => s"z$j") ++ u.drop(2) ++ p.take(12) ++
+      (6 to 15).map(j => s"z$j")
+    val doc2 = (1 to 5).map(j => s"x$j") ++ v.drop(8) ++ p.take(16) ++
+      (6 to 15).map(j => s"x$j")
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "web"),
+        (1L, doc1.mkString(" "), "en", "web"),
+        (2L, doc2.mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q421_dup_run_store_compact")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("mismatch") == 0L, s"maintained != rebuilt: $rows")
+    assert(rows("base_sites") == 3L,
+      s"the folded base must hold the snapshot-1 catalog: $rows")
+    assert(rows("log_gens_after") == 2L,
+      "the compacted log holds exactly base + the new generation")
+    assert(rows("gen2_retracts") == 2L,
+      s"both doc-0 sites must be debited OUT OF THE FOLDED BASE: $rows")
+    assert(rows("final_sites") == 4L, s"$rows")
+    // the extension is real AND crossed the boundary: the second run
+    // grew leftward from (48, 25) to (44, 29)
+    val path = StateStores.statePath(dir, "dup_run_c")
+    val grown = spark.read.parquet(s"$path/deltas")
+      .groupBy(col("doc_id"), col("start_tok"), col("run_tokens"))
+      .agg(sum(col("delta")).as("net")).filter(col("net") > 0)
+      .filter(col("doc_id") === 0L && col("start_tok") === 44 &&
+        col("run_tokens") === 29L).count()
+    assert(grown == 1L,
+      "doc 0's second run must extend across the compaction boundary")
+    // on-disk truncation: exactly gen=1 (base) and gen=2 remain
+    val gens = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$path/deltas"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).toSet
+      } finally st.close()
+    }
+    assert(gens == Set("gen=1", "gen=2"), s"log not truncated: $gens")
+  }
+
   test("cut/census identity: covered == removed + keep-only positions") {
     val census = SparkEntry.queries("q415_dup_removal_census")(spark, sf)
       .agg(sum(col("covered_tokens"))).head.getLong(0)
@@ -137,6 +192,59 @@ class DupRunStoreSpec extends SparkSuite {
     val fromStore = served.count()
     val inPlan = TextDedup.dupRunSites(spark, sf).count()
     assert(fromStore == inPlan)
+  }
+
+  test("q422/strip catch a bench span EMBEDDED in a longer train-side duplicated run") {
+    // the q414 blind-spot construction: train doc 1 carries the bench
+    // span S (25 tokens) immediately preceded by a flank F that is
+    // duplicated with train doc 2 THROUGH the boundary (doc 2 carries
+    // F + S[1..2]), so doc 1's maximal duplicated run is the merged
+    // 35-token F+S — its run_fp differs from bench's standalone S and
+    // fp-equality screens (q414) see NOTHING. Bench-membership streaks
+    // still find S's exact extent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed").toString
+    val sSpan = (1 to 25).map(i => s"S$i")
+    val f = (1 to 10).map(i => s"F$i")
+    val bench0 = (1 to 5).map(i => s"ba$i") ++ sSpan ++ (1 to 20).map(i => s"bb$i")
+    val train1 = (1 to 10).map(i => s"ta$i") ++ f ++ sSpan ++ (1 to 5).map(i => s"tb$i")
+    val train2 = (1 to 8).map(i => s"tc$i") ++ f ++ sSpan.take(2) ++
+      (1 to 30).map(i => s"td$i")
+    import spark.implicits._
+    Seq((0L, bench0.mkString(" "), "en", "bench"),
+        (1L, train1.mkString(" "), "en", "crawl"),
+        (2L, train2.mkString(" "), "en", "crawl"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the merged maximal run exists (35 tokens) — S alone is NOT a
+    // maximal run in doc 1, so fp-equality cannot name it
+    val catalog = SparkEntry.queries("q413_dup_run_extraction")(spark, dir)
+      .collect()
+    assert(catalog.exists(_.getAs[Long]("run_tokens") == 35L),
+      s"the F+S merge must be one maximal run: ${catalog.toSeq}")
+    val q414 = SparkEntry.queries("q414_cross_source_contamination")(
+      spark, dir).collect()
+    assert(q414.isEmpty,
+      "fp-equality must MISS the embedded span here — that is the " +
+        "blind spot q422 exists to close")
+    // the membership streak finds S's exact 25-token extent in doc 1
+    val rows = SparkEntry.queries("q422_eval_overlap_runs")(spark, dir)
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("source") == "crawl")
+    assert(rows.head.getAs[Long]("n_runs") == 1L &&
+      rows.head.getAs[Long]("overlap_token_mass") == 25L &&
+      rows.head.getAs[Long]("max_run_tokens") == 25L, s"${rows.toSeq}")
+    // and the strip removes exactly it, from doc 1 only
+    val out = DupRunStore.stripSharedSpans(
+      Seq((1L, train1.mkString(" ")), (2L, train2.mkString(" ")))
+        .toDF("doc_id", "text"),
+      Seq((0L, bench0.mkString(" "))).toDF("doc_id", "text"))
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out(0).getAs[Long]("n_removed") == 25L &&
+      !out(0).getAs[String]("text").contains("S1 S2"),
+      s"embedded span must be stripped: ${out(0)}")
+    assert(out(1).getAs[Long]("n_removed") == 0L,
+      "doc 2 carries no >= 20-token bench overlap and must be untouched")
   }
 
   test("stripSharedSpans removes a planted benchmark span from the train side only") {
