@@ -141,7 +141,17 @@ object DupRunStore {
         lit(1L).as("delta"))
     if (gen == 0) credits
     else {
-      val retracts = s.read.parquet(s"$statePath/deltas")
+      // EXPLICIT read schema: a prior generation with ZERO qualifying
+      // runs leaves an empty partition set (bare _SUCCESS, or a
+      // part-less gen= dir from the stream sink) — schema inference
+      // would fail on it, while nothing-to-retract is the correct
+      // reading; the declared schema makes the empty log read as an
+      // empty frame instead of an error (DupRunStoreSpec pins the
+      // empty-seed lifecycle)
+      val retracts = s.read.schema(
+          "doc_id BIGINT, source STRING, start_tok INT, " +
+            "run_tokens BIGINT, run_fp STRING, delta BIGINT, gen INT")
+        .parquet(s"$statePath/deltas")
         .filter(col("gen") < gen)
         .join(affected.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
         .groupBy(RunKey.map(col): _*)

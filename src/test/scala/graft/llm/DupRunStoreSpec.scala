@@ -71,6 +71,32 @@ class DupRunStoreSpec extends SparkSuite {
       "doc 0's first run must have grown past its gen-0 extent")
   }
 
+  test("q418: an empty seed generation (zero qualifying runs) does not wedge the log") {
+    // gen 0 catalogues NOTHING (every token unique at that point), so
+    // its delta write is an empty partition set; gen 1 then arrives
+    // sharing a 25-token block — the retraction read of the empty log
+    // must parse as empty (declared schema), not fail inference, and
+    // the retro credit must land in the OLD doc.
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyseed").toString
+    val block = (1 to 25).map(j => s"B$j")
+    val doc0 = (1 to 15).map(j => s"ea$j") ++ block ++ (1 to 20).map(j => s"eb$j")
+    val doc1 = (1 to 10).map(j => s"ec$j") ++ block ++ (1 to 10).map(j => s"ed$j")
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "web"),
+        (1L, doc1.mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q418_dup_run_store_ivm")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("gen"))
+    assert(rows.map(_.getAs[Long]("n_mismatch")).sum == 0L, s"${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_credit") == 0L,
+      "gen 0 must catalogue nothing on this fixture")
+    assert(rows(1).getAs[Long]("n_credit") == 2L &&
+      rows(1).getAs[Long]("n_retract") == 0L,
+      s"gen 1 must credit both sites of the retro-created run: ${rows.toSeq}")
+  }
+
   test("q421: compaction folds the log and the gen-2 retraction debits the folded base") {
     // three-generation retro fixture: doc 2 (gen 2) repeats doc 0's
     // tokens v9..v12 + P[1..16] (positions 44..63 — a 20-token block
