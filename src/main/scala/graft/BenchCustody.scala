@@ -109,6 +109,46 @@ object BenchCustody {
       .sortBy(k => -cur(k) / ref(k))
       .take(cap)
 
+  /** [[triageSet]] iterated to a FIXPOINT (round-15 verdict
+    * What's-wrong #2: the single capped pass left a 41-entry
+    * >1.3× contention tail in the certified record — the cap BOUND,
+    * and 21 over-threshold entries certified sweep-coupled). Batches
+    * of up to `cap` worst ratios are re-timed via `retime`, the
+    * rankings recomputed over the updated entries, and the loop
+    * repeats until no over-threshold common-subset entry remains
+    * un-retimed. An entry is re-timed AT MOST ONCE: the standalone
+    * number is the chosen measurement, so one that still exceeds the
+    * threshold after its standalone re-time is a confirmed (explained)
+    * slowdown, not a candidate for re-rolling until it looks fast.
+    * Failed re-times (−1) keep the sweep entry but still count as
+    * triaged. Terminates in ≤ |board|/1 iterations: every iteration
+    * re-times ≥ 1 new entry or stops. Returns (final per-query times,
+    * every standalone re-time taken — the record's `retimed` field).
+    * Pure given `retime`, so CertCustodySpec pins the fixpoint. */
+  def triageFixpoint(cur: Map[String, Double], ref: Map[String, Double],
+      retime: String => Double, threshold: Double = 1.5,
+      floorSec: Double = 0.05, cap: Int = 20)
+      : (Map[String, Double], Map[String, Double]) = {
+    var times = cur
+    var retimed = Map.empty[String, Double]
+    var continue = true
+    while (continue) {
+      // already-retimed entries leave the candidate pool BEFORE the
+      // cap ranks ratios — a confirmed-slow standalone reading must
+      // not occupy the worst-20 slots and starve un-triaged entries
+      // out of the batch (that would re-open the capped-pass hole)
+      val batch = triageSet(times -- retimed.keys, ref,
+        threshold, floorSec, cap)
+      if (batch.isEmpty) continue = false
+      else batch.foreach { n =>
+        val t = retime(n)
+        retimed += n -> t
+        if (t >= 0) times += n -> t
+      }
+    }
+    (times, retimed)
+  }
+
   /** Drift-gate arithmetic (shared by BenchDriftSpec and [[decide]]'s
     * superset guard): the common-subset total ratio and the bound it
     * must stay under. The bound is [[DriftBound]] widened by the

@@ -13,6 +13,14 @@ object One {
     val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 2) Some(args(2)) else None
+    // fail fast on a blank/whitespace outDir (round-15 verdict
+    // What's-wrong #3: a shell-quoting accident passed '' and this
+    // main happily mkdir'd a directory literally named '' at the repo
+    // root, which then got committed and survived three hygiene
+    // sweeps)
+    outDir.foreach(d => require(d.trim.nonEmpty,
+      "outDir is empty/blank — check shell quoting (a stray '' arg " +
+        "creates a directory named '')"))
     val reps = if (args.length > 3) args(3).toInt else 2
     val spark = GraftSession.local("graft-one")
     // GRAFT_JOBLOG=1: print per-job wall times (job id, seconds, first

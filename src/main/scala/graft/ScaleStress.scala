@@ -292,14 +292,21 @@ object ScaleStress {
     // q419's store read is covered by the q415 store-scan term
     q("q418_dup_run_store_ivm", LifecycleScales),
     q("q421_dup_run_store_compact", LifecycleScales),
-    q("q422_eval_overlap_runs"),
+    // round-16: the eval-overlap screen is corpus-token-volume — the
+    // exact probe a real pipeline runs at full scale — so it takes
+    // the x100 decade (round-15 verdict Next #5)
+    q("q422_eval_overlap_runs", LifecycleScales),
     // the cut probe FORCES the text rebuild: a bare .count() lets
     // Catalyst prune the cleaned_fp projection (and eliminate the
-    // unique-key left join), timing an empty plan — max() needs the
-    // actual sha values, so the per-doc rebuild lambda runs
+    // unique-key left join), timing an empty plan. `.head` on the
+    // aggregate row MATERIALIZES max/sum (round-15 ADVICE: an outer
+    // .count() plans Aggregate[count(1)] over the inner aggregate and
+    // ColumnPruning drops the sha2 rebuild anyway — the probe timed
+    // the very pruned plan this comment said it avoided)
     Probe("q420_exact_substr_cut", (s, dir) => {
-      SparkEntry.queries("q420_exact_substr_cut")(s, dir)
-        .agg(max(col("cleaned_fp")), sum(col("n_removed"))).count()
+      val r = SparkEntry.queries("q420_exact_substr_cut")(s, dir)
+        .agg(max(col("cleaned_fp")), sum(col("n_removed"))).head
+      if (r.isNullAt(0)) 0L else 1L
     }, LifecycleScales),
     // store LIFECYCLE at scale: the full checkpoint/compact contracts
     // (seed + generation appends + compact + post-compact append +

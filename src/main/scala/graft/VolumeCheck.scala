@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * readings: q218's join volume (lineitem⋈orders rows — the cached
   * latency table the quantile rank pass sorts) and q413's
   * duplicated-site and run-row volumes (the streak window's input and
-  * the fetch-back's probe side).
+  * the fetch-back's probe side). Round 16 adds q421 (the run-store
+  * compact — the board's most expensive entry, and the only ≥ 1.0
+  * ×100 exponent without a data-term pin per the round-15 verdict):
+  * the rows the watermark fold and the postings/docs rewrites
+  * actually process.
   *
   *   sbt "runMain graft.VolumeCheck [baseDir] [scales] [checks]"
-  *   checks: comma list of q244,q218,q413 (default all)
+  *   checks: comma list of q244,q218,q413,q421 (default all)
   */
 object VolumeCheck {
   def main(args: Array[String]): Unit = {
@@ -27,7 +31,7 @@ object VolumeCheck {
     val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
       else Seq(1, 10, 30, 100)
     val checks = if (args.length > 2) args(2).split(",").toSet
-      else Set("q244", "q218", "q413")
+      else Set("q244", "q218", "q413", "q421")
     scales.foreach { sc =>
       val dir = ScaleStress.synthesize(s, base, sc)
       if (checks("q218")) {
@@ -53,6 +57,13 @@ object VolumeCheck {
           .count()
         println(s"[vol] q413 x$sc sites=${pos.count()} dup_sites=$dup")
         pos.unpersist()
+        s.catalog.clearCache()
+      }
+      if (checks("q421")) {
+        val (deltas, postings, docs) =
+          llm.DupRunStore.compactInputVolumes(s, dir)
+        println(s"[vol] q421 x$sc delta_rows=$deltas " +
+          s"postings_rows=$postings doc_rows=$docs")
         s.catalog.clearCache()
       }
       if (checks("q244")) {

