@@ -168,9 +168,14 @@ object CurationMain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curated").toString)
+    // optional third arg: the span-stage cut threshold in tokens (the
+    // q416 planner's operating point — e.g. 50 for the Lee et al.
+    // 100 TB setting)
+    val minTokens = args.lift(2).map(_.toInt)
+      .getOrElse(TextDedup.DupRunMinTokens)
     val spark = GraftSession.local("graft-curation")
     try {
-      val (curated, f) = curate(spark, sfDir)
+      val (curated, f) = curate(spark, sfDir, minTokens)
       curated.write.mode("overwrite").partitionBy("split").parquet(outDir)
       println(s"""{"curation_funnel":{"input":${f.input},"after_quality":${f.afterQuality},""" +
         s""""after_exact_dedup":${f.afterExact},"after_near_dup":${f.afterNearDup},""" +
