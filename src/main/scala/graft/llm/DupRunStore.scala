@@ -386,18 +386,6 @@ object DupRunStore {
       .select(col("doc_id"), col("start_tok"), col("run_tokens"))
   }
 
-  /** [[removalSpans]] exploded to the distinct 1-based token positions
-    * they cover — the covered-mass form the cut/census identity spec
-    * reasons over. NOT on the cut's execution path (the rebuild is
-    * interval-driven); token-position volume appears only where a
-    * position-set answer is itself the output. */
-  private[llm] def spanRemovalPositions(sites: DataFrame): DataFrame =
-    removalSpans(sites)
-      .select(col("doc_id"), explode(expr(
-        "sequence(start_tok, start_tok + cast(run_tokens AS int) - 1)"))
-        .as("p"))
-      .distinct()
-
   /** Apply removal INTERVALS (doc_id, start_tok, run_tokens — 1-based,
     * overlap-tolerant) to a docs frame: rebuild each doc's text from
     * the GAPS between its sorted intervals, carrying the removed-token
@@ -432,8 +420,12 @@ object DupRunStore {
             |  st -> if(st.nxt <= size(toks),
             |    concat(st.acc, slice(toks, st.nxt, size(toks) - st.nxt + 1)),
             |    st.acc))""".stripMargin)))
+      // coalesce both sizes: a null-text doc (toks = kept = NULL —
+      // possible when a caller feeds an unfiltered frame) must read
+      // n_removed = 0, not NULL
       .withColumn("n_removed",
-        (size(col("toks")) - size(col("kept"))).cast("long"))
+        (coalesce(size(col("toks")), lit(0)) -
+          coalesce(size(col("kept")), lit(0))).cast("long"))
       .withColumn("text", when(col("iv").isNull, col("text"))
         .otherwise(array_join(col("kept"), " ")))
       .drop("toks", "iv", "kept")

@@ -164,7 +164,14 @@ class DupRunStoreSpec extends SparkSuite {
     val removedTotal = SparkEntry.queries("q420_exact_substr_cut")(spark, sf)
       .agg(sum(col("n_removed"))).head.getLong(0)
     val sites = DupRunStore.catalogSites(spark, sf)
-    val removedPos = DupRunStore.spanRemovalPositions(sites).cache()
+    // the covered-mass (distinct-position) form of the removal set —
+    // spec-side only: the cut's execution path ships intervals, this
+    // identity reasons about the token positions they cover
+    val removedPos = DupRunStore.removalSpans(sites)
+      .select(col("doc_id"), explode(expr(
+        "sequence(start_tok, start_tok + cast(run_tokens AS int) - 1)"))
+        .as("p"))
+      .distinct().cache()
     assert(removedPos.count() == removedTotal,
       "q420's per-doc removed counts must sum to the removal-position set")
     val w = org.apache.spark.sql.expressions.Window
