@@ -203,7 +203,11 @@ object ScaleStress {
     // discipline the q240/q274 precedent set: >= 0.9 at x30 deserves
     // the second decade before being called linear)
     q("q283_pair_graph_ivm", LifecycleScales),
-    q("q231_chunk_retrieval"), q("q295_pmi_cooccurrence"),
+    // round-16: q231 (0.852 at x30) is the sole remaining >= 0.85
+    // reading without a second decade — the q405/rep_global_rank
+    // precedent says it takes the x100 point before being called
+    // sub-linear
+    q("q231_chunk_retrieval", LifecycleScales), q("q295_pmi_cooccurrence"),
     // round-14: the next two highest standing sub-1.0 exponents
     // (0.899 / 0.882 at x30) take the second decade — the same
     // one-more-decade discipline the q240/q274/q350/q356 points set
