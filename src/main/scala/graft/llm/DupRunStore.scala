@@ -294,16 +294,7 @@ object DupRunStore {
     * silently destroy later generations. */
   private[graft] def runStoreCompact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
-    val maxGen = {
-      val p = java.nio.file.Paths.get(s"$statePath/deltas")
-      val st = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
-          .foldLeft(-1)(math.max)
-      } finally st.close()
-    }
+    val maxGen = genDirs(s"$statePath/deltas").foldLeft(-1)(math.max)
     require(maxGen >= 0 && watermark >= maxGen,
       s"compact(watermark=$watermark) below newest generation $maxGen " +
         "would drop maintained deltas; compact at the log head")
@@ -332,18 +323,8 @@ object DupRunStore {
     * parquet). Skipping is safe: the next clean batch compacts. */
   private[graft] def autoCompactIfFragmented(s: SparkSession,
       statePath: String, currentGen: Int, every: Int = 10): Boolean = {
-    def gens(sub: String): Seq[Int] = {
-      val p = java.nio.file.Paths.get(s"$statePath/$sub")
-      if (!java.nio.file.Files.isDirectory(p)) return Nil
-      val st = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
-          .toSeq
-      } finally st.close()
-    }
-    val all = gens("deltas") ++ gens("postings") ++ gens("docs")
+    val all = Seq("deltas", "postings", "docs")
+      .flatMap(sub => genDirs(s"$statePath/$sub"))
     val committed = all.filter(_ < currentGen).distinct
     if (committed.size < every || all.exists(_ >= currentGen)) false
     else { runStoreCompact(s, statePath, committed.max); true }
@@ -502,6 +483,85 @@ object DupRunStore {
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  // ---------------------------------------------------------------
+  // eval-shingle LOG maintenance (the store's live-twin path)
+  // ---------------------------------------------------------------
+
+  /** One maintenance step of the generation-partitioned eval-shingle
+    * LOG under snapshot appends — the live-twin counterpart of the
+    * seed-once [[evalShingleStore]] (the q82 eval slice GROWS with
+    * the corpus: every appended snapshot lands new doc_id % 50 == 0
+    * benchmark docs, so a long-running screen's probe set must be
+    * maintained, not just seeded). Each batch Overwrites its OWN
+    * `gen=<id>` dir with the batch slice's distinct shingle hashes —
+    * deterministic bytes, so an at-least-once replay converges (the
+    * bandIndexAppendSink stance). SET semantics make this the
+    * simplest store in the repo: shingles are never retracted from an
+    * append-only eval set, so no signed deltas, no affected-set
+    * recompute — just per-gen distinct contributions. */
+  private[graft] def evalShingleStep(batchDocs: DataFrame,
+      statePath: String, gen: Int): Unit =
+    benchShinglesOf(batchDocs.filter(col("doc_id") % 50 === 0))
+      .write.mode("overwrite").parquet(s"$statePath/gen=$gen")
+
+  /** Serve the maintained eval-shingle set: distinct over generations
+    * (the same shingle can arrive in several snapshots' eval docs).
+    * Declared schema so a part-less generation dir (a batch with NO
+    * eval-slice docs writes an empty commit) reads as empty instead
+    * of failing inference. */
+  private[graft] def evalShinglesServe(s: SparkSession, statePath: String)
+      : DataFrame =
+    s.read.schema("sh BIGINT, gen INT").parquet(statePath)
+      .select(col("sh")).distinct()
+
+  /** Compact the eval-shingle log at `watermark`: fold every
+    * generation ≤ watermark into ONE distinct base generation. Same
+    * head-only guard as [[runStoreCompact]] — a watermark below the
+    * newest generation would silently destroy later contributions.
+    * Semantics-preserving by the same argument: the serve is a
+    * distinct over `gen` partitions and folded gen = watermark < any
+    * future generation id. */
+  private[graft] def evalShingleCompact(s: SparkSession, statePath: String,
+      watermark: Int): Unit = {
+    val all = genDirs(statePath)
+    require(all.nonEmpty && watermark >= all.max,
+      s"compact(watermark=$watermark) below newest generation " +
+        s"${if (all.isEmpty) -1 else all.max} would drop maintained " +
+        "shingles; compact at the log head")
+    StateStores.rewriteSwap(
+      s.read.schema("sh BIGINT, gen INT").parquet(statePath)
+        .filter(col("gen") <= watermark)
+        .select(col("sh")).distinct()
+        .withColumn("gen", lit(watermark)),
+      statePath, Some("gen"))
+  }
+
+  /** The [[autoCompactIfFragmented]] cadence rule for the single-log
+    * eval-shingle store: fold at the committed head (every generation
+    * < `currentGen` is streaming-committed) unless a dir ≥ currentGen
+    * exists — that is a crashed uncommitted attempt of this very
+    * batch, about to be Overwritten; folding it would read torn
+    * parquet. Skipping is safe: the next clean batch compacts. */
+  private[graft] def evalShingleAutoCompact(s: SparkSession,
+      statePath: String, currentGen: Int, every: Int = 10): Boolean = {
+    val all = genDirs(statePath)
+    val committed = all.filter(_ < currentGen)
+    if (committed.size < every || all.exists(_ >= currentGen)) false
+    else { evalShingleCompact(s, statePath, committed.max); true }
+  }
+
+  private def genDirs(path: String): Seq[Int] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return Nil
+    val st = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
+        .toSeq
+    } finally st.close()
   }
 
   /** Cross-set span DECONTAMINATION — the q414/q422 screen turned

@@ -745,6 +745,31 @@ object EventStreams {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** LIVE eval-shingle maintenance — the streaming twin of the
+    * seed-once [[graft.llm.DupRunStore.evalShingleStore]] (round 16:
+    * the store every contamination screen probes must not be the one
+    * store without a live path). The q82 eval slice GROWS with
+    * snapshot appends — every streamed batch can land new
+    * doc_id % 50 == 0 benchmark docs — so each micro-batch Overwrites
+    * its own `gen=<batchId>` dir with its slice's distinct shingle
+    * hashes (replay-idempotent deterministic bytes), the serve is a
+    * distinct over generations, and the compaction cadence folds the
+    * committed head to one distinct base. Set semantics: no signed
+    * deltas — an append-only eval set never retracts a shingle.
+    * DupRunStreamSpec pins streamed ≡ rebuilt (empty-slice batches
+    * included), mid-stream compaction, and commit-window replay. */
+  def evalShingleSink(docs: DataFrame, statePath: String,
+      checkpoint: Option[String] = None,
+      autoCompactEvery: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.DupRunStore.evalShingleAutoCompact(
+        batch.sparkSession, statePath, batchId.toInt, autoCompactEvery)
+      graft.llm.DupRunStore.evalShingleStep(batch, statePath, batchId.toInt)
+    }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** LIVE centroid maintenance — the streaming twin of q230's
     * running-mean update, closing the last maintained store without a
     * live path. Unlike the band/chunk/pair sinks (LOG state — per-batch

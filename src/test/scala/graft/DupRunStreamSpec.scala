@@ -16,6 +16,11 @@ import graft.llm.{DupRunStore, TextDedup}
   *      between the sink write and the streaming commit;
   *   3. the serve read: the netted catalog equals the in-plan
   *      [[TextDedup.dupRunSitesOf]] extraction row-for-row.
+  *
+  * Round 16 adds the eval-shingle log's live twin
+  * ([[streaming.EventStreams.evalShingleSink]]): streamed ≡ rebuilt
+  * slice set (empty-slice generations included), mid-stream
+  * compaction folding, and commit-window replay idempotence.
   */
 class DupRunStreamSpec extends SparkSuite {
 
@@ -115,6 +120,78 @@ class DupRunStreamSpec extends SparkSuite {
     }
     assert(gens == Set("gen=1", "gen=2"),
       s"the live fold must truncate the log: $gens")
+  }
+
+  test("live eval-shingle log: streamed serve equals the rebuilt slice set, compaction included") {
+    // Round-16: the eval-shingle store's live twin. Three micro-batches
+    // — batch 0 carries eval doc 0 + a train doc, batch 1 carries eval
+    // doc 50 + a train doc, batch 2 carries ONLY train text (an
+    // empty-slice generation, the part-less-dir read path) — under
+    // autoCompactEvery = 2, so batch 2 opens by folding gens {0, 1}
+    // to one distinct base. The serve must equal the whole corpus's
+    // eval-slice shingle set, train text contributing nothing.
+    import spark.implicits._
+    val eval0 = (1 to 30).map(j => s"ev$j").mkString(" ")
+    val eval50 = ((11 to 30).map(j => s"ev$j") ++ (1 to 10).map(j => s"ew$j"))
+      .mkString(" ") // overlaps eval0 — the cross-generation distinct case
+    val train = (1 to 30).map(j => s"tr$j").mkString(" ")
+    val srcDir = Files.createTempDirectory("graft_evs_src").toString
+    val statePath = Files.createTempDirectory("graft_evs_state")
+      .resolve("state").toString
+    stage(srcDir, Seq(
+      Seq(0L -> eval0, 1L -> train),
+      Seq(50L -> eval50, 2L -> train),
+      Seq(3L -> train)))
+    val q = streaming.EventStreams.evalShingleSink(src(srcDir), statePath,
+      autoCompactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val served = DupRunStore.evalShinglesServe(spark, statePath)
+    val expected = Seq(0L -> eval0, 50L -> eval50).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))"""
+          .stripMargin)).as("sh"))
+      .distinct()
+    assert(served.count() == expected.count(),
+      "streamed eval-shingle set must match the rebuilt slice set")
+    assert(served.join(expected, Seq("sh"), "full_outer")
+      .filter(col("sh").isNull).count() == 0L)
+    // the fold really happened: gens {0,1} collapsed to base gen=1
+    val gens = {
+      val st = Files.list(Paths.get(statePath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen=")).toSet
+      } finally st.close()
+    }
+    assert(gens == Set("gen=1", "gen=2"), s"log not folded: $gens")
+  }
+
+  test("live eval-shingle log replays its batch idempotently across a commit-window kill") {
+    import spark.implicits._
+    val eval0 = (1 to 30).map(j => s"rx$j").mkString(" ")
+    val eval50 = (1 to 30).map(j => s"ry$j").mkString(" ")
+    val srcDir = Files.createTempDirectory("graft_evs_crash_src").toString
+    val statePath = Files.createTempDirectory("graft_evs_crash_state")
+      .resolve("state").toString
+    val ckpt = Files.createTempDirectory("graft_evs_ckpt").toString
+    stage(srcDir, Seq(Seq(0L -> eval0), Seq(50L -> eval50)))
+    def start() = streaming.EventStreams.evalShingleSink(
+      src(srcDir), statePath, checkpoint = Some(ckpt))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(Files.exists(Paths.get(s"$ckpt/commits/1")))
+    // the crash window: batch 1's gen dir is on disk, its commit is not
+    Files.delete(Paths.get(s"$ckpt/commits/1"))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // 28 distinct shingles per 30-token doc, disjoint across the two
+    val served = DupRunStore.evalShinglesServe(spark, statePath).count()
+    assert(served == 56L,
+      s"replayed eval-shingle log must converge to the same set: $served")
   }
 
   test("commit-window kill/restart replays the maintenance batch idempotently") {
