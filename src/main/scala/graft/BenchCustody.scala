@@ -92,17 +92,34 @@ object BenchCustody {
   /** The cross-round drift bound on common-subset totals. */
   val DriftBound = 1.15
 
+  /** Shared triage tuning — ONE set of literals for the single-pass
+    * [[triageSet]] and the iterated [[triageFixpoint]], so the
+    * production path and the spec-pinned semantics cannot silently
+    * diverge on a threshold retune. */
+  val TriageThreshold = 1.5
+  val TriageFloorSec = 0.05
+  val TriageCap = 20
+
+  /** Hard ceiling on TOTAL standalone re-times across a fixpoint run
+    * (4 batches' worth): past this many over-threshold entries the
+    * run is condemned by contention, not fixable by triage — the
+    * remaining tail stays sweep-coupled and the drift gate (which
+    * such a run cannot pass anyway) owns the refusal. Restores the
+    * bounded-cost property the per-batch cap alone no longer gives
+    * the iterated form. */
+  val TriageMaxRetimes = 80
+
   /** Standalone re-time TRIAGE (round-13 verdict What's-wrong #1): the
     * common-subset queries whose in-sweep minima exceed `threshold`×
     * the gate reference's entry — coupling-noise suspects that must be
     * re-timed standalone before the run certifies. Reference entries
     * under `floorSec` are excluded (a 0.02 s entry tripling is grid
     * noise, not coupling); the set is capped at `cap` worst ratios so
-    * triage cost stays bounded, worst-first so a cap bites the least
-    * suspicious entries. Failed queries (−1) never triage. */
+    * one batch's cost stays bounded, worst-first so a cap bites the
+    * least suspicious entries. Failed queries (−1) never triage. */
   def triageSet(cur: Map[String, Double], ref: Map[String, Double],
-      threshold: Double = 1.5, floorSec: Double = 0.05,
-      cap: Int = 20): Seq[String] =
+      threshold: Double = TriageThreshold, floorSec: Double = TriageFloorSec,
+      cap: Int = TriageCap): Seq[String] =
     cur.keySet.intersect(ref.keySet).toSeq
       .filter(k => cur(k) >= 0 && ref(k) >= floorSec &&
         cur(k) > threshold * ref(k))
@@ -121,24 +138,30 @@ object BenchCustody {
     * threshold after its standalone re-time is a confirmed (explained)
     * slowdown, not a candidate for re-rolling until it looks fast.
     * Failed re-times (−1) keep the sweep entry but still count as
-    * triaged. Terminates in ≤ |board|/1 iterations: every iteration
-    * re-times ≥ 1 new entry or stops. Returns (final per-query times,
-    * every standalone re-time taken — the record's `retimed` field).
-    * Pure given `retime`, so CertCustodySpec pins the fixpoint. */
+    * triaged. Terminates in ≤ |board| re-times, and TOTAL re-time
+    * cost is additionally ceilinged at `maxRetimes`
+    * ([[TriageMaxRetimes]]): a board with more over-threshold entries
+    * than that is contention-condemned — the tail stays sweep-coupled
+    * and the drift gate owns the refusal. Returns (final per-query
+    * times, every standalone re-time taken — the record's `retimed`
+    * field). Pure given `retime`, so CertCustodySpec pins the
+    * fixpoint. */
   def triageFixpoint(cur: Map[String, Double], ref: Map[String, Double],
-      retime: String => Double, threshold: Double = 1.5,
-      floorSec: Double = 0.05, cap: Int = 20)
+      retime: String => Double, threshold: Double = TriageThreshold,
+      floorSec: Double = TriageFloorSec, cap: Int = TriageCap,
+      maxRetimes: Int = TriageMaxRetimes)
       : (Map[String, Double], Map[String, Double]) = {
     var times = cur
     var retimed = Map.empty[String, Double]
     var continue = true
-    while (continue) {
+    while (continue && retimed.size < maxRetimes) {
       // already-retimed entries leave the candidate pool BEFORE the
       // cap ranks ratios — a confirmed-slow standalone reading must
       // not occupy the worst-20 slots and starve un-triaged entries
       // out of the batch (that would re-open the capped-pass hole)
       val batch = triageSet(times -- retimed.keys, ref,
         threshold, floorSec, cap)
+        .take(maxRetimes - retimed.size)
       if (batch.isEmpty) continue = false
       else batch.foreach { n =>
         val t = retime(n)

@@ -294,10 +294,7 @@ object DupRunStore {
     * silently destroy later generations. */
   private[graft] def runStoreCompact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
-    val maxGen = genDirs(s"$statePath/deltas").foldLeft(-1)(math.max)
-    require(maxGen >= 0 && watermark >= maxGen,
-      s"compact(watermark=$watermark) below newest generation $maxGen " +
-        "would drop maintained deltas; compact at the log head")
+    headGuard(genDirs(s"$statePath/deltas"), watermark, "deltas")
     val folded = s.read.parquet(s"$statePath/deltas")
       .filter(col("gen") <= watermark)
       .groupBy(RunKey.map(col): _*)
@@ -322,12 +319,32 @@ object DupRunStore {
     * replay is about to Overwrite it, and folding it would read torn
     * parquet). Skipping is safe: the next clean batch compacts. */
   private[graft] def autoCompactIfFragmented(s: SparkSession,
-      statePath: String, currentGen: Int, every: Int = 10): Boolean = {
-    val all = Seq("deltas", "postings", "docs")
-      .flatMap(sub => genDirs(s"$statePath/$sub"))
+      statePath: String, currentGen: Int, every: Int = 10): Boolean =
+    foldAtCommittedHead(
+      Seq("deltas", "postings", "docs")
+        .flatMap(sub => genDirs(s"$statePath/$sub")),
+      currentGen, every)(runStoreCompact(s, statePath, _))
+
+  /** ONE head-only compaction guard for every log-state store here:
+    * a watermark below the newest generation would silently destroy
+    * later maintained state. */
+  private def headGuard(all: Seq[Int], watermark: Int, what: String): Unit =
+    require(all.nonEmpty && watermark >= all.max,
+      s"compact(watermark=$watermark) below newest generation " +
+        s"${all.foldLeft(-1)(math.max)} would drop maintained $what; " +
+        "compact at the log head")
+
+  /** ONE committed-head cadence rule for every live sink here (the
+    * PairGraph replay-safety rule): fold when ≥ `every` generations
+    * are streaming-committed (< `currentGen`), but never while a dir
+    * ≥ `currentGen` exists — that is a crashed uncommitted attempt of
+    * this very batch, about to be Overwritten; folding it would read
+    * torn parquet. Skipping is safe: the next clean batch compacts. */
+  private def foldAtCommittedHead(all: Seq[Int], currentGen: Int,
+      every: Int)(compact: Int => Unit): Boolean = {
     val committed = all.filter(_ < currentGen).distinct
     if (committed.size < every || all.exists(_ >= currentGen)) false
-    else { runStoreCompact(s, statePath, committed.max); true }
+    else { compact(committed.max); true }
   }
 
   /** Direct DATA-TERM volumes for the q421 compact (the
@@ -517,19 +534,13 @@ object DupRunStore {
       .select(col("sh")).distinct()
 
   /** Compact the eval-shingle log at `watermark`: fold every
-    * generation ≤ watermark into ONE distinct base generation. Same
-    * head-only guard as [[runStoreCompact]] — a watermark below the
-    * newest generation would silently destroy later contributions.
-    * Semantics-preserving by the same argument: the serve is a
-    * distinct over `gen` partitions and folded gen = watermark < any
-    * future generation id. */
+    * generation ≤ watermark into ONE distinct base generation, under
+    * the shared [[headGuard]]. Semantics-preserving because the serve
+    * is a distinct over `gen` partitions and folded gen = watermark <
+    * any future generation id. */
   private[graft] def evalShingleCompact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
-    val all = genDirs(statePath)
-    require(all.nonEmpty && watermark >= all.max,
-      s"compact(watermark=$watermark) below newest generation " +
-        s"${if (all.isEmpty) -1 else all.max} would drop maintained " +
-        "shingles; compact at the log head")
+    headGuard(genDirs(statePath), watermark, "shingles")
     StateStores.rewriteSwap(
       s.read.schema("sh BIGINT, gen INT").parquet(statePath)
         .filter(col("gen") <= watermark)
@@ -538,19 +549,12 @@ object DupRunStore {
       statePath, Some("gen"))
   }
 
-  /** The [[autoCompactIfFragmented]] cadence rule for the single-log
-    * eval-shingle store: fold at the committed head (every generation
-    * < `currentGen` is streaming-committed) unless a dir ≥ currentGen
-    * exists — that is a crashed uncommitted attempt of this very
-    * batch, about to be Overwritten; folding it would read torn
-    * parquet. Skipping is safe: the next clean batch compacts. */
+  /** The shared [[foldAtCommittedHead]] cadence rule applied to the
+    * single-log eval-shingle store. */
   private[graft] def evalShingleAutoCompact(s: SparkSession,
-      statePath: String, currentGen: Int, every: Int = 10): Boolean = {
-    val all = genDirs(statePath)
-    val committed = all.filter(_ < currentGen)
-    if (committed.size < every || all.exists(_ >= currentGen)) false
-    else { evalShingleCompact(s, statePath, committed.max); true }
-  }
+      statePath: String, currentGen: Int, every: Int = 10): Boolean =
+    foldAtCommittedHead(genDirs(statePath), currentGen, every)(
+      evalShingleCompact(s, statePath, _))
 
   private def genDirs(path: String): Seq[Int] = {
     val p = java.nio.file.Paths.get(path)

@@ -233,6 +233,15 @@ class CertCustodySpec extends AnyFunSuite {
     val (t4, r4) = BenchCustody.triageFixpoint(ref, ref,
       _ => fail("nothing to triage on a clean board"))
     assert(t4 == ref && r4.isEmpty)
+    // total-cost ceiling: a contention-condemned board (more
+    // over-threshold entries than TriageMaxRetimes) stops re-timing
+    // at the ceiling — the tail stays sweep-coupled and the drift
+    // gate owns the refusal, never an unbounded re-time marathon
+    val bigRef = (1 to 100).map(i => s"b$i" -> 1.0).toMap
+    val bigCur = (1 to 100).map(i => s"b$i" -> 2.0).toMap
+    val (_, r5) = BenchCustody.triageFixpoint(bigCur, bigRef, _ => 2.0)
+    assert(r5.size == BenchCustody.TriageMaxRetimes,
+      s"ceiling must bind at ${BenchCustody.TriageMaxRetimes}: ${r5.size}")
   }
 
   test("custody parser round-trips the explicit fields and derives them for legacy records") {

@@ -327,8 +327,11 @@ class DupRunStoreSpec extends SparkSuite {
     val df = SparkEntry.queries("q422_eval_overlap_runs")(spark, sf)
     df.count() // force the seed before reading the plan
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("/tmp/graft_state/eval_shingle"),
-      "the bench side must scan the persisted eval-shingle store")
+    // derive the expected path from the store identity, not a copied
+    // literal — the assertion must follow a state-root move
+    val storePath = StateStores.servePath(sf, "eval_shingle_v1", "documents")
+    assert(plan.contains(storePath),
+      s"the bench side must scan the persisted eval-shingle store at $storePath")
     // the store itself is a pure parquet read — no document rescan
     val store = DupRunStore.evalShingleStore(spark, sf)
     assert(!store.queryExecution.executedPlan.toString
