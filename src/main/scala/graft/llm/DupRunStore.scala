@@ -294,7 +294,7 @@ object DupRunStore {
     * silently destroy later generations. */
   private[graft] def runStoreCompact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
-    headGuard(genDirs(s"$statePath/deltas"), watermark, "deltas")
+    StateStores.headGuard(StateStores.genDirs(s"$statePath/deltas"), watermark, "deltas")
     val folded = s.read.parquet(s"$statePath/deltas")
       .filter(col("gen") <= watermark)
       .groupBy(RunKey.map(col): _*)
@@ -320,32 +320,10 @@ object DupRunStore {
     * parquet). Skipping is safe: the next clean batch compacts. */
   private[graft] def autoCompactIfFragmented(s: SparkSession,
       statePath: String, currentGen: Int, every: Int = 10): Boolean =
-    foldAtCommittedHead(
+    StateStores.foldAtCommittedHead(
       Seq("deltas", "postings", "docs")
-        .flatMap(sub => genDirs(s"$statePath/$sub")),
+        .flatMap(sub => StateStores.genDirs(s"$statePath/$sub")),
       currentGen, every)(runStoreCompact(s, statePath, _))
-
-  /** ONE head-only compaction guard for every log-state store here:
-    * a watermark below the newest generation would silently destroy
-    * later maintained state. */
-  private def headGuard(all: Seq[Int], watermark: Int, what: String): Unit =
-    require(all.nonEmpty && watermark >= all.max,
-      s"compact(watermark=$watermark) below newest generation " +
-        s"${all.foldLeft(-1)(math.max)} would drop maintained $what; " +
-        "compact at the log head")
-
-  /** ONE committed-head cadence rule for every live sink here (the
-    * PairGraph replay-safety rule): fold when ≥ `every` generations
-    * are streaming-committed (< `currentGen`), but never while a dir
-    * ≥ `currentGen` exists — that is a crashed uncommitted attempt of
-    * this very batch, about to be Overwritten; folding it would read
-    * torn parquet. Skipping is safe: the next clean batch compacts. */
-  private def foldAtCommittedHead(all: Seq[Int], currentGen: Int,
-      every: Int)(compact: Int => Unit): Boolean = {
-    val committed = all.filter(_ < currentGen).distinct
-    if (committed.size < every || all.exists(_ >= currentGen)) false
-    else { compact(committed.max); true }
-  }
 
   /** Direct DATA-TERM volumes for the q421 compact (the
     * graft.VolumeCheck q218/q413 treatment, round-15 verdict Next #3):
@@ -535,12 +513,12 @@ object DupRunStore {
 
   /** Compact the eval-shingle log at `watermark`: fold every
     * generation ≤ watermark into ONE distinct base generation, under
-    * the shared [[headGuard]]. Semantics-preserving because the serve
+    * the shared [[StateStores.headGuard]]. Semantics-preserving because the serve
     * is a distinct over `gen` partitions and folded gen = watermark <
     * any future generation id. */
   private[graft] def evalShingleCompact(s: SparkSession, statePath: String,
       watermark: Int): Unit = {
-    headGuard(genDirs(statePath), watermark, "shingles")
+    StateStores.headGuard(StateStores.genDirs(statePath), watermark, "shingles")
     StateStores.rewriteSwap(
       s.read.schema("sh BIGINT, gen INT").parquet(statePath)
         .filter(col("gen") <= watermark)
@@ -549,24 +527,13 @@ object DupRunStore {
       statePath, Some("gen"))
   }
 
-  /** The shared [[foldAtCommittedHead]] cadence rule applied to the
+  /** The shared [[StateStores.foldAtCommittedHead]] cadence rule applied to the
     * single-log eval-shingle store. */
   private[graft] def evalShingleAutoCompact(s: SparkSession,
       statePath: String, currentGen: Int, every: Int = 10): Boolean =
-    foldAtCommittedHead(genDirs(statePath), currentGen, every)(
+    StateStores.foldAtCommittedHead(StateStores.genDirs(statePath),
+      currentGen, every)(
       evalShingleCompact(s, statePath, _))
-
-  private def genDirs(path: String): Seq[Int] = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(p)) return Nil
-    val st = java.nio.file.Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
-        .toSeq
-    } finally st.close()
-  }
 
   /** Cross-set span DECONTAMINATION — the q414/q422 screen turned
     * into removal predicates (round-14 verdict Next #8): every

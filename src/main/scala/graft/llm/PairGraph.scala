@@ -318,20 +318,10 @@ object PairGraph {
     // newest generation would silently DESTROY all later generations —
     // require the caller to compact the whole log or nothing. The
     // newest generation reads from the partition DIRECTORY names
-    // (gen=N — the write layout [[ivmStep]] owns), zero Spark jobs.
-    val maxGen = {
-      val p = java.nio.file.Paths.get(s"$statePath/deltas")
-      val st = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
-          .foldLeft(-1)(math.max)
-      } finally st.close()
-    }
-    require(maxGen >= 0 && watermark >= maxGen,
-      s"compact(watermark=$watermark) below newest generation $maxGen " +
-        "would drop maintained deltas; compact at the log head")
+    // (gen=N — the write layout [[ivmStep]] owns), zero Spark jobs;
+    // the head-only guard is the shared [[StateStores.headGuard]]
+    StateStores.headGuard(
+      StateStores.genDirs(s"$statePath/deltas"), watermark, "deltas")
     val folded = s.read.parquet(s"$statePath/deltas")
       .filter(col("gen") <= watermark)
       .groupBy(col("d1"), col("d2"))
@@ -357,23 +347,11 @@ object PairGraph {
     * base. Skipping is safe: the NEXT clean batch compacts. Returns
     * true when a fold ran. */
   private[graft] def autoCompactIfFragmented(s: SparkSession,
-      statePath: String, currentGen: Int, every: Int = 10): Boolean = {
-    def gens(sub: String): Seq[Int] = {
-      val p = java.nio.file.Paths.get(s"$statePath/$sub")
-      if (!java.nio.file.Files.isDirectory(p)) return Nil
-      val st = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
-          .toSeq
-      } finally st.close()
-    }
-    val all = gens("deltas") ++ gens("postings")
-    val committed = all.filter(_ < currentGen).distinct
-    if (committed.size < every || all.exists(_ >= currentGen)) false
-    else { compact(s, statePath, committed.max); true }
-  }
+      statePath: String, currentGen: Int, every: Int = 10): Boolean =
+    StateStores.foldAtCommittedHead(
+      Seq("deltas", "postings")
+        .flatMap(sub => StateStores.genDirs(s"$statePath/$sub")),
+      currentGen, every)(compact(s, statePath, _))
 
   val queries: Map[String, Q] = Map(
 

@@ -580,6 +580,50 @@ object StateStores {
     * [[graft.llm.CorpusOps.chunkStoreCompact]] documents, made
     * automatic). Readers are covered by [[readCommitted]]. Returns
     * true when a fold ran. */
+  /** List the generation ids of a `gen=N`-partitioned state dir from
+    * the directory names alone — zero Spark jobs. Shared by every
+    * gen-partitioned store (pair graph, run catalog, eval-shingle
+    * log). */
+  private[graft] def genDirs(path: String): Seq[Int] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return Nil
+    val st = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt)
+        .toSeq
+    } finally st.close()
+  }
+
+  /** ONE head-only compaction guard for every gen-partitioned log
+    * store: a watermark below the newest generation would silently
+    * destroy later maintained state (round-16: this rule previously
+    * lived as three hand-rolled copies that a future fix would have
+    * had to chase individually). */
+  private[graft] def headGuard(all: Seq[Int], watermark: Int,
+      what: String): Unit =
+    require(all.nonEmpty && watermark >= all.max,
+      s"compact(watermark=$watermark) below newest generation " +
+        s"${all.foldLeft(-1)(math.max)} would drop maintained $what; " +
+        "compact at the log head")
+
+  /** ONE committed-head auto-compaction cadence for every live sink
+    * over a gen-partitioned log (the PairGraph replay-safety rule):
+    * fold when ≥ `every` generations are streaming-committed
+    * (< `currentGen`), but never while a dir ≥ `currentGen` exists —
+    * that is a crashed uncommitted attempt of this very batch, about
+    * to be Overwritten; folding it would both read torn parquet and
+    * let the replay's Overwrite destroy the folded base. Skipping is
+    * safe: the next clean batch compacts. Returns true when the fold
+    * ran. */
+  private[graft] def foldAtCommittedHead(all: Seq[Int], currentGen: Int,
+      every: Int)(compact: Int => Unit): Boolean = {
+    val committed = all.filter(_ < currentGen).distinct
+    if (committed.size < every || all.exists(_ >= currentGen)) false
+    else { compact(committed.max); true }
+  }
+
   private[graft] def compactLogIfFragmented(s: SparkSession, path: String,
       currentBatch: Long, every: Int = 10): Boolean = {
     val p = java.nio.file.Paths.get(path)
