@@ -318,6 +318,15 @@ object ScaleStress {
     // 100 TB maintenance story, pinned over TWO decades (x10→x100)
     q("q321_pair_store_compact", LifecycleScales),
     q("q322_band_store_compact", LifecycleScales),
+    // the CAPSTONE composition (round-16): the full curation funnel —
+    // quality band → exact dedup → store-served near-dup → eval-span
+    // strip → 4-gram drop → ExactSubstr cut → split — measured as ONE
+    // probe. Every stage is probed individually elsewhere; a real
+    // pipeline pays the COMPOSITION (shared caches, store seeds,
+    // funnel materialization), so the composed wall gets its own
+    // exponent instead of a sum-of-parts argument.
+    Probe("rep_curation", (s, dir) =>
+      llm.CurationMain.curate(s, dir)._2.afterDecontam),
     // family representatives
     q("q122_kmeans"), // IVF/kmeans training
     Probe("rep_pair_seed", (s, dir) => // the pair-graph serve-store seed
