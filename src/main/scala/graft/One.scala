@@ -23,6 +23,21 @@ object One {
         "creates a directory named '')"))
     val reps = if (args.length > 3) args(3).toInt else 2
     val spark = GraftSession.local("graft-one")
+    // the Bench contention sentinel, printed before and after the
+    // batch (round-16): standalone re-times on this host swing ±1 s
+    // with neighbor load, and a measurement without its window
+    // evidence is unusable for before/after comparisons
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .select(sum(xxhash64(col("id")))).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    sentinel() // untimed codegen warm-up, the Bench stance
+    println(f"[sentinel] pre: ${sentinel()}%.3f s")
     // GRAFT_JOBLOG=1: print per-job wall times (job id, seconds, first
     // line of the call site) — the orchestration-cost profiler for
     // multi-job lifecycle queries (q321-class), where the flat cost is
@@ -74,6 +89,7 @@ object One {
         spark.catalog.clearCache()
       }
     }
+    println(f"[sentinel] post: ${sentinel()}%.3f s")
     outDir.foreach { d =>
       val q = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\t", "\\t") + "\""

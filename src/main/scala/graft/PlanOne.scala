@@ -9,7 +9,13 @@ object PlanOne {
     val spark = GraftSession.local("graft-plan-one",
       extraConfigs = Map("spark.sql.maxMetadataStringLength" -> "200"))
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // formatted plan FIRST (pre-execution — the §7.2 read: operator
+    // list, PushedFilters/ReadSchema, join strategy, codegen spans)
+    println("== explain(formatted) ==")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     df.collect() // drive THIS QueryExecution so AQE finalizes in place
+    println("== executed plan (post-AQE) ==")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

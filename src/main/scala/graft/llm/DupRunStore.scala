@@ -211,10 +211,14 @@ object DupRunStore {
   private def runIvmStepFrom(s: SparkSession, docsArr: DataFrame,
       postings: DataFrame, statePath: String, gen: Int): Unit = {
     val mode = if (gen == 0) "overwrite" else "append"
-    docsArr.withColumn("gen", lit(gen))
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/docs")
-    postings.withColumn("gen", lit(gen))
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings")
+    // docs and postings land on DIFFERENT paths with no ordering
+    // between them — overlap the two write jobs (§2.6); only the delta
+    // derivation below reads them back, and it starts after both
+    StateStores.inParallel(
+      () => docsArr.withColumn("gen", lit(gen))
+        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/docs"),
+      () => postings.withColumn("gen", lit(gen))
+        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings"))
     val (deltas, done) = runIvmDeltas(s, statePath, gen)
     try deltas.withColumn("gen", lit(gen))
       .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas")
@@ -238,8 +242,11 @@ object DupRunStore {
     * generation from the slices. Each step still only WRITES its own
     * generation's rows, and the delta derivation still reads
     * persisted STATE only. */
+  private final case class DemoLifecycle(step: Int => Unit,
+      done: () => Unit, arr: DataFrame, pos: DataFrame)
+
   private def demoLifecycle(s: SparkSession, docs: DataFrame,
-      statePath: String): (Int => Unit, () => Unit) = {
+      statePath: String): DemoLifecycle = {
     val arrAll = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("toks"))
@@ -253,7 +260,37 @@ object DupRunStore {
       arrAll.filter(col("g") === g).drop("g"),
       posAll.filter(col("g") === g).drop("g"), statePath, g)
     val done = () => { arrAll.unpersist(); posAll.unpersist(); () }
-    (step, done)
+    DemoLifecycle(step, done, arrAll.drop("g"), posAll.drop("g"))
+  }
+
+  /** The from-scratch run catalog derived from the demo lifecycle's
+    * CACHED corpus frames — expression-identical to
+    * [[TextDedup.dupRunSitesOf]] at the committed threshold (same
+    * shingle hash, same streak grouping, same fetch-back fingerprint;
+    * the oracle pins the output), but reading the ONE cached
+    * (toks, postings) derivation the lifecycle steps already paid for
+    * instead of re-scanning, re-splitting, re-exploding, and
+    * re-caching the corpus a second time (round-16 optimization; the
+    * q283 stance applied here — its doc already says the one
+    * corpus-wide derivation feeds the slices AND the final rebuild). */
+  private def rebuiltSites(arr: DataFrame, pos: DataFrame): DataFrame = {
+    val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = dup.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
+      .filter(col("len_sh") + 2 >= DupRunMinTokens)
+      .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
+        (col("len_sh") + 2).as("run_tokens"))
+    runs.hint("shuffle_hash").join(arr, "doc_id")
+      .select(col("doc_id"), col("source"), col("start_tok"),
+        col("run_tokens"),
+        substring(sha2(expr(
+          "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
+          256), 1, 16).as("run_fp"))
   }
 
   /** STREAMING twin of [[runIvmStep]] (the live maintenance path every
@@ -272,8 +309,10 @@ object DupRunStore {
   private[graft] def runIvmStreamStep(s: SparkSession, batchDocs: DataFrame,
       statePath: String, gen: Int): Unit = {
     val (docsArr, postings) = genState(batchDocs)
-    docsArr.write.mode("overwrite").parquet(s"$statePath/docs/gen=$gen")
-    postings.write.mode("overwrite").parquet(s"$statePath/postings/gen=$gen")
+    StateStores.inParallel( // independent paths, §2.6 overlap
+      () => docsArr.write.mode("overwrite").parquet(s"$statePath/docs/gen=$gen"),
+      () => postings.write.mode("overwrite")
+        .parquet(s"$statePath/postings/gen=$gen"))
     val (deltas, done) = runIvmDeltas(s, statePath, gen)
     try deltas.write.mode("overwrite").parquet(s"$statePath/deltas/gen=$gen")
     finally done()
@@ -301,14 +340,18 @@ object DupRunStore {
       .agg(sum(col("delta")).as("delta"))
       .filter(col("delta") > 0)
       .withColumn("gen", lit(watermark))
-    StateStores.rewriteSwap(folded, s"$statePath/deltas", Some("gen"))
-    Seq("postings", "docs").foreach { sub =>
-      StateStores.rewriteSwap(
-        s.read.parquet(s"$statePath/$sub")
-          .filter(col("gen") <= watermark)
-          .withColumn("gen", lit(watermark)),
-        s"$statePath/$sub", Some("gen"))
-    }
+    // the three rewrites read and swap DISJOINT subdirs (deltas fold,
+    // postings collapse, docs collapse) — overlap them (§2.6); each
+    // swap still runs under its own per-path store lock
+    StateStores.inParallel(
+      (() => StateStores.rewriteSwap(folded, s"$statePath/deltas",
+        Some("gen"))) +:
+      Seq("postings", "docs").map(sub => () =>
+        StateStores.rewriteSwap(
+          s.read.parquet(s"$statePath/$sub")
+            .filter(col("gen") <= watermark)
+            .withColumn("gen", lit(watermark)),
+          s"$statePath/$sub", Some("gen"))): _*)
   }
 
   /** Auto-compaction hook for the LIVE sink — the PairGraph
@@ -336,9 +379,9 @@ object DupRunStore {
   private[graft] def compactInputVolumes(s: SparkSession, dir: String)
       : (Long, Long, Long) = {
     val path = StateStores.statePath(dir, "dup_run_vol")
-    val (step, done) = demoLifecycle(s, Tables(s, dir, "documents"), path)
-    (0 to 1).foreach(step)
-    done()
+    val lc = demoLifecycle(s, Tables(s, dir, "documents"), path)
+    (0 to 1).foreach(lc.step)
+    lc.done()
     (s.read.parquet(s"$path/deltas").count(),
       s.read.parquet(s"$path/postings").count(),
       s.read.parquet(s"$path/docs").count())
@@ -589,16 +632,19 @@ object DupRunStore {
     "q418_dup_run_store_ivm" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
       val path = StateStores.statePath(dir, "dup_run_ivm")
-      val (step, done) = demoLifecycle(s, docs, path)
-      (0 to 2).foreach(step)
-      done()
+      val lc = demoLifecycle(s, docs, path)
+      (0 to 2).foreach(lc.step)
       val deltas = s.read.parquet(s"$path/deltas")
       val perGen = deltas.groupBy(col("gen").cast("long").as("gen"))
         .agg(count_if(col("delta") === 1L).as("n_credit"),
           count_if(col("delta") === -1L).as("n_retract"))
       val maintained = deltas.groupBy(RunKey.map(col): _*)
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      val rebuilt = TextDedup.dupRunSites(s, dir)
+      // rebuild from the SAME cached corpus derivation the steps used
+      // (round-16: dupRunSites re-scanned + re-exploded + re-cached the
+      // corpus a second time inside this query — the caches release at
+      // the caller's clearCache, the q283/q321 lifecycle stance)
+      val rebuilt = rebuiltSites(lc.arr, lc.pos)
         .groupBy(RunKey.map(col): _*).agg(count(lit(1)).as("ir"))
       val genOf = pmod(col("doc_id"), lit(3)).cast("long")
       val cmp = maintained.join(rebuilt, RunKey, "full_outer")
@@ -673,31 +719,38 @@ object DupRunStore {
     "q421_dup_run_store_compact" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
       val path = StateStores.statePath(dir, "dup_run_c")
-      val (step, done) = demoLifecycle(s, docs, path)
-      (0 to 1).foreach(step)
+      val lc = demoLifecycle(s, docs, path)
+      (0 to 1).foreach(lc.step)
       runStoreCompact(s, path, watermark = 1)
+      // temporal by necessity: the folded-base size must be read
+      // BETWEEN the compact and the gen-2 append — its own tiny action
       val baseSites = s.read.parquet(s"$path/deltas").count()
-      step(2)
-      done()
+      lc.step(2)
+      // everything after the last append is ONE plan (the q321 stack
+      // shape — round-16: the old two .head actions serialized two
+      // driver round-trips over the same delta scan); the rebuild
+      // reads the demo's cached corpus frames instead of re-deriving
+      // the corpus via dupRunSites (caches release at the caller's
+      // clearCache, the q283/q321 lifecycle stance)
       val deltas = s.read.parquet(s"$path/deltas")
-      val logStats = deltas.agg(
-        countDistinct(col("gen")).as("gens"),
-        count_if(col("gen") === 2 && col("delta") === -1L).as("r2")).head
+      val logM = deltas.agg(
+        countDistinct(col("gen")).as("log_gens_after"),
+        count_if(col("gen") === 2 && col("delta") === -1L)
+          .as("gen2_retracts"))
       val maintained = deltas.groupBy(RunKey.map(col): _*)
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      val rebuilt = TextDedup.dupRunSites(s, dir)
+      val rebuilt = rebuiltSites(lc.arr, lc.pos)
         .groupBy(RunKey.map(col): _*).agg(count(lit(1)).as("ir"))
-      val cmp = maintained.join(rebuilt, RunKey, "full_outer")
-        .agg(count_if(col("ir").isNotNull).as("fin"),
+      val cmpM = maintained.join(rebuilt, RunKey, "full_outer")
+        .agg(count_if(col("ir").isNotNull).as("final_sites"),
           count_if(coalesce(col("im"), lit(0L)) =!=
-            coalesce(col("ir"), lit(0L))).as("bad")).head
-      import s.implicits._
-      Seq(("base_sites", baseSites),
-        ("log_gens_after", logStats.getLong(0)),
-        ("gen2_retracts", logStats.getLong(1)),
-        ("final_sites", cmp.getLong(0)),
-        ("mismatch", cmp.getLong(1)))
-        .toDF("metric", "v").orderBy(col("metric"))
+            coalesce(col("ir"), lit(0L))).as("mismatch"))
+      logM.crossJoin(broadcast(cmpM))
+        .selectExpr(s"""stack(5,
+          'base_sites', ${baseSites}L, 'final_sites', final_sites,
+          'gen2_retracts', gen2_retracts, 'log_gens_after', log_gens_after,
+          'mismatch', mismatch) AS (metric, v)""")
+        .orderBy(col("metric"))
     }),
 
     /** EVAL-OVERLAP run extraction — the q414 blind spot closed as a

@@ -331,8 +331,11 @@ object PairGraph {
     val posts = s.read.parquet(s"$statePath/postings")
       .filter(col("gen") <= watermark)
       .withColumn("gen", lit(watermark))
-    StateStores.rewriteSwap(folded, s"$statePath/deltas", Some("gen"))
-    StateStores.rewriteSwap(posts, s"$statePath/postings", Some("gen"))
+    // disjoint subdirs, no ordering between the two rewrites —
+    // overlap them (§2.6); each swap holds its own per-path store lock
+    StateStores.inParallel(
+      () => StateStores.rewriteSwap(folded, s"$statePath/deltas", Some("gen")),
+      () => StateStores.rewriteSwap(posts, s"$statePath/postings", Some("gen")))
   }
 
   /** AUTO-COMPACTION hook for the LIVE IVM sink (round-12 verdict
@@ -390,6 +393,10 @@ object PairGraph {
         shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= IvmCap).select(col("sh")).hint("shuffle_hash"),
         Seq("sh"), "left_semi").cache()
+      // materialize once: AQE submits the self-join's two shuffle
+      // stages concurrently, and both sides racing the unpopulated
+      // cache each re-ran the df groupBy + semi join (round-16)
+      cappedF.count()
       val rebuilt = cappedF.as("a")
         .join(cappedF.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -464,6 +471,7 @@ object PairGraph {
         shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= IvmCap).select(col("sh")).hint("shuffle_hash"),
         Seq("sh"), "left_semi").cache()
+      cappedF.count() // single materialization — see q283
       val rebuilt = cappedF.as("a")
         .join(cappedF.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

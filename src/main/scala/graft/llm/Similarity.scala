@@ -966,26 +966,41 @@ object Similarity {
       val k = 10
       // dim i of token t: ((h(t) % 100003) · i) % 2003 − 1001 with
       // h = the 60-bit sha prefix — integer-exact in both engines,
-      // pooled by per-dim mean (sums ≤ 2^53, division exact IEEE)
-      def tokHashes(tokExpr: String) = s"transform($tokExpr, " +
-        "t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint))"
-      val vecExpr = expr("""transform(sequence(1, 64), i ->
-        aggregate(hs, CAST(0 AS BIGINT),
-          (a, h) -> a + (h % 100003) * i % 2003 - 1001)
-          / CAST(size(hs) AS DOUBLE))""")
+      // pooled by per-dim mean (sums ≤ 2^53, division exact IEEE).
+      // h % 100003 does not depend on the dim, so the sha2 AND the
+      // reduction run ONCE per token per doc (`hms`) and every chunk
+      // slices the reduced array — the old shape re-hashed each token
+      // per overlapping chunk (stride 48 of window 64 ⇒ ~1.33× the
+      // sha2 volume) and re-reduced per (dim, token): 64 redundant
+      // mods per token. Same integers bit-for-bit; the oracle pins it.
+      // The pool itself runs as the CODEGEN kernel pool_hash_vec
+      // (round-16, guide §4: the transform×aggregate nest is an
+      // interpreted higher-order fold — a boxed lambda per
+      // (dim, token), 64·|chunk| per chunk; PoolHashVecSpec pins the
+      // kernel bit-equal to the declarative form)
+      graft.functions.PoolHashVec.register(s)
+      val vecExpr = expr("pool_hash_vec(hs, 64)")
       val toksed = Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tok"))
+        .select(col("doc_id"), expr("""transform(split(text, ' '),
+            t -> cast(conv(substring(sha2(t, 256), 1, 15), 16, 10) AS bigint)
+              % 100003)""").as("hms"))
+        .select(col("doc_id"), col("hms"), size(col("hms")).cast("long").as("n_tok"))
       val cvec = toksed
-        .select(col("doc_id"), col("n_tok"), col("toks"),
+        .select(col("doc_id"), col("n_tok"), col("hms"),
           posexplode(expr("sequence(1L, n_tok, 48L)")).as(Seq("ci", "start")))
         .select(col("doc_id"), (col("ci") + 1).cast("long").as("chunk_ix"),
-          expr(tokHashes("slice(toks, cast(start AS int), " +
-            "cast(least(start + 63L, n_tok) - start + 1 AS int))")).as("hs"))
+          expr("slice(hms, cast(start AS int), " +
+            "cast(least(start + 63L, n_tok) - start + 1 AS int))").as("hs"))
         .select(col("doc_id"), col("chunk_ix"), vecExpr.as("cv"))
         .cache() // exact arm, bucket projection, and candidate join read this
+      // materialize the cache in ONE job before fan-out: AQE submits
+      // the exact arm's and the bucket arm's stages CONCURRENTLY, and
+      // two first-readers racing an unpopulated cache each ran the
+      // full sha2+pool derivation (measured: two 3.3 s jobs for one
+      // 3.3 s derivation — §2.6's overlap working against us)
+      cvec.count()
       val qvec = toksed.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("q_id"), expr(tokHashes("toks")).as("hs"))
+        .select(col("doc_id").as("q_id"), col("hms").as("hs"))
         .select(col("q_id"), vecExpr.as("qv"))
       def cosCols(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
         def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
@@ -1018,6 +1033,10 @@ object Similarity {
         .select(col("q_id"), col("doc_id"), col("chunk_ix"),
           r6(cosCols(col("cv"), col("qv"))).as("cs6"))
         .cache() // the top-k arm and the candidate census read this
+      // same single-materialization stance as cvec above: the top-k
+      // arm and the census otherwise race the unpopulated cache and
+      // each re-run the bucket join + cosine
+      cand.count()
       val approx = cand.withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
       exact
         .join(approx.select(col("q_id"), col("doc_id"), col("chunk_ix"),

@@ -33,6 +33,31 @@ import graft.{Q, Tables, r6n}
   */
 object StateStores {
 
+  /** Run independent Spark ACTIONS concurrently from driver threads —
+    * optimization-guide §2.6: the scheduler happily runs several jobs
+    * at once inside one application; actions are only sequential
+    * because driver code calls them sequentially. A lifecycle step's
+    * docs/postings writes (and a compaction's per-subdir rewrites)
+    * have no read-after-write ordering between them, so submitting
+    * them together lets one job's task tail back-fill with the other
+    * job's tasks instead of idling the executors — and at cluster
+    * scale the win grows with the tail (§2.6's whole point). Callers
+    * keep DEPENDENT actions sequential (a delta derivation reads the
+    * postings it follows). Failures propagate: every thread is joined,
+    * then the first captured throwable re-throws. */
+  private[graft] def inParallel(thunks: (() => Unit)*): Unit =
+    if (thunks.sizeIs <= 1) thunks.foreach(_())
+    else {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = thunks.map { t =>
+        val th = new Thread(() =>
+          try t() catch { case e: Throwable => errs.add(e) })
+        th.setDaemon(true); th.start(); th
+      }
+      ts.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+
   /** Deterministic per-(fixture, store) state dir under /tmp — reruns
     * at the same sf reuse (and overwrite-seed) the same location. */
   private[graft] def statePath(dir: String, name: String): String = {

@@ -2013,22 +2013,32 @@ object Statistics {
            |        CAST(event_id AS STRING), ':', CAST(g AS STRING)), 256),
            |      sl * 15 + 1, 15)),
            |      CAST(0 AS BIGINT), (a, hx) -> $ladder))))""".stripMargin)
-      val rm = Tables(s, dir, "events")
+      // round-16: the old shape posexploded the 32 finished weights to
+      // 33× the rows and re-grouped twice — (event_type, b), then
+      // event_type with a collect_list+sort shuffle. The per-replica
+      // sums are 64 independent columnar aggregates of ONE grouped
+      // scan: a single groupBy(event_type) computes them all (1
+      // exchange instead of 2, zero row multiplication), and the
+      // 32-slot replica-mean array sorts locally. Values identical:
+      // each sum folds the same rows in the same per-partition order,
+      // replica means are r6n-rounded as before, and the sw > 0 guard
+      // becomes the per-slot null that `filter` drops.
+      val aggs = Seq(count(lit(1)).as("n_events"), sum(col("v")).as("sv")) ++
+        (0 until 32).flatMap { b => Seq(
+          sum(element_at(col("w"), b + 1) * col("v")).as(s"swv$b"),
+          sum(element_at(col("w"), b + 1)).as(s"sw$b")) }
+      val msArr = array_sort(filter(array((0 until 32).map { b =>
+        when(col(s"sw$b") > 0,
+          struct(r6n(col(s"swv$b") / col(s"sw$b")).as("m"),
+            lit(b).as("b"))) }: _*), x => x.isNotNull))
+      Tables(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("v"),
-          posexplode(concat(array(lit(1L)), wts)).as(Seq("p", "w")))
-        .withColumn("b", col("p") - 1)
-        .groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"),
-          count(lit(1)).as("cnt"))
-        .filter(col("sw") > 0)
-        .select(col("event_type"), col("b"),
-          r6n(col("swv") / col("sw")).as("m"), col("cnt"))
-      rm.groupBy(col("event_type"))
-        .agg(expr("array_sort(collect_list(IF(b >= 0, struct(m, b), NULL)))")
-            .as("ms"),
-          max(when(col("b") === -1, col("m"))).as("mean"),
-          max(when(col("b") === -1, col("cnt"))).as("n_events"))
+          wts.as("w"))
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type"), col("n_events"),
+          r6n(col("sv") / col("n_events")).as("mean"), msArr.as("ms"))
         .select(col("event_type"), col("n_events"), col("mean"),
           // try_element_at: a type so sparse that replicas drop under
           // the sw > 0 guard yields NULL bounds (matching the

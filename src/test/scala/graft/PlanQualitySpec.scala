@@ -227,6 +227,11 @@ class PlanQualitySpec extends SparkSuite {
     // delta-log metrics fold with the ONE-ROW compare-join fold
     // before the 5-row stack unpivot — both provably 1 row
     "q321_pair_store_compact",
+    // q421 (round-16): the same shape as q321 — the ONE-ROW log
+    // metrics fold crossed with the ONE-ROW maintained-vs-rebuilt
+    // fold before the 5-row stack unpivot (replacing two .head
+    // driver round-trips with one plan)
+    "q421_dup_run_store_compact",
     // q361: the broadcast side is the ONE-ROW corpus-chars total
     // (q136 class) — provably 1 row at any corpus size
     "q361_dedup_threshold_curve",
