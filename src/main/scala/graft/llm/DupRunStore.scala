@@ -189,14 +189,13 @@ object DupRunStore {
     * positions are the 0-based posexplode index (runs convert to
     * 1-based start_tok, matching [[TextDedup.dupRunSitesOf]]). */
   private def genState(genDocs: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.ShingleHashes.register(genDocs.sparkSession)
     val docsArr = genDocs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val postings = docsArr.select(col("doc_id"), expr(
-      """posexplode(transform(sequence(1, size(toks) - 2),
-        |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-        .stripMargin).as(Seq("i", "sh")))
+    val postings = docsArr.select(col("doc_id"),
+      expr("posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
     (docsArr, postings)
   }
 
@@ -247,15 +246,14 @@ object DupRunStore {
 
   private def demoLifecycle(s: SparkSession, docs: DataFrame,
       statePath: String): DemoLifecycle = {
+    graft.functions.ShingleHashes.register(s)
     val arrAll = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("g", pmod(col("doc_id"), lit(3)).cast("int")).cache()
-    val posAll = arrAll.select(col("doc_id"), col("g"), expr(
-      """posexplode(transform(sequence(1, size(toks) - 2),
-        |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-        .stripMargin).as(Seq("i", "sh"))).cache()
+    val posAll = arrAll.select(col("doc_id"), col("g"),
+      expr("posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh"))).cache()
     val step = (g: Int) => runIvmStepFrom(s,
       arrAll.filter(col("g") === g).drop("g"),
       posAll.filter(col("g") === g).drop("g"), statePath, g)
@@ -464,14 +462,14 @@ object DupRunStore {
     * the bench shingle set is eval-set-sized (broadcastable in
     * practice, shuffle_hash-pinned for the 100 TB posture); the probe
     * volume is the train corpus's token count, hashes on the wire. */
-  private def shinglePositions(d: DataFrame): DataFrame =
+  private def shinglePositions(d: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(d.sparkSession)
     d.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """posexplode(transform(sequence(1, size(toks) - 2),
-          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-          .stripMargin).as(Seq("i", "sh")))
+      .select(col("doc_id"),
+        expr("posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
+  }
 
   /** The distinct 3-shingle hash set of a benchmark frame — the probe
     * side every membership-streak screen joins against. */

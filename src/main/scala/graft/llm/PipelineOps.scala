@@ -182,12 +182,15 @@ object PipelineOps {
       // joins the raw gram STRINGS — same count unless xxhash64
       // collides across the corpus's distinct grams (~|g|²/2⁶⁵), and a
       // collision shows up as a count mismatch, never silently.
+      // Round-16: the gram pass runs as the codegen shingle_hashes
+      // kernel (width 4) — bit-identical to the interpreted
+      // transform+array_distinct nest, ShingleHashesSpec-pinned.
+      graft.functions.ShingleHashes.register(s)
       def grams(docs: org.apache.spark.sql.DataFrame) = docs
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """transform(sequence(1, size(toks) - 3),
-            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))""".stripMargin))).as("g"))
+        .select(col("doc_id"),
+          explode(expr("shingle_hashes(toks, 4)")).as("g"))
       val docs = Tables(s, dir, "documents")
       // each side filters BEFORE the gram explode: the benchmark pass
       // touches only the 2% eval slice, not the whole corpus

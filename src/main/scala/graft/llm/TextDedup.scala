@@ -114,14 +114,20 @@ object TextDedup {
     * (collision probability over a corpus's distinct shingles is
     * ~|sh|²/2⁶⁵ ≪ 1e-9; the DuckDB oracle joins raw strings, so a
     * collision would surface as a count mismatch, never silently). */
-  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
+    // the projection runs as the CODEGEN kernel shingle_hashes
+    // (round-16, guide §4): the declarative
+    //   array_distinct(transform(sequence(1, size(toks) - 2),
+    //     i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))
+    // is an interpreted higher-order nest — per position a slice
+    // allocation, an interpreted concat, and an interpreted hash —
+    // and it is the base derivation of EVERY dedup-family query.
+    // ShingleHashesSpec pins the kernel bit-equal (order included).
+    graft.functions.ShingleHashes.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(
-          |  sequence(1, size(toks) - 2),
-          |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))""".stripMargin)
-        .as("shs"))
+      .select(col("doc_id"), expr("shingle_hashes(toks, 3)").as("shs"))
+  }
 
   /** Inverted-index rows (doc_id, sh): explode of the per-doc distinct
     * hash set — already deduplicated, so no distinct() shuffle.
@@ -968,6 +974,7 @@ object TextDedup {
       * row_number grouping trick, windows partitioned on the
       * high-cardinality (pair, diagonal) key. Integer-only output. */
     "q319_shared_spans" -> ((s: SparkSession, dir: String) => {
+      graft.functions.ShingleHashes.register(s)
       val pairs = PairGraph.jaccard(s, dir, 0.8)
         .select(col("d1"), col("d2"))
       val pos = Tables(s, dir, "documents")
@@ -975,9 +982,7 @@ object TextDedup {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(
-          """posexplode(transform(sequence(1, size(toks) - 2),
-            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-            .stripMargin).as(Seq("i", "sh")))
+          "posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
       val m = pairs
         .join(pos.select(col("doc_id").as("d1"), col("i").as("i1"),
           col("sh")), "d1")
@@ -1549,6 +1554,7 @@ object TextDedup {
       * shingle has ≥ 1 positional match, so the inner join drops
       * nothing). Per class: pairs, mean Jaccard, mean longest run. */
     "q417_copy_vs_template" -> ((s: SparkSession, dir: String) => {
+      graft.functions.ShingleHashes.register(s)
       val pairs = PairGraph.jaccard(s, dir, 0.5)
         .select(col("d1"), col("d2"), col("jac"))
       val pos = Tables(s, dir, "documents")
@@ -1556,9 +1562,7 @@ object TextDedup {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(
-          """posexplode(transform(sequence(1, size(toks) - 2),
-            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-            .stripMargin).as(Seq("i", "sh")))
+          "posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
       val m = pairs
         .join(pos.select(col("doc_id").as("d1"), col("i").as("i1"),
           col("sh")), "d1")
@@ -1606,6 +1610,7 @@ object TextDedup {
     * run_tokens). */
   private[graft] def dupRunSitesOf(docsIn: DataFrame, minTokens: Int,
       withFp: Boolean = true): DataFrame = {
+    graft.functions.ShingleHashes.register(docsIn.sparkSession)
     val docs0 = docsIn
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
@@ -1614,9 +1619,7 @@ object TextDedup {
     // explode + run-text fetch-back); the planner form reads once
     val docs = if (withFp) docs0.cache() else docs0
     val pos = docs.select(col("doc_id"), expr(
-      """posexplode(transform(sequence(1, size(toks) - 2),
-        |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"""
-        .stripMargin).as(Seq("i", "sh")))
+      "posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
     val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("sh"))
     val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")

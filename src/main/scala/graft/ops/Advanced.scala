@@ -84,8 +84,13 @@ object Advanced {
           explode(split(col("text"), " ")).as("token"))
       val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
         .agg(count(lit(1)).as("occurrences"))
-      val df_ = tokens.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      // document frequency FROM tf (round-16): tf is one row per
+      // (doc_id, token) — doc_len is functionally dependent on doc_id —
+      // so a per-token row count of tf IS the doc frequency. The old
+      // shape re-ran the corpus explode and paid a distinct exchange
+      // over every (doc_id, token) row just to rebuild what tf already
+      // holds (guide §2.4: remove shuffles outright).
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
       tf.join(df_, "token")
         .crossJoin(broadcast(nDocs))
         .filter(col("doc_id") < 20)
@@ -116,10 +121,17 @@ object Advanced {
             .cast("double").as("doc_len"),
           explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
+      // df FROM tf — one row per (doc_id, token) already; the second
+      // corpus explode + distinct exchange were redundant (see q53).
+      // tf is CACHED + materialized once: its subtree feeds both join
+      // sides, and the two otherwise race the explode+aggregate
+      // (measured: two concurrent 2.2 s jobs for one derivation).
+      // Unlike the raw exploded token rows (round-3: caching those was
+      // 2× slower), tf is the AGGREGATED per-(doc, token) table.
       val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
-        .agg(count(lit(1)).as("occ"))
-      val df_ = tokens.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("occ")).cache()
+      tf.count()
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, "token")
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
