@@ -777,11 +777,13 @@ object TextAnalysis {
       // in Spark while the oracle's generate_series(1, 0) is empty —
       // an unguarded <= 1-char doc would emit phantom grams here only
       // (the round-6 lesson, re-found by round-8 self-review)
+      // bigram pass as the codegen char_grams kernel (round-16, guide
+      // §4: the transform lambda substrings interpreted per character
+      // position; CharGramsSpec pins kernel ≡ declarative)
+      graft.functions.CharGrams.register(s)
       val counts = Tables(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("g"))
+        .select(col("lang"), explode(expr("char_grams(text, 2)")).as("g"))
         .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
       val prof = counts
         .groupBy(col("lang"))
