@@ -254,6 +254,13 @@ object DupRunStore {
       .withColumn("g", pmod(col("doc_id"), lit(3)).cast("int")).cache()
     val posAll = arrAll.select(col("doc_id"), col("g"),
       expr("posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh"))).cache()
+    // one materialization populates BOTH caches (posAll reads through
+    // arrAll's InMemoryRelation) before step 0's now-PARALLEL docs and
+    // postings writes — otherwise the two writes race the unpopulated
+    // arrAll and each re-run the corpus scan+split, which on a
+    // CPU-saturated config costs the full derivation per racer (the
+    // q413 x100 finding: 22-33 s -> 15.5 s from the same fix)
+    posAll.count()
     val step = (g: Int) => runIvmStepFrom(s,
       arrAll.filter(col("g") === g).drop("g"),
       posAll.filter(col("g") === g).drop("g"), statePath, g)

@@ -1616,8 +1616,14 @@ object TextDedup {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
     // cache only the catalog form: it reads the arrays twice (site
-    // explode + run-text fetch-back); the planner form reads once
-    val docs = if (withFp) docs0.cache() else docs0
+    // explode + run-text fetch-back); the planner form reads once.
+    // Materialized in ONE job before the consumers fan out (round-16):
+    // AQE submits the posting derivation and the fetch-back side
+    // concurrently, and on a CPU-SATURATED config the racers each
+    // re-ran the scan+split (measured at the x100 probe config:
+    // three concurrent ~21 s derivations of identical rows — 70.8 s
+    // wall vs 20.1 s when the race happens not to fire)
+    val docs = if (withFp) { val d = docs0.cache(); d.count(); d } else docs0
     val pos = docs.select(col("doc_id"), expr(
       "posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh")))
     val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
