@@ -129,6 +129,35 @@ object DupRunStore {
     val dfs = post.filter(col("gen") <= gen)
       .groupBy(col("sh")).agg(count(lit(1)).as("dfA"),
         count_if(col("gen") < gen).as("dfB")).cache()
+    // EXPLICIT read schema: a prior generation with ZERO qualifying
+    // runs leaves an empty partition set (bare _SUCCESS, or a
+    // part-less gen= dir from the stream sink) — schema inference
+    // would fail on it, while nothing-to-retract is the correct
+    // reading; the declared schema makes the empty log read as an
+    // empty frame instead of an error (DupRunStoreSpec pins the
+    // empty-seed lifecycle)
+    val prior = if (gen == 0) None else Some(s.read.schema(
+        "doc_id BIGINT, source STRING, start_tok INT, " +
+          "run_tokens BIGINT, run_fp STRING, delta BIGINT, gen INT")
+      .parquet(s"$statePath/deltas"))
+    val (deltas, done) = runIvmDeltasFrom(
+      post, s.read.parquet(s"$statePath/docs"), prior, dfs, gen)
+    (deltas, () => { dfs.unpersist(); done() })
+  }
+
+  /** [[runIvmDeltas]] with the STATE frames supplied by the caller —
+    * the demo lifecycles pass the one cached corpus derivation (and
+    * the per-gen delta frames they just wrote) instead of re-reading
+    * the parquet they wrote moments earlier; the content is identical
+    * by construction (the writes are deterministic projections of
+    * these very frames), the written bytes stay the store of record,
+    * and the stream/maintenance wrapper above still reads persisted
+    * state only. `dfs` carries (sh, dfA, dfB) for THIS generation —
+    * the wrapper derives it per call, the demos slice one fused
+    * all-generations count pass. */
+  private[graft] def runIvmDeltasFrom(post: DataFrame, docsAll: DataFrame,
+      prior: Option[DataFrame], dfs: DataFrame,
+      gen: Int): (DataFrame, () => Unit) = {
     val crossers = dfs.filter(col("dfB") < 2 && col("dfA") >= 2)
       .select(col("sh"))
     val affectedOld = post.filter(col("gen") < gen)
@@ -151,7 +180,7 @@ object DupRunStore {
         (col("len_sh") + 2).as("run_tokens"))
     // run-text fetch-back against the STORED token arrays, affected-
     // restricted (never the corpus); small run table as build side
-    val docsStore = s.read.parquet(s"$statePath/docs")
+    val docsStore = docsAll
       .filter(col("gen") <= gen)
       .join(affected.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
     val credits = runs.hint("shuffle_hash").join(docsStore, "doc_id")
@@ -161,26 +190,17 @@ object DupRunStore {
           "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
           256), 1, 16).as("run_fp"),
         lit(1L).as("delta"))
-    val cleanup = () => { dfs.unpersist(); affected.unpersist(); () }
-    if (gen == 0) (credits, cleanup)
-    else {
-      // EXPLICIT read schema: a prior generation with ZERO qualifying
-      // runs leaves an empty partition set (bare _SUCCESS, or a
-      // part-less gen= dir from the stream sink) — schema inference
-      // would fail on it, while nothing-to-retract is the correct
-      // reading; the declared schema makes the empty log read as an
-      // empty frame instead of an error (DupRunStoreSpec pins the
-      // empty-seed lifecycle)
-      val retracts = s.read.schema(
-          "doc_id BIGINT, source STRING, start_tok INT, " +
-            "run_tokens BIGINT, run_fp STRING, delta BIGINT, gen INT")
-        .parquet(s"$statePath/deltas")
-        .filter(col("gen") < gen)
-        .join(affected.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-        .groupBy(RunKey.map(col): _*)
-        .agg(sum(col("delta")).as("net")).filter(col("net") > 0)
-        .select(RunKey.map(col) :+ lit(-1L).as("delta"): _*)
-      (credits.union(retracts), cleanup)
+    val cleanup = () => { affected.unpersist(); () }
+    prior match {
+      case None => (credits, cleanup)
+      case Some(pr) =>
+        val retracts = pr
+          .filter(col("gen") < gen)
+          .join(affected.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .groupBy(RunKey.map(col): _*)
+          .agg(sum(col("delta")).as("net")).filter(col("net") > 0)
+          .select(RunKey.map(col) :+ lit(-1L).as("delta"): _*)
+        (credits.union(retracts), cleanup)
     }
   }
 
@@ -199,50 +219,46 @@ object DupRunStore {
     (docsArr, postings)
   }
 
-  /** One batch maintenance step from PRE-DERIVED generation frames:
-    * write generation `gen`'s doc/posting state (generation 0
-    * overwrites — truncating stale state makes the whole sequence
-    * idempotent across reruns, the q229 stance), then derive and
-    * append its signed deltas from state alone. No coalesce on any
-    * write (the round-9 lesson: AQE right-sizes output files; one
-    * task funneling a generation is a scale-killer in the code path
-    * whose purpose is the 100 TB maintenance story). */
-  private def runIvmStepFrom(s: SparkSession, docsArr: DataFrame,
-      postings: DataFrame, statePath: String, gen: Int): Unit = {
-    val mode = if (gen == 0) "overwrite" else "append"
-    // docs and postings land on DIFFERENT paths with no ordering
-    // between them — overlap the two write jobs (§2.6); only the delta
-    // derivation below reads them back, and it starts after both
-    StateStores.inParallel(
-      () => docsArr.withColumn("gen", lit(gen))
-        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/docs"),
-      () => postings.withColumn("gen", lit(gen))
-        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings"))
-    val (deltas, done) = runIvmDeltas(s, statePath, gen)
-    try deltas.withColumn("gen", lit(gen))
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas")
-    finally done()
-  }
-
-  /** [[runIvmStepFrom]] with the frames derived from the snapshot
-    * itself — the stream sink's per-batch form. */
-  private[llm] def runIvmStep(s: SparkSession, genDocs: DataFrame,
-      statePath: String, gen: Int): Unit = {
-    val (docsArr, postings) = genState(genDocs)
-    runIvmStepFrom(s, docsArr, postings, statePath, gen)
-  }
-
   /** ONE cached corpus-wide derivation feeding every demo lifecycle
-    * step (the q283 round-11 lesson, measured there at 2× the whole
+    * phase (the q283 round-11 lesson, measured there at 2× the whole
     * query's cost: per-step re-derivation re-scans and re-explodes
-    * identical text once per generation). Returns (token arrays,
-    * positional postings), both with the `g = doc_id % 3` slice
-    * column and both cached; the returned step function writes one
-    * generation from the slices. Each step still only WRITES its own
-    * generation's rows, and the delta derivation still reads
-    * persisted STATE only. */
-  private final case class DemoLifecycle(step: Int => Unit,
-      done: () => Unit, arr: DataFrame, pos: DataFrame)
+    * identical text once per generation), plus the round-17
+    * orchestration cut: these queries' cost was ~70 serialized
+    * ~0.15 s stage-jobs, pure job-count, so the demo now derives and
+    * writes a RANGE of generations as ONE action per store instead of
+    * one action chain per generation. Identical bytes land on disk
+    * (one `partitionBy("gen")` write of the same per-gen rows), and
+    * every stage inside the single action schedules concurrently.
+    *
+    * The per-generation rows are computed exactly as the ORACLE
+    * defines them (duckRunIvm's pc/rc CTEs — the from-first-principles
+    * statement of the maintenance contract):
+    *
+    *  - credits(g)  = snapshot-g     runs of docs affected at g, +1;
+    *  - retracts(g) = snapshot-(g−1) runs of docs affected at g, −1.
+    *
+    * The sequential maintenance path ([[runIvmDeltas]], unchanged and
+    * still what the stream twin runs) computes retractions by NETTING
+    * the prior delta log; the two are equal row-for-row by the
+    * maintained ≡ rebuilt induction the oracle pins at every
+    * generation (a doc not affected at h has an identical run set at
+    * h and h−1, so the net of a doc's log rows below g IS its
+    * snapshot-(g−1) run set) — which is why the oracle's own rc CTE
+    * counts retractions this way. Freeing retractions from the log
+    * read makes every generation's deltas derivable in parallel from
+    * the cached corpus frames.
+    *
+    * `write(lo, hi)` persists generations lo..hi (docs ‖ postings ‖
+    * deltas, three overlapped write actions, §2.6 — no coalesce; AQE
+    * right-sizes output files, the round-9 lesson); `log()` is the
+    * union of the written delta frames (identical rows to the on-disk
+    * log by construction). */
+  private final case class DemoLifecycle(write: (Int, Int) => Unit,
+      done: () => Unit, arrGen: DataFrame, posGen: DataFrame,
+      log: () => DataFrame, runsAt: Int => DataFrame) {
+    def arr: DataFrame = arrGen.drop("gen")
+    def pos: DataFrame = posGen.drop("gen")
+  }
 
   private def demoLifecycle(s: SparkSession, docs: DataFrame,
       statePath: String): DemoLifecycle = {
@@ -251,54 +267,111 @@ object DupRunStore {
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("g", pmod(col("doc_id"), lit(3)).cast("int")).cache()
-    val posAll = arrAll.select(col("doc_id"), col("g"),
+      .withColumn("gen", pmod(col("doc_id"), lit(3)).cast("int")).cache()
+    val posAll = arrAll.select(col("doc_id"), col("gen"),
       expr("posexplode(shingle_hashes_all(toks, 3))").as(Seq("i", "sh"))).cache()
     // one materialization populates BOTH caches (posAll reads through
-    // arrAll's InMemoryRelation) before step 0's now-PARALLEL docs and
-    // postings writes — otherwise the two writes race the unpopulated
-    // arrAll and each re-run the corpus scan+split, which on a
-    // CPU-saturated config costs the full derivation per racer (the
-    // q413 x100 finding: 22-33 s -> 15.5 s from the same fix)
+    // arrAll's InMemoryRelation) before the parallel writes below —
+    // otherwise the writes race the unpopulated arrAll and each re-run
+    // the corpus scan+split, which on a CPU-saturated config costs the
+    // full derivation per racer (the q413 x100 finding)
     posAll.count()
-    val step = (g: Int) => runIvmStepFrom(s,
-      arrAll.filter(col("g") === g).drop("g"),
-      posAll.filter(col("g") === g).drop("g"), statePath, g)
-    val done = () => { arrAll.unpersist(); posAll.unpersist(); () }
-    DemoLifecycle(step, done, arrAll.drop("g"), posAll.drop("g"))
-  }
-
-  /** The from-scratch run catalog derived from the demo lifecycle's
-    * CACHED corpus frames — expression-identical to
-    * [[TextDedup.dupRunSitesOf]] at the committed threshold (same
-    * shingle hash, same streak grouping, same fetch-back fingerprint;
-    * the oracle pins the output), but reading the ONE cached
-    * (toks, postings) derivation the lifecycle steps already paid for
-    * instead of re-scanning, re-splitting, re-exploding, and
-    * re-caching the corpus a second time (round-16 optimization; the
-    * q283 stance applied here — its doc already says the one
-    * corpus-wide derivation feeds the slices AND the final rebuild). */
-  private def rebuiltSites(arr: DataFrame, pos: DataFrame): DataFrame = {
-    val dupSh = pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    val dup = pos.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    // ONE corpus-wide df pass covering every generation watermark (the
+    // old per-step dfs groupBy re-aggregated the same cached postings
+    // once per generation): watermark G's df is c_G
+    val dfAll = posAll.groupBy(col("sh")).agg(
+      count_if(col("gen") <= 0).as("c0"),
+      count_if(col("gen") <= 1).as("c1"),
+      count(lit(1)).as("c2")).cache()
+    // affected docs for EVERY generation in one pass: own-gen docs
+    // plus, for g ≥ 1, docs holding a position (gen < g) of a shingle
+    // whose df crosses 1 → ≥ 2 at g. A shingle crosses at most once
+    // (df is monotone), so the two whens are exclusive.
+    val crossSh = dfAll.select(col("sh"), explode(array(
+        when(col("c0") < 2 && col("c1") >= 2, 1),
+        when(col("c1") < 2 && col("c2") >= 2, 2))).as("g"))
+      .filter(col("g").isNotNull)
+    val affAll = posAll.select(col("doc_id"), col("gen").as("g"))
+      .union(posAll.join(crossSh.hint("shuffle_hash"), Seq("sh"))
+        .filter(col("gen") < col("g")).select(col("doc_id"), col("g")))
+      .distinct().cache()
+    affAll.count() // materializes dfAll too (single consumer, no race)
+    def aff(g: Int): DataFrame =
+      affAll.filter(col("g") === g).select(col("doc_id"))
+    // ALL THREE watermarks' run catalogs from ONE window pass: the
+    // duplicated-position sets are NESTED (gen ≤ wm grows with wm and
+    // df is monotone, so S0 ⊆ S1 ⊆ S2) — one sort per doc over S2
+    // carries three running counts, each equal to the row_number a
+    // per-watermark window would produce over its own subset, so the
+    // per-watermark streak keys (i − rk_wm) fall out of the same
+    // WindowExec. Restricting docs before or after the streak pass is
+    // equivalent (streaks are per-doc), so the credit/retract doc-set
+    // restriction moves AFTER this shared derivation. One fetch-back
+    // join computes every run_fp. Five window passes (credits ×3,
+    // retracts ×2, plus the rebuild's own) collapse into this one.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
-    val runs = dup.withColumn("rk", row_number().over(w))
-      .groupBy(col("doc_id"), (col("i") - col("rk")).as("grp"))
+    val marked = posAll
+      .join(dfAll.filter(col("c2") >= 2).hint("shuffle_hash"), Seq("sh"))
+      .select(col("doc_id"), col("i"),
+        (col("gen") <= 0 && col("c0") >= 2).as("in0"),
+        (col("gen") <= 1 && col("c1") >= 2).as("in1"))
+    val rked = marked.select(col("doc_id"), col("i"), col("in0"), col("in1"),
+      sum(when(col("in0"), 1L)).over(w).as("rk0"),
+      sum(when(col("in1"), 1L)).over(w).as("rk1"),
+      sum(lit(1L)).over(w).as("rk2"))
+    val runsAll = rked.select(col("doc_id"), col("i"), explode(array(
+        when(col("in0"), struct(lit(0).as("wm"), (col("i") - col("rk0")).as("grp"))),
+        when(col("in1"), struct(lit(1).as("wm"), (col("i") - col("rk1")).as("grp"))),
+        struct(lit(2).as("wm"), (col("i") - col("rk2")).as("grp")))).as("e"))
+      .filter(col("e").isNotNull)
+      .groupBy(col("doc_id"), col("e.wm").as("wm"), col("e.grp").as("grp"))
       .agg(min(col("i")).as("i0"), count(lit(1)).as("len_sh"))
       .filter(col("len_sh") + 2 >= DupRunMinTokens)
-      .select(col("doc_id"), (col("i0") + 1).as("start_tok"),
+      .select(col("doc_id"), col("wm"), (col("i0") + 1).as("start_tok"),
         (col("len_sh") + 2).as("run_tokens"))
-    runs.hint("shuffle_hash").join(arr, "doc_id")
-      .select(col("doc_id"), col("source"), col("start_tok"),
+    // run-text fetch-back against the stored token arrays — once for
+    // every watermark's catalog; small run table as build side
+    val runsFp = runsAll.hint("shuffle_hash").join(arrAll, "doc_id")
+      .select(col("doc_id"), col("wm"), col("source"), col("start_tok"),
         col("run_tokens"),
         substring(sha2(expr(
           "concat_ws(' ', slice(toks, start_tok, cast(run_tokens AS int)))"),
-          256), 1, 16).as("run_fp"))
+          256), 1, 16).as("run_fp")).cache()
+    runsFp.count()
+    def runsAt(wm: Int): DataFrame =
+      runsFp.filter(col("wm") === wm).drop("wm")
+    def sites(wm: Int, g: Int, delta: Long): DataFrame =
+      runsAt(wm).join(aff(g).hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("start_tok"),
+          col("run_tokens"), col("run_fp"), lit(delta).as("delta"))
+    def deltasFor(g: Int): DataFrame = {
+      val credits = sites(g, g, 1L)
+      if (g == 0) credits else credits.union(sites(g - 1, g, -1L))
+    }
+    val written = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val write = (lo: Int, hi: Int) => {
+      val mode = if (lo == 0) "overwrite" else "append"
+      val dAll = (lo to hi).map(g => deltasFor(g).withColumn("gen", lit(g)))
+        .reduce(_.union(_)).cache()
+      written += dAll
+      StateStores.inParallel(
+        () => arrAll.filter(col("gen").between(lo, hi))
+          .write.mode(mode).partitionBy("gen").parquet(s"$statePath/docs"),
+        () => posAll.filter(col("gen").between(lo, hi))
+          .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings"),
+        () => dAll
+          .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas"))
+    }
+    val done = () => { arrAll.unpersist(); posAll.unpersist()
+      dfAll.unpersist(); affAll.unpersist(); runsFp.unpersist()
+      written.foreach(_.unpersist()); () }
+    DemoLifecycle(write, done, arrAll, posAll,
+      () => written.reduce(_.union(_)), runsAt)
   }
 
-  /** STREAMING twin of [[runIvmStep]] (the live maintenance path every
+  /** STREAMING twin of the batch maintenance step (the live
+    * maintenance path every
     * persisted store in this repo carries): one micro-batch's doc
     * state, postings, and signed deltas, written REPLAY-IDEMPOTENTLY —
     * each batch Overwrites its OWN `gen=<batchId>` partition dirs (the
@@ -337,9 +410,23 @@ object DupRunStore {
     * as the pair store: a watermark below the newest generation would
     * silently destroy later generations. */
   private[graft] def runStoreCompact(s: SparkSession, statePath: String,
-      watermark: Int): Unit = {
+      watermark: Int): Unit =
+    runStoreCompactFrom(s, statePath, watermark, None, None, None)
+
+  /** [[runStoreCompact]] with the fold/collapse INPUTS optionally
+    * supplied from the caller's cached frames (the q421 demo: the
+    * postings/docs/delta content being folded was derived and written
+    * by this same invocation moments earlier, so re-reading it from
+    * parquet is a redundant corpus-sized scan). The REWRITES are
+    * unchanged — every swap still lands real bytes under the store
+    * lock — and the auto-compact / stream path passes None and reads
+    * persisted state. Netting the raw delta frames equals netting the
+    * on-disk log by construction (same rows). */
+  private[graft] def runStoreCompactFrom(s: SparkSession, statePath: String,
+      watermark: Int, memDeltas: Option[DataFrame],
+      memPost: Option[DataFrame], memDocs: Option[DataFrame]): Unit = {
     StateStores.headGuard(StateStores.genDirs(s"$statePath/deltas"), watermark, "deltas")
-    val folded = s.read.parquet(s"$statePath/deltas")
+    val folded = memDeltas.getOrElse(s.read.parquet(s"$statePath/deltas"))
       .filter(col("gen") <= watermark)
       .groupBy(RunKey.map(col): _*)
       .agg(sum(col("delta")).as("delta"))
@@ -351,12 +438,13 @@ object DupRunStore {
     StateStores.inParallel(
       (() => StateStores.rewriteSwap(folded, s"$statePath/deltas",
         Some("gen"))) +:
-      Seq("postings", "docs").map(sub => () =>
-        StateStores.rewriteSwap(
-          s.read.parquet(s"$statePath/$sub")
+      Seq("postings" -> memPost, "docs" -> memDocs).map { case (sub, mem) =>
+        () => StateStores.rewriteSwap(
+          mem.getOrElse(s.read.parquet(s"$statePath/$sub"))
             .filter(col("gen") <= watermark)
             .withColumn("gen", lit(watermark)),
-          s"$statePath/$sub", Some("gen"))): _*)
+          s"$statePath/$sub", Some("gen"))
+      }: _*)
   }
 
   /** Auto-compaction hook for the LIVE sink — the PairGraph
@@ -385,7 +473,7 @@ object DupRunStore {
       : (Long, Long, Long) = {
     val path = StateStores.statePath(dir, "dup_run_vol")
     val lc = demoLifecycle(s, Tables(s, dir, "documents"), path)
-    (0 to 1).foreach(lc.step)
+    lc.write(0, 1)
     lc.done()
     (s.read.parquet(s"$path/deltas").count(),
       s.read.parquet(s"$path/postings").count(),
@@ -638,18 +726,22 @@ object DupRunStore {
       val docs = Tables(s, dir, "documents")
       val path = StateStores.statePath(dir, "dup_run_ivm")
       val lc = demoLifecycle(s, docs, path)
-      (0 to 2).foreach(lc.step)
+      lc.write(0, 2)
+      // the final contract READS THE STORE (one tiny runs-sized scan):
+      // lc.log()'s cached frames carry the whole derivation lineage,
+      // and analyzing that ~20k-line plan costs more driver time than
+      // the parquet read costs executors (guide §7.3)
       val deltas = s.read.parquet(s"$path/deltas")
       val perGen = deltas.groupBy(col("gen").cast("long").as("gen"))
         .agg(count_if(col("delta") === 1L).as("n_credit"),
           count_if(col("delta") === -1L).as("n_retract"))
       val maintained = deltas.groupBy(RunKey.map(col): _*)
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      // rebuild from the SAME cached corpus derivation the steps used
-      // (round-16: dupRunSites re-scanned + re-exploded + re-cached the
-      // corpus a second time inside this query — the caches release at
-      // the caller's clearCache, the q283/q321 lifecycle stance)
-      val rebuilt = rebuiltSites(lc.arr, lc.pos)
+      // rebuild = the final-watermark catalog from the lifecycle's ONE
+      // shared streak pass (expression-pinned by the oracle; round-16
+      // re-derived it with its own window over the cached frames, a
+      // second corpus-wide sort)
+      val rebuilt = lc.runsAt(2)
         .groupBy(RunKey.map(col): _*).agg(count(lit(1)).as("ir"))
       val genOf = pmod(col("doc_id"), lit(3)).cast("long")
       val cmp = maintained.join(rebuilt, RunKey, "full_outer")
@@ -725,12 +817,16 @@ object DupRunStore {
       val docs = Tables(s, dir, "documents")
       val path = StateStores.statePath(dir, "dup_run_c")
       val lc = demoLifecycle(s, docs, path)
-      (0 to 1).foreach(lc.step)
-      runStoreCompact(s, path, watermark = 1)
+      lc.write(0, 1)
+      // fold/collapse inputs from the lifecycle's cached frames (this
+      // invocation wrote them moments ago); the swaps still rewrite
+      // the store on disk
+      runStoreCompactFrom(s, path, watermark = 1,
+        Some(lc.log()), Some(lc.posGen), Some(lc.arrGen))
       // temporal by necessity: the folded-base size must be read
       // BETWEEN the compact and the gen-2 append — its own tiny action
       val baseSites = s.read.parquet(s"$path/deltas").count()
-      lc.step(2)
+      lc.write(2, 2)
       // everything after the last append is ONE plan (the q321 stack
       // shape — round-16: the old two .head actions serialized two
       // driver round-trips over the same delta scan); the rebuild
@@ -744,7 +840,7 @@ object DupRunStore {
           .as("gen2_retracts"))
       val maintained = deltas.groupBy(RunKey.map(col): _*)
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      val rebuilt = rebuiltSites(lc.arr, lc.pos)
+      val rebuilt = lc.runsAt(2)
         .groupBy(RunKey.map(col): _*).agg(count(lit(1)).as("ir"))
       val cmpM = maintained.join(rebuilt, RunKey, "full_outer")
         .agg(count_if(col("ir").isNotNull).as("final_sites"),
