@@ -162,6 +162,17 @@ object PairGraph {
     val dfs = post.filter(col("gen") <= gen)
       .groupBy(col("sh")).agg(count(lit(1)).as("dfA"),
         count_if(col("gen") < gen).as("dfB"))
+    ivmDeltasFrom(post, dfs, gen, cap)
+  }
+
+  /** [[ivmDeltas]] with the postings state and the (sh, dfA, dfB) df
+    * table supplied by the caller — the q283/q321 demos pass their one
+    * cached corpus derivation (and slices of one fused all-watermarks
+    * df pass) instead of re-reading the parquet this same invocation
+    * just wrote; content identical by construction, and the stream /
+    * spec wrapper above still reads persisted state only. */
+  private[graft] def ivmDeltasFrom(post: DataFrame, dfs: DataFrame,
+      gen: Int, cap: Int): DataFrame = {
     val live = dfs.filter(col("dfA") <= cap).select(col("sh"))
     val pg = post.filter(col("gen") === gen)
       .join(live.hint("shuffle_hash"), Seq("sh"), "left_semi")
@@ -186,29 +197,55 @@ object PairGraph {
     credits.union(retracts)
   }
 
-  /** One maintenance step: append generation `gen`'s postings + df
-    * increments (`pg` — the snapshot's postings rows, a frame derived
-    * from the SNAPSHOT alone), then derive and append its signed
-    * deltas (derived from STATE alone). Generation 0 overwrites,
-    * truncating any stale state — the whole 3-step sequence is
-    * idempotent across reruns, the q229 stance. NO coalesce on either
-    * write: a generation's postings at production cadence are
-    * snapshot-sized, and funneling them through one task is a
-    * scale-killer in the one code path whose purpose is the 100 TB
-    * maintenance story (round-9 verdict #1); AQE right-sizes the
-    * output files on both writes. */
-  private[llm] def ivmStep(s: SparkSession, pg: DataFrame,
-      statePath: String, gen: Int, cap: Int): Unit = {
-    val mode = if (gen == 0) "overwrite" else "append"
-    pg.withColumn("gen", lit(gen))
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings")
-    // no coalesce here: it would collapse the delta JOIN's reduce
-    // stage to one task; AQE already right-sizes the output files
-    ivmDeltas(s, statePath, gen, cap).withColumn("gen", lit(gen))
-      .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas")
+  /** The demo lifecycles' shared write phase: persist generations
+    * lo..hi of the cached postings mirror plus their signed deltas —
+    * postings ‖ deltas as TWO overlapped actions (§2.6), each one
+    * `partitionBy("gen")` write of every generation in the range
+    * (round-17: the per-generation action chain was the queries' cost
+    * — job count, not data — and pair-graph deltas derive from
+    * postings state alone, so every generation's deltas are
+    * independent given the fused df table). Generation 0 overwrites,
+    * truncating any stale state — idempotent across reruns, the q229
+    * stance. NO coalesce on either write: a generation's postings at
+    * production cadence are snapshot-sized, and funneling them
+    * through one task is a scale-killer in the one code path whose
+    * purpose is the 100 TB maintenance story (round-9 verdict #1);
+    * AQE right-sizes the output files on both writes. `dfAll` carries
+    * (sh, c0, c1, c2) cumulative counts; watermark g's df slice is
+    * (c_g, c_{g-1}). */
+  private def ivmWriteRange(pgAll: DataFrame, dfAll: DataFrame,
+      statePath: String, lo: Int, hi: Int, cap: Int): Unit = {
+    val mode = if (lo == 0) "overwrite" else "append"
+    def dfsAt(g: Int) = dfAll.select(col("sh"), col(s"c$g").as("dfA"),
+      (if (g == 0) lit(0L) else col(s"c${g - 1}")).as("dfB"))
+    val deltas = (lo to hi).map(g =>
+        ivmDeltasFrom(pgAll, dfsAt(g), g, cap).withColumn("gen", lit(g)))
+      .reduce(_.union(_))
+    StateStores.inParallel(
+      () => pgAll.filter(col("gen").between(lo, hi))
+        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/postings"),
+      () => deltas
+        .write.mode(mode).partitionBy("gen").parquet(s"$statePath/deltas"))
   }
 
-  /** STREAMING twin of [[ivmStep]] (round-11 verdict Missing #1 — the
+  /** The demo lifecycles' cached corpus derivation: per-doc-distinct
+    * shingle postings with the generation column, plus the fused
+    * all-watermarks df table — both cached and MATERIALIZED (the two
+    * parallel writes above would otherwise race the unpopulated cache
+    * and each re-run the corpus scan). */
+  private def demoState(docs: DataFrame, genCol: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
+    val pgAll = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
+      .withColumn("gen", genCol.cast("int")).cache()
+    val dfAll = pgAll.groupBy(col("sh")).agg(
+      count_if(col("gen") <= 0).as("c0"),
+      count_if(col("gen") <= 1).as("c1"),
+      count(lit(1)).as("c2")).cache()
+    dfAll.count() // materializes pgAll too (single consumer, no race)
+    (pgAll, dfAll)
+  }
+
+  /** STREAMING twin of the batch maintenance step (round-11 verdict Missing #1 — the
     * delta log with cap-crossing retractions was the one store with no
     * live maintenance path): one micro-batch's postings and signed
     * deltas, written REPLAY-IDEMPOTENTLY. Each batch writes into its
@@ -312,14 +349,25 @@ object PairGraph {
     * Missing #2. Both rewrites go through a temp dir + swap so a
     * crash mid-compact leaves the original state intact. */
   private[graft] def compact(s: SparkSession, statePath: String,
-      watermark: Int): Unit = {
+      watermark: Int): Unit =
+    compactFrom(s, statePath, watermark, None)
+
+  /** [[compact]] with the postings-collapse INPUT optionally supplied
+    * from the caller's cached mirror (the q321 demo wrote those rows
+    * moments earlier — re-reading corpus-sized parquet was redundant
+    * within one invocation). The swaps are unchanged: real bytes land
+    * under the store lock either way; the auto-compact / stream path
+    * passes None and reads persisted state. */
+  private[graft] def compactFrom(s: SparkSession, statePath: String,
+      watermark: Int, memPosts: Option[DataFrame]): Unit = {
     // guard against latent API misuse (round-10 advice): the rewrite
     // keeps only gen <= watermark rows, so a watermark below the
     // newest generation would silently DESTROY all later generations —
     // require the caller to compact the whole log or nothing. The
     // newest generation reads from the partition DIRECTORY names
-    // (gen=N — the write layout [[ivmStep]] owns), zero Spark jobs;
-    // the head-only guard is the shared [[StateStores.headGuard]]
+    // (gen=N — the write layout the demo/stream writers own), zero
+    // Spark jobs; the head-only guard is the shared
+    // [[StateStores.headGuard]]
     StateStores.headGuard(
       StateStores.genDirs(s"$statePath/deltas"), watermark, "deltas")
     val folded = s.read.parquet(s"$statePath/deltas")
@@ -328,7 +376,7 @@ object PairGraph {
       .agg(sum(col("delta")).as("delta"))
       .filter(col("delta") > 0)
       .withColumn("gen", lit(watermark))
-    val posts = s.read.parquet(s"$statePath/postings")
+    val posts = memPosts.getOrElse(s.read.parquet(s"$statePath/postings"))
       .filter(col("gen") <= watermark)
       .withColumn("gen", lit(watermark))
     // disjoint subdirs, no ordering between the two rewrites —
@@ -373,25 +421,23 @@ object PairGraph {
       // slices AND the final rebuild — the demo loop's snapshots are
       // slices of one fixture table, so re-deriving per step would
       // re-scan the text 4x for identical rows (measured 2x the whole
-      // query's cost at sf0.1); each step still only WRITES its own
-      // generation's rows
-      val pgAll = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
-        .withColumn("g", pmod(col("doc_id"), lit(3)).cast("int")).cache()
-      (0 to 2).foreach { g =>
-        ivmStep(s, pgAll.filter(col("g") === g).drop("g"), path, g, IvmCap)
-      }
+      // query's cost at sf0.1). Round-17: the per-generation action
+      // chain collapses to ONE postings write + ONE deltas write (all
+      // generations, partitionBy) — identical bytes, concurrent stages
+      val (pgAll, dfAll) = demoState(docs, pmod(col("doc_id"), lit(3)))
+      ivmWriteRange(pgAll, dfAll, path, 0, 2, IvmCap)
       val deltas = s.read.parquet(s"$path/deltas")
       val perGen = deltas.groupBy(col("gen").cast("long").as("gen"))
         .agg(count_if(col("delta") === 1L).as("n_credit"),
           count_if(col("delta") === -1L).as("n_retract"))
       val maintained = deltas.groupBy(col("d1"), col("d2"))
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      // from-scratch rebuild over the FINAL cap-4 universe
-      val shAll = pgAll.drop("g")
+      // from-scratch rebuild over the FINAL cap-4 universe; the df
+      // filter reuses the fused df pass (c2 = final-watermark df)
       // cached: both sides of the rebuild self-join read this slice
-      val cappedF = shAll.join(
-        shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= IvmCap).select(col("sh")).hint("shuffle_hash"),
+      val cappedF = pgAll.drop("gen").join(
+        dfAll.filter(col("c2") <= IvmCap).select(col("sh"))
+          .hint("shuffle_hash"),
         Seq("sh"), "left_semi").cache()
       // materialize once: AQE submits the self-join's two shuffle
       // stages concurrently, and both sides racing the unpopulated
@@ -456,20 +502,19 @@ object PairGraph {
       val docs = Tables(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(2)) === 0)
       val path = StateStores.statePath(dir, "pair_ivm_c")
-      val pgAll = TextDedup.explodeShingles(TextDedup.shingleArrays(docs))
-        .withColumn("g", pmod(expr("doc_id DIV 2"), lit(3)).cast("int")).cache()
-      (0 to 1).foreach { g =>
-        ivmStep(s, pgAll.filter(col("g") === g).drop("g"), path, g, IvmCap)
-      }
-      compact(s, path, watermark = 1)
-      ivmStep(s, pgAll.filter(col("g") === 2).drop("g"), path, 2, IvmCap)
+      val (pgAll, dfAll) = demoState(docs, pmod(expr("doc_id DIV 2"), lit(3)))
+      ivmWriteRange(pgAll, dfAll, path, 0, 1, IvmCap)
+      // fold input (delta log) is runs-sized — the parquet read is the
+      // cheap side; the postings collapse reads the cached mirror
+      // instead of re-scanning the corpus-sized parquet just written
+      compactFrom(s, path, watermark = 1, memPosts = Some(pgAll))
+      ivmWriteRange(pgAll, dfAll, path, 2, 2, IvmCap)
       val deltas = s.read.parquet(s"$path/deltas").cache()
       val maintained = deltas.groupBy(col("d1"), col("d2"))
         .agg(sum(col("delta")).as("im")).filter(col("im") > 0)
-      val shAll = pgAll.drop("g")
-      val cappedF = shAll.join(
-        shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= IvmCap).select(col("sh")).hint("shuffle_hash"),
+      val cappedF = pgAll.drop("gen").join(
+        dfAll.filter(col("c2") <= IvmCap).select(col("sh"))
+          .hint("shuffle_hash"),
         Seq("sh"), "left_semi").cache()
       cappedF.count() // single materialization — see q283
       val rebuilt = cappedF.as("a")
