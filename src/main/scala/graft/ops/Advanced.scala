@@ -74,16 +74,23 @@ object Advanced {
       * count — all shuffles keyed on token or doc_id. Output limited to
       * the top-scored terms of the first 20 docs for a stable result. */
     "q53_tfidf" -> ((s: SparkSession, dir: String) => {
+      graft.functions.TokenCounts.register(s)
       val docs = Tables(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      // deliberately NOT cached: re-deriving the explode from the
-      // columnar scan is cheaper than materializing 270k+ skinny rows
-      // (measured: caching made the query 2x slower)
-      val tokens = docs
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("doc_len"),
-          explode(split(col("text"), " ")).as("token"))
-      val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
-        .agg(count(lit(1)).as("occurrences"))
+      // tf via the token_counts kernel (round-17, guide §2.3/§4): the
+      // old explode emitted one row per token OCCURRENCE and the
+      // groupBy hash-probed each of them before partial agg shrank
+      // anything; the kernel counts per doc in one compiled loop and
+      // the Generate emits only the distinct (token, cnt) pairs — the
+      // exact rows the old aggregate produced (TokenCountsSpec +
+      // unchanged oracle pin the equality). n_all = size(split),
+      // empties included — q53's doc_len semantics.
+      val tf = docs
+        .select(col("doc_id"), expr("token_counts(text)").as("s"))
+        .select(col("doc_id"), col("s.n_all").cast("double").as("doc_len"),
+          explode(col("s.tcs")).as("t"))
+        .select(col("doc_id"), col("doc_len"),
+          col("t.token").as("token"), col("t.cnt").as("occurrences"))
       // document frequency FROM tf (round-16): tf is one row per
       // (doc_id, token) — doc_len is functionally dependent on doc_id —
       // so a per-token row count of tf IS the doc frequency. The old
@@ -113,23 +120,26 @@ object Advanced {
       * ln() difference cannot flip the keyword cut (ties are real
       * here: equal-tf equal-df tokens share a score). */
     "q255_doc_keywords" -> ((s: SparkSession, dir: String) => {
+      graft.functions.TokenCounts.register(s)
       val docs = Tables(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val tokens = docs
-        .select(col("doc_id"),
-          expr("size(filter(split(text, ' '), w -> length(w) > 0))")
-            .cast("double").as("doc_len"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
+      // tf via the token_counts kernel — see q53; here doc_len is the
+      // NON-EMPTY token count (n_ne ≡ the old size(filter(...)) form)
+      // and empty tokens are dropped at the distinct-pair level (the
+      // old shape filtered per occurrence).
       // df FROM tf — one row per (doc_id, token) already; the second
       // corpus explode + distinct exchange were redundant (see q53).
       // tf is CACHED + materialized once: its subtree feeds both join
-      // sides, and the two otherwise race the explode+aggregate
-      // (measured: two concurrent 2.2 s jobs for one derivation).
-      // Unlike the raw exploded token rows (round-3: caching those was
-      // 2× slower), tf is the AGGREGATED per-(doc, token) table.
-      val tf = tokens.groupBy(col("doc_id"), col("token"), col("doc_len"))
-        .agg(count(lit(1)).as("occ")).cache()
+      // sides, and the two otherwise race the derivation. Unlike the
+      // raw exploded token rows (round-3: caching those was 2× slower),
+      // tf is the AGGREGATED per-(doc, token) table.
+      val tf = docs
+        .select(col("doc_id"), expr("token_counts(text)").as("s"))
+        .select(col("doc_id"), col("s.n_ne").cast("double").as("doc_len"),
+          explode(col("s.tcs")).as("t"))
+        .filter(length(col("t.token")) > 0)
+        .select(col("doc_id"), col("doc_len"),
+          col("t.token").as("token"), col("t.cnt").as("occ")).cache()
       tf.count()
       val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, "token")
