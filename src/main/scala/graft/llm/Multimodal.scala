@@ -470,7 +470,21 @@ object Multimodal {
       * must land on identical sha-256 groups. */
     "q154_image_neardup" -> ((s: SparkSession, dir: String) => {
       val p = col("payload")
+      // PLAN-SIZE BARRIERS (round-17, guide §4.4/§7.3): payload is a
+      // ~500-node synthesis expression, sos an 8-step fold over it,
+      // body a CASE over both — and the optimizer inlined each alias
+      // into every downstream reference (the filter, fmt, and the
+      // 64-sample signature), compounding to a 218 KB physical plan
+      // whose per-execution ANALYSIS cost ~1.2 s of driver time
+      // against 1.2 s of executor jobs. An identity UDF marked
+      // non-deterministic pins each tier to ONE evaluation (the
+      // optimizer may not duplicate or reorder it — the same lever
+      // the guide applies to expensive Python UDFs), so downstream
+      // expressions reference plain attributes. Values are untouched
+      // and the oracle pins the output.
+      val idb = udf((b: Array[Byte]) => b).asNondeterministic()
       val parsed = synthesizeImagePairs(Tables(s, dir, "documents"))
+        .select(col("media_id"), idb(col("payload")).as("payload"))
         .withColumn("sos", segWalk(Seq("FFDA")))
       val pngOk = length(p) >= PngHeaderLen &&
         hex(substring(p, 1, 8)) === PngSigHex &&
@@ -478,17 +492,26 @@ object Multimodal {
       val jpegOk = hex(substring(p, 1, 2)) === "FFD8" &&
         col("sos").isNotNull && length(p) >= col("sos") + 3
       val withBody = parsed.select(col("media_id"),
-        when(pngOk, p.substr(lit(34), (length(p) - 33).cast("int")))
+        idb(when(pngOk, p.substr(lit(34), (length(p) - 33).cast("int")))
           .when(jpegOk, p.substr((col("sos") + 2).cast("int"),
-            (length(p) - col("sos") - 3).cast("int")))
+            (length(p) - col("sos") - 3).cast("int"))))
           .as("body"),
         when(pngOk, "png").when(jpegOk, "jpeg").as("fmt"))
         .filter(col("body").isNotNull)
-      val n = length(col("body"))
-      val sig = sha2(concat((0 until 64).map(i =>
-        col("body").substr(
-          greatest(lit(1), (lit(1) + floor(lit(i.toDouble) * (n - 1) / 63.0)).cast("int")),
-          lit(1))): _*), 256)
+      // the 64 sample positions as ONE fold referencing `body` twice,
+      // not 64 times (round-17, guide §7.3): `body` is itself the
+      // payload-synthesis CASE, and the old 64-branch concat inlined
+      // that subtree per branch — a 218 KB physical plan whose
+      // analysis cost ~1.2 s of DRIVER time per execution (wall 2.4 s
+      // vs 1.2 s of executor jobs). Identical bytes: same position
+      // arithmetic (double multiply, floor, int cast, greatest), same
+      // substr, same left-to-right concat order, so the sha2 is
+      // bit-equal and the oracle is unchanged.
+      val sig = sha2(expr(
+        """aggregate(sequence(0, 63), CAST('' AS BINARY), (acc, i) ->
+          |  concat(acc, substr(body,
+          |    greatest(1, CAST(1 + floor(CAST(i AS DOUBLE) * (length(body) - 1)
+          |      / 63.0D) AS INT)), 1)))""".stripMargin), 256)
       withBody.select(col("media_id"), col("fmt"), sig.as("sg"))
         .groupBy(col("sg"))
         .agg(count(lit(1)).as("n_media"),

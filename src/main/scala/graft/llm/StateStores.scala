@@ -44,7 +44,9 @@ object StateStores {
     * scale the win grows with the tail (§2.6's whole point). Callers
     * keep DEPENDENT actions sequential (a delta derivation reads the
     * postings it follows). Failures propagate: every thread is joined,
-    * then the first captured throwable re-throws. */
+    * then the first captured throwable re-throws with the remaining
+    * ones attached as suppressed (round-16 ADVICE: dropping them lost
+    * diagnostics when two parallel writes failed together). */
   private[graft] def inParallel(thunks: (() => Unit)*): Unit =
     if (thunks.sizeIs <= 1) thunks.foreach(_())
     else {
@@ -55,7 +57,12 @@ object StateStores {
         th.setDaemon(true); th.start(); th
       }
       ts.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      if (!errs.isEmpty) {
+        val it = errs.iterator()
+        val first = it.next()
+        while (it.hasNext) first.addSuppressed(it.next())
+        throw first
+      }
     }
 
   /** Deterministic per-(fixture, store) state dir under /tmp — reruns

@@ -904,33 +904,55 @@ object TextAnalysis {
       * exploded to rows. corr over midranks is a rational fold →
       * nudged r6 (q198 stance). */
     "q258_signal_agreement" -> ((s: SparkSession, dir: String) => {
+      graft.functions.TokenCounts.register(s)
       val sigs = Seq("hap", "len", "mwl", "ttr")
-      val base = withToks(Tables(s, dir, "documents")
-          .filter(col("text").isNotNull && length(col("text")) > 0))
-        .withColumn("tk", expr("filter(toks, w -> length(w) > 0)"))
-        .filter(expr("size(tk) > 0"))
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("len"),
-          expr("CAST(size(array_distinct(tk)) * 1000000 DIV size(tk) AS BIGINT)")
-            .as("ttr"),
-          expr("""CAST((length(text) - size(toks) + 1) * 1000
-            |  DIV size(tk) AS BIGINT)""".stripMargin).as("mwl"),
-          expr("""CAST(size(filter(array_distinct(tk),
-            |    t -> size(filter(tk, y -> y = t)) = 1)) * 1000000
-            |  DIV size(tk) AS BIGINT)""".stripMargin).as("hap"))
-        // cached: four distinct-value count branches + the ranked join
-        // chain all read these rows; without it every branch re-runs
-        // the O(tokens²) hapax projection (measured ~2x on the query)
+      // every signal reads off ONE token_counts kernel pass
+      // (round-17): distinct non-empty tokens = the non-empty tcs
+      // entries, hapaxes = the cnt = 1 entries among them — the old
+      // hapax projection was an O(tokens²) interpreted filter-within-
+      // filter per doc, the query's hottest term. n_all/n_ne replace
+      // size(toks)/size(tk). Same integer fixed-point arithmetic.
+      val base = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+          expr("token_counts(text)").as("s0"))
+        .filter(col("s0.n_ne") > 0)
+        .select(col("doc_id"), col("len"),
+          expr("""CAST(size(filter(s0.tcs, x -> length(x.token) > 0))
+            |  * 1000000 DIV s0.n_ne AS BIGINT)""".stripMargin).as("ttr"),
+          expr("CAST((len - s0.n_all + 1) * 1000 DIV s0.n_ne AS BIGINT)")
+            .as("mwl"),
+          expr("""CAST(size(filter(s0.tcs,
+            |    x -> length(x.token) > 0 AND x.cnt = 1)) * 1000000
+            |  DIV s0.n_ne AS BIGINT)""".stripMargin).as("hap"))
         .cache()
-      def mid(sig: String) = {
-        val cnts = base.groupBy(col(sig).as("v")).agg(count(lit(1)).as("cnt"))
-        graft.ops.GlobalRank
-          .withRunningSum(cnts, Seq(col("v")), "cnt", "ccum")
-          .select(col("v").as(sig),
-            ((col("ccum") - col("cnt")).cast("double") +
-              (col("cnt").cast("double") + 1.0) / 2.0).as(s"mr_$sig"))
-      }
-      val ranked = sigs.foldLeft(base)((d, sg) => d.join(mid(sg), Seq(sg)))
+      // ALL FOUR signals' midranks from ONE GlobalRank exchange (the
+      // q198/q241 tagged-union stance; the old shape paid one range
+      // exchange + sorted cache per signal and four reassembly joins):
+      // per-(signal, value) counts union under a tag, the running
+      // count rides one exchange, the per-tag offset restores each
+      // signal's global rank, and ONE pivot groupBy re-attaches all
+      // four midranks per doc.
+      val unpiv = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id"), explode(array(sigs.map(sg =>
+          struct(lit(sg).as("sg"), col(sg).as("v"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.sg").as("sg"), col("e.v").as("v"))
+      val cnts = unpiv(base).groupBy(col("sg"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val mr = graft.ops.GlobalRank
+        .withRunningSum(cnts, Seq(col("sg"), col("v")), "cnt", "ccum")
+      val offs = mr.groupBy(col("sg"))
+        .agg(min(col("ccum") - col("cnt")).as("off"))
+      val mids = mr.join(broadcast(offs), "sg")
+        .select(col("sg"), col("v"),
+          ((col("ccum") - col("off") - col("cnt")).cast("double") +
+            (col("cnt").cast("double") + 1.0) / 2.0).as("mr"))
+      val ranked = unpiv(base).join(mids, Seq("sg", "v"))
+        .groupBy(col("doc_id"))
+        .agg(sigs.map(sg => max(when(col("sg") === sg, col("mr")))
+          .as(s"mr_$sg")).head,
+          sigs.tail.map(sg => max(when(col("sg") === sg, col("mr")))
+            .as(s"mr_$sg")): _*)
       val prs = for {
         i <- sigs.indices; j <- i + 1 until sigs.size
       } yield (sigs(i), sigs(j))
@@ -1456,17 +1478,28 @@ object TextAnalysis {
       * (deterministic, no ranked cutoff). Output: integer confusion
       * counts only. */
     "q368_source_classifier" -> ((s: SparkSession, dir: String) => {
-      val tok = Tables(s, dir, "documents")
+      graft.functions.TokenCounts.register(s)
+      // per-doc (token, k) pairs from the token_counts kernel
+      // (round-17, §2.3/§4): the old per-OCCURRENCE explode fed every
+      // downstream aggregate and join one row per occurrence; all the
+      // integer aggregates read sums of k instead of row counts
+      // (identical values), and the sparse log term folds as
+      // k·ln(c+1) — the same real number the occurrence sum reached,
+      // evaluated on the r6 + 1e-12 nudged grid both engines share
+      // (the score compare was already tolerant of fold order).
+      val tfd = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("t"))
+          explode(expr("token_counts(text).tcs")).as("e"))
+        .select(col("doc_id"), col("source"),
+          col("e.token").as("t"), col("e.cnt").as("k"))
         .cache() // vocab, model, and the test side all read it
-      val train = tok.filter(col("doc_id") % 2 === 0)
+      val train = tfd.filter(col("doc_id") % 2 === 0)
       val vocab = train.groupBy(col("t"))
-        .agg(count(lit(1)).as("ct")).filter(col("ct") >= 2)
+        .agg(sum(col("k")).as("ct")).filter(col("ct") >= 2)
         .select(col("t")).cache()
       val model = train.join(vocab.hint("shuffle_hash"), "t")
         .groupBy(col("source"), col("t"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("k")).as("c"))
         .cache() // srcStats folds it, the test join probes it
       val nV = vocab.agg(count(lit(1)).as("v"))
       val priors = Tables(s, dir, "documents")
@@ -1481,15 +1514,16 @@ object TextAnalysis {
           (log(col("nd").cast("double")) - log(col("ndall").cast("double")))
             .as("prior"),
           log((col("ts") + col("v")).cast("double")).as("lnden"))
-      val test = tok.filter(col("doc_id") % 2 =!= 0)
+      val test = tfd.filter(col("doc_id") % 2 =!= 0)
         .join(vocab.hint("shuffle_hash"), "t")
         .cache() // per-doc token mass and the sparse score share it
       val md = test.groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("k")).as("m"))
       val sparse = test
         .join(model.select(col("t"), col("source").as("cand"), col("c")), "t")
         .groupBy(col("doc_id"), col("cand"))
-        .agg(sum(log(col("c").cast("double") + 1.0)).as("s1"))
+        .agg(sum(col("k").cast("double") * log(col("c").cast("double") + 1.0))
+          .as("s1"))
       val scored = md.crossJoin(broadcast(srcStats))
         .join(sparse, Seq("doc_id", "cand"), "left")
         .select(col("doc_id"), col("source"), col("cand"),
@@ -1520,18 +1554,27 @@ object TextAnalysis {
       * the corpus; a broadcast plan could not exist at 100 TB), then
       * doc- and source-level folds with map-side combine. */
     "q405_rare_token_mass" -> ((s: SparkSession, dir: String) => {
+      graft.functions.TokenCounts.register(s)
+      // per-doc (token, k) pairs from the token_counts kernel
+      // (round-17, §2.3/§4): df = a plain row count over the per-doc-
+      // distinct pairs (each doc contributes exactly one row per
+      // token, so count ≡ countDistinct(doc_id) — and the distinct
+      // aggregation buffer disappears), nt/nh = sums of k. All
+      // integers; identical values.
       val tok = Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("w"))
+          explode(expr("token_counts(text).tcs")).as("e"))
+        .select(col("doc_id"), col("source"),
+          col("e.token").as("w"), col("e.cnt").as("k"))
         .filter(length(col("w")) > 0)
         .cache() // the df aggregate and the mass join both read it
       val dfTab = tok.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       val perDoc = tok.join(dfTab.hint("shuffle_hash"), "w")
         .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("nt"),
-          count_if(col("df") === 1).as("nh"))
+        .agg(sum(col("k")).as("nt"),
+          coalesce(sum(when(col("df") === 1, col("k"))), lit(0L)).as("nh"))
       perDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("total_tokens"),

@@ -572,6 +572,16 @@ object Extended {
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select(col("d1"), col("d2")).cache()
+      // materialize ONCE before the fan-out (round-17, the q231/q283
+      // single-materialization stance): e feeds FOUR concurrent
+      // consumers (both union branches of `edges`→deg/aw/wedge arm,
+      // plus the anti join), and AQE submits their stages together —
+      // each racing the unpopulated cache re-ran the self-join +
+      // aggregate. The raced subtree here is the query's most
+      // expensive stage, exactly the case where the extra action wins
+      // (and the reason q244 ran FASTER at 8 cores than 32 in the
+      // round-16 scaling block: the duplicates burned the idle cores).
+      e.count()
       val edges = e.unionByName(
         e.select(col("d2").as("d1"), col("d1").as("d2")))
       val deg = edges.groupBy(col("d1").as("w")).agg(count(lit(1)).as("dg"))

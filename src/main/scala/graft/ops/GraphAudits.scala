@@ -208,23 +208,36 @@ object GraphAudits {
         expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
           .as("nt")).cache()
     val total = toks.agg(sum(col("nt"))).head.getLong(0)
-    Seq(0.5, 0.7, 0.9).map { t =>
-      val labels = ConnectedComponents.labels(
-        PairGraph.jaccard(s, dir, t).select(col("d1"), col("d2"))
-          .as[(Long, Long)].rdd)
-        .toDF("doc_id", "cid")
-      val removed = labels
-        .join(labels.groupBy(col("cid")).agg(min(col("doc_id")).as("keep")), "cid")
-        .filter(col("doc_id") =!= col("keep"))
-        .join(toks, "doc_id")
-      removed.agg(coalesce(countDistinct(col("cid")), lit(0L)).as("n_clusters"),
-          count(lit(1)).as("n_docs_removed"),
-          coalesce(sum(col("nt")), lit(0L)).as("tokens_removed"))
-        .select(lit(t).as("threshold"), col("n_clusters"),
-          col("n_docs_removed"), col("tokens_removed"),
-          r6n(col("tokens_removed").cast("double") / lit(total.toDouble))
-            .as("token_share"))
-    }.reduce(_ unionAll _).orderBy(col("threshold"))
+    // the three thresholds' component computations are INDEPENDENT
+    // eager RDD loops (ConnectedComponents runs per-round jobs) — run
+    // them on driver threads (§2.6, round-17) so one loop's round tail
+    // back-fills with the others' rounds instead of serializing three
+    // multi-round iterations; toks is materialized above (the `total`
+    // fold), so the branches read the cache, never race it
+    val thresholds = Seq(0.5, 0.7, 0.9)
+    val rows = new Array[org.apache.spark.sql.DataFrame](thresholds.length)
+    graft.llm.StateStores.inParallel(thresholds.zipWithIndex.map {
+      case (t, i) => () => {
+        val labels = ConnectedComponents.labels(
+          PairGraph.jaccard(s, dir, t).select(col("d1"), col("d2"))
+            .as[(Long, Long)].rdd)
+          .toDF("doc_id", "cid")
+        val removed = labels
+          .join(labels.groupBy(col("cid")).agg(min(col("doc_id")).as("keep")), "cid")
+          .filter(col("doc_id") =!= col("keep"))
+          .join(toks, "doc_id")
+        rows(i) = removed
+          .agg(coalesce(countDistinct(col("cid")), lit(0L)).as("n_clusters"),
+            count(lit(1)).as("n_docs_removed"),
+            coalesce(sum(col("nt")), lit(0L)).as("tokens_removed"))
+          .select(lit(t).as("threshold"), col("n_clusters"),
+            col("n_docs_removed"), col("tokens_removed"),
+            r6n(col("tokens_removed").cast("double") / lit(total.toDouble))
+              .as("token_share"))
+        ()
+      }
+    }: _*)
+    rows.reduce(_ unionAll _).orderBy(col("threshold"))
   }
 
   private def duckPeel(prev: String, nodes: String, out: String): String =

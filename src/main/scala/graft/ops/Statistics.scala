@@ -839,20 +839,32 @@ object Statistics {
       * .0/.5 doubles, so the only cross-engine float is the final
       * correlation — r6 on both sides. */
     "q198_spearman" -> ((s: SparkSession, dir: String) => {
-      def midranks(valueCol: String, mrName: String) = {
-        val cnts = Tables(s, dir, "lineitem")
-          .groupBy(col("l_returnflag").as("g"), col(valueCol).as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = GlobalRank.withRunningSum(cnts, Seq(col("g"), col("v")), "cnt", "ccum")
-        val offs = cum.groupBy(col("g"))
-          .agg(min(col("ccum") - col("cnt")).as("off"))
-        cum.join(offs, "g")
-          .select(col("g"), col("v"),
-            ((col("ccum") - col("off") - col("cnt")).cast("double") +
-              (col("cnt").cast("double") + 1.0) / 2.0).as(mrName))
-      }
-      val mrQ = midranks("l_quantity", "mr_qty")
-      val mrP = midranks("l_extendedprice", "mr_price")
+      // BOTH variables' midranks from ONE GlobalRank exchange
+      // (round-17, guide §2.4): the per-(flag, value) count tables are
+      // tagged and unioned, the running count rides one range
+      // exchange over (tag, flag, value) — within a tag that order ≡
+      // the old per-variable (flag, value) order, and the per-(tag,
+      // flag) offset subtracts the group's start exactly as before,
+      // so every midrank is the identical exact .0/.5 double. The old
+      // shape paid two range exchanges, two sorted caches, and two
+      // offset passes.
+      def cnts(valueCol: String, tag: String) = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(tag).as("w"), col("g"), col("v"), col("cnt"))
+      val cum = GlobalRank.withRunningSum(
+        cnts("l_quantity", "q").unionByName(cnts("l_extendedprice", "p")),
+        Seq(col("w"), col("g"), col("v")), "cnt", "ccum")
+      val offs = cum.groupBy(col("w"), col("g"))
+        .agg(min(col("ccum") - col("cnt")).as("off"))
+      val mr = cum.join(offs, Seq("w", "g"))
+        .select(col("w"), col("g"), col("v"),
+          ((col("ccum") - col("off") - col("cnt")).cast("double") +
+            (col("cnt").cast("double") + 1.0) / 2.0).as("mr"))
+      val mrQ = mr.filter(col("w") === "q")
+        .select(col("g"), col("v"), col("mr").as("mr_qty"))
+      val mrP = mr.filter(col("w") === "p")
+        .select(col("g"), col("v"), col("mr").as("mr_price"))
       // join ORDER matters: price midranks first (high-cardinality
       // (g, price) keys distribute the 600k-row shuffle evenly), then
       // the ~150-row quantity table by BROADCAST — the old
@@ -1671,25 +1683,35 @@ object Statistics {
         // three rank passes consume this — cache the narrow
         // per-customer aggregate once (customers ≪ orders)
         .cache()
-      val n1 = GlobalRank.withRowNumbers(rfm,
-        Seq(col("last_day"), col("o_custkey")), "rr")
-        .select(col("o_custkey"), col("rr"))
-      val n2 = GlobalRank.withRowNumbers(rfm,
-        Seq(col("freq"), col("o_custkey")), "rf")
-        .select(col("o_custkey").as("ck2"), col("rf"))
-      val n3 = GlobalRank.withRowNumbers(rfm,
-        Seq(col("cents"), col("o_custkey")), "rm")
-        .select(col("o_custkey").as("ck3"), col("rm"), col("cents"))
-      val nc = rfm.agg(count(lit(1)).as("n"))
-      val scored = n1
-        .join(n2, col("o_custkey") === col("ck2"))
-        .join(n3, col("o_custkey") === col("ck3"))
-        .join(broadcast(nc))
-        .select(
-          expr("CAST((rr - 1) * 5 DIV n AS BIGINT) + 1").as("r_q"),
-          expr("CAST((rf - 1) * 5 DIV n AS BIGINT) + 1").as("f_q"),
-          expr("CAST((rm - 1) * 5 DIV n AS BIGINT) + 1").as("m_q"),
-          col("cents"))
+      // ALL THREE dimensions' ranks from ONE GlobalRank exchange
+      // (round-17, the q198 tagged-union stance): the per-customer
+      // triple unpivots to (w, v) rows, one range exchange over
+      // (w, v, custkey) ranks every dimension — within a tag that
+      // order ≡ the old per-dimension (value, custkey) order, and the
+      // per-tag offset (min rank − 1) restores the 1-based dimension
+      // rank exactly. One pivot groupBy on custkey replaces the two
+      // reassembly joins; all arithmetic stays exact integers. The
+      // old shape paid three rank machineries (three range exchanges,
+      // three sorted caches) plus two shuffled joins — 30 stage-jobs
+      // for a per-customer table.
+      val u = rfm.select(col("o_custkey"), explode(array(
+          struct(lit("r").as("w"), col("last_day").as("v")),
+          struct(lit("f").as("w"), col("freq").as("v")),
+          struct(lit("m").as("w"), col("cents").as("v")))).as("e"))
+        .select(col("o_custkey"), col("e.w").as("w"), col("e.v").as("v"))
+      val ranked = GlobalRank.withRowNumbers(u,
+        Seq(col("w"), col("v"), col("o_custkey")), "rn")
+      val offs = ranked.groupBy(col("w"))
+        .agg((min(col("rn")) - 1).as("off"), count(lit(1)).as("n"))
+      val scored = ranked.join(broadcast(offs), "w")
+        .select(col("o_custkey"), col("w"), col("v"),
+          expr("CAST((rn - off - 1) * 5 DIV n AS BIGINT) + 1").as("q"))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("w") === "r", col("q"))).as("r_q"),
+          max(when(col("w") === "f", col("q"))).as("f_q"),
+          max(when(col("w") === "m", col("q"))).as("m_q"),
+          max(when(col("w") === "m", col("v"))).as("cents"))
+        .select(col("r_q"), col("f_q"), col("m_q"), col("cents"))
       scored
         .select(
           when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4,
