@@ -356,20 +356,28 @@ object Extended {
       * fact-side projection, no correlated probe per row, every join
       * on the high-cardinality order key. */
     "q156_waiting_blame" -> ((s: SparkSession, dir: String) => {
-      val lo = Tables(s, dir, "lineitem")
+      // dedupe to the (order, supplier) grain ONCE (round-17, §2.4):
+      // the old shape kept per-lineitem rows cached and paid two
+      // countDistinct buffers over them plus a separate distinct for
+      // the late side; one pair-level aggregate (late = max over the
+      // pair's lines) feeds both the per-order stats and the late
+      // slice as plain counts/filters — identical integers.
+      val ls = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-            .as("is_late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1).otherwise(0)).as("late"))
         .cache()
-      val stats = lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
-      lo.filter(col("is_late"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      ls.count() // two consumers below — materialize before the race
+      val stats = ls.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          count_if(col("late") === 1).as("n_late"))
+      ls.filter(col("late") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
         .join(stats, Seq("l_orderkey"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
         .groupBy(col("l_suppkey"))

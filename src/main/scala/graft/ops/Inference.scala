@@ -1042,15 +1042,25 @@ object Inference {
       val ev = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value")).cache()
-      val med = Quantiles.exactQuantiles(ev, Seq("event_type"), "value",
-        Seq("med" -> 0.5))
+      // materialize ONCE before the fan-out (round-17): SIX branches
+      // read ev (the med rank pass, the deviation pass, base, three
+      // IRLS re-aggregations) and AQE submits their leaf stages
+      // together — each racing the unpopulated cache re-ran the scan
+      // (the q231/q244 signature; ~60 stage-jobs for a 6-pass query)
+      ev.count()
+      // n/mu0/sd ride the median pass's grouped aggregate (round-17,
+      // Quantiles extras — one fewer full pass over ev; count exact,
+      // the float moments land on the r6 grid as before)
+      val medx = Quantiles.exactQuantiles(ev, Seq("event_type"), "value",
+        Seq("med" -> 0.5),
+        Seq("n" -> count(lit(1)), "mu0" -> avg(col("_v")),
+          "sd" -> stddev_pop(col("_v"))))
       val mad = Quantiles.exactQuantiles(
-        ev.join(broadcast(med), "event_type")
+        ev.join(broadcast(medx.select(col("event_type"), col("med"))),
+            "event_type")
           .select(col("event_type"), abs(col("value") - col("med")).as("adev")),
         Seq("event_type"), "adev", Seq("mad" -> 0.5))
-      val base = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), avg(col("value")).as("mu0"),
-          stddev_pop(col("value")).as("sd"))
+      val base = medx
         .join(broadcast(mad), "event_type")
         .select(col("event_type"), col("n"), col("mu0"),
           when(col("mad") > 0, lit(1.345) * col("mad") / lit(0.6745))

@@ -93,16 +93,26 @@ object Quantiles {
   }
 
   /** Quantile bounds per group from [[groupRanked]] rows, with the
-    * rank-span integrity assert woven in (see object doc). */
+    * rank-span integrity assert woven in (see object doc). `extras`
+    * are additional (outName, aggregate-over-`_v`) columns that ride
+    * the SAME grouped aggregate — callers that previously paid a
+    * separate groupBy pass over the input for per-group moments
+    * (count/mean/stddev) fold it into the pass the quantiles already
+    * make (round-17, guide §2.4). Note the fold ORDER over `_v` is
+    * the range-partitioned sorted order, not the scan order — exact
+    * for counts, last-ulp-class for float moments, the tolerance
+    * class every r6-rounded consumer already absorbs cross-engine. */
   private def boundsOf(withRank: DataFrame, groupCols: Seq[String],
-      qs: Seq[(String, Double)]): DataFrame = {
+      qs: Seq[(String, Double)],
+      extras: Seq[(String, Column)] = Nil): DataFrame = {
     val gcols: Seq[Column] = groupCols.map(col)
     def pos(q: Double): Column = lit(q) * (col("_n") - 1).cast("double")
     val picks = qs.flatMap { case (name, q) =>
       Seq(
         max(when(col("_gr") === floor(pos(q)).cast("long"), col("_v"))).as(s"_${name}_lo"),
         max(when(col("_gr") === ceil(pos(q)).cast("long"), col("_v"))).as(s"_${name}_hi"))
-    } ++ Seq(max(col("_n")).as("_n_out"), max(col("_gr")).as("_max_gr"))
+    } ++ Seq(max(col("_n")).as("_n_out"), max(col("_gr")).as("_max_gr")) ++
+      extras.map { case (name, c) => c.as(s"_x_$name") }
     val agged =
       if (groupCols.isEmpty) withRank.agg(picks.head, picks.tail: _*)
       else withRank.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
@@ -117,18 +127,22 @@ object Quantiles {
       (col(s"_${name}_lo") +
         (col(s"_${name}_hi") - col(s"_${name}_lo")) *
           (posOut(q) - floor(posOut(q)))).as(name)
-    }: _*)
+    } ++ extras.map { case (name, _) => col(s"_x_$name").as(name) }: _*)
   }
 
-  /** One row per group: `groupCols ++ qs.map(_._1)` with each named
-    * column holding the exact q-quantile of `valueCol`. `groupCols`
-    * empty ⇒ a single global row. */
+  /** One row per group: `groupCols ++ qs.map(_._1) ++ extras names`
+    * with each named column holding the exact q-quantile of
+    * `valueCol` (and each extra its aggregate over the group's `_v`
+    * rows — see [[boundsOf]]). `groupCols` empty ⇒ a single global
+    * row. */
   def exactQuantiles(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame =
-    boundsOf(groupRanked(df, groupCols, valueCol).withRank, groupCols, qs)
+      qs: Seq[(String, Double)],
+      extras: Seq[(String, Column)] = Nil): DataFrame =
+    boundsOf(groupRanked(df, groupCols, valueCol).withRank, groupCols, qs,
+      extras)
 
   /** Every (non-null-value) input row, annotated with its group's exact
     * quantiles: `groupCols :+ valueCol :+ qs names`. The winsorize /

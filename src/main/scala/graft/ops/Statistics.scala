@@ -2512,19 +2512,21 @@ object Statistics {
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("v"))
         .cache()
+      // mu/sd ride the quantile pass's grouped aggregate (round-17,
+      // Quantiles extras — the separate moments groupBy over ev and
+      // its broadcast join disappear; floats land on the nudged r6
+      // grid as before)
       val qs = Quantiles.exactQuantiles(ev, Seq("event_type"), "v",
-        Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
-      val ms = ev.groupBy(col("event_type"))
-        .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+        Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75),
+        Seq("mu" -> avg(col("_v")), "sd" -> stddev_pop(col("_v"))))
       val dev = ev.join(broadcast(qs), "event_type")
         .select(col("event_type"), col("v"), col("q1"), col("q3"), col("med"),
-          abs(col("v") - col("med")).as("adev"))
+          col("mu"), col("sd"), abs(col("v") - col("med")).as("adev"))
       val mad = Quantiles.exactQuantiles(dev, Seq("event_type"), "adev",
         Seq("mad" -> 0.5))
       val zr = round(abs(col("v") - col("mu")) / col("sd") + lit(1e-12), 6)
       val rz = round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)
       val flags = dev
-        .join(broadcast(ms), "event_type")
         .join(broadcast(mad), "event_type")
         .select(
           (col("sd") > 0 && zr > 3.0).as("f_z"),
